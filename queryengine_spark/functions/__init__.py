@@ -1,0 +1,25 @@
+from queryengine_spark.functions.text import (
+    byte_bigrams,
+    byte_length,
+    char_bigrams,
+    char_ngrams,
+    tokenize_ws,
+    ws_trim,
+)
+from queryengine_spark.functions.similarity import (
+    cosine_similarity,
+    partial_ratio,
+    partial_ratio_udf,
+)
+
+__all__ = [
+    "byte_bigrams",
+    "byte_length",
+    "char_bigrams",
+    "char_ngrams",
+    "cosine_similarity",
+    "partial_ratio",
+    "partial_ratio_udf",
+    "tokenize_ws",
+    "ws_trim",
+]

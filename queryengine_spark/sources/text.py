@@ -1,0 +1,52 @@
+"""Text sources (reference S1-S3, SURVEY.md §2.1).
+
+- S1 line-text scan (/root/reference/src/heurFuzz.py:10-20): one term
+  per line, Python-strip trimmed, with an input-line-order id (the
+  reference's output preserves input order, so the id is part of the
+  source contract).
+- S2 TSV with header (/root/reference/src/example_helpers/parse_inputs.py:30-31).
+- S3 pipe-delimited name dump (field 1 of split('|'), trimmed —
+  parse_inputs.py:39-42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from queryengine_spark.functions.text import ws_trim
+
+_LINES_SCHEMA = StructType(
+    [StructField("line_id", LongType(), False), StructField("term", StringType(), True)]
+)
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line scan with a deterministic input-order ``line_id``.
+
+    zipWithIndex assigns contiguous ids in file order (one pass to
+    size partitions, one to index) — the one place an RDD is justified:
+    Spark has no built-in row-order id for text sources, and the
+    reference's tie-breaks/output order depend on line order.
+    """
+    rdd = spark.read.text(path).rdd.map(lambda r: r[0]).zipWithIndex()
+    return spark.createDataFrame(rdd.map(lambda t: (t[1], t[0])), _LINES_SCHEMA).select(
+        "line_id", ws_trim(F.col("term")).alias("term")
+    )
+
+
+def read_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """TSV with header row (reference S2)."""
+    return spark.read.option("sep", "\t").option("header", True).csv(path)
+
+
+def read_pipe_names(spark: SparkSession, path: str) -> DataFrame:
+    """Pipe-delimited dump → trimmed ``name`` column = field index 1 of
+    split('|') (reference S3, parse_inputs.py:39-42)."""
+    return (
+        spark.read.text(path)
+        .select(F.split(F.col("value"), "\\|").alias("fields"))
+        .filter(F.size("fields") > 1)
+        .select(ws_trim(F.col("fields").getItem(1)).alias("name"))
+    )
