@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference engine's
+fuzzy top-k similarity join on dirtied part names — SURVEY.md §7 M1).
+``queries()``/``oracle_sql()`` expose the full operator inventory of
+SURVEY.md §2.2 plus the LLM-pipeline extensions (dedup, similarity
+search, text analysis, multimodal), each paired with DuckDB-parity
+ANSI SQL where expressible (rows-only otherwise: the partial_ratio
+refine and the mapInPandas feature extraction).
 """
 
 from __future__ import annotations
@@ -13,26 +15,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from queryengine_spark.queries import all_oracle_sql, all_queries
+from queryengine_spark.queries.fuzzy import fuzzy_match_full
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's entire pipeline (heuristic candidate
+    join → top-K → partial_ratio refine → argmax → NA fill) matching
+    dirtied part names back to the clean p_name vocabulary."""
+    return fuzzy_match_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracle_sql()

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: treat image/audio/video as opaque
+``binary`` payload columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` feature extractors.
+
+The decode step is STUBBED (image/audio libraries are not available
+in this environment — see extract_features): the deterministic fake
+derives "features" from the payload bytes, so schema, partitioning,
+batch shapes and the UDF signature are real and tested, and swapping
+in a real decoder (PIL/librosa/ffmpeg) is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of the multimodal asset relation
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, content_col: str, media_type: str) -> DataFrame:
+    """Wrap an arbitrary column as an opaque binary payload with typed
+    metadata — the shape a real ingest (S3 bytes + sidecar metadata)
+    produces."""
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode(F.col(content_col), "UTF-8").alias("payload"),
+        F.octet_length(F.col(content_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """Real decoder hook. Image/audio libs are not installed in this
+    environment; production would do e.g. PIL.Image.open(BytesIO(...)).
+    The deterministic fake below keeps every Spark-side contract real.
+    """
+    raise NotImplementedError("media decoding libraries not available; using fake decode")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in: dimensions derived from the content
+    hash, so results are stable across runs/partitionings."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload —
+    the multimodal hot path. Runs as mapInPandas so one Python worker
+    processes whole record batches (never row-at-a-time)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, hashes = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    w, h = _decode_image(b)
+                except NotImplementedError:
+                    w, h = _fake_decode(b)
+                widths.append(w)
+                heights.append(h)
+                hashes.append(hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "content_hash": hashes,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)

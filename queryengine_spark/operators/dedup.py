@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale text corpora — the
+LLM-data-pipeline surface (BASELINE.json north star). All operators
+are declarative DataFrame plans over an (id, text) relation; nothing
+touches the driver.
+
+Scale notes:
+- exact: hash-groupBy, one shuffle on a 32-hex key, map-side partial
+  aggregation.
+- n-gram Jaccard: inverted-index equi-join on shingles (identical
+  result to all-pairs for any threshold > 0, since zero-overlap pairs
+  can't pass); optional max_df stop-shingle cap bounds the hot-key
+  blowup at corpus scale (documented approximation).
+- MinHash+LSH: shingle → k md5-derived min-hashes → banded bucket
+  join; only same-bucket pairs meet, turning O(n²) into
+  O(Σ bucket²). Hash = md5(seed ':' shingle), min taken
+  lexicographically on the hex — deterministic and engine-portable.
+- SimHash: 16-bit fingerprint; bit j is the sign of the sum over
+  tokens of ±1 by the high bit of hex nibble j of md5(token).
+  Near-dup candidates = equal fingerprints (or banded prefixes).
+- embedding cosine: JVM-side cosine over array columns; the all-pairs
+  variant is for modest candidate sets — at scale, pair generation
+  should come from LSH buckets (see operators/knn.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.numeric import fround
+from queryengine_spark.functions.similarity import cosine_similarity
+from queryengine_spark.functions.text import char_ngrams, tokenize_ws
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content hash: (text_hash, n_docs, keep_id) per
+    group, keep_id = smallest id (the canonical survivor)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+    )
+
+
+def shingle_relation(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) with distinct character n-grams of lower(text)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_ngrams(F.lower(F.col(text_col)), n))).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by character-n-gram Jaccard similarity.
+
+    Inverted-index join (never all-pairs): identical to the exact
+    Jaccard for threshold > 0. ``max_df`` drops shingles occurring in
+    more than that many documents before pairing (scale guard).
+    Emits (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingle_relation(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_df
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature: h_i = min over shingles of
+    md5('<i>:' || shingle), compared lexicographically on hex —
+    portable across engines and stable across partitionings."""
+    sh = shingle_relation(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding over MinHash signatures: docs sharing any band
+    bucket become candidate pairs (id_a < id_b, distinct). The
+    bucket join replaces the quadratic all-pairs comparison."""
+    assert n_hashes % band_size == 0
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(bands).alias("bucket"))
+    a = buckets.select(F.col("id").alias("id_a"), "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_fingerprint(text_col: Column | str, bits: int = 16) -> Column:
+    """Per-row 16-bit SimHash over whitespace tokens of lower(text):
+    bit j = sign of Σ_tokens (±1 by high bit of hex nibble j of
+    md5(token)). Pure column expression (works inside any groupBy-free
+    projection); near-dups share fingerprints (Hamming-0) or band
+    prefixes."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokenize_ws(F.lower(c))
+    high = list(_HEX_HIGH)
+
+    def bit_contrib(j: int):
+        # single-parameter lambda: PySpark higher-order lambdas
+        # dispatch on arity, so the nibble index must be captured by
+        # closure, not by a default argument.
+        nib = F.transform(
+            toks,
+            lambda tk: F.when(F.substring(F.md5(tk), j + 1, 1).isin(high), 1).otherwise(-1),
+        )
+        bit_sum = F.aggregate(nib, F.lit(0), lambda acc, v: acc + v)
+        return F.when(bit_sum > 0, F.lit(2**j)).otherwise(F.lit(0))
+
+    total = F.lit(0)
+    for j in range(bits):
+        total = total + bit_contrib(j)
+    return total.cast("bigint")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs embedding cosine near-dup detection (id_a < id_b).
+    For modest candidate sets — at corpus scale generate pairs from
+    LSH buckets first (operators/knn.py) and reuse this scorer."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", fround("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,157 @@
+"""Dedup driver-contract queries over the ``documents`` /
+``embeddings`` tables, with DuckDB-parity oracles.
+
+All hashes are md5-hex (identical in Spark and DuckDB), min-hash
+comparisons are lexicographic on the hex string, and ratios are
+int/int double divisions — so value-hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queryengine_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicate_groups,
+    minhash_lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from queryengine_spark.queries.base import t
+
+JACCARD_THRESHOLD = 0.6
+COSINE_THRESHOLD = 0.5
+N_HASHES = 8
+BAND_SIZE = 2
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_duplicate_groups(t(spark, sf, "documents"), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLE_CTE = """
+WITH d AS (SELECT doc_id AS id, lower(text) AS tl FROM documents),
+di AS (SELECT id, tl, unnest(range(1, length(tl) - 1)) AS i FROM d),
+sh AS (SELECT DISTINCT id, substr(tl, CAST(i AS INT), 3) AS sh FROM di)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from queryengine_spark.functions.numeric import fround
+
+    return ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text",
+        n=3, threshold=JACCARD_THRESHOLD,
+    ).select("id_a", "id_b", fround("jaccard", 6).alias("jaccard"))
+
+
+DEDUP_JACCARD_SQL = _SHINGLE_CTE + f""",
+cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       floor(shared / (ca.n_sh + cb.n_sh - shared) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM shared
+JOIN cnt ca ON id_a = ca.id
+JOIN cnt cb ON id_b = cb.id
+WHERE shared / (ca.n_sh + cb.n_sh - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_candidate_pairs(
+        t(spark, sf, "documents"), "doc_id", "text",
+        n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n   ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    bands = "\n  UNION ALL ".join(
+        "SELECT id, md5('{b}' || '|' || {cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+sig AS (SELECT id,
+   {mins}
+   FROM sh GROUP BY id),
+bk AS (
+  {bands}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+"""
+    )
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", simhash_fingerprint("text", bits=16).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n   ".join(
+        f"SUM(CASE WHEN substr(md5(tk), {j + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH d AS (SELECT doc_id,
+       string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+       FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
+bitsum AS (SELECT doc_id,
+   {sums}
+   FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bitsum
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=COSINE_THRESHOLD)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+}

@@ -1,0 +1,121 @@
+"""Text-analysis driver-contract queries over ``documents``:
+token counts, quality scores, heuristic language ID, content
+fingerprints — each a single JVM-side projection/aggregation pass
+with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queryengine_spark import textstats as ts
+from queryengine_spark.queries.base import t
+
+# DuckDB-side token array matching functions.text.tokenize_ws
+_TOKS = "string_split_regex(regexp_replace({c}, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+_TOKS_LOW = _TOKS.format(c="lower(text)")
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        ts.char_count("text").alias("n_chars_actual"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        ts.punct_ratio("text").alias("punct_ratio"),
+        ts.stopword_ratio("text").alias("stopword_ratio"),
+        ts.avg_token_len("text").alias("avg_token_len"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
+
+def _fr6(x: str) -> str:
+    return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       {_fr6(f"(length(text) - length(regexp_replace(text, '{ts.PUNCT_CLASS}', '', 'g'))) / length(text)")} AS punct_ratio,
+       {_fr6(f"len(list_filter({_TOKS_LOW}, x -> x IN ({_STOP_LIST}))) / len({_TOKS_LOW})")} AS stopword_ratio,
+       {_fr6(f"list_sum(list_transform({_TOKS.format(c='text')}, x -> length(x))) / len({_TOKS.format(c='text')})")} AS avg_token_len
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    scores = ts.lang_scores("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        ts.lang_id("text").alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in ("en", "de", "fr", "es")],
+    )
+
+
+def _lang_sql() -> str:
+    score_exprs = {
+        lang: (
+            f"CAST(len(list_filter({_TOKS_LOW}, "
+            f"x -> x IN ({', '.join(repr(m) for m in markers)}))) AS BIGINT)"
+        )
+        for lang, markers in ts.LANG_MARKERS.items()
+    }
+    s = {k: f"score_{k}" for k in score_exprs}
+    cols = ",\n       ".join(f"{e} AS score_{k}" for k, e in score_exprs.items())
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_declared,
+       {cols}
+  FROM documents
+)
+SELECT doc_id, lang_declared,
+       CASE WHEN {s['en']} + {s['de']} + {s['fr']} + {s['es']} = 0 THEN 'und'
+            WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} THEN 'en'
+            WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de'
+            WHEN {s['fr']} >= {s['es']} THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       score_en, score_de, score_fr, score_es
+FROM scored
+"""
+
+
+LANG_SQL = _lang_sql()
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id", ts.content_fingerprint("text").alias("fingerprint")
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS_LOW})), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
+    "text_quality_scores": (text_quality_scores, QUALITY_SQL),
+    "text_lang_id": (text_lang_id, LANG_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+}
