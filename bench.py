@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full plan
+execution, no driver collection). Session startup and a warmup action
+are excluded — the numbers measure the plans, not JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from queryengine_spark.queries import all_queries
+from queryengine_spark.session import get_spark
+
+#: headline set: one representative per operator family. The n-gram
+#: Jaccard pair join is deliberately excluded (its inverted index on
+#: hot shingles is quadratic on this synthetic corpus — it stays a
+#: correctness query at sf0.01; MinHash-LSH is the scale-path dedup).
+HEADLINE = [
+    "scan_filter_project",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_theta",
+    "join_broadcast_dims",
+    "window_topk_orders_per_customer",
+    "window_running_total",
+    "setop_intersect",
+    "agg_rollup",
+    "fuzzy_candidates_coverage",
+    "fuzzy_match_full",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_bruteforce",
+    "knn_lsh",
+    "text_quality_scores",
+    "text_lang_id",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("queryengine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup: JVM + parquet footer caches, excluded from timing
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from queryengine_spark.functions.numeric import fround
 from queryengine_spark.functions.similarity import cosine_similarity
 from queryengine_spark.functions.text import char_ngrams, tokenize_ws
+from queryengine_spark.plans import spread
 
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -47,7 +48,10 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
 def shingle_relation(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) with distinct character n-grams of lower(text)."""
+    """(id, shingle) with distinct character n-grams of lower(text).
+    Input is spread across the cluster first — the explode multiplies
+    rows by ~|text|, so it must not run on one partition."""
+    df = spread(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_ngrams(F.lower(F.col(text_col)), n))).alias("sh"),
@@ -119,8 +123,15 @@ def minhash_lsh_candidate_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs sharing any band
-    bucket become candidate pairs (id_a < id_b, distinct). The
-    bucket join replaces the quadratic all-pairs comparison."""
+    bucket become candidate pairs (id_a < id_b, distinct).
+
+    Pair generation is a bucket equi-self-join. The signature
+    relation is locally checkpointed first: Spark reuses no exchange
+    across differently-aliased self-join branches, so without it the
+    whole shingle→signature pipeline would execute twice. The join
+    (not an in-array pair expansion) keeps skewed buckets distributed
+    — a hot bucket's g² pairs spread over tasks instead of
+    materializing as one giant array (AQE splits skewed keys)."""
     assert n_hashes % band_size == 0
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     n_bands = n_hashes // band_size
@@ -136,7 +147,9 @@ def minhash_lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    buckets = sig.select("id", F.explode(bands).alias("bucket"))
+    buckets = sig.select("id", F.explode(bands).alias("bucket")).localCheckpoint(
+        eager=False
+    )
     a = buckets.select(F.col("id").alias("id_a"), "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "bucket")
     return (
@@ -172,6 +185,31 @@ def simhash_fingerprint(text_col: Column | str, bits: int = 16) -> Column:
     for j in range(bits):
         total = total + bit_contrib(j)
     return total.cast("bigint")
+
+
+def simhash_relation(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(id, simhash): the scale-path SimHash — explode tokens, hash
+    each token ONCE, aggregate the ±1 nibble contributions per bit.
+    Prefer this over the column-expression variant for large corpora:
+    one md5 per token (vs one per token per bit) and fully parallel
+    after the token explode."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    tok = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tk")
+    ).withColumn("h", F.md5(F.col("tk")))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(list(_HEX_HIGH)), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = tok.groupBy("id").agg(*aggs)
+    total = F.lit(0)
+    for j in range(bits):
+        total = total + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return sums.select("id", total.cast("bigint").alias("simhash"))
 
 
 def embedding_neardup_pairs(

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from queryengine_spark.config import FuzzyConfig
 from queryengine_spark.functions.similarity import partial_ratio_udf
 from queryengine_spark.functions.text import byte_bigrams, ws_trim
+from queryengine_spark.plans import spread
 
 
 def prepare_terms(
@@ -78,6 +79,9 @@ def prepare_terms(
         (F.octet_length(F.col(f"{p}_term")) >= 2)
         & (F.octet_length(F.col(f"{p}_term")) <= buffer_size)
     )
+    # single-file inputs arrive as one partition; the downstream
+    # bigram explode / candidate join must run cluster-wide
+    out = spread(out)
     return out.select(
         f"{p}_id",
         f"{p}_term",
@@ -161,6 +165,12 @@ def candidates_inverted(
         r_bi = r_bi.join(F.broadcast(hot), "bg", "left_anti")
         q_bi = q_bi.join(F.broadcast(hot), "bg", "left_anti")
 
+    # the pre-aggregated query-side index is tiny relative to the ref
+    # side in the typical workload (|Q| ≪ |R| after pre-agg); let the
+    # ref side stream map-side against a broadcast of it when small,
+    # avoiding the shuffle of the exploded ref index entirely.
+    if _is_small(q_bi, 200_000):
+        q_bi = F.broadcast(q_bi)
     hits = (
         q_bi.join(r_bi, "bg")
         .groupBy("q_id", "r_id")

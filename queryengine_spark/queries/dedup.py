@@ -16,14 +16,17 @@ from queryengine_spark.operators.dedup import (
     exact_duplicate_groups,
     minhash_lsh_candidate_pairs,
     ngram_jaccard_pairs,
-    simhash_fingerprint,
+    simhash_relation,
 )
 from queryengine_spark.queries.base import t
 
 JACCARD_THRESHOLD = 0.6
 COSINE_THRESHOLD = 0.5
 N_HASHES = 8
-BAND_SIZE = 2
+#: 2 bands × 4 hashes: requiring 4 matching min-hashes per band keeps
+#: candidate volume sane on highly self-similar corpora (band size 2
+#: emitted 8.2M candidate pairs on the synthetic sf0.1 documents).
+BAND_SIZE = 4
 
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -106,7 +109,9 @@ DEDUP_MINHASH_SQL = _minhash_sql()
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
-    return d.select("doc_id", simhash_fingerprint("text", bits=16).alias("simhash"))
+    return simhash_relation(d, "doc_id", "text", bits=16).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
 
 
 def _simhash_sql() -> str:

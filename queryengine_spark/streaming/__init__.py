@@ -1,0 +1,103 @@
+"""Structured Streaming operators over the events stream.
+
+The reference engine is strictly batch (SURVEY §2.2: streaming =
+none); this module is the driver's north-star extension. Batch
+semantics of the same aggregations live in queries/eventsq.py — the
+tests assert streaming results == batch results on the same data.
+
+Patterns covered:
+- tumbling windowed aggregation with a watermark (late-data bound),
+- streaming exact dedup (dropDuplicates on a content hash within the
+  watermark horizon),
+- memory-sink runner for deterministic tests.
+
+At scale these run against a Kafka/file source with checkpointing;
+the transformations are source-agnostic (they take any streaming
+DataFrame with the events schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream (one file per micro-batch by default;
+    swap for Kafka in production — everything downstream is agnostic)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data
+    watermark. Works on both streaming and batch DataFrames (same
+    plan — the batch run is the correctness oracle)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint")) / 10000.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type,
+    value-hash) within the watermark horizon survives. State is
+    bounded by the watermark — the scale-safe streaming analogue of
+    the batch exact-dedup operator."""
+    keyed = events.withColumn(
+        "content_hash",
+        F.md5(F.concat_ws("|", "user_id", "event_type", F.col("value").cast("string"))),
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicates(["content_hash"])
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+):
+    """Drive a streaming DataFrame into an in-memory table and block
+    until all available source data is processed (test harness)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
