@@ -1,0 +1,80 @@
+"""Physical-plan quality gates (SURVEY §4.2, the 100 TB design
+invariants). These assert that Catalyst produces the plan shapes the
+scale design depends on — if a refactor regresses pushdown, pruning,
+broadcast selection, or group-limit, these fail before any benchmark
+does."""
+
+from __future__ import annotations
+
+import pytest
+
+from queryengine_spark.queries import all_queries
+
+Q = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    df = Q[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _filescan_line(plan: str, table: str) -> str:
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and table in line:
+            return line
+    raise AssertionError(f"no FileScan for {table} in plan")
+
+
+def test_scan_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_filter_project")
+    scan = _filescan_line(plan, "lineitem")
+    # predicates reached the parquet scan
+    assert "DataFilters: [" in scan and "l_discount" in scan.split("DataFilters:")[1]
+    # column pruning: scan outputs only the needed columns
+    cols = scan.split("FileScan parquet")[1].split("]")[0]
+    assert "l_extendedprice" in cols and "l_tax" not in cols and "l_quantity" not in cols
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    filters = _filescan_line(plan, "lineitem").split("DataFilters:")[1]
+    for f in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f in filters, f
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_broadcasts_filtered_dim(spark, sf_dir):
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "q3_shipping_priority")
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "window_topk_orders_per_customer")
+
+
+def test_fuzzy_topk_group_limit_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fuzzy_topk_heuristic")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "sort_limit_top10")
+
+
+def test_semi_anti_join_physical(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    # map-side partial agg before the exchange (two HashAggregate
+    # nodes around one shuffle)
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,66 @@
+"""S2/S3 sources and the ETL pipeline (FIXTURES.md F4/F5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from queryengine_spark.config import FuzzyConfig
+from queryengine_spark.etl import clean_vocabulary, etl_fuzzy_pipeline
+from queryengine_spark.sources.text import read_pipe_names, read_tsv
+
+
+@pytest.fixture(scope="module")
+def tsv_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("etl") / "hosts.tsv"
+    p.write_text(
+        "host_name\tcol_b\tcol_c\n"
+        "Homo Sapiens\tx\t1\n"
+        "homo sapiens\ty\t2\n"      # dup after lower
+        "  Mus musculus \tz\t3\n"   # needs trim
+        "a\tw\t4\n"                 # single char -> filtered
+        "\tv\t5\n"                  # empty -> filtered
+    )
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def dmp_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("etl2") / "names.dmp"
+    p.write_text(
+        "1\t|\tHomo sapiens\t|\tauthority\n"
+        "2\t|\tMus musculus\t|\t\n"
+        "3\t|\tDanio rerio\t|\tx\n"
+    )
+    return str(p)
+
+
+def test_read_tsv_header(spark, tsv_file):
+    df = read_tsv(spark, tsv_file)
+    assert df.columns == ["host_name", "col_b", "col_c"]
+    assert df.count() == 5
+
+
+def test_clean_vocabulary_semantics(spark, tsv_file):
+    got = sorted(
+        r["term"] for r in clean_vocabulary(read_tsv(spark, tsv_file), "host_name").collect()
+    )
+    assert got == ["homo sapiens", "mus musculus"]
+
+
+def test_read_pipe_names_field1(spark, dmp_file):
+    got = sorted(r["name"] for r in read_pipe_names(spark, dmp_file).collect())
+    assert got == ["Danio rerio", "Homo sapiens", "Mus musculus"]
+
+
+def test_etl_pipeline_end_to_end(spark, tsv_file, dmp_file):
+    out = etl_fuzzy_pipeline(
+        spark, tsv_file, "host_name", dmp_file,
+        FuzzyConfig(top_k=100, score_cutoff=90),
+    )
+    matches = {r["query"]: r["match"] for r in out.collect()}
+    # lowercased queries match the original-case refs via the
+    # refine stage's str.lower processor (reference parity)
+    assert matches == {
+        "homo sapiens": "Homo sapiens",
+        "mus musculus": "Mus musculus",
+    }
