@@ -104,3 +104,80 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch image resize over binary payloads (mapInPandas). The
+    pixel work is stubbed (no imaging libs here): the fake emits the
+    payload's md5 digest bytes as the 'resized' image, keeping the
+    Arrow round-trip of binary columns and the output contract real —
+    production swaps `_fake_resize` for PIL's Image.resize."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        return hashlib.md5(payload).digest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _fake_resize(bytes(p)) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": out,
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: a 1→N row-expanding
+    mapInPandas (the UDF shape that matters — output rows ≠ input
+    rows). Decode stubbed: fake frames are deterministic byte slices
+    of the payload; production swaps in ffmpeg/pyav keyframe
+    extraction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                n = min(max_frames, max(len(b) // max(every_n, 1), 1))
+                for i in range(n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(b[i * every_n : i * every_n + every_n])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames if frames else pd.Series([], dtype=object),
+                }
+            )
+
+    return assets.mapInPandas(run, FRAME_SCHEMA)

@@ -21,6 +21,7 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id",
         ts.token_count("text").alias("n_tokens"),
+        ts.bpe_token_count("text").alias("n_bpe_tokens"),
         ts.char_count("text").alias("n_chars_actual"),
     )
 
@@ -28,6 +29,7 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{ts.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_actual
 FROM documents
 """

@@ -28,6 +28,10 @@ def get_spark(app_name: str = "queryengine_spark", extra_conf: dict | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/queryengine-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -29,9 +29,26 @@ PUNCT_CLASS = "[.,!?;:]"
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
+#: BPE-ish pre-tokenizer pattern: letter runs, digit runs, punctuation
+#: runs (GPT-2-style word splitting without lookaheads, so the same
+#: pattern runs on Java regex and RE2 — engine-portable).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
 def token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.size(tokenize_ws(c)).cast("bigint")
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish subword pre-tokenization as array<string> (the unit a
+    byte-pair tokenizer would merge from) — pure regex, JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text)).cast("bigint")
 
 
 def char_count(text: Column | str) -> Column:

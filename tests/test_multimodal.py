@@ -1,0 +1,59 @@
+"""Multimodal binary-column plumbing: Arrow round-trips of binary
+payloads through mapInPandas, deterministic fake decode, and the
+1→N frame-sampling shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from queryengine_spark.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def _assets(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a longer payload for frame sampling tests"), (3, "xy")],
+        ["id", "content"],
+    )
+    return attach_payload(df, "id", "content", "image/fake")
+
+
+def test_attach_payload_binary_and_meta(spark):
+    a = _assets(spark).collect()
+    by_id = {r["asset_id"]: r for r in a}
+    assert bytes(by_id[1]["payload"]) == b"hello world"
+    assert by_id[1]["n_bytes"] == 11
+    assert by_id[1]["media_type"] == "image/fake"
+
+
+def test_extract_features_deterministic(spark):
+    f1 = {r["asset_id"]: (r["width"], r["height"], r["content_hash"])
+          for r in extract_features(_assets(spark)).collect()}
+    f2 = {r["asset_id"]: (r["width"], r["height"], r["content_hash"])
+          for r in extract_features(_assets(spark)).collect()}
+    assert f1 == f2
+    assert f1[1][2] == hashlib.md5(b"hello world").hexdigest()
+    assert 16 <= f1[1][0] < 80 and 16 <= f1[1][1] < 80
+
+
+def test_resize_contract(spark):
+    out = resize_images(_assets(spark), 32, 32).collect()
+    assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+    assert all(len(bytes(r["payload"])) == 16 for r in out)  # md5 digest stub
+
+
+def test_sample_frames_expands_rows(spark):
+    frames = sample_frames(_assets(spark), every_n=10, max_frames=4)
+    got = frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    n_by_id = {r["asset_id"]: r["n"] for r in got}
+    assert n_by_id[2] == 4      # 42 bytes // 10 = 4 frames
+    assert n_by_id[1] == 1      # 11 bytes // 10 = 1
+    assert n_by_id[3] == 1      # minimum one frame
+    row = frames.filter((F.col("asset_id") == 2) & (F.col("frame_idx") == 1)).collect()[0]
+    assert bytes(row["frame"]) == b"a longer payload for frame sampling tests"[10:20]

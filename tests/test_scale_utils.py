@@ -1,0 +1,46 @@
+"""Shuffle-control utilities: bucketed joins eliminate the exchange,
+salted joins preserve semantics on skewed keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from queryengine_spark.plans import salted_join, write_bucketed
+from queryengine_spark.sources.tables import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    write_bucketed(o, "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(c, "customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"])
+    joined = spark.table("orders_b").join(
+        spark.table("customer_b"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    # sanity: same result as plain join
+    plain = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert joined.count() == plain
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), o, ["o_orderkey"], n_salts=4
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = {(r["l_orderkey"], r["n"]) for r in plain.collect()}
+    b = {(r["o_orderkey"], r["n"]) for r in salted.collect()}
+    assert a == b
