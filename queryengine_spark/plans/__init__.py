@@ -5,6 +5,7 @@ toolkit for 100 TB plans (complementing what AQE does automatically).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -41,6 +42,18 @@ def write_bucketed(
     the decisive optimization for repeatedly-joined 100 TB facts
     (pay the shuffle once at write time, never again at read time).
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    # the in-memory catalog forgets managed tables across sessions but
+    # their warehouse directories survive; clear an orphaned location
+    # so saveAsTable doesn't refuse it
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:") :]
+    if wh:
+        import shutil
+
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     writer = (
         df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
     )
