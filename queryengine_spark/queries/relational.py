@@ -148,6 +148,30 @@ FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
 """
 
 
+def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, bit-identical on the same doubles).
+    At 100 TB swap for approx_percentile with a documented error
+    bound — exact percentile requires a per-group sort."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50_price,
+       quantile_cont(o_totalprice, 0.95) AS p95_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t(spark, sf, "lineitem")
@@ -564,6 +588,7 @@ QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "agg_count_distinct": (agg_count_distinct, COUNT_DISTINCT_SQL),
     "agg_having": (agg_having, HAVING_SQL),
+    "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
     "agg_rollup": (agg_rollup, ROLLUP_SQL),
     "agg_cube": (agg_cube, CUBE_SQL),
     "agg_grouping_sets": (agg_grouping_sets, GROUPING_SETS_SQL),
