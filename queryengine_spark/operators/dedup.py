@@ -212,6 +212,62 @@ def simhash_relation(
     return sums.select("id", total.cast("bigint").alias("simhash"))
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation —
+    turns near-dup candidate PAIRS into dedup CLUSTERS (the final step
+    of fuzzy dedup: keep one doc per component).
+
+    Each iteration joins labels across symmetric edges and takes the
+    elementwise min; convergence in O(graph diameter) rounds. The
+    label frontier is localCheckpoint-ed per round to cut lineage
+    (iterative algorithms otherwise replan from scratch each round).
+    Returns (id, component) with component = min id in the component.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=False)
+
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

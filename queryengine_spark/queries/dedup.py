@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from queryengine_spark.operators.dedup import (
+    connected_components,
     embedding_neardup_pairs,
     exact_duplicate_groups,
     minhash_lsh_candidate_pairs,
@@ -136,6 +137,47 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bitsum
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy-dedup clusters: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation). The oracle computes
+    the same components with a recursive CTE over the same pairs —
+    component = min doc_id reachable in the undirected candidate
+    graph."""
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
+    )
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs, max_iterations=30
+    )
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def _components_sql() -> str:
+    minhash = _minhash_sql()
+    # reuse the full minhash candidate-pair query as a CTE, then close
+    # over the symmetric edge relation with a recursive walk
+    assert minhash.startswith("\nWITH ")
+    body = minhash[len("\nWITH ") :]
+    cte_part, final_select = body.rsplit("SELECT DISTINCT", 1)
+    return f"""
+WITH RECURSIVE {cte_part.rstrip()},
+pairs AS (SELECT DISTINCT {final_select}),
+verts AS (SELECT doc_id AS vid FROM documents),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(wid, label) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.wid
+)
+SELECT wid AS doc_id, MIN(label) AS component FROM walk GROUP BY wid
+"""
+
+
+DEDUP_COMPONENTS_SQL = _components_sql()
+
+
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
     return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=COSINE_THRESHOLD)
@@ -158,5 +200,6 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
 }

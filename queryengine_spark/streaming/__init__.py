@@ -87,6 +87,68 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return keyed.withWatermark("ts", watermark).dropDuplicates(["content_hash"])
 
 
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("session_id", LongType(), True),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType(), True),
+        StructField("counter", LongType(), True),
+    ]
+)
+
+
+def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    gap-based session assignment per user, with (last event time,
+    session counter) carried across micro-batches as typed state.
+    Equals the batch window-function sessionization when micro-batches
+    arrive in event-time order (asserted in tests); out-of-order
+    arrivals would need a watermark + buffer variant.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def assign(key, pdf_iter, state):
+        if state.exists:
+            last_us, counter = state.get
+        else:
+            last_us, counter = None, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            sessions = []
+            for u in us:
+                if last_us is None or u - last_us > gap_us:
+                    counter += 1
+                last_us = int(u)
+                sessions.append(counter)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "session_id": pd.Series(sessions, dtype="int64").values,
+                }
+            )
+        state.update((last_us, counter))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ):
