@@ -581,6 +581,81 @@ FROM orders
 """
 
 
+# --- subqueries (Catalyst decorrelation) ------------------------------------
+
+def subquery_scalar_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery: parts priced above their brand's
+    average (decorrelated by Catalyst into an aggregate + join)."""
+    t(spark, sf, "part").createOrReplaceTempView("part")
+    # exact-decimal avg (order-independent) so the correlated threshold
+    # is bit-identical across engines — see queries/base.py discipline
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p1
+        WHERE p_retailprice >
+              (SELECT SUM(CAST(floor(p_retailprice * 10000.0 + 0.5) AS BIGINT))
+                      / 10000.0 / COUNT(*) * 1.2
+               FROM part p2 WHERE p2.p_brand = p1.p_brand)
+        """
+    )
+
+
+SUBQUERY_SCALAR_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p1
+WHERE p_retailprice >
+      (SELECT SUM(CAST(floor(p_retailprice * 10000.0 + 0.5) AS BIGINT))
+              / 10000.0 / COUNT(*) * 1.2
+       FROM part p2 WHERE p2.p_brand = p1.p_brand)
+"""
+
+
+def subquery_in(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-subquery (compiles to a semi join): orders of customers in
+    the AUTOMOBILE segment."""
+    t(spark, sf, "orders").createOrReplaceTempView("orders")
+    t(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+        """
+    )
+
+
+SUBQUERY_IN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'AUTOMOBILE')
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13-shaped: outer join + two-level aggregation —
+    distribution of customers by order count."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
 QUERIES = {
     "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
     "distinct_flag_status": (distinct_flag_status, DISTINCT_SQL),
@@ -608,4 +683,7 @@ QUERIES = {
     "setop_except": (setop_except, SETOP_EXCEPT_SQL),
     "sort_limit_top10": (sort_limit_top10, SORT_LIMIT_SQL),
     "scalar_functions": (scalar_functions, SCALAR_SQL),
+    "subquery_scalar_correlated": (subquery_scalar_correlated, SUBQUERY_SCALAR_SQL),
+    "subquery_in": (subquery_in, SUBQUERY_IN_SQL),
+    "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
 }
