@@ -46,6 +46,9 @@ HEADLINE = [
     "knn_lsh",
     "text_quality_scores",
     "text_lang_id",
+    "pipeline_clean_corpus",
+    "q13_order_count_distribution",
+    "subquery_in",
     "events_tumbling_hourly",
     "events_sessionize",
     "multimodal_features",

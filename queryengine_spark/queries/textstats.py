@@ -5,7 +5,7 @@ with a DuckDB oracle."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from queryengine_spark import textstats as ts
@@ -115,8 +115,56 @@ FROM documents
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data shape: quality-filter → fingerprint
+    dedup (keep lowest doc_id per canonical content) → per-language
+    corpus stats. One declarative plan; every stage is an operator
+    from this package."""
+    d = t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        ts.token_count("text").alias("n_tokens"),
+        ts.stopword_ratio("text").alias("stop_ratio"),
+        ts.content_fingerprint("text").alias("fp"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") <= 0.5))
+    deduped = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+PIPELINE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n_tokens,
+         {_fr6(f"len(list_filter({_TOKS_LOW}, x -> x IN ({_STOP_LIST}))) / len({_TOKS_LOW})")} AS stop_ratio,
+         md5(array_to_string(list_sort(list_distinct({_TOKS_LOW})), ' ')) AS fp
+  FROM documents
+),
+filtered AS (SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio <= 0.5),
+deduped AS (
+  SELECT * FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
+    "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_SQL),
     "text_quality_scores": (text_quality_scores, QUALITY_SQL),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),

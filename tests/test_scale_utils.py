@@ -26,6 +26,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert joined.count() == plain
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Hive-style partitioned writes prune at planning time: a filter
+    on the partition column must show up as PartitionFilters and scan
+    only the matching directories."""
+    path = str(tmp_path_factory.mktemp("events_part"))
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    e.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    want = e.filter(F.to_date("ts") == "2024-01-05").count()
+    assert df.count() == want > 0
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
