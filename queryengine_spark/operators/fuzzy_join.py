@@ -169,7 +169,10 @@ def candidates_inverted(
     # side in the typical workload (|Q| ≪ |R| after pre-agg); let the
     # ref side stream map-side against a broadcast of it when small,
     # avoiding the shuffle of the exploded ref index entirely.
-    if _is_small(q_bi, 200_000):
+    # Probe the NARROW query relation (limit-probe, no shuffle) — not
+    # q_bi, whose groupBy would execute a whole shuffle job just to
+    # decide the hint.
+    if _is_small(queries.select("q_id"), 20_000):
         q_bi = F.broadcast(q_bi)
     hits = (
         q_bi.join(r_bi, "bg")
