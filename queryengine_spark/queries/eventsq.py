@@ -94,7 +94,60 @@ GROUP BY user_id, session_id
 """
 
 
+def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured scalar surface: JSON path extraction from the
+    events props column, aggregated per event type."""
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_id", "event_type", k.alias("k_value"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_value").alias("sum_k"),
+            F.min("k_value").alias("min_k"),
+            F.max("k_value").alias("max_k"),
+        )
+    )
+
+
+JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def shipping_delay_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic across a join: days between order date and ship
+    date, summarized per order priority."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("delay_days"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("delay_days").alias("total_delay_days"),
+        F.max("delay_days").alias("max_delay_days"),
+    )
+
+
+SHIPPING_DELAY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS total_delay_days,
+       CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INT) AS max_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": (events_tumbling_hourly, TUMBLING_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_json_extract": (events_json_extract, JSON_SQL),
+    "shipping_delay_stats": (shipping_delay_stats, SHIPPING_DELAY_SQL),
 }
