@@ -162,8 +162,39 @@ FROM deduped GROUP BY lang
 """
 
 
+def text_term_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus term frequencies: top-10 tokens per language by
+    (count DESC, token ASC) — explode → two-level aggregation →
+    grouped top-k (WindowGroupLimit)."""
+    from queryengine_spark.functions.text import tokenize_ws
+    from queryengine_spark.plans import spread
+
+    d = spread(t(spark, sf, "documents"))
+    tok = d.select("lang", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("tk"))
+    counts = tok.groupBy("lang", "tk").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tk").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "tk", "n", "rank")
+    )
+
+
+TERM_FREQ_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest({_TOKS_LOW}) AS tk FROM documents
+),
+counts AS (SELECT lang, tk, COUNT(*) AS n FROM tok GROUP BY lang, tk)
+SELECT lang, tk, n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tk ASC) AS INT) AS rank
+FROM counts
+QUALIFY rank <= 10
+"""
+
+
 QUERIES = {
     "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
+    "text_term_frequency": (text_term_frequency, TERM_FREQ_SQL),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_SQL),
     "text_quality_scores": (text_quality_scores, QUALITY_SQL),
     "text_lang_id": (text_lang_id, LANG_SQL),
