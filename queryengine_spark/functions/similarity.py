@@ -154,6 +154,13 @@ def partial_ratio_udf(query: pd.Series, candidate: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+def register_sql_functions(spark) -> None:
+    """Expose the engine's custom scorer to Spark SQL users:
+    ``SELECT partial_ratio(a, b) FROM ...``. Built-ins need no
+    registration; this is the one genuinely custom scalar."""
+    spark.udf.register("partial_ratio", partial_ratio_udf)
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine similarity — pure column expression
 # ---------------------------------------------------------------------------

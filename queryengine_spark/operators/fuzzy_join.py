@@ -190,12 +190,9 @@ def candidates_inverted(
     return _with_lendiff(out)
 
 
-#: total order of the heuristic top-K stage (SURVEY §2.3 Q1):
-#: coverage DESC, length-difference DESC, ref input order DESC.
-TOPK_ORDER: tuple[Column, ...] = ()
-
-
 def _topk_order() -> list[Column]:
+    # total order of the heuristic top-K stage (SURVEY §2.3 Q1):
+    # coverage DESC, length-difference DESC, ref input order DESC
     return [F.col("cov").desc(), F.col("lendiff").desc(), F.col("r_id").desc()]
 
 

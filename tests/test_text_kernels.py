@@ -71,3 +71,13 @@ def test_tokenize_ws(spark):
     df = spark.createDataFrame([("  a  b\tc \n",), ("", )], ["s"])
     got = [r[0] for r in df.select(tokenize_ws("s")).collect()]
     assert got == [["a", "b", "c"], []]
+
+
+def test_register_sql_functions(spark):
+    from queryengine_spark.functions.similarity import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT partial_ratio('test', 'testing') AS s, partial_ratio('ab', 'xy') AS z"
+    ).collect()[0]
+    assert row["s"] == 100.0 and row["z"] == 0.0
