@@ -79,6 +79,10 @@ def ngram_jaccard_pairs(
             F.col("df") > max_df
         )
         sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    # the shingle relation fans out into the self-join's two sides and
+    # the per-doc counts; materialize it once (no exchange reuse across
+    # differently-aliased branches)
+    sh = sh.localCheckpoint(eager=False)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -239,6 +243,7 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=False)
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)
@@ -264,7 +269,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the bound); raise "
+            "max_iterations"
+        )
     return labels
 
 

@@ -75,6 +75,14 @@ def prepare_terms(
         (F.col(id_col).cast("long") if id_col else F.monotonically_increasing_id()).alias(f"{p}_id"),
         term.alias(f"{p}_term"),
     )
+    if id_col is None:
+        # monotonically_increasing_id is re-evaluated per plan branch;
+        # the prepared relation is consumed by several subtrees
+        # (bigram index, attribute table, final left join), and a
+        # nondeterministic upstream (e.g. a distinct) could hand each
+        # branch different ids. Materialize the id assignment ONCE so
+        # every branch sees the same ids.
+        out = out.localCheckpoint(eager=False)
     out = out.filter(
         (F.octet_length(F.col(f"{p}_term")) >= 2)
         & (F.octet_length(F.col(f"{p}_term")) <= buffer_size)
@@ -124,6 +132,7 @@ def candidates_inverted(
     queries: DataFrame,
     refs: DataFrame,
     stop_bigram_df_ratio: float | None = None,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Sparse candidate generation via a bigram inverted index
     (SURVEY §4.3) — the 100 TB path.
@@ -169,10 +178,13 @@ def candidates_inverted(
     # side in the typical workload (|Q| ≪ |R| after pre-agg); let the
     # ref side stream map-side against a broadcast of it when small,
     # avoiding the shuffle of the exploded ref index entirely.
-    # Probe the NARROW query relation (limit-probe, no shuffle) — not
+    # Callers that already know the query-side size pass the hint;
+    # otherwise probe the NARROW prepared relation (limit-probe) — not
     # q_bi, whose groupBy would execute a whole shuffle job just to
     # decide the hint.
-    if _is_small(queries.select("q_id"), 20_000):
+    if broadcast_queries is None:
+        broadcast_queries = _is_small(queries.select("q_id"), 20_000)
+    if broadcast_queries:
         q_bi = F.broadcast(q_bi)
     hits = (
         q_bi.join(r_bi, "bg")
@@ -275,7 +287,12 @@ def fuzzy_match(
     if strategy == "cross":
         cands = candidates_cross(q, r)
     elif strategy == "inverted":
-        cands = candidates_inverted(q, r, cfg.stop_bigram_df_ratio)
+        # one narrow probe on the RAW input decides the broadcast hint
+        # for the whole pipeline (avoids re-probing prepared subtrees)
+        cands = candidates_inverted(
+            q, r, cfg.stop_bigram_df_ratio,
+            broadcast_queries=_is_small(queries_raw, 20_000),
+        )
     else:
         raise ValueError(f"unknown candidate_strategy: {strategy}")
 

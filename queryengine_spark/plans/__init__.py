@@ -76,6 +76,10 @@ def salted_join(
     n_salts reducers instead of one. Use when AQE skew splitting is
     unavailable or insufficient; result is identical to the plain
     join (tested)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # right/full outer would emit unmatched right rows once per
+        # salt replica — semantics diverge from the plain join
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     left_s = left.withColumn("__salt", salt.cast("int"))
     right_s = right.withColumn(

@@ -124,7 +124,8 @@ def _simhash_sql() -> str:
     bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))
     return f"""
 WITH d AS (SELECT doc_id,
-       string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+       list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                   t0 -> t0 <> '') AS toks
        FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
 bitsum AS (SELECT doc_id,

@@ -11,8 +11,14 @@ from pyspark.sql import functions as F
 from queryengine_spark import textstats as ts
 from queryengine_spark.queries.base import t
 
-# DuckDB-side token array matching functions.text.tokenize_ws
-_TOKS = "string_split_regex(regexp_replace({c}, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+# DuckDB-side token array matching functions.text.tokenize_ws exactly:
+# split on whitespace runs AND drop empty tokens (tokenize_ws filters
+# them; without the filter an empty/whitespace-only text would yield
+# [''] = 1 token in DuckDB vs [] = 0 in Spark)
+_TOKS = (
+    "list_filter(string_split_regex(regexp_replace({c}, '^\\s+|\\s+$', '', 'g'),"
+    " '\\s+'), t0 -> t0 <> '')"
+)
 _TOKS_LOW = _TOKS.format(c="lower(text)")
 
 

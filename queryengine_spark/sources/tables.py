@@ -32,8 +32,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamps (integer div — the values exceed 2^53, so double
         # arithmetic would corrupt them). Matches DuckDB's ns→us
         # truncation exactly.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)  # schema is fixed here
+        finally:
+            # don't leak the legacy decoding mode into unrelated reads
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df

@@ -57,14 +57,14 @@ def tumbling_counts(
     """Tumbling-window counts/sums per event type with late-data
     watermark. Works on both streaming and batch DataFrames (same
     plan — the batch run is the correctness oracle)."""
+    from queryengine_spark.queries.base import dec_sum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint")) / 10000.0).alias(
-                "sum_value"
-            ),
+            dec_sum("value", "sum_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -82,7 +82,10 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     the batch exact-dedup operator."""
     keyed = events.withColumn(
         "content_hash",
-        F.md5(F.concat_ws("|", "user_id", "event_type", F.col("value").cast("string"))),
+        # to_json(struct(...)) preserves null positions — concat_ws
+        # would silently drop NULL fields and collide rows that differ
+        # only in which field is null
+        F.md5(F.to_json(F.struct("user_id", "event_type", "value"))),
     )
     return keyed.withWatermark("ts", watermark).dropDuplicates(["content_hash"])
 
