@@ -145,9 +145,50 @@ GROUP BY o_orderpriority
 """
 
 
+def events_asof_last_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (no Spark built-in — operators/asof.py): each click
+    event annotated with the user's most recent purchase at or before
+    it. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from queryengine_spark.operators.asof import as_of_join
+
+    e = t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = as_of_join(clicks, purchases, ["user_id"], "ts", "ts", ["value"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        F.date_format("asof_ts", fmt).alias("last_purchase_ts"),
+        F.col("asof_value").alias("last_purchase_value"),
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts,
+       p.value AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": (events_tumbling_hourly, TUMBLING_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_json_extract": (events_json_extract, JSON_SQL),
     "shipping_delay_stats": (shipping_delay_stats, SHIPPING_DELAY_SQL),
+    "events_asof_last_purchase": (events_asof_last_purchase, ASOF_SQL),
 }
