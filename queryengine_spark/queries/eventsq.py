@@ -185,10 +185,76 @@ FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
 """
 
 
+def events_range_join_active_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join with no equi key (operators/rangejoin.py): for every
+    error event, how many sessions (any user) were active at that
+    instant. Oracle: plain inequality join (DuckDB IEJoin)."""
+    from queryengine_spark.operators.rangejoin import point_in_interval_join
+
+    e = t(spark, sf, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us", 1).over(w).isNull()
+            | ((F.col("us") - F.lag("us", 1).over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.withColumn("session_id", F.sum("new_sess").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("start_us"), (F.max("us") + 1).alias("end_us"))
+        .select("start_us", "end_us")
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error").select("event_id", F.col("us").alias("pt_us"))
+    )
+    joined = point_in_interval_join(
+        errors, sess, "pt_us", "start_us", "end_us",
+        bucket_width=3_600_000_000, how="left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("start_us").alias("n_active_sessions")
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH ev AS (SELECT *, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us, 1) OVER w IS NULL
+                OR us - lag(us, 1) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess_events AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT MIN(us) AS start_us, MAX(us) + 1 AS end_us
+  FROM sess_events GROUP BY user_id, session_id
+),
+errors AS (SELECT event_id, us AS pt_us FROM ev WHERE event_type = 'error')
+SELECT e.event_id, COUNT(s.start_us) AS n_active_sessions
+FROM errors e LEFT JOIN sess s ON s.start_us <= e.pt_us AND e.pt_us < s.end_us
+GROUP BY e.event_id
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": (events_tumbling_hourly, TUMBLING_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_json_extract": (events_json_extract, JSON_SQL),
     "shipping_delay_stats": (shipping_delay_stats, SHIPPING_DELAY_SQL),
     "events_asof_last_purchase": (events_asof_last_purchase, ASOF_SQL),
+    "events_range_join_active_sessions": (
+        events_range_join_active_sessions,
+        RANGE_JOIN_SQL,
+    ),
 }
