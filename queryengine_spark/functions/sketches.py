@@ -1,0 +1,76 @@
+"""Distinct-count sketching that is deterministic AND engine-portable.
+
+HLL implementations differ across engines (Spark's approx_count_distinct
+can never hash-match another system), so the oracle-checkable sketch
+here is KMV (k-minimum values): hash every element with md5, keep the
+k smallest distinct hashes per group, and estimate
+
+    distinct ≈ (k - 1) / frac(h_(k))
+
+where frac maps the k-th smallest hash into (0, 1). Everything is
+md5-hex + fixed-order double arithmetic, so Spark and DuckDB produce
+bit-identical estimates. At 100 TB the k smallest hashes per group are
+a tiny mergeable state (min-k is an algebraic aggregate), giving
+distinct counts over arbitrary group-bys in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+#: hex digits of the hash used for the fraction (16^-8 ≈ 2.3e-10
+#: resolution — far below any k-th-min spacing we care about)
+_FRAC_DIGITS = 8
+
+
+def hash_fraction(hash_col: str) -> Column:
+    """Map an md5 hex string into (0,1): value of its first 8 nibbles
+    / 16^8, built as a fixed-order sum so any IEEE engine computes the
+    same double."""
+    expr = None
+    for i in range(1, _FRAC_DIGITS + 1):
+        term = F.expr(
+            f"(position(substr({hash_col}, {i}, 1) IN '{_HEX}') - 1) * {16.0 ** -i!r}"
+        )
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def sql_hash_fraction(hash_col: str) -> str:
+    """DuckDB twin of :func:`hash_fraction` (same association order)."""
+    terms = [
+        f"(strpos('{_HEX}', substr({hash_col}, {i}, 1)) - 1) * {16.0 ** -i!r}"
+        for i in range(1, _FRAC_DIGITS + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """(group, kmv_estimate): KMV distinct-count estimate of
+    ``value_col`` per group. Groups with fewer than k distinct values
+    fall back to their exact count (the sketch state already holds
+    every hash)."""
+    hashed = (
+        df.select(F.col(group_col).alias("grp"), F.md5(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    stats = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min(F.when(F.col("rn") == k, hash_fraction("h"))).alias("kth_frac"),
+    )
+    est = F.when(
+        F.col("n_distinct") < k, F.col("n_distinct").cast("double")
+    ).otherwise((F.lit(float(k - 1))) / F.col("kth_frac"))
+    return stats.select(
+        F.col("grp").alias(group_col),
+        (F.floor(est * 10000.0 + 0.5) / 10000.0).alias("kmv_estimate"),
+    )

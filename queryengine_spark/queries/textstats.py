@@ -198,9 +198,56 @@ QUALIFY rank <= 10
 """
 
 
+def text_kmv_distinct_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch (functions/sketches.py): estimated
+    distinct 3-gram shingles per language next to the exact count —
+    the mergeable-sketch path for distinct counts at corpus scale."""
+    from queryengine_spark.functions.sketches import kmv_distinct_estimate
+    from queryengine_spark.functions.text import char_ngrams
+    from queryengine_spark.plans import spread
+
+    d = spread(t(spark, sf, "documents"))
+    sh = d.select(
+        "lang",
+        F.explode(F.array_distinct(char_ngrams(F.lower(F.col("text")), 3))).alias("sh"),
+    )
+    est = kmv_distinct_estimate(sh, "lang", "sh", k=64)
+    exact = sh.select("lang", "sh").distinct().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return est.join(exact, "lang")
+
+
+def _kmv_sql() -> str:
+    from queryengine_spark.functions.sketches import sql_hash_fraction
+
+    frac = sql_hash_fraction("h")
+    return f"""
+WITH d AS (SELECT lang, lower(text) AS tl FROM documents),
+di AS (SELECT lang, tl, unnest(range(1, length(tl) - 1)) AS i FROM d),
+sh AS (SELECT DISTINCT lang, substr(tl, CAST(i AS INT), 3) AS sh FROM di),
+hashed AS (SELECT DISTINCT lang, md5(sh) AS h FROM sh),
+ranked AS (SELECT lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rn
+           FROM hashed),
+stats AS (SELECT lang, COUNT(*) AS n_distinct,
+                 MIN(CASE WHEN rn = 64 THEN {frac} END) AS kth_frac
+          FROM ranked GROUP BY lang)
+SELECT lang,
+       floor((CASE WHEN n_distinct < 64 THEN CAST(n_distinct AS DOUBLE)
+                   ELSE 63.0 / kth_frac END) * 10000.0 + 0.5) / 10000.0 AS kmv_estimate,
+       n_distinct AS n_exact
+FROM stats
+"""
+
+
+KMV_SQL = _kmv_sql()
+
+
 QUERIES = {
     "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
     "text_term_frequency": (text_term_frequency, TERM_FREQ_SQL),
+    "text_kmv_distinct_shingles": (text_kmv_distinct_shingles, KMV_SQL),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_SQL),
     "text_quality_scores": (text_quality_scores, QUALITY_SQL),
     "text_lang_id": (text_lang_id, LANG_SQL),
