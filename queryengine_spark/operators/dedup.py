@@ -17,9 +17,11 @@ Scale notes:
 - SimHash: 16-bit fingerprint; bit j is the sign of the sum over
   tokens of ±1 by the high bit of hex nibble j of md5(token).
   Near-dup candidates = equal fingerprints (or banded prefixes).
-- embedding cosine: JVM-side cosine over array columns; the all-pairs
-  variant is for modest candidate sets — at scale, pair generation
-  should come from LSH buckets (see operators/knn.py).
+- embedding cosine: JVM-side cosine over array columns; the scale
+  path generates candidate pairs from multi-table sign-test LSH
+  buckets (bucket equi-self-join, operators/knn.py) with cosine as
+  the refine residual; the all-pairs variant is the small-N oracle
+  twin that measures its recall.
 """
 
 from __future__ import annotations
@@ -287,14 +289,74 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
 ) -> DataFrame:
     """All-pairs embedding cosine near-dup detection (id_a < id_b).
-    For modest candidate sets — at corpus scale generate pairs from
-    LSH buckets first (operators/knn.py) and reuse this scorer."""
+    Exact but quadratic — the small-N oracle twin for
+    :func:`embedding_neardup_pairs_lsh`, which is the scale path."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
     return (
         pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", fround("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_bits: int = 4,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """LSH-bucketed embedding cosine near-dup detection — the scale
+    path: candidate pairs come from a bucket equi-self-join (never a
+    crossJoin), cosine is the refine residual.
+
+    ``n_tables`` independent sign-test hash tables (distinct
+    coordinate offsets, see :func:`~queryengine_spark.operators.knn.
+    lsh_bucket`) are unioned to recover pairs a single table would
+    miss; a pair is scored once (distinct before the vector join).
+    Per-table buckets shrink the join to O(Σ bucket²); skewed buckets
+    stay distributed for AQE to split. Recall < 1 by design — raise
+    ``n_tables``/lower ``n_bits`` to trade cost for recall (the
+    all-pairs twin measures it).
+    """
+    from queryengine_spark.operators.knn import lsh_bucket
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("v"), n_bits, dim, offset=t * n_bits).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bk = (
+        spread(e)
+        .select("id", F.explode(tables).alias("tb"))
+        .select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    a = bk.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = bk.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", fround("cosine", 6).alias("cosine"))
     )

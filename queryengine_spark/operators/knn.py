@@ -57,16 +57,22 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec_col: Column | str, n_bits: int = 4, dim: int = 64) -> Column:
+def lsh_bucket(
+    vec_col: Column | str, n_bits: int = 4, dim: int = 64, offset: int = 0
+) -> Column:
     """Sign-test LSH bucket id in [0, 2^n_bits): bit i compares
-    element i+1 against element i+1+dim/2 (1-based). Deterministic,
-    no arithmetic on floats (comparison only), portable to any SQL
-    engine."""
+    element offset+i+1 against element offset+i+1+dim/2 (1-based).
+    Deterministic, no arithmetic on floats (comparison only), portable
+    to any SQL engine. Distinct ``offset`` values give independent
+    hash tables (multi-probe recall boosting)."""
+    assert offset + n_bits <= dim // 2, "bucket bits exceed vector half"
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     half = dim // 2
     total = F.lit(0)
     for i in range(n_bits):
-        bit = (F.element_at(v, i + 1) > F.element_at(v, i + 1 + half)).cast("int")
+        bit = (
+            F.element_at(v, offset + i + 1) > F.element_at(v, offset + i + 1 + half)
+        ).cast("int")
         total = total + bit * F.lit(2 ** (n_bits - 1 - i))
     return total
 

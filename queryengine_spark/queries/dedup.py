@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from queryengine_spark.operators.dedup import (
     connected_components,
-    embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     exact_duplicate_groups,
     minhash_lsh_candidate_pairs,
     ngram_jaccard_pairs,
@@ -22,7 +22,19 @@ from queryengine_spark.operators.dedup import (
 from queryengine_spark.queries.base import t
 
 JACCARD_THRESHOLD = 0.6
-COSINE_THRESHOLD = 0.5
+#: 0.35 is ~3σ above the null cosine of random 64-dim vectors — low
+#: enough that the synthetic corpus yields a non-empty result (a 0-row
+#: hash match proves nothing), high enough to stay a "near-dup" test.
+COSINE_THRESHOLD = 0.35
+#: 3 bits × 8 tables ≈ 0.90 recall vs the all-pairs twin at the weak
+#: 0.35 threshold (tests/test_dedup.py) while cutting candidate volume
+#: ~16×. At a true near-dup threshold (≥0.9, near-parallel vectors)
+#: sign tests agree with prob 1-θ/π ≈ 0.93/bit, so FEWER tables and
+#: MORE bits (e.g. 8×2) give both higher recall and smaller buckets —
+#: tune per threshold with the recall twin.
+EMB_N_BITS = 3
+EMB_N_TABLES = 8
+EMB_DIM = 64
 N_HASHES = 8
 #: 2 bands × 4 hashes: requiring 4 matching min-hashes per band keeps
 #: candidate volume sane on highly self-similar corpora (band size 2
@@ -180,20 +192,57 @@ DEDUP_COMPONENTS_SQL = _components_sql()
 
 
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    e = t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=COSINE_THRESHOLD)
+    """Scale-path embedding near-dup: multi-table LSH bucket pair
+    generation + cosine refine over the FULL embeddings table (no
+    sampling needed — the plan is a bucket equi-join, never a
+    crossJoin). The oracle computes the identical bucketed semantics,
+    so recall loss vs all-pairs is mirrored on both engines."""
+    return embedding_neardup_pairs_lsh(
+        t(spark, sf, "embeddings"), "vec_id", "embedding",
+        threshold=COSINE_THRESHOLD, n_bits=EMB_N_BITS, dim=EMB_DIM,
+        n_tables=EMB_N_TABLES,
+    )
 
 
-DEDUP_EMBEDDING_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       floor(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-             * 1000000.0 + 0.5) / 1000000.0 AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) /
-      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_THRESHOLD}
+def _emb_bucket_sql(v: str, offset: int) -> str:
+    half = EMB_DIM // 2
+    terms = [
+        f"(CASE WHEN {v}[{offset + i + 1}] > {v}[{offset + i + 1 + half}] "
+        f"THEN {2 ** (EMB_N_BITS - 1 - i)} ELSE 0 END)"
+        for i in range(EMB_N_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _embedding_sql() -> str:
+    per_table = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {tbl} AS tbl, "
+        f"CAST({_emb_bucket_sql('embedding', tbl * EMB_N_BITS)} AS INT) AS bucket "
+        "FROM embeddings"
+        for tbl in range(EMB_N_TABLES)
+    )
+    cos = (
+        "list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  {per_table}
+),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       floor({cos} * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM pairs
+JOIN e ea ON id_a = ea.vec_id
+JOIN e eb ON id_b = eb.vec_id
+WHERE {cos} >= {COSINE_THRESHOLD}
 """
+
+
+DEDUP_EMBEDDING_SQL = _embedding_sql()
 
 
 QUERIES = {

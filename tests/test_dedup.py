@@ -1,0 +1,49 @@
+"""Dedup operator invariants that the driver's hash gate can't see:
+the LSH-bucketed embedding near-dup is a strict SUBSET of the exact
+all-pairs result (no false positives — cosine is re-checked as the
+refine residual) and its recall is high enough to be useful.
+
+Reference parity: the reference engine has no embedding dedup; this
+is the LLM-pipeline surface (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from queryengine_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
+)
+from queryengine_spark.queries.base import t
+
+THRESHOLD = 0.35
+
+
+def test_lsh_neardup_subset_and_recall(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    exact = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=THRESHOLD)
+    lsh = embedding_neardup_pairs_lsh(
+        e, "vec_id", "embedding", threshold=THRESHOLD, n_bits=3, dim=64, n_tables=8
+    )
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.select("id_a", "id_b").collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.select("id_a", "id_b").collect()}
+    assert lsh_pairs <= exact_pairs, "LSH produced pairs the exact scorer rejects"
+    if exact_pairs:
+        recall = len(lsh_pairs) / len(exact_pairs)
+        # measured 0.90 at sf0.01 / 0.895 at sf0.001 for 3 bits × 8
+        # tables at this deliberately weak threshold (θ ≈ 69°; per-bit
+        # sign agreement ≈ 0.62 → 1-(1-0.62³)⁸ ≈ 0.89 predicted)
+        assert recall >= 0.8, f"recall {recall:.3f} too low to be useful"
+
+
+def test_lsh_neardup_scores_match_exact(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    exact = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=THRESHOLD)
+    lsh = embedding_neardup_pairs_lsh(
+        e, "vec_id", "embedding", threshold=THRESHOLD, n_bits=3, dim=64, n_tables=8
+    )
+    joined = lsh.alias("l").join(exact.alias("x"), ["id_a", "id_b"]).filter(
+        F.col("l.cosine") != F.col("x.cosine")
+    )
+    assert joined.count() == 0, "refine residual diverged from the exact scorer"

@@ -78,3 +78,11 @@ def test_q1_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+def test_dedup_embedding_never_cartesian(spark, sf_dir):
+    # the scale-path near-dup must generate pairs from LSH bucket
+    # equi-joins — a CartesianProduct/BroadcastNestedLoopJoin here is
+    # the 100 TB scale-killer the all-pairs twin exists to avoid
+    plan = _plan(spark, sf_dir, "dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
