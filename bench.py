@@ -22,9 +22,9 @@ from queryengine_spark.queries import all_queries
 from queryengine_spark.session import get_spark
 
 #: headline set: one representative per operator family. The n-gram
-#: Jaccard pair join is deliberately excluded (its inverted index on
-#: hot shingles is quadratic on this synthetic corpus — it stays a
-#: correctness query at sf0.01; MinHash-LSH is the scale-path dedup).
+#: Jaccard join runs with its hot-shingle guard (df ≤ 10% of docs) —
+#: unguarded it is quadratic on this synthetic corpus (Σ df² ≈ 2.2e9
+#: rows at sf0.1 vs ≈ 4.3e6 guarded).
 HEADLINE = [
     "scan_filter_project",
     "q1_pricing_summary",
@@ -40,7 +40,9 @@ HEADLINE = [
     "fuzzy_candidates_coverage",
     "fuzzy_match_full",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding",
     "dedup_simhash",
     "knn_bruteforce",
     "knn_lsh",

@@ -67,19 +67,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard similarity.
 
     Inverted-index join (never all-pairs): identical to the exact
-    Jaccard for threshold > 0. ``max_df`` drops shingles occurring in
-    more than that many documents before pairing (scale guard).
+    Jaccard for threshold > 0 when unguarded. ``max_df`` (absolute) /
+    ``max_df_ratio`` (fraction of the corpus) drop hot shingles before
+    pairing — the scale guard that bounds the inverted self-join at
+    Σ df² instead of quadratic blowup on stop-shingles. With a guard,
+    Jaccard is computed over each document's RARE shingles only (a
+    documented approximation; per-doc counts are taken after the
+    drop, so the metric stays a true Jaccard of the reduced sets).
     Emits (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = shingle_relation(df, id_col, text_col, n)
-    if max_df is not None:
-        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") > max_df
-        )
+    if max_df is not None or max_df_ratio is not None:
+        # the shingle relation feeds both the df-count branch and the
+        # anti-join probe; materialize it once
+        sh = sh.localCheckpoint(eager=False)
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        if max_df_ratio is not None:
+            n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+            hot = hot.crossJoin(F.broadcast(n_docs)).filter(
+                F.col("df") > F.lit(max_df_ratio) * F.col("n_docs")
+            )
+        else:
+            hot = hot.filter(F.col("df") > max_df)
         sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     # the shingle relation fans out into the self-join's two sides and
     # the per-doc counts; materialize it once (no exchange reuse across
@@ -326,7 +340,12 @@ def embedding_neardup_pairs_lsh(
     """
     from queryengine_spark.operators.knn import lsh_bucket
 
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # double cast up front: float→double is exact, so the sign-test
+    # comparisons are unchanged and the cosine matches
+    # cosine_similarity (which casts the same way) bit-for-bit
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
     tables = F.array(
         *[
             F.struct(
@@ -350,9 +369,24 @@ def embedding_neardup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    # norms once per VECTOR (n rows), not per pair (O(candidates));
+    # sqrt of the same ordered dot product == cosine_similarity's
+    # denominator bit-for-bit
+    en = e.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    ea = en.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    eb = en.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), dot / (F.col("n_a") * F.col("n_b")))
     return (
         pairs.join(ea, "id_a")
         .join(eb, "id_b")

@@ -58,16 +58,29 @@ sh AS (SELECT DISTINCT id, substr(tl, CAST(i AS INT), 3) AS sh FROM di)
 """
 
 
+#: hot-shingle guard: shingles present in > 10% of documents are
+#: dropped before the inverted self-join. The synthetic corpus has
+#: only 377 distinct 3-grams, 212 of them hot — unguarded, the join
+#: is Σ df² ≈ 2.2e9 rows at sf0.1; guarded it is ≈ 4.3e6 (500×).
+#: The oracle mirrors the identical drop, so hashes still match.
+JACCARD_MAX_DF_RATIO = 0.1
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.functions.numeric import fround
 
     return ngram_jaccard_pairs(
         t(spark, sf, "documents"), "doc_id", "text",
-        n=3, threshold=JACCARD_THRESHOLD,
+        n=3, threshold=JACCARD_THRESHOLD, max_df_ratio=JACCARD_MAX_DF_RATIO,
     ).select("id_a", "id_b", fround("jaccard", 6).alias("jaccard"))
 
 
-DEDUP_JACCARD_SQL = _SHINGLE_CTE + f""",
+DEDUP_JACCARD_SQL = _SHINGLE_CTE.replace(
+    "sh AS (", "sh0 AS ("
+) + f""",
+dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+sh AS (SELECT id, s.sh FROM sh0 s JOIN dfreq f ON s.sh = f.sh
+       WHERE f.df <= {JACCARD_MAX_DF_RATIO} * (SELECT count(*) FROM documents)),
 cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
 shared AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
@@ -221,12 +234,11 @@ def _embedding_sql() -> str:
         "FROM embeddings"
         for tbl in range(EMB_N_TABLES)
     )
-    cos = (
-        "list_dot_product(ea.v, eb.v) / "
-        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
-    )
+    cos = "list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)"
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
 bk AS (
   {per_table}
 ),
