@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "knn_bruteforce",
     "knn_lsh",
     "text_quality_scores",

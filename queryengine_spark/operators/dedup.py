@@ -14,9 +14,13 @@ Scale notes:
   join; only same-bucket pairs meet, turning O(n²) into
   O(Σ bucket²). Hash = md5(seed ':' shingle), min taken
   lexicographically on the hex — deterministic and engine-portable.
-- SimHash: 16-bit fingerprint; bit j is the sign of the sum over
-  tokens of ±1 by the high bit of hex nibble j of md5(token).
-  Near-dup candidates = equal fingerprints (or banded prefixes).
+- SimHash: 64-bit hex-string fingerprint (simhash64_relation); bit
+  4q+i is the sign of the sum over tokens of ±1 by bit i of hex
+  nibble q of md5(token). Near-dup pairs via banded Hamming search
+  (simhash_hamming_pairs): band-bucket equi-join + distance residual,
+  EXACT for max_dist < n_bands by pigeonhole. The legacy 16-bit
+  variants (simhash_fingerprint/simhash_relation) remain for the
+  equal-fingerprint query.
 - embedding cosine: JVM-side cosine over array columns; the scale
   path generates candidate pairs from multi-table sign-test LSH
   buckets (bucket equi-self-join, operators/knn.py) with cosine as
@@ -230,6 +234,129 @@ def simhash_relation(
     for j in range(bits):
         total = total + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
     return sums.select("id", total.cast("bigint").alias("simhash"))
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash64_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim) with sim a 16-hex-char (64-bit) SimHash fingerprint.
+
+    Scale path: explode whitespace tokens, pre-aggregate to
+    (id, token, count), hash each DISTINCT VOCABULARY word once (the
+    vocabulary is orders of magnitude smaller than token occurrences),
+    join the ±1 bit signs back and take 64 count-weighted integer
+    sums in a single groupBy (map-side partial agg; integer addition
+    is order-independent, so parity with the oracle's per-occurrence
+    sum is exact). Bit j (j = 4q+i, nibble q in 0..15, bit i
+    MSB-first) is set when Σ_tokens ±1 > 0, where the sign is bit i
+    of hex nibble q of md5(token). The fingerprint is emitted as a
+    lowercase hex STRING: engine-portable (no 64-bit signed overflow
+    at bit 63) and substring-able into bands."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    tok = spread(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("tk"))
+    tokc = (
+        tok.groupBy("id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds both the vocab branch and the join probe
+    )
+    vocab = tokc.select("tk").distinct().withColumn("h", F.md5(F.col("tk")))
+    for q in range(16):
+        vocab = vocab.withColumn(
+            f"n{q}", F.conv(F.substring("h", q + 1, 1), 16, 10).cast("int")
+        )
+    signs = vocab.select(
+        "tk",
+        *[
+            F.when(F.col(f"n{q}").bitwiseAND(F.lit(8 >> i)) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"g_{q}_{i}")
+            for q in range(16)
+            for i in range(4)
+        ],
+    )
+    aggs = [
+        F.sum(F.col("c") * F.col(f"g_{q}_{i}")).alias(f"s_{q}_{i}")
+        for q in range(16)
+        for i in range(4)
+    ]
+    sums = tokc.join(signs, "tk").groupBy("id").agg(*aggs)
+    chars = []
+    for q in range(16):
+        v = F.lit(0)
+        for i in range(4):
+            v = v + F.when(F.col(f"s_{q}_{i}") > 0, F.lit(8 >> i)).otherwise(F.lit(0))
+        chars.append(F.lower(F.conv(v.cast("string"), 10, 16)))
+    return sums.select("id", F.concat(*chars).alias("sim"))
+
+
+def hamming_distance_hex(a: Column | str, b: Column | str, n_chars: int = 16) -> Column:
+    """Hamming distance between two equal-length lowercase hex
+    strings, as an INT column: Σ per-nibble popcount of XOR. Pure
+    integer ops — identical in any engine."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    total = F.lit(0)
+    for q in range(n_chars):
+        na = F.conv(F.substring(ca, q + 1, 1), 16, 10).cast("int")
+        nb = F.conv(F.substring(cb, q + 1, 1), 16, 10).cast("int")
+        total = total + F.bit_count(na.bitwiseXOR(nb))
+    return total.cast("int")
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash with banded Hamming search:
+    (id_a, id_b, hamming) for all pairs with Hamming(sim_a, sim_b) ≤
+    ``max_dist``.
+
+    Candidate generation is a band-bucket equi-self-join (the
+    fingerprint split into ``n_bands`` contiguous hex substrings); by
+    pigeonhole any pair within ``max_dist`` < ``n_bands`` differs in
+    at most max_dist bands and therefore MATCHES at least one band —
+    so for max_dist ≤ n_bands-1 the result is EXACT (identical to the
+    all-pairs filter, which is the oracle), while the join does
+    O(Σ bucket²) work instead of O(n²). Distance is re-checked as the
+    refine residual, so wider bands only cost candidates, never
+    correctness."""
+    assert 16 % n_bands == 0, "bands must tile the 16 hex chars"
+    assert max_dist < n_bands * 64, "nonsense distance"
+    w = 16 // n_bands
+    fp = simhash64_relation(df, id_col, text_col).localCheckpoint(eager=False)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.substring("sim", b * w + 1, w).alias("band"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bk = fp.select("id", F.explode(bands).alias("bb")).select(
+        "id", F.col("bb.b").alias("b"), F.col("bb.band").alias("band")
+    )
+    a = bk.select(F.col("id").alias("id_a"), "b", "band")
+    b_ = bk.select(F.col("id").alias("id_b"), "b", "band")
+    pairs = (
+        a.join(b_, ["b", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming_distance_hex("sim_a", "sim_b"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def connected_components(

@@ -17,6 +17,7 @@ from queryengine_spark.operators.dedup import (
     exact_duplicate_groups,
     minhash_lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    simhash_hamming_pairs,
     simhash_relation,
 )
 from queryengine_spark.queries.base import t
@@ -163,6 +164,61 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bitsum
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
+#: 4 bands × 16 bits: exact for Hamming ≤ 3 (pigeonhole), Σ bucket²
+#: ≈ 402k candidate rows at sf0.1 vs 12.5M all-pairs (31×), 312
+#: result pairs. The ORACLE is the brute-force all-pairs definition —
+#: banding is guaranteed lossless at this distance, so the hash gate
+#: proves the bucketed plan equals the textbook semantics.
+SIMHASH_MAX_DIST = 3
+SIMHASH_N_BANDS = 4
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_hamming_pairs(
+        t(spark, sf, "documents"), "doc_id", "text",
+        max_dist=SIMHASH_MAX_DIST, n_bands=SIMHASH_N_BANDS,
+    )
+
+
+def _simhash_hamming_sql() -> str:
+    hexd = "0123456789abcdef"
+    sums = ",\n   ".join(
+        f"SUM(CASE WHEN (strpos('{hexd}', substr(md5(tk), {q + 1}, 1)) - 1) & {8 >> i} != 0 "
+        f"THEN 1 ELSE -1 END) AS s_{q}_{i}"
+        for q in range(16)
+        for i in range(4)
+    )
+    nibs = []
+    for q in range(16):
+        v = " + ".join(
+            f"(CASE WHEN s_{q}_{i} > 0 THEN {8 >> i} ELSE 0 END)" for i in range(4)
+        )
+        nibs.append(f"substr('{hexd}', 1 + ({v}), 1)")
+    fp = " || ".join(nibs)
+    ham = " + ".join(
+        f"bit_count(xor(strpos('{hexd}', substr(a.sim, {q + 1}, 1)) - 1, "
+        f"strpos('{hexd}', substr(b.sim, {q + 1}, 1)) - 1))"
+        for q in range(16)
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+       list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                   t0 -> t0 <> '') AS toks
+       FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
+bitsum AS (SELECT doc_id,
+   {sums}
+   FROM tok GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp} AS sim FROM bitsum)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE ({ham}) <= {SIMHASH_MAX_DIST}
+"""
+
+
+DEDUP_SIMHASH_HAMMING_SQL = _simhash_hamming_sql()
+
+
 def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Fuzzy-dedup clusters: MinHash-LSH candidate pairs → connected
     components (iterative min-label propagation). The oracle computes
@@ -262,6 +318,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_hamming": (dedup_simhash_hamming, DEDUP_SIMHASH_HAMMING_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
 }

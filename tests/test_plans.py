@@ -86,3 +86,9 @@ def test_dedup_embedding_never_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_embedding")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_simhash_hamming_never_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_simhash_hamming")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
