@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -111,8 +112,8 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap-based session assignment per user, with (last event time,
     session counter) carried across micro-batches as typed state.
     Equals the batch window-function sessionization when micro-batches
-    arrive in event-time order (asserted in tests); out-of-order
-    arrivals would need a watermark + buffer variant.
+    arrive in event-time order (asserted in tests); for out-of-order
+    arrivals use :func:`streaming_sessionize_ooo`.
     """
     import pandas as pd  # local import: worker-side dependency
 
@@ -123,8 +124,12 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             last_us, counter = state.get
         else:
             last_us, counter = None, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concatenate before sorting: one key's micro-batch rows can
+        # span multiple Arrow chunks, and per-chunk sorting would not
+        # be a global (ts, event_id) order
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             us = pdf["ts"].astype("int64") // 1000  # ns → µs
             sessions = []
             for u in us:
@@ -149,6 +154,95 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SESSION_OOO_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType(), True),
+        StructField("counter", LongType(), True),
+        StructField("buf_ts", ArrayType(LongType()), True),
+        StructField("buf_ids", ArrayType(LongType()), True),
+    ]
+)
+
+
+def streaming_sessionize_ooo(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Out-of-order-safe gap sessionization: watermark + event buffer.
+
+    Each user's state buffers (ts, event_id) pairs; on every call the
+    buffer is sorted and only the prefix with ts < current watermark
+    is assigned session ids and EMITTED — by the watermark contract no
+    later-arriving row can precede it, so emitted assignments are
+    final and equal the batch window-function result regardless of
+    arrival order (bounded by the watermark delay; rows later than
+    that are dropped by Spark upstream, the standard watermark
+    semantics). The un-finalized suffix stays in state, and an
+    event-time timeout re-fires the group when the watermark passes
+    its buffered events so they flush even if the user never appears
+    in another micro-batch. State is bounded by the watermark horizon
+    (events within ``watermark`` of the stream head), the same bound
+    every watermarked stateful operator carries.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def assign(key, pdf_iter, state):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            last_us, counter, buf_ts, buf_ids = state.get
+            buf = list(zip(buf_ts or [], buf_ids or []))
+        else:
+            last_us, counter, buf = None, 0, []
+        for pdf in pdf_iter:
+            if len(pdf):
+                us = pdf["ts"].astype("int64") // 1000  # ns → µs
+                buf.extend(zip(us.tolist(), pdf["event_id"].tolist()))
+        buf.sort()  # (ts, event_id) — the batch oracle's total order
+        out_ids: list[int] = []
+        out_sess: list[int] = []
+        n_final = 0
+        for ts_us, eid in buf:
+            if ts_us >= wm_us:
+                break
+            if last_us is None or ts_us - last_us > gap_us:
+                counter += 1
+            last_us = ts_us
+            out_ids.append(eid)
+            out_sess.append(counter)
+            n_final += 1
+        keep = buf[n_final:]
+        state.update(
+            (last_us, counter, [t for t, _ in keep], [i for _, i in keep])
+        )
+        if keep:
+            # re-fire when the watermark moves, so the suffix flushes
+            # without requiring new rows for this user
+            state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]] * len(out_ids), dtype="int64"),
+                    "event_id": pd.Series(out_ids, dtype="int64"),
+                    "session_id": pd.Series(out_sess, dtype="int64"),
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            assign,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
