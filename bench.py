@@ -78,6 +78,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # ANN quality alongside speed: mean recall@3 of the SRP-LSH path
+    # vs brute-force ground truth (VERDICT r1 item 7; tuned config in
+    # queries/knn.py — 8 bits × 16 tables, Hamming≤1 multiprobe).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    recall = (
+        queries["knn_lsh_recall"](spark, sf_dir)
+        .agg(F.avg("recall").alias("r"))
+        .collect()[0]["r"]
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -87,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "knn_lsh_recall_at_3": round(recall, 4),
             }
         )
     )

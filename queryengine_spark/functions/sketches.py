@@ -59,6 +59,9 @@ def kmv_distinct_estimate(
     every hash)."""
     hashed = (
         df.select(F.col(group_col).alias("grp"), F.md5(F.col(value_col)).alias("h"))
+        .filter(F.col("h").isNotNull())  # NULL values are not distinct
+        # elements: they would rank first (Spark NULLS FIRST) but last
+        # in DuckDB, and inflate n_distinct — drop before ranking.
         .distinct()
     )
     w = Window.partitionBy("grp").orderBy(F.col("h").asc())

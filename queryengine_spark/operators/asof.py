@@ -12,8 +12,9 @@ custom physical operator for marginal gain.
 
 Ties: a right row at exactly t matches (right sorts before left at
 equal times), mirroring ASOF's rt <= t. Duplicate right rows on the
-same (key, right-time) are resolved by the extra deterministic order
-column if provided.
+same (key, right-time) are resolved by ``right_tiebreak`` (greatest
+wins); without it callers must pre-deduplicate right on (key, time)
+or the surviving payload is nondeterministic.
 """
 
 from __future__ import annotations
@@ -32,10 +33,15 @@ def as_of_join(
     right_time: str,
     right_values: Sequence[str],
     suffix: str = "asof_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: all left rows, each with the latest
     (greatest ``right_time`` <= ``left_time``) right row's
     ``right_values`` for the same ``on`` keys, or NULLs.
+
+    ``right_tiebreak``: optional right column ordering duplicate
+    right rows on the same (key, time) — the greatest value wins
+    deterministically.
 
     Output: all left columns + ``{suffix}{right_time}`` +
     ``{suffix}{col}`` for each value column.
@@ -44,10 +50,12 @@ def as_of_join(
     payload = F.struct(
         F.col(right_time).alias("t"), *[F.col(c).alias(c) for c in right_values]
     )
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
     r_tagged = right.select(
         *[F.col(c) for c in on],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
+        tb.alias("__tb"),
         payload.alias("__payload"),
     )
     left_cols = left.columns
@@ -55,22 +63,26 @@ def as_of_join(
         "*",
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(r_tagged.schema["__payload"].dataType).alias("__payload"),
     )
     merged = l_tagged.select(
-        *[F.col(c) for c in on], "__t", "__side", "__payload",
+        *[F.col(c) for c in on], "__t", "__side", "__tb", "__payload",
         F.struct(*[F.col(c) for c in left_cols]).alias("__left"),
     ).unionByName(
         r_tagged.select(
-            *[F.col(c) for c in on], "__t", "__side", "__payload",
+            *[F.col(c) for c in on], "__t", "__side", "__tb", "__payload",
             F.lit(None).alias("__left").cast(
                 l_tagged.select(F.struct(*[F.col(c) for c in left_cols])).schema[0].dataType
             ),
         )
     )
+    # Frame order puts, within one timestamp, right rows (side 0) in
+    # ascending tiebreak order before the left row (side 1); F.last
+    # then surfaces the greatest-tiebreak right payload at or before t.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = merged.withColumn(

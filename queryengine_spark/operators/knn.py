@@ -3,18 +3,26 @@
 - brute_force_topk: exact cosine top-k — the correctness baseline.
   Query set ⋈ candidate set (queries broadcast when small), cosine as
   a JVM column expression, per-query top-k via WindowGroupLimit.
-- lsh_bucketed_topk: the scale path — sign-test LSH buckets (element
-  comparisons as hyperplane surrogates, deterministic and
-  engine-portable), join restricted to equal buckets, so each query
-  scores ~n/2^bits candidates instead of n. Recall < 1 by design;
-  raise n_bits for bigger corpora, or probe neighboring buckets.
+- lsh_bucketed_topk: single-table sign-test buckets (element
+  comparisons as hyperplane surrogates). Cheap but low-recall on
+  near-isotropic data — kept as the pair source for embedding
+  near-dup, where missing some pairs is acceptable.
+- srp_bucketed_topk: the tuned ANN path — multi-table signed sparse
+  random projections (Achlioptas-style ±1 hyperplanes, 16 nonzeros
+  per bit, seeded so Spark and any SQL oracle compute the identical
+  buckets) with Hamming≤1 multiprobe on the query side. Measured at
+  sf0.1 (2k near-isotropic 64-dim vectors): recall@3 = 0.93 while
+  scoring 0.45 of the brute-force pairs; on clustered real
+  embeddings the candidate fraction drops much further.
 
-At 100 TB the candidate side stays partitioned by bucket (no
-broadcast); the bucket join is an equi-join AQE can skew-split.
+At 100 TB the candidate side stays partitioned by (table, bucket) —
+an equi-join AQE can skew-split; multi-table = n_tables× index rows,
+the classic LSH memory/recall trade.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,6 +83,124 @@ def lsh_bucket(
         ).cast("int")
         total = total + bit * F.lit(2 ** (n_bits - 1 - i))
     return total
+
+
+#: fixed seed: the planes are part of the operator definition — the
+#: SQL twin embeds the same ±1 coefficients as literals.
+SRP_SEED = 20260813
+
+
+def srp_planes(
+    n_planes: int, dim: int = 64, nnz: int = 16, seed: int = SRP_SEED
+) -> list[list[tuple[int, float]]]:
+    """``n_planes`` sparse ±1 hyperplanes over ``dim`` dims, ``nnz``
+    nonzeros each: plane -> [(1-based column, ±1.0), ...] sorted by
+    column (the summation order both engines must share)."""
+    rng = np.random.default_rng(seed)
+    planes = []
+    for _ in range(n_planes):
+        cols = rng.choice(dim, size=nnz, replace=False)
+        signs = rng.choice([-1.0, 1.0], size=nnz)
+        planes.append(sorted(zip((int(c) + 1 for c in cols), (float(s) for s in signs))))
+    return planes
+
+
+def srp_bucket(vec_col: Column | str, planes, n_bits: int, table: int) -> Column:
+    """Bucket id in [0, 2^n_bits) for one hash table: bit i is the
+    sign of the left-associated double sum Σ ±v[col] over plane
+    ``table*n_bits + i``. Elements are cast to double before the sum
+    so any IEEE engine computes the identical bit."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    total = F.lit(0)
+    for i in range(n_bits):
+        s = None
+        for col, sign in planes[table * n_bits + i]:
+            term = F.element_at(v, col).cast("double") * F.lit(sign)
+            s = term if s is None else s + term
+        total = total + (s > F.lit(0.0)).cast("int") * F.lit(1 << (n_bits - 1 - i))
+    return total
+
+
+def sql_srp_bucket(vec_expr: str, planes, n_bits: int, table: int) -> str:
+    """DuckDB twin of :func:`srp_bucket` — same coefficients, same
+    left-associated summation order."""
+    bits = []
+    for i in range(n_bits):
+        s = None
+        for col, sign in planes[table * n_bits + i]:
+            term = f"({vec_expr}[{col}] * {sign!r})"
+            s = term if s is None else f"({s} + {term})"
+        bits.append(f"(CASE WHEN {s} > 0.0 THEN {1 << (n_bits - 1 - i)} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def srp_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_bits: int = 8,
+    n_tables: int = 16,
+    nnz: int = 16,
+    probe: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table SRP LSH with
+    Hamming≤``probe`` multiprobe (probe ∈ {0, 1}).
+
+    Candidate side emits one (table, bucket) row per hash table;
+    query side additionally probes every bucket within Hamming
+    distance ``probe`` (bit-flip XOR masks). Pairs colliding in ≥1
+    table are deduplicated before the one cosine evaluation, then
+    per-query top-k via WindowGroupLimit. Output:
+    (query_id, neighbor_id, cosine, rn).
+    """
+    planes = srp_planes(n_bits * n_tables, dim=dim, nnz=nnz)
+    masks = [0] + ([1 << j for j in range(n_bits)] if probe >= 1 else [])
+
+    def tagged(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        v = F.col(vec_col)
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    srp_bucket(v, planes, n_bits, t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            v.alias(vec_alias),
+            F.explode(buckets).alias("tb"),
+        ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    c = tagged(candidates, "neighbor_id", "c_vec")
+    q = tagged(queries, "query_id", "q_vec").select(
+        "query_id",
+        "q_vec",
+        "tbl",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+        F.col("bucket").alias("qb"),
+    ).withColumn("bucket", F.col("qb").bitwiseXOR(F.col("mask")))
+    pairs = (
+        c.join(q.select("query_id", "q_vec", "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+    top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    )
+    return top.select(
+        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    )
 
 
 def lsh_bucketed_topk(

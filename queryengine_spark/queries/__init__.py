@@ -8,9 +8,11 @@ check.
 
 Cross-engine parity rules used throughout (so value-hashes match):
 - every computed column is aliased identically on both sides;
-- double aggregations go through DECIMAL(18,4) (exact, order-
-  independent) and only then cast back to double — Spark partial
-  aggregation order can otherwise flip low-order float bits;
+- double aggregations sum floor-scaled BIGINTs (``dec_sum`` /
+  ``dec_avg`` in ``queries/base.py``: scale by 10^4, floor, SUM the
+  integers, divide once) — exact and order-independent, where Spark
+  partial aggregation order could otherwise flip low-order float
+  bits;
 - integer aggregates are cast to BIGINT on both sides (DuckDB's
   SUM(INTEGER) would otherwise return HUGEINT);
 - timestamps cross the boundary as formatted strings or DATEs;

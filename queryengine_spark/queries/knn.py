@@ -1,7 +1,16 @@
 """Similarity-search driver-contract queries over ``embeddings``
-(64-dim float vectors): exact brute-force cosine top-k and the
-LSH-bucketed approximate variant, both with DuckDB oracles (the
-cosine is the same ordered double dot-product on both engines).
+(64-dim float vectors): exact brute-force cosine top-k and a tuned
+multi-table SRP-LSH approximate variant, both with DuckDB oracles
+(buckets and cosines are the same ordered double arithmetic on both
+engines, so hashes match exactly).
+
+Tuning (recorded in BASELINE.md): at sf0.1 the synthetic embeddings
+are near-isotropic — top-3 neighbor cosine ≈ 0.39 vs background 99th
+percentile 0.29 — the hard case for LSH. The shipped config
+(8 bits × 16 tables, 16-nonzero ±1 planes, Hamming≤1 multiprobe)
+measures recall@3 = 0.93 while scoring 0.45 of the brute-force
+pairs; ``knn_lsh_recall`` is the evaluation loop that re-derives
+that number on any corpus.
 """
 
 from __future__ import annotations
@@ -9,12 +18,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from queryengine_spark.operators.knn import brute_force_topk, lsh_bucketed_topk
+from queryengine_spark.operators.knn import (
+    brute_force_topk,
+    sql_srp_bucket,
+    srp_bucketed_topk,
+    srp_planes,
+)
 from queryengine_spark.queries.base import t
 
 K_BRUTE = 5
 K_LSH = 3
-N_BITS = 4
+N_BITS = 8
+N_TABLES = 16
+NNZ = 16
+PROBE = 1
 DIM = 64
 
 _COS = (
@@ -49,33 +66,48 @@ QUALIFY rn <= {K_BRUTE}
 def knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
-    return lsh_bucketed_topk(
-        queries, e, "vec_id", "embedding", k=K_LSH, n_bits=N_BITS, dim=DIM
+    return srp_bucketed_topk(
+        queries, e, "vec_id", "embedding",
+        k=K_LSH, n_bits=N_BITS, n_tables=N_TABLES, nnz=NNZ, probe=PROBE, dim=DIM,
     )
 
 
-def _bucket_sql(v: str) -> str:
-    half = DIM // 2
-    terms = []
-    for i in range(N_BITS):
-        w = 2 ** (N_BITS - 1 - i)
-        terms.append(
-            f"(CASE WHEN {v}[{i + 1}] > {v}[{i + 1 + half}] THEN {w} ELSE 0 END)"
-        )
-    return " + ".join(terms)
-
-
-KNN_LSH_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  CAST({_bucket_sql('embedding')} AS INT) AS bucket
-           FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id % 50 = 0),
+def _srp_cte() -> str:
+    """Shared CTE prefix: per-vector (table, bucket) rows ``cb`` and
+    the multiprobed query-side rows ``qb`` (Hamming≤1 masks)."""
+    planes = srp_planes(N_BITS * N_TABLES, dim=DIM, nnz=NNZ)
+    selects = [
+        f"SELECT vec_id, {t_i} AS tbl, "
+        f"CAST({sql_srp_bucket('v', planes, N_BITS, t_i)} AS INT) AS bucket FROM e"
+        for t_i in range(N_TABLES)
+    ]
+    cb = "\n  UNION ALL\n  ".join(selects)
+    masks = ", ".join(f"({m})" for m in [0] + [1 << j for j in range(N_BITS)])
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  {cb}
+),
+qb AS (
+  SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, m.mask) AS bucket
+  FROM cb b, (VALUES {masks}) m(mask)
+  WHERE b.vec_id % 50 = 0
+),
+pairs AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qb q JOIN cb c ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+),
 scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
-         {_COS.format(a='q.qv', b='e.v')} AS cos
-  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
-)
-SELECT query_id, neighbor_id, bucket,
+  SELECT p.query_id, p.neighbor_id, {_COS.format(a='qe.v', b='ce.v')} AS cos
+  FROM pairs p
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = p.neighbor_id
+)"""
+
+
+KNN_LSH_SQL = f"""{_srp_cte()}
+SELECT query_id, neighbor_id,
        floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
@@ -85,13 +117,13 @@ QUALIFY rn <= {K_LSH}
 
 
 def knn_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """Recall of the LSH-bucketed ANN against brute-force ground truth
+    """Recall of the SRP ANN against brute-force ground truth
     (top-3, same query set): the evaluation loop that justifies — or
     vetoes — the approximate path at scale."""
     e = t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
     bf = brute_force_topk(queries, e, "vec_id", "embedding", k=K_LSH)
-    lsh = lsh_bucketed_topk(queries, e, "vec_id", "embedding", k=K_LSH, n_bits=N_BITS, dim=DIM)
+    lsh = knn_lsh(spark, sf)
     hits = (
         bf.select("query_id", "neighbor_id")
         .join(lsh.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
@@ -110,25 +142,22 @@ def knn_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-KNN_RECALL_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  CAST({_bucket_sql('embedding')} AS INT) AS bucket
-           FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id % 50 = 0),
+KNN_RECALL_SQL = f"""{_srp_cte()},
 bf AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT q.query_id, e.vec_id AS neighbor_id,
+    SELECT q.query_id, e2.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.query_id
-               ORDER BY {_COS.format(a='q.qv', b='e.v')} DESC, e.vec_id ASC) AS rn
-    FROM q JOIN e ON e.vec_id <> q.query_id
+               ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
+    FROM (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 50 = 0) q
+    JOIN e e2 ON e2.vec_id <> q.query_id
   ) WHERE rn <= {K_LSH}
 ),
 lsh AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT q.query_id, e.vec_id AS neighbor_id,
-           row_number() OVER (PARTITION BY q.query_id
-               ORDER BY {_COS.format(a='q.qv', b='e.v')} DESC, e.vec_id ASC) AS rn
-    FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+    SELECT s.query_id, s.neighbor_id,
+           row_number() OVER (PARTITION BY s.query_id
+               ORDER BY s.cos DESC, s.neighbor_id ASC) AS rn
+    FROM scored s
   ) WHERE rn <= {K_LSH}
 ),
 hits AS (
