@@ -23,8 +23,10 @@ the classic LSH memory/recall trade.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 from queryengine_spark.functions.numeric import fround
 from queryengine_spark.functions.similarity import cosine_similarity
@@ -105,33 +107,67 @@ def srp_planes(
     return planes
 
 
-def srp_bucket(vec_col: Column | str, planes, n_bits: int, table: int) -> Column:
+def _srp_bucket_sql(elem, planes, n_bits: int, table: int) -> str:
     """Bucket id in [0, 2^n_bits) for one hash table: bit i is the
     sign of the left-associated double sum Σ ±v[col] over plane
-    ``table*n_bits + i``. Elements are cast to double before the sum
-    so any IEEE engine computes the identical bit."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    total = F.lit(0)
-    for i in range(n_bits):
-        s = None
-        for col, sign in planes[table * n_bits + i]:
-            term = F.element_at(v, col).cast("double") * F.lit(sign)
-            s = term if s is None else s + term
-        total = total + (s > F.lit(0.0)).cast("int") * F.lit(1 << (n_bits - 1 - i))
-    return total
-
-
-def sql_srp_bucket(vec_expr: str, planes, n_bits: int, table: int) -> str:
-    """DuckDB twin of :func:`srp_bucket` — same coefficients, same
-    left-associated summation order."""
+    ``table*n_bits + i``. ``elem(col)`` renders the engine-specific
+    double-valued element access; the summation order is fixed so any
+    IEEE engine computes the identical bit."""
     bits = []
     for i in range(n_bits):
         s = None
         for col, sign in planes[table * n_bits + i]:
-            term = f"({vec_expr}[{col}] * {sign!r})"
+            term = f"({elem(col)} * {sign!r})"
             s = term if s is None else f"({s} + {term})"
         bits.append(f"(CASE WHEN {s} > 0.0 THEN {1 << (n_bits - 1 - i)} ELSE 0 END)")
     return " + ".join(bits)
+
+
+def srp_bucket(vec_col: str, planes, n_bits: int, table: int) -> Column:
+    """Spark bucket expression as pure JVM SQL (built as one string →
+    a single py4j call; constructing the ~2k-node tree out of Column
+    objects costs >20 s of py4j round-trips). NOTE: kept for
+    single-table use; for the multi-table path prefer
+    :func:`srp_buckets_udf` — 128 of these trees make the Catalyst
+    optimizer itself the bottleneck (~10 s per plan at any scale)."""
+    return F.expr(
+        _srp_bucket_sql(
+            lambda c: f"CAST(element_at({vec_col}, {c}) AS DOUBLE)",
+            planes, n_bits, table,
+        )
+    )
+
+
+def sql_srp_bucket(vec_expr: str, planes, n_bits: int, table: int) -> str:
+    """DuckDB twin of :func:`srp_bucket` — same coefficients, same
+    left-associated summation order (``vec_expr`` is already DOUBLE[])."""
+    return _srp_bucket_sql(lambda c: f"{vec_expr}[{c}]", planes, n_bits, table)
+
+
+def srp_buckets_udf(planes, n_bits: int, n_tables: int):
+    """Arrow-batched pandas UDF: vector → array of ``n_tables``
+    bucket ids. Accumulates each plane sum left-associated in float64
+    (elementwise numpy adds in term order), which is bit-identical to
+    the SQL twin's ``((t1 + t2) + t3)...`` — float32→float64 casts are
+    exact and both engines run the same IEEE op sequence. One compact
+    UDF node keeps the Catalyst plan small where 128 inline plane-sum
+    trees made optimization itself the bottleneck."""
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        n = len(V)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        out = np.zeros((n, n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            for i in range(n_bits):
+                acc = np.zeros(n, dtype=np.float64)
+                for col, sign in planes[t * n_bits + i]:
+                    acc = acc + sign * V[:, col - 1]
+                out[:, t] |= (acc > 0.0).astype(np.int32) << (n_bits - 1 - i)
+        return pd.Series(list(out))
+
+    return _buckets
 
 
 def srp_bucketed_topk(
@@ -159,27 +195,24 @@ def srp_bucketed_topk(
     planes = srp_planes(n_bits * n_tables, dim=dim, nnz=nnz)
     masks = [0] + ([1 << j for j in range(n_bits)] if probe >= 1 else [])
 
-    def tagged(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        v = F.col(vec_col)
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    srp_bucket(v, planes, n_bits, t).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            v.alias(vec_alias),
-            F.explode(buckets).alias("tb"),
-        ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    buckets_udf = srp_buckets_udf(planes, n_bits, n_tables)
 
-    c = tagged(candidates, "neighbor_id", "c_vec")
-    q = tagged(queries, "query_id", "q_vec").select(
-        "query_id",
-        "q_vec",
+    def tagged(df: DataFrame) -> DataFrame:
+        bucketed = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            buckets_udf(F.col(vec_col)).alias("bs"),
+        )
+        return bucketed.select(
+            "id", "vec", F.posexplode("bs").alias("tbl", "bucket")
+        )
+
+    c = tagged(candidates).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "tbl", "bucket"
+    )
+    q = tagged(queries).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
         "tbl",
         F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
         F.col("bucket").alias("qb"),
