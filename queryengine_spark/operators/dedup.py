@@ -423,6 +423,86 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log² n) rounds regardless of
+    graph diameter, where min-label propagation
+    (:func:`connected_components`) needs O(diameter) rounds — the
+    scale path for pathological chain-shaped dedup graphs.
+
+    large-star: every node links its strictly-larger neighbors to the
+    minimum of its closed neighborhood; small-star: every node links
+    its smaller neighbors (and itself) to that minimum. At the fixed
+    point the edges form stars centered at each component's minimum
+    id. Returns (id, component), component = min id (identical output
+    to label propagation; equivalence pinned in tests).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_iterations):
+        # large-star over the symmetric neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the directed (u > v) edges large-star emits
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(m2, "u")
+        small = (
+            joined.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)  # cut per-round lineage
+        )
+        new_sig = _sig(small)
+        e = small
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds; raise max_iterations"
+        )
+    # fixed point: e = {(leaf, center)}; centers and singletons map to self
+    out = vertices.select(F.col(id_col).alias("id")).join(
+        e.withColumnRenamed("u", "id"), "id", "left"
+    )
+    return out.select("id", F.coalesce("v", "id").alias("component"))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

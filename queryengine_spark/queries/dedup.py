@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from queryengine_spark.operators.dedup import (
     connected_components,
+    connected_components_star,
     embedding_neardup_pairs_lsh,
     exact_duplicate_groups,
     minhash_lsh_candidate_pairs,
@@ -235,6 +236,21 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
+def dedup_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Same clusters via the alternating large-star/small-star
+    algorithm — the O(log² n)-round scale path for high-diameter
+    graphs. Shares the recursive-CTE oracle with dedup_components
+    (identical expected output)."""
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
+    )
+    labels = connected_components_star(
+        docs.select(F.col("doc_id").alias("id")), pairs, max_iterations=25
+    )
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
 def _components_sql() -> str:
     minhash = _minhash_sql()
     # reuse the full minhash candidate-pair query as a CTE, then close
@@ -320,5 +336,6 @@ QUERIES = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_hamming": (dedup_simhash_hamming, DEDUP_SIMHASH_HAMMING_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
 }

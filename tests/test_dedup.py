@@ -47,3 +47,40 @@ def test_lsh_neardup_scores_match_exact(spark, sf_dir):
         F.col("l.cosine") != F.col("x.cosine")
     )
     assert joined.count() == 0, "refine residual diverged from the exact scorer"
+
+
+def _labels(df):
+    return {r.id: r.component for r in df.collect()}
+
+
+def test_star_cc_equals_label_propagation_random(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    from queryengine_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    lp = _labels(connected_components(v, e, max_iterations=40))
+    star = _labels(connected_components_star(v, e, max_iterations=25))
+    assert star == lp
+
+
+def test_star_cc_path_graph_converges_fast(spark):
+    """A 64-node path has diameter 63: label propagation would need
+    >60 rounds; the alternating algorithm must finish within its
+    O(log^2 n) bound — 10 rounds is generous for n=64."""
+    from queryengine_spark.operators.dedup import connected_components_star
+
+    n = 64
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = _labels(connected_components_star(v, e, max_iterations=10))
+    assert out == {i: 0 for i in range(n)}
