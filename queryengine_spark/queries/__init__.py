@@ -33,9 +33,10 @@ from queryengine_spark.queries import (
     multimodal,
     relational,
     textstats,
+    tpch_extra,
 )
 
-_MODULES = (relational, fuzzy, dedup, knn, textstats, eventsq, multimodal)
+_MODULES = (relational, tpch_extra, fuzzy, dedup, knn, textstats, eventsq, multimodal)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
