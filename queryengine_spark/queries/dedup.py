@@ -276,6 +276,37 @@ SELECT wid AS doc_id, MIN(label) AS component FROM walk GROUP BY wid
 DEDUP_COMPONENTS_SQL = _components_sql()
 
 
+def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: the corpus with one
+    canonical doc (min doc_id) kept per near-dup cluster — MinHash-LSH
+    pairs → connected components → filter id == component → join doc
+    metadata back. This is the end-to-end shape a 100 TB training-data
+    dedup runs: everything before the final join is id-only (narrow
+    shuffles); text/metadata rejoin only for the survivors."""
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
+    )
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs, max_iterations=30
+    )
+    keep = labels.filter(F.col("id") == F.col("component")).select("id")
+    return docs.join(keep, docs.doc_id == keep.id, "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_FINAL_SELECT = "SELECT wid AS doc_id, MIN(label) AS component FROM walk GROUP BY wid"
+assert DEDUP_COMPONENTS_SQL.rstrip().endswith(_FINAL_SELECT)
+_CANON_CTES = DEDUP_COMPONENTS_SQL.rstrip()[: -len(_FINAL_SELECT)].rstrip()
+DEDUP_KEEP_CANONICAL_SQL = f"""{_CANON_CTES},
+labels AS (SELECT wid AS did, MIN(label) AS component FROM walk GROUP BY wid)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN labels l ON d.doc_id = l.did
+WHERE l.did = l.component
+"""
+
+
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Scale-path embedding near-dup: multi-table LSH bucket pair
     generation + cosine refine over the FULL embeddings table (no
@@ -337,5 +368,6 @@ QUERIES = {
     "dedup_simhash_hamming": (dedup_simhash_hamming, DEDUP_SIMHASH_HAMMING_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
+    "dedup_keep_canonical": (dedup_keep_canonical, DEDUP_KEEP_CANONICAL_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
 }

@@ -247,8 +247,65 @@ GROUP BY e.event_id
 """
 
 
+def events_click_purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Click→purchase attribution: every (click, purchase) pair for
+    the same user with the purchase inside (click_ts, click_ts+30min].
+    Batch twin of the streaming stream-stream interval join
+    (streaming.attribution_join — pytest asserts stream==batch).
+    The per-user time-bounded pairing is the bounded-state shape:
+    equi-join on user_id with the interval as a join residual, never
+    a time-unbounded cross product."""
+    e = t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    return joined.select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("delay_sec"),
+        "purchase_value",
+    )
+
+
+CLICK_PURCHASE_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": (events_tumbling_hourly, TUMBLING_SQL),
+    "events_click_purchase_attribution": (
+        events_click_purchase_attribution,
+        CLICK_PURCHASE_SQL,
+    ),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_json_extract": (events_json_extract, JSON_SQL),
     "shipping_delay_stats": (shipping_delay_stats, SHIPPING_DELAY_SQL),

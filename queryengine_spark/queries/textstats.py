@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from queryengine_spark import textstats as ts
-from queryengine_spark.queries.base import t
+from queryengine_spark.queries.base import fround, t
 
 # DuckDB-side token array matching functions.text.tokenize_ws exactly:
 # split on whitespace runs AND drop empty tokens (tokenize_ws filters
@@ -244,9 +244,62 @@ FROM stats
 KMV_SQL = _kmv_sql()
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by linearized TF-IDF:
+    score = tf · N / df, computed as one IEEE division of two exact
+    integers (correctly-rounded → bit-identical in any engine; a
+    log-idf would hang parity on each engine's non-correctly-rounded
+    ln). Shape: explode → (doc, term) counts → term doc-frequencies →
+    broadcast both small sides back, grouped top-k."""
+    from queryengine_spark.functions.text import tokenize_ws
+    from queryengine_spark.plans import spread
+
+    d = spread(t(spark, sf, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("tk")
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tk")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tk").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tk", "tf", "df", fround("score", 6).alias("score"), "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_LOW}) AS tk FROM documents
+),
+tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY doc_id, tk),
+dfreq AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+scored AS (
+  SELECT t.doc_id, t.tk, CAST(t.tf AS BIGINT) AS tf, CAST(f.df AS BIGINT) AS df,
+         (t.tf * (SELECT COUNT(*) FROM documents)) / f.df AS score
+  FROM tf t JOIN dfreq f ON t.tk = f.tk
+)
+SELECT doc_id, tk, tf, df,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tk ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 QUERIES = {
     "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
     "text_term_frequency": (text_term_frequency, TERM_FREQ_SQL),
+    "text_tfidf_top_terms": (text_tfidf_top_terms, TFIDF_SQL),
     "text_kmv_distinct_shingles": (text_kmv_distinct_shingles, KMV_SQL),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_SQL),
     "text_quality_scores": (text_quality_scores, QUALITY_SQL),

@@ -246,6 +246,50 @@ def streaming_sessionize_ooo(
     )
 
 
+def attribution_join(
+    clicks: DataFrame, purchases: DataFrame, window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: click→purchase attribution.
+    Each purchase joins every click by the same user in the preceding
+    ``window_minutes``. Watermarks on BOTH sides plus the time-range
+    join condition bound the state store: clicks are dropped once the
+    purchase-side watermark passes click_ts + window (Structured
+    Streaming derives the eviction bound from the interval
+    condition). Same output columns as the batch
+    ``events_click_purchase_attribution`` query — pytest asserts
+    stream == batch."""
+    c = clicks.select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    )
+    return joined.select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("delay_sec"),
+        "purchase_value",
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ):

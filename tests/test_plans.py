@@ -92,3 +92,37 @@ def test_dedup_simhash_hamming_never_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_simhash_hamming")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_semi_join_no_aggregate_before(spark, sf_dir):
+    """EXISTS compiles to a semi join (no row-multiplying inner join
+    then distinct)."""
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_global_topk_is_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT 20 must not global-sort 6M rows."""
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_broadcasts_filtered_part_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q9_profit_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_single_row_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    # the scalar-average subquery arrives broadcast, not shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_srp_knn_no_cartesian(spark, sf_dir):
+    """The tuned ANN path must stay a bucket equi-join."""
+    plan = _plan(spark, sf_dir, "knn_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

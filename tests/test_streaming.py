@@ -53,3 +53,57 @@ def test_streaming_dedup_keeps_one_per_key(spark, events_dir):
     q.stop()
     assert dupes == 0
     assert total > 0
+
+
+@pytest.fixture(scope="module")
+def events_dir_ordered(spark, sf_dir, tmp_path_factory):
+    """Time-ordered replay: four quarter-range files written
+    sequentially (file source processes oldest mtime first), so the
+    watermark never retroactively invalidates in-flight rows — the
+    realistic arrival order for a log-shipped stream. The plain
+    events_dir fixture shuffles time across files, which a 1-hour
+    watermark rightly treats as too-late data."""
+    import time
+
+    path = str(tmp_path_factory.mktemp("events_stream_ordered"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_ts_s", F.col("ts").cast("long")
+    )
+    qs = ev.approxQuantile("_ts_s", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("_ts_s") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("_ts_s") <= bounds[i + 1])
+        part = part.drop("_ts_s")
+        part.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)  # distinct mtimes fix the replay order
+    return path
+
+
+def test_streaming_attribution_join_equals_batch(spark, events_dir_ordered, sf_dir):
+    """Stream-stream interval join == the batch contract query on the
+    same events (inner join: the watermark bounds state; with
+    time-ordered arrival it cannot drop valid matches)."""
+    from queryengine_spark.queries.eventsq import events_click_purchase_attribution
+    from queryengine_spark.streaming import attribution_join
+
+    stream = read_event_stream(spark, events_dir_ordered)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = run_stream_to_memory(
+        attribution_join(clicks, purchases), "attr_test", "append"
+    )
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, click_id, purchase_id, delay_sec, purchase_value FROM attr_test"
+        ).collect()
+    }
+    q.stop()
+    want = {
+        tuple(r) for r in events_click_purchase_attribution(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
