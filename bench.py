@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "text_quality_scores",
     "text_lang_id",
     "pipeline_clean_corpus",

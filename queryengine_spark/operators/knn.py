@@ -236,6 +236,95 @@ def srp_bucketed_topk(
     )
 
 
+def ivf_cells_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-batched pandas UDF: vector → the ``nprobe`` nearest
+    centroid ids, ordered by (squared distance ASC, centroid id ASC).
+
+    Distances accumulate left-associated in float64 per dimension
+    (``acc = acc + (v_d - c_d)²`` in dim order) — the identical IEEE
+    op sequence as the oracle's generated 64-term SQL sum, so cell
+    assignments are bit-equal across engines."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _cells(vs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        n = len(V)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        d2 = np.zeros((n, len(centroids)), dtype=np.float64)
+        for j, (_cid, cv) in enumerate(centroids):
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(len(cv)):
+                diff = V[:, d] - cv[d]
+                acc = acc + diff * diff
+            d2[:, j] = acc
+        # argsort by (distance, centroid id); centroids arrive sorted
+        # by id so a stable sort on distance breaks ties by id
+        order = np.argsort(d2, axis=1, kind="stable")
+        ids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
+        return pd.Series(list(ids[order[:, :nprobe]]))
+
+    return _cells
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: candidates are indexed by their
+    nearest centroid (one cell each); each query probes its ``nprobe``
+    nearest cells and scores only those candidates.
+
+    The coarse quantizer here is deterministic — the ``n_cells``
+    candidate vectors with the smallest ids (pluggable for trained
+    k-means centroids; training must then use exact scaled-integer
+    sums to stay engine-portable). At 100 TB the cell index is the
+    partitioning key: candidates shuffle once on cell, queries probe
+    with a broadcast-sized centroid table, and the cell equi-join is
+    AQE-skew-splittable. Output: (query_id, neighbor_id, cosine, rn).
+    """
+    seeds = (
+        candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in seeds]
+    assign1 = ivf_cells_udf(centroids, 1)
+    assignp = ivf_cells_udf(centroids, nprobe)
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+    )
+    top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    )
+    return top.select(
+        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,

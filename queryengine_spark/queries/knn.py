@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from queryengine_spark.operators.knn import (
     brute_force_topk,
+    ivf_topk,
     sql_srp_bucket,
     srp_bucketed_topk,
     srp_planes,
@@ -33,6 +34,8 @@ N_TABLES = 16
 NNZ = 16
 PROBE = 1
 DIM = 64
+N_CELLS = 16
+NPROBE = 4
 
 _COS = (
     "list_dot_product({a}, {b}) / "
@@ -175,8 +178,119 @@ LEFT JOIN hits h ON q.query_id = h.query_id
 """
 
 
+def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic coarse quantizer (16 lowest-id
+    vectors), 1-cell candidate index, 4-probe queries."""
+    e = t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(
+        queries, e, "vec_id", "embedding", k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE
+    )
+
+
+def _d2_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Left-associated squared L2 distance — the op order the Spark
+    UDF replicates elementwise."""
+    s = None
+    for d in range(1, dim + 1):
+        term = f"(({a}[{d}] - {b}[{d}]) * ({a}[{d}] - {b}[{d}]))"
+        s = term if s is None else f"({s} + {term})"
+    return s
+
+
+def _ivf_cte() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {N_CELLS}),
+dist AS (SELECT e.vec_id, s.cid, {_d2_sql('e.v', 's.cv')} AS d2 FROM e, seeds s),
+ranked AS (SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+           FROM dist),
+cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+qcells AS (SELECT vec_id, cid AS cell FROM ranked
+           WHERE rn <= {NPROBE} AND vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='qe.v', b='ce.v')} AS cos
+  FROM qcells q JOIN cells c ON q.cell = c.cell
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+  WHERE c.vec_id <> q.vec_id
+)"""
+
+
+KNN_IVF_SQL = f"""{_ivf_cte()}
+SELECT query_id, neighbor_id,
+       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+FROM scored
+QUALIFY rn <= {K_LSH}
+"""
+
+
+def knn_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@3 of the IVF path vs brute force — the nprobe tuning
+    loop."""
+    e = t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    bf = brute_force_topk(queries, e, "vec_id", "embedding", k=K_LSH)
+    ivf = knn_ivf(spark, sf)
+    hits = (
+        bf.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            (F.coalesce("n_found", F.lit(0)) / F.lit(K_LSH)).alias("recall"),
+        )
+    )
+
+
+KNN_IVF_RECALL_SQL = f"""{_ivf_cte()},
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q
+    JOIN e e2 ON e2.vec_id <> q.vec_id
+  ) WHERE rn <= {K_LSH}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           row_number() OVER (PARTITION BY s.query_id
+               ORDER BY s.cos DESC, s.neighbor_id ASC) AS rn
+    FROM scored s
+  ) WHERE rn <= {K_LSH}
+),
+hits AS (
+  SELECT bf.query_id, COUNT(*) AS n_found
+  FROM bf WHERE EXISTS (SELECT 1 FROM ivf
+                        WHERE ivf.query_id = bf.query_id
+                          AND ivf.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_found, 0) AS BIGINT) AS n_found,
+       COALESCE(h.n_found, 0) / {K_LSH} AS recall
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTE_SQL),
     "knn_lsh": (knn_lsh, KNN_LSH_SQL),
     "knn_lsh_recall": (knn_lsh_recall, KNN_RECALL_SQL),
+    "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    "knn_ivf_recall": (knn_ivf_recall, KNN_IVF_RECALL_SQL),
 }
