@@ -34,9 +34,10 @@ from queryengine_spark.queries import (
     relational,
     textstats,
     tpch_extra,
+    udx,
 )
 
-_MODULES = (relational, tpch_extra, fuzzy, dedup, knn, textstats, eventsq, multimodal)
+_MODULES = (relational, tpch_extra, fuzzy, dedup, knn, textstats, eventsq, multimodal, udx)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
