@@ -12,6 +12,7 @@ are excluded — the numbers measure the plans, not JVM boot.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -56,6 +57,14 @@ HEADLINE = [
     "events_tumbling_hourly",
     "events_sessionize",
     "multimodal_features",
+    # round-2 additions
+    "q4_order_priority",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "text_tfidf_top_terms",
+    "events_click_purchase_attribution",
+    "dedup_keep_canonical",
+    "agg_udaf_rms",
 ]
 
 
@@ -78,6 +87,14 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Inter-query isolation, outside the timed window: drop py4j
+        # DataFrame refs, then force a JVM GC so ContextCleaner frees
+        # this query's localCheckpoint/shuffle blocks before the next
+        # query runs. Without it, leftover storage causes multi-x
+        # swings (measured 2 s → 42 s on the same query mid-suite).
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
 
     # ANN quality alongside speed: mean recall@3 of the SRP-LSH path
     # vs brute-force ground truth (VERDICT r1 item 7; tuned config in

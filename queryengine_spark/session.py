@@ -27,6 +27,12 @@ def get_spark(app_name: str = "queryengine_spark", extra_conf: dict | None = Non
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # iterative operators (connected components, multi-query
+        # sessions) accumulate localCheckpoint blocks whose cleanup
+        # waits on a driver JVM GC; the 30-min default lets storage
+        # fill and measurably degrades long sessions — force a
+        # periodic GC so ContextCleaner actually runs
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
