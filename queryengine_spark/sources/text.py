@@ -50,3 +50,32 @@ def read_pipe_names(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.size("fields") > 1)
         .select(ws_trim(F.col("fields").getItem(1)).alias("name"))
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source (beyond the reference: the interchange format
+    LLM-corpus pipelines actually ship). An explicit schema skips the
+    sampling inference pass — at 100 TB, schema inference is a full
+    extra scan; always pass one in production."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """JSON-lines sink, optionally hive-partitioned. Partitioning by a
+    low-cardinality column (lang, source, date) is the layout that
+    makes downstream partition pruning free."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Hive-partitioned parquet sink — the standard corpus layout:
+    directory per partition value, prunable by any engine."""
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from queryengine_spark.config import FuzzyConfig
 from queryengine_spark.etl import clean_vocabulary, etl_fuzzy_pipeline
 from queryengine_spark.sources.text import read_pipe_names, read_tsv
@@ -64,3 +66,39 @@ def test_etl_pipeline_end_to_end(spark, tsv_file, dmp_file):
         "homo sapiens": "Homo sapiens",
         "mus musculus": "Mus musculus",
     }
+
+
+def test_jsonl_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    """JSONL source/sink + hive-partitioned parquet sink: the corpus
+    interchange layouts. The partitioned read must prune to one
+    directory (PartitionFilters, not a post-scan filter)."""
+    from queryengine_spark.sources.tables import load_table
+    from queryengine_spark.sources.text import (
+        read_jsonl,
+        write_jsonl,
+        write_partitioned_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    jl = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, jl, partition_by=["lang"])
+    back = read_jsonl(spark, jl, schema="doc_id bigint, text string, source string, lang string")
+    assert back.count() == docs.count()
+    assert {r["lang"] for r in back.select("lang").distinct().collect()} == {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+
+    pq = str(tmp_path / "docs_pq")
+    write_partitioned_parquet(docs, pq, ["lang"])
+    one = spark.read.parquet(pq).filter(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters: [" in scan and "lang" in scan.split("PartitionFilters:")[1]
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' WHERE lang = 'en'"
+    ).fetchone()[0]
+    assert one.count() == want
