@@ -8,6 +8,7 @@ from queryengine_spark.functions.text import (
 )
 from queryengine_spark.functions.similarity import (
     cosine_similarity,
+    cosine_similarity_expr,
     partial_ratio,
     partial_ratio_udf,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "char_bigrams",
     "char_ngrams",
     "cosine_similarity",
+    "cosine_similarity_expr",
     "partial_ratio",
     "partial_ratio_udf",
     "tokenize_ws",

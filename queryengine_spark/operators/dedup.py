@@ -576,28 +576,12 @@ def embedding_neardup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    # norms once per VECTOR (n rows), not per pair (O(candidates));
-    # sqrt of the same ordered dot product == cosine_similarity's
-    # denominator bit-for-bit
-    en = e.withColumn(
-        "nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    )
-    ea = en.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
-    )
-    eb = en.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), dot / (F.col("n_a") * F.col("n_b")))
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
         pairs.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cosine", cos)
+        .withColumn("cosine", cosine_similarity("v_a", "v_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", fround("cosine", 6).alias("cosine"))
     )
