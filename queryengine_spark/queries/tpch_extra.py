@@ -458,7 +458,297 @@ GROUP BY CAST(c_custkey % 7 AS INT)
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp → lineitem is the part-supplier
+    bridge): for each size-15 part, the EUROPE supplier(s) offering
+    the minimum unit cost (min l_extendedprice/l_quantity over that
+    supplier's shipments). The correlated MIN subquery becomes a
+    per-part window min; the equality compares doubles both engines
+    derived by the identical per-row division + MIN, so bits agree.
+    Top 100 by (s_acctbal DESC, n_name, s_name, p_partkey)."""
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf, "part").filter(F.col("p_size") == 15)
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu = (
+        cost.join(s, cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eu.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", F.col("n_name").alias("nation"),
+            "p_partkey", "p_name", fround("unit_cost", 6).alias("unit_cost_r"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT c.*, s_acctbal, s_name, n_name, p_partkey, p_name,
+         MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM cost c
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN part ON l_partkey = p_partkey AND p_size = 15
+)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+       floor(unit_cost * 1000000.0 + 0.5) / 1000000.0 AS unit_cost_r
+FROM eu WHERE unit_cost = min_cost
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue via one nation's suppliers,
+    kept where the part exceeds a fixed fraction of that nation's
+    total (scalar subquery → broadcast 1-row). The fraction test is
+    an exact integer compare on scaled BIGINTs (value·1000 > total),
+    so no float threshold can disagree across engines."""
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0) + F.lit(0.5)
+    ).cast("bigint")
+    base = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("l_partkey", scaled.alias("sc"))
+    )
+    value = base.groupBy("l_partkey").agg(F.sum("sc").alias("val_sc"))
+    total = base.agg(F.sum("sc").alias("tot_sc"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("val_sc") * 1000 > F.col("tot_sc"))
+        .select("l_partkey", (F.col("val_sc") / F.lit(10000.0)).alias("value"))
+    )
+
+
+Q11_SQL = """
+WITH base AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT) AS sc
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+                WHERE s_suppkey = l_suppkey)
+)
+SELECT l_partkey, SUM(sc) / 10000.0 AS value
+FROM base
+GROUP BY l_partkey
+HAVING SUM(sc) * 1000 > (SELECT SUM(sc) FROM base)
+"""
+
+
+def q12_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode → l_returnflag is the grouping
+    surrogate): lineitems shipped ≥90 days after their order during
+    1997, counted per flag split into high/low order priority — the
+    CASE-sum pivot of the original."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 90))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp → distinct lineitem pairs): distinct
+    supplier count per (brand, type, size) for a size set, excluding
+    one brand, the PROMO type class, and negative-balance suppliers
+    (the complaint NOT-IN surrogate, an anti join)."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_excess_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped more of a
+    'red' part in 1997 than half that part's per-supplier average —
+    the correlated availqty test becomes two aggregations joined on
+    part, compared exactly in integers (sq·2·n_suppliers > total)."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = t(spark, sf, "part").filter(F.col("p_name").startswith("red"))
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation").filter(F.col("n_name") == "NATION_4")
+    qsc = F.floor(F.col("l_quantity") * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .select("l_partkey", "l_suppkey", qsc.alias("qsc"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qsc").alias("sq"))
+    )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("sq").alias("tot"), F.count(F.lit(1)).alias("nsupp")
+    )
+    qualifying = (
+        shipped.join(per_part, shipped.l_partkey == per_part.pk)
+        .filter(F.col("sq") * 2 * F.col("nsupp") > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+  SELECT l_partkey AS pk, SUM(sq) AS tot, COUNT(*) AS nsupp FROM shipped GROUP BY l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_4'
+WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM shipped
+                    JOIN per_part ON l_partkey = pk
+                    WHERE sq * 2 * nsupp > tot)
+ORDER BY s_name
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates → late :=
+    shipped >60 days after order): suppliers who were the ONLY late
+    supplier in a multi-supplier failed order, counted by distinct
+    order. The EXISTS / NOT-EXISTS double correlation decorrelates
+    into one per-order aggregate joined back — Catalyst executes one
+    pass over lineitem instead of two correlated probes."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate >= o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey AS ok,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) w
+JOIN per_order ON l_orderkey = ok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_late_shipments": (q12_late_shipments, Q12_SQL),
+    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
+    "q20_excess_shipments": (q20_excess_shipments, Q20_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
