@@ -17,6 +17,7 @@ from queryengine_spark.operators.dedup import (
     embedding_neardup_pairs_lsh,
     exact_duplicate_groups,
     minhash_lsh_candidate_pairs,
+    minhash_lsh_star_edges,
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
     simhash_relation,
@@ -225,9 +226,12 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     components (iterative min-label propagation). The oracle computes
     the same components with a recursive CTE over the same pairs —
     component = min doc_id reachable in the undirected candidate
-    graph."""
+    graph. Edges are the connectivity-equivalent per-bucket STARS
+    (hub = bucket min), not within-bucket cliques — identical
+    components (what this query outputs) at Σg instead of Σg² edges,
+    so the oracle's clique-pair walk still agrees."""
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_candidate_pairs(
+    pairs = minhash_lsh_star_edges(
         docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
     )
     labels = connected_components(
@@ -240,9 +244,9 @@ def dedup_components_star(spark: SparkSession, sf: str) -> DataFrame:
     """Same clusters via the alternating large-star/small-star
     algorithm — the O(log² n)-round scale path for high-diameter
     graphs. Shares the recursive-CTE oracle with dedup_components
-    (identical expected output)."""
+    (identical expected output). Star edges (see dedup_components)."""
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_candidate_pairs(
+    pairs = minhash_lsh_star_edges(
         docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
     )
     labels = connected_components_star(
@@ -282,9 +286,11 @@ def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
     pairs → connected components → filter id == component → join doc
     metadata back. This is the end-to-end shape a 100 TB training-data
     dedup runs: everything before the final join is id-only (narrow
-    shuffles); text/metadata rejoin only for the survivors."""
+    shuffles); text/metadata rejoin only for the survivors. Edges are
+    per-bucket stars — the same clusters as clique pairs at Σg
+    instead of Σg² edges (301k → 21k at sf0.1)."""
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_candidate_pairs(
+    pairs = minhash_lsh_star_edges(
         docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
     )
     labels = connected_components(
