@@ -79,6 +79,22 @@ def main() -> None:
 
     # warmup: JVM + parquet footer caches, excluded from timing
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # ... and Python workers: the first stage using a package Arrow
+    # UDF otherwise pays worker spawn + `import queryengine_spark`
+    # (numpy/pandas) in every one of the 32 daemon workers, inside
+    # whichever query happens to run first (measured: 8.9 s cold vs
+    # 0.7 s warm on the simhash kernel). One package-UDF pass over a
+    # row per core pre-forks the pool AND pre-imports the package, so
+    # the timings below measure the plans, not interpreter boot.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from queryengine_spark.functions.similarity import cosine_similarity  # noqa: PLC0415
+
+    n_cores = spark.sparkContext.defaultParallelism
+    v = F.array(F.lit(1.0), F.lit(2.0))
+    spark.range(n_cores, numPartitions=n_cores).select(
+        cosine_similarity(v, v)
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -105,8 +105,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    # mirror of minhash_signatures: h_i = 32-bit hex slice i%4 of
+    # md5('<i//4>:' || shingle) — 4 hash functions per digest
     mins = ",\n   ".join(
-        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(N_HASHES)
+        f"min(substr(md5('{i // 4}:' || sh), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(N_HASHES)
     )
     n_bands = N_HASHES // BAND_SIZE
     bands = "\n  UNION ALL ".join(
