@@ -31,13 +31,25 @@ from queryengine_spark.queries import (
     fuzzy,
     knn,
     multimodal,
+    pipelines,
     relational,
     textstats,
     tpch_extra,
     udx,
 )
 
-_MODULES = (relational, tpch_extra, fuzzy, dedup, knn, textstats, eventsq, multimodal, udx)
+_MODULES = (
+    relational,
+    tpch_extra,
+    fuzzy,
+    dedup,
+    knn,
+    textstats,
+    eventsq,
+    multimodal,
+    udx,
+    pipelines,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -1,0 +1,433 @@
+"""Training-data pipeline queries — the operations a large-scale LLM
+data pipeline runs beyond dedup/ANN: heuristic quality filtering
+(Gopher-style rules), train/test decontamination (cross-corpus n-gram
+overlap), deterministic weighted corpus mixing, and the event-series
+shapes (funnel, cohort retention, time-gap fill) used to QA
+interaction logs. Every query has a DuckDB-parity oracle.
+
+Scale notes (each query's plan at 100 TB):
+- quality rules are one projection + one (doc, token) partial-agg
+  pass — no joins, fully map-side except the token-mode shuffle;
+- decontamination is an inverted-index equi-join on word trigrams
+  with a document-frequency guard (hot shingles dropped on BOTH
+  engines) — never all-pairs, and the benchmark side of a real
+  decontamination run is tiny (broadcastable);
+- mixing is a stateless hash filter (no shuffle at all, fully
+  deterministic — re-running selects the same rows);
+- funnel/retention shuffle once on user_id; gap-fill's time grid is
+  sequence()-generated executor-side, never a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.sketches import hash_fraction, sql_hash_fraction
+from queryengine_spark.functions.text import tokenize_ws
+from queryengine_spark.plans import spread
+from queryengine_spark.queries.base import fround, t
+from queryengine_spark.queries.textstats import _TOKS
+
+_TOKS_LOW = _TOKS.format(c="lower(text)")
+
+
+def _fr6(x: str) -> str:
+    return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+#: rule bounds (Rae et al. 2021, "Scaling Language Models" §A1.1
+#: repetition/quality filters, adapted to the synthetic corpus sizes)
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_LEN = 2.0
+GOPHER_MAX_MEAN_LEN = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_TOP_TOKEN_RATIO = 0.3
+
+
+def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Gopher-style quality metrics + keep flag:
+    token count bounds, mean token length bounds, symbol-to-char
+    ratio, and top-token repetition ratio (most frequent token's
+    share — the single-token degenerate-repetition rule). One
+    projection pass plus one (doc_id, token) partial-agg shuffle for
+    the mode; everything else is map-side."""
+    d = t(spark, sf, "documents")
+    toks = tokenize_ws(F.lower(F.col("text")))
+    base = spread(d).select(
+        "doc_id", toks.alias("toks"), F.lower(F.col("text")).alias("tl")
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            F.length(F.concat_ws("", F.col("toks"))) / F.size("toks"),
+        ).alias("mean_token_len"),
+        F.when(
+            F.length("tl") > 0,
+            F.length(F.regexp_replace("tl", r"[a-z0-9\s]", "")) / F.length("tl"),
+        ).alias("symbol_ratio"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    j = stats.join(top, "doc_id", "left").withColumn(
+        "top_token_ratio",
+        F.when(F.col("n_tokens") > 0, F.col("top_c") / F.col("n_tokens")),
+    )
+    keep = (
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("mean_token_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("top_token_ratio") < GOPHER_MAX_TOP_TOKEN_RATIO)
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        fround("mean_token_len", 6).alias("mean_token_len"),
+        fround("symbol_ratio", 6).alias("symbol_ratio"),
+        fround("top_token_ratio", 6).alias("top_token_ratio"),
+        F.coalesce(keep, F.lit(False)).cast("int").alias("keep"),
+    )
+
+
+GOPHER_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS_LOW} AS toks, lower(text) AS tl FROM documents),
+stats AS (SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN length(array_to_string(toks, '')) / len(toks) END AS mean_token_len,
+       CASE WHEN length(tl) > 0
+            THEN length(regexp_replace(tl, '[a-z0-9\\s]', '', 'g')) / length(tl)
+            END AS symbol_ratio
+       FROM d),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
+top AS (SELECT doc_id, max(c) AS top_c FROM
+        (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk)
+        GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens,
+       {_fr6("s.mean_token_len")} AS mean_token_len,
+       {_fr6("s.symbol_ratio")} AS symbol_ratio,
+       {_fr6("t.top_c / s.n_tokens")} AS top_token_ratio,
+       CAST(COALESCE(
+         s.n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+         AND s.mean_token_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+         AND s.symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+         AND (t.top_c / s.n_tokens) < {GOPHER_MAX_TOP_TOKEN_RATIO}, FALSE)
+       AS INT) AS keep
+FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination
+# ---------------------------------------------------------------------------
+
+#: pseudo-benchmark: a 21-token span (tokens 5..25) of every 97th doc
+#: plays a held-out test item that leaked into the training corpus —
+#: its source doc is a guaranteed verbatim hit, word-shuffled
+#: near-dups are partial hits (the synthetic corpus shares bags of
+#: words, not word ORDER, so whole-doc trigram overlap is ~5% max;
+#: span leakage is the shape decontamination actually hunts)
+DECON_BENCH_MOD = 97
+DECON_SPAN_START = 5  # 1-based token index
+DECON_SPAN_LEN = 21
+#: word-trigram document-frequency guard (df over the TRAINING
+#: corpus): trigrams in > 5% of docs carry no contamination signal
+#: and would make the inverted join quadratic on hot keys — dropped
+#: from both sides, identically on both engines
+DECON_MAX_DF_RATIO = 0.05
+DECON_MIN_OVERLAP = 0.5
+
+
+def _word_trigrams(toks):
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus contamination scan: for each training doc, the
+    fraction of a benchmark item's distinct word trigrams it
+    contains. The benchmark relation is a token SPAN of every
+    ``DECON_BENCH_MOD``-th doc (a leaked test item); training is the
+    full corpus. Inverted-index equi-join on the trigram — never
+    all-pairs — with a df-ratio guard (df over the training corpus)
+    so hot trigrams can't blow the join up; the guard drops the same
+    shingles from numerator and denominator on both engines, so
+    hashes still match. Flags (train, bench) pairs with overlap >=
+    ``DECON_MIN_OVERLAP``; each span's source doc scores 1.0."""
+    d = t(spark, sf, "documents")
+    toks = tokenize_ws(F.lower(F.col("text")))
+    sh = spread(d).select(
+        "doc_id", F.explode(F.array_distinct(_word_trigrams(toks))).alias("sh")
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    train = (
+        sh.join(dfreq, "sh")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("df") <= DECON_MAX_DF_RATIO * F.col("n_docs"))
+        .select(F.col("doc_id").alias("train_id"), "sh")
+    )
+    span = F.slice(toks, DECON_SPAN_START, DECON_SPAN_LEN)
+    bench = (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(F.array_distinct(_word_trigrams(span))).alias("sh"),
+        )
+        .join(dfreq, "sh")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("df") <= DECON_MAX_DF_RATIO * F.col("n_docs"))
+        .select("bench_id", "sh")
+    )
+    shared = (
+        train.join(bench, "sh")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    bench_n = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bench_n")
+    )
+    return (
+        shared.join(bench_n, "bench_id")
+        .filter(F.col("n_shared") / F.col("bench_n") >= DECON_MIN_OVERLAP)
+        .select(
+            "train_id",
+            "bench_id",
+            "n_shared",
+            fround(F.col("n_shared") / F.col("bench_n"), 6).alias("overlap"),
+        )
+    )
+
+
+_DECON_SPAN_END = DECON_SPAN_START + DECON_SPAN_LEN - 1  # inclusive, 1-based
+
+DECON_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS_LOW} AS toks FROM documents),
+tri AS (SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+        FROM d),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+tr AS (SELECT t.doc_id AS train_id, t.sh FROM tri t JOIN dfreq f ON t.sh = f.sh, tot
+       WHERE f.df <= {DECON_MAX_DF_RATIO} * tot.n_docs),
+bspan AS (SELECT doc_id AS bench_id,
+                 toks[{DECON_SPAN_START}:{_DECON_SPAN_END}] AS toks
+          FROM d WHERE doc_id % {DECON_BENCH_MOD} = 0),
+btri AS (SELECT bench_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+         FROM bspan),
+b AS (SELECT bt.bench_id, bt.sh FROM btri bt JOIN dfreq f ON bt.sh = f.sh, tot
+      WHERE f.df <= {DECON_MAX_DF_RATIO} * tot.n_docs),
+bn AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_n FROM b GROUP BY bench_id),
+shared AS (SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+           FROM tr JOIN b USING (sh) GROUP BY train_id, bench_id)
+SELECT train_id, bench_id, n_shared,
+       {_fr6("n_shared / bn.bench_n")} AS overlap
+FROM shared JOIN bn USING (bench_id)
+WHERE n_shared / bn.bench_n >= {DECON_MIN_OVERLAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted corpus mixing
+# ---------------------------------------------------------------------------
+
+#: per-language sampling rates (a curriculum-mix shape: upsample the
+#: primary language, downsample the rest)
+MIX_RATES: dict[str, float] = {"en": 0.5, "zh": 0.3, "es": 0.3, "de": 0.1, "fr": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def pipeline_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted dataset mixing: keep each doc iff a uniform hash of
+    its id falls under its language's rate. Stateless hash filter —
+    zero shuffles, trivially reproducible (the same doc set survives
+    on every run and every engine), the standard way to mix corpus
+    shards at 100 TB without materializing a random column."""
+    d = t(spark, sf, "documents")
+    u = hash_fraction("md5(CAST(doc_id AS STRING))")
+    rate = F.lit(_MIX_DEFAULT)
+    for lang, r in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.withColumn("u", u)
+        .filter(F.col("u") < rate)
+        .select("doc_id", "lang", "source", fround("u", 6).alias("u"))
+    )
+
+
+def _mix_sql() -> str:
+    u = sql_hash_fraction("md5(CAST(doc_id AS VARCHAR))")
+    cases = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    return f"""
+SELECT doc_id, lang, source, {_fr6(u)} AS u
+FROM documents
+WHERE ({u}) < (CASE {cases} ELSE {_MIX_DEFAULT} END)
+"""
+
+
+MIX_SQL = _mix_sql()
+
+
+# ---------------------------------------------------------------------------
+# Event-series shapes: funnel, retention, gap fill
+# ---------------------------------------------------------------------------
+
+
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered 3-stage funnel (signup -> click -> purchase): users
+    whose first click strictly follows their first signup, and first
+    purchase strictly follows that click. Staged min-aggregations —
+    each stage shuffles once on user_id and shrinks the relation, so
+    the later joins broadcast."""
+    e = t(spark, sf, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_s"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after_signup")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_after_click"))
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH s AS (SELECT user_id, min(ts) AS t_s FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_c FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t_s GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_p FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_c GROUP BY e.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after_click
+"""
+
+
+def events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; n_users = distinct users from that cohort active
+    week_offset weeks later. One shuffle on user_id for the cohort
+    assignment, then a partial-agg rollup."""
+    e = t(spark, sf, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("aw")).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("aw"), F.col("cw")) / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cw, a.aw) / 7 AS INT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+def events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap fill: hourly event counts per type with every
+    missing (hour, type) cell filled with 0 across the observed
+    range. The hour grid is sequence()-generated executor-side from
+    a 1-row bounds aggregate (never a driver loop); the grid x type
+    cross join is tiny and broadcast."""
+    e = t(spark, sf, "events")
+    counts = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        hours.crossJoin(types)
+        .join(counts, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n_events"),
+        )
+    )
+
+
+GAP_FILL_SQL = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+           FROM events),
+hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+ty AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT date_trunc('hour', ts) AS h, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS window_start, ty.event_type,
+       COALESCE(c.n, 0) AS n_events
+FROM hours CROSS JOIN ty
+LEFT JOIN c ON c.h = hours.h AND c.event_type = ty.event_type
+"""
+
+
+QUERIES = {
+    "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
+    "dedup_decontaminate": (dedup_decontaminate, DECON_SQL),
+    "pipeline_weighted_mix": (pipeline_weighted_mix, MIX_SQL),
+    "events_funnel": (events_funnel, FUNNEL_SQL),
+    "events_retention": (events_retention, RETENTION_SQL),
+    "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),
+}
