@@ -393,11 +393,27 @@ def simhash_hamming_pairs(
     all-pairs filter, which is the oracle), while the join does
     O(Σ bucket²) work instead of O(n²). Distance is re-checked as the
     refine residual, so wider bands only cost candidates, never
-    correctness."""
+    correctness.
+
+    The fingerprint is pre-split into two 32-bit ints (hi/lo hex
+    halves — 8 hex chars each, so conv() never overflows a signed
+    BIGINT) that ride along through the band explode; the per-pair
+    residual is then two xor+bit_count expressions instead of 64
+    nibble ops, and no join back to the fingerprint relation is
+    needed at all."""
     assert 16 % n_bands == 0, "bands must tile the 16 hex chars"
     assert max_dist < n_bands * 64, "nonsense distance"
     w = 16 // n_bands
-    fp = simhash64_relation(df, id_col, text_col).localCheckpoint(eager=False)
+    fp = (
+        simhash64_relation(df, id_col, text_col)
+        .select(
+            "id",
+            "sim",
+            F.conv(F.substring("sim", 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring("sim", 9, 8), 16, 10).cast("bigint").alias("lo"),
+        )
+        .localCheckpoint(eager=False)
+    )
     bands = F.array(
         *[
             F.struct(
@@ -407,23 +423,27 @@ def simhash_hamming_pairs(
             for b in range(n_bands)
         ]
     )
-    bk = fp.select("id", F.explode(bands).alias("bb")).select(
-        "id", F.col("bb.b").alias("b"), F.col("bb.band").alias("band")
+    bk = fp.select("id", "hi", "lo", F.explode(bands).alias("bb")).select(
+        "id", "hi", "lo", F.col("bb.b").alias("b"), F.col("bb.band").alias("band")
     )
-    a = bk.select(F.col("id").alias("id_a"), "b", "band")
-    b_ = bk.select(F.col("id").alias("id_b"), "b", "band")
-    pairs = (
+    a = bk.select(
+        F.col("id").alias("id_a"), F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"), "b", "band",
+    )
+    b_ = bk.select(
+        F.col("id").alias("id_b"), F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"), "b", "band",
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
         a.join(b_, ["b", "band"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
         .distinct()
-    )
-    fa = fp.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
-    fb = fp.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
-    return (
-        pairs.join(fa, "id_a")
-        .join(fb, "id_b")
-        .withColumn("hamming", hamming_distance_hex("sim_a", "sim_b"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
     )
@@ -618,6 +638,67 @@ def embedding_neardup_pairs(
     )
 
 
+#: row-block size for the in-bucket pairwise kernel: memory per block
+#: is O(block × bucket_size) doubles, independent of bucket_size²
+_BUCKET_BLOCK = 2048
+
+
+def _bucket_cosine_pairs(threshold: float):
+    """applyInPandas kernel: all within-bucket pairs (id_a < id_b)
+    with cosine ≥ threshold. The dot/norm accumulations are strictly
+    left-associated over dimensions (``acc = acc + x_d * y_d``),
+    vectorized ACROSS pairs — the identical IEEE sequence as
+    ``cosine_similarity`` / the DuckDB ``list_dot_product`` twin, so
+    scores are bit-exact across engines. Scoring stays bucket-local:
+    no global pair shuffle, no join back to the vector relation; only
+    pairs over the threshold leave the bucket. Row-blocked so memory
+    is O(block × g) even for hot buckets."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]])
+        dim = V.shape[1]
+        nsq = np.zeros(g)
+        for d in range(dim):
+            nsq = nsq + V[:, d] * V[:, d]
+        nrm = np.sqrt(nsq)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for lo in range(0, g - 1, _BUCKET_BLOCK):
+            hi = min(lo + _BUCKET_BLOCK, g - 1)
+            blk = slice(lo, hi)
+            m = hi - lo
+            dot = np.zeros((m, g))
+            for d in range(dim):
+                dot = dot + V[blk, d, None] * V[None, :, d]
+            denom = nrm[blk, None] * nrm[None, :]
+            ok = (nrm[blk, None] > 0) & (nrm[None, :] > 0)
+            cos = dot / np.where(ok, denom, 1.0)
+            hit = np.where(ok, cos, -np.inf)
+            rows, cols = np.nonzero(
+                (hit >= threshold) & (np.arange(g)[None, :] > np.arange(lo, hi)[:, None])
+            )
+            out_a.append(ids[rows + lo])
+            out_b.append(ids[cols])
+            out_c.append(cos[rows, cols])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    return score
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -659,24 +740,16 @@ def embedding_neardup_pairs_lsh(
     )
     bk = (
         spread(e)
-        .select("id", F.explode(tables).alias("tb"))
-        .select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-        .localCheckpoint(eager=False)
+        .select("id", "v", F.explode(tables).alias("tb"))
+        .select(
+            "id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
     )
-    a = bk.select(F.col("id").alias("id_a"), "tbl", "bucket")
-    b = bk.select(F.col("id").alias("id_b"), "tbl", "bucket")
-    pairs = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    scored = bk.groupBy("tbl", "bucket").applyInPandas(
+        _bucket_cosine_pairs(threshold), "id_a bigint, id_b bigint, cosine double"
     )
-    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    return (
-        pairs.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cosine", cosine_similarity("v_a", "v_b"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", fround("cosine", 6).alias("cosine"))
+    # a pair found by several tables computes the identical cosine in
+    # each (same IEEE sequence), so a plain distinct dedups it
+    return scored.distinct().select(
+        "id_a", "id_b", fround("cosine", 6).alias("cosine")
     )
