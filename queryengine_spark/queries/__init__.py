@@ -33,6 +33,7 @@ from queryengine_spark.queries import (
     multimodal,
     pipelines,
     relational,
+    relational2,
     textstats,
     tpch_extra,
     udx,
@@ -40,6 +41,7 @@ from queryengine_spark.queries import (
 
 _MODULES = (
     relational,
+    relational2,
     tpch_extra,
     fuzzy,
     dedup,

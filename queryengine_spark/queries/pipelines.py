@@ -130,6 +130,113 @@ FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition rules
+# ---------------------------------------------------------------------------
+
+
+def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document repetition metrics (the Gopher repetition-filter
+    family, Rae et al. 2021 §A1.1): duplicate-token fraction, the
+    character share of the heaviest word bigram (count × length, the
+    most-common-n-gram rule with a deterministic tiebreak via the
+    max of the product), and the character share of word trigrams
+    occurring ≥ 2 times. Character shares are over the
+    whitespace-normalized text length; overlapping trigram
+    occurrences can push the duplicate share past 1.0 by
+    construction (documented Gopher quirk). Three (doc, gram)
+    partial-agg shuffles, all narrow."""
+    d = t(spark, sf, "documents")
+    toks = tokenize_ws(F.lower(F.col("text")))
+    base = (
+        spread(d)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn("denom", F.length(F.concat_ws(" ", F.col("toks"))))
+    )
+    tokstats = (
+        base.select("doc_id", F.explode("toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        )
+    )
+    bg_top = (
+        base.select("doc_id", F.explode(_word_ngrams(F.col("toks"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * F.length("g")).cast("bigint").alias("top_cover"))
+    )
+    tg_dup = (
+        base.select("doc_id", F.explode(_word_ngrams(F.col("toks"), 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
+            ).cast("bigint").alias("dup_chars")
+        )
+    )
+    return (
+        base.select("doc_id", "denom")
+        .join(tokstats, "doc_id")
+        .join(bg_top, "doc_id", "left")
+        .join(tg_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            fround((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            fround(
+                F.coalesce("top_cover", F.lit(0)) / F.col("denom"), 6
+            ).alias("top_bigram_char_frac"),
+            fround(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("denom"), 6
+            ).alias("dup_trigram_char_frac"),
+        )
+    )
+
+
+REPETITION_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS_LOW} AS toks FROM documents),
+b AS (SELECT doc_id, toks, length(array_to_string(toks, ' ')) AS denom
+      FROM d WHERE len(toks) > 0),
+tc AS (SELECT doc_id, tk, count(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS tk FROM b) GROUP BY doc_id, tk),
+ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_distinct
+       FROM tc GROUP BY doc_id),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM
+        (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS g FROM b)
+        GROUP BY doc_id, g),
+bgm AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top_cover
+        FROM bgc GROUP BY doc_id),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM
+        (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g FROM b)
+        GROUP BY doc_id, g),
+tgd AS (SELECT doc_id,
+               CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT)
+                 AS dup_chars
+        FROM tgc GROUP BY doc_id)
+SELECT b.doc_id, ts.n_tokens,
+       {_fr6("(ts.n_tokens - ts.n_distinct) / ts.n_tokens")} AS dup_token_frac,
+       {_fr6("COALESCE(bgm.top_cover, 0) / b.denom")} AS top_bigram_char_frac,
+       {_fr6("COALESCE(tgd.dup_chars, 0) / b.denom")} AS dup_trigram_char_frac
+FROM b
+JOIN ts USING (doc_id)
+LEFT JOIN bgm USING (doc_id)
+LEFT JOIN tgd USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Train/test decontamination
 # ---------------------------------------------------------------------------
 
@@ -150,19 +257,20 @@ DECON_MAX_DF_RATIO = 0.05
 DECON_MIN_OVERLAP = 0.5
 
 
-def _word_trigrams(toks):
+def _word_ngrams(toks, n: int):
     return F.when(
-        F.size(toks) >= 3,
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_trigrams(toks):
+    return _word_ngrams(toks, 3)
 
 
 def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
@@ -425,6 +533,7 @@ LEFT JOIN c ON c.h = hours.h AND c.event_type = ty.event_type
 
 QUERIES = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
+    "text_repetition_stats": (text_repetition_stats, REPETITION_SQL),
     "dedup_decontaminate": (dedup_decontaminate, DECON_SQL),
     "pipeline_weighted_mix": (pipeline_weighted_mix, MIX_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),

@@ -1,0 +1,164 @@
+"""Second relational pack — SQL surface shapes round 1 didn't cover:
+pivot (wide aggregation), RANGE-frame windows (value-based frames, not
+ROWS), correlated EXISTS / NOT EXISTS, and lateral position-explode.
+
+Scale notes:
+- pivot compiles to ONE hash aggregate with a conditional-sum per
+  pivot value (no per-value scan, no shuffle beyond the groupBy);
+- the RANGE frame sorts within each customer partition once — same
+  cost as a ROWS frame, the frame bound is evaluated on the sorted
+  run;
+- EXISTS/NOT EXISTS decorrelate to one left-semi + one left-anti
+  hash join (Catalyst ExistenceJoin), both broadcastable when the
+  filtered orders side is small;
+- posexplode is a generator in the projection — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.text import tokenize_ws
+from queryengine_spark.plans import spread
+from queryengine_spark.queries.base import t
+
+#: fixed pivot domain — explicit values keep the output schema stable
+#: (a discovery pass would also force an extra job at scale)
+RETURN_FLAGS = ("A", "N", "R")
+
+
+def pivot_returnflag_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue by ship year pivoted to one column per return flag.
+    The floor-scaled-BIGINT sums (queries/base.py discipline) are
+    pivoted, then divided once per output column — exact and
+    order-independent."""
+    li = t(spark, sf, "lineitem")
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + 0.5
+    ).cast("bigint")
+    wide = (
+        li.select(
+            F.year(F.col("l_shipdate")).cast("int").alias("ship_year"),
+            "l_returnflag",
+            scaled.alias("s"),
+        )
+        .groupBy("ship_year")
+        .pivot("l_returnflag", list(RETURN_FLAGS))
+        .agg(F.sum("s"))
+    )
+    return wide.select(
+        "ship_year",
+        *[
+            (F.col(f"`{flag}`") / 10000.0).alias(f"rev_{flag.lower()}")
+            for flag in RETURN_FLAGS
+        ],
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+         FILTER (WHERE l_returnflag = 'A') / 10000.0 AS rev_a,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+         FILTER (WHERE l_returnflag = 'N') / 10000.0 AS rev_n,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+         FILTER (WHERE l_returnflag = 'R') / 10000.0 AS rev_r
+FROM lineitem
+GROUP BY ship_year
+"""
+
+
+def window_range_30d_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per order: the customer's total spend over the trailing 30
+    days — a RANGE frame (value-based, day units) rather than a ROWS
+    frame, so same-day orders are peers and gaps in the date sequence
+    are honored. One sort per customer partition."""
+    o = t(spark, sf, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    scaled = F.floor(F.col("o_totalprice") * 10000.0 + 0.5).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (F.sum(scaled).over(w) / 10000.0).alias("spend_30d"),
+    )
+
+
+RANGE_FRAME_SQL = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) / 10000.0 AS spend_30d
+FROM orders
+"""
+
+
+_EXISTS_BODY = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+"""
+
+
+def subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS: customers with an urgent order
+    and no finished order. Catalyst decorrelates to a left-semi plus
+    a left-anti join on c_custkey."""
+    t(spark, sf, "customer").createOrReplaceTempView("customer")
+    t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_BODY)
+
+
+EXISTS_SQL = _EXISTS_BODY
+
+
+#: token positions surfaced per document
+LATERAL_FIRST_N = 5
+
+
+def lateral_posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-aware lateral expansion: the first ``LATERAL_FIRST_N``
+    tokens of each document with their 0-based position — Spark's
+    posexplode generator (pure projection, zero shuffles); the oracle
+    is an index-carrying list_transform + unnest."""
+    d = spread(t(spark, sf, "documents"))
+    toks = tokenize_ws(F.lower(F.col("text")))
+    return d.select(
+        "doc_id", F.posexplode(F.slice(toks, 1, LATERAL_FIRST_N))
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), F.col("col").alias("tk"))
+
+
+_TOKS_LOW = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),"
+    " '\\s+'), t0 -> t0 <> '')"
+)
+
+LATERAL_SQL = f"""
+WITH d AS (SELECT doc_id, ({_TOKS_LOW})[1:{LATERAL_FIRST_N}] AS sl FROM documents),
+u AS (SELECT doc_id,
+             unnest(list_transform(sl, (x, i) -> {{'pos': i - 1, 'tk': x}})) AS s
+      FROM d)
+SELECT doc_id, CAST(s.pos AS INT) AS pos, s.tk AS tk FROM u
+"""
+
+
+QUERIES = {
+    "pivot_returnflag_revenue": (pivot_returnflag_revenue, PIVOT_SQL),
+    "window_range_30d_spend": (window_range_30d_spend, RANGE_FRAME_SQL),
+    "subquery_exists": (subquery_exists, EXISTS_SQL),
+    "lateral_posexplode_tokens": (lateral_posexplode_tokens, LATERAL_SQL),
+}
