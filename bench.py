@@ -65,6 +65,17 @@ HEADLINE = [
     "events_click_purchase_attribution",
     "dedup_keep_canonical",
     "agg_udaf_rms",
+    # training-pipeline pack
+    "text_gopher_quality",
+    "text_repetition_stats",
+    "dedup_decontaminate",
+    "pipeline_weighted_mix",
+    "events_funnel",
+    "events_retention",
+    "events_gap_fill",
+    # second relational pack
+    "pivot_returnflag_revenue",
+    "window_range_30d_spend",
 ]
 
 

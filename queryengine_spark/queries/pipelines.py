@@ -402,6 +402,69 @@ MIX_SQL = _mix_sql()
 
 
 # ---------------------------------------------------------------------------
+# Deterministic stratified sampling + corpus length histogram
+# ---------------------------------------------------------------------------
+
+#: docs kept per language stratum
+STRATA_K = 50
+
+
+def pipeline_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sample: the ``STRATA_K`` docs per
+    language with the smallest md5(doc_id) — uniform-without-
+    replacement per stratum, reproducible on any engine and any
+    partitioning (the standard way to draw balanced eval subsets
+    from a 100 TB corpus without a random() that can't be replayed).
+    One shuffle on lang; WindowGroupLimit keeps per-key state at K."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc())
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= STRATA_K)
+        .select("lang", "rank", "doc_id")
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS INT) AS rank,
+       doc_id
+FROM documents
+QUALIFY rank <= {STRATA_K}
+"""
+
+
+def text_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus length distribution: doc counts per (lang, power-of-2
+    token-count bin). The bin is the INTEGER log2 — length of the
+    base-2 digit string, pure integer/string ops on both engines (a
+    float log2 would hang cross-engine parity on libm rounding).
+    One partial-agg shuffle."""
+    d = t(spark, sf, "documents")
+    n = F.size(tokenize_ws(F.lower(F.col("text"))))
+    bin_ = F.when(n > 0, F.length(F.conv(n.cast("string"), 10, 2))).otherwise(0)
+    return (
+        d.select("lang", bin_.cast("int").alias("log2_bin"))
+        .groupBy("lang", "log2_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+LENGTH_HIST_SQL = f"""
+SELECT lang,
+       CAST(CASE WHEN len({_TOKS_LOW}) > 0
+                 THEN length(bin(len({_TOKS_LOW}))) ELSE 0 END AS INT) AS log2_bin,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang, log2_bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-series shapes: funnel, retention, gap fill
 # ---------------------------------------------------------------------------
 
@@ -536,6 +599,8 @@ QUERIES = {
     "text_repetition_stats": (text_repetition_stats, REPETITION_SQL),
     "dedup_decontaminate": (dedup_decontaminate, DECON_SQL),
     "pipeline_weighted_mix": (pipeline_weighted_mix, MIX_SQL),
+    "pipeline_stratified_sample": (pipeline_stratified_sample, STRATIFIED_SQL),
+    "text_length_histogram": (text_length_histogram, LENGTH_HIST_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "events_retention": (events_retention, RETENTION_SQL),
     "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),

@@ -126,3 +126,39 @@ def test_srp_knn_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_single_aggregate_pass(spark, sf_dir):
+    """Pivot must compile to one hash aggregate over the groupBy key
+    (a conditional sum per pivot value), not one scan per value."""
+    plan = _plan(spark, sf_dir, "pivot_returnflag_revenue")
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_compiles_to_semi_plus_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "subquery_exists")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_mix_zero_shuffles(spark, sf_dir):
+    """The corpus-mix hash filter is a pure scan+filter+project —
+    any Exchange here would be a scale bug."""
+    plan = _plan(spark, sf_dir, "pipeline_weighted_mix")
+    assert "Exchange" not in plan
+
+
+def test_range_frame_single_sort_per_partition(spark, sf_dir):
+    """One shuffle on the window key, one sort, a RANGE window."""
+    plan = _plan(spark, sf_dir, "window_range_30d_spend")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_decontaminate_never_cartesian(spark, sf_dir):
+    """Contamination scan must stay an inverted-index equi-join on
+    trigrams (plus two broadcast corpus-size counts)."""
+    plan = _plan(spark, sf_dir, "dedup_decontaminate")
+    assert "CartesianProduct" not in plan
