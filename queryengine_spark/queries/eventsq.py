@@ -300,8 +300,69 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def events_enriched_segment_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/::enrich_events): event counts per (event_type,
+    customer market segment). The dim side is broadcast — no shuffle
+    for the join, one partial-agg shuffle for the rollup."""
+    from queryengine_spark.streaming import enrich_events
+
+    e = t(spark, sf, "events")
+    c = t(spark, sf, "customer")
+    return (
+        enrich_events(e, c)
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+ENRICH_SQL = """
+SELECT e.event_type,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type, segment
+"""
+
+
+_MULTIRES_BODY = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS is_day_level
+FROM events
+GROUP BY GROUPING SETS
+  ((date_trunc('day', ts), date_trunc('hour', ts), event_type),
+   (date_trunc('day', ts), event_type))
+"""
+# Spark date_format == DuckDB strftime for these patterns; GROUPING()
+# marks the coarse rows (hour = NULL) so both resolutions coexist in
+# one relation, hypertable-continuous-aggregate style.
+_MULTIRES_SPARK = _MULTIRES_BODY.replace(
+    "strftime(date_trunc('day', ts), '%Y-%m-%d')",
+    "date_format(date_trunc('day', ts), 'yyyy-MM-dd')",
+).replace(
+    "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')",
+    "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')",
+)
+
+
+def events_multires_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-
+    aggregate shape): hourly AND daily event counts per type from ONE
+    scan via GROUPING SETS — a single hash aggregate emits both
+    granularities, instead of two scans or a re-aggregation stage.
+    At 100 TB the day rows are map-side-combined the same way the
+    hour rows are."""
+    t(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(_MULTIRES_SPARK)
+
+
 QUERIES = {
     "events_tumbling_hourly": (events_tumbling_hourly, TUMBLING_SQL),
+    "events_enriched_segment_counts": (events_enriched_segment_counts, ENRICH_SQL),
+    "events_multires_rollup": (events_multires_rollup, _MULTIRES_BODY),
     "events_click_purchase_attribution": (
         events_click_purchase_attribution,
         CLICK_PURCHASE_SQL,

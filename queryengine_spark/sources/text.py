@@ -73,6 +73,20 @@ def write_jsonl(df: DataFrame, path: str, partition_by: list[str] | None = None)
     w.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar interchange format warehouses
+    ship; same pushdown/pruning machinery as parquet in Spark."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink, optionally hive-partitioned."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> None:

@@ -290,6 +290,28 @@ def attribution_join(
     )
 
 
+def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach a dimension attribute
+    (customer market segment) to an event stream. The static side is
+    broadcast — each micro-batch joins against the in-memory dim with
+    no shuffle and no state store (stream-static joins are stateless
+    by construction; the dim is re-broadcast only when Spark re-plans).
+    Works identically on a batch DataFrame — the contract query
+    ``events_enriched_segment_counts`` is the batch twin and pytest
+    asserts stream == batch."""
+    d = F.broadcast(
+        dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return events.join(d, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ):

@@ -102,3 +102,21 @@ def test_jsonl_roundtrip_partitioned(spark, sf_dir, tmp_path):
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet' WHERE lang = 'en'"
     ).fetchone()[0]
     assert one.count() == want
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC source/sink roundtrip with hive partitioning; values and
+    schema survive the format boundary."""
+    from queryengine_spark.sources.tables import load_table
+    from queryengine_spark.sources.text import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["n_chars"] for r in back.collect()}
+    b = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert a == b

@@ -107,3 +107,28 @@ def test_streaming_attribution_join_equals_batch(spark, events_dir_ordered, sf_d
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir, sf_dir):
+    from queryengine_spark.sources.tables import load_table
+    from queryengine_spark.streaming import enrich_events
+
+    dim = load_table(spark, sf_dir, "customer")
+    stream = read_event_stream(spark, events_dir)
+    q = run_stream_to_memory(
+        enrich_events(stream, dim), "enrich_test", "append"
+    )
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.sql("SELECT event_id, segment FROM enrich_test").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r["event_id"], r["segment"])
+        for r in enrich_events(batch, dim).collect()
+    }
+    q.stop()
+    assert got == want
+    assert len(want) > 0
+    # the join actually enriched something (not all UNKNOWN)
+    assert any(seg != "UNKNOWN" for _, seg in want)
