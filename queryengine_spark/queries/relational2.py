@@ -156,8 +156,45 @@ SELECT doc_id, CAST(s.pos AS INT) AS pos, s.tk AS tk FROM u
 """
 
 
+def window_distribution_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions over customers per market
+    segment: quartile (ntile), percent_rank, cume_dist, and the
+    segment's richest customer (first_value over the full frame).
+    percent_rank/cume_dist are exact integer ratios — engine-portable
+    without float discipline. Total order via the c_custkey tiebreak."""
+    c = t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value(F.col("c_custkey")).over(wf).alias("richest_custkey"),
+    )
+
+
+WINDOW_DIST_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(c_custkey) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS richest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 QUERIES = {
     "pivot_returnflag_revenue": (pivot_returnflag_revenue, PIVOT_SQL),
+    "window_distribution_funcs": (window_distribution_funcs, WINDOW_DIST_SQL),
     "window_range_30d_spend": (window_range_30d_spend, RANGE_FRAME_SQL),
     "subquery_exists": (subquery_exists, EXISTS_SQL),
     "lateral_posexplode_tokens": (lateral_posexplode_tokens, LATERAL_SQL),
