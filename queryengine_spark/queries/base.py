@@ -20,7 +20,17 @@ from pyspark.sql import functions as F
 from queryengine_spark.functions.numeric import fround
 from queryengine_spark.sources.tables import load_table
 
-__all__ = ["F", "dec_avg", "dec_sum", "fround", "sql_fround", "sql_fsum", "t"]
+__all__ = [
+    "F",
+    "dec_avg",
+    "dec_sum",
+    "epoch_sec",
+    "epoch_us",
+    "fround",
+    "sql_fround",
+    "sql_fsum",
+    "t",
+]
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -29,6 +39,30 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch for a TIMESTAMP_NTZ column, matching
+    DuckDB's ``epoch_us`` on the same parquet value. ``F.unix_micros``
+    only accepts TIMESTAMP_LTZ, and an NTZ→LTZ cast goes through the
+    session time zone — this formulation is tz-independent."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+        _c(col).cast("timestamp_ntz"),
+    )
+
+
+def epoch_sec(col: Column | str) -> Column:
+    """Whole seconds since epoch (floor) for a timestamp column —
+    the NTZ-safe replacement for ``ts.cast('long')``, and the exact
+    twin of DuckDB's second-boundary counting in ``date_diff``:
+    floor(p)−floor(c) == date_diff('second', c, p)."""
+    return F.timestamp_diff(
+        "SECOND",
+        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+        _c(col).cast("timestamp_ntz"),
+    )
 
 
 def dec_sum(col: Column | str, alias: str, n: int = 4) -> Column:

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from queryengine_spark.queries.base import dec_sum, t
+from queryengine_spark.queries.base import dec_sum, epoch_sec, epoch_us, t
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
@@ -47,7 +47,7 @@ def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum
     of session-start flags, then per-session rollup. Microsecond
     arithmetic so both engines compare the same integers."""
-    e = t(spark, sf, "events").withColumn("us", F.unix_micros("ts"))
+    e = t(spark, sf, "events").withColumn("us", epoch_us("ts"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     flagged = e.withColumn(
         "new_sess",
@@ -191,7 +191,7 @@ def events_range_join_active_sessions(spark: SparkSession, sf: str) -> DataFrame
     instant. Oracle: plain inequality join (DuckDB IEJoin)."""
     from queryengine_spark.operators.rangejoin import point_in_interval_join
 
-    e = t(spark, sf, "events").withColumn("us", F.unix_micros("ts"))
+    e = t(spark, sf, "events").withColumn("us", epoch_us("ts"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     flagged = e.withColumn(
         "new_sess",
@@ -281,7 +281,7 @@ def events_click_purchase_attribution(spark: SparkSession, sf: str) -> DataFrame
         "click_id",
         "purchase_id",
         (
-            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+            epoch_sec("purchase_ts") - epoch_sec("click_ts")
         ).alias("delay_sec"),
         "purchase_value",
     )

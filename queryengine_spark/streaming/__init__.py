@@ -279,12 +279,14 @@ def attribution_join(
             <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
         ),
     )
+    from queryengine_spark.queries.base import epoch_sec
+
     return joined.select(
         F.col("cu").alias("user_id"),
         "click_id",
         "purchase_id",
         (
-            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+            epoch_sec("purchase_ts") - epoch_sec("click_ts")
         ).alias("delay_sec"),
         "purchase_value",
     )

@@ -9,6 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from queryengine_spark.queries.base import epoch_sec
 from queryengine_spark.sources.tables import load_table
 from queryengine_spark.streaming import (
     read_event_stream,
@@ -67,7 +68,7 @@ def events_dir_ordered(spark, sf_dir, tmp_path_factory):
 
     path = str(tmp_path_factory.mktemp("events_stream_ordered"))
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "_ts_s", F.col("ts").cast("long")
+        "_ts_s", epoch_sec("ts")
     )
     qs = ev.approxQuantile("_ts_s", [0.25, 0.5, 0.75], 0.0)
     bounds = [None, *qs, None]

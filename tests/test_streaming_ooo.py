@@ -19,6 +19,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from queryengine_spark.queries.base import epoch_us
 from queryengine_spark.sources.tables import load_table
 from queryengine_spark.streaming import (
     read_event_stream,
@@ -34,7 +35,7 @@ N_CHUNKS = 4
 def _batch_session_ids(events):
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros("ts")
+    us = epoch_us("ts")
     flagged = events.withColumn(
         "new_sess",
         F.when(
@@ -57,12 +58,12 @@ def shuffled_events_dir(spark, sf_dir, tmp_path_factory):
     path = tmp_path_factory.mktemp("ooo_events")
     e = load_table(spark, sf_dir, "events")
     jitter = (F.col("event_id") * F.lit(2654435761)) % F.lit(JITTER_US)
-    arr = e.withColumn("arrival_us", F.unix_micros("ts") + jitter)
+    arr = e.withColumn("arrival_us", epoch_us("ts") + jitter)
     ranked = arr.withColumn(
         "chunk",
         F.ntile(N_CHUNKS).over(Window.orderBy(F.col("arrival_us").asc())),
     )
-    max_ts_us = e.select(F.max(F.unix_micros("ts"))).collect()[0][0]
+    max_ts_us = e.select(F.max(epoch_us("ts"))).collect()[0][0]
     merged = str(path / "merged")
     os.makedirs(merged)
     file_idx = 0
@@ -84,7 +85,9 @@ def shuffled_events_dir(spark, sf_dir, tmp_path_factory):
             "event_id long, ts_us long, user_id long, event_type string, value double, props string",
         ).select(
             "event_id",
-            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            # match the events parquet's TIMESTAMP_NTZ so the merged
+            # directory has one consistent parquet timestamp type
+            F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
             "user_id",
             "event_type",
             "value",

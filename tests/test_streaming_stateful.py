@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from queryengine_spark.queries.base import epoch_us
 from queryengine_spark.sources.tables import load_table
 from queryengine_spark.streaming import (
     read_event_stream,
@@ -26,7 +27,7 @@ def _batch_session_ids(events):
     """Reference assignment: window-function gap sessionization."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros("ts")
+    us = epoch_us("ts")
     flagged = events.withColumn(
         "new_sess",
         F.when(
@@ -46,9 +47,9 @@ def ordered_events_dir(spark, sf_dir, tmp_path_factory):
     replays them in event-time order (sessions cross the boundary)."""
     path = tmp_path_factory.mktemp("ordered_events")
     e = load_table(spark, sf_dir, "events").orderBy("ts")
-    mid = e.select(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
-    first = e.filter(F.unix_micros("ts") <= mid)
-    second = e.filter(F.unix_micros("ts") > mid)
+    mid = e.select(F.percentile(epoch_us("ts"), F.lit(0.5))).collect()[0][0]
+    first = e.filter(epoch_us("ts") <= mid)
+    second = e.filter(epoch_us("ts") > mid)
     p1, p2 = str(path / "f1"), str(path / "f2")
     first.coalesce(1).write.mode("overwrite").parquet(p1)
     time.sleep(1.1)  # distinct mtimes → deterministic replay order
