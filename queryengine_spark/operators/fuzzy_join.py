@@ -133,6 +133,7 @@ def candidates_inverted(
     refs: DataFrame,
     stop_bigram_df_ratio: float | None = None,
     broadcast_queries: bool | None = None,
+    dedup_terms: bool | None = None,
 ) -> DataFrame:
     """Sparse candidate generation via a bigram inverted index
     (SURVEY §4.3) — the 100 TB path.
@@ -146,27 +147,58 @@ def candidates_inverted(
       multiplicities (partial aggregation happens map-side), then
       join back the narrow q/r attribute tables.
 
+    ``dedup_terms``: coverage and length-distance are pure functions
+    of the TERM STRINGS, so on duplicate-heavy vocabularies (the
+    reference keeps duplicate lines — SURVEY §1.3 — and real
+    vocabularies are Zipfian) the index join + aggregation can run
+    once per DISTINCT (q_term, r_term) pair and fan the (id, term)
+    maps back out afterwards. The id-level result — including the
+    r_id tie-break granularity of the downstream top-K — is
+    identical; only the join/agg volume shrinks (e.g. the driver
+    part-name corpus: 64 distinct names over 20k rows → the
+    aggregation shrinks ~300×). ``None`` probes a bounded sample of
+    the ref side and enables dedup when terms repeat ≥2× on average.
+
     Pairs sharing no bigram never appear (cov would be 0) — see module
     docstring for the divergence contract.
     """
+    if dedup_terms is None:
+        dedup_terms = _dup_heavy(refs, "r_term")
+
     q_attrs = queries.select("q_id", "q_term", "q_len", F.size("q_bigrams").alias("q_nbg"))
     r_attrs = refs.select("r_id", "r_term", "r_len")
 
+    q_side = (
+        queries.select(F.col("q_term").alias("q_key"), "q_bigrams")
+        .dropDuplicates(["q_key"])
+        if dedup_terms
+        else queries.select(F.col("q_id").alias("q_key"), "q_bigrams")
+    )
+    r_side = (
+        refs.select(F.col("r_term").alias("r_key"), "r_bigrams")
+        .dropDuplicates(["r_key"])
+        if dedup_terms
+        else refs.select(F.col("r_id").alias("r_key"), "r_bigrams")
+    )
+
     q_bi = (
-        queries.select("q_id", F.explode("q_bigrams").alias("bg"))
-        .groupBy("q_id", "bg")
+        q_side.select("q_key", F.explode("q_bigrams").alias("bg"))
+        .groupBy("q_key", "bg")
         .agg(F.count(F.lit(1)).alias("mult"))
     )
-    r_bi = refs.select("r_id", F.explode(F.array_distinct("r_bigrams")).alias("bg"))
+    r_bi = r_side.select("r_key", F.explode(F.array_distinct("r_bigrams")).alias("bg"))
 
     if stop_bigram_df_ratio is not None:
         # Hot-key guard: drop bigrams occurring in more than the given
         # fraction of refs *for candidate generation only* (recall is
-        # then carried by the query's rarer bigrams).
+        # then carried by the query's rarer bigrams). Document
+        # frequency is always counted over ref ROWS (not distinct
+        # terms) so the guard's semantics don't depend on dedup_terms.
         n_refs = refs.count()
         cap = max(int(n_refs * stop_bigram_df_ratio), 1)
         hot = (
-            r_bi.groupBy("bg")
+            refs.select("r_id", F.explode(F.array_distinct("r_bigrams")).alias("bg"))
+            .groupBy("bg")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > cap)
             .select("bg")
@@ -188,18 +220,47 @@ def candidates_inverted(
         q_bi = F.broadcast(q_bi)
     hits = (
         q_bi.join(r_bi, "bg")
-        .groupBy("q_id", "r_id")
+        .groupBy("q_key", "r_key")
         .agg(F.sum("mult").alias("hits"))
     )
-    out = (
-        hits.join(q_attrs, "q_id")
-        .join(r_attrs, "r_id")
-        .select(
-            "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
-            (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
+    if dedup_terms:
+        # fan the distinct-term pairs back out to id granularity; the
+        # attribute joins below are plain hash joins on the term
+        # string. The deduped hits relation is tiny — AQE would
+        # coalesce it to ~1 partition and the row-multiplying fan-out
+        # would run on one core; explicit repartition (which AQE
+        # respects) keeps the fan-out cluster-wide.
+        n = hits.sparkSession.sparkContext.defaultParallelism
+        hits = hits.repartition(n, "q_key", "r_key")
+        out = (
+            hits.join(q_attrs, hits["q_key"] == q_attrs["q_term"])
+            .join(r_attrs, hits["r_key"] == r_attrs["r_term"])
         )
+    else:
+        out = (
+            hits.join(q_attrs, hits["q_key"] == q_attrs["q_id"])
+            .join(r_attrs, hits["r_key"] == r_attrs["r_id"])
+        )
+    out = out.select(
+        "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
+        (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
     )
     return _with_lendiff(out)
+
+
+def _dup_heavy(prepared: DataFrame, term_col: str, sample: int = 20_000) -> bool:
+    """One narrow job over a bounded sample: are terms duplicated ≥2×
+    on average? Decides the dedup_terms default."""
+    row = (
+        prepared.select(term_col)
+        .limit(sample)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(term_col).alias("d"),
+        )
+        .collect()[0]
+    )
+    return row["n"] >= 2 * max(row["d"], 1)
 
 
 def _topk_order() -> list[Column]:

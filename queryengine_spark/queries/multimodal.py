@@ -45,7 +45,48 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(_assets(spark, sf))
 
 
+def multimodal_header_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL binary decode path (multimodal/headers.py): synthesize a
+    valid media container per document (PNG for even ids, WAV for odd
+    — correct signatures, chunk layout, CRCs), then sniff + struct-
+    unpack the headers back out, all worker-side through Arrow
+    batches. The oracle recomputes the expected parse output from the
+    synthesis arithmetic alone, so the byte round-trip is hash-checked
+    without DuckDB touching a single payload."""
+    from queryengine_spark.multimodal.headers import (
+        parse_media_headers,
+        synthesize_media,
+    )
+
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return parse_media_headers(synthesize_media(ids))
+
+
+# Mirrors the synthesis constants in multimodal/headers.py
+# (PNG_W_MULT/PNG_H_MULT/PNG_DIM_MOD, WAV_RATES, wav_params) and the
+# fixed container layouts: header-only PNG = 45 bytes; PCM WAV = 44
+# bytes + n_samples * channels * 2.
+HEADER_PARSE_SQL = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(16 + (doc_id * 7919) % 2048 AS INT) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(16 + (doc_id * 104729) % 2048 AS INT) END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(
+           CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                  WHEN 2 THEN 22050 ELSE 44100 END AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(1 + (doc_id // 2) % 2 AS INT) END AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(
+           (100 + doc_id % 400) * 1000 // (CASE (doc_id // 2) % 4 WHEN 0 THEN 8000
+               WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) END AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(45 AS BIGINT)
+            ELSE CAST(44 + (100 + doc_id % 400) * (1 + (doc_id // 2) % 2) * 2 AS BIGINT)
+       END AS n_bytes
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_binary_stats": (multimodal_binary_stats, BINARY_STATS_SQL),
     "multimodal_features": (multimodal_features, None),
+    "multimodal_header_parse": (multimodal_header_parse, HEADER_PARSE_SQL),
 }
