@@ -286,16 +286,24 @@ def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     ``DECON_MIN_OVERLAP``; each span's source doc scores 1.0."""
     d = t(spark, sf, "documents")
     toks = tokenize_ws(F.lower(F.col("text")))
+    # the trigram explode feeds three consumers (dfreq, train, and —
+    # via dfreq — bench); checkpoint so it computes once
     sh = spread(d).select(
         "doc_id", F.explode(F.array_distinct(_word_trigrams(toks))).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    train = (
-        sh.join(dfreq, "sh")
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("df") <= DECON_MAX_DF_RATIO * F.col("n_docs"))
-        .select(F.col("doc_id").alias("train_id"), "sh")
+    # df <= cap  ⇔  NOT IN hot (df > cap): the hot set is bounded by
+    # avg_doc_trigrams / ratio regardless of corpus size, so a
+    # broadcast anti-join replaces shuffling every (doc, trigram)
+    # occurrence against the full frequency table
+    hot = (
+        dfreq.crossJoin(F.broadcast(tot))
+        .filter(F.col("df") > DECON_MAX_DF_RATIO * F.col("n_docs"))
+        .select("sh")
+    )
+    train = sh.join(F.broadcast(hot), "sh", "left_anti").select(
+        F.col("doc_id").alias("train_id"), "sh"
     )
     span = F.slice(toks, DECON_SPAN_START, DECON_SPAN_LEN)
     bench = (
@@ -304,9 +312,7 @@ def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id").alias("bench_id"),
             F.explode(F.array_distinct(_word_trigrams(span))).alias("sh"),
         )
-        .join(dfreq, "sh")
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("df") <= DECON_MAX_DF_RATIO * F.col("n_docs"))
+        .join(F.broadcast(hot), "sh", "left_anti")
         .select("bench_id", "sh")
     )
     shared = (

@@ -258,7 +258,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("tk")
     )
-    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the doc-frequency aggregation and the scored join;
+    # checkpoint so the explode+count runs once
+    tf = (
+        tok.groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
