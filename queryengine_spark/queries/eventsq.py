@@ -94,6 +94,94 @@ GROUP BY user_id, session_id
 """
 
 
+def events_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN session_window operator
+    (one hash-aggregate with window merging — the same code path
+    Structured Streaming uses for streaming sessions, here in batch).
+    Note the built-in's merge rule: an event extends a session iff
+    ts < previous_end (= prev_ts + gap), i.e. a gap EXACTLY equal to
+    30 min starts a NEW session — one tick stricter than the
+    window-function formulation in events_sessionize (diff > gap).
+    The oracle mirrors the built-in's rule."""
+    e = t(spark, sf, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", fmt).alias("session_start"),
+            F.date_format("sw.end", fmt).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """OVERLAPPING (sliding) windows via the built-in window operator:
+    2-hour windows advancing every hour, so each event lands in two
+    windows — the shape hourly-refreshed trailing metrics use. The
+    oracle expands each event to its two hour-aligned window starts."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SLIDING_SQL = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+FROM (
+  SELECT event_type, value,
+         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS ws
+  FROM events
+)
+GROUP BY ws, event_type
+"""
+
+
 def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured scalar surface: JSON path extraction from the
     events props column, aggregated per event type."""
@@ -368,6 +456,11 @@ QUERIES = {
         CLICK_PURCHASE_SQL,
     ),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_session_window_native": (
+        events_session_window_native,
+        SESSION_WINDOW_SQL,
+    ),
+    "events_sliding_window": (events_sliding_window, SLIDING_SQL),
     "events_json_extract": (events_json_extract, JSON_SQL),
     "shipping_delay_stats": (shipping_delay_stats, SHIPPING_DELAY_SQL),
     "events_asof_last_purchase": (events_asof_last_purchase, ASOF_SQL),

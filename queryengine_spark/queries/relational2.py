@@ -192,8 +192,41 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
 """
 
 
+#: lineitem measure columns melted to long form
+UNPIVOT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): the four lineitem measures as (metric, val)
+    long-form rows — pivot's inverse, a pure 1→4 projection generator
+    with zero shuffles. Restricted to one order-week to keep the
+    contract result bounded."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-01-08")
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=list(UNPIVOT_METRICS),
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select(
+        "l_orderkey", F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        "metric", "val",
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber, metric, val
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem
+      WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-01-08')
+UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+"""
+
+
 QUERIES = {
     "pivot_returnflag_revenue": (pivot_returnflag_revenue, PIVOT_SQL),
+    "unpivot_lineitem_metrics": (unpivot_lineitem_metrics, UNPIVOT_SQL),
     "window_distribution_funcs": (window_distribution_funcs, WINDOW_DIST_SQL),
     "window_range_30d_spend": (window_range_30d_spend, RANGE_FRAME_SQL),
     "subquery_exists": (subquery_exists, EXISTS_SQL),
