@@ -600,10 +600,40 @@ LEFT JOIN c ON c.h = hours.h AND c.event_type = ty.event_type
 """
 
 
+def dedup_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-match decontamination at the scale where the contaminated
+    set outgrows a broadcast: Bloom-prefiltered anti join
+    (operators/bloom.py — fixed 512 KiB bitmap built by bounded
+    aggregation, JVM-side hashing, exact residual). Bloom has no
+    false negatives, so the result is bit-identical to the plain anti
+    join, which is exactly what the oracle computes."""
+    from queryengine_spark.operators.bloom import bloom_join
+
+    d = t(spark, sf, "documents")
+    bad = (
+        d.filter(F.col("doc_id") % 17 == 0)
+        .select(F.md5("text").alias("bad_hash"))
+        .distinct()
+    )
+    probe = d.withColumn("h", F.md5("text"))
+    return bloom_join(probe, bad, "h", "bad_hash", how="left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DECON_BLOOM_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE md5(text) NOT IN
+      (SELECT md5(text) FROM documents WHERE doc_id % 17 = 0)
+"""
+
+
 QUERIES = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
     "text_repetition_stats": (text_repetition_stats, REPETITION_SQL),
     "dedup_decontaminate": (dedup_decontaminate, DECON_SQL),
+    "dedup_decontaminate_bloom": (dedup_decontaminate_bloom, DECON_BLOOM_SQL),
     "pipeline_weighted_mix": (pipeline_weighted_mix, MIX_SQL),
     "pipeline_stratified_sample": (pipeline_stratified_sample, STRATIFIED_SQL),
     "text_length_histogram": (text_length_histogram, LENGTH_HIST_SQL),
