@@ -76,6 +76,12 @@ HEADLINE = [
     # second relational pack
     "pivot_returnflag_revenue",
     "window_range_30d_spend",
+    # round-2 additions: native windowing, melt, bloom, binary headers
+    "events_session_window_native",
+    "events_sliding_window",
+    "unpivot_lineitem_metrics",
+    "dedup_decontaminate_bloom",
+    "multimodal_header_parse",
 ]
 
 
