@@ -129,21 +129,34 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Each query runs twice and the MIN is reported: the first
+    # execution of a plan pays one-time costs (whole-stage codegen
+    # compilation, broadcast build, Python worker import of any new
+    # module) that are properties of the JVM session, not the plan —
+    # measured swings of 1.5-2x on identical plans run back-to-back.
+    # Min-of-2 is the steady-state number consistent with the
+    # warmups above; "runs" is recorded in the output.
+    N_RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # Inter-query isolation, outside the timed window: drop
+            # py4j DataFrame refs, then force a JVM GC so
+            # ContextCleaner frees this query's localCheckpoint/
+            # shuffle blocks before the next run. Without it,
+            # leftover storage causes multi-x swings (measured
+            # 2 s → 42 s on the same query mid-suite).
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # Inter-query isolation, outside the timed window: drop py4j
-        # DataFrame refs, then force a JVM GC so ContextCleaner frees
-        # this query's localCheckpoint/shuffle blocks before the next
-        # query runs. Without it, leftover storage causes multi-x
-        # swings (measured 2 s → 42 s on the same query mid-suite).
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.3)
 
     # ANN quality alongside speed: mean recall@3 of the SRP-LSH path
     # vs brute-force ground truth (VERDICT r1 item 7; tuned config in
@@ -170,6 +183,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": N_RUNS,
                 "knn_lsh_recall_at_3": round(recall, 4),
                 "knn_ivf_recall_at_3": round(ivf_recall, 4),
             }
