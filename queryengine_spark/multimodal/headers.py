@@ -195,16 +195,29 @@ def parse_header(b: bytes) -> dict:
         return none
     if b[:2] == b"\xff\xd8":  # JPEG SOI: scan segments for a SOF
         pos = 2
-        while pos + 9 <= len(b):
+        while pos + 2 <= len(b):
             if b[pos] != 0xFF:
                 break
+            # 0xFF fill bytes before a marker are spec-legal padding
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
             marker = b[pos + 1]
             if marker in _SOF_MARKERS:
+                if pos + 9 > len(b):
+                    break
                 h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
                 return {**none, "fmt": "jpeg", "width": w, "height": h}
             if marker == 0xD9:  # EOI
                 break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                # TEM / RST0-7 / SOI are standalone — no length field
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                break
             (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            if seglen < 2:
+                break  # corrupt length; stop rather than loop
             pos += 2 + seglen
         return {**none, "fmt": "jpeg"}
     return none

@@ -50,6 +50,8 @@ def build_bloom_bitmap(
     """Aggregate the build side into a packed uint64 bitmap. The
     shuffle output and the driver collect are both ≤ m_bits/64 rows —
     constant in build-side cardinality."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     words = (
         keys.select(F.explode(_positions(F.col(key_col), m_bits, k)).alias("pos"))
         .select(

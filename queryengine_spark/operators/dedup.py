@@ -360,20 +360,6 @@ def simhash64_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def hamming_distance_hex(a: Column | str, b: Column | str, n_chars: int = 16) -> Column:
-    """Hamming distance between two equal-length lowercase hex
-    strings, as an INT column: Σ per-nibble popcount of XOR. Pure
-    integer ops — identical in any engine."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cb = F.col(b) if isinstance(b, str) else b
-    total = F.lit(0)
-    for q in range(n_chars):
-        na = F.conv(F.substring(ca, q + 1, 1), 16, 10).cast("int")
-        nb = F.conv(F.substring(cb, q + 1, 1), 16, 10).cast("int")
-        total = total + F.bit_count(na.bitwiseXOR(nb))
-    return total.cast("int")
-
-
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -725,10 +711,13 @@ def embedding_neardup_pairs_lsh(
 
     # double cast up front: float→double is exact, so the sign-test
     # comparisons are unchanged and the cosine matches
-    # cosine_similarity (which casts the same way) bit-for-bit
+    # cosine_similarity (which casts the same way) bit-for-bit.
+    # NULL / wrong-dimension vectors can't be bucketed or scored
+    # (np.vstack in the kernel needs one rectangular matrix) — drop
+    # them here, the same rows the JVM sign-test would NULL out.
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).filter(F.size(F.col("v")) >= F.lit(dim))
     tables = F.array(
         *[
             F.struct(

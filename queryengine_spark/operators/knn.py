@@ -152,20 +152,35 @@ def srp_buckets_udf(planes, n_bits: int, n_tables: int):
     exact and both engines run the same IEEE op sequence. One compact
     UDF node keeps the Catalyst plan small where 128 inline plane-sum
     trees made optimization itself the bottleneck."""
+    max_col = max(col for plane in planes for col, _ in plane)
+
     @F.pandas_udf(ArrayType(IntegerType()))
     def _buckets(vs: pd.Series) -> pd.Series:
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        n = len(V)
-        if n == 0:
-            return pd.Series([], dtype=object)
-        out = np.zeros((n, n_tables), dtype=np.int32)
-        for t in range(n_tables):
-            for i in range(n_bits):
-                acc = np.zeros(n, dtype=np.float64)
-                for col, sign in planes[t * n_bits + i]:
-                    acc = acc + sign * V[:, col - 1]
-                out[:, t] |= (acc > 0.0).astype(np.int32) << (n_bits - 1 - i)
-        return pd.Series(list(out))
+        # NULL / too-short vectors → NULL bucket array (the JVM
+        # element_at expression this replaces yielded NULL; the
+        # downstream posexplode then drops the row instead of the
+        # whole query dying in the UDF)
+        vals = [
+            None
+            if v is None or len(v) < max_col
+            else np.asarray(v, dtype=np.float64)
+            for v in vs
+        ]
+        good = [i for i, v in enumerate(vals) if v is not None]
+        out_all: list[np.ndarray | None] = [None] * len(vals)
+        if good:
+            V = np.stack([vals[i] for i in good])
+            n = len(good)
+            out = np.zeros((n, n_tables), dtype=np.int32)
+            for t in range(n_tables):
+                for i in range(n_bits):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for col, sign in planes[t * n_bits + i]:
+                        acc = acc + sign * V[:, col - 1]
+                    out[:, t] |= (acc > 0.0).astype(np.int32) << (n_bits - 1 - i)
+            for j, i in enumerate(good):
+                out_all[i] = out[j]
+        return pd.Series(out_all)
 
     return _buckets
 
@@ -245,12 +260,24 @@ def ivf_cells_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
     op sequence as the oracle's generated 64-term SQL sum, so cell
     assignments are bit-equal across engines."""
 
+    dim_c = len(centroids[0][1]) if centroids else 0
+
     @F.pandas_udf(ArrayType(IntegerType()))
     def _cells(vs: pd.Series) -> pd.Series:
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        n = len(V)
-        if n == 0:
-            return pd.Series([], dtype=object)
+        # NULL / wrong-dimension vectors → NULL cell array (row is
+        # dropped by the downstream explode, same as the JVM exprs)
+        vals = [
+            None
+            if v is None or len(v) < dim_c
+            else np.asarray(v, dtype=np.float64)
+            for v in vs
+        ]
+        good = [i for i, v in enumerate(vals) if v is not None]
+        out_all: list[np.ndarray | None] = [None] * len(vals)
+        if not good:
+            return pd.Series(out_all)
+        V = np.stack([vals[i] for i in good])
+        n = len(good)
         d2 = np.zeros((n, len(centroids)), dtype=np.float64)
         for j, (_cid, cv) in enumerate(centroids):
             acc = np.zeros(n, dtype=np.float64)
@@ -262,7 +289,10 @@ def ivf_cells_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
         # by id so a stable sort on distance breaks ties by id
         order = np.argsort(d2, axis=1, kind="stable")
         ids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
-        return pd.Series(list(ids[order[:, :nprobe]]))
+        picked = ids[order[:, :nprobe]]
+        for j, i in enumerate(good):
+            out_all[i] = picked[j]
+        return pd.Series(out_all)
 
     return _cells
 

@@ -142,10 +142,11 @@ def lateral_posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), F.col("col").alias("tk"))
 
 
-_TOKS_LOW = (
-    "list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),"
-    " '\\s+'), t0 -> t0 <> '')"
-)
+# shared with every other DuckDB tokenizer twin — one source of truth
+# for the cross-engine-critical literal (queries/textstats.py)
+from queryengine_spark.queries.textstats import _TOKS
+
+_TOKS_LOW = _TOKS.format(c="lower(text)")
 
 LATERAL_SQL = f"""
 WITH d AS (SELECT doc_id, ({_TOKS_LOW})[1:{LATERAL_FIRST_N}] AS sl FROM documents),

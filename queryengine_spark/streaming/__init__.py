@@ -182,9 +182,17 @@ def streaming_sessionize_ooo(
     semantics). The un-finalized suffix stays in state, and an
     event-time timeout re-fires the group when the watermark passes
     its buffered events so they flush even if the user never appears
-    in another micro-batch. State is bounded by the watermark horizon
-    (events within ``watermark`` of the stream head), the same bound
-    every watermarked stateful operator carries.
+    in another micro-batch.
+
+    State bounds: the event BUFFER is bounded by the watermark
+    horizon (only events within ``watermark`` of the stream head are
+    ever un-finalized). The per-user (last_us, counter) pair persists
+    for the stream's lifetime — O(lifetime-distinct users), the
+    inherent cost of per-user monotone session counters (evicting it
+    would restart ids and collide with earlier sessions). Where that
+    footprint matters, derive the session id from the session's first
+    event time instead and evict idle users freely — first-event-time
+    ids need no cross-session state.
     """
     import pandas as pd  # local import: worker-side dependency
 

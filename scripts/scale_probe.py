@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import functions as F
 
 from queryengine_spark.queries import all_queries
@@ -51,7 +53,10 @@ ID_COLS = {
 
 def stage(spark, n: int) -> str:
     dst = f"/tmp/queryengine-scale-probe-{n}x"
-    if os.path.isdir(dst) and os.path.isdir(os.path.join(dst, "documents.parquet")):
+    # a sentinel written only after ALL tables staged — a crashed
+    # partial staging must re-run, not be silently reused
+    sentinel = os.path.join(dst, "_STAGED")
+    if os.path.isfile(sentinel):
         return dst
     os.makedirs(dst, exist_ok=True)
     for tbl, id_col in ID_COLS.items():
@@ -70,6 +75,8 @@ def stage(spark, n: int) -> str:
             for c in copies[1:]:
                 out = out.unionByName(c)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{tbl}.parquet"))
+    with open(sentinel, "w") as f:
+        f.write(f"src={SRC} n={n}\n")
     return dst
 
 

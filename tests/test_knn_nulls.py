@@ -1,0 +1,59 @@
+"""NULL / malformed embedding rows must be silently skipped by the
+ANN and near-dup paths (the JVM expressions they replaced produced
+NULL), never crash the Arrow kernels."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+
+def _embeddings_with_bad_rows(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    bad = spark.createDataFrame(
+        [(10_000_001, None), (10_000_002, [1.0, 2.0])], schema
+    )
+    return e.unionByName(bad)
+
+
+def test_srp_topk_skips_null_and_short_vectors(spark, sf_dir):
+    from queryengine_spark.operators.knn import srp_bucketed_topk
+
+    e = _embeddings_with_bad_rows(spark, sf_dir)
+    q = e.filter((F.col("vec_id") % 50 == 0) & F.col("embedding").isNotNull())
+    got = srp_bucketed_topk(q, e, "vec_id", "embedding", k=3)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["neighbor_id"] < 10_000_001 for r in rows)
+
+
+def test_ivf_topk_skips_null_and_short_vectors(spark, sf_dir):
+    from queryengine_spark.operators.knn import ivf_topk
+
+    e = _embeddings_with_bad_rows(spark, sf_dir)
+    q = e.filter((F.col("vec_id") % 50 == 0) & F.col("embedding").isNotNull())
+    got = ivf_topk(q, e, "vec_id", "embedding", k=3)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["neighbor_id"] < 10_000_001 for r in rows)
+
+
+def test_embedding_neardup_lsh_skips_bad_rows(spark, sf_dir):
+    from queryengine_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    e = _embeddings_with_bad_rows(spark, sf_dir)
+    got = embedding_neardup_pairs_lsh(
+        e, "vec_id", "embedding", threshold=0.35, n_bits=3, dim=64, n_tables=8
+    )
+    rows = got.collect()
+    assert all(
+        r["id_a"] < 10_000_001 and r["id_b"] < 10_000_001 for r in rows
+    )

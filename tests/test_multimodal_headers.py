@@ -66,6 +66,23 @@ def test_parse_jpeg_skips_dht_c4_marker():
     assert (got["fmt"], got["width"], got["height"]) == ("jpeg", 20, 10)
 
 
+def test_parse_jpeg_fill_bytes_and_standalone_markers():
+    # 0xFF padding before a marker and length-less standalone markers
+    # (TEM, RST0-7) are spec-legal and must not desynchronize the walk
+    fill = b"\xff"  # padding byte before the next marker
+    tem = b"\xff\x01"
+    rst = b"\xff\xd3"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x03" + b"\x00" * 9
+    got = parse_header(b"\xff\xd8" + fill + tem + rst + sof0)
+    assert (got["fmt"], got["width"], got["height"]) == ("jpeg", 64, 48)
+
+
+def test_parse_jpeg_corrupt_length_terminates():
+    bad = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0)  # seglen < 2
+    got = parse_header(bad)
+    assert got["fmt"] == "jpeg" and got["width"] is None
+
+
 def test_parse_unknown_and_truncated():
     assert parse_header(b"")["fmt"] == "unknown"
     assert parse_header(b"plain text payload")["fmt"] == "unknown"
