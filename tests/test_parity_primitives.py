@@ -90,3 +90,25 @@ def test_dec_sum_order_and_engine_independent(spark, duck):
     assert a == b  # partial-aggregation order cannot matter
     want = duck.execute(f"SELECT {sql_fsum('x')} FROM vals_df").fetchall()[0][0]
     assert a == want
+
+
+def test_epoch_helpers_match_duckdb(spark, duck, sf_dir):
+    """epoch_us / epoch_sec (queries/base.py) vs DuckDB's epoch_us and
+    second-boundary date_diff on the real events timestamps — the
+    primitives every event-time oracle now rests on (events.ts reads
+    as TIMESTAMP_NTZ)."""
+    from queryengine_spark.queries.base import epoch_sec, epoch_us
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = (
+        e.select("event_id", epoch_us("ts").alias("us"), epoch_sec("ts").alias("s"))
+        .orderBy("event_id")
+        .limit(2000)
+        .collect()
+    )
+    want = duck.execute(
+        f"""SELECT event_id, epoch_us(ts) AS us,
+                   date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS s
+            FROM '{sf_dir}/events.parquet' ORDER BY event_id LIMIT 2000"""
+    ).fetchall()
+    assert [(r["event_id"], r["us"], r["s"]) for r in got] == want
