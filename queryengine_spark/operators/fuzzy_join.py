@@ -164,10 +164,46 @@ def candidates_inverted(
     """
     if dedup_terms is None:
         dedup_terms = _dup_heavy(refs, "r_term")
-
+    hits = _inverted_hits(
+        queries, refs, stop_bigram_df_ratio, broadcast_queries, dedup_terms
+    )
     q_attrs = queries.select("q_id", "q_term", "q_len", F.size("q_bigrams").alias("q_nbg"))
     r_attrs = refs.select("r_id", "r_term", "r_len")
+    if dedup_terms:
+        # fan the distinct-term pairs back out to id granularity; the
+        # attribute joins below are plain hash joins on the term
+        # string. The deduped hits relation is tiny — AQE would
+        # coalesce it to ~1 partition and the row-multiplying fan-out
+        # would run on one core; explicit repartition (which AQE
+        # respects) keeps the fan-out cluster-wide.
+        n = hits.sparkSession.sparkContext.defaultParallelism
+        hits = hits.repartition(n, "q_key", "r_key")
+        out = (
+            hits.join(q_attrs, hits["q_key"] == q_attrs["q_term"])
+            .join(r_attrs, hits["r_key"] == r_attrs["r_term"])
+        )
+    else:
+        out = (
+            hits.join(q_attrs, hits["q_key"] == q_attrs["q_id"])
+            .join(r_attrs, hits["r_key"] == r_attrs["r_id"])
+        )
+    out = out.select(
+        "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
+        (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
+    )
+    return _with_lendiff(out)
 
+
+def _inverted_hits(
+    queries: DataFrame,
+    refs: DataFrame,
+    stop_bigram_df_ratio: float | None,
+    broadcast_queries: bool | None,
+    dedup_terms: bool,
+) -> DataFrame:
+    """(q_key, r_key, hits) — the inverted-index join + aggregation at
+    id granularity, or at distinct-TERM granularity when dedup_terms
+    (see candidates_inverted docstring)."""
     q_side = (
         queries.select(F.col("q_term").alias("q_key"), "q_bigrams")
         .dropDuplicates(["q_key"])
@@ -218,34 +254,107 @@ def candidates_inverted(
         broadcast_queries = _is_small(queries.select("q_id"), 20_000)
     if broadcast_queries:
         q_bi = F.broadcast(q_bi)
-    hits = (
+    return (
         q_bi.join(r_bi, "bg")
         .groupBy("q_key", "r_key")
         .agg(F.sum("mult").alias("hits"))
     )
-    if dedup_terms:
-        # fan the distinct-term pairs back out to id granularity; the
-        # attribute joins below are plain hash joins on the term
-        # string. The deduped hits relation is tiny — AQE would
-        # coalesce it to ~1 partition and the row-multiplying fan-out
-        # would run on one core; explicit repartition (which AQE
-        # respects) keeps the fan-out cluster-wide.
-        n = hits.sparkSession.sparkContext.defaultParallelism
-        hits = hits.repartition(n, "q_key", "r_key")
-        out = (
-            hits.join(q_attrs, hits["q_key"] == q_attrs["q_term"])
-            .join(r_attrs, hits["r_key"] == r_attrs["r_term"])
+
+
+def topk_candidates_inverted(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    stop_bigram_df_ratio: float | None = None,
+    broadcast_queries: bool | None = None,
+    dedup_terms: bool | None = None,
+    lendiff_asc: bool = False,
+) -> DataFrame:
+    """Per-query top-K candidates straight from the inverted index,
+    PRUNING at term granularity before any id fan-out.
+
+    With term dedup active, every id-level candidate of one
+    (q_term, r_term) pair shares (cov, lendiff), so per q_term the
+    id-level top-K can only draw from r_terms whose strictly-better
+    (cov, lendiff) groups hold fewer than K ids: keep r_terms with
+    before(group) < K (before = running id-count minus the current
+    tie-group — the default window RANGE frame includes peers, which
+    is exactly the tie-group sum), fan out only those, then run the
+    exact id-level window top-K on the pruned relation. Result is
+    IDENTICAL to topk_candidates(candidates_inverted(...), k) — the
+    boundary tie-group fans out whole, so the final r_id tie-break
+    sees every id it would have seen — but the fan-out shrinks from
+    |pairs| to ≈ |q_terms|·(K + boundary ties) rows.
+
+    ``lendiff_asc`` selects the ranking's lendiff direction: False =
+    the reference's T1 top-K order (cov↓, lendiff↓, r_id↓ — SURVEY
+    §2.3 Q1); True = the best-match order (cov↓, lendiff↑, r_id↑).
+    """
+    if dedup_terms is None:
+        dedup_terms = _dup_heavy(refs, "r_term")
+    if not dedup_terms:
+        cands = candidates_inverted(
+            queries, refs, stop_bigram_df_ratio, broadcast_queries, dedup_terms=False
         )
-    else:
-        out = (
-            hits.join(q_attrs, hits["q_key"] == q_attrs["q_id"])
-            .join(r_attrs, hits["r_key"] == r_attrs["r_id"])
-        )
-    out = out.select(
-        "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
-        (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
+        return _topk_with_order(cands, k, lendiff_asc)
+
+    hits = _inverted_hits(
+        queries, refs, stop_bigram_df_ratio, broadcast_queries, dedup_terms=True
     )
-    return _with_lendiff(out)
+    q_terms = queries.select(
+        "q_term", "q_len", F.size("q_bigrams").alias("q_nbg")
+    ).dropDuplicates(["q_term"])
+    r_terms = refs.groupBy("r_term").agg(
+        F.min("r_len").alias("r_len"), F.count(F.lit(1)).alias("cnt")
+    )
+    term_cands = (
+        hits.join(q_terms, hits["q_key"] == q_terms["q_term"])
+        .join(r_terms, hits["r_key"] == r_terms["r_term"])
+        .select(
+            "q_key", "r_key", "cnt", "hits",
+            (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
+            F.abs(F.col("q_len") - F.col("r_len")).alias("lendiff"),
+        )
+    )
+    ld = F.col("lendiff").asc() if lendiff_asc else F.col("lendiff").desc()
+    # default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW, which
+    # includes ORDER BY peers — i.e. the whole current tie-group
+    w_cum = Window.partitionBy("q_key").orderBy(F.col("cov").desc(), ld)
+    w_grp = Window.partitionBy("q_key", "cov", "lendiff")
+    kept = (
+        term_cands.withColumn("__cum", F.sum("cnt").over(w_cum))
+        .withColumn("__grp", F.sum("cnt").over(w_grp))
+        .filter(F.col("__cum") - F.col("__grp") < F.lit(k))
+        .select("q_key", "r_key", "hits")
+    )
+    n = kept.sparkSession.sparkContext.defaultParallelism
+    kept = kept.repartition(n, "q_key", "r_key")
+    q_attrs = queries.select("q_id", "q_term", "q_len", F.size("q_bigrams").alias("q_nbg"))
+    r_attrs = refs.select("r_id", "r_term", "r_len")
+    # cov/lendiff recomputed on the fanned-out relation via the same
+    # expressions (pure functions of the attrs — bit-identical)
+    out = (
+        kept.join(q_attrs, kept["q_key"] == q_attrs["q_term"])
+        .join(r_attrs, kept["r_key"] == r_attrs["r_term"])
+        .select(
+            "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
+            (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
+        )
+    )
+    return _topk_with_order(_with_lendiff(out), k, lendiff_asc)
+
+
+def _topk_with_order(cands: DataFrame, k: int, lendiff_asc: bool) -> DataFrame:
+    if not lendiff_asc:
+        return topk_candidates(cands, k)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cov").desc(), F.col("lendiff").asc(), F.col("r_id").asc()
+    )
+    return (
+        cands.withColumn("cand_rank", F.row_number().over(w))
+        .filter(F.col("cand_rank") <= F.lit(k))
+        .drop("cand_rank")
+    )
 
 
 def _dup_heavy(prepared: DataFrame, term_col: str, sample: int = 20_000) -> bool:
@@ -346,18 +455,17 @@ def fuzzy_match(
         strategy = "cross" if _is_small(refs_raw, cfg.auto_cross_threshold) else "inverted"
 
     if strategy == "cross":
-        cands = candidates_cross(q, r)
+        topk = topk_candidates(candidates_cross(q, r), cfg.top_k)
     elif strategy == "inverted":
         # one narrow probe on the RAW input decides the broadcast hint
-        # for the whole pipeline (avoids re-probing prepared subtrees)
-        cands = candidates_inverted(
-            q, r, cfg.stop_bigram_df_ratio,
+        # for the whole pipeline (avoids re-probing prepared subtrees);
+        # top-K prunes at term granularity before the id fan-out
+        topk = topk_candidates_inverted(
+            q, r, cfg.top_k, cfg.stop_bigram_df_ratio,
             broadcast_queries=_is_small(queries_raw, 20_000),
         )
     else:
         raise ValueError(f"unknown candidate_strategy: {strategy}")
-
-    topk = topk_candidates(cands, cfg.top_k)
     scored = refine_candidates(topk, cfg.score_cutoff)
     best = select_best(scored)
 

@@ -20,7 +20,7 @@ from queryengine_spark.operators.fuzzy_join import (
     candidates_inverted,
     fuzzy_match,
     prepare_terms,
-    topk_candidates,
+    topk_candidates_inverted,
 )
 from queryengine_spark.queries.base import t
 
@@ -92,10 +92,10 @@ SELECT q_id, r_id, cov, lendiff FROM cands
 
 def fuzzy_topk_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     """T1: per-query heuristic top-K under the reference's order
-    (cov DESC, lendiff DESC, r_id DESC — SURVEY §2.3 Q1)."""
+    (cov DESC, lendiff DESC, r_id DESC — SURVEY §2.3 Q1), pruned at
+    term granularity before the id fan-out."""
     q, r = _prepared(spark, sf)
-    cands = candidates_inverted(q, r)
-    return topk_candidates(cands, TOP_K).select(
+    return topk_candidates_inverted(q, r, TOP_K).select(
         "q_id", "r_id", "cov", F.col("lendiff").cast("bigint").alias("lendiff")
     )
 
@@ -109,24 +109,15 @@ QUALIFY row_number() OVER (PARTITION BY q_id
 
 def fuzzy_best_match_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic-only argmax (no refine): best candidate per query by
-    cov DESC, lendiff ASC, r_id ASC — the cheap-path variant of R2."""
+    cov DESC, lendiff ASC, r_id ASC — the cheap-path variant of R2,
+    term-pruned (k=1, ascending lendiff order) before the fan-out."""
     q, r = _prepared(spark, sf)
-    cands = candidates_inverted(q, r)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cov").desc(), F.col("lendiff").asc(), F.col("r_id").asc()
-    )
-    return (
-        cands.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "q_id",
-            F.col("q_term").alias("query"),
-            F.col("r_term").alias("match"),
-            "cov",
-            F.col("lendiff").cast("bigint").alias("lendiff"),
-        )
+    return topk_candidates_inverted(q, r, 1, lendiff_asc=True).select(
+        "q_id",
+        F.col("q_term").alias("query"),
+        F.col("r_term").alias("match"),
+        "cov",
+        F.col("lendiff").cast("bigint").alias("lendiff"),
     )
 
 
