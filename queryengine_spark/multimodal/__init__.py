@@ -106,6 +106,51 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def extract_features_arrow(assets: DataFrame) -> DataFrame:
+    """mapInArrow twin of :func:`extract_features`: consumes/produces
+    pyarrow RecordBatches directly — no pandas materialization of the
+    binary column, the lowest-overhead Python path for large payloads
+    (pandas wraps each binary cell in a Python bytes object; Arrow
+    keeps them in one contiguous buffer until accessed). Same output,
+    tested equivalent."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            payloads = batch.column("payload")
+            widths, heights, hashes = [], [], []
+            for cell in payloads:
+                b = cell.as_py() if cell.is_valid else b""
+                b = b or b""
+                try:
+                    w, h = _decode_image(b)
+                except NotImplementedError:
+                    w, h = _fake_decode(b)
+                widths.append(w)
+                heights.append(h)
+                hashes.append(hashlib.md5(b).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("asset_id"),
+                    batch.column("media_type"),
+                    batch.column("n_bytes"),
+                    pa.array(hashes, type=pa.string()),
+                    pa.array(widths, type=pa.int32()),
+                    pa.array(heights, type=pa.int32()),
+                ],
+                names=[
+                    "asset_id",
+                    "media_type",
+                    "n_bytes",
+                    "content_hash",
+                    "width",
+                    "height",
+                ],
+            )
+
+    return assets.mapInArrow(run, FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),

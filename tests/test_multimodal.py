@@ -57,3 +57,14 @@ def test_sample_frames_expands_rows(spark):
     assert n_by_id[3] == 1      # minimum one frame
     row = frames.filter((F.col("asset_id") == 2) & (F.col("frame_idx") == 1)).collect()[0]
     assert bytes(row["frame"]) == b"a longer payload for frame sampling tests"[10:20]
+
+def test_map_in_arrow_features_equal_pandas(spark, sf_dir):
+    """The mapInArrow extractor must produce exactly the mapInPandas
+    extractor's rows (same fake decode, same hashing)."""
+    from queryengine_spark.multimodal import extract_features, extract_features_arrow
+    from queryengine_spark.queries.multimodal import _assets
+
+    a = _assets(spark, sf_dir)
+    lhs = sorted(map(tuple, extract_features(a).collect()))
+    rhs = sorted(map(tuple, extract_features_arrow(a).collect()))
+    assert lhs == rhs and len(lhs) > 0
