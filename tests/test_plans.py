@@ -162,3 +162,21 @@ def test_decontaminate_never_cartesian(spark, sf_dir):
     trigrams (plus two broadcast corpus-size counts)."""
     plan = _plan(spark, sf_dir, "dedup_decontaminate")
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_join_plan_no_cartesian_residual_broadcastable(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_decontaminate_bloom")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bloom probe runs as one Arrow-batched UDF node
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_fuzzy_topk_term_prune_shape(spark, sf_dir):
+    """The pruned top-K must still end in a WindowGroupLimit on the
+    id-level window, with the term-level prune windows upstream —
+    three Window operators total (cum, group, final rank)."""
+    plan = _plan(spark, sf_dir, "fuzzy_topk_heuristic")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Window") >= 3
+    assert "CartesianProduct" not in plan
