@@ -133,3 +133,76 @@ def test_stream_static_enrichment_equals_batch(spark, events_dir, sf_dir):
     assert len(want) > 0
     # the join actually enriched something (not all UNKNOWN)
     assert any(seg != "UNKNOWN" for _, seg in want)
+
+
+def test_streaming_attribution_outer_join_equals_batch(spark, events_dir_ordered, sf_dir):
+    """LEFT OUTER stream-stream join == the batch left join, on the
+    clicks the final watermark has CLOSED (an unmatched click's NULL
+    row only emits once the watermark passes click_ts + window;
+    clicks near the stream head legitimately stay open when the
+    source is exhausted, so both sides are restricted to closed
+    clicks)."""
+    from queryengine_spark.queries.base import epoch_sec, epoch_us
+    from queryengine_spark.streaming import attribution_join_outer
+
+    stream = read_event_stream(spark, events_dir_ordered)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = run_stream_to_memory(
+        attribution_join_outer(clicks, purchases), "attr_outer_test", "append"
+    )
+    got_all = spark.sql(
+        "SELECT user_id, click_id, purchase_id, delay_sec, purchase_value "
+        "FROM attr_outer_test"
+    ).collect()
+    q.stop()
+
+    e = spark.read.parquet(events_dir_ordered)
+    # closed = click window strictly below the watermark the LAST
+    # micro-batch evicts with, which is derived from the batches
+    # BEFORE it — i.e. the third quarter-file boundary (the fixture
+    # splits at ts quantiles), minus the 1h delay, minus the 30min
+    # window, minus a 1s safety margin
+    q75_us = e.withColumn("us", epoch_us("ts")).approxQuantile("us", [0.75], 0.0)[0]
+    cutoff_us = int(q75_us) - 3600 * 1_000_000 - 30 * 60 * 1_000_000 - 1_000_000
+    closed = {
+        r["event_id"]
+        for r in e.filter(
+            (F.col("event_type") == "click") & (epoch_us("ts") < F.lit(cutoff_us))
+        ).collect()
+    }
+    assert len(closed) > 0
+
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want_rows = (
+        c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left",
+        )
+        .select(
+            F.col("cu").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (epoch_sec("purchase_ts") - epoch_sec("click_ts")).alias("delay_sec"),
+            "purchase_value",
+        )
+        .collect()
+    )
+    want = {tuple(r) for r in want_rows if r["click_id"] in closed}
+    got = {tuple(r) for r in got_all if r["click_id"] in closed}
+    assert got == want
+    # the outer semantics actually exercised: some closed clicks are unmatched
+    assert any(r[2] is None for r in want)
