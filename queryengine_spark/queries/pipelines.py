@@ -629,8 +629,86 @@ WHERE md5(text) NOT IN
 """
 
 
+#: PII scrub patterns — chosen to parse identically under Java regex
+#: (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+#: \b word boundaries only
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training corpus runs
+    before the tokenizer: detect + replace emails and IPv4 addresses.
+    The synthetic corpus has no organic PII, so a deterministic
+    planting step (every 7th doc gains an email, every 11th an IP —
+    both derived from doc_id) makes the scrub measurable; the oracle
+    plants and scrubs identically. Pure regexp projection — zero
+    shuffles, trivially row-parallel at any scale."""
+    d = t(spark, sf, "documents")
+    planted = d.withColumn(
+        "t2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t2"), PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count(F.col("t2"), F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("t2"), F.lit(PII_IPV4)).cast("int").alias("n_ips"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END AS t2
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, t2,
+         regexp_replace(regexp_replace(t2, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_IPV4}', '<IP>', 'g') AS s
+  FROM planted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t2, '{PII_IPV4}')) AS INT) AS n_ips,
+       CAST(length(s) AS BIGINT) AS scrubbed_len,
+       md5(s) AS scrubbed_hash
+FROM scrubbed
+"""
+
+
 QUERIES = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
+    "text_pii_scrub": (text_pii_scrub, PII_SCRUB_SQL),
     "text_repetition_stats": (text_repetition_stats, REPETITION_SQL),
     "dedup_decontaminate": (dedup_decontaminate, DECON_SQL),
     "dedup_decontaminate_bloom": (dedup_decontaminate_bloom, DECON_BLOOM_SQL),
