@@ -167,29 +167,42 @@ def candidates_inverted(
     hits = _inverted_hits(
         queries, refs, stop_bigram_df_ratio, broadcast_queries, dedup_terms
     )
+    if dedup_terms:
+        return _fan_out_terms(hits, queries, refs)
     q_attrs = queries.select("q_id", "q_term", "q_len", F.size("q_bigrams").alias("q_nbg"))
     r_attrs = refs.select("r_id", "r_term", "r_len")
-    if dedup_terms:
-        # fan the distinct-term pairs back out to id granularity; the
-        # attribute joins below are plain hash joins on the term
-        # string. The deduped hits relation is tiny — AQE would
-        # coalesce it to ~1 partition and the row-multiplying fan-out
-        # would run on one core; explicit repartition (which AQE
-        # respects) keeps the fan-out cluster-wide.
-        n = hits.sparkSession.sparkContext.defaultParallelism
-        hits = hits.repartition(n, "q_key", "r_key")
-        out = (
-            hits.join(q_attrs, hits["q_key"] == q_attrs["q_term"])
-            .join(r_attrs, hits["r_key"] == r_attrs["r_term"])
+    out = (
+        hits.join(q_attrs, hits["q_key"] == q_attrs["q_id"])
+        .join(r_attrs, hits["r_key"] == r_attrs["r_id"])
+        .select(
+            "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
+            (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
         )
-    else:
-        out = (
-            hits.join(q_attrs, hits["q_key"] == q_attrs["q_id"])
-            .join(r_attrs, hits["r_key"] == r_attrs["r_id"])
+    )
+    return _with_lendiff(out)
+
+
+def _fan_out_terms(hits: DataFrame, queries: DataFrame, refs: DataFrame) -> DataFrame:
+    """Fan distinct-term (q_key, r_key, hits) rows back out to id
+    granularity — the ONE definition shared by the full-candidate and
+    pruned-top-K paths (the prune's tie-group equality argument needs
+    cov computed by the identical expression in both).
+
+    The deduped hits relation is tiny — AQE would coalesce it to ~1
+    partition and the row-multiplying fan-out would run on one core;
+    explicit repartition (which AQE respects) keeps it cluster-wide.
+    The attribute joins are plain hash joins on the term string."""
+    n = hits.sparkSession.sparkContext.defaultParallelism
+    hits = hits.repartition(n, "q_key", "r_key")
+    q_attrs = queries.select("q_id", "q_term", "q_len", F.size("q_bigrams").alias("q_nbg"))
+    r_attrs = refs.select("r_id", "r_term", "r_len")
+    out = (
+        hits.join(q_attrs, hits["q_key"] == q_attrs["q_term"])
+        .join(r_attrs, hits["r_key"] == r_attrs["r_term"])
+        .select(
+            "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
+            (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
         )
-    out = out.select(
-        "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
-        (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
     )
     return _with_lendiff(out)
 
@@ -290,13 +303,14 @@ def topk_candidates_inverted(
     the reference's T1 top-K order (cov↓, lendiff↓, r_id↓ — SURVEY
     §2.3 Q1); True = the best-match order (cov↓, lendiff↑, r_id↑).
     """
+    order = _best_match_order() if lendiff_asc else None
     if dedup_terms is None:
         dedup_terms = _dup_heavy(refs, "r_term")
     if not dedup_terms:
         cands = candidates_inverted(
             queries, refs, stop_bigram_df_ratio, broadcast_queries, dedup_terms=False
         )
-        return _topk_with_order(cands, k, lendiff_asc)
+        return topk_candidates(cands, k, order)
 
     hits = _inverted_hits(
         queries, refs, stop_bigram_df_ratio, broadcast_queries, dedup_terms=True
@@ -327,34 +341,7 @@ def topk_candidates_inverted(
         .filter(F.col("__cum") - F.col("__grp") < F.lit(k))
         .select("q_key", "r_key", "hits")
     )
-    n = kept.sparkSession.sparkContext.defaultParallelism
-    kept = kept.repartition(n, "q_key", "r_key")
-    q_attrs = queries.select("q_id", "q_term", "q_len", F.size("q_bigrams").alias("q_nbg"))
-    r_attrs = refs.select("r_id", "r_term", "r_len")
-    # cov/lendiff recomputed on the fanned-out relation via the same
-    # expressions (pure functions of the attrs — bit-identical)
-    out = (
-        kept.join(q_attrs, kept["q_key"] == q_attrs["q_term"])
-        .join(r_attrs, kept["r_key"] == r_attrs["r_term"])
-        .select(
-            "q_id", "q_term", "q_len", "r_id", "r_term", "r_len",
-            (F.col("hits") / F.col("q_nbg")).cast("double").alias("cov"),
-        )
-    )
-    return _topk_with_order(_with_lendiff(out), k, lendiff_asc)
-
-
-def _topk_with_order(cands: DataFrame, k: int, lendiff_asc: bool) -> DataFrame:
-    if not lendiff_asc:
-        return topk_candidates(cands, k)
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cov").desc(), F.col("lendiff").asc(), F.col("r_id").asc()
-    )
-    return (
-        cands.withColumn("cand_rank", F.row_number().over(w))
-        .filter(F.col("cand_rank") <= F.lit(k))
-        .drop("cand_rank")
-    )
+    return topk_candidates(_fan_out_terms(kept, queries, refs), k, order)
 
 
 def _dup_heavy(prepared: DataFrame, term_col: str, sample: int = 20_000) -> bool:
@@ -378,10 +365,19 @@ def _topk_order() -> list[Column]:
     return [F.col("cov").desc(), F.col("lendiff").desc(), F.col("r_id").desc()]
 
 
-def topk_candidates(cands: DataFrame, k: int) -> DataFrame:
-    """Per-query heuristic top-K (reference T1, src/heurFuzz.py:81-90).
+def _best_match_order() -> list[Column]:
+    # the cheap-path argmax order (closest length first, then lowest
+    # ref id) — used by the heuristic best-match query
+    return [F.col("cov").desc(), F.col("lendiff").asc(), F.col("r_id").asc()]
+
+
+def topk_candidates(
+    cands: DataFrame, k: int, order: list[Column] | None = None
+) -> DataFrame:
+    """Per-query top-K (reference T1, src/heurFuzz.py:81-90) under
+    ``order`` (default: the reference's T1 total order).
     row_number() <= k compiles to a WindowGroupLimit in Spark >= 3.5."""
-    w = Window.partitionBy("q_id").orderBy(*_topk_order())
+    w = Window.partitionBy("q_id").orderBy(*(order or _topk_order()))
     return (
         cands.withColumn("cand_rank", F.row_number().over(w))
         .filter(F.col("cand_rank") <= F.lit(k))

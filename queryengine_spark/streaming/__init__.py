@@ -256,7 +256,7 @@ def streaming_sessionize_ooo(
 
 def attribution_join(
     clicks: DataFrame, purchases: DataFrame, window_minutes: int = 30,
-    watermark: str = "1 hour",
+    watermark: str = "1 hour", how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: click→purchase attribution.
     Each purchase joins every click by the same user in the preceding
@@ -266,7 +266,13 @@ def attribution_join(
     Streaming derives the eviction bound from the interval
     condition). Same output columns as the batch
     ``events_click_purchase_attribution`` query — pytest asserts
-    stream == batch."""
+    stream == batch.
+
+    ``how='leftOuter'``: every click appears — an UNMATCHED click
+    emits its NULL-purchase row once the purchase-side watermark
+    passes click_ts + window (before that a match could still
+    arrive; delayed NULL emission is the defining outer-join
+    semantic in Structured Streaming). Same state eviction bound."""
     c = clicks.select(
         F.col("user_id").alias("cu"),
         F.col("event_id").alias("click_id"),
@@ -286,6 +292,7 @@ def attribution_join(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
         ),
+        how,
     )
     from queryengine_spark.queries.base import epoch_sec
 
@@ -304,45 +311,8 @@ def attribution_join_outer(
     clicks: DataFrame, purchases: DataFrame, window_minutes: int = 30,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """LEFT OUTER stream-stream interval join: every click appears —
-    matched rows stream out as matches arrive, and an UNMATCHED click
-    emits its NULL-purchase row only once the purchase-side watermark
-    passes click_ts + window (before that a match could still arrive;
-    the delayed NULL emission is the defining outer-join semantic in
-    Structured Streaming). State eviction bound is the same as the
-    inner variant. Batch twin: the identical plain left join."""
-    c = clicks.select(
-        F.col("user_id").alias("cu"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    ).withWatermark("click_ts", watermark)
-    p = purchases.select(
-        F.col("user_id").alias("pu"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    ).withWatermark("purchase_ts", watermark)
-    joined = c.join(
-        p,
-        (F.col("cu") == F.col("pu"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
-        ),
-        "leftOuter",
-    )
-    from queryengine_spark.queries.base import epoch_sec
-
-    return joined.select(
-        F.col("cu").alias("user_id"),
-        "click_id",
-        "purchase_id",
-        (
-            epoch_sec("purchase_ts") - epoch_sec("click_ts")
-        ).alias("delay_sec"),
-        "purchase_value",
-    )
+    """attribution_join with how='leftOuter' (see its docstring)."""
+    return attribution_join(clicks, purchases, window_minutes, watermark, "leftOuter")
 
 
 def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:

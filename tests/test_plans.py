@@ -175,8 +175,12 @@ def test_bloom_join_plan_no_cartesian_residual_broadcastable(spark, sf_dir):
 def test_fuzzy_topk_term_prune_shape(spark, sf_dir):
     """The pruned top-K must still end in a WindowGroupLimit on the
     id-level window, with the term-level prune windows upstream —
-    three Window operators total (cum, group, final rank)."""
+    three Window OPERATOR nodes (cum, group, final rank). Count
+    actual "Window [" exec nodes: a bare substring count would also
+    match WindowGroupLimit and pass on the unpruned plan."""
+    import re
+
     plan = _plan(spark, sf_dir, "fuzzy_topk_heuristic")
     assert "WindowGroupLimit" in plan
-    assert plan.count("Window") >= 3
+    assert len(re.findall(r"Window \[", plan)) >= 3
     assert "CartesianProduct" not in plan
