@@ -55,7 +55,9 @@ def fuzzy_candidates_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """J1+J2: inverted-index bigram coverage + length distance for all
     positive-coverage (query, ref) pairs."""
     q, r = _prepared(spark, sf)
-    return candidates_inverted(q, r).select(
+    # the part-name vocabulary is known duplicate-heavy — skip the
+    # operator's sample probe (results are identical either way)
+    return candidates_inverted(q, r, dedup_terms=True).select(
         "q_id", "r_id", "cov", F.col("lendiff").cast("bigint").alias("lendiff")
     )
 
@@ -95,7 +97,7 @@ def fuzzy_topk_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     (cov DESC, lendiff DESC, r_id DESC — SURVEY §2.3 Q1), pruned at
     term granularity before the id fan-out."""
     q, r = _prepared(spark, sf)
-    return topk_candidates_inverted(q, r, TOP_K).select(
+    return topk_candidates_inverted(q, r, TOP_K, dedup_terms=True).select(
         "q_id", "r_id", "cov", F.col("lendiff").cast("bigint").alias("lendiff")
     )
 
@@ -112,7 +114,7 @@ def fuzzy_best_match_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     cov DESC, lendiff ASC, r_id ASC — the cheap-path variant of R2,
     term-pruned (k=1, ascending lendiff order) before the fan-out."""
     q, r = _prepared(spark, sf)
-    return topk_candidates_inverted(q, r, 1, lendiff_asc=True).select(
+    return topk_candidates_inverted(q, r, 1, dedup_terms=True, lendiff_asc=True).select(
         "q_id",
         F.col("q_term").alias("query"),
         F.col("r_term").alias("match"),
