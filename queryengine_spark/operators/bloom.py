@@ -71,6 +71,25 @@ def build_bloom_bitmap(
     return bitmap
 
 
+def might_contain_udf(bc):
+    """Arrow UDF testing k bit positions against a broadcast uint64
+    bitmap — pure bitmap loads, no hashing Python-side (positions are
+    computed JVM-side by :func:`_positions`)."""
+
+    @F.pandas_udf(BooleanType())
+    def might_contain(pos_arrays: pd.Series) -> pd.Series:
+        bm = bc.value
+        out = np.empty(len(pos_arrays), dtype=bool)
+        for i, posns in enumerate(pos_arrays):
+            p = np.asarray(posns, dtype=np.int64)
+            out[i] = bool(
+                np.all(bm[p >> 6] >> (p.astype(np.uint64) & np.uint64(63)) & np.uint64(1))
+            )
+        return pd.Series(out)
+
+    return might_contain
+
+
 def bloom_join(
     probe: DataFrame,
     build: DataFrame,
@@ -90,17 +109,7 @@ def bloom_join(
         raise ValueError(f"bloom_join supports left_semi/left_anti, got {how!r}")
     bitmap = build_bloom_bitmap(build.select(build_col), build_col, m_bits, k)
     bc = probe.sparkSession.sparkContext.broadcast(bitmap)
-
-    @F.pandas_udf(BooleanType())
-    def might_contain(pos_arrays: pd.Series) -> pd.Series:
-        bm = bc.value
-        out = np.empty(len(pos_arrays), dtype=bool)
-        for i, posns in enumerate(pos_arrays):
-            p = np.asarray(posns, dtype=np.int64)
-            out[i] = bool(
-                np.all(bm[p >> 6] >> (p.astype(np.uint64) & np.uint64(63)) & np.uint64(1))
-            )
-        return pd.Series(out)
+    might_contain = might_contain_udf(bc)
 
     flagged = probe.withColumn(
         "__bloom_hit", might_contain(_positions(F.col(probe_col), m_bits, k))

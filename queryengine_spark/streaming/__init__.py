@@ -315,6 +315,64 @@ def attribution_join_outer(
     return attribution_join(clicks, purchases, window_minutes, watermark, "leftOuter")
 
 
+def streaming_dedup_against_history(
+    events: DataFrame,
+    history: DataFrame,
+    key_col: str = "content_hash",
+    watermark: str = "2 hours",
+    m_bits: int = 1 << 22,
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only stream rows whose content
+    hash is NEW vs a historical corpus AND first within the stream —
+    the shape an always-on training-data pipeline runs as new crawl
+    arrives.
+
+    Per micro-batch the full history is never joined: a fixed-size
+    Bloom bitmap of historical keys (built once at plan time by the
+    bounded aggregation in operators/bloom.py) filters each batch
+    down to definite-new rows plus a small maybe-seen residue, and
+    only the residue goes through the stream-static join. Structured
+    Streaming has no stream-static LEFT ANTI, so the residual is a
+    LEFT OUTER against the (deduplicated, broadcastable) history keys
+    with a static-side-NULL filter — the standard anti-join encoding.
+    Bloom has no false negatives, so the union is EXACTLY the
+    anti-join result; within-stream duplicates then collapse via
+    watermarked dropDuplicates, state bounded by the watermark."""
+    from queryengine_spark.operators.bloom import (
+        DEFAULT_K,
+        _positions,
+        build_bloom_bitmap,
+        might_contain_udf,
+    )
+
+    keyed = events.withColumn(
+        key_col, F.md5(F.to_json(F.struct("user_id", "event_type", "value")))
+    )
+    hist_keys = history.select(F.col(key_col).alias("__hist_key")).distinct()
+    bitmap = build_bloom_bitmap(
+        hist_keys.select(F.col("__hist_key").alias(key_col)), key_col, m_bits
+    )
+    bc = events.sparkSession.sparkContext.broadcast(bitmap)
+    might_contain = might_contain_udf(bc)
+
+    flagged = keyed.withColumn(
+        "__maybe_seen", might_contain(_positions(F.col(key_col), m_bits, DEFAULT_K))
+    )
+    fresh = flagged.filter(~F.col("__maybe_seen"))
+    residue = (
+        flagged.filter(F.col("__maybe_seen"))
+        .join(
+            F.broadcast(hist_keys),
+            F.col(key_col) == F.col("__hist_key"),
+            "left_outer",
+        )
+        .filter(F.col("__hist_key").isNull())
+        .drop("__hist_key")
+    )
+    new_rows = fresh.unionByName(residue).drop("__maybe_seen")
+    return new_rows.withWatermark("ts", watermark).dropDuplicates([key_col])
+
+
 def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: attach a dimension attribute
     (customer market segment) to an event stream. The static side is

@@ -206,3 +206,45 @@ def test_streaming_attribution_outer_join_equals_batch(spark, events_dir_ordered
     assert got == want
     # the outer semantics actually exercised: some closed clicks are unmatched
     assert any(r[2] is None for r in want)
+
+
+def test_streaming_dedup_against_history_equals_batch(spark, events_dir_ordered, sf_dir):
+    """Bloom-prefiltered historical dedup == batch anti-join + exact
+    dedup: stream rows whose content hash is new vs history, one
+    survivor per hash. Time-ordered replay: with shuffled arrival the
+    2h watermark would rightly drop too-late rows as late data."""
+    from queryengine_spark.streaming import streaming_dedup_against_history
+
+    e_batch = spark.read.parquet(events_dir_ordered)
+    hashed = e_batch.withColumn(
+        "content_hash", F.md5(F.to_json(F.struct("user_id", "event_type", "value")))
+    )
+    # history = every 3rd distinct hash, as a content-hash relation
+    history = (
+        hashed.select("content_hash").distinct()
+        .filter(F.crc32(F.col("content_hash")) % 3 == 0)
+    )
+
+    stream = read_event_stream(spark, events_dir_ordered)
+    q = run_stream_to_memory(
+        streaming_dedup_against_history(stream, history),
+        "hist_dedup_test",
+        "append",
+    )
+    got_hashes = {
+        r["content_hash"]
+        for r in spark.sql("SELECT content_hash FROM hist_dedup_test").collect()
+    }
+    n_got = spark.sql("SELECT count(*) AS n FROM hist_dedup_test").collect()[0]["n"]
+    q.stop()
+
+    want_hashes = {
+        r["content_hash"]
+        for r in hashed.select("content_hash")
+        .distinct()
+        .join(history, "content_hash", "left_anti")
+        .collect()
+    }
+    assert got_hashes == want_hashes
+    assert n_got == len(want_hashes)  # exactly one survivor per new hash
+    assert 0 < len(want_hashes) < hashed.select("content_hash").distinct().count()
