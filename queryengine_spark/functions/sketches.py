@@ -77,3 +77,76 @@ def kmv_distinct_estimate(
         F.col("grp").alias(group_col),
         (F.floor(est * 10000.0 + 0.5) / 10000.0).alias("kmv_estimate"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bucket_width: float = 100.0,
+) -> DataFrame:
+    """Mergeable fixed-bucket histogram quantile estimates per group.
+
+    Exact percentiles need a per-group sort (or Spark's interpolating
+    percentile aggregate, whose float behavior no other engine
+    reproduces). The scale-and-parity-friendly sketch: floor-bucket
+    every value (one projection), count per (group, bucket) — a
+    mergeable partial aggregate — and report, for each requested
+    percentile p, the LOWER BOUND of the first bucket whose cumulative
+    count reaches ceil(p * n). Deterministic integer arithmetic end to
+    end, so any engine agrees bit-for-bit; precision is bucket_width,
+    the classic histogram trade (state per group = value range /
+    bucket_width, independent of row count)."""
+    b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    hist = (
+        df.select(F.col(group_col).alias("grp"), b.alias("b"))
+        .groupBy("grp", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("b").asc())
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("grp"))
+    )
+    aggs = []
+    for p in percentiles:
+        tag = str(int(p * 100))
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("b")
+        )
+        aggs.append(
+            (F.min(hit) * F.lit(bucket_width)).alias(f"p{tag}_lo")
+        )
+    return cum.groupBy("grp").agg(
+        F.max("n").alias("n_rows"), *aggs
+    ).select(F.col("grp").alias(group_col), "n_rows", *[f"p{str(int(p*100))}_lo" for p in percentiles])
+
+
+def sql_histogram_quantiles(
+    table: str,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bucket_width: float = 100.0,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles`."""
+    cols = ", ".join(
+        f"MIN(CASE WHEN cum >= ceil({p!r} * n) THEN b END) * {bucket_width!r} AS p{int(p * 100)}_lo"
+        for p in percentiles
+    )
+    return f"""
+WITH hist AS (
+  SELECT {group_col} AS grp, CAST(floor({value_col} / {bucket_width!r}) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM {table} GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, b, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY b ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM hist
+)
+SELECT grp AS {group_col}, CAST(MAX(n) AS BIGINT) AS n_rows, {cols}
+FROM cum GROUP BY grp
+"""

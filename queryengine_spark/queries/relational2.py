@@ -225,9 +225,30 @@ UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
 """
 
 
+def agg_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (functions/sketches.py):
+    p50/p95/p99 lower-bucket bounds of extended price per return flag
+    — the approximate-quantile shape that scales (fixed per-group
+    state, one partial-aggregated pass) where exact percentiles need a
+    per-group sort, with integer-exact cross-engine parity that
+    interpolating approx quantiles can never give."""
+    from queryengine_spark.functions.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        t(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def _hist_sql() -> str:
+    from queryengine_spark.functions.sketches import sql_histogram_quantiles
+
+    return sql_histogram_quantiles("lineitem", "l_returnflag", "l_extendedprice")
+
+
 QUERIES = {
     "pivot_returnflag_revenue": (pivot_returnflag_revenue, PIVOT_SQL),
     "unpivot_lineitem_metrics": (unpivot_lineitem_metrics, UNPIVOT_SQL),
+    "agg_histogram_quantiles": (agg_histogram_quantiles, _hist_sql()),
     "window_distribution_funcs": (window_distribution_funcs, WINDOW_DIST_SQL),
     "window_range_30d_spend": (window_range_30d_spend, RANGE_FRAME_SQL),
     "subquery_exists": (subquery_exists, EXISTS_SQL),
