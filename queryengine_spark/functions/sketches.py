@@ -100,7 +100,12 @@ def histogram_quantiles(
     bucket_width, independent of row count)."""
     b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
     hist = (
-        df.select(F.col(group_col).alias("grp"), b.alias("b"))
+        # NULL values would bucket to NULL and sort NULLS FIRST in
+        # Spark but NULLS LAST in DuckDB (cross-engine divergence in
+        # the cumulative sums) besides inflating n — standard quantile
+        # semantics exclude them
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("b"))
         .groupBy("grp", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -110,7 +115,7 @@ def histogram_quantiles(
     )
     aggs = []
     for p in percentiles:
-        tag = str(int(p * 100))
+        tag = str(round(p * 100))  # int() would truncate 0.29*100=28.999…
         hit = F.when(
             F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("b")
         )
@@ -119,7 +124,7 @@ def histogram_quantiles(
         )
     return cum.groupBy("grp").agg(
         F.max("n").alias("n_rows"), *aggs
-    ).select(F.col("grp").alias(group_col), "n_rows", *[f"p{str(int(p*100))}_lo" for p in percentiles])
+    ).select(F.col("grp").alias(group_col), "n_rows", *[f"p{round(p * 100)}_lo" for p in percentiles])
 
 
 def sql_histogram_quantiles(
@@ -131,14 +136,14 @@ def sql_histogram_quantiles(
 ) -> str:
     """DuckDB twin of :func:`histogram_quantiles`."""
     cols = ", ".join(
-        f"MIN(CASE WHEN cum >= ceil({p!r} * n) THEN b END) * {bucket_width!r} AS p{int(p * 100)}_lo"
+        f"MIN(CASE WHEN cum >= ceil({p!r} * n) THEN b END) * {bucket_width!r} AS p{round(p * 100)}_lo"
         for p in percentiles
     )
     return f"""
 WITH hist AS (
   SELECT {group_col} AS grp, CAST(floor({value_col} / {bucket_width!r}) AS BIGINT) AS b,
          COUNT(*) AS c
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT grp, b, c,

@@ -7,8 +7,8 @@ tests assert streaming results == batch results on the same data.
 
 Patterns covered:
 - tumbling windowed aggregation with a watermark (late-data bound),
-- streaming exact dedup (dropDuplicates on a content hash within the
-  watermark horizon),
+- streaming dedup (exact lifetime via dropDuplicates, and
+  horizon-bounded via dropDuplicatesWithinWatermark),
 - memory-sink runner for deterministic tests.
 
 At scale these run against a Kafka/file source with checkpointing;
@@ -76,19 +76,39 @@ def tumbling_counts(
     )
 
 
+def content_hash() -> "F.Column":
+    """The ONE content-hash definition every dedup surface shares.
+    to_json(struct(...)) preserves null positions — concat_ws would
+    silently drop NULL fields and collide rows that differ only in
+    which field is null."""
+    return F.md5(F.to_json(F.struct("user_id", "event_type", "value")))
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming exact dedup: first event per (user_id, event_type,
-    value-hash) within the watermark horizon survives. State is
-    bounded by the watermark — the scale-safe streaming analogue of
-    the batch exact-dedup operator."""
-    keyed = events.withColumn(
-        "content_hash",
-        # to_json(struct(...)) preserves null positions — concat_ws
-        # would silently drop NULL fields and collide rows that differ
-        # only in which field is null
-        F.md5(F.to_json(F.struct("user_id", "event_type", "value"))),
-    )
+    """Streaming EXACT dedup: the first event per content hash ever
+    seen survives. Exact lifetime dedup inherently keeps one state
+    entry per distinct key — state is O(distinct keys), NOT bounded
+    by the watermark (Spark only evicts dedup state when the
+    event-time column is part of the key). Where a horizon bound
+    matters more than cross-horizon exactness, use
+    :func:`streaming_dedup_bounded`."""
+    keyed = events.withColumn("content_hash", content_hash())
     return keyed.withWatermark("ts", watermark).dropDuplicates(["content_hash"])
+
+
+def streaming_dedup_bounded(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Horizon-bounded streaming dedup via
+    ``dropDuplicatesWithinWatermark``: duplicates arriving within the
+    watermark delay of the first sighting collapse; state for a key
+    is dropped once the watermark passes, so the store is bounded by
+    the horizon — the trade being that a duplicate recurring AFTER
+    the horizon emits again. The right contract for at-least-once
+    sources whose duplicates are temporally close (retries, replays);
+    exact lifetime dedup is :func:`streaming_dedup`."""
+    keyed = events.withColumn("content_hash", content_hash())
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
 
 
 SESSION_OUT_SCHEMA = StructType(
@@ -337,7 +357,8 @@ def streaming_dedup_against_history(
     with a static-side-NULL filter — the standard anti-join encoding.
     Bloom has no false negatives, so the union is EXACTLY the
     anti-join result; within-stream duplicates then collapse via
-    watermarked dropDuplicates, state bounded by the watermark."""
+    exact dropDuplicates (state O(distinct NEW keys) — see
+    streaming_dedup's docstring for the exact-vs-bounded trade)."""
     from queryengine_spark.operators.bloom import (
         DEFAULT_K,
         _positions,
@@ -345,9 +366,7 @@ def streaming_dedup_against_history(
         might_contain_udf,
     )
 
-    keyed = events.withColumn(
-        key_col, F.md5(F.to_json(F.struct("user_id", "event_type", "value")))
-    )
+    keyed = events.withColumn(key_col, content_hash())
     hist_keys = history.select(F.col(key_col).alias("__hist_key")).distinct()
     bitmap = build_bloom_bitmap(
         hist_keys.select(F.col("__hist_key").alias(key_col)), key_col, m_bits

@@ -215,10 +215,10 @@ def test_streaming_dedup_against_history_equals_batch(spark, events_dir_ordered,
     2h watermark would rightly drop too-late rows as late data."""
     from queryengine_spark.streaming import streaming_dedup_against_history
 
+    from queryengine_spark.streaming import content_hash
+
     e_batch = spark.read.parquet(events_dir_ordered)
-    hashed = e_batch.withColumn(
-        "content_hash", F.md5(F.to_json(F.struct("user_id", "event_type", "value")))
-    )
+    hashed = e_batch.withColumn("content_hash", content_hash())
     # history = every 3rd distinct hash, as a content-hash relation
     history = (
         hashed.select("content_hash").distinct()
@@ -248,3 +248,51 @@ def test_streaming_dedup_against_history_equals_batch(spark, events_dir_ordered,
     assert got_hashes == want_hashes
     assert n_got == len(want_hashes)  # exactly one survivor per new hash
     assert 0 < len(want_hashes) < hashed.select("content_hash").distinct().count()
+
+
+def test_streaming_dedup_bounded_horizon_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: a duplicate within the
+    watermark horizon collapses; after the watermark evicts the key,
+    the same content emits again (the bounded-state trade)."""
+    import os
+    import time
+
+    from queryengine_spark.streaming import streaming_dedup_bounded
+
+    def ev(eid, hours, user, etype, value):
+        return (eid, f"2024-01-01 {hours:02d}:00:00", user, etype, value, "{}")
+
+    schema = "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    batches = [
+        # t=0h and t=1h: same content, within the 2h horizon
+        [ev(1, 0, 7, "click", 1.0), ev(2, 1, 7, "click", 1.0)],
+        # watermark pusher: unrelated content far in the future
+        [ev(3, 10, 8, "view", 2.0)],
+        # second pusher: state EVICTION runs in the batch after the
+        # watermark advances (measured), so one more batch must pass
+        # before the key is re-emittable
+        [ev(9, 12, 9, "view", 3.0)],
+        # same content again, 13h later — key evicted -> emits again
+        [ev(4, 13, 7, "click", 1.0)],
+    ]
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema).select(
+            "event_id",
+            F.to_timestamp_ntz("ts_s").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(watch)
+        time.sleep(1.1)
+    stream = read_event_stream(spark, watch)
+    q = run_stream_to_memory(
+        streaming_dedup_bounded(stream, watermark="2 hours"), "dedup_bounded", "append"
+    )
+    ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_bounded").collect()
+    )
+    q.stop()
+    # 1 kept, 2 collapsed (within horizon), pushers kept, 4 kept
+    # (re-emitted after eviction — the documented horizon trade)
+    assert ids == [1, 3, 4, 9]
