@@ -82,6 +82,8 @@ HEADLINE = [
     "unpivot_lineitem_metrics",
     "dedup_decontaminate_bloom",
     "multimodal_header_parse",
+    "agg_histogram_quantiles",
+    "text_pii_scrub",
 ]
 
 
