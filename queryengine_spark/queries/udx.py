@@ -58,6 +58,60 @@ GROUP BY l_returnflag
 """
 
 
+WINDOW_TOKENS = 5
+
+
+def udtf_token_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-expanding Python UDTF as a first-class, oracle-checked
+    query: chunk each document into fixed-size token windows (the
+    context-window preprocessing shape of an LLM data pipeline). The
+    UDTF tokenizes with the explicit ASCII whitespace class
+    [ \\t\\n\\x0b\\f\\r] — exactly Java's regex \\s, so Python, Spark
+    and DuckDB (RE2) split identically."""
+    from pyspark.sql.functions import udtf
+
+    size = WINDOW_TOKENS
+
+    @udtf(returnType="doc_id bigint, win_idx int, window_text string")
+    class TokenWindows:
+        def eval(self, doc_id, text):
+            import re
+
+            if text is None:
+                return
+            toks = [
+                tk
+                for tk in re.split(r"[ \t\n\x0b\f\r]+", text.strip(" \t\n\x0b\f\r"))
+                if tk
+            ]
+            for i in range(0, len(toks), size):
+                yield doc_id, i // size, " ".join(toks[i : i + size])
+
+    spark.udtf.register("token_windows", TokenWindows)
+    t(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT w.doc_id, w.win_idx, w.window_text "
+        "FROM documents, LATERAL token_windows(doc_id, text) w"
+    )
+
+
+_TOKS_RAW = (
+    "list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),"
+    " '\\s+'), t0 -> t0 <> '')"
+)
+
+UDTF_WINDOWS_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM documents),
+w AS (SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / {WINDOW_TOKENS}.0) AS INT))) AS win_idx
+      FROM d WHERE len(toks) > 0)
+SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+       array_to_string(toks[win_idx * {WINDOW_TOKENS} + 1 : win_idx * {WINDOW_TOKENS} + {WINDOW_TOKENS}], ' ') AS window_text
+FROM w
+"""
+
+
 QUERIES = {
     "agg_udaf_rms": (agg_udaf_rms, AGG_UDAF_RMS_SQL),
+    "udtf_token_windows": (udtf_token_windows, UDTF_WINDOWS_SQL),
 }
