@@ -108,3 +108,45 @@ def test_spark_roundtrip_matches_arithmetic(spark):
             assert (r["fmt"], r["sample_rate"], r["channels"]) == ("wav", rate, ch)
             assert r["duration_ms"] == n * 1000 // rate
             assert r["n_bytes"] == 44 + n * ch * 2
+
+
+def test_parse_header_never_crashes_on_fuzz():
+    """parse_header consumes arbitrary bytes from a media lake — on
+    ANY input it must return the schema dict, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = {"fmt", "width", "height", "sample_rate", "channels", "duration_ms"}
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(b):
+        got = parse_header(b)
+        assert set(got) == keys
+        assert isinstance(got["fmt"], str)
+
+    run()
+
+
+def test_parse_header_fuzz_with_magic_prefixes():
+    """Adversarial: valid magic bytes followed by garbage must parse
+    or degrade gracefully, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    prefixes = [
+        b"\x89PNG\r\n\x1a\n",
+        b"GIF89a",
+        b"GIF87a",
+        b"RIFF\x10\x00\x00\x00WAVE",
+        b"\xff\xd8",
+        b"RIFF",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sampled_from(prefixes), st.binary(max_size=200))
+    def run(prefix, tail):
+        got = parse_header(prefix + tail)
+        assert isinstance(got["fmt"], str)
+
+    run()
