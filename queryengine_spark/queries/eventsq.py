@@ -208,6 +208,52 @@ FROM events GROUP BY event_type
 """
 
 
+def events_json_malformed_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Dirty-data resilience: schema-on-read over a props column where
+    some payloads are corrupt (every 13th event gets planted garbage —
+    the synthetic props are all well-formed). Spark's get_json_object
+    returns NULL on malformed input instead of failing the job; the
+    audit counts parse failures and aggregates only the valid values —
+    the triage shape a real ingest runs before tightening a schema.
+    Oracle guards with json_valid() since DuckDB's extraction errors
+    on invalid JSON rather than returning NULL."""
+    e = t(spark, sf, "events")
+    # corrupt the PREFIX: Spark's Jackson-based extraction is lenient
+    # about trailing garbage but rejects a broken document start
+    dirty = F.when(
+        F.col("event_id") % 13 == 0, F.concat(F.lit("}{"), F.col("props"))
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(dirty, "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").isNull().cast("int")).cast("bigint").alias("n_malformed"),
+            F.sum("k").alias("sum_valid_k"),
+        )
+    )
+
+
+JSON_MALFORMED_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN '}{' || props ELSE props END AS p
+  FROM events
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(p)
+              THEN CAST(json_extract_string(p, '$.k') AS INT) END AS k
+  FROM d
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       CAST(SUM(k) AS BIGINT) AS sum_valid_k
+FROM parsed GROUP BY event_type
+"""
+
+
 def shipping_delay_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Date arithmetic across a join: days between order date and ship
     date, summarized per order priority."""
@@ -462,6 +508,10 @@ QUERIES = {
     ),
     "events_sliding_window": (events_sliding_window, SLIDING_SQL),
     "events_json_extract": (events_json_extract, JSON_SQL),
+    "events_json_malformed_audit": (
+        events_json_malformed_audit,
+        JSON_MALFORMED_SQL,
+    ),
     "shipping_delay_stats": (shipping_delay_stats, SHIPPING_DELAY_SQL),
     "events_asof_last_purchase": (events_asof_last_purchase, ASOF_SQL),
     "events_range_join_active_sessions": (
