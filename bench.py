@@ -84,6 +84,8 @@ HEADLINE = [
     "multimodal_header_parse",
     "agg_histogram_quantiles",
     "text_pii_scrub",
+    "events_json_malformed_audit",
+    "udtf_token_windows",
 ]
 
 
