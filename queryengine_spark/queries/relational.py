@@ -44,6 +44,55 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
 """
 
 
+def source_tsv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference S2 source as a contract query: stage region as a
+    TSV-with-header file, read it back through the S2 reader, recover
+    the typed rows. The oracle reads the original parquet — a
+    mismatch anywhere in the write→read roundtrip (separator quoting,
+    header handling, type recovery) breaks the hash."""
+    import os
+
+    from queryengine_spark.sources.text import read_tsv
+
+    r = t(spark, sf, "region")
+    stage = f"/tmp/qe-stage-tsv-{os.path.basename(os.path.normpath(sf))}"
+    r.select("r_regionkey", "r_name").coalesce(1).write.mode("overwrite").option(
+        "sep", "\t"
+    ).option("header", True).csv(stage)
+    back = read_tsv(spark, stage)
+    return back.select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"), "r_name"
+    )
+
+
+SOURCE_TSV_SQL = "SELECT r_regionkey, r_name FROM region"
+
+
+def source_pipe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference S3 source as a contract query: stage nation as a
+    names.dmp-style pipe-delimited dump (field 1 = the name, padded
+    like the taxonomy dump), read it back through the S3 reader."""
+    import os
+
+    from queryengine_spark.sources.text import read_pipe_names
+
+    n = t(spark, sf, "nation")
+    stage = f"/tmp/qe-stage-pipe-{os.path.basename(os.path.normpath(sf))}"
+    lines = n.select(
+        F.concat(
+            F.col("n_nationkey").cast("string"),
+            F.lit("|\t"),
+            F.col("n_name"),
+            F.lit("\t|scientific name|"),
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(stage)
+    return read_pipe_names(spark, stage)
+
+
+SOURCE_PIPE_SQL = "SELECT n_name AS name FROM nation"
+
+
 def distinct_flag_status(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct (reference A1 generalized)."""
     return t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -658,6 +707,8 @@ GROUP BY c_count
 
 QUERIES = {
     "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
+    "source_tsv_roundtrip": (source_tsv_roundtrip, SOURCE_TSV_SQL),
+    "source_pipe_roundtrip": (source_pipe_roundtrip, SOURCE_PIPE_SQL),
     "distinct_flag_status": (distinct_flag_status, DISTINCT_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
