@@ -93,6 +93,46 @@ def source_pipe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 SOURCE_PIPE_SQL = "SELECT n_name AS name FROM nation"
 
 
+def source_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL interchange roundtrip (the format corpus pipelines ship):
+    stage supplier as hive-partitioned JSON-lines, read back with an
+    EXPLICIT schema (no inference scan), recover the typed rows."""
+    import os
+
+    from queryengine_spark.sources.text import read_jsonl, write_jsonl
+
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    stage = f"/tmp/qe-stage-jsonl-{os.path.basename(os.path.normpath(sf))}"
+    write_jsonl(s, stage, partition_by=["s_nationkey"])
+    back = read_jsonl(
+        spark, stage, schema="s_suppkey bigint, s_name string, s_nationkey int"
+    )
+    # partition column comes back from the directory names as its
+    # inferred type — normalize
+    return back.select(
+        "s_suppkey", "s_name", F.col("s_nationkey").cast("bigint").alias("s_nationkey")
+    )
+
+
+SOURCE_JSONL_SQL = "SELECT s_suppkey, s_name, s_nationkey FROM supplier"
+
+
+def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC columnar roundtrip: stage part through ORC, read back,
+    recover typed rows (same pushdown machinery as parquet)."""
+    import os
+
+    from queryengine_spark.sources.text import read_orc, write_orc
+
+    p = t(spark, sf, "part").select("p_partkey", "p_name", "p_retailprice")
+    stage = f"/tmp/qe-stage-orc-{os.path.basename(os.path.normpath(sf))}"
+    write_orc(p, stage)
+    return read_orc(spark, stage)
+
+
+SOURCE_ORC_SQL = "SELECT p_partkey, p_name, p_retailprice FROM part"
+
+
 def distinct_flag_status(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct (reference A1 generalized)."""
     return t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -709,6 +749,8 @@ QUERIES = {
     "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
     "source_tsv_roundtrip": (source_tsv_roundtrip, SOURCE_TSV_SQL),
     "source_pipe_roundtrip": (source_pipe_roundtrip, SOURCE_PIPE_SQL),
+    "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
+    "source_orc_roundtrip": (source_orc_roundtrip, SOURCE_ORC_SQL),
     "distinct_flag_status": (distinct_flag_status, DISTINCT_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
