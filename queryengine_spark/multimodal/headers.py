@@ -201,6 +201,8 @@ def parse_header(b: bytes) -> dict:
             # 0xFF fill bytes before a marker are spec-legal padding
             while pos + 1 < len(b) and b[pos + 1] == 0xFF:
                 pos += 1
+            if pos + 1 >= len(b):
+                break  # payload ends in fill bytes — marker byte missing
             marker = b[pos + 1]
             if marker in _SOF_MARKERS:
                 if pos + 9 > len(b):

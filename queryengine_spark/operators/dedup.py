@@ -714,10 +714,12 @@ def embedding_neardup_pairs_lsh(
     # cosine_similarity (which casts the same way) bit-for-bit.
     # NULL / wrong-dimension vectors can't be bucketed or scored
     # (np.vstack in the kernel needs one rectangular matrix) — drop
-    # them here, the same rows the JVM sign-test would NULL out.
+    # them here with an EXACT length check: an over-length vector
+    # would pass a >= filter and then make the vstack ragged, killing
+    # the bucket's whole batch instead of just the bad row.
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).filter(F.size(F.col("v")) >= F.lit(dim))
+    ).filter(F.size(F.col("v")) == F.lit(dim))
     tables = F.array(
         *[
             F.struct(

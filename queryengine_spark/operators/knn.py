@@ -144,7 +144,7 @@ def sql_srp_bucket(vec_expr: str, planes, n_bits: int, table: int) -> str:
     return _srp_bucket_sql(lambda c: f"{vec_expr}[{c}]", planes, n_bits, table)
 
 
-def srp_buckets_udf(planes, n_bits: int, n_tables: int):
+def srp_buckets_udf(planes, n_bits: int, n_tables: int, dim: int | None = None):
     """Arrow-batched pandas UDF: vector → array of ``n_tables``
     bucket ids. Accumulates each plane sum left-associated in float64
     (elementwise numpy adds in term order), which is bit-identical to
@@ -152,18 +152,24 @@ def srp_buckets_udf(planes, n_bits: int, n_tables: int):
     exact and both engines run the same IEEE op sequence. One compact
     UDF node keeps the Catalyst plan small where 128 inline plane-sum
     trees made optimization itself the bottleneck."""
+    # guard against ragged batches: one over- or under-length vector
+    # must NULL its own row, not kill np.stack for the whole batch.
+    # With the true ``dim`` known the check is exact; without it,
+    # accept len >= max referenced column and slice — only columns up
+    # to max_col are ever read, and slicing keeps the stack rectangular.
     max_col = max(col for plane in planes for col, _ in plane)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _buckets(vs: pd.Series) -> pd.Series:
-        # NULL / too-short vectors → NULL bucket array (the JVM
+        # NULL / wrong-length vectors → NULL bucket array (the JVM
         # element_at expression this replaces yielded NULL; the
         # downstream posexplode then drops the row instead of the
         # whole query dying in the UDF)
         vals = [
             None
-            if v is None or len(v) < max_col
-            else np.asarray(v, dtype=np.float64)
+            if v is None
+            or (len(v) != dim if dim is not None else len(v) < max_col)
+            else np.asarray(v[:max_col], dtype=np.float64)
             for v in vs
         ]
         good = [i for i, v in enumerate(vals) if v is not None]
@@ -210,7 +216,7 @@ def srp_bucketed_topk(
     planes = srp_planes(n_bits * n_tables, dim=dim, nnz=nnz)
     masks = [0] + ([1 << j for j in range(n_bits)] if probe >= 1 else [])
 
-    buckets_udf = srp_buckets_udf(planes, n_bits, n_tables)
+    buckets_udf = srp_buckets_udf(planes, n_bits, n_tables, dim=dim)
 
     def tagged(df: DataFrame) -> DataFrame:
         bucketed = df.select(
@@ -265,10 +271,12 @@ def ivf_cells_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
     @F.pandas_udf(ArrayType(IntegerType()))
     def _cells(vs: pd.Series) -> pd.Series:
         # NULL / wrong-dimension vectors → NULL cell array (row is
-        # dropped by the downstream explode, same as the JVM exprs)
+        # dropped by the downstream explode, same as the JVM exprs).
+        # Exact-length check: an over-length vector in a batch would
+        # otherwise make np.stack ragged and raise for the whole batch.
         vals = [
             None
-            if v is None or len(v) < dim_c
+            if v is None or len(v) != dim_c
             else np.asarray(v, dtype=np.float64)
             for v in vs
         ]

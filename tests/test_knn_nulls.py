@@ -18,8 +18,16 @@ def _embeddings_with_bad_rows(spark, sf_dir):
             StructField("embedding", ArrayType(DoubleType())),
         ]
     )
+    # NULL, too-short AND too-long: the over-length row is the nasty
+    # one — it passes any >= length filter and then makes np.stack /
+    # np.vstack ragged, killing the whole Arrow batch (ADVICE r2).
     bad = spark.createDataFrame(
-        [(10_000_001, None), (10_000_002, [1.0, 2.0])], schema
+        [
+            (10_000_001, None),
+            (10_000_002, [1.0, 2.0]),
+            (10_000_003, [float(i) for i in range(65)]),
+        ],
+        schema,
     )
     return e.unionByName(bad)
 

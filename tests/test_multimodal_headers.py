@@ -77,6 +77,19 @@ def test_parse_jpeg_fill_bytes_and_standalone_markers():
     assert (got["fmt"], got["width"], got["height"]) == ("jpeg", 64, 48)
 
 
+def test_parse_jpeg_trailing_fill_bytes_no_crash():
+    # payload ends inside a fill-byte run: the fill loop stops at
+    # pos+1 == len(b) and there is no marker byte left to read
+    # (ADVICE r2 — this used to IndexError)
+    for payload in (
+        b"\xff\xd8\xff\xff",
+        b"\xff\xd8\xff\xff\xff",
+        b"\xff\xd8\xff\xff\xff\xff\xff\xff\xff",
+    ):
+        got = parse_header(payload)
+        assert got["fmt"] == "jpeg" and got["width"] is None
+
+
 def test_parse_jpeg_corrupt_length_terminates():
     bad = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0)  # seglen < 2
     got = parse_header(bad)
