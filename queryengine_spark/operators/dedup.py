@@ -165,9 +165,21 @@ def minhash_lsh_candidate_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs sharing any band
     bucket become candidate pairs (id_a < id_b, distinct).
+
+    ``max_bucket`` drops band buckets with more than that many
+    members BEFORE pair expansion — the standard production guard
+    for pair-emitting LSH: a bucket of g docs contributes g(g-1)/2
+    pairs, so one boilerplate/template bucket (g in the hundreds+)
+    dominates the whole output quadratically while contributing
+    near-zero true near-dup signal (huge buckets = shared
+    boilerplate, better handled by component clustering over star
+    edges — :func:`minhash_lsh_star_edges`). With the cap, total
+    work is O(Σ min(g, cap)²) = O(n_buckets · cap²): linear in
+    corpus growth instead of quadratic in the hottest bucket.
 
     Pair generation is a bucket equi-self-join. The signature
     relation is locally checkpointed first: Spark reuses no exchange
@@ -194,6 +206,15 @@ def minhash_lsh_candidate_pairs(
     buckets = sig.select("id", F.explode(bands).alias("bucket")).localCheckpoint(
         eager=False
     )
+    if max_bucket is not None:
+        # window count instead of agg+join: one shuffle on bucket,
+        # whose partitioning the self-join below then reuses
+        g = Window.partitionBy("bucket")
+        buckets = (
+            buckets.withColumn("g", F.count(F.lit(1)).over(g))
+            .filter(F.col("g") <= max_bucket)
+            .drop("g")
+        )
     a = buckets.select(F.col("id").alias("id_a"), "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "bucket")
     return (

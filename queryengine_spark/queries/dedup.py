@@ -43,6 +43,15 @@ N_HASHES = 8
 #: candidate volume sane on highly self-similar corpora (band size 2
 #: emitted 8.2M candidate pairs on the synthetic sf0.1 documents).
 BAND_SIZE = 4
+#: pair-emitting LSH drops band buckets larger than this before the
+#: g(g-1)/2 expansion: the sf0.1 corpus has a 475-doc hot bucket
+#: (520k clique pairs uncapped, 10×-probe quadratic); capped, output
+#: follows Σ min(g,32)² — linear in corpus growth. 32 also bites at
+#: the driver's sf0.01 (max bucket 62), so the cap logic itself is
+#: hash-certified cross-engine. Buckets above the cap are template
+#: clusters — the component queries (star edges, Σg) still cover
+#: them for clustering purposes.
+MINHASH_MAX_BUCKET = 32
 
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -101,10 +110,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_candidate_pairs(
         t(spark, sf, "documents"), "doc_id", "text",
         n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+        max_bucket=MINHASH_MAX_BUCKET,
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(max_bucket: int | None = None) -> str:
     # mirror of minhash_signatures: h_i = 32-bit hex slice i%4 of
     # md5('<i//4>:' || shingle) — 4 hash functions per digest
     mins = ",\n   ".join(
@@ -121,22 +131,32 @@ def _minhash_sql() -> str:
         )
         for b in range(n_bands)
     )
+    if max_bucket is not None:
+        # mirror of the operator's bucket-size cap
+        cap = f""",
+bkg AS (SELECT bucket, count(*) AS g FROM bk0 GROUP BY bucket),
+bk AS (SELECT id, b.bucket FROM bk0 b JOIN bkg c ON b.bucket = c.bucket
+       WHERE c.g <= {max_bucket})"""
+        bk_name = "bk0"
+    else:
+        cap = ""
+        bk_name = "bk"
     return (
         _SHINGLE_CTE
         + f""",
 sig AS (SELECT id,
    {mins}
    FROM sh GROUP BY id),
-bk AS (
+{bk_name} AS (
   {bands}
-)
+){cap}
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
 """
     )
 
 
-DEDUP_MINHASH_SQL = _minhash_sql()
+DEDUP_MINHASH_SQL = _minhash_sql(MINHASH_MAX_BUCKET)
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
