@@ -22,6 +22,8 @@ the classic LSH memory/recall trade.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -257,23 +259,73 @@ def srp_bucketed_topk(
     )
 
 
-def ivf_cells_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
+#: fixed-point scale for the integer k-means domain: x_int =
+#: floor(x * 10^4). Exact in float64 for |x| < 2^38, so float32
+#: embeddings convert identically in Spark, Python and any SQL engine.
+KMEANS_SCALE = 10_000.0
+
+
+def _int_vec(v) -> list[int]:
+    return [math.floor(float(x) * KMEANS_SCALE) for x in v]
+
+
+def kmeans_centroids_int(
+    sample: list[tuple[int, list[float]]],
+    n_cells: int,
+    iters: int,
+) -> list[list[int]]:
+    """Deterministic, engine-portable Lloyd k-means over a BOUNDED
+    sample, entirely in scaled-integer arithmetic.
+
+    - points: x_int_d = floor(x_d * 10^4) (exact in every engine);
+    - assignment: nearest centroid by Σ_d (x_d - c_d)² over int64,
+      ties to the smallest cell id — integer sums are
+      order-independent, so no IEEE-summation-order pitfalls;
+    - update: c_d = S_d // n (exact floor division; the SQL twin's
+      floor(S::DOUBLE / n) is identical because |S| < 2^52 and a
+      non-integer quotient is ≥ 1/n away from any integer, far
+      beyond double rounding error);
+    - empty cell: keeps its previous centroid.
+
+    Returns ``n_cells`` centroid int-vectors; cell id = list index.
+    ``sample`` must arrive sorted by id (init = first ``n_cells``
+    points, matching the oracle's ORDER BY id LIMIT n)."""
+    pts = [_int_vec(v) for _sid, v in sample]
+    cents = [list(p) for p in pts[:n_cells]]
+    if not cents:
+        return []
+    dim = len(cents[0])
+    for _ in range(iters):
+        sums = [[0] * dim for _ in cents]
+        counts = [0] * len(cents)
+        for x in pts:
+            best, best_d = 0, None
+            for cid, c in enumerate(cents):
+                d2 = sum((xd - cd) * (xd - cd) for xd, cd in zip(x, c))
+                if best_d is None or d2 < best_d:
+                    best, best_d = cid, d2
+            counts[best] += 1
+            s = sums[best]
+            for d in range(dim):
+                s[d] += x[d]
+        cents = [
+            [s[d] // n for d in range(dim)] if n else list(prev)
+            for s, n, prev in zip(sums, counts, cents)
+        ]
+    return cents
+
+
+def ivf_cells_int_udf(cent_ints: list[list[int]], nprobe: int):
     """Arrow-batched pandas UDF: vector → the ``nprobe`` nearest
-    centroid ids, ordered by (squared distance ASC, centroid id ASC).
-
-    Distances accumulate left-associated in float64 per dimension
-    (``acc = acc + (v_d - c_d)²`` in dim order) — the identical IEEE
-    op sequence as the oracle's generated 64-term SQL sum, so cell
-    assignments are bit-equal across engines."""
-
-    dim_c = len(centroids[0][1]) if centroids else 0
+    centroid CELL INDICES by squared distance in the scaled-integer
+    domain (ties → smaller cell id). All-int64 arithmetic: the SQL
+    twin's long-form GROUP BY sum computes the identical integers,
+    so cell assignment is exactly engine-portable by construction."""
+    C = np.asarray(cent_ints, dtype=np.int64)
+    dim_c = C.shape[1] if C.size else 0
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _cells(vs: pd.Series) -> pd.Series:
-        # NULL / wrong-dimension vectors → NULL cell array (row is
-        # dropped by the downstream explode, same as the JVM exprs).
-        # Exact-length check: an over-length vector in a batch would
-        # otherwise make np.stack ragged and raise for the whole batch.
         vals = [
             None
             if v is None or len(v) != dim_c
@@ -285,19 +337,14 @@ def ivf_cells_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
         if not good:
             return pd.Series(out_all)
         V = np.stack([vals[i] for i in good])
+        X = np.floor(V * KMEANS_SCALE).astype(np.int64)
         n = len(good)
-        d2 = np.zeros((n, len(centroids)), dtype=np.float64)
-        for j, (_cid, cv) in enumerate(centroids):
-            acc = np.zeros(n, dtype=np.float64)
-            for d in range(len(cv)):
-                diff = V[:, d] - cv[d]
-                acc = acc + diff * diff
-            d2[:, j] = acc
-        # argsort by (distance, centroid id); centroids arrive sorted
-        # by id so a stable sort on distance breaks ties by id
+        d2 = np.zeros((n, len(C)), dtype=np.int64)
+        for j in range(len(C)):
+            diff = X - C[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
         order = np.argsort(d2, axis=1, kind="stable")
-        ids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
-        picked = ids[order[:, :nprobe]]
+        picked = order[:, :nprobe].astype(np.int32)
         for j, i in enumerate(good):
             out_all[i] = picked[j]
         return pd.Series(out_all)
@@ -313,28 +360,41 @@ def ivf_topk(
     k: int = 3,
     n_cells: int = 16,
     nprobe: int = 4,
+    sample_n: int = 256,
+    train_iters: int = 3,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: candidates are indexed by their
     nearest centroid (one cell each); each query probes its ``nprobe``
     nearest cells and scores only those candidates.
 
-    The coarse quantizer here is deterministic — the ``n_cells``
-    candidate vectors with the smallest ids (pluggable for trained
-    k-means centroids; training must then use exact scaled-integer
-    sums to stay engine-portable). At 100 TB the cell index is the
-    partitioning key: candidates shuffle once on cell, queries probe
-    with a broadcast-sized centroid table, and the cell equi-join is
-    AQE-skew-splittable. Output: (query_id, neighbor_id, cosine, rn).
+    The coarse quantizer is k-means TRAINED on a bounded sample: the
+    ``sample_n`` smallest-id candidate vectors (an O(1) driver
+    collect, independent of corpus size) run ``train_iters`` Lloyd
+    iterations in exact scaled-integer arithmetic
+    (:func:`kmeans_centroids_int`) — deterministic and
+    engine-portable, so a SQL oracle unrolling the same iterations
+    computes bit-identical centroids and cell assignments.
+    ``train_iters=0`` degrades to the raw seeds (the ``n_cells``
+    smallest-id vectors), the previous behavior.
+
+    At 100 TB the cell index is the partitioning key: candidates
+    shuffle once on cell, queries probe with a broadcast-sized
+    centroid table, and the cell equi-join is AQE-skew-splittable.
+    Output: (query_id, neighbor_id, cosine, rn).
     """
-    seeds = (
-        candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(n_cells)
+    sample = (
+        candidates.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .orderBy("sid")
+        .limit(max(sample_n, n_cells))
         .collect()
     )
-    centroids = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in seeds]
-    assign1 = ivf_cells_udf(centroids, 1)
-    assignp = ivf_cells_udf(centroids, nprobe)
+    cents = kmeans_centroids_int(
+        [(int(r["sid"]), [float(x) for x in r["sv"]]) for r in sample],
+        n_cells,
+        train_iters,
+    )
+    assign1 = ivf_cells_int_udf(cents, 1)
+    assignp = ivf_cells_int_udf(cents, nprobe)
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

@@ -36,6 +36,11 @@ PROBE = 1
 DIM = 64
 N_CELLS = 16
 NPROBE = 4
+#: bounded k-means training sample (smallest-id vectors — an O(1)
+#: driver collect at any corpus size) and Lloyd iteration count,
+#: mirrored by the oracle's unrolled CTE chain
+SAMPLE_N = 256
+KMEANS_ITERS = 3
 
 _COS = (
     "list_dot_product({a}, {b}) / "
@@ -179,32 +184,58 @@ LEFT JOIN hits h ON q.query_id = h.query_id
 
 
 def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-Flat ANN: deterministic coarse quantizer (16 lowest-id
-    vectors), 1-cell candidate index, 4-probe queries."""
+    """IVF-Flat ANN with a TRAINED coarse quantizer: k-means over the
+    256 smallest-id vectors, 3 Lloyd iterations in exact
+    scaled-integer arithmetic (engine-portable — the oracle unrolls
+    the identical iterations), then 1-cell candidate index and
+    4-probe queries."""
     e = t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(
-        queries, e, "vec_id", "embedding", k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE
+        queries, e, "vec_id", "embedding", k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE,
+        sample_n=SAMPLE_N, train_iters=KMEANS_ITERS,
     )
 
 
-def _d2_sql(a: str, b: str, dim: int = DIM) -> str:
-    """Left-associated squared L2 distance — the op order the Spark
-    UDF replicates elementwise."""
-    s = None
-    for d in range(1, dim + 1):
-        term = f"(({a}[{d}] - {b}[{d}]) * ({a}[{d}] - {b}[{d}]))"
-        s = term if s is None else f"({s} + {term})"
-    return s
-
-
 def _ivf_cte() -> str:
-    return f"""
+    """Unrolled integer-domain Lloyd k-means + IVF assignment.
+
+    Mirrors operators/knn.py::kmeans_centroids_int exactly: points
+    as long-form (vec_id, d, x) with x = floor(v[d]*10^4) BIGINT;
+    assignment by integer Σ(x-c)² (order-independent), ties to the
+    smallest cell id; centroid update floor(SUM(x)::DOUBLE / n)
+    (exact — see the operator docstring); empty cells keep their
+    previous centroid via LEFT JOIN + CASE."""
+    parts = [
+        f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {N_CELLS}),
-dist AS (SELECT e.vec_id, s.cid, {_d2_sql('e.v', 's.cv')} AS d2 FROM e, seeds s),
+dims AS (SELECT CAST(unnest(range(1, {DIM + 1})) AS INT) AS d),
+s AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {SAMPLE_N}),
+sp AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM s, dims),
+seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         FROM (SELECT vec_id FROM s ORDER BY vec_id LIMIT {N_CELLS})),
+c0 AS (SELECT sd.cid, p.d, p.x AS c FROM seed sd JOIN sp p ON p.vec_id = sd.vec_id)"""
+    ]
+    for k in range(1, KMEANS_ITERS + 1):
+        parts.append(f""",
+d{k} AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
+        FROM sp p JOIN c{k - 1} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
+a{k} AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
+          FROM d{k}) WHERE rn = 1),
+m{k} AS (SELECT a.cid, p.d, COUNT(*) AS n, SUM(p.x) AS sx
+        FROM a{k} a JOIN sp p ON p.vec_id = a.vec_id GROUP BY a.cid, p.d),
+c{k} AS (SELECT c.cid, c.d,
+         CASE WHEN m.n IS NULL THEN c.c
+              ELSE CAST(floor(CAST(m.sx AS DOUBLE) / m.n) AS BIGINT) END AS c
+         FROM c{k - 1} c LEFT JOIN m{k} m ON m.cid = c.cid AND m.d = c.d)""")
+    parts.append(f""",
+ep AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM e, dims),
+dist AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
+         FROM ep p JOIN c{KMEANS_ITERS} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
 ranked AS (SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
            FROM dist),
 cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
 qcells AS (SELECT vec_id, cid AS cell FROM ranked
@@ -216,7 +247,8 @@ scored AS (
   JOIN e qe ON qe.vec_id = q.vec_id
   JOIN e ce ON ce.vec_id = c.vec_id
   WHERE c.vec_id <> q.vec_id
-)"""
+)""")
+    return "".join(parts)
 
 
 KNN_IVF_SQL = f"""{_ivf_cte()}
