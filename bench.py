@@ -86,6 +86,10 @@ HEADLINE = [
     "text_pii_scrub",
     "events_json_malformed_audit",
     "udtf_token_windows",
+    # round-3 additions: sketch-scored pairs, budget sampling, e2e prep
+    "dedup_minhash_jaccard",
+    "pipeline_token_budget_sample",
+    "pipeline_llm_prep",
 ]
 
 

@@ -16,6 +16,7 @@ from queryengine_spark.operators.dedup import (
     connected_components_star,
     embedding_neardup_pairs_lsh,
     exact_duplicate_groups,
+    minhash_candidate_jaccard,
     minhash_lsh_candidate_pairs,
     minhash_lsh_star_edges,
     ngram_jaccard_pairs,
@@ -157,6 +158,72 @@ FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
 
 
 DEDUP_MINHASH_SQL = _minhash_sql(MINHASH_MAX_BUCKET)
+
+
+#: estimation hashes are DISJOINT from the banding hashes (h8..h15 vs
+#: h0..h7): estimating from the hashes that selected the pair is
+#: conditioned on its own selection (+0.20 measured bias, hard floor
+#: of band_size/n_hashes); independent hashes are unbiased given the
+#: selection (measured +0.005)
+N_EST_HASHES = 8
+
+
+def dedup_minhash_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Capped LSH candidate pairs scored by the (#agreeing
+    min-hashes)/k Jaccard estimator over estimation-reserved hash
+    functions — pair scoring that touches only the sketch, never the
+    text (see the operator docstring)."""
+    return minhash_candidate_jaccard(
+        t(spark, sf, "documents"), "doc_id", "text",
+        n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+        max_bucket=MINHASH_MAX_BUCKET, n_est_hashes=N_EST_HASHES,
+    )
+
+
+def _minhash_jaccard_sql() -> str:
+    # mirror of minhash_candidate_jaccard: a 16-hash signature whose
+    # first 8 band exactly like DEDUP_MINHASH_SQL (same hash slices)
+    # and whose last 8 score the pairs
+    total = N_HASHES + N_EST_HASHES
+    mins = ",\n   ".join(
+        f"min(substr(md5('{i // 4}:' || sh), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(total)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    bands = "\n  UNION ALL ".join(
+        "SELECT id, md5('{b}' || '|' || {cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES, total)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+sig AS (SELECT id,
+   {mins}
+   FROM sh GROUP BY id),
+bk0 AS (
+  {bands}
+),
+bkg AS (SELECT bucket, count(*) AS g FROM bk0 GROUP BY bucket),
+bk AS (SELECT id, b.bucket FROM bk0 b JOIN bkg c ON b.bucket = c.bucket
+       WHERE c.g <= {MINHASH_MAX_BUCKET}),
+pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id)
+SELECT p.id_a, p.id_b, ({agree}) / {float(N_EST_HASHES)} AS est_jaccard
+FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id
+"""
+    )
+
+
+DEDUP_MINHASH_JACCARD_SQL = _minhash_jaccard_sql()
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -393,6 +460,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_minhash_jaccard": (dedup_minhash_jaccard, DEDUP_MINHASH_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_hamming": (dedup_simhash_hamming, DEDUP_SIMHASH_HAMMING_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),

@@ -706,6 +706,159 @@ FROM scrubbed
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget sampling
+# ---------------------------------------------------------------------------
+
+#: per-source token budget for the sampling query. ~700 tokens/source
+#: exist at sf0.01, so 400 truncates every source mid-stream — the
+#: budget logic is exercised (and driver-certified), not vacuous.
+TOKEN_BUDGET = 400
+
+
+def pipeline_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic token-budget sampling: per source, walk docs in
+    md5(doc_id) pseudo-random order and keep them while the running
+    token total stays within TOKEN_BUDGET. This is how training mixes
+    are actually drawn — 'take N tokens per source', reproducibly.
+
+    One window pass per source partition (cumulative sum over a
+    unique total order), zero joins, zero UDFs; at 100 TB the
+    partition key is the source and the order key is a hash — no
+    skew beyond source sizes, which ARE the workload."""
+    d = t(spark, sf, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+# ---------------------------------------------------------------------------
+# End-to-end LLM data-prep composition
+# ---------------------------------------------------------------------------
+
+#: quality gate for the composed pipeline (portable int comparisons)
+PREP_MIN_TOKENS = 30
+PREP_MAX_CHARS = 500
+
+
+def pipeline_llm_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed LLM data-prep shape END TO END in one declarative
+    plan: quality gate (token/char bounds) → MinHash-LSH near-dup
+    clustering over the survivors (star edges + pointer-jump CC) →
+    keep one canonical doc per cluster → per-(lang, source) corpus
+    stats. Differs from pipeline_clean_corpus (exact fingerprint
+    dedup) by using the NEAR-dup cluster machinery — the expensive
+    real-world variant.
+
+    Scale shape: the quality gate is map-side and shrinks everything
+    downstream; clustering runs id-only (star edges Σg, CC
+    O(log diameter) rounds); text/metadata rejoin only for survivors;
+    the final agg is a narrow (lang, source) rollup."""
+    from queryengine_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+        minhash_lsh_star_edges,
+    )
+    from queryengine_spark.queries.dedup import BAND_SIZE, N_HASHES  # noqa: PLC0415
+
+    d = t(spark, sf, "documents")
+    quality = d.select(
+        "doc_id", "lang", "source", "n_chars", "text",
+        F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+    ).filter(
+        (F.col("n_tokens") >= PREP_MIN_TOKENS) & (F.col("n_chars") <= PREP_MAX_CHARS)
+    )
+    edges = minhash_lsh_star_edges(
+        quality, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
+    )
+    labels = connected_components(
+        quality.select(F.col("doc_id").alias("id")), edges, max_iterations=30
+    )
+    keep = labels.filter(F.col("id") == F.col("component")).select("id")
+    survivors = quality.join(keep, quality.doc_id == keep.id, "left_semi")
+    return survivors.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+def _llm_prep_sql() -> str:
+    from queryengine_spark.queries.dedup import _minhash_sql  # noqa: PLC0415
+
+    minhash = _minhash_sql()  # uncapped cliques: same components as stars
+    assert minhash.startswith("\nWITH ")
+    body = minhash[len("\nWITH ") :]
+    ctes, final_select = body.rsplit("SELECT DISTINCT", 1)
+    # re-point the shingle CTE at the quality-gated corpus
+    ctes = ctes.replace(
+        "d AS (SELECT doc_id AS id, lower(text) AS tl FROM documents)",
+        "d AS (SELECT doc_id AS id, lower(text) AS tl FROM qdocs)",
+    )
+    assert "FROM qdocs)" in ctes
+    return f"""
+WITH RECURSIVE qdocs AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE CAST(len({_TOKS.format(c='text')}) AS BIGINT) >= {PREP_MIN_TOKENS}
+    AND n_chars <= {PREP_MAX_CHARS}
+),
+{ctes.rstrip()},
+pairs AS (SELECT DISTINCT {final_select.rstrip()}),
+verts AS (SELECT doc_id AS vid FROM qdocs),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(wid, label) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.wid
+),
+labels AS (SELECT wid AS did, MIN(label) AS component FROM walk GROUP BY wid)
+SELECT q.lang, q.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens
+FROM qdocs q JOIN labels l ON q.doc_id = l.did
+WHERE l.did = l.component
+GROUP BY q.lang, q.source
+"""
+
+
+LLM_PREP_SQL = _llm_prep_sql()
+
+
 QUERIES = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
     "text_pii_scrub": (text_pii_scrub, PII_SCRUB_SQL),
@@ -718,4 +871,6 @@ QUERIES = {
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "events_retention": (events_retention, RETENTION_SQL),
     "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),
+    "pipeline_token_budget_sample": (pipeline_token_budget_sample, TOKEN_BUDGET_SQL),
+    "pipeline_llm_prep": (pipeline_llm_prep, LLM_PREP_SQL),
 }
