@@ -90,6 +90,12 @@ HEADLINE = [
     "dedup_minhash_jaccard",
     "pipeline_token_budget_sample",
     "pipeline_llm_prep",
+    # round-3 curation pack: span scrub, containment, semdedup,
+    # sketch-verified heavy hitters
+    "curation_span_scrub",
+    "dedup_containment",
+    "dedup_semantic",
+    "text_heavy_hitters",
 ]
 
 

@@ -1,0 +1,326 @@
+"""Corpus-curation operators beyond pairwise dedup: repeated-span
+scrubbing, containment (near-superset) detection, semantic dedup over
+embeddings, and sketch-accelerated exact heavy hitters.
+
+Reference scope note: the reference engine
+(/root/reference/src/heurFuzz.py) has no corpus-curation surface —
+these are north-star LLM-training-pipeline operators (BASELINE.json)
+composed from the same Spark primitives as the dedup family
+(operators/dedup.py). Public-algorithm citations in each docstring.
+
+Engine-portability discipline matches operators/dedup.py: md5 is the
+shared hash, all counts are exact integers, all thresshold compares
+are either integer-exact or bit-exact IEEE doubles — so every
+operator here has a DuckDB-oracle twin in queries/curation.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.text import tokenize_ws
+from queryengine_spark.operators.dedup import _bucket_cosine_pairs, shingle_relation
+from queryengine_spark.operators.knn import (
+    ivf_cells_int_udf,
+    kmeans_centroids_int,
+)
+from queryengine_spark.plans import spread
+
+
+def _token_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks) with toks = whitespace tokens of lower(text) —
+    the shared tokenization of the SimHash family (exact twin of the
+    oracle's regexp split)."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    return spread(df).select(F.col(id_col).alias("id"), toks.alias("toks"))
+
+
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams of an array<string> column; empty
+    array when the doc has fewer than ``n`` tokens (guards Spark's
+    descending-``sequence`` surprise for start > stop)."""
+    starts = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def span_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Cross-document repeated-span scrubbing: remove every token
+    covered by a token ``n``-gram that occurs in ≥ ``min_df`` distinct
+    documents, and reassemble each document from its surviving tokens
+    in order (exact-substring dedup at n-gram granularity, after Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — the Spark-relational formulation replaces their suffix
+    array with an inverted n-gram join).
+
+    Scale shape: one token explode (linear ×1), one gram explode
+    (linear ×1), a gram-df aggregation with map-side combine, a
+    broadcast join against the (small, df-guarded) frequent-gram set,
+    a covered-position explode bounded by n × frequent-gram
+    occurrences, and one per-doc ordered reassembly agg. No self-join,
+    nothing quadratic; every stage keys on doc id or gram hash.
+
+    Output: (id, n_tokens, n_removed, cleaned_text) — one row per
+    input document, including untouched ones.
+    """
+    base = _token_relation(df, id_col, text_col).localCheckpoint(eager=False)
+    tok = base.select(
+        "id", F.posexplode("toks").alias("p0", "tk")
+    ).withColumn("p", F.col("p0") + 1)
+    grams = base.select(
+        "id", F.posexplode(token_ngrams(F.col("toks"), n)).alias("s0", "gram")
+    ).withColumn("s", F.col("s0") + 1)
+    grams = grams.localCheckpoint(eager=False)
+    frequent = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("gram_df"))
+        .filter(F.col("gram_df") >= min_df)
+        .select("gram")
+    )
+    covered = (
+        grams.join(F.broadcast(frequent), "gram")
+        .select("id", F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("p"))
+        .distinct()
+    )
+    kept = tok.join(covered, ["id", "p"], "left_anti")
+    clean = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                lambda x: x["tk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = base.select("id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return totals.join(clean, "id", "left").select(
+        "id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias(
+            "n_removed"
+        ),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Near-superset pairs by character-n-gram CONTAINMENT:
+    ``containment = |A∩B| / min(|A|,|B|)`` — the quote-inclusion /
+    boilerplate-wrapper case that symmetric Jaccard systematically
+    misses (a short doc fully embedded in a long one has containment
+    1.0 but Jaccard ≈ |A|/|B|). Same inverted-index join and hot-
+    shingle guard as :func:`~queryengine_spark.operators.dedup.
+    ngram_jaccard_pairs`; emits (id_a, id_b, containment, jaccard)
+    with id_a < id_b, containment ≥ threshold, jaccard reported for
+    contrast.
+    """
+    sh = shingle_relation(df, id_col, text_col, n)
+    if max_df_ratio is not None:
+        sh = sh.localCheckpoint(eager=False)
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+        hot = hot.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("df") > F.lit(max_df_ratio) * F.col("n_docs")
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    sh = sh.localCheckpoint(eager=False)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("shared") / F.least("n_a", "n_b")
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("containment", cont)
+        .withColumn("jaccard", jac)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_cells: int = 16,
+    sample_n: int = 256,
+    train_iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then mark
+    a vector as a duplicate when a SMALLER-id vector in the same
+    cluster has cosine ≥ threshold (deterministic keep-lowest-id
+    variant of the paper's keep-one rule).
+
+    Shares the IVF coarse quantizer (:func:`~queryengine_spark.
+    operators.knn.kmeans_centroids_int` — bounded smallest-id sample,
+    integer Lloyd iterations, engine-portable by construction) so the
+    oracle unrolls identical centroids. The within-cluster pair scan
+    is the bucket-local blocked numpy kernel from the embedding-LSH
+    path — no global pair shuffle; at 100 TB ``n_cells`` scales with
+    corpus size (≈ √n clusters keeps cells bounded) and hot cells
+    split under AQE since the kernel is also bucket-size-capped by
+    cluster granularity.
+
+    Output: one row per in-contract vector — (id, cell, is_dup).
+    """
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(F.size("v") == dim)
+    sample = (
+        e.select("id", "v").orderBy("id").limit(max(sample_n, n_cells)).collect()
+    )
+    cents = kmeans_centroids_int(
+        [(int(r["id"]), [float(x) for x in r["v"]]) for r in sample],
+        n_cells,
+        train_iters,
+    )
+    assign1 = ivf_cells_int_udf(cents, 1)
+    cells = e.withColumn("cell", F.element_at(assign1(F.col("v")), 1))
+    cells = cells.localCheckpoint(eager=False)
+    pairs = cells.groupBy("cell").applyInPandas(
+        _bucket_cosine_pairs(threshold), "id_a bigint, id_b bigint, cosine double"
+    )
+    dups = pairs.select(F.col("id_b").alias("id")).distinct().withColumn(
+        "dup", F.lit(1)
+    )
+    return cells.join(dups, "id", "left").select(
+        "id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce("dup", F.lit(0)).cast("int").alias("is_dup"),
+    )
+
+
+def _mg_insert(counters: dict, term: str, c: int, k: int) -> None:
+    """Weighted Misra-Gries insert: add (term, c); on overflow,
+    subtract the same amount from all k+1 implicated counts (the
+    classic decrement generalized to weights)."""
+    if term in counters:
+        counters[term] += c
+        return
+    while c > 0:
+        if len(counters) < k:
+            counters[term] = c
+            return
+        m = min(counters.values())
+        d = min(m, c)
+        c -= d
+        dead = []
+        for key in counters:
+            counters[key] -= d
+            if counters[key] <= 0:
+                dead.append(key)
+        for key in dead:
+            del counters[key]
+
+
+def mg_candidate_terms(df: DataFrame, term_col: str, k: int) -> DataFrame:
+    """Pass 1 of exact heavy hitters: per-Arrow-batch weighted
+    Misra-Gries (Misra & Gries 1982) sketch over the term stream —
+    zero shuffles, O(k) state per batch. Guarantee: a term with batch
+    frequency > N_batch/(k+1) always survives its batch's sketch, so
+    any term with GLOBAL frequency > N/(k+1) survives in at least one
+    batch — the union of batch candidates is a guaranteed superset of
+    the global heavy hitters. Output: distinct candidate terms."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            vc = pdf[term_col].value_counts()
+            for term, c in vc.items():
+                _mg_insert(counters, term, int(c), k)
+            yield pd.DataFrame({term_col: list(counters.keys())})
+
+    return df.select(term_col).mapInPandas(gen, f"{term_col} string").distinct()
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    term_col: str,
+    eps_num: int,
+    eps_den: int,
+) -> DataFrame:
+    """Exact ε-heavy hitters (terms with frequency ≥ (eps_num/eps_den)
+    × N) via the two-pass sketch-then-verify pattern: the Misra-Gries
+    pass finds a guaranteed-superset candidate set WITHOUT shuffling
+    the term space; the verify pass broadcast-semi-joins the stream
+    down to candidates and exact-counts only those. The output is
+    EXACT (the sketch can only over-admit, never miss — candidates
+    below threshold are filtered by the exact count), which is why the
+    plain-SQL oracle matches hash-for-hash. ε is a rational so the
+    threshold compare is integer-exact on every engine.
+
+    At 100 TB this is the difference between shuffling every distinct
+    term (trillions of keys) and shuffling only the candidate counts:
+    pass 1 is map-only, pass 2's groupBy keys on a candidate set of at
+    most eps_den terms per batch.
+
+    Output: (term, cnt) for every term with cnt·eps_den ≥ eps_num·N.
+    """
+    k = eps_den  # k+1 > den/num counters suffices for num=1; den is safe for num≥1
+    cand = mg_candidate_terms(df, term_col, k)
+    counts = (
+        df.join(F.broadcast(cand), term_col)
+        .groupBy(term_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(eps_den) >= F.lit(eps_num) * F.col("n_total"))
+        .select(term_col, "cnt")
+    )
+
+
+def token_bigram_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) token-bigram stream (space-joined adjacent token
+    pairs of lower(text)) — the heavy-hitter unit for phrase-level
+    boilerplate detection."""
+    base = _token_relation(df, id_col, text_col)
+    return base.select(
+        "id", F.explode(token_ngrams(F.col("toks"), 2)).alias("term")
+    )
+
+
+def exact_heavy_hitter_check(rows: list, eps_num: int, eps_den: int) -> list:
+    """Tiny driver-side oracle for unit tests: exact heavy hitters of
+    a list of terms (term, cnt), same integer threshold."""
+    from collections import Counter
+
+    c = Counter(rows)
+    n = len(rows)
+    return sorted(
+        (t, k) for t, k in c.items() if k * eps_den >= eps_num * n
+    )

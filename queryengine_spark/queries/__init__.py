@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from queryengine_spark.queries import (
+    curation,
     dedup,
     eventsq,
     fuzzy,
@@ -53,6 +54,10 @@ _MODULES = (
     udx,
     pipelines,
     textstats,
+    # new round-3 curation queries register AFTER the queries the
+    # round-3 driver window must certify (VERDICT r2 item 1) — they
+    # take their first driver row in round 4's rotation
+    curation,
     relational,
     relational2,
     tpch_extra,

@@ -1,0 +1,218 @@
+"""Corpus-curation driver-contract queries (operators/curation.py):
+repeated-span scrubbing, containment pairs, SemDeDup-style semantic
+dedup, and sketch-accelerated exact heavy hitters — each with a
+DuckDB-parity oracle.
+
+Tokenization is the SimHash family's (lower → Python-parity trim →
+split on runs of whitespace → drop empties); the SQL twin is the
+identical regexp pipeline, so token positions, grams and counts match
+exactly. All ratios are int/int double divisions and all emitted
+doubles go through fround — hash-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.numeric import fround
+from queryengine_spark.operators.curation import (
+    containment_pairs,
+    heavy_hitters_exact,
+    semantic_dedup,
+    span_scrub,
+    token_bigram_relation,
+)
+from queryengine_spark.queries.base import t
+
+#: span scrub: 5-token grams occurring in ≥3 distinct docs (the sf0.01
+#: corpus has 74 such grams; real corpora use higher n / min_df)
+SPAN_N = 5
+SPAN_MIN_DF = 3
+#: containment: near-superset threshold over rare shingles (same 10%
+#: hot-shingle guard as dedup_ngram_jaccard, mirrored in the oracle)
+CONT_THRESHOLD = 0.9
+CONT_MAX_DF_RATIO = 0.1
+#: semantic dedup shares the IVF coarse quantizer's constants
+#: (queries/knn.py) and the embedding family's contract threshold
+#: (queries/dedup.py::COSINE_THRESHOLD rationale — non-empty on the
+#: isotropic synthetic corpus; production uses ≥0.9)
+SEM_THRESHOLD = 0.35
+SEM_N_CELLS = 16
+SEM_SAMPLE_N = 256
+SEM_ITERS = 3
+SEM_DIM = 64
+#: heavy hitters: ε = 1/1000 of the token-bigram stream
+HH_NUM = 1
+HH_DEN = 1000
+
+_TOKS_CTE = """
+WITH d AS (SELECT doc_id AS id,
+       list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                   t0 -> t0 <> '') AS toks
+       FROM documents)
+"""
+
+
+def curation_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return span_scrub(d, "doc_id", "text", n=SPAN_N, min_df=SPAN_MIN_DF).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_removed", "cleaned_text"
+    )
+
+
+CURATION_SPAN_SCRUB_SQL = (
+    _TOKS_CTE
+    + f""",
+tok AS (SELECT id, CAST(t.i AS INT) AS p, toks[CAST(t.i AS INT)] AS tk
+        FROM d, unnest(range(1, len(toks) + 1)) t(i)),
+gr AS (SELECT id, CAST(t.i AS INT) AS s,
+              array_to_string(list_slice(toks, CAST(t.i AS INT), CAST(t.i AS INT) + {SPAN_N - 1}), ' ') AS gram
+       FROM d, unnest(range(1, len(toks) - {SPAN_N - 2})) t(i)
+       WHERE len(toks) >= {SPAN_N}),
+freq AS (SELECT gram FROM (SELECT gram, count(DISTINCT id) AS gdf FROM gr GROUP BY gram)
+         WHERE gdf >= {SPAN_MIN_DF}),
+cov AS (SELECT DISTINCT g.id, CAST(t.p AS INT) AS p
+        FROM gr g JOIN freq f ON g.gram = f.gram, unnest(range(g.s, g.s + {SPAN_N})) t(p)),
+kept AS (SELECT tok.id, tok.p, tok.tk FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.id = tok.id AND c.p = tok.p)),
+clean AS (SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(tk, ' ' ORDER BY p) AS cleaned_text
+          FROM kept GROUP BY id),
+tot AS (SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d)
+SELECT tot.id AS doc_id, tot.n_tokens,
+       CAST(tot.n_tokens - COALESCE(clean.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(clean.cleaned_text, '') AS cleaned_text
+FROM tot LEFT JOIN clean ON tot.id = clean.id
+"""
+)
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return containment_pairs(
+        d, "doc_id", "text",
+        n=3, threshold=CONT_THRESHOLD, max_df_ratio=CONT_MAX_DF_RATIO,
+    ).select(
+        "id_a", "id_b",
+        fround("containment", 6).alias("containment"),
+        fround("jaccard", 6).alias("jaccard"),
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH d AS (SELECT doc_id AS id, lower(text) AS tl FROM documents),
+di AS (SELECT id, tl, unnest(range(1, length(tl) - 1)) AS i FROM d),
+sh0 AS (SELECT DISTINCT id, substr(tl, CAST(i AS INT), 3) AS sh FROM di),
+dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+sh AS (SELECT id, s.sh FROM sh0 s JOIN dfreq f ON s.sh = f.sh
+       WHERE f.df <= {CONT_MAX_DF_RATIO} * (SELECT count(*) FROM documents)),
+cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       floor(shared / least(ca.n_sh, cb.n_sh) * 1000000.0 + 0.5) / 1000000.0 AS containment,
+       floor(shared / (ca.n_sh + cb.n_sh - shared) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM shared
+JOIN cnt ca ON id_a = ca.id
+JOIN cnt cb ON id_b = cb.id
+WHERE shared / least(ca.n_sh, cb.n_sh) >= {CONT_THRESHOLD}
+"""
+
+
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding",
+        threshold=SEM_THRESHOLD, n_cells=SEM_N_CELLS,
+        sample_n=SEM_SAMPLE_N, train_iters=SEM_ITERS, dim=SEM_DIM,
+    ).select(F.col("id").alias("vec_id"), "cell", "is_dup")
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _sem_cells_cte() -> str:
+    """Unrolled integer k-means + 1-probe cell assignment over ALL
+    embeddings — same construction as queries/knn.py::_ivf_cte (same
+    quantizer constants), minus the query-side probing."""
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE len(embedding) = {SEM_DIM}),
+dims AS (SELECT CAST(unnest(range(1, {SEM_DIM + 1})) AS INT) AS d),
+s AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {SEM_SAMPLE_N}),
+sp AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM s, dims),
+seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         FROM (SELECT vec_id FROM s ORDER BY vec_id LIMIT {SEM_N_CELLS})),
+c0 AS (SELECT sd.cid, p.d, p.x AS c FROM seed sd JOIN sp p ON p.vec_id = sd.vec_id)"""
+    ]
+    for k in range(1, SEM_ITERS + 1):
+        parts.append(f""",
+d{k} AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
+        FROM sp p JOIN c{k - 1} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
+a{k} AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
+          FROM d{k}) WHERE rn = 1),
+m{k} AS (SELECT a.cid, p.d, COUNT(*) AS n, SUM(p.x) AS sx
+        FROM a{k} a JOIN sp p ON p.vec_id = a.vec_id GROUP BY a.cid, p.d),
+c{k} AS (SELECT c.cid, c.d,
+         CASE WHEN m.n IS NULL THEN c.c
+              ELSE CAST(floor(CAST(m.sx AS DOUBLE) / m.n) AS BIGINT) END AS c
+         FROM c{k - 1} c LEFT JOIN m{k} m ON m.cid = c.cid AND m.d = c.d)""")
+    parts.append(f""",
+ep AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM e, dims),
+dist AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
+         FROM ep p JOIN c{SEM_ITERS} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
+ranked AS (SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
+           FROM dist),
+cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)""")
+    return "".join(parts)
+
+
+DEDUP_SEMANTIC_SQL = f"""{_sem_cells_cte()},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {_COS.format(a='ea.v', b='eb.v')} >= {SEM_THRESHOLD}
+),
+dups AS (SELECT DISTINCT id_b FROM pairs)
+SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+       CAST(CASE WHEN dup.id_b IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+FROM cells c LEFT JOIN dups dup ON c.vec_id = dup.id_b
+"""
+
+
+def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    bigrams = token_bigram_relation(d, "doc_id", "text")
+    return heavy_hitters_exact(bigrams, "term", HH_NUM, HH_DEN)
+
+
+TEXT_HEAVY_HITTERS_SQL = (
+    _TOKS_CTE
+    + f""",
+g AS (SELECT toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1] AS term
+      FROM d, unnest(range(1, len(toks))) t(i)
+      WHERE len(toks) >= 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM g),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY term)
+SELECT term, cnt FROM c, tot WHERE cnt * {HH_DEN} >= {HH_NUM} * n_total
+"""
+)
+
+
+QUERIES = {
+    "curation_span_scrub": (curation_span_scrub, CURATION_SPAN_SCRUB_SQL),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    "text_heavy_hitters": (text_heavy_hitters, TEXT_HEAVY_HITTERS_SQL),
+}

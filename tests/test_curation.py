@@ -1,0 +1,211 @@
+"""Planted-case semantics tests for operators/curation.py: the
+corpus-level DuckDB oracle (test_entry_contract) proves cross-engine
+parity; these prove the operators do the RIGHT thing on constructed
+inputs where the expected answer is known by hand."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from queryengine_spark.operators.curation import (
+    _mg_insert,
+    containment_pairs,
+    exact_heavy_hitter_check,
+    heavy_hitters_exact,
+    mg_candidate_terms,
+    semantic_dedup,
+    span_scrub,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestSpanScrub:
+    def test_shared_span_removed_everywhere(self, spark):
+        span = "alpha beta gamma delta epsilon"
+        texts = [
+            f"one two {span} three",
+            f"{span} four five six",
+            f"seven {span}",
+            "unique words only here nothing shared",
+        ]
+        out = {
+            r["id"]: r
+            for r in span_scrub(_docs(spark, texts), "doc_id", "text", n=5, min_df=3)
+            .collect()
+        }
+        assert out[0]["cleaned_text"] == "one two three"
+        assert out[1]["cleaned_text"] == "four five six"
+        assert out[2]["cleaned_text"] == "seven"
+        assert out[3]["cleaned_text"] == texts[3]
+        assert out[0]["n_removed"] == 5 and out[3]["n_removed"] == 0
+
+    def test_below_min_df_kept(self, spark):
+        span = "alpha beta gamma delta epsilon"
+        texts = [f"one {span}", f"two {span}", "padding so corpus is non trivial"]
+        out = span_scrub(_docs(spark, texts), "doc_id", "text", n=5, min_df=3)
+        assert out.filter(F.col("n_removed") > 0).count() == 0
+
+    def test_overlapping_occurrences_union_cover(self, spark):
+        # the frequent gram occurs twice in doc 0, overlapping by two
+        # tokens — covered positions are a UNION, tokens removed once
+        g = "a b c d e"
+        texts = [f"{g} c d e x", f"{g} y", f"{g} z", f"pad {g} pad"]
+        row = (
+            span_scrub(_docs(spark, texts), "doc_id", "text", n=5, min_df=3)
+            .filter("id = 0")
+            .collect()[0]
+        )
+        # doc 0 = [a b c d e c d e x]: gram "a b c d e" at pos 1 covers
+        # 1-5; gram "c d e c d"/"d e c d e" are unique; only x + the
+        # second c d e survive unless they also form frequent grams
+        assert row["cleaned_text"].endswith("x")
+        assert row["n_removed"] >= 5
+
+    def test_every_doc_emitted_once(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = span_scrub(docs, "doc_id", "text", n=5, min_df=3)
+        assert out.count() == docs.count()
+        assert out.select("id").distinct().count() == docs.count()
+
+
+class TestContainment:
+    def test_exact_subset_scores_one_and_jaccard_misses(self, spark):
+        small = "qwxyzkj vbnmpl"
+        big = small + " asdfghrt uioplmb cvbnrty dfghvbn ertyuio"
+        texts = [small, big, "completely different content words"]
+        rows = containment_pairs(
+            _docs(spark, texts), "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id_a"], r["id_b"]) == (0, 1)
+        assert r["containment"] == pytest.approx(1.0)
+        # the whole point: symmetric Jaccard would have missed this pair
+        assert r["jaccard"] < 0.6
+
+    def test_no_false_pairs(self, spark):
+        texts = ["qwerty uiop asdf", "zxcvb nmlk hjgf", "poiuy trewq lkjh"]
+        assert (
+            containment_pairs(_docs(spark, texts), "doc_id", "text", n=3, threshold=0.9)
+            .count()
+            == 0
+        )
+
+    def test_df_guard_drops_hot_shingles(self, spark):
+        # shingle 'xxx' in every doc; with the guard at 50% it cannot
+        # create pairs on its own
+        texts = ["xxxx aaa", "xxxx bbb", "xxxx ccc", "xxxx ddd"]
+        out = containment_pairs(
+            _docs(spark, texts), "doc_id", "text",
+            n=3, threshold=0.9, max_df_ratio=0.5,
+        )
+        assert out.count() == 0
+
+
+class TestSemanticDedup:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_planted_duplicates_marked(self, spark):
+        rng = random.Random(7)
+        dim = 8
+        base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+        # ids 20, 21 duplicate id 3 exactly (same cluster, cosine 1.0)
+        vecs = base + [list(base[3]), [x * 2.0 for x in base[3]]]
+        out = {
+            r["id"]: r["is_dup"]
+            for r in semantic_dedup(
+                self._emb(spark, vecs), "vec_id", "embedding",
+                threshold=0.99, n_cells=4, sample_n=20, train_iters=2, dim=dim,
+            ).collect()
+        }
+        assert out[20] == 1 and out[21] == 1
+        assert out[3] == 0  # smallest id of the group survives
+        assert sum(out.values()) == 2
+
+    def test_no_dups_below_threshold(self, spark):
+        rng = random.Random(11)
+        dim = 8
+        vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(16)]
+        out = semantic_dedup(
+            self._emb(spark, vecs), "vec_id", "embedding",
+            threshold=0.9999, n_cells=4, sample_n=16, train_iters=2, dim=dim,
+        )
+        assert out.filter("is_dup = 1").count() == 0
+        assert out.count() == 16
+
+    def test_wrong_dim_vector_dropped(self, spark):
+        rng = random.Random(13)
+        dim = 8
+        vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(10)]
+        bad = self._emb(spark, vecs).union(
+            spark.createDataFrame(
+                [(99, [1.0] * 5)], "vec_id long, embedding array<double>"
+            )
+        )
+        out = semantic_dedup(
+            bad, "vec_id", "embedding",
+            threshold=0.99, n_cells=2, sample_n=10, train_iters=1, dim=dim,
+        )
+        assert out.filter("id = 99").count() == 0
+
+
+class TestHeavyHitters:
+    def _stream(self, spark, terms):
+        return spark.createDataFrame([(t,) for t in terms], "term string")
+
+    def test_exact_on_skewed_stream(self, spark):
+        rng = random.Random(42)
+        # zipf-ish: few hot terms, long tail
+        terms = (
+            ["hot_a"] * 500 + ["hot_b"] * 300 + ["warm"] * 40
+            + [f"tail_{rng.randrange(2000)}" for _ in range(2000)]
+        )
+        rng.shuffle(terms)
+        got = sorted(
+            (r["term"], r["cnt"])
+            for r in heavy_hitters_exact(self._stream(spark, terms), "term", 1, 100)
+            .collect()
+        )
+        assert got == exact_heavy_hitter_check(terms, 1, 100)
+        assert ("hot_a", 500) in got and ("hot_b", 300) in got
+
+    def test_candidates_are_pruned_superset(self, spark):
+        rng = random.Random(3)
+        terms = ["hot"] * 1000 + [f"t{rng.randrange(50000)}" for _ in range(5000)]
+        rng.shuffle(terms)
+        df = self._stream(spark, terms)
+        cand = {r["term"] for r in mg_candidate_terms(df, "term", 100).collect()}
+        assert "hot" in cand
+        vocab = df.distinct().count()
+        # the sketch must actually prune (this is its reason to exist)
+        assert len(cand) < vocab / 5
+
+    def test_mg_insert_weighted_guarantee(self):
+        # deterministic property check: for any stream, a term with
+        # freq > N/(k+1) survives the sketch
+        rng = random.Random(9)
+        for _ in range(25):
+            n_items = rng.randrange(50, 400)
+            stream = [f"t{rng.randrange(30)}" for _ in range(n_items)]
+            k = rng.randrange(4, 20)
+            counters: dict[str, int] = {}
+            from collections import Counter
+
+            for term, c in Counter(stream).items():
+                _mg_insert(counters, term, c, k)
+            exact = Counter(stream)
+            for term, c in exact.items():
+                if c > len(stream) / (k + 1):
+                    assert term in counters, (term, c, k, len(stream))
