@@ -96,6 +96,8 @@ HEADLINE = [
     "dedup_containment",
     "dedup_semantic",
     "text_heavy_hitters",
+    # round-3 IVF-PQ: 16-byte codes + 32-deep exact re-rank
+    "knn_pq_rerank",
 ]
 
 
@@ -187,6 +189,11 @@ def main() -> None:
         .agg(F.avg("recall").alias("r"))
         .collect()[0]["r"]
     )
+    pq_recall = (
+        queries["knn_pq_recall"](spark, sf_dir)
+        .agg(F.avg("recall").alias("r"))
+        .collect()[0]["r"]
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -200,6 +207,7 @@ def main() -> None:
                 "runs_per_query": N_RUNS,
                 "knn_lsh_recall_at_3": round(recall, 4),
                 "knn_ivf_recall_at_3": round(ivf_recall, 4),
+                "knn_pq_rerank_recall_at_3": round(pq_recall, 4),
             }
         )
     )

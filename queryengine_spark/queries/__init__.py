@@ -31,6 +31,7 @@ from queryengine_spark.queries import (
     eventsq,
     fuzzy,
     knn,
+    knn2,
     multimodal,
     pipelines,
     relational,
@@ -54,10 +55,11 @@ _MODULES = (
     udx,
     pipelines,
     textstats,
-    # new round-3 curation queries register AFTER the queries the
+    # new round-3 curation/ANN queries register AFTER the queries the
     # round-3 driver window must certify (VERDICT r2 item 1) — they
     # take their first driver row in round 4's rotation
     curation,
+    knn2,
     relational,
     relational2,
     tpch_extra,

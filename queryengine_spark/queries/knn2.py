@@ -1,0 +1,237 @@
+"""Round-3 ANN additions: IVF-PQ (product-quantized) top-k, its
+exact-re-rank variant, and the recall harness. Registered after the
+round-3 certification window (see queries/__init__.py) — first driver
+row in round 4.
+
+The oracle unrolls, in one SQL statement: the IVF coarse quantizer's
+integer k-means (reusing queries/knn.py::_ivf_cte verbatim, so cells
+match knn_ivf exactly), the per-subspace PQ codebook k-means (same
+integer arithmetic, keyed by subspace), code assignment, ADC scoring,
+and the exact re-rank — every accumulation is an int64 SUM
+(order-independent), so centroids, codes, scores and ranks are
+bit-identical across engines.
+
+Config is the standard PQ16×8 (16 subspaces × 256 centroids → 16
+bytes/vector, 32× compression of a float64[64]): measured on the
+clustered test corpus (tests/test_knn_pq.py) ADC-only recall@3 is
+0.60 — 8-bit codes cannot rank inside a tight cluster — while the
+32-deep shortlist contains the true top-3 with p=0.993, so the
+re-rank path (fetch 32 full vectors per query, exact cosine) is the
+shipped configuration, mirroring FAISS's IVFPQ+refine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queryengine_spark.operators.knn import brute_force_topk, ivf_pq_topk
+from queryengine_spark.queries.base import t
+from queryengine_spark.queries.knn import (
+    DIM,
+    K_LSH,
+    KMEANS_ITERS,
+    N_CELLS,
+    NPROBE,
+    SAMPLE_N,
+    _ivf_cte,
+)
+
+PQ_M = 16
+PQ_KSUB = 256
+PQ_SAMPLE_N = 1024
+RERANK_R = 32
+_SUB = DIM // PQ_M
+
+_KW = dict(
+    k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE,
+    sample_n=SAMPLE_N, train_iters=KMEANS_ITERS,
+    m=PQ_M, ksub=PQ_KSUB, dim=DIM, pq_sample_n=PQ_SAMPLE_N,
+)
+
+
+def knn_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure ADC ranking over PQ codes (no re-rank): the cheapest scan
+    — candidate vectors never leave storage, only 16-byte codes
+    travel. Ranking noise at 8-bit resolution is inherent; the
+    re-rank twin below is the quality path."""
+    e = t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_topk(queries, e, "vec_id", "embedding", **_KW)
+
+
+def knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC top-32 shortlist → exact cosine re-rank over only those 32
+    full vectors per query — the production IVF-PQ configuration."""
+    e = t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_topk(
+        queries, e, "vec_id", "embedding", rerank_r=RERANK_R, **_KW
+    )
+
+
+def _pq_cte() -> str:
+    """IVF cells/qcells (reused verbatim from queries/knn.py) + the
+    PQ codebook chain: per-subspace k-means over a 1024-vector
+    sample, code assignment, centroid reconstruction, ADC scoring.
+
+    The chained multi-referenced CTEs are AS MATERIALIZED: DuckDB
+    otherwise inlines each reference, re-executing the whole chain
+    per reference (measured 69 s → 9 s at sf0.01)."""
+    parts = [
+        _ivf_cte(),
+        f""",
+ps AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_SAMPLE_N}),
+psp AS MATERIALIZED (SELECT vec_id, CAST((d - 1) // {_SUB} AS INT) AS sub, d,
+               CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM ps, dims),
+pep AS MATERIALIZED (SELECT vec_id, CAST((d - 1) // {_SUB} AS INT) AS sub, d, x FROM ep),
+pseed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM (SELECT vec_id FROM ps ORDER BY vec_id LIMIT {PQ_KSUB})),
+pc0 AS MATERIALIZED (SELECT p.sub, sd.cid, p.d, p.x AS c
+        FROM pseed sd JOIN psp p ON p.vec_id = sd.vec_id)""",
+    ]
+    for k in range(1, KMEANS_ITERS + 1):
+        parts.append(f""",
+pd{k} AS MATERIALIZED (SELECT p.vec_id, c.sub, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
+         FROM psp p JOIN pc{k - 1} c ON p.d = c.d GROUP BY p.vec_id, c.sub, c.cid),
+pa{k} AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+           SELECT vec_id, sub, cid,
+                  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+           FROM pd{k}) WHERE rn = 1),
+pm{k} AS MATERIALIZED (SELECT a.sub, a.cid, p.d, COUNT(*) AS n, SUM(p.x) AS sx
+         FROM pa{k} a JOIN psp p ON p.vec_id = a.vec_id AND p.sub = a.sub
+         GROUP BY a.sub, a.cid, p.d),
+pc{k} AS MATERIALIZED (SELECT c.sub, c.cid, c.d,
+          CASE WHEN m.n IS NULL THEN c.c
+               ELSE CAST(floor(CAST(m.sx AS DOUBLE) / m.n) AS BIGINT) END AS c
+          FROM pc{k - 1} c LEFT JOIN pm{k} m
+            ON m.sub = c.sub AND m.cid = c.cid AND m.d = c.d)""")
+    parts.append(f""",
+pdist AS MATERIALIZED (SELECT p.vec_id, c.sub, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
+          FROM pep p JOIN pc{KMEANS_ITERS} c ON p.d = c.d
+          GROUP BY p.vec_id, c.sub, c.cid),
+pcodes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+            FROM pdist) WHERE rn = 1),
+rsel AS MATERIALIZED (SELECT co.vec_id, c.d, c.c
+         FROM pcodes co JOIN pc{KMEANS_ITERS} c ON c.sub = co.sub AND c.cid = co.cid),
+rnorm AS (SELECT vec_id, SUM(c * c) AS rn2 FROM rsel GROUP BY vec_id),
+qp AS (SELECT vec_id, d, x FROM ep WHERE vec_id % 50 = 0),
+qnorm AS (SELECT vec_id, SUM(x * x) AS qn2 FROM qp GROUP BY vec_id),
+cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM qcells q JOIN cells c ON q.cell = c.cell
+         WHERE c.vec_id <> q.vec_id),
+dots AS (SELECT p.query_id, p.neighbor_id, SUM(qp.x * r.c) AS dot
+         FROM cand p
+         JOIN qp ON qp.vec_id = p.query_id
+         JOIN rsel r ON r.vec_id = p.neighbor_id AND r.d = qp.d
+         GROUP BY p.query_id, p.neighbor_id),
+pscored AS MATERIALIZED (SELECT d.query_id, d.neighbor_id,
+            d.dot / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(r.rn2 AS DOUBLE))) AS score
+            FROM dots d
+            JOIN qnorm q ON q.vec_id = d.query_id
+            JOIN rnorm r ON r.vec_id = d.neighbor_id)""")
+    return "".join(parts)
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+KNN_PQ_SQL = f"""{_pq_cte()}
+SELECT query_id, neighbor_id,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score_hat,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS INT) AS rn
+FROM pscored
+QUALIFY rn <= {K_LSH}
+"""
+
+_SHORT_CTE = f""",
+short AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id ASC) AS rn
+           FROM pscored) WHERE rn <= {RERANK_R}),
+rer AS (SELECT s.query_id, s.neighbor_id,
+               {_COS.format(a='qe.v', b='ce.v')} AS cos
+        FROM short s
+        JOIN e qe ON qe.vec_id = s.query_id
+        JOIN e ce ON ce.vec_id = s.neighbor_id)"""
+
+KNN_PQ_RERANK_SQL = f"""{_pq_cte()}{_SHORT_CTE}
+SELECT query_id, neighbor_id,
+       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+FROM rer
+QUALIFY rn <= {K_LSH}
+"""
+
+
+def knn_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@3 of the re-ranked IVF-PQ path vs exact brute force —
+    isolates what 16-byte codes + a 32-deep exact re-rank give up vs
+    IVF-Flat (same shortlist cells, full vectors everywhere)."""
+    e = t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    bf = brute_force_topk(queries, e, "vec_id", "embedding", k=K_LSH)
+    pq = knn_pq_rerank(spark, sf)
+    hits = (
+        bf.select("query_id", "neighbor_id")
+        .join(pq.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            (F.coalesce("n_found", F.lit(0)) / F.lit(K_LSH)).alias("recall"),
+        )
+    )
+
+
+KNN_PQ_RECALL_SQL = f"""{_pq_cte()}{_SHORT_CTE},
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q
+    JOIN e e2 ON e2.vec_id <> q.vec_id
+  ) WHERE rn <= {K_LSH}
+),
+pqtop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT r.query_id, r.neighbor_id,
+           row_number() OVER (PARTITION BY r.query_id
+               ORDER BY r.cos DESC, r.neighbor_id ASC) AS rn
+    FROM rer r
+  ) WHERE rn <= {K_LSH}
+),
+hits AS (
+  SELECT bf.query_id, COUNT(*) AS n_found
+  FROM bf WHERE EXISTS (SELECT 1 FROM pqtop
+                        WHERE pqtop.query_id = bf.query_id
+                          AND pqtop.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_found, 0) AS BIGINT) AS n_found,
+       COALESCE(h.n_found, 0) / {K_LSH} AS recall
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
+QUERIES = {
+    "knn_pq": (knn_pq, KNN_PQ_SQL),
+    "knn_pq_rerank": (knn_pq_rerank, KNN_PQ_RERANK_SQL),
+    "knn_pq_recall": (knn_pq_recall, KNN_PQ_RECALL_SQL),
+}

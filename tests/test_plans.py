@@ -184,3 +184,48 @@ def test_fuzzy_topk_term_prune_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert len(re.findall(r"Window \[", plan)) >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_span_scrub_broadcast_frequent_grams_no_cartesian(spark, sf_dir):
+    """The frequent-gram set joins back as a broadcast (it is bounded
+    by the df filter); nothing in the scrub may go quadratic."""
+    plan = _plan(spark, sf_dir, "curation_span_scrub")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan  # covered-position removal
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_inverted_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_cell_local_kernel(spark, sf_dir):
+    """SemDeDup's pair scan must be the grouped Arrow kernel (cell-
+    local), never a pair join materializing the cross product."""
+    plan = _plan(spark, sf_dir, "dedup_semantic")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_sketch_then_broadcast_verify(spark, sf_dir):
+    """Pass 1 is the map-only Arrow sketch; pass 2 semi-joins the
+    stream against a BROADCAST candidate set (the term space itself
+    is never shuffled)."""
+    plan = _plan(spark, sf_dir, "text_heavy_hitters")
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_scoring_joins_codes_not_vectors(spark, sf_dir):
+    """IVF-PQ's cell join must never go quadratic, and the re-rank's
+    vector fetch must stay a (shortlist ⋈ vectors) equi-join."""
+    for name in ("knn_pq", "knn_pq_rerank"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "WindowGroupLimit" in plan, name
