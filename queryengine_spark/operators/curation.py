@@ -9,7 +9,7 @@ composed from the same Spark primitives as the dedup family
 (operators/dedup.py). Public-algorithm citations in each docstring.
 
 Engine-portability discipline matches operators/dedup.py: md5 is the
-shared hash, all counts are exact integers, all thresshold compares
+shared hash, all counts are exact integers, all threshold compares
 are either integer-exact or bit-exact IEEE doubles — so every
 operator here has a DuckDB-oracle twin in queries/curation.py.
 """
@@ -324,3 +324,84 @@ def exact_heavy_hitter_check(rows: list, eps_num: int, eps_den: int) -> list:
     return sorted(
         (t, k) for t, k in c.items() if k * eps_den >= eps_num * n
     )
+
+
+def incremental_minhash_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new: Column,
+    n_hashes: int = 8,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental corpus dedup: flag each NEW-batch document that
+    MinHash-band-collides with (a) the already-ingested history or
+    (b) an earlier document of the same batch — the production
+    "dedup today's crawl against everything we already have" shape.
+
+    The history side reduces to its DISTINCT band-bucket set: in a
+    real deployment that set (or the signature relation) is the
+    stored index, appended batch over batch — history TEXT is never
+    re-read and never re-hashed, and the per-batch cost is
+    O(batch) signatures + one equi-join against the bucket index.
+    Within-batch duplicates are ordered by id (a doc is the dup, its
+    smallest-id bucket-mate the survivor), so reingesting the same
+    batch is idempotent.
+
+    Output: one row per new doc — (id, dup_of_history, dup_in_batch).
+    """
+    from queryengine_spark.operators.dedup import (
+        _band_bucket_array,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    flagged = df.select(F.col(id_col).alias("id"), is_new.alias("is_new"))
+    buckets = (
+        sig.select("id", F.explode(_band_bucket_array(n_hashes, band_size)).alias("bucket"))
+        .join(flagged, "id")
+        .localCheckpoint(eager=False)
+    )
+    hist = buckets.filter(~F.col("is_new")).select("bucket").distinct()
+    newb = buckets.filter(F.col("is_new")).select("id", "bucket")
+    dup_hist = (
+        newb.join(hist, "bucket", "left_semi").select("id").distinct()
+        .withColumn("dh", F.lit(1))
+    )
+    earlier = newb.select(F.col("id").alias("id_e"), "bucket")
+    dup_batch = (
+        newb.join(earlier, "bucket")
+        .filter(F.col("id_e") < F.col("id"))
+        .select("id")
+        .distinct()
+        .withColumn("db", F.lit(1))
+    )
+    return (
+        flagged.filter("is_new")
+        .join(dup_hist, "id", "left")
+        .join(dup_batch, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dh", F.lit(0)).cast("int").alias("dup_of_history"),
+            F.coalesce("db", F.lit(0)).cast("int").alias("dup_in_batch"),
+        )
+    )
+
+
+def nfc_normalize_udf():
+    """Arrow UDF: Unicode NFC normalization (unicodedata — the same
+    UAX #15 composition DuckDB's nfc_normalize applies), the
+    canonical first step of multilingual text curation: decomposed
+    accent sequences, compatibility leftovers and mixed encodings
+    collapse to one canonical form so hashes/dedup see equal texts
+    as equal bytes."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize("NFC", v)
+        )
+
+    return _nfc

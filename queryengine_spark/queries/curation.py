@@ -216,3 +216,102 @@ QUERIES = {
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "text_heavy_hitters": (text_heavy_hitters, TEXT_HEAVY_HITTERS_SQL),
 }
+
+
+#: incremental dedup: history = 80% of the corpus (doc_id % 5 != 0),
+#: today's batch = the remaining 20% — deterministic at every scale
+HIST_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from queryengine_spark.operators.curation import incremental_minhash_flags
+    from queryengine_spark.queries.dedup import BAND_SIZE, N_HASHES
+
+    d = t(spark, sf, "documents")
+    return incremental_minhash_flags(
+        d, "doc_id", "text",
+        is_new=F.col("doc_id") % HIST_MOD == 0,
+        n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+    ).select(F.col("id").alias("doc_id"), "dup_of_history", "dup_in_batch")
+
+
+def _inc_sql() -> str:
+    from queryengine_spark.queries.dedup import _SHINGLE_CTE, BAND_SIZE, N_HASHES
+
+    mins = ",\n   ".join(
+        f"min(substr(md5('{i // 4}:' || sh), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    bands = "\n  UNION ALL ".join(
+        "SELECT id, md5('{b}' || '|' || {cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+sig AS (SELECT id,
+   {mins}
+   FROM sh GROUP BY id),
+bk0 AS (
+  {bands}
+),
+hist AS (SELECT DISTINCT bucket FROM bk0 WHERE id % {HIST_MOD} <> 0),
+newb AS (SELECT id, bucket FROM bk0 WHERE id % {HIST_MOD} = 0),
+dh AS (SELECT DISTINCT n.id FROM newb n
+       WHERE EXISTS (SELECT 1 FROM hist h WHERE h.bucket = n.bucket)),
+db AS (SELECT DISTINCT n.id FROM newb n
+       JOIN newb m ON m.bucket = n.bucket AND m.id < n.id)
+SELECT d.doc_id,
+       CAST(CASE WHEN dh.id IS NULL THEN 0 ELSE 1 END AS INT) AS dup_of_history,
+       CAST(CASE WHEN db.id IS NULL THEN 0 ELSE 1 END AS INT) AS dup_in_batch
+FROM documents d
+LEFT JOIN dh ON dh.id = d.doc_id
+LEFT JOIN db ON db.id = d.doc_id
+WHERE d.doc_id % {HIST_MOD} = 0
+"""
+    )
+
+
+DEDUP_INCREMENTAL_SQL = _inc_sql()
+
+
+#: planted decomposed sequences: 'e'+U+0301 → é, 'A'+U+030A → Å under
+#: NFC; the precomposed 'é' and 'ß' must pass through unchanged
+#: (canonical, not compatibility, normalization)
+_NFC_SUFFIX = " café Å café straße"
+
+
+def text_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    from queryengine_spark.operators.curation import nfc_normalize_udf
+
+    d = t(spark, sf, "documents")
+    raw = F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
+    nfc = nfc_normalize_udf()
+    return d.select(
+        "doc_id",
+        nfc(raw).alias("norm_text"),
+        F.length(raw).cast("bigint").alias("chars_before"),
+        F.length(nfc(raw)).cast("bigint").alias("chars_after"),
+    )
+
+
+TEXT_UNICODE_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       nfc_normalize(text || '{_NFC_SUFFIX}') AS norm_text,
+       CAST(length(text || '{_NFC_SUFFIX}') AS BIGINT) AS chars_before,
+       CAST(length(nfc_normalize(text || '{_NFC_SUFFIX}')) AS BIGINT) AS chars_after
+FROM documents
+"""
+
+QUERIES.update(
+    {
+        "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+        "text_unicode_normalize": (text_unicode_normalize, TEXT_UNICODE_NORMALIZE_SQL),
+    }
+)

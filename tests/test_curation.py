@@ -209,3 +209,61 @@ class TestHeavyHitters:
             for term, c in exact.items():
                 if c > len(stream) / (k + 1):
                     assert term in counters, (term, c, k, len(stream))
+
+
+class TestIncrementalDedup:
+    def test_new_copy_of_history_doc_flagged(self, spark):
+        from queryengine_spark.operators.curation import incremental_minhash_flags
+
+        hist = "the quick brown fox jumps over the lazy dog repeatedly"
+        texts = {
+            1: hist,
+            2: "completely different historical content here",
+            10: hist,                      # new, dup of history doc 1
+            15: "novel fresh text never seen before anywhere",
+            20: "novel fresh text never seen before anywhere",  # new, dup of 15
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        out = {
+            r["id"]: (r["dup_of_history"], r["dup_in_batch"])
+            for r in incremental_minhash_flags(
+                df, "doc_id", "text", is_new=F.col("doc_id") >= 10,
+                n_hashes=8, band_size=4,
+            ).collect()
+        }
+        assert set(out) == {10, 15, 20}  # one row per NEW doc only
+        assert out[10] == (1, 0)
+        assert out[15][0] == 0
+        assert out[20] == (0, 1)  # dup of the earlier batch doc, not history
+
+    def test_idempotent_reingest(self, spark):
+        """Re-running the batch against a history that now includes
+        it flags everything as a history dup — ingest is idempotent."""
+        from queryengine_spark.operators.curation import incremental_minhash_flags
+
+        texts = [(i, f"document number {i} with shared vocabulary padding") for i in range(6)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        both = df.union(df.withColumn("doc_id", F.col("doc_id") + 100))
+        out = incremental_minhash_flags(
+            both, "doc_id", "text", is_new=F.col("doc_id") >= 100,
+            n_hashes=8, band_size=4,
+        )
+        assert out.filter("dup_of_history = 0").count() == 0
+
+
+class TestUnicodeNormalize:
+    def test_nfc_composes_and_is_idempotent(self, spark):
+        from queryengine_spark.operators.curation import nfc_normalize_udf
+
+        decomposed = "café Å"
+        composed = "café Å"
+        df = spark.createDataFrame(
+            [(1, decomposed), (2, composed), (3, None)], "id long, s string"
+        )
+        nfc = nfc_normalize_udf()
+        rows = {r["id"]: r["n"] for r in df.select("id", nfc("s").alias("n")).collect()}
+        assert rows[1] == composed          # composition applied
+        assert rows[2] == composed          # already-NFC passes through
+        assert rows[3] is None              # NULL-safe

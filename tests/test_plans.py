@@ -229,3 +229,12 @@ def test_pq_scoring_joins_codes_not_vectors(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "WindowGroupLimit" in plan, name
+
+
+def test_incremental_dedup_joins_bucket_index(spark, sf_dir):
+    """Batch-vs-history dedup must be bucket equi-joins (semi against
+    the history index, self-join within batch) — never quadratic."""
+    plan = _plan(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
