@@ -98,9 +98,11 @@ HEADLINE = [
     "text_heavy_hitters",
     # round-3 IVF-PQ: 16-byte codes + 32-deep exact re-rank
     "knn_pq_rerank",
-    # round-3: incremental batch-vs-history dedup, NFC normalization
+    # round-3: incremental batch-vs-history dedup, NFC normalization,
+    # hashed-feature quality classifier
     "dedup_incremental",
     "text_unicode_normalize",
+    "text_quality_classifier",
 ]
 
 

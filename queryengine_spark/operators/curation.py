@@ -405,3 +405,61 @@ def nfc_normalize_udf():
         )
 
     return _nfc
+
+
+def hashed_feature_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 65536,
+    weight_span: int = 1000,
+) -> DataFrame:
+    """Linear text classifier over hashed n-gram features — the
+    fastText-shaped scoring stage of production quality filters
+    (CCNet-style): features = token unigrams + bigrams, hashed into
+    ``n_buckets`` buckets, score = mean of per-bucket weights.
+
+    The weight VALUES here are a deterministic stand-in (derived from
+    md5 of the bucket id, uniform in [-weight_span, +weight_span]) —
+    a real deployment swaps in trained weights as a broadcast lookup
+    table joined on the bucket id; every other part of the plan
+    (feature explode, hash, weight map, per-doc aggregate) is exactly
+    the production shape and stays engine-portable: bucket = first 4
+    hex chars of md5(feature) as an integer, weight = md5-derived
+    integer, margin = exact BIGINT sum, score = one int/int double
+    division.
+
+    Output: (id, n_feats, margin, score, label) — label = score ≥ 0.
+    """
+    base = _token_relation(df, id_col, text_col)
+    feats = base.select(
+        "id",
+        F.explode(
+            F.concat(F.col("toks"), token_ngrams(F.col("toks"), 2))
+        ).alias("feat"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 4), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % (2 * weight_span + 1)
+    ) - weight_span
+    scored = feats.select("id", weight.alias("w"))
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.sum("w").cast("bigint").alias("margin"),
+    )
+    score = F.col("margin") / F.col("n_feats")
+    return agg.select(
+        "id",
+        "n_feats",
+        "margin",
+        score.alias("score"),
+        (score >= 0).cast("int").alias("label"),
+    )

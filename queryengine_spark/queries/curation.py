@@ -315,3 +315,49 @@ QUERIES.update(
         "text_unicode_normalize": (text_unicode_normalize, TEXT_UNICODE_NORMALIZE_SQL),
     }
 )
+
+
+#: hashed-feature classifier: 2^16 buckets, weights uniform in ±1000
+CLS_BUCKETS = 65536
+CLS_SPAN = 1000
+
+
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    from queryengine_spark.operators.curation import hashed_feature_score
+
+    d = t(spark, sf, "documents")
+    return hashed_feature_score(
+        d, "doc_id", "text", n_buckets=CLS_BUCKETS, weight_span=CLS_SPAN
+    ).select(F.col("id").alias("doc_id"), "n_feats", "margin", "score", "label")
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = (
+    _TOKS_CTE
+    + f""",
+uni AS (SELECT id, unnest(toks) AS feat FROM d),
+bi AS (SELECT id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1] AS feat
+       FROM d, unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2),
+feats AS (SELECT id, feat FROM uni UNION ALL SELECT id, feat FROM bi),
+wts AS (SELECT id,
+        (('0x' || substr(md5('w:' ||
+            ((('0x' || substr(md5(feat), 1, 4))::BIGINT) % {CLS_BUCKETS})::VARCHAR
+         ), 1, 4))::BIGINT % {2 * CLS_SPAN + 1}) - {CLS_SPAN} AS w
+        FROM feats),
+agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(w) AS BIGINT) AS margin
+        FROM wts GROUP BY id)
+SELECT id AS doc_id, n_feats, margin,
+       margin / n_feats AS score,
+       CAST(CASE WHEN margin / n_feats >= 0 THEN 1 ELSE 0 END AS INT) AS label
+FROM agg
+"""
+)
+
+QUERIES.update(
+    {
+        "text_quality_classifier": (
+            text_quality_classifier,
+            TEXT_QUALITY_CLASSIFIER_SQL,
+        ),
+    }
+)

@@ -428,3 +428,85 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+HH_OUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("term", StringType()),
+        StructField("lower_count", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("terms", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("seq", LongType(), True),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "event_type",
+    term_col: str = "user_id",
+    k: int = 50,
+) -> DataFrame:
+    """Stateful streaming heavy hitters: one bounded weighted
+    Misra-Gries sketch (k counters) per group key, folded across
+    micro-batches via applyInPandasWithState — the streaming twin of
+    the batch two-pass ``heavy_hitters_exact``
+    (operators/curation.py).
+
+    Guarantee (arrival-order independent, so stream == batch at the
+    contract level): total decrement across the whole run is at most
+    N/(k+1), so any term with overall frequency > N_group/(k+1) has a
+    positive final count and is in the candidate set — the emitted
+    snapshot is a guaranteed superset of the true heavy hitters, with
+    ``lower_count`` a lower bound on the true count. State per key is
+    O(k) forever (no watermark needed — the sketch, not retention,
+    bounds it). Each batch emits the full current snapshot stamped
+    with a per-key sequence number; consumers read the max-seq rows
+    (tests do exactly that), or run the exact verify pass of the
+    batch twin over the final candidates.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from queryengine_spark.operators.curation import _mg_insert
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            terms, counts, seq = state.get
+            counters = dict(zip(terms, counts))
+        else:
+            counters, seq = {}, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            vc = pdf[term_col].astype(str).value_counts()
+            for t, c in vc.items():
+                _mg_insert(counters, t, int(c), k)
+        seq += 1
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])] * len(counters),
+                "term": list(counters.keys()),
+                "lower_count": [int(v) for v in counters.values()],
+                "seq": [seq] * len(counters),
+            }
+        )
+        state.update(
+            ([str(t) for t in counters], [int(v) for v in counters.values()], seq)
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

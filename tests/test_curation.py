@@ -267,3 +267,28 @@ class TestUnicodeNormalize:
         assert rows[1] == composed          # composition applied
         assert rows[2] == composed          # already-NFC passes through
         assert rows[3] is None              # NULL-safe
+
+
+class TestQualityClassifier:
+    def test_deterministic_and_content_keyed(self, spark):
+        from queryengine_spark.operators.curation import hashed_feature_score
+
+        df = spark.createDataFrame(
+            [
+                (1, "spark engine join window"),
+                (2, "spark engine join window"),   # exact dup → same score
+                (3, "totally different token stream here"),
+                (4, "solo"),                        # 1 token → 1 unigram, 0 bigrams
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in hashed_feature_score(df, "doc_id", "text").collect()}
+        assert out[1]["score"] == out[2]["score"]
+        assert out[1]["margin"] == out[2]["margin"]
+        assert out[4]["n_feats"] == 1
+        # 4 tokens → 4 unigrams + 3 bigrams
+        assert out[1]["n_feats"] == 7
+        assert all(r["label"] in (0, 1) for r in out.values())
+        # re-run: the md5-derived weights are a pure function of text
+        again = {r["id"]: r["score"] for r in hashed_feature_score(df, "doc_id", "text").collect()}
+        assert {k: v["score"] for k, v in out.items()} == again

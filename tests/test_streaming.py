@@ -296,3 +296,50 @@ def test_streaming_dedup_bounded_horizon_semantics(spark, tmp_path):
     # 1 kept, 2 collapsed (within horizon), pushers kept, 4 kept
     # (re-emitted after eviction — the documented horizon trade)
     assert ids == [1, 3, 4, 9]
+
+
+def test_streaming_heavy_hitters_superset_and_bounded_state(spark, events_dir):
+    """The per-key MG sketch folded across micro-batches must (a) keep
+    at most k counters per key, and (b) have every TRUE heavy hitter
+    (count > N_key/(k+1), computed exactly in batch) in its final
+    snapshot — the guarantee is arrival-order independent, so this is
+    the stream==batch contract for a sketch operator."""
+    from queryengine_spark.streaming import streaming_heavy_hitters
+
+    k = 50
+    stream = read_event_stream(spark, events_dir)
+    q = run_stream_to_memory(
+        streaming_heavy_hitters(stream, "event_type", "user_id", k=k),
+        "hh_test",
+        "append",
+    )
+    rows = spark.sql("SELECT * FROM hh_test").collect()
+    q.stop()
+    assert rows, "stream emitted nothing"
+    # final snapshot = max-seq rows per key
+    max_seq = {}
+    for r in rows:
+        max_seq[r["group_key"]] = max(max_seq.get(r["group_key"], 0), r["seq"])
+    snapshot: dict[str, set] = {}
+    for r in rows:
+        if r["seq"] == max_seq[r["group_key"]]:
+            snapshot.setdefault(r["group_key"], set()).add(r["term"])
+    for key, terms in snapshot.items():
+        assert len(terms) <= k, (key, len(terms))
+
+    batch = spark.read.parquet(events_dir)
+    exact = (
+        batch.groupBy("event_type", "user_id")
+        .count()
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    for r in exact:
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) + r["count"]
+    missed = [
+        (r["event_type"], r["user_id"], r["count"])
+        for r in exact
+        if r["count"] > totals[r["event_type"]] / (k + 1)
+        and str(r["user_id"]) not in snapshot.get(r["event_type"], set())
+    ]
+    assert not missed, f"heavy hitters missing from sketch snapshot: {missed[:5]}"
