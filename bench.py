@@ -103,6 +103,9 @@ HEADLINE = [
     "dedup_incremental",
     "text_unicode_normalize",
     "text_quality_classifier",
+    # round-3: BPE tokenizer, temperature-weighted source mixing
+    "text_bpe_tokenize",
+    "pipeline_temperature_mix",
 ]
 
 

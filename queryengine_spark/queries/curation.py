@@ -361,3 +361,97 @@ QUERIES.update(
         ),
     }
 )
+
+
+#: BPE: merges trained on the 256 smallest-id docs, 200 merge rounds
+BPE_SAMPLE_N = 256
+BPE_MERGES = 200
+
+
+def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-on-sample + distributed-apply BPE (functions/bpe.py).
+    Rows-only contract: iterative data-dependent rewriting is not
+    SQL-expressible; pytest pins the encoder against an independent
+    reference implementation and round-trip/boundary properties."""
+    from queryengine_spark.functions.bpe import bpe_encode_udf, bpe_train_on_sample
+    from queryengine_spark.functions.text import tokenize_ws
+
+    d = t(spark, sf, "documents")
+    merges = bpe_train_on_sample(d, "doc_id", "text", BPE_SAMPLE_N, BPE_MERGES)
+    enc = bpe_encode_udf(merges)
+    toks = tokenize_ws(F.lower(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(enc(toks)).cast("bigint").alias("n_subwords"),
+        F.array_join(F.slice(enc(toks), 1, 12), " ").alias("head_subwords"),
+    )
+
+
+QUERIES.update({"text_bpe_tokenize": (text_bpe_tokenize, None)})
+
+
+#: temperature-weighted sampling: targets ∝ n_source^0.5 (α = 0.5 —
+#: the standard multilingual/up-weighting trick: hot sources are
+#: down-weighted, rare sources up-weighted, relative to proportional)
+TEMP_K_TOTAL = 100
+
+
+def pipeline_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mixing: per-source sample targets
+    ∝ sqrt(n_source), drawn as the target_n smallest-md5 docs per
+    source — fully deterministic/replayable (no random()), exact
+    integer target arithmetic (floor-scaled sqrt weights; ceil
+    division in the exact-integer form both engines evaluate
+    identically). One shuffle on source; WindowGroupLimit bounds
+    per-key state."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_source"))
+    w = F.floor(F.sqrt(F.col("n_source")) * F.lit(10000.0)).cast("bigint")
+    weights = counts.withColumn("w", w)
+    tot = weights.agg(F.sum("w").cast("bigint").alias("tw"))
+    a = F.lit(TEMP_K_TOTAL) * F.col("w") + F.col("tw") - F.lit(1)
+    targets = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn("target_n", ((a - a % F.col("tw")) / F.col("tw")).cast("bigint"))
+        .select("source", "n_source", "target_n")
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    win = Window.partitionBy("source").orderBy(h.asc())
+    ranked = d.withColumn("rank", F.row_number().over(win).cast("int"))
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("rank") <= F.col("target_n"))
+        .select("source", "doc_id", "rank", "n_source", "target_n")
+    )
+
+
+PIPELINE_TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+                FROM documents GROUP BY source),
+wts AS (SELECT source, n_source,
+               CAST(floor(sqrt(n_source) * 10000.0) AS BIGINT) AS w
+        FROM counts),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+targets AS (SELECT source, n_source,
+            CAST((({TEMP_K_TOTAL} * w + tw - 1) - (({TEMP_K_TOTAL} * w + tw - 1) % tw)) / tw AS BIGINT) AS target_n
+            FROM wts, tot),
+ranked AS (SELECT source, doc_id,
+           CAST(row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS INT) AS rank
+           FROM documents)
+SELECT r.source, r.doc_id, r.rank, t.n_source, t.target_n
+FROM ranked r JOIN targets t ON r.source = t.source
+WHERE r.rank <= t.target_n
+"""
+
+QUERIES.update(
+    {
+        "pipeline_temperature_mix": (
+            pipeline_temperature_mix,
+            PIPELINE_TEMPERATURE_MIX_SQL,
+        ),
+    }
+)

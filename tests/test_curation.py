@@ -292,3 +292,80 @@ class TestQualityClassifier:
         # re-run: the md5-derived weights are a pure function of text
         again = {r["id"]: r["score"] for r in hashed_feature_score(df, "doc_id", "text").collect()}
         assert {k: v["score"] for k, v in out.items()} == again
+
+
+class TestBPE:
+    def _ref_encode(self, word, merges):
+        """Independent quadratic reference: apply merges in TRAINING
+        order, each exhaustively, then repeat — equivalent to
+        lowest-rank-first rewriting (both compute the unique normal
+        form of the confluent rewrite system)."""
+        from queryengine_spark.functions.bpe import EOW
+
+        sym = list(word) + [EOW]
+        changed = True
+        while changed:
+            changed = False
+            for a, b in merges:
+                i = 0
+                while i < len(sym) - 1:
+                    if sym[i] == a and sym[i + 1] == b:
+                        sym[i : i + 2] = [a + b]
+                        changed = True
+                    else:
+                        i += 1
+        return sym
+
+    def test_train_learns_frequent_pair_and_encode_matches_reference(self):
+        from queryengine_spark.functions.bpe import bpe_encode_word, bpe_train
+
+        words = {"lowest": 5, "lower": 7, "low": 10, "newest": 6, "widest": 3}
+        merges = bpe_train(words, 10)
+        assert merges, "no merges learned"
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in words:
+            got = bpe_encode_word(w, ranks)
+            assert got == self._ref_encode(w, merges), (w, got)
+            assert "".join(got).replace("</w>", "") == w  # lossless
+
+    def test_encode_properties_random(self):
+        import random
+
+        from queryengine_spark.functions.bpe import bpe_encode_word, bpe_train
+
+        rng = random.Random(17)
+        words = {}
+        for _ in range(200):
+            w = "".join(rng.choice("abcde") for _ in range(rng.randrange(1, 9)))
+            words[w] = words.get(w, 0) + rng.randrange(1, 5)
+        merges = bpe_train(words, 50)
+        ranks = {p: i for i, p in enumerate(merges)}
+        ranks_none: dict = {}
+        for w in list(words)[:50]:
+            enc = bpe_encode_word(w, ranks)
+            assert "".join(enc).replace("</w>", "") == w
+            assert enc == self._ref_encode(w, merges)
+            # zero merges → pure characters + EOW
+            chars = bpe_encode_word(w, ranks_none)
+            assert len(chars) == len(w) + 1
+            # merges only ever shorten
+            assert len(enc) <= len(chars)
+
+    def test_distributed_apply_equals_driver(self, spark):
+        from queryengine_spark.functions.bpe import (
+            bpe_encode_udf,
+            bpe_encode_word,
+            bpe_train,
+        )
+
+        words = {"sparks": 4, "sparking": 6, "parks": 5, "sharks": 3}
+        merges = bpe_train(words, 20)
+        ranks = {p: i for i, p in enumerate(merges)}
+        df = spark.createDataFrame(
+            [(1, ["sparks", "parks"]), (2, ["sharks", "sparking"]), (3, None)],
+            "id long, toks array<string>",
+        )
+        enc = bpe_encode_udf(merges)
+        rows = {r["id"]: r["subs"] for r in df.select("id", enc("toks").alias("subs")).collect()}
+        assert rows[1] == bpe_encode_word("sparks", ranks) + bpe_encode_word("parks", ranks)
+        assert rows[3] is None
