@@ -1,68 +1,82 @@
-"""GENERATED by scripts/update_certification.py — do not edit.
+"""Driver-certification map, computed AT IMPORT TIME from the
+driver's ``CORRECTNESS_r*.json`` files in the repo root.
 
 Maps query name -> latest driver round whose CORRECTNESS row
-(rows+schema+hash green) certifies the CURRENT code; queries
-reworked since their last row are omitted (round 0). The
-registry sorts stalest-first so the driver's 50-row oracle
-window always samples the least-recently-certified queries.
+(rows+schema+hash green) certifies the CURRENT code. The registry
+(queries/__init__.py) sorts stalest-first, so the driver's 50-row
+oracle window always samples the least-recently-certified queries —
+and because this map is recomputed from the files on every import,
+the window rotates each round with NO manual regeneration step.
+
+``VOID`` is the one hand-maintained piece: a green hash row only
+certifies the code that produced it, so any change that reworks a
+query's semantics or oracle must add (or bump) that query here to
+drop its stale certification. ``scripts/update_certification.py``
+prints the resulting window for inspection.
 """
 
-LAST_CERTIFIED: dict[str, int] = {
-    "agg_count_distinct": 2,
-    "agg_cube": 2,
-    "agg_grouping_sets": 2,
-    "agg_having": 2,
-    "agg_histogram_quantiles": 2,
-    "agg_percentiles": 2,
-    "agg_rollup": 2,
-    "distinct_flag_status": 2,
-    "events_tumbling_hourly": 1,
-    "join_anti": 2,
-    "join_broadcast_dims": 2,
-    "join_outer_order_counts": 2,
-    "join_semi": 2,
-    "join_theta": 2,
-    "lateral_posexplode_tokens": 2,
-    "pipeline_clean_corpus": 1,
-    "pivot_returnflag_revenue": 2,
-    "q11_important_parts": 2,
-    "q12_late_shipments": 2,
-    "q13_order_count_distribution": 2,
-    "q16_supplier_count": 2,
-    "q1_pricing_summary": 2,
-    "q20_excess_shipments": 2,
-    "q21_waiting_supplier": 2,
-    "q2_min_cost_supplier": 2,
-    "q3_shipping_priority": 2,
-    "q4_order_priority": 2,
-    "q5_local_supplier_volume": 2,
-    "q6_forecast_revenue": 2,
-    "q7_volume_shipping": 2,
-    "q8_market_share": 2,
-    "q9_profit_by_nation": 2,
-    "scalar_functions": 2,
-    "scan_filter_project": 2,
-    "setop_except": 2,
-    "setop_intersect": 2,
-    "setop_union": 2,
-    "sort_limit_top10": 2,
-    "source_jsonl_roundtrip": 2,
-    "source_orc_roundtrip": 2,
-    "source_pipe_roundtrip": 2,
-    "source_tsv_roundtrip": 2,
-    "subquery_exists": 2,
-    "subquery_in": 2,
-    "subquery_scalar_correlated": 2,
-    "text_fingerprint": 1,
-    "text_lang_id": 1,
-    "text_quality_scores": 1,
-    "text_term_frequency": 1,
-    "text_token_stats": 1,
-    "unpivot_lineitem_metrics": 2,
-    "window_distribution_funcs": 2,
-    "window_lag_delta": 2,
-    "window_range_30d_spend": 2,
-    "window_rank_dense": 2,
-    "window_running_total": 2,
-    "window_topk_orders_per_customer": 2,
+from __future__ import annotations
+
+import glob
+import json
+import re
+from pathlib import Path
+
+#: query -> last round whose driver row NO LONGER certifies current
+#: code (semantics/plan/oracle reworked in a later round). Bump the
+#: round number when invalidating a newer row.
+VOID: dict[str, int] = {
+    # round 2 reworked these after their round-1 rows:
+    "fuzzy_candidates_coverage": 1,   # term-dedup index join
+    "fuzzy_topk_heuristic": 1,        # term-level top-K prune
+    "fuzzy_best_match_heuristic": 1,
+    "fuzzy_match_full": 1,
+    "dedup_exact": 1,                 # plan rework (r2 bench delta)
+    "dedup_ngram_jaccard": 1,         # df-guard added post-r1-row
+    "dedup_minhash_lsh": 1,           # band_size 2 -> 4 (+ r3 bucket cap)
+    "dedup_simhash": 1,               # 64-bit + banded path
+    "dedup_components": 1,            # label-prop rework
+    "dedup_embedding": 1,             # all-pairs -> multi-table LSH
+    "knn_bruteforce": 1,              # plan rework
+    "knn_lsh": 1,                     # 16-table multiprobe retune
+    "knn_lsh_recall": 1,
+    "text_kmv_distinct_shingles": 1,  # KMV NULL filter (r2 ADVICE)
 }
+
+
+def _row_green(row) -> bool:
+    return (
+        isinstance(row, dict)
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and (row.get("hash_match") is not False)
+        and not row.get("err")
+    )
+
+
+def compute_last_certified(repo: Path | None = None) -> dict[str, int]:
+    if repo is None:
+        repo = Path(__file__).resolve().parents[2]
+    cert: dict[str, int] = {}
+    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if _row_green(row):
+                cert[name] = max(cert.get(name, 0), rnd)
+    for name, void_round in VOID.items():
+        if cert.get(name, 0) <= void_round:
+            cert.pop(name, None)
+    return cert
+
+
+LAST_CERTIFIED: dict[str, int] = compute_last_certified()

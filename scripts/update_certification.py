@@ -1,89 +1,38 @@
-"""Regenerate queryengine_spark/queries/certification.py from the
-driver's CORRECTNESS_r*.json files.
+#!/usr/bin/env python
+"""Inspect the driver-certification rotation (read-only).
 
-Run once at the START of each round (after the driver drops the new
-correctness file) so the registry re-orders itself: the driver oracles
-the FIRST 50 registered queries, and ``all_queries()`` sorts by
-(last-certified round ASC, module priority) — so the stalest queries
-always occupy the window and every query gets a fresh driver row at
-most ceil(111/50) ≈ 3 rounds apart.
+The certification map itself is now computed AT IMPORT TIME by
+``queryengine_spark/queries/certification.py`` from the repo-root
+``CORRECTNESS_r*.json`` files — there is nothing to regenerate. This
+tool prints the resulting 50-row driver window and the deferred tail
+so a round's rotation can be sanity-checked before submission.
 
-A hash row only certifies the code that produced it: when a round
-reworks a query's semantics (e.g. round 2's MinHash band_size 2→4,
-embedding all-pairs→LSH, fuzzy term-dedup), add it to VOID below to
-drop its stale certification back to round 0.
+Maintenance that remains manual: when a change reworks a certified
+query's semantics or oracle, add/bump it in ``certification.VOID``.
 
 Usage: python scripts/update_certification.py  (from repo root)
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import re
-from pathlib import Path
+import os
+import sys
 
-REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: query -> round whose driver row no longer certifies current code
-#: (semantics/plan reworked in a later round). Maintained by hand as
-#: part of any change that invalidates an old hash row.
-VOID: dict[str, int] = {
-    # round 2 reworked these after their round-1 rows:
-    "fuzzy_candidates_coverage": 1,   # term-dedup index join
-    "fuzzy_topk_heuristic": 1,        # term-level top-K prune
-    "fuzzy_best_match_heuristic": 1,
-    "fuzzy_match_full": 1,
-    "dedup_exact": 1,                 # plan rework (r2 bench delta)
-    "dedup_ngram_jaccard": 1,         # df-guard added post-r1-row
-    "dedup_minhash_lsh": 1,           # band_size 2 -> 4
-    "dedup_simhash": 1,               # 64-bit + banded path
-    "dedup_components": 1,            # label-prop rework
-    "dedup_embedding": 1,             # all-pairs -> multi-table LSH
-    "knn_bruteforce": 1,              # plan rework
-    "knn_lsh": 1,                     # 16-table multiprobe retune
-    "knn_lsh_recall": 1,
-    "text_kmv_distinct_shingles": 1,  # KMV NULL filter (r2 ADVICE)
-}
+from queryengine_spark.queries import all_queries
+from queryengine_spark.queries.certification import LAST_CERTIFIED, VOID
 
 
 def main() -> None:
-    cert: dict[str, int] = {}
-    for path in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        rows = json.load(open(path))
-        for name, row in rows.items():
-            ok = (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and (row.get("hash_match") is not False)
-                and not row.get("err")
-            )
-            if ok:
-                cert[name] = max(cert.get(name, 0), rnd)
-    for name, void_round in VOID.items():
-        if cert.get(name, 0) <= void_round:
-            cert.pop(name, None)
-
-    lines = [
-        '"""GENERATED by scripts/update_certification.py — do not edit.',
-        "",
-        "Maps query name -> latest driver round whose CORRECTNESS row",
-        "(rows+schema+hash green) certifies the CURRENT code; queries",
-        "reworked since their last row are omitted (round 0). The",
-        "registry sorts stalest-first so the driver's 50-row oracle",
-        "window always samples the least-recently-certified queries.",
-        '"""',
-        "",
-        "LAST_CERTIFIED: dict[str, int] = {",
-    ]
-    for name in sorted(cert):
-        lines.append(f'    "{name}": {cert[name]},')
-    lines.append("}")
-    out = REPO / "queryengine_spark" / "queries" / "certification.py"
-    out.write_text("\n".join(lines) + "\n")
-    print(f"wrote {out}: {len(cert)} certified, VOID={len(VOID)}")
+    names = list(all_queries())
+    print(f"{len(names)} registered; {len(LAST_CERTIFIED)} certified; VOID={len(VOID)}")
+    print("\n-- driver window (first 50, stalest-first) --")
+    for i, n in enumerate(names[:50]):
+        print(f"{i:3d}  r{LAST_CERTIFIED.get(n, 0)}  {n}")
+    print("\n-- deferred (51+) --")
+    for i, n in enumerate(names[50:], start=50):
+        print(f"{i:3d}  r{LAST_CERTIFIED.get(n, 0)}  {n}")
 
 
 if __name__ == "__main__":

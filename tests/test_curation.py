@@ -369,3 +369,45 @@ class TestBPE:
         rows = {r["id"]: r["subs"] for r in df.select("id", enc("toks").alias("subs")).collect()}
         assert rows[1] == bpe_encode_word("sparks", ranks) + bpe_encode_word("parks", ranks)
         assert rows[3] is None
+
+
+class TestCertificationRotation:
+    def test_dynamic_map_respects_green_rows_and_void(self, tmp_path):
+        import json
+
+        from queryengine_spark.queries.certification import compute_last_certified
+
+        r1 = {
+            "q_green": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            "q_err": {"rows_match": True, "schema_match": True, "hash_match": True, "err": "boom"},
+            "q_hashfail": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+            "fuzzy_match_full": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        }
+        r3 = {
+            "q_green": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            "fuzzy_match_full": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        }
+        (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+        (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(r3))
+        cert = compute_last_certified(tmp_path)
+        assert cert["q_green"] == 3            # latest round wins
+        assert "q_err" not in cert             # errored row certifies nothing
+        assert "q_hashfail" not in cert
+        # fuzzy_match_full is VOIDed at round 1 but its r3 row is NEWER
+        assert cert["fuzzy_match_full"] == 3
+
+    def test_void_drops_stale_rows_only(self, tmp_path):
+        import json
+
+        from queryengine_spark.queries.certification import compute_last_certified
+
+        r1 = {"fuzzy_match_full": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}}
+        (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+        cert = compute_last_certified(tmp_path)
+        assert "fuzzy_match_full" not in cert  # r1 row was voided
+
+    def test_missing_or_corrupt_files_are_safe(self, tmp_path):
+        from queryengine_spark.queries.certification import compute_last_certified
+
+        (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+        assert compute_last_certified(tmp_path) == {}
