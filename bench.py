@@ -103,9 +103,11 @@ HEADLINE = [
     "dedup_incremental",
     "text_unicode_normalize",
     "text_quality_classifier",
-    # round-3: BPE tokenizer, temperature-weighted source mixing
+    # round-3: BPE tokenizer, temperature-weighted source mixing,
+    # real BMP pixel decode
     "text_bpe_tokenize",
     "pipeline_temperature_mix",
+    "multimodal_bmp_decode",
 ]
 
 

@@ -33,6 +33,7 @@ from queryengine_spark.queries import (
     knn,
     knn2,
     multimodal,
+    multimodal2,
     pipelines,
     relational,
     relational2,
@@ -60,6 +61,7 @@ _MODULES = (
     # take their first driver row in round 4's rotation
     curation,
     knn2,
+    multimodal2,
     relational,
     relational2,
     tpch_extra,

@@ -411,3 +411,175 @@ class TestCertificationRotation:
 
         (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
         assert compute_last_certified(tmp_path) == {}
+
+
+class TestReferenceEquivalence:
+    """Seeded-random equivalence of the Spark operators against
+    independent (quadratic, obviously-correct) pure-Python reference
+    implementations — the same confidence pattern as the fuzzy
+    family's simulator grid."""
+
+    def _rand_corpus(self, rng, n_docs, vocab, lo=0, hi=14):
+        return [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(lo, hi)))
+            for _ in range(n_docs)
+        ]
+
+    def test_span_scrub_matches_reference(self, spark):
+        import random
+
+        rng = random.Random(101)
+        vocab = [f"w{j}" for j in range(6)]  # tiny vocab → many shared spans
+        for trial in range(3):
+            texts = self._rand_corpus(rng, 12, vocab, lo=3, hi=12)
+            n, min_df = 3, 2
+            # reference: covered positions per doc
+            grams: dict[str, set] = {}
+            docs_toks = [t.split() if t else [] for t in texts]
+            for d, toks in enumerate(docs_toks):
+                for s in range(len(toks) - n + 1):
+                    g = " ".join(toks[s : s + n])
+                    grams.setdefault(g, set()).add(d)
+            frequent = {g for g, ds in grams.items() if len(ds) >= min_df}
+            expect = {}
+            for d, toks in enumerate(docs_toks):
+                cov = set()
+                for s in range(len(toks) - n + 1):
+                    if " ".join(toks[s : s + n]) in frequent:
+                        cov.update(range(s, s + n))
+                kept = [tk for i, tk in enumerate(toks) if i not in cov]
+                expect[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+            got = {
+                r["id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+                for r in span_scrub(
+                    _docs(spark, texts), "doc_id", "text", n=n, min_df=min_df
+                ).collect()
+            }
+            assert got == expect, f"trial {trial}"
+
+    def test_containment_matches_reference(self, spark):
+        import random
+
+        rng = random.Random(202)
+        for trial in range(3):
+            texts = [
+                "".join(rng.choice("abcdef") for _ in range(rng.randrange(4, 16)))
+                for _ in range(10)
+            ]
+            n, thr = 3, 0.5
+            sh = [
+                {t[i : i + n] for i in range(len(t.lower()) - n + 1)}
+                for t in (x.lower() for x in texts)
+            ]
+            expect = set()
+            for a in range(len(texts)):
+                for b in range(a + 1, len(texts)):
+                    if not sh[a] or not sh[b]:
+                        continue
+                    inter = len(sh[a] & sh[b])
+                    if inter / min(len(sh[a]), len(sh[b])) >= thr:
+                        expect.add((a, b))
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in containment_pairs(
+                    _docs(spark, texts), "doc_id", "text", n=n, threshold=thr
+                ).collect()
+            }
+            assert got == expect, f"trial {trial}"
+
+    def test_semantic_dedup_matches_reference(self, spark):
+        """With n_cells=1 every vector lands in one cluster, so the
+        reference is plain all-pairs: dup(b) ⇔ ∃a<b cos(a,b) ≥ τ."""
+        import math
+        import random
+
+        rng = random.Random(303)
+        dim, thr = 6, 0.8
+        vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(25)]
+        # plant a few exact/near duplicates
+        vecs[20] = list(vecs[2])
+        vecs[21] = [x * 1.5 for x in vecs[7]]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        expect = {
+            b: int(any(cos(vecs[a], vecs[b]) >= thr for a in range(b)))
+            for b in range(len(vecs))
+        }
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["id"]: r["is_dup"]
+            for r in semantic_dedup(
+                df, "vec_id", "embedding",
+                threshold=thr, n_cells=1, sample_n=25, train_iters=1, dim=dim,
+            ).collect()
+        }
+        assert got == expect
+
+
+class TestBmpDecode:
+    def test_roundtrip_matches_formula(self):
+        import numpy as np
+
+        from queryengine_spark.multimodal.bmp import (
+            _pixel,
+            bmp_params,
+            decode_bmp,
+            make_bmp,
+        )
+
+        for aid in (0, 1, 7, 12, 101, 9999):
+            img = decode_bmp(make_bmp(aid))
+            w, h = bmp_params(aid)
+            assert img is not None and img.shape == (h, w, 3)
+            for x, y in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
+                assert tuple(int(v) for v in img[y, x]) == _pixel(aid, x, y)
+
+    def test_top_down_negative_height(self):
+        import struct
+
+        from queryengine_spark.multimodal.bmp import decode_bmp, make_bmp
+
+        b = bytearray(make_bmp(42))
+        # flip to top-down storage: negate height, reverse row blocks
+        w, h = struct.unpack("<ii", bytes(b[18:26]))
+        stride = (w * 3 + 3) & ~3
+        off = struct.unpack("<I", bytes(b[10:14]))[0]
+        rows = [bytes(b[off + i * stride : off + (i + 1) * stride]) for i in range(h)]
+        b[18:26] = struct.pack("<ii", w, -h)
+        b[off:] = b"".join(reversed(rows))
+        import numpy as np
+
+        orig = decode_bmp(make_bmp(42))
+        flipped = decode_bmp(bytes(b))
+        assert flipped is not None and np.array_equal(orig, flipped)
+
+    def test_garbage_never_raises(self):
+        import random
+
+        from queryengine_spark.multimodal.bmp import decode_bmp, make_bmp
+
+        rng = random.Random(99)
+        payloads = [
+            b"", b"BM", b"BM" + b"\x00" * 10, b"not a bmp at all",
+            make_bmp(5)[:30],                      # truncated headers
+            make_bmp(5)[:-7],                      # truncated pixel data
+            bytes(rng.randrange(256) for _ in range(200)),
+            b"BM" + bytes(rng.randrange(256) for _ in range(100)),
+        ]
+        for p in payloads:
+            assert decode_bmp(p) is None or decode_bmp(p) is not None  # no raise
+        # compressed / non-24bpp headers are rejected, not misread
+        b = bytearray(make_bmp(3))
+        b[28:30] = (8).to_bytes(2, "little")  # bpp=8
+        assert decode_bmp(bytes(b)) is None
+        b = bytearray(make_bmp(3))
+        b[30:34] = (1).to_bytes(4, "little")  # RLE compression
+        assert decode_bmp(bytes(b)) is None
