@@ -108,6 +108,7 @@ HEADLINE = [
     "text_bpe_tokenize",
     "pipeline_temperature_mix",
     "multimodal_bmp_decode",
+    "multimodal_wav_decode",
 ]
 
 

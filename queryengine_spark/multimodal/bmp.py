@@ -162,3 +162,117 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------- WAV (audio)
+
+#: deterministic waveform parameters (mirrored in the oracle SQL)
+WAV_N_MOD = 300
+WAV_A_MULT, WAV_I_MULT, WAV_S_MOD = 31, 17, 65536
+
+
+def wav_audio_params(asset_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) — mono 16-bit."""
+    return 8000 + 1000 * (asset_id % 4), 64 + asset_id % WAV_N_MOD
+
+
+def _sample(asset_id: int, i: int) -> int:
+    """int16 PCM sample i of the synthetic waveform — the formula the
+    oracle re-computes symbolically."""
+    return (asset_id * WAV_A_MULT + i * WAV_I_MULT) % WAV_S_MOD - 32768
+
+
+def make_pcm_wav(asset_id: int) -> bytes:
+    """Complete mono 16-bit PCM WAV with deterministic samples."""
+    rate, n = wav_audio_params(asset_id)
+    data = b"".join(
+        struct.pack("<h", _sample(asset_id, i)) for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
+    """bytes → (sample_rate, int16 sample array) for mono 16-bit PCM
+    WAV; None for anything else. Walks RIFF chunks properly (skips
+    unknown chunks, honors declared sizes + word alignment) instead of
+    assuming a fixed layout."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = None
+    channels = bits = None
+    data: bytes | None = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        try:
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        except struct.error:
+            return None
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None or channels != 1 or bits != 16:
+        return None
+    n = len(data) // 2
+    return int(rate), np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sum_amp", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("max_amp", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_pcm_wav(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [make_pcm_wav(a) for a in ids_],
+                }
+            )
+
+    return ids.mapInPandas(run, BMP_ASSET_SCHEMA)
+
+
+def wav_sample_stats(assets: DataFrame) -> DataFrame:
+    """Decode every payload and aggregate exact integer amplitude
+    stats (sum, sum of squares — the RMS numerator — and peak)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "sample_rate", "n_samples", "sum_amp", "sum_sq", "max_amp")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(int(aid))
+                dec = decode_pcm_wav(bytes(payload)) if payload is not None else None
+                if dec is None:
+                    for k in ("sample_rate", "n_samples", "sum_amp", "sum_sq", "max_amp"):
+                        out[k].append(None)
+                    continue
+                rate, s = dec
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["sum_amp"].append(int(s.sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+                out["max_amp"].append(int(np.abs(s).max()) if len(s) else None)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, WAV_STATS_SCHEMA)

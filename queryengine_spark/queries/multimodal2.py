@@ -51,3 +51,45 @@ FROM sums
 QUERIES = {
     "multimodal_bmp_decode": (multimodal_bmp_decode, MULTIMODAL_BMP_DECODE_SQL),
 }
+
+
+def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio twin of the BMP path: synthesize mono 16-bit PCM WAV
+    with a deterministic waveform, decode it for REAL (RIFF chunk
+    walk + int16 sample extraction), aggregate exact integer
+    amplitude stats; the oracle recomputes them from the waveform
+    formula."""
+    from queryengine_spark.multimodal.bmp import (
+        synthesize_pcm_wav,
+        wav_sample_stats,
+    )
+
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return wav_sample_stats(synthesize_pcm_wav(ids))
+
+
+from queryengine_spark.multimodal.bmp import (  # noqa: E402
+    WAV_A_MULT,
+    WAV_I_MULT,
+    WAV_N_MOD,
+    WAV_S_MOD,
+)
+
+MULTIMODAL_WAV_DECODE_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id,
+               CAST(8000 + 1000 * (asset_id % 4) AS INT) AS sample_rate,
+               CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n_samples
+        FROM ids),
+smp AS (SELECT asset_id, sample_rate, n_samples,
+               (asset_id * {WAV_A_MULT} + CAST(t.i AS BIGINT) * {WAV_I_MULT}) % {WAV_S_MOD} - 32768 AS s
+        FROM par, unnest(range(0, n_samples)) t(i))
+SELECT asset_id, sample_rate, n_samples,
+       CAST(SUM(s) AS BIGINT) AS sum_amp,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(s)) AS INT) AS max_amp
+FROM smp
+GROUP BY asset_id, sample_rate, n_samples
+"""
+
+QUERIES["multimodal_wav_decode"] = (multimodal_wav_decode, MULTIMODAL_WAV_DECODE_SQL)

@@ -583,3 +583,49 @@ class TestBmpDecode:
         b = bytearray(make_bmp(3))
         b[30:34] = (1).to_bytes(4, "little")  # RLE compression
         assert decode_bmp(bytes(b)) is None
+
+
+class TestWavDecode:
+    def test_roundtrip_matches_formula(self):
+        from queryengine_spark.multimodal.bmp import (
+            _sample,
+            decode_pcm_wav,
+            make_pcm_wav,
+            wav_audio_params,
+        )
+
+        for aid in (0, 3, 42, 777):
+            rate, s = decode_pcm_wav(make_pcm_wav(aid))
+            want_rate, want_n = wav_audio_params(aid)
+            assert rate == want_rate and len(s) == want_n
+            assert all(int(s[i]) == _sample(aid, i) for i in range(want_n))
+
+    def test_unknown_chunks_are_skipped(self):
+        import struct
+
+        from queryengine_spark.multimodal.bmp import decode_pcm_wav, make_pcm_wav
+
+        b = make_pcm_wav(9)
+        # splice a LIST chunk (odd size → word-aligned skip) between fmt and data
+        fmt_end = b.index(b"data")
+        junk = b"LIST" + struct.pack("<I", 5) + b"xxxxx" + b"\x00"
+        spliced = b[:fmt_end] + junk + b[fmt_end:]
+        spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        orig = decode_pcm_wav(b)
+        got = decode_pcm_wav(spliced)
+        assert got is not None and got[0] == orig[0]
+        assert list(got[1]) == list(orig[1])
+
+    def test_rejects_non_pcm_and_garbage(self):
+        import random
+        import struct
+
+        from queryengine_spark.multimodal.bmp import decode_pcm_wav, make_pcm_wav
+
+        rng = random.Random(8)
+        for p in (b"", b"RIFF", b"RIFFxxxxWAVE", bytes(rng.randrange(256) for _ in range(64))):
+            assert decode_pcm_wav(p) is None
+        b = bytearray(make_pcm_wav(5))
+        i = bytes(b).index(b"fmt ") + 8
+        b[i : i + 2] = struct.pack("<H", 3)  # IEEE-float format tag
+        assert decode_pcm_wav(bytes(b)) is None
