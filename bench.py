@@ -109,6 +109,7 @@ HEADLINE = [
     "pipeline_temperature_mix",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "pipeline_leakage_safe_split",
 ]
 
 

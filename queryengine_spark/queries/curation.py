@@ -455,3 +455,60 @@ QUERIES.update(
         ),
     }
 )
+
+
+#: leakage-safe split: 20% validation, keyed by near-dup COMPONENT
+VAL_FRACTION = 0.2
+
+
+def pipeline_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across
+    the boundary: the split key is the doc's near-dup CLUSTER
+    (MinHash star edges → connected components), not the doc — every
+    member of a component lands on the same side, so eval can never
+    contain a near-copy of a training doc. Split selection is the
+    replayable hash-fraction (no random()); the oracle reuses the
+    recursive-CTE component computation plus the same fixed-order
+    hash-fraction arithmetic.
+
+    Output: (doc_id, component, split) for every document.
+    """
+    from queryengine_spark.functions.sketches import hash_fraction
+    from queryengine_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_star_edges,
+    )
+    from queryengine_spark.queries.dedup import BAND_SIZE, N_HASHES
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_star_edges(
+        docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
+    )
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs, max_iterations=30
+    )
+    u = hash_fraction("md5(CAST(component AS STRING))")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.when(u < F.lit(VAL_FRACTION), F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def _leakage_split_sql() -> str:
+    from queryengine_spark.functions.sketches import sql_hash_fraction
+    from queryengine_spark.queries.dedup import _CANON_CTES
+
+    u = sql_hash_fraction("md5(CAST(component AS VARCHAR))")
+    return f"""{_CANON_CTES},
+labels AS (SELECT wid AS doc_id, MIN(label) AS component FROM walk GROUP BY wid)
+SELECT doc_id, component,
+       CASE WHEN ({u}) < {VAL_FRACTION} THEN 'val' ELSE 'train' END AS split
+FROM labels
+"""
+
+
+QUERIES["pipeline_leakage_safe_split"] = (
+    pipeline_leakage_safe_split,
+    _leakage_split_sql(),
+)

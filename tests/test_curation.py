@@ -629,3 +629,29 @@ class TestWavDecode:
         i = bytes(b).index(b"fmt ") + 8
         b[i : i + 2] = struct.pack("<H", 3)  # IEEE-float format tag
         assert decode_pcm_wav(bytes(b)) is None
+
+
+class TestLeakageSafeSplit:
+    def test_near_dups_never_straddle_split(self, spark, sf_dir):
+        from queryengine_spark.queries.curation import pipeline_leakage_safe_split
+        from queryengine_spark.queries.dedup import BAND_SIZE, N_HASHES
+        from queryengine_spark.operators.dedup import minhash_lsh_star_edges
+        from queryengine_spark.queries.base import t as load
+
+        out = pipeline_leakage_safe_split(spark, sf_dir)
+        side = {r["doc_id"]: r["split"] for r in out.collect()}
+        comp = {r["doc_id"]: r["component"] for r in out.collect()}
+        # every component is entirely on one side
+        by_comp: dict[int, set] = {}
+        for d, c in comp.items():
+            by_comp.setdefault(c, set()).add(side[d])
+        assert all(len(s) == 1 for s in by_comp.values())
+        # and crucially: every candidate near-dup EDGE stays within a side
+        docs = load(spark, sf_dir, "documents")
+        edges = minhash_lsh_star_edges(
+            docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3
+        ).collect()
+        for e in edges:
+            assert side[e["id_a"]] == side[e["id_b"]], (e["id_a"], e["id_b"])
+        # both sides are non-empty (sanity that the fraction works)
+        assert {"train", "val"} == set(side.values())
