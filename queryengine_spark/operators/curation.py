@@ -16,7 +16,6 @@ operator here has a DuckDB-oracle twin in queries/curation.py.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from queryengine_spark.functions.text import tokenize_ws
-from queryengine_spark.operators.dedup import _bucket_cosine_pairs, shingle_relation
+from queryengine_spark.operators.dedup import _bucket_cosine_pairs
 from queryengine_spark.operators.knn import (
     ivf_cells_int_udf,
     kmeans_centroids_int,
@@ -135,33 +134,13 @@ def containment_pairs(
     with id_a < id_b, containment ≥ threshold, jaccard reported for
     contrast.
     """
-    sh = shingle_relation(df, id_col, text_col, n)
-    if max_df_ratio is not None:
-        sh = sh.localCheckpoint(eager=False)
-        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-        hot = hot.crossJoin(F.broadcast(n_docs)).filter(
-            F.col("df") > F.lit(max_df_ratio) * F.col("n_docs")
-        )
-        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    sh = sh.localCheckpoint(eager=False)
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    shared = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    from queryengine_spark.operators.dedup import shingle_pair_counts
+
+    base = shingle_pair_counts(df, id_col, text_col, n, max_df_ratio=max_df_ratio)
     cont = F.col("shared") / F.least("n_a", "n_b")
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
-        shared.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn("containment", cont)
+        base.withColumn("containment", cont)
         .withColumn("jaccard", jac)
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment", "jaccard")
@@ -202,8 +181,11 @@ def semantic_dedup(
     sample = (
         e.select("id", "v").orderBy("id").limit(max(sample_n, n_cells)).collect()
     )
+    # train on at most sample_n points — the oracle's LIMIT takes
+    # sample_n rows, so a caller with n_cells > sample_n must not
+    # silently widen the training set past what the SQL twin sees
     cents = kmeans_centroids_int(
-        [(int(r["id"]), [float(x) for x in r["v"]]) for r in sample],
+        [(int(r["id"]), [float(x) for x in r["v"]]) for r in sample[:sample_n]],
         n_cells,
         train_iters,
     )
@@ -271,28 +253,38 @@ def heavy_hitters_exact(
     term_col: str,
     eps_num: int,
     eps_den: int,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact ε-heavy hitters (terms with frequency ≥ (eps_num/eps_den)
     × N) via the two-pass sketch-then-verify pattern: the Misra-Gries
     pass finds a guaranteed-superset candidate set WITHOUT shuffling
-    the term space; the verify pass broadcast-semi-joins the stream
-    down to candidates and exact-counts only those. The output is
-    EXACT (the sketch can only over-admit, never miss — candidates
-    below threshold are filtered by the exact count), which is why the
+    the term space; the verify pass semi-joins the stream down to
+    candidates and exact-counts only those. The output is EXACT (the
+    sketch can only over-admit, never miss — candidates below
+    threshold are filtered by the exact count), which is why the
     plain-SQL oracle matches hash-for-hash. ε is a rational so the
     threshold compare is integer-exact on every engine.
 
     At 100 TB this is the difference between shuffling every distinct
-    term (trillions of keys) and shuffling only the candidate counts:
-    pass 1 is map-only, pass 2's groupBy keys on a candidate set of at
-    most eps_den terms per batch.
+    term (trillions of keys) and shuffling only the candidate counts.
+    Sizing honesty: each Arrow batch contributes ≤ eps_den candidates,
+    so the candidate UNION is bounded by eps_den × n_batches — small
+    on skewed streams (batches agree on the heavy terms), but NOT a
+    constant. ``broadcast_candidates=True`` (default) forces the
+    broadcast semi-join, correct whenever the union stays
+    driver-sized; set it False on huge low-skew streams to let AQE
+    pick (shuffle semi-join when the set outgrows the broadcast
+    threshold), or raise the Arrow batch size / tree-merge the batch
+    sketches to shrink the union first.
 
     Output: (term, cnt) for every term with cnt·eps_den ≥ eps_num·N.
     """
     k = eps_den  # k+1 > den/num counters suffices for num=1; den is safe for num≥1
     cand = mg_candidate_terms(df, term_col, k)
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
     counts = (
-        df.join(F.broadcast(cand), term_col)
+        df.join(cand, term_col, "left_semi")
         .groupBy(term_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )

@@ -88,6 +88,30 @@ def ngram_jaccard_pairs(
     drop, so the metric stays a true Jaccard of the reduced sets).
     Emits (id_a, id_b, jaccard) with id_a < id_b.
     """
+    base = shingle_pair_counts(
+        df, id_col, text_col, n, max_df=max_df, max_df_ratio=max_df_ratio
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        base.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = None,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """The shared inverted-index stage of every shingle-overlap
+    metric (Jaccard, containment): (id_a, id_b, shared, n_a, n_b)
+    with id_a < id_b, over each doc's distinct character n-grams
+    after the optional hot-shingle guard. One implementation so the
+    guard and join shape cannot drift between metrics."""
     sh = shingle_relation(df, id_col, text_col, n)
     if max_df is not None or max_df_ratio is not None:
         # the shingle relation feeds both the df-count branch and the
@@ -117,14 +141,7 @@ def ngram_jaccard_pairs(
     )
     ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (
-        shared.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return shared.join(ca, "id_a").join(cb, "id_b")
 
 
 def minhash_signatures(

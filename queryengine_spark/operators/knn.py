@@ -289,7 +289,9 @@ def kmeans_centroids_int(
 
     Returns ``n_cells`` centroid int-vectors; cell id = list index.
     ``sample`` must arrive sorted by id (init = first ``n_cells``
-    points, matching the oracle's ORDER BY id LIMIT n).
+    points, matching the oracle's ORDER BY id LIMIT n) and must be
+    RECTANGULAR — callers guard vector lengths before collecting
+    (:func:`_collect_vec_sample`).
 
     Internally vectorized over int64 numpy (exact — integer argmin
     first-hit = smallest cell id, integer ``//`` floors exactly like
@@ -350,6 +352,47 @@ def ivf_cells_int_udf(cent_ints: list[list[int]], nprobe: int):
     return _cells
 
 
+def _collect_vec_sample(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    dim: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Bounded smallest-id training sample honoring the module's
+    malformed-row invariant (tests/test_knn_nulls.py: NULL /
+    wrong-length vectors are silently skipped, never crash): the
+    collect is padded slightly so skipping bad rows still yields
+    ``n`` good ones when available. On a clean corpus this is exactly
+    ``ORDER BY id LIMIT n`` — the oracle's sample — so parity holds;
+    ``dim=None`` infers the dimension from the first collected
+    vector."""
+    rows = (
+        candidates.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy("sid")
+        .limit(n + 16)
+        .collect()
+    )
+    if dim is None and rows:
+        # infer the corpus dimension as the MODAL length of the
+        # window (ties → larger count, then longer vector) — the
+        # first row could itself be the malformed one
+        from collections import Counter
+
+        counts = Counter(len(r["sv"]) for r in rows)
+        dim = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    out: list[tuple[int, list[float]]] = []
+    for r in rows:
+        v = r["sv"]
+        if len(v) != dim:
+            continue
+        out.append((int(r["sid"]), [float(x) for x in v]))
+        if len(out) >= n:
+            break
+    return out
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -380,17 +423,8 @@ def ivf_topk(
     centroid table, and the cell equi-join is AQE-skew-splittable.
     Output: (query_id, neighbor_id, cosine, rn).
     """
-    sample = (
-        candidates.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
-        .orderBy("sid")
-        .limit(max(sample_n, n_cells))
-        .collect()
-    )
-    cents = kmeans_centroids_int(
-        [(int(r["sid"]), [float(x) for x in r["sv"]]) for r in sample],
-        n_cells,
-        train_iters,
-    )
+    sample = _collect_vec_sample(candidates, id_col, vec_col, max(sample_n, n_cells))
+    cents = kmeans_centroids_int(sample, n_cells, train_iters)
     assign1 = ivf_cells_int_udf(cents, 1)
     assignp = ivf_cells_int_udf(cents, nprobe)
     c = candidates.select(
@@ -475,6 +509,7 @@ def pq_train_codebooks(
     same bounded smallest-id sample as the IVF coarse quantizer —
     fully engine-portable (:func:`kmeans_centroids_int`). Returns
     ``m × ksub × (dim//m)`` scaled-integer centroids."""
+    assert dim % m == 0, f"dim={dim} must split evenly into m={m} subspaces"
     sub = dim // m
     books = []
     for s in range(m):
@@ -608,13 +643,10 @@ def ivf_pq_topk(
     re-rank: (query_id, neighbor_id, score_hat, rn); with re-rank:
     (query_id, neighbor_id, cosine, rn) — exact cosines.
     """
-    sample_rows = (
-        candidates.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
-        .orderBy("sid")
-        .limit(max(sample_n, pq_sample_n, n_cells, ksub))
-        .collect()
+    assert dim % m == 0, f"dim={dim} must split evenly into m={m} subspaces"
+    sample = _collect_vec_sample(
+        candidates, id_col, vec_col, max(sample_n, pq_sample_n, n_cells, ksub), dim=dim
     )
-    sample = [(int(r["sid"]), [float(x) for x in r["sv"]]) for r in sample_rows]
     cents = kmeans_centroids_int(sample[:sample_n], n_cells, train_iters)
     books = pq_train_codebooks(sample[:pq_sample_n], m, ksub, train_iters, dim)
     assign1 = ivf_cells_int_udf(cents, 1)

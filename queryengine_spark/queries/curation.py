@@ -33,15 +33,20 @@ SPAN_MIN_DF = 3
 #: hot-shingle guard as dedup_ngram_jaccard, mirrored in the oracle)
 CONT_THRESHOLD = 0.9
 CONT_MAX_DF_RATIO = 0.1
-#: semantic dedup shares the IVF coarse quantizer's constants
-#: (queries/knn.py) and the embedding family's contract threshold
-#: (queries/dedup.py::COSINE_THRESHOLD rationale — non-empty on the
-#: isotropic synthetic corpus; production uses ≥0.9)
+#: semantic dedup shares the IVF coarse quantizer's constants —
+#: aliases of queries/knn.py's so the oracle (which composes knn's
+#: _ivf_cte) and the operator can never drift apart — and the
+#: embedding family's contract threshold (queries/dedup.py::
+#: COSINE_THRESHOLD rationale — non-empty on the isotropic synthetic
+#: corpus; production uses ≥0.9)
+from queryengine_spark.queries.knn import (  # noqa: E402
+    DIM as SEM_DIM,
+    KMEANS_ITERS as SEM_ITERS,
+    N_CELLS as SEM_N_CELLS,
+    SAMPLE_N as SEM_SAMPLE_N,
+)
+
 SEM_THRESHOLD = 0.35
-SEM_N_CELLS = 16
-SEM_SAMPLE_N = 256
-SEM_ITERS = 3
-SEM_DIM = 64
 #: heavy hitters: ε = 1/1000 of the token-bigram stream
 HH_NUM = 1
 HH_DEN = 1000
@@ -138,42 +143,13 @@ _COS = (
 
 def _sem_cells_cte() -> str:
     """Unrolled integer k-means + 1-probe cell assignment over ALL
-    embeddings — same construction as queries/knn.py::_ivf_cte (same
-    quantizer constants), minus the query-side probing."""
-    parts = [
-        f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE len(embedding) = {SEM_DIM}),
-dims AS (SELECT CAST(unnest(range(1, {SEM_DIM + 1})) AS INT) AS d),
-s AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {SEM_SAMPLE_N}),
-sp AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM s, dims),
-seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-         FROM (SELECT vec_id FROM s ORDER BY vec_id LIMIT {SEM_N_CELLS})),
-c0 AS (SELECT sd.cid, p.d, p.x AS c FROM seed sd JOIN sp p ON p.vec_id = sd.vec_id)"""
-    ]
-    for k in range(1, SEM_ITERS + 1):
-        parts.append(f""",
-d{k} AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
-        FROM sp p JOIN c{k - 1} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
-a{k} AS (SELECT vec_id, cid FROM (
-          SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
-          FROM d{k}) WHERE rn = 1),
-m{k} AS (SELECT a.cid, p.d, COUNT(*) AS n, SUM(p.x) AS sx
-        FROM a{k} a JOIN sp p ON p.vec_id = a.vec_id GROUP BY a.cid, p.d),
-c{k} AS (SELECT c.cid, c.d,
-         CASE WHEN m.n IS NULL THEN c.c
-              ELSE CAST(floor(CAST(m.sx AS DOUBLE) / m.n) AS BIGINT) END AS c
-         FROM c{k - 1} c LEFT JOIN m{k} m ON m.cid = c.cid AND m.d = c.d)""")
-    parts.append(f""",
-ep AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM e, dims),
-dist AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
-         FROM ep p JOIN c{SEM_ITERS} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
-ranked AS (SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
-           FROM dist),
-cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)""")
-    return "".join(parts)
+    embeddings — literally queries/knn.py::_ivf_cte (one source of
+    truth for the quantizer oracle; the SEM_* constants above are
+    aliases of knn's), with the operator's wrong-dimension filter and
+    without the query-side probing."""
+    from queryengine_spark.queries.knn import _ivf_cte
+
+    return _ivf_cte(dim_filter=True, include_qcells=False)
 
 
 DEDUP_SEMANTIC_SQL = f"""{_sem_cells_cte()},
@@ -236,22 +212,16 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _inc_sql() -> str:
-    from queryengine_spark.queries.dedup import _SHINGLE_CTE, BAND_SIZE, N_HASHES
+    from queryengine_spark.queries.dedup import (
+        _SHINGLE_CTE,
+        BAND_SIZE,
+        N_HASHES,
+        sql_minhash_bands,
+        sql_minhash_mins,
+    )
 
-    mins = ",\n   ".join(
-        f"min(substr(md5('{i // 4}:' || sh), {(i % 4) * 8 + 1}, 8)) AS h{i}"
-        for i in range(N_HASHES)
-    )
-    n_bands = N_HASHES // BAND_SIZE
-    bands = "\n  UNION ALL ".join(
-        "SELECT id, md5('{b}' || '|' || {cols}) AS bucket FROM sig".format(
-            b=b,
-            cols=" || '|' || ".join(
-                f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
-            ),
-        )
-        for b in range(n_bands)
-    )
+    mins = sql_minhash_mins(N_HASHES)
+    bands = sql_minhash_bands(N_HASHES, BAND_SIZE)
     return (
         _SHINGLE_CTE
         + f""",

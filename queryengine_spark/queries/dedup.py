@@ -115,23 +115,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_sql(max_bucket: int | None = None) -> str:
-    # mirror of minhash_signatures: h_i = 32-bit hex slice i%4 of
-    # md5('<i//4>:' || shingle) — 4 hash functions per digest
-    mins = ",\n   ".join(
+def sql_minhash_mins(n_hashes: int) -> str:
+    """Mirror of operators/dedup.py::minhash_signatures: h_i = 32-bit
+    hex slice i%4 of md5('<i//4>:' || shingle) — 4 hash functions per
+    digest. Shared by every MinHash oracle (pairs, jaccard-estimate,
+    incremental) so a hash-layout change lands everywhere at once."""
+    return ",\n   ".join(
         f"min(substr(md5('{i // 4}:' || sh), {(i % 4) * 8 + 1}, 8)) AS h{i}"
-        for i in range(N_HASHES)
+        for i in range(n_hashes)
     )
-    n_bands = N_HASHES // BAND_SIZE
-    bands = "\n  UNION ALL ".join(
+
+
+def sql_minhash_bands(n_hashes: int, band_size: int) -> str:
+    """Mirror of operators/dedup.py::_band_bucket_array — per-band
+    md5('<band>|h..|h..') bucket ids over an h0..h{k-1} signature."""
+    n_bands = n_hashes // band_size
+    return "\n  UNION ALL ".join(
         "SELECT id, md5('{b}' || '|' || {cols}) AS bucket FROM sig".format(
             b=b,
             cols=" || '|' || ".join(
-                f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+                f"h{b * band_size + j}" for j in range(band_size)
             ),
         )
         for b in range(n_bands)
     )
+
+
+def _minhash_sql(max_bucket: int | None = None) -> str:
+    mins = sql_minhash_mins(N_HASHES)
+    bands = sql_minhash_bands(N_HASHES, BAND_SIZE)
     if max_bucket is not None:
         # mirror of the operator's bucket-size cap
         cap = f""",
@@ -185,20 +197,8 @@ def _minhash_jaccard_sql() -> str:
     # first 8 band exactly like DEDUP_MINHASH_SQL (same hash slices)
     # and whose last 8 score the pairs
     total = N_HASHES + N_EST_HASHES
-    mins = ",\n   ".join(
-        f"min(substr(md5('{i // 4}:' || sh), {(i % 4) * 8 + 1}, 8)) AS h{i}"
-        for i in range(total)
-    )
-    n_bands = N_HASHES // BAND_SIZE
-    bands = "\n  UNION ALL ".join(
-        "SELECT id, md5('{b}' || '|' || {cols}) AS bucket FROM sig".format(
-            b=b,
-            cols=" || '|' || ".join(
-                f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
-            ),
-        )
-        for b in range(n_bands)
-    )
+    mins = sql_minhash_mins(total)
+    bands = sql_minhash_bands(N_HASHES, BAND_SIZE)
     agree = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
         for i in range(N_HASHES, total)

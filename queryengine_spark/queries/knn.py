@@ -197,7 +197,7 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivf_cte() -> str:
+def _ivf_cte(dim_filter: bool = False, include_qcells: bool = True) -> str:
     """Unrolled integer-domain Lloyd k-means + IVF assignment.
 
     Mirrors operators/knn.py::kmeans_centroids_int exactly: points
@@ -205,10 +205,22 @@ def _ivf_cte() -> str:
     assignment by integer Σ(x-c)² (order-independent), ties to the
     smallest cell id; centroid update floor(SUM(x)::DOUBLE / n)
     (exact — see the operator docstring); empty cells keep their
-    previous centroid via LEFT JOIN + CASE."""
+    previous centroid via LEFT JOIN + CASE.
+
+    One source of truth for every quantizer oracle: knn_ivf* use the
+    defaults; knn2's PQ oracle appends to it; dedup_semantic's oracle
+    (queries/curation.py) sets ``dim_filter=True`` (its operator
+    drops wrong-dimension vectors) and ``include_qcells=False`` (no
+    query-side probing)."""
+    e_clause = (
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE len(embedding) = {DIM}),"""
+        if dim_filter
+        else "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    )
     parts = [
         f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{e_clause}
 dims AS (SELECT CAST(unnest(range(1, {DIM + 1})) AS INT) AS d),
 s AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {SAMPLE_N}),
 sp AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM s, dims),
@@ -230,14 +242,16 @@ c{k} AS (SELECT c.cid, c.d,
          CASE WHEN m.n IS NULL THEN c.c
               ELSE CAST(floor(CAST(m.sx AS DOUBLE) / m.n) AS BIGINT) END AS c
          FROM c{k - 1} c LEFT JOIN m{k} m ON m.cid = c.cid AND m.d = c.d)""")
-    parts.append(f""",
+    tail = f""",
 ep AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM e, dims),
 dist AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
          FROM ep p JOIN c{KMEANS_ITERS} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
 ranked AS (SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
            FROM dist),
-cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)"""
+    if include_qcells:
+        tail += f""",
 qcells AS (SELECT vec_id, cid AS cell FROM ranked
            WHERE rn <= {NPROBE} AND vec_id % 50 = 0),
 scored AS (
@@ -247,7 +261,8 @@ scored AS (
   JOIN e qe ON qe.vec_id = q.vec_id
   JOIN e ce ON ce.vec_id = c.vec_id
   WHERE c.vec_id <> q.vec_id
-)""")
+)"""
+    parts.append(tail)
     return "".join(parts)
 
 

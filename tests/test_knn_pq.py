@@ -116,3 +116,58 @@ def test_wrong_dim_vector_dropped(spark):
         m=8, ksub=8, dim=DIM, pq_sample_n=32,
     )
     assert out.filter(F.col("neighbor_id") == 99).count() == 0
+
+
+def test_bad_rows_in_sample_window_do_not_crash(spark):
+    """Round-3 review fix: NULL / wrong-length vectors among the
+    SMALLEST ids (the training-sample window) must be silently
+    skipped by both quantizer trainings, not crash the collect —
+    existing null-tests only planted bad rows at huge ids."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    rng = np.random.default_rng(21)
+    rows = [(0, None), (1, [1.0] * 5)]  # bad rows INSIDE the window
+    rows += [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(2, 80)]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    q = df.filter(F.col("vec_id") % 20 == 0)
+    out = ivf_pq_topk(
+        q, df, "vec_id", "embedding", k=K,
+        n_cells=4, nprobe=2, sample_n=32, train_iters=1,
+        m=8, ksub=8, dim=DIM, pq_sample_n=32, rerank_r=8,
+    )
+    ids = {r["neighbor_id"] for r in out.collect()}
+    assert 1 not in ids  # wrong-dim vector never a neighbor
+    flat = ivf_topk(
+        q, df, "vec_id", "embedding", k=K, n_cells=4, nprobe=2,
+        sample_n=32, train_iters=1,
+    )
+    assert flat.count() > 0  # and IVF-Flat trains fine too
+
+
+def test_dim_not_divisible_by_m_raises_loudly(spark):
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    rng = np.random.default_rng(22)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(20)], schema
+    )
+    with pytest.raises(AssertionError, match="split evenly"):
+        ivf_pq_topk(
+            df, df, "vec_id", "embedding", k=K,
+            n_cells=4, nprobe=2, sample_n=16, train_iters=1,
+            m=12, ksub=8, dim=DIM, pq_sample_n=16,
+        )
