@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "pipeline_leakage_safe_split",
+    "curation_intradoc_scrub",
 ]
 
 

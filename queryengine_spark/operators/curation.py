@@ -455,3 +455,62 @@ def hashed_feature_score(
         score.alias("score"),
         (score >= 0).cast("int").alias("label"),
     )
+
+
+def intradoc_dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition scrub: within each doc, every
+    repeated occurrence of a token ``n``-gram (same doc, earlier
+    start position) has its covered tokens removed; first occurrences
+    stay. The *detection* counterpart (dup-fraction stats, Gopher
+    rules) exists in queries/pipelines.py — this is the *action*:
+    emit the cleaned text.
+
+    Declarative formulation (no UDF): gram occurrences keep their
+    start positions; a window `row_number` per (doc, gram) marks
+    repeats; repeats explode into covered positions; an anti-join
+    removes them; ordered reassembly rebuilds the doc. Everything
+    keys on (doc, gram) or (doc, pos) — row-linear, no self-join.
+
+    Output: (id, n_tokens, n_removed, cleaned_text), one row per doc.
+    """
+    from pyspark.sql import Window
+
+    base = _token_relation(df, id_col, text_col).localCheckpoint(eager=False)
+    tok = base.select(
+        "id", F.posexplode("toks").alias("p0", "tk")
+    ).withColumn("p", F.col("p0") + 1)
+    grams = base.select(
+        "id", F.posexplode(token_ngrams(F.col("toks"), n)).alias("s0", "gram")
+    ).withColumn("s", F.col("s0") + 1)
+    w = Window.partitionBy("id", "gram").orderBy(F.col("s").asc())
+    repeats = (
+        grams.withColumn("occ", F.row_number().over(w))
+        .filter(F.col("occ") > 1)
+        .select("id", F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("p"))
+        .distinct()
+    )
+    kept = tok.join(repeats, ["id", "p"], "left_anti")
+    clean = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                lambda x: x["tk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = base.select("id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return totals.join(clean, "id", "left").select(
+        "id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias(
+            "n_removed"
+        ),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )

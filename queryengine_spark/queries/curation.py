@@ -482,3 +482,50 @@ QUERIES["pipeline_leakage_safe_split"] = (
     pipeline_leakage_safe_split,
     _leakage_split_sql(),
 )
+
+
+#: intra-doc scrub: trigram granularity (the synthetic docs repeat
+#: short phrases heavily; real corpora use larger n)
+INTRA_N = 3
+
+
+def curation_intradoc_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from queryengine_spark.operators.curation import intradoc_dedup_spans
+
+    d = t(spark, sf, "documents")
+    return intradoc_dedup_spans(d, "doc_id", "text", n=INTRA_N).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_removed", "cleaned_text"
+    )
+
+
+CURATION_INTRADOC_SCRUB_SQL = (
+    _TOKS_CTE
+    + f""",
+tok AS (SELECT id, CAST(t.i AS INT) AS p, toks[CAST(t.i AS INT)] AS tk
+        FROM d, unnest(range(1, len(toks) + 1)) t(i)),
+gr AS (SELECT id, CAST(t.i AS INT) AS s,
+              array_to_string(list_slice(toks, CAST(t.i AS INT), CAST(t.i AS INT) + {INTRA_N - 1}), ' ') AS gram
+       FROM d, unnest(range(1, len(toks) - {INTRA_N - 2})) t(i)
+       WHERE len(toks) >= {INTRA_N}),
+rep AS (SELECT id, s FROM (
+         SELECT id, s, row_number() OVER (PARTITION BY id, gram ORDER BY s ASC) AS occ
+         FROM gr) WHERE occ > 1),
+cov AS (SELECT DISTINCT r.id, CAST(t.p AS INT) AS p
+        FROM rep r, unnest(range(r.s, r.s + {INTRA_N})) t(p)),
+kept AS (SELECT tok.id, tok.p, tok.tk FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.id = tok.id AND c.p = tok.p)),
+clean AS (SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(tk, ' ' ORDER BY p) AS cleaned_text
+          FROM kept GROUP BY id),
+tot AS (SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d)
+SELECT tot.id AS doc_id, tot.n_tokens,
+       CAST(tot.n_tokens - COALESCE(clean.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(clean.cleaned_text, '') AS cleaned_text
+FROM tot LEFT JOIN clean ON tot.id = clean.id
+"""
+)
+
+QUERIES["curation_intradoc_scrub"] = (
+    curation_intradoc_scrub,
+    CURATION_INTRADOC_SCRUB_SQL,
+)

@@ -655,3 +655,55 @@ class TestLeakageSafeSplit:
             assert side[e["id_a"]] == side[e["id_b"]], (e["id_a"], e["id_b"])
         # both sides are non-empty (sanity that the fraction works)
         assert {"train", "val"} == set(side.values())
+
+
+class TestIntradocScrub:
+    def test_repeated_phrase_within_doc_removed(self, spark):
+        from queryengine_spark.operators.curation import intradoc_dedup_spans
+
+        texts = [
+            "alpha beta gamma filler alpha beta gamma end",
+            "unique words with no repeats at all",
+        ]
+        out = {
+            r["id"]: r
+            for r in intradoc_dedup_spans(_docs(spark, texts), "doc_id", "text", n=3)
+            .collect()
+        }
+        # first occurrence of "alpha beta gamma" kept, second removed
+        assert out[0]["cleaned_text"] == "alpha beta gamma filler end"
+        assert out[0]["n_removed"] == 3
+        assert out[1]["n_removed"] == 0
+        assert out[1]["cleaned_text"] == texts[1]
+
+    def test_matches_reference_on_random(self, spark):
+        import random
+
+        from queryengine_spark.operators.curation import intradoc_dedup_spans
+
+        rng = random.Random(55)
+        vocab = [f"w{j}" for j in range(5)]
+        n = 3
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 20)))
+            for _ in range(10)
+        ]
+        expect = {}
+        for d, t_ in enumerate(texts):
+            toks = t_.split()
+            seen = set()
+            cov = set()
+            for s in range(len(toks) - n + 1):
+                g = " ".join(toks[s : s + n])
+                if g in seen:
+                    cov.update(range(s, s + n))
+                else:
+                    seen.add(g)
+            kept = [tk for i, tk in enumerate(toks) if i not in cov]
+            expect[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+        got = {
+            r["id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+            for r in intradoc_dedup_spans(_docs(spark, texts), "doc_id", "text", n=n)
+            .collect()
+        }
+        assert got == expect
