@@ -16,14 +16,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from queryengine_spark.queries import all_oracle_sql, all_queries
-from queryengine_spark.queries.fuzzy import fuzzy_match_full
+from queryengine_spark.queries.fuzzy import fuzzy_match_flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline (heuristic candidate
     join → top-K → partial_ratio refine → argmax → NA fill) matching
     dirtied part names back to the clean p_name vocabulary."""
-    return fuzzy_match_full(spark, "/root/testdata/sf0.001")
+    return fuzzy_match_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2,11 +2,14 @@
 ``binary`` payload columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` feature extractors.
 
-The decode step is STUBBED (image/audio libraries are not available
-in this environment — see extract_features): the deterministic fake
-derives "features" from the payload bytes, so schema, partitioning,
-batch shapes and the UDF signature are real and tested, and swapping
-in a real decoder (PIL/librosa/ffmpeg) is a one-function change.
+Decode strategy (see ``_decode_dims``): formats decodable without
+media libraries run a REAL decode — uncompressed 24-bit BMP through
+``multimodal.bmp``'s full pixel decoder (PCM WAV has its own path
+there too) — while formats that need external codecs (PNG/JPEG pixel
+data) fall back to a deterministic fake derived from the payload
+bytes, so schema, partitioning, batch shapes and the UDF signature
+are real and tested either way, and swapping in PIL/librosa/ffmpeg
+is a one-function change (the ``_decode_image`` hook).
 """
 
 from __future__ import annotations
@@ -75,6 +78,23 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64
 
 
+def _decode_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL decode first: formats decodable without media libraries
+    (uncompressed 24-bit BMP, via multimodal.bmp's full pixel decoder)
+    yield true (width, height); then the PIL-shaped hook for formats
+    that need external libs; ``None`` → opaque payload (caller falls
+    back to the deterministic fake)."""
+    from queryengine_spark.multimodal.bmp import decode_bmp
+
+    arr = decode_bmp(payload)
+    if arr is not None:
+        return int(arr.shape[1]), int(arr.shape[0])
+    try:
+        return _decode_image(payload)
+    except NotImplementedError:
+        return None
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload —
     the multimodal hot path. Runs as mapInPandas so one Python worker
@@ -85,10 +105,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
             widths, heights, hashes = [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                try:
-                    w, h = _decode_image(b)
-                except NotImplementedError:
-                    w, h = _fake_decode(b)
+                dims = _decode_dims(b)
+                w, h = dims if dims is not None else _fake_decode(b)
                 widths.append(w)
                 heights.append(h)
                 hashes.append(hashlib.md5(b).hexdigest())
@@ -122,10 +140,8 @@ def extract_features_arrow(assets: DataFrame) -> DataFrame:
             for cell in payloads:
                 b = cell.as_py() if cell.is_valid else b""
                 b = b or b""
-                try:
-                    w, h = _decode_image(b)
-                except NotImplementedError:
-                    w, h = _fake_decode(b)
+                dims = _decode_dims(b)
+                w, h = dims if dims is not None else _fake_decode(b)
                 widths.append(w)
                 heights.append(h)
                 hashes.append(hashlib.md5(b).hexdigest())

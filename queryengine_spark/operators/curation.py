@@ -175,15 +175,19 @@ def semantic_dedup(
 
     Output: one row per in-contract vector — (id, cell, is_dup).
     """
+    # the quantizer trains on sample[:sample_n]; n_cells > sample_n
+    # would silently train fewer centroids than requested AND diverge
+    # from any oracle that samples n_cells rows — reject it loudly
+    assert n_cells <= sample_n, (
+        f"n_cells={n_cells} exceeds the training sample sample_n={sample_n}"
+    )
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).filter(F.size("v") == dim)
-    sample = (
-        e.select("id", "v").orderBy("id").limit(max(sample_n, n_cells)).collect()
-    )
+    sample = e.select("id", "v").orderBy("id").limit(sample_n).collect()
     # train on at most sample_n points — the oracle's LIMIT takes
-    # sample_n rows, so a caller with n_cells > sample_n must not
-    # silently widen the training set past what the SQL twin sees
+    # sample_n rows, so the Spark side must not silently widen the
+    # training set past what the SQL twin sees
     cents = kmeans_centroids_int(
         [(int(r["id"]), [float(x) for x in r["v"]]) for r in sample[:sample_n]],
         n_cells,
@@ -277,8 +281,14 @@ def heavy_hitters_exact(
     threshold), or raise the Arrow batch size / tree-merge the batch
     sketches to shrink the union first.
 
-    Output: (term, cnt) for every term with cnt·eps_den ≥ eps_num·N.
+    Output: (term, cnt) for every term with cnt·eps_den ≥ eps_num·N,
+    over the NON-NULL term stream: pandas value_counts silently
+    excludes NaN from the sketch, so without an explicit filter a
+    NULL-heavy stream would count toward N but never surface as a
+    candidate — the exactness invariant only holds when both passes
+    and the total see the same stream.
     """
+    df = df.filter(F.col(term_col).isNotNull())
     k = eps_den  # k+1 > den/num counters suffices for num=1; den is safe for num≥1
     cand = mg_candidate_terms(df, term_col, k)
     if broadcast_candidates:

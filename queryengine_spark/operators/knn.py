@@ -667,6 +667,13 @@ def ivf_pq_topk(
         c.join(q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", adc(F.col("q_vec"), F.col("codes")))
+        # the ADC UDF emits NaN for malformed inputs or a zero-norm
+        # reconstruction; Spark sorts NaN GREATEST under DESC, so an
+        # unfiltered degenerate code would outrank every real
+        # candidate (and diverge from the oracle's inf/NaN division).
+        # Drop non-finite scores, mirroring the null-drop on codes —
+        # the oracle applies the same isfinite() guard.
+        .filter(~F.isnan(F.col("score")))
     )
     if rerank_r is None:
         top = grouped_topk(

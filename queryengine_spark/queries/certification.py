@@ -57,6 +57,19 @@ def _row_green(row) -> bool:
 def compute_last_certified(repo: Path | None = None) -> dict[str, int]:
     if repo is None:
         repo = Path(__file__).resolve().parents[2]
+    if not glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        # installed outside the repo checkout (or artifacts missing):
+        # fall back EXPLICITLY to "nothing certified" — every query
+        # sorts into the window as stalest — and say so, instead of
+        # silently computing a stale rotation.
+        import warnings
+
+        warnings.warn(
+            f"no CORRECTNESS_r*.json found under {repo}; "
+            "certification rotation falls back to all-uncertified",
+            stacklevel=2,
+        )
+        return {}
     cert: dict[str, int] = {}
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)

@@ -130,11 +130,12 @@ QUALIFY row_number() OVER (PARTITION BY q_id
 """
 
 
-def fuzzy_match_full(spark: SparkSession, sf: str) -> DataFrame:
-    """The complete reference pipeline including the partial_ratio
-    refine (R1/R2/R3) — not SQL-expressible, rows-only check.
-    Reference parity is covered by the golden-example test instead
-    (tests/test_fuzzy_golden.py)."""
+def fuzzy_match_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-output flagship (q_id, query, match, score) — the complete
+    reference pipeline with its production cutoff, used by
+    ``__spark_entry__.entry``. The match/score columns are refine-
+    valued (rows-only territory); the oracled contract variant is
+    :func:`fuzzy_match_full` below."""
     cfg = FuzzyConfig(top_k=TOP_K, score_cutoff=60, candidate_strategy="inverted")
     return fuzzy_match(
         _dirty_queries(spark, sf),
@@ -145,9 +146,48 @@ def fuzzy_match_full(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fuzzy_match_full(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete reference pipeline including the partial_ratio
+    refine (R1/R2/R3), projected to its deterministically-SQL-
+    expressible shape so the driver can oracle it instead of emitting
+    an ``err=no_oracle`` row.
+
+    The match STRINGS are refine-valued (no SQL equivalent; full-
+    output parity is pinned by tests/test_fuzzy_golden.py byte-
+    identity against /root/reference/example/output.txt). But with
+    ``score_cutoff=0`` the *match-found* bit is heuristic-determined:
+    a query is unmatched iff it has zero positive-coverage candidates
+    (a shared bigram on <=500-byte terms yields partial_ratio >=
+    100*4/1000 which, on this part-name data of ~30-60 chars, rounds
+    to >= 1, so select_best's score>0 filter never fires for a real
+    candidate). ``has_match`` is computed FROM the refined ``match``
+    column, so Catalyst cannot prune the refine UDF — the driver row
+    certifies the full pipeline's row multiplicity, left-outer
+    completeness and match-found shape, and bench still times the
+    whole refine."""
+    cfg = FuzzyConfig(top_k=TOP_K, score_cutoff=0, candidate_strategy="inverted")
+    out = fuzzy_match(
+        _dirty_queries(spark, sf),
+        _refs(spark, sf),
+        query_id="id",
+        ref_id="id",
+        config=cfg,
+    )
+    return out.select(
+        "q_id", "query", (F.col("match") != F.lit("NA")).alias("has_match")
+    )
+
+
+FUZZY_FULL_SQL = _FUZZY_CTE + """
+SELECT qn.q_id, qn.q_term AS query,
+       (m.q_id IS NOT NULL) AS has_match
+FROM qn LEFT JOIN (SELECT DISTINCT q_id FROM cands) m ON qn.q_id = m.q_id
+"""
+
+
 QUERIES = {
     "fuzzy_candidates_coverage": (fuzzy_candidates_coverage, FUZZY_COVERAGE_SQL),
     "fuzzy_topk_heuristic": (fuzzy_topk_heuristic, FUZZY_TOPK_SQL),
     "fuzzy_best_match_heuristic": (fuzzy_best_match_heuristic, FUZZY_BEST_SQL),
-    "fuzzy_match_full": (fuzzy_match_full, None),
+    "fuzzy_match_full": (fuzzy_match_full, FUZZY_FULL_SQL),
 }

@@ -131,7 +131,9 @@ pscored AS MATERIALIZED (SELECT d.query_id, d.neighbor_id,
             d.dot / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(r.rn2 AS DOUBLE))) AS score
             FROM dots d
             JOIN qnorm q ON q.vec_id = d.query_id
-            JOIN rnorm r ON r.vec_id = d.neighbor_id)""")
+            JOIN rnorm r ON r.vec_id = d.neighbor_id
+            WHERE isfinite(d.dot / (sqrt(CAST(q.qn2 AS DOUBLE))
+                                    * sqrt(CAST(r.rn2 AS DOUBLE)))))""")
     return "".join(parts)
 
 

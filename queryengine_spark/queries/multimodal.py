@@ -39,10 +39,79 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched (mapInPandas) feature extraction over binary
-    payloads — decode stubbed deterministically, Spark plumbing real.
-    Not SQL-expressible → rows-only."""
-    return extract_features(_assets(spark, sf))
+    """Arrow-batched (mapInPandas) feature extraction over a MIXED
+    asset relation — odd doc_ids ship their text as an opaque
+    text/plain payload (md5 content hash + deterministic fake dims),
+    even doc_ids ship a synthesized uncompressed 24-bit BMP that goes
+    through the REAL pixel decoder (multimodal/bmp.py:decode_bmp), so
+    the flagship feature query exercises the real decode path.
+
+    Fully oracled: text-row hash and fake dims are md5-derived (DuckDB
+    recomputes them from md5(text) hex digits); BMP true dims and
+    container size follow the synthesis arithmetic (bmp_params). The
+    content hash is projected NULL for structurally-decoded media —
+    its byte-exactness is certified far more strongly by
+    multimodal_bmp_decode's channel-sum formula oracle."""
+    from queryengine_spark.multimodal.bmp import synthesize_bmp
+
+    docs = t(spark, sf, "documents")
+    text_assets = attach_payload(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", "text/plain"
+    )
+    bmp_assets = synthesize_bmp(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").cast("long").alias("asset_id")
+        )
+    ).select(
+        "asset_id",
+        F.lit("image/bmp").alias("media_type"),
+        "payload",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    feats = extract_features(text_assets.unionByName(bmp_assets))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        F.when(F.col("media_type") == "image/bmp", F.lit(None).cast("string"))
+        .otherwise(F.col("content_hash"))
+        .alias("content_hash"),
+        "width",
+        "height",
+    )
+
+
+# hex-digit value of char at position i (1-based) of md5(text)
+def _hexat(i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1)"
+
+
+# byte k (0-based) of the md5 digest, from its hex string
+def _md5_byte(k: int) -> str:
+    return f"({_hexat(2 * k + 1)} * 16 + {_hexat(2 * k + 2)})"
+
+
+# Mirrors multimodal/__init__.py::_fake_decode (md5-derived dims for
+# opaque payloads) and multimodal/bmp.py::bmp_params + make_bmp's
+# container layout: 54 header bytes + 4-byte-aligned rows.
+FEATURES_SQL = f"""
+SELECT doc_id AS asset_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       CAST(16 + {_md5_byte(0)} % 64 AS INT) AS width,
+       CAST(16 + {_md5_byte(1)} % 64 AS INT) AS height
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT doc_id AS asset_id,
+       'image/bmp' AS media_type,
+       CAST(54 + ((4 + doc_id % 13) * 3 + 3) // 4 * 4 * (4 + doc_id % 9)
+            AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_hash,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(4 + doc_id % 9 AS INT) AS height
+FROM documents WHERE doc_id % 2 = 0
+"""
 
 
 def multimodal_header_parse(spark: SparkSession, sf: str) -> DataFrame:
@@ -87,6 +156,6 @@ FROM documents
 
 QUERIES = {
     "multimodal_binary_stats": (multimodal_binary_stats, BINARY_STATS_SQL),
-    "multimodal_features": (multimodal_features, None),
+    "multimodal_features": (multimodal_features, FEATURES_SQL),
     "multimodal_header_parse": (multimodal_header_parse, HEADER_PARSE_SQL),
 }

@@ -58,6 +58,23 @@ def test_sample_frames_expands_rows(spark):
     row = frames.filter((F.col("asset_id") == 2) & (F.col("frame_idx") == 1)).collect()[0]
     assert bytes(row["frame"]) == b"a longer payload for frame sampling tests"[10:20]
 
+def test_extract_features_real_bmp_dims(spark):
+    """A BMP payload must take the REAL decode path: true container
+    dimensions (bmp_params), not the md5-derived fake — in both the
+    pandas and Arrow extractors."""
+    from queryengine_spark.multimodal import extract_features_arrow
+    from queryengine_spark.multimodal.bmp import bmp_params, make_bmp
+
+    ids = [5, 16, 123]
+    df = spark.createDataFrame(
+        [(i, "image/bmp", make_bmp(i), len(make_bmp(i))) for i in ids],
+        ["asset_id", "media_type", "payload", "n_bytes"],
+    )
+    for extractor in (extract_features, extract_features_arrow):
+        got = {r["asset_id"]: (r["width"], r["height"]) for r in extractor(df).collect()}
+        assert got == {i: bmp_params(i) for i in ids}
+
+
 def test_map_in_arrow_features_equal_pandas(spark, sf_dir):
     """The mapInArrow extractor must produce exactly the mapInPandas
     extractor's rows (same fake decode, same hashing)."""
