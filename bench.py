@@ -163,9 +163,13 @@ def main() -> None:
     # compilation, broadcast build, Python worker import of any new
     # module) that are properties of the JVM session, not the plan —
     # measured swings of 1.5-2x on identical plans run back-to-back.
-    # Min-of-2 is the steady-state number consistent with the
-    # warmups above; "runs" is recorded in the output.
-    N_RUNS = 2
+    # Min-of-N is the steady-state number consistent with the
+    # warmups above; "runs" is recorded in the output. N=3 (was 2):
+    # the round-4 drift A/B (BASELINE.md) measured the FIRST run of
+    # the heavier plans ~2.5-3 s above steady state even after
+    # warmup, so min-of-2 reported the lone second run and inherited
+    # its full session noise — min-of-3 gets two steady samples.
+    N_RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
