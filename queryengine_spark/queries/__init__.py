@@ -108,5 +108,9 @@ def all_oracle_sql() -> dict[str, str]:
     for i in order:
         _m, name, _fn, sql = entries[i]
         if sql is not None:
-            out[name] = sql
+            # a callable sql is a LAZY oracle builder (e.g. the BPE
+            # oracle trains its merge table from the oracle corpus at
+            # build time) — resolved only here, so queries()/bench
+            # never pay for it
+            out[name] = sql() if callable(sql) else sql
     return out

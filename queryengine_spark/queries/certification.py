@@ -36,7 +36,9 @@ VOID: dict[str, int] = {
     "dedup_minhash_lsh": 1,           # band_size 2 -> 4 (+ r3 bucket cap)
     "dedup_simhash": 1,               # 64-bit + banded path
     "dedup_components": 1,            # label-prop rework
-    "dedup_embedding": 1,             # all-pairs -> multi-table LSH
+    "dedup_embedding": 3,             # r2: all-pairs -> multi-table LSH;
+                                      # r4: production 7x4 bucketing default
+                                      # (verdict r3 item 6) voids the r3 row
     "knn_bruteforce": 1,              # plan rework
     "knn_lsh": 1,                     # 16-table multiprobe retune
     "knn_lsh_recall": 1,

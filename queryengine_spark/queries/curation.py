@@ -340,8 +340,10 @@ BPE_MERGES = 200
 
 def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Train-on-sample + distributed-apply BPE (functions/bpe.py).
-    Rows-only contract: iterative data-dependent rewriting is not
-    SQL-expressible; pytest pins the encoder against an independent
+    Oracle: the merge table is trained by the shared bounded-sample
+    trainer, and the APPLY stage is re-derived independently in
+    DuckDB as a recursive CTE (see ``_bpe_oracle_sql``); pytest
+    additionally pins the encoder against an independent quadratic
     reference implementation and round-trip/boundary properties."""
     from queryengine_spark.functions.bpe import bpe_encode_udf, bpe_train_on_sample
     from queryengine_spark.functions.text import tokenize_ws
@@ -358,7 +360,110 @@ def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-QUERIES.update({"text_bpe_tokenize": (text_bpe_tokenize, None)})
+_BPE_SQL_CACHE: dict[str, str] = {}
+
+#: sentinel rank for "pair is not a merge" — larger than any real rank
+_BPE_NO_MERGE = 1_000_000
+
+
+def _bpe_oracle_sql() -> str:
+    """LAZY oracle builder for text_bpe_tokenize (resolved by
+    ``all_oracle_sql()``, never by ``queries()``/bench).
+
+    Split of responsibilities, mirroring the IVF-centroid oracles:
+    the merge TABLE is trained once by the shared pure-Python trainer
+    (``bpe_train`` — exact integer pair counts over the 256
+    smallest-id docs, deterministic tie-breaks) from tokens that
+    DUCKDB tokenizes out of the oracle corpus, then the heavy
+    distributed stage — per-word lowest-rank-first merge application
+    across the whole table — is re-derived INDEPENDENTLY in SQL as a
+    recursive CTE (one step = merge the leftmost lowest-rank adjacent
+    pair; a word leaves the recursion when no pair is in the merge
+    map). Spark's Arrow-UDF apply and tokenizer are therefore fully
+    cross-engine-checked; only the bounded-sample trainer is shared.
+
+    The corpus the merges are trained from is the one the DRIVER
+    oracles at (``/root/testdata/sf0.01``); local replication at
+    another sf sets SPARK_GRAFT_ORACLE_SF_DIR (test_entry_contract
+    pins it to its own sf_dir). Merge-map keys join the symbol pair
+    with chr(1), which the corpus is verified not to contain.
+    """
+    import os
+
+    import duckdb
+
+    from queryengine_spark.functions.bpe import EOW, bpe_train
+    from queryengine_spark.queries.textstats import _TOKS
+
+    sf = (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+    if sf in _BPE_SQL_CACHE:
+        return _BPE_SQL_CACHE[sf]
+    toks_expr = _TOKS.format(c="lower(text)")
+    con = duckdb.connect()
+    try:
+        rows = con.sql(
+            f"SELECT {toks_expr} AS toks FROM '{sf}/documents.parquet' "
+            f"ORDER BY doc_id LIMIT {BPE_SAMPLE_N}"
+        ).fetchall()
+    finally:
+        con.close()
+    words: dict[str, int] = {}
+    for (toks,) in rows:
+        for w in toks:
+            words[w] = words.get(w, 0) + 1
+    merges = bpe_train(words, BPE_MERGES)
+    assert merges, "BPE training produced no merges — corpus too small"
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    mm = "MAP{" + ", ".join(
+        f"{lit(a)} || chr(1) || {lit(b)}: {rank}"
+        for rank, (a, b) in enumerate(merges)
+    ) + "}"
+    big = _BPE_NO_MERGE
+    rks = (
+        f"list_transform(range(1, CAST(len(syms) AS BIGINT)), "
+        f"i -> coalesce(map_extract({mm}, syms[CAST(i AS INT)] || chr(1) "
+        f"|| syms[CAST(i AS INT)+1])[1], {big}))"
+    )
+    sql = f"""
+WITH RECURSIVE
+d AS (SELECT doc_id AS id, {toks_expr} AS toks FROM documents),
+tok AS (SELECT id, CAST(t.i AS INT) AS pos, toks[CAST(t.i AS INT)] AS w
+        FROM d, unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) t(i)),
+words AS (SELECT DISTINCT w FROM tok),
+enc(w, syms) AS (
+  SELECT w, list_append(string_split(w, ''), '{EOW}') FROM words
+  UNION ALL
+  SELECT w, list_concat(list_concat(syms[1:bi-1], [syms[bi] || syms[bi+1]]),
+                        syms[bi+2:len(syms)])
+  FROM (SELECT w, syms, list_position(rks, list_min(rks)) AS bi,
+               list_min(rks) AS br
+        FROM (SELECT w, syms, {rks} AS rks FROM enc) s0) s1
+  WHERE br < {big}
+),
+final AS (SELECT w, syms FROM enc
+          WHERE {big} = list_min(list_append({rks}, {big}))),
+agg AS (SELECT t.id, CAST(sum(len(f.syms)) AS BIGINT) AS n_subwords,
+               flatten(list(f.syms ORDER BY t.pos)) AS subs
+        FROM tok t JOIN final f ON t.w = f.w
+        GROUP BY t.id)
+SELECT d.id AS doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_subwords, 0) AS n_subwords,
+       COALESCE(array_to_string(a.subs[1:12], ' '), '') AS head_subwords
+FROM d LEFT JOIN agg a ON d.id = a.id
+"""
+    _BPE_SQL_CACHE[sf] = sql
+    return sql
+
+
+QUERIES.update({"text_bpe_tokenize": (text_bpe_tokenize, _bpe_oracle_sql)})
 
 
 #: temperature-weighted sampling: targets ∝ n_source^0.5 (α = 0.5 —

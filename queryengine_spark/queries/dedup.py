@@ -30,14 +30,20 @@ JACCARD_THRESHOLD = 0.6
 #: enough that the synthetic corpus yields a non-empty result (a 0-row
 #: hash match proves nothing), high enough to stay a "near-dup" test.
 COSINE_THRESHOLD = 0.35
-#: 3 bits × 8 tables ≈ 0.90 recall vs the all-pairs twin at the weak
-#: 0.35 threshold (tests/test_dedup.py) while cutting candidate volume
-#: ~16×. At a true near-dup threshold (≥0.9, near-parallel vectors)
-#: sign tests agree with prob 1-θ/π ≈ 0.93/bit, so FEWER tables and
-#: MORE bits (e.g. 8×2) give both higher recall and smaller buckets —
-#: tune per threshold with the recall twin.
-EMB_N_BITS = 3
-EMB_N_TABLES = 8
+#: PRODUCTION operating point (round-3 verdict item 6): 7 bits × 4
+#: tables — measured 0.96 recall of planted cos≈0.97 near-dups at
+#: 3.2 % candidate volume (tests/test_embedding_prod_threshold.py).
+#: At the weak 0.35 contract threshold the per-bit sign-test
+#: agreement is only 1-θ/π ≈ 0.61, so this selective bucketing keeps
+#: proportionally fewer weak pairs — the oracle mirrors the identical
+#: bucketing, so the recall trade-off is cross-engine-checked, and
+#: the recall evidence at the production threshold lives in the
+#: planted-pair test. The round-2/3 contract config (3 × 8, near
+#: all-pairs at 0.35) stays reachable for reproducing old driver rows:
+EMB_N_BITS = 7
+EMB_N_TABLES = 4
+CONTRACT_EMB_N_BITS = 3
+CONTRACT_EMB_N_TABLES = 8
 EMB_DIM = 64
 N_HASHES = 8
 #: 2 bands × 4 hashes: requiring 4 matching min-hashes per band keeps

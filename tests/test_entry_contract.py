@@ -15,6 +15,14 @@ import os
 import duckdb
 import pytest
 
+# lazy oracle builders (text_bpe_tokenize) train from the oracle
+# corpus — pin it to the sf this replication run compares at BEFORE
+# the ORACLES map is built below
+os.environ.setdefault(
+    "SPARK_GRAFT_ORACLE_SF_DIR",
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+)
+
 import __spark_entry__ as entry_mod
 from queryengine_spark.sources.tables import TABLES
 
