@@ -43,6 +43,11 @@ from queryengine_spark.plans import spread
 
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
+#: rounds the most recent connected-components call took to converge
+#: (either backend) — measurement hook for the backend A/B
+#: (scripts/ab_cc_backend.py, docs/SCALE.md); not part of any result.
+LAST_CC_ROUNDS = 0
+
 
 def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content hash: (text_hash, n_docs, keep_id) per
@@ -589,9 +594,10 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    global LAST_CC_ROUNDS
     prev_sum = _label_sum(labels)
     converged = False
-    for _ in range(max_iterations):
+    for LAST_CC_ROUNDS in range(1, max_iterations + 1):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)
             .groupBy("dst")
@@ -674,9 +680,10 @@ def connected_components_star(
         ).collect()[0]
         return row["n"], row["s"]
 
+    global LAST_CC_ROUNDS
     sig = _sig(e)
     converged = False
-    for _ in range(max_iterations):
+    for LAST_CC_ROUNDS in range(1, max_iterations + 1):
         # large-star over the symmetric neighborhood
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
