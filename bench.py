@@ -111,6 +111,13 @@ HEADLINE = [
     "multimodal_wav_decode",
     "pipeline_leakage_safe_split",
     "curation_intradoc_scrub",
+    # round-4 analytics pack: BM25 retrieval, CMS/HLL sketches,
+    # integer PageRank over the near-dup graph, dataset-card profile
+    "text_bm25_search",
+    "text_cms_freq",
+    "text_hll_distinct",
+    "graph_pagerank",
+    "profile_numeric_summary",
 ]
 
 

@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from queryengine_spark.queries import (
+    analytics,
     curation,
     dedup,
     eventsq,
@@ -62,6 +63,8 @@ _MODULES = (
     curation,
     knn2,
     multimodal2,
+    # round-4 analytics pack (BM25 / CMS / HLL / PageRank / profile)
+    analytics,
     relational,
     relational2,
     tpch_extra,

@@ -1,0 +1,301 @@
+"""Round-4 analytics pack: lexical search (BM25), mergeable
+frequency/cardinality sketches (Count-Min, HyperLogLog), link
+analysis over the near-dup graph (integer PageRank), and a
+column-profiling "dataset card" — each with a full DuckDB oracle.
+
+Cross-engine conventions as everywhere in this package: md5-hex
+hashing, floor-scaled BIGINT sums for every float aggregation,
+bin()-length instead of log2, explicit integer division, identical
+IEEE expression trees on both engines (queries/base.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queryengine_spark.operators.freq import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_ALPHA,
+    HLL_M,
+    HLL_P,
+    cms_counters,
+    cms_estimate,
+    hll_estimate,
+    hll_registers,
+)
+from queryengine_spark.operators.graph import pagerank
+from queryengine_spark.operators.search import bm25_topk
+from queryengine_spark.queries.base import dec_sum, sql_fsum, t
+from queryengine_spark.queries.textstats import _TOKS
+
+_TOKS_LOW = _TOKS.format(c="lower(text)")
+
+#: BM25 contract query: two common terms + the one rare term in the
+#: synthetic vocabulary ("dup", df two orders below the rest) so the
+#: idf spread is actually exercised
+BM25_TERMS = ["vector", "join", "dup"]
+BM25_K = 10
+
+
+def text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/search.py) with the log-free
+    rational idf — engine-portable scoring, micro-unit integer sums."""
+    return bm25_topk(
+        t(spark, sf, "documents"), "doc_id", "text", BM25_TERMS, k=BM25_K
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{w}'" for w in BM25_TERMS)
+    idf = "((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 0.5))"
+    tf_part = (
+        "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * "
+        "(0.25 + 0.75 * CAST(dl AS DOUBLE) * "
+        "(CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS_LOW} AS toks FROM documents),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+hits AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term),
+scored AS (SELECT h.doc_id,
+                  CAST(floor({idf} * {tf_part} * 1000000.0 + 0.5) AS BIGINT) AS cu
+           FROM hits h JOIN dfs f USING (term) JOIN lens l USING (doc_id)
+           CROSS JOIN stats),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+               SUM(cu) AS score_u FROM scored GROUP BY doc_id)
+SELECT doc_id, n_hit_terms, score_u / 1000000.0 AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+#: CMS contract query: estimate vs exact for the 20 most frequent
+#: terms (the sketch guarantee est >= exact is pinned in pytest)
+CMS_TOP = 20
+
+
+def text_cms_freq(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    from queryengine_spark.functions.text import tokenize_ws
+
+    tok = d.select(
+        F.explode(tokenize_ws(F.lower(F.col("text")))).alias("term")
+    )
+    counters = cms_counters(tok, "term")
+    est = cms_estimate(counters, tok, "term")
+    exact = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    return (
+        est.join(exact, "term")
+        .orderBy(F.col("exact").desc(), F.col("term").asc())
+        .limit(CMS_TOP)
+    )
+
+
+def _cms_sql() -> str:
+    rows = ", ".join(f"({r})" for r in range(CMS_DEPTH))
+    bucket = (
+        "('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, 8))::BIGINT"
+        f" % {CMS_WIDTH}"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS_LOW} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS term FROM d),
+cells AS (SELECT r.r AS row, {bucket} AS bucket
+          FROM tok, (VALUES {rows}) r(r)),
+cnt AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row, bucket),
+probes AS (SELECT DISTINCT term FROM tok),
+pb AS (SELECT term, r.r AS row, {bucket} AS bucket
+       FROM probes, (VALUES {rows}) r(r)),
+est AS (SELECT term, MIN(COALESCE(cnt, 0)) AS est
+        FROM pb LEFT JOIN cnt USING (row, bucket) GROUP BY term),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+          FROM tok GROUP BY term)
+SELECT term, est, exact FROM est JOIN exact USING (term)
+ORDER BY exact DESC, term ASC LIMIT {CMS_TOP}
+"""
+
+
+def text_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language HLL distinct-token estimate beside the exact
+    count (the contract emits the RAW estimate + used-register count;
+    ln()-based small-range correction is production-side only — ln is
+    not IEEE-portable)."""
+    d = t(spark, sf, "documents")
+    from queryengine_spark.functions.text import tokenize_ws
+
+    tok = d.select(
+        "lang", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("term")
+    )
+    regs = hll_registers(tok, "lang", "term")
+    est = hll_estimate(regs)
+    exact = tok.groupBy("lang").agg(
+        F.count_distinct("term").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, est.grp == exact.lang)
+        .select(
+            F.col("grp").alias("lang"),
+            "est_raw",
+            F.col("used").alias("used_registers"),
+            "exact_distinct",
+        )
+        .orderBy("lang")
+    )
+
+
+def _hll_sql() -> str:
+    rem_rho = 60 - HLL_P + 1
+    return f"""
+WITH d AS (SELECT lang, doc_id, {_TOKS_LOW} AS toks FROM documents),
+tok AS (SELECT lang, unnest(toks) AS term FROM d),
+h AS (SELECT lang, term,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT AS h60 FROM tok),
+reg0 AS (SELECT lang, h60 % {HLL_M} AS idx, h60 // {HLL_M} AS rem FROM h),
+reg AS (SELECT lang, idx,
+               MAX(CASE WHEN rem > 0 THEN {rem_rho} - length(bin(rem))
+                        ELSE {rem_rho} END) AS rho
+        FROM reg0 GROUP BY lang, idx),
+s AS (SELECT lang, SUM(1::BIGINT << (50 - rho)) AS s_used,
+             CAST(count(*) AS BIGINT) AS used FROM reg GROUP BY lang),
+est AS (SELECT lang,
+   CAST(floor(CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE)
+        * CAST({float(1 << 50)!r} AS DOUBLE)
+        / CAST(s_used + ({HLL_M} - used) * (1::BIGINT << 50) AS DOUBLE)
+        * 1000.0 + 0.5) AS BIGINT) AS est_milli,
+   used FROM s),
+exact AS (SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct
+          FROM tok GROUP BY lang)
+SELECT e.lang, e.est_milli / 1000.0 AS est_raw, e.used AS used_registers,
+       x.exact_distinct
+FROM est e JOIN exact x USING (lang)
+ORDER BY lang
+"""
+
+
+#: PageRank over the capped MinHash-LSH candidate graph (the same
+#: edge set as dedup_minhash_lsh, oracle CTEs shared)
+PR_ITERS = 5
+
+
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer PageRank (operators/graph.py) over the near-dup
+    candidate graph: rank = boilerplate-hub centrality. Exact BIGINT
+    arithmetic; the oracle unrolls the identical recurrence."""
+    from queryengine_spark.operators.dedup import minhash_lsh_candidate_pairs
+    from queryengine_spark.queries.dedup import (
+        BAND_SIZE,
+        MINHASH_MAX_BUCKET,
+        N_HASHES,
+    )
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text",
+        n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+        max_bucket=MINHASH_MAX_BUCKET,
+    )
+    ranks = pagerank(
+        docs.select(F.col("doc_id").alias("id")), pairs, iterations=PR_ITERS
+    )
+    return ranks.select(F.col("id").alias("doc_id"), "rank")
+
+
+def _pagerank_sql() -> str:
+    from queryengine_spark.queries.dedup import DEDUP_MINHASH_SQL
+
+    body = DEDUP_MINHASH_SQL.strip()
+    assert body.startswith("WITH ")
+    ctes, final_select = body.rsplit("SELECT DISTINCT", 1)
+    prev = "r0"
+    rounds = []
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""r{i} AS (SELECT v.id,
+       CAST(150000 + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+  FROM {prev} v LEFT JOIN (
+       SELECT t.dst, SUM(r.rank // t.deg) AS s
+       FROM topo t JOIN {prev} r ON t.src = r.id GROUP BY t.dst) c
+    ON v.id = c.dst)"""
+        )
+        prev = f"r{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+{ctes.rstrip().rstrip(",")},
+pairs AS (SELECT DISTINCT {final_select.strip()}),
+verts AS (SELECT doc_id AS id FROM documents),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+topo AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM verts),
+{rounds_sql}
+SELECT id AS doc_id, rank FROM {prev}
+"""
+
+
+#: dataset-card numeric profile over lineitem's value columns
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def profile_numeric_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-profiling "dataset card" for numeric columns: row/null/
+    distinct counts, min/max (raw parquet doubles — no arithmetic, so
+    engine-identical) and the order-independent scaled sum. One scan;
+    the per-column metrics melt into (col_name, ...) rows."""
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+            dec_sum(c, f"{c}__sm"),
+        ]
+    one = t(spark, sf, "lineitem").agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").cast("double").alias("min_v"),
+            F.col(f"{c}__mx").cast("double").alias("max_v"),
+            F.col(f"{c}__sm").alias("sum_v"),
+        )
+        for c in PROFILE_COLS
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("m")).select("m.*")
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_v,
+       CAST(MAX({c}) AS DOUBLE) AS max_v,
+       {sql_fsum(c)} AS sum_v
+FROM lineitem"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES = {
+    "text_bm25_search": (text_bm25_search, _bm25_sql()),
+    "text_cms_freq": (text_cms_freq, _cms_sql()),
+    "text_hll_distinct": (text_hll_distinct, _hll_sql()),
+    "graph_pagerank": (graph_pagerank, _pagerank_sql()),
+    "profile_numeric_summary": (profile_numeric_summary, _profile_sql()),
+}

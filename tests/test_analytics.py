@@ -1,0 +1,179 @@
+"""Engine-independent oracles for the round-4 analytics pack:
+BM25 against a quadratic pure-Python scorer, CMS against its
+overestimate guarantee, HLL against its error bound on a planted
+high-cardinality stream, PageRank against a hand-rolled integer
+power iteration on a known graph."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from queryengine_spark.operators.freq import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    cms_counters,
+    cms_estimate,
+    hll_estimate,
+    hll_registers,
+)
+from queryengine_spark.operators.graph import pagerank
+from queryengine_spark.operators.search import bm25_topk
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog chased the cat"),
+    (3, "a mat for the dog"),
+    (4, "cats and dogs and cats"),
+    (5, "the the the the the the"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_bm25(query_terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {
+        t: sum(1 for v in toks.values() if t in v) for t in query_terms
+    }
+    scores = {}
+    for i, v in toks.items():
+        s = 0
+        hit = 0
+        for t in query_terms:
+            tf = v.count(t)
+            if not tf or not dfs[t]:
+                continue
+            hit += 1
+            idf = (n + 1.0) / (dfs[t] + 0.5)
+            tf_part = tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            s += math.floor(idf * tf_part * 1e6 + 0.5)
+        if hit:
+            scores[i] = (hit, s / 1e6)
+    return scores
+
+
+def test_bm25_matches_reference(spark, docs_df):
+    got = {
+        r["doc_id"]: (r["n_hit_terms"], r["score"])
+        for r in bm25_topk(docs_df, "doc_id", "text", ["cat", "mat", "dog"], k=10).collect()
+    }
+    want = _py_bm25(["cat", "mat", "dog"])
+    assert got == want
+
+
+def test_bm25_rare_term_dominates(spark, docs_df):
+    # "sat" appears once in doc 1 only; its idf outranks a common term
+    top = bm25_topk(docs_df, "doc_id", "text", ["sat", "the"], k=1).collect()
+    assert top[0]["doc_id"] == 1
+
+
+def test_bm25_topk_order_and_limit(spark, docs_df):
+    rows = bm25_topk(docs_df, "doc_id", "text", ["the"], k=3).collect()
+    assert len(rows) == 3
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cms_overestimates_never_under(spark, docs_df):
+    from queryengine_spark.functions.text import tokenize_ws
+
+    tok = docs_df.select(F.explode(tokenize_ws(F.lower("text"))).alias("term"))
+    counters = cms_counters(tok, "term")
+    # sketch is bounded regardless of stream size
+    assert counters.count() <= CMS_DEPTH * CMS_WIDTH
+    est = {r["term"]: r["est"] for r in cms_estimate(counters, tok, "term").collect()}
+    exact = {
+        r["term"]: r["cnt"]
+        for r in tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(est) == set(exact)
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c)
+        # d*w = 4096 cells >> 13 distinct terms: no collisions, exact
+        assert est[t] == c, (t, est[t], c)
+
+
+def test_cms_unseen_term_bounded(spark, docs_df):
+    from queryengine_spark.functions.text import tokenize_ws
+
+    tok = docs_df.select(F.explode(tokenize_ws(F.lower("text"))).alias("term"))
+    counters = cms_counters(tok, "term")
+    probes = spark.createDataFrame([("zebra",)], "term string")
+    est = cms_estimate(counters, probes, "term").collect()
+    assert est[0]["est"] <= 2  # epsilon*N bound; tiny stream -> ~0
+
+
+def test_hll_within_error_bound(spark):
+    # 20_000 planted distinct values; p=12 -> rse 1.625%; allow 5 sigma
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.concat(F.lit("tok-"), F.col("id")).alias("term")
+    )
+    regs = hll_registers(df, "g", "term")
+    assert regs.count() <= HLL_M
+    est = hll_estimate(regs).collect()[0]
+    rse = 1.04 / math.sqrt(HLL_M)
+    assert abs(est["est_raw"] - n) <= 5 * rse * n, est["est_raw"]
+
+
+def test_hll_merge_idempotent(spark):
+    # the register table folded over a doubled stream equals the
+    # original (max is idempotent) -> mergeable sketch state
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("t"), F.col("id")).alias("term")
+    )
+    doubled = df.union(df)
+    a = {(r["idx"],): r["rho"] for r in hll_registers(df, "g", "term").collect()}
+    b = {(r["idx"],): r["rho"] for r in hll_registers(doubled, "g", "term").collect()}
+    assert a == b
+
+
+def _py_pagerank(vertices, edges, iterations=5):
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    r = {v: 1_000_000 for v in vertices}
+    for _ in range(iterations):
+        s = {v: 0 for v in vertices}
+        for a, b in sym:
+            s[b] += r[a] // deg[a]
+        r = {v: 150_000 + (17 * s[v]) // 20 for v in vertices}
+    return r
+
+
+def test_pagerank_matches_reference_and_ranks_hub(spark):
+    verts = [1, 2, 3, 4, 5, 6]
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (5, 6)]
+    vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["rank"] for r in pagerank(vdf, edf).collect()}
+    want = _py_pagerank(verts, edges)
+    assert got == want
+    # the degree-3 hub outranks everything; the detached 2-cycle is a
+    # closed system (150k teleport + 17/20 of the partner's 1M keeps
+    # it at exactly 1M), while the hub's periphery bleeds rank to it
+    assert got[1] == max(got.values())
+    assert got[5] == got[6] == 1_000_000
+    assert got[2] < 1_000_000 and got[4] < got[2]
+
+
+def test_pagerank_isolated_vertex_teleport_floor(spark):
+    vdf = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    edf = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["id"]: r["rank"] for r in pagerank(vdf, edf, iterations=3).collect()}
+    # vertex 3 has no edges: settles at the teleport floor
+    assert got[3] == 150_000
+    assert got[1] == got[2] > got[3]

@@ -238,3 +238,23 @@ def test_incremental_dedup_joins_bucket_index(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_bm25_topk_and_broadcasts(spark, sf_dir):
+    # BM25: per-term df and corpus stats broadcast into the scoring
+    # join (no shuffle of the postings beyond the tf groupBy), final
+    # top-k as TakeOrderedAndProject (no global sort); the only
+    # nested-loop join is the one-row corpus-stats broadcast
+    plan = _plan(spark, sf_dir, "text_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_join_broadcast(spark, sf_dir):
+    # the CMS counter table (<= depth*width rows) must broadcast to
+    # the probes — a point query never shuffles the corpus
+    plan = _plan(spark, sf_dir, "text_cms_freq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
