@@ -118,6 +118,8 @@ HEADLINE = [
     "text_hll_distinct",
     "graph_pagerank",
     "profile_numeric_summary",
+    "fuzzy_edit_join",
+    "source_partition_pruned",
 ]
 
 

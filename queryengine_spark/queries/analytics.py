@@ -292,10 +292,86 @@ FROM lineitem"""
     return "\nUNION ALL\n".join(parts)
 
 
+def fuzzy_edit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """SymSpell deletion-neighborhood edit-distance join
+    (operators/editdist.py): queries are every 20th part name with
+    ONE deterministically-chosen character deleted (position =
+    (p_partkey div 20) mod len), matched back to the full clean name
+    vocabulary at Levenshtein distance <= 1 — the candidate set comes
+    from an equi-join on deletion variants, never a cross join."""
+    from queryengine_spark.operators.editdist import edit_distance_join
+
+    p = t(spark, sf, "part")
+    q = p.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("id"),
+        F.expr(
+            "concat(substring(p_name, 1, "
+            "pmod(p_partkey div 20, length(p_name))), "
+            "substring(p_name, pmod(p_partkey div 20, length(p_name)) + 2, "
+            "length(p_name)))"
+        ).alias("term"),
+    )
+    r = p.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("term"))
+    return edit_distance_join(q, r, "id", "term", "id", "term", max_dist=1)
+
+
+def _edit_join_sql() -> str:
+    dels = (
+        "list_transform(range(1, length(term) + 1), i -> "
+        "substr(term, 1, CAST(i AS INT) - 1) || "
+        "substr(term, CAST(i AS INT) + 1, length(term)))"
+    )
+    return f"""
+WITH q AS (SELECT p_partkey AS id,
+       substr(p_name, 1, (p_partkey // 20) % length(p_name))
+       || substr(p_name, (p_partkey // 20) % length(p_name) + 2,
+                 length(p_name)) AS term
+       FROM part WHERE p_partkey % 20 = 0),
+r AS (SELECT p_partkey AS id, p_name AS term FROM part),
+qv AS (SELECT DISTINCT id AS q_id, term AS q_term, v
+       FROM (SELECT id, term, unnest(list_append({dels}, term)) AS v FROM q)),
+rv AS (SELECT DISTINCT id AS r_id, term AS r_term, v
+       FROM (SELECT id, term, unnest(list_append({dels}, term)) AS v FROM r)),
+cand AS (SELECT DISTINCT q_id, q_term, r_id, r_term
+         FROM qv JOIN rv USING (v))
+SELECT q_id, r_id, CAST(levenshtein(q_term, r_term) AS INT) AS dist
+FROM cand WHERE levenshtein(q_term, r_term) <= 1
+"""
+
+
+def source_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-partitioned staging + partition-pruned read-back: orders
+    written partitionBy(o_orderpriority), read with a partition
+    predicate — the scan must touch ONE directory (PartitionFilters
+    in the plan, gated in test_plans). The 100 TB pattern: layout
+    choices turn predicates into skipped input, not filtered rows."""
+    import os
+
+    o = t(spark, sf, "orders")
+    stage = f"/tmp/qe-stage-ppart-{os.path.basename(os.path.normpath(sf))}"
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority").write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(stage)
+    back = spark.read.parquet(stage).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return back.select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").cast("string").alias("o_orderpriority")
+    )
+
+
+SOURCE_PARTITION_PRUNED_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 QUERIES = {
     "text_bm25_search": (text_bm25_search, _bm25_sql()),
     "text_cms_freq": (text_cms_freq, _cms_sql()),
     "text_hll_distinct": (text_hll_distinct, _hll_sql()),
     "graph_pagerank": (graph_pagerank, _pagerank_sql()),
     "profile_numeric_summary": (profile_numeric_summary, _profile_sql()),
+    "fuzzy_edit_join": (fuzzy_edit_join, _edit_join_sql()),
+    "source_partition_pruned": (source_partition_pruned, SOURCE_PARTITION_PRUNED_SQL),
 }

@@ -177,3 +177,50 @@ def test_pagerank_isolated_vertex_teleport_floor(spark):
     # vertex 3 has no edges: settles at the teleport floor
     assert got[3] == 150_000
     assert got[1] == got[2] > got[3]
+
+
+def test_edit_distance_join_complete_vs_bruteforce(spark):
+    from queryengine_spark.operators.editdist import edit_distance_join
+
+    qs = [(1, "kitten"), (2, "hello"), (3, "abc"), (4, "zzzz")]
+    rs = [
+        (10, "kitten"),   # equal -> 0
+        (11, "mitten"),   # substitution -> 1
+        (12, "kittens"),  # insertion -> 1
+        (13, "itten"),    # deletion -> 1
+        (14, "hallo"),    # substitution -> 1
+        (15, "help"),     # distance 2 -> excluded
+        (16, "ab"),       # deletion -> 1
+        (17, "abcd"),     # insertion -> 1
+        (18, "xyz"),      # distance 3 -> excluded
+    ]
+    qdf = spark.createDataFrame(qs, "id long, term string")
+    rdf = spark.createDataFrame(rs, "id long, term string")
+    got = {
+        (r["q_id"], r["r_id"]): r["dist"]
+        for r in edit_distance_join(qdf, rdf, "id", "term", "id", "term").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (qi, ri): lev(qt, rt)
+        for qi, qt in qs
+        for ri, rt in rs
+        if lev(qt, rt) <= 1
+    }
+    assert got == want  # complete AND exact — blocking lost nothing
+
+
+def test_edit_distance_join_rejects_d2(spark):
+    from queryengine_spark.operators.editdist import edit_distance_join
+
+    df = spark.createDataFrame([(1, "a")], "id long, term string")
+    with pytest.raises(NotImplementedError):
+        edit_distance_join(df, df, "id", "term", "id", "term", max_dist=2)

@@ -258,3 +258,22 @@ def test_cms_probe_join_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruned_source_scan(spark, sf_dir):
+    # the partitionBy-staged read must prune to one directory: the
+    # predicate appears as a PartitionFilter on the scan, NOT a data
+    # filter over all files
+    plan = _plan(spark, sf_dir, "source_partition_pruned")
+    scan = next(
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "qe-stage-ppart" in line
+    )
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_orderpriority" in pf and "1-URGENT" in pf
+
+
+def test_edit_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fuzzy_edit_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
