@@ -120,6 +120,13 @@ HEADLINE = [
     "profile_numeric_summary",
     "fuzzy_edit_join",
     "source_partition_pruned",
+    # round-4 ML pack: full-corpus Lloyd k-means (+ balanced sample),
+    # MMR diversification, DSIR importance resample, triangle counts
+    "ml_kmeans_distributed",
+    "pipeline_cluster_balanced_sample",
+    "knn_mmr",
+    "pipeline_dsir_sample",
+    "graph_triangles",
 ]
 
 

@@ -75,3 +75,82 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected graph induced by
+    ``edges`` — the clustering-structure signal over the near-dup
+    candidate graph (a node in many triangles sits inside a dense
+    template cluster; a bridge node in none).
+
+    Algorithm: degree-based edge orientation (Cohen 2009's MapReduce
+    triangle counting / the "compact-forward" order): orient every
+    edge from its (deg, id)-smaller endpoint to the larger, build
+    wedges at the smallest vertex of each triangle (the only vertex
+    with two out-edges into it), and close each wedge with one
+    oriented-edge join — each triangle is produced EXACTLY once, and
+    out-degrees after orientation are O(√m), which bounds the wedge
+    relation by O(m^1.5) regardless of hub skew. That bound is the
+    100 TB story: a naive wedge join at an unoriented hub of degree d
+    makes d² wedges; orientation caps the hub's out-degree at √m.
+
+    All joins are equi-joins on ids (shuffle-partitioned), the degree
+    relation is id-keyed and reused via lazy checkpoint; no UDF, no
+    driver state. Returns (id, n_tri) for nodes in ≥1 triangle."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .select(F.col("src").alias("id"), "deg")
+        .localCheckpoint(eager=False)
+    )
+    d1 = deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_s"))
+    d2 = deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_d"))
+    oriented = (
+        sym.join(d1, "src")
+        .join(d2, "dst")
+        .filter(
+            (F.col("deg_s") < F.col("deg_d"))
+            | ((F.col("deg_s") == F.col("deg_d")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    o1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("b"))
+    o2 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("c"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    dc = deg.select(F.col("id").alias("c"), F.col("deg").alias("deg_c"))
+    wedge = (
+        o1.join(o2, "x")
+        .filter(F.col("b") != F.col("c"))
+        .join(db, "b")
+        .join(dc, "c")
+        .filter(
+            (F.col("deg_b") < F.col("deg_c"))
+            | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+        )
+        .select("x", "b", "c")
+    )
+    closure = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedge.join(closure, ["b", "c"])
+    nodes = (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return nodes.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri")
+    )

@@ -33,6 +33,7 @@ from queryengine_spark.queries import (
     fuzzy,
     knn,
     knn2,
+    ml,
     multimodal,
     multimodal2,
     pipelines,
@@ -65,6 +66,8 @@ _MODULES = (
     multimodal2,
     # round-4 analytics pack (BM25 / CMS / HLL / PageRank / profile)
     analytics,
+    # round-4 ML/curation pack (distributed k-means, MMR, DSIR)
+    ml,
     relational,
     relational2,
     tpch_extra,

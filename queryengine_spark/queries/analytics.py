@@ -366,8 +366,63 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py::triangle_counts,
+    degree-oriented wedge join — each triangle produced exactly once,
+    wedge volume bounded O(m^1.5)) over the same capped MinHash-LSH
+    candidate graph as graph_pagerank: triangle-dense nodes sit
+    inside template/boilerplate clusters."""
+    from queryengine_spark.operators.dedup import minhash_lsh_candidate_pairs
+    from queryengine_spark.operators.graph import triangle_counts
+    from queryengine_spark.queries.dedup import (
+        BAND_SIZE,
+        MINHASH_MAX_BUCKET,
+        N_HASHES,
+    )
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text",
+        n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+        max_bucket=MINHASH_MAX_BUCKET,
+    )
+    return triangle_counts(pairs).select(F.col("id").alias("doc_id"), "n_tri")
+
+
+def _triangles_sql() -> str:
+    """Reuses the MinHash pair CTEs (same edge set as the PageRank
+    oracle), then mirrors the degree-oriented wedge join."""
+    from queryengine_spark.queries.dedup import DEDUP_MINHASH_SQL
+
+    body = DEDUP_MINHASH_SQL.strip()
+    assert body.startswith("WITH ")
+    ctes, final_select = body.rsplit("SELECT DISTINCT", 1)
+    return f"""
+{ctes.rstrip().rstrip(",")},
+pairs AS (SELECT DISTINCT {final_select.strip()}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+o AS (SELECT s.src, s.dst FROM sym s
+      JOIN deg d1 ON d1.id = s.src JOIN deg d2 ON d2.id = s.dst
+      WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND s.src < s.dst)),
+wedge AS (SELECT o1.src AS x, o1.dst AS b, o2.dst AS c
+          FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst <> o2.dst
+          JOIN deg db ON db.id = o1.dst JOIN deg dc ON dc.id = o2.dst
+          WHERE db.deg < dc.deg OR (db.deg = dc.deg AND o1.dst < o2.dst)),
+tri AS (SELECT w.x, w.b, w.c FROM wedge w
+        JOIN o ON o.src = w.b AND o.dst = w.c),
+nodes AS (SELECT x AS id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+FROM nodes GROUP BY id
+"""
+
+
 QUERIES = {
     "text_bm25_search": (text_bm25_search, _bm25_sql()),
+    "graph_triangles": (graph_triangles, _triangles_sql()),
     "text_cms_freq": (text_cms_freq, _cms_sql()),
     "text_hll_distinct": (text_hll_distinct, _hll_sql()),
     "graph_pagerank": (graph_pagerank, _pagerank_sql()),

@@ -197,7 +197,13 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivf_cte(dim_filter: bool = False, include_qcells: bool = True) -> str:
+def _ivf_cte(
+    dim_filter: bool = False,
+    include_qcells: bool = True,
+    sample_n: int = SAMPLE_N,
+    n_cells: int = N_CELLS,
+    iters: int = KMEANS_ITERS,
+) -> str:
     """Unrolled integer-domain Lloyd k-means + IVF assignment.
 
     Mirrors operators/knn.py::kmeans_centroids_int exactly: points
@@ -211,7 +217,9 @@ def _ivf_cte(dim_filter: bool = False, include_qcells: bool = True) -> str:
     defaults; knn2's PQ oracle appends to it; dedup_semantic's oracle
     (queries/curation.py) sets ``dim_filter=True`` (its operator
     drops wrong-dimension vectors) and ``include_qcells=False`` (no
-    query-side probing)."""
+    query-side probing); the distributed-Lloyd oracle (queries/ml.py)
+    sets ``sample_n`` past the corpus size — "the sample is the
+    corpus" — with its own ``n_cells``/``iters``."""
     e_clause = (
         f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE len(embedding) = {DIM}),"""
@@ -222,13 +230,13 @@ def _ivf_cte(dim_filter: bool = False, include_qcells: bool = True) -> str:
         f"""
 {e_clause}
 dims AS (SELECT CAST(unnest(range(1, {DIM + 1})) AS INT) AS d),
-s AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {SAMPLE_N}),
+s AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {sample_n}),
 sp AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM s, dims),
 seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-         FROM (SELECT vec_id FROM s ORDER BY vec_id LIMIT {N_CELLS})),
+         FROM (SELECT vec_id FROM s ORDER BY vec_id LIMIT {n_cells})),
 c0 AS (SELECT sd.cid, p.d, p.x AS c FROM seed sd JOIN sp p ON p.vec_id = sd.vec_id)"""
     ]
-    for k in range(1, KMEANS_ITERS + 1):
+    for k in range(1, iters + 1):
         parts.append(f""",
 d{k} AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
         FROM sp p JOIN c{k - 1} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
@@ -245,7 +253,7 @@ c{k} AS (SELECT c.cid, c.d,
     tail = f""",
 ep AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM e, dims),
 dist AS (SELECT p.vec_id, c.cid, SUM((p.x - c.c) * (p.x - c.c)) AS dd
-         FROM ep p JOIN c{KMEANS_ITERS} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
+         FROM ep p JOIN c{iters} c ON p.d = c.d GROUP BY p.vec_id, c.cid),
 ranked AS (SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
            FROM dist),
