@@ -127,6 +127,9 @@ HEADLINE = [
     "knn_mmr",
     "pipeline_dsir_sample",
     "graph_triangles",
+    # round-4 snapshot maintenance: MERGE-shaped CDC apply, SCD2
+    "etl_apply_cdc",
+    "etl_scd2_history",
 ]
 
 

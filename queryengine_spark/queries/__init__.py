@@ -29,6 +29,7 @@ from queryengine_spark.queries import (
     analytics,
     curation,
     dedup,
+    etlq,
     eventsq,
     fuzzy,
     knn,
@@ -68,6 +69,8 @@ _MODULES = (
     analytics,
     # round-4 ML/curation pack (distributed k-means, MMR, DSIR)
     ml,
+    # round-4 snapshot maintenance (CDC apply, SCD2 history)
+    etlq,
     relational,
     relational2,
     tpch_extra,

@@ -277,3 +277,36 @@ def test_edit_join_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fuzzy_edit_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangles_no_cartesian(spark, sf_dir):
+    # wedge build and closure are id-keyed equi-joins — a nested-loop
+    # anywhere here is quadratic in edges at scale
+    plan = _plan(spark, sf_dir, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_weight_join_broadcast(spark, sf_dir):
+    # the per-bucket weight table is bounded by n_buckets rows: the
+    # corpus-side feature stream must broadcast-join it, never
+    # shuffle against it; and the global top-N must be TakeOrdered
+    plan = _plan(spark, sf_dir, "pipeline_dsir_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cluster_sample_group_limit(spark, sf_dir):
+    # per-cell quota must run as WindowGroupLimit (bounded per-key
+    # state), not a full per-cell sort + filter
+    plan = _plan(spark, sf_dir, "pipeline_cluster_balanced_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_mmr_shortlist_group_limits(spark, sf_dir):
+    # every per-query argmax in the unrolled greedy loop compiles to
+    # WindowGroupLimit; candidate scoring joins stay equi/broadcast
+    plan = _plan(spark, sf_dir, "knn_mmr")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
