@@ -22,12 +22,22 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     shuffle of the narrow input buys full-cluster parallelism for the
     expensive stage — the classic fan-out-before-explode shape. At
     real scale (many input files) this is a no-op decision; keep it
-    for small-file robustness."""
-    if df.rdd.getNumPartitions() >= (partitions or df.sparkSession.sparkContext.defaultParallelism):
-        return df
-    return df.repartition(partitions) if partitions else df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    for small-file robustness.
+
+    The decision reads ``df.inputFiles()`` (a DataFrame API — no RDD
+    materialization, Connect-compatible; the previous
+    ``rdd.getNumPartitions()`` triggered plan analysis through the
+    RDD conversion on every call) against the session's shuffle
+    parallelism: enough source files → the scan is already parallel,
+    skip the shuffle. Non-file sources report zero files and get the
+    defensive repartition — correct, at worst one cheap shuffle of a
+    narrow input."""
+    target = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 def write_bucketed(
