@@ -130,6 +130,9 @@ HEADLINE = [
     # round-4 snapshot maintenance: MERGE-shaped CDC apply, SCD2
     "etl_apply_cdc",
     "etl_scd2_history",
+    # round-4: PMI collocations, k-means purity eval
+    "text_collocations_pmi",
+    "ml_kmeans_purity",
 ]
 
 

@@ -420,9 +420,90 @@ FROM nodes GROUP BY id
 """
 
 
+#: PMI collocations: minimum bigram support, top-K, weight scale
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+PMI_SCALE = 1_000_000
+
+
+def text_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI-ranked bigram collocations — the classic phrase-mining
+    signal (Church & Hanks 1990). The rank statistic is the exact
+    integer ``(N_bigrams · c_xy · scale) div (c_x · c_y)`` — PMI is
+    its log, a monotone transform, so the ranking is identical while
+    every comparison stays BIGINT-exact cross-engine (the unigram
+    normalization differs from textbook PMI by a constant factor,
+    which cancels in ranking; overflow bound: N·c_xy·scale < 2^63,
+    re-scale per corpus). Two groupBy passes over the shared token
+    stream, two equi-joins of the bigram counts to the unigram
+    counts, one broadcast scalar total, TakeOrderedAndProject."""
+    from queryengine_spark.operators.curation import (
+        _token_relation,
+        token_ngrams,
+    )
+
+    d = t(spark, sf, "documents")
+    base = _token_relation(d, "doc_id", "text")
+    uni = base.select(F.explode("toks").alias("tok"))
+    big = base.select(F.explode(token_ngrams(F.col("toks"), 2)).alias("bigram"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bc = (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    scored = (
+        bc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "score",
+            F.expr(f"(n_total * c_xy * {PMI_SCALE}) div (c1 * c2)").cast("bigint"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("bigram").asc()
+    ).limit(PMI_TOP)
+    w = Window.orderBy(F.col("score").desc(), F.col("bigram").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "bigram",
+        "c_xy",
+        "score",
+    )
+
+
+PMI_SQL = f"""
+WITH d AS (SELECT doc_id AS id, {_TOKS_LOW} AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM d),
+bi AS (SELECT toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1] AS bigram
+       FROM d, unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM bi
+       GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bi),
+s AS (SELECT b.bigram, b.c_xy,
+             (t.n_total * b.c_xy * {PMI_SCALE}) // (u1.c * u2.c) AS score
+      FROM bc b
+      CROSS JOIN tot t
+      JOIN uc u1 ON u1.tok = split_part(b.bigram, ' ', 1)
+      JOIN uc u2 ON u2.tok = split_part(b.bigram, ' ', 2))
+SELECT CAST(row_number() OVER (ORDER BY score DESC, bigram ASC) AS INT) AS rank,
+       bigram, c_xy, CAST(score AS BIGINT) AS score
+FROM s
+QUALIFY rank <= {PMI_TOP}
+"""
+
+
 QUERIES = {
     "text_bm25_search": (text_bm25_search, _bm25_sql()),
     "graph_triangles": (graph_triangles, _triangles_sql()),
+    "text_collocations_pmi": (text_collocations_pmi, PMI_SQL),
     "text_cms_freq": (text_cms_freq, _cms_sql()),
     "text_hll_distinct": (text_hll_distinct, _hll_sql()),
     "graph_pagerank": (graph_pagerank, _pagerank_sql()),

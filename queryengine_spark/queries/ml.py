@@ -225,8 +225,65 @@ QUALIFY rank <= {DSIR_N}
 )
 
 
+def ml_kmeans_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering evaluation against the embeddings' ground-truth
+    ``label`` column: per-cell contingency → majority label (ties to
+    the smallest label) → purity = n_major / n_total (one exact
+    int/int division). The standard external clustering metric,
+    computed with one groupBy and a WindowGroupLimit argmax."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "embeddings")
+    cents = kmeans_fit_distributed(e, "vec_id", "embedding", KM_K, KM_ITERS, DIM)
+    cells = kmeans_assign_cells(e, "vec_id", "embedding", cents, DIM)
+    cont = (
+        cells.join(e.select("vec_id", F.col("label").cast("int").alias("label")),
+                   "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    totals = cont.groupBy("cell").agg(
+        F.sum("n").cast("bigint").alias("n_total")
+    )
+    major = (
+        cont.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("majority_label"),
+                F.col("n").alias("n_major"))
+    )
+    return totals.join(major, "cell").select(
+        "cell",
+        "n_total",
+        "majority_label",
+        "n_major",
+        (F.col("n_major") / F.col("n_total")).alias("purity"),
+    )
+
+
+ML_KMEANS_PURITY_SQL = f"""{_ivf_cte(dim_filter=True, include_qcells=False,
+                                     sample_n=KM_SAMPLE_ALL, n_cells=KM_K,
+                                     iters=KM_ITERS)},
+lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+cont AS (SELECT c.cell, l.label, CAST(count(*) AS BIGINT) AS n
+         FROM cells c JOIN lab l USING (vec_id) GROUP BY c.cell, l.label),
+tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_total FROM cont GROUP BY cell),
+maj AS (SELECT cell, label AS majority_label, n AS n_major FROM (
+          SELECT cell, label, n,
+                 row_number() OVER (PARTITION BY cell
+                      ORDER BY n DESC, label ASC) AS rn
+          FROM cont) WHERE rn = 1)
+SELECT CAST(t.cell AS INT) AS cell, t.n_total, m.majority_label, m.n_major,
+       m.n_major / t.n_total AS purity
+FROM tot t JOIN maj m USING (cell)
+"""
+
+
 QUERIES = {
     "ml_kmeans_distributed": (ml_kmeans_distributed, ML_KMEANS_SQL),
+    "ml_kmeans_purity": (ml_kmeans_purity, ML_KMEANS_PURITY_SQL),
     "pipeline_cluster_balanced_sample": (
         pipeline_cluster_balanced_sample,
         CLUSTER_SAMPLE_SQL,

@@ -510,3 +510,88 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SNAP_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("seq", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("batch_seq", LongType()),
+    ]
+)
+
+_SNAP_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("batch_seq", LongType(), True),
+    ]
+)
+
+
+def streaming_latest_snapshot(events: DataFrame) -> DataFrame:
+    """Streaming materialized snapshot: the latest (by microsecond
+    sequence) event per user, maintained across micro-batches — the
+    streaming twin of the batch CDC apply
+    (``operators/merge.py::apply_cdc``: same latest-seq-wins
+    reduction, state instead of a window).
+
+    State per key is ONE row (seq + payload) forever — no watermark
+    needed, the reduction itself bounds it; a hot key that changes a
+    billion times still holds one row of state. Arrival order is
+    irrelevant (max-seq is order-independent), so out-of-order and
+    cross-batch replays converge to the identical snapshot — stream
+    == batch at the contract level, which the soak test asserts
+    through an induced restart.
+
+    Each batch emits the key's CURRENT winner stamped with a per-key
+    ``batch_seq``; consumers read the max-``batch_seq`` row per key
+    (the usual changelog→snapshot read), applying any tombstone
+    policy (e.g. drop rows whose final event_type marks deletion)
+    downstream, exactly as the batch twin filters op = 'D'.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from queryengine_spark.queries.base import epoch_us
+
+    ev = events.select(
+        "user_id", epoch_us("ts").alias("seq"), "event_type", "value"
+    )
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            seq, etype, value, batch_seq = state.get
+        else:
+            seq, etype, value, batch_seq = None, None, None, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            row = pdf.loc[pdf["seq"].idxmax()]
+            if seq is None or int(row["seq"]) > seq:
+                seq = int(row["seq"])
+                etype = str(row["event_type"])
+                value = float(row["value"])
+        batch_seq += 1
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "seq": [seq],
+                "event_type": [etype],
+                "value": [value],
+                "batch_seq": [batch_seq],
+            }
+        )
+        state.update((seq, etype, value, batch_seq))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SNAP_OUT_SCHEMA,
+        stateStructType=_SNAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

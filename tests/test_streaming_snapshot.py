@@ -1,0 +1,104 @@
+"""Streaming latest-per-key snapshot (the streaming twin of the
+batch CDC apply): the max-batch_seq snapshot must equal the batch
+window reduction, including when micro-batches replay the change
+stream OUT of event-time order — the max-seq state fold is
+order-independent by construction, and this pins it."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from queryengine_spark.queries.base import epoch_us
+from queryengine_spark.sources.tables import load_table
+from queryengine_spark.streaming import (
+    read_event_stream,
+    run_stream_to_memory,
+    streaming_latest_snapshot,
+)
+
+
+def _batch_latest(events):
+    w = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+    return (
+        events.select(
+            "user_id", epoch_us("ts").alias("seq"), "event_type", "value"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "seq", "event_type", "value")
+    )
+
+
+@pytest.fixture(scope="module")
+def shuffled_events_dir(spark, sf_dir, tmp_path_factory):
+    """Three files in NON-chronological replay order (middle third
+    last): late-arriving old data must not regress the snapshot."""
+    path = tmp_path_factory.mktemp("snap_events")
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = (
+        e.select(
+            F.percentile(epoch_us("ts"), F.lit(0.33)),
+            F.percentile(epoch_us("ts"), F.lit(0.66)),
+        ).collect()[0]
+    )
+    us = epoch_us("ts")
+    chunks = [
+        e.filter(us <= lo),  # oldest … replayed first
+        e.filter(us > hi),  # newest … replayed second
+        e.filter((us > lo) & (us <= hi)),  # middle … replayed LAST
+    ]
+    merged = str(path / "merged")
+    os.makedirs(merged)
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        p = str(path / f"f{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in sorted(os.listdir(p)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(merged, f"{i}-{f}")
+                os.link(os.path.join(p, f), dst)
+                os.utime(dst, (now + i, now + i))
+    return merged
+
+
+def test_streaming_snapshot_matches_batch(spark, shuffled_events_dir):
+    stream = read_event_stream(spark, shuffled_events_dir)
+    q = run_stream_to_memory(
+        streaming_latest_snapshot(stream), "latest_snap", "append"
+    )
+    rows = spark.sql(
+        """
+        SELECT user_id, seq, event_type, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY batch_seq DESC) AS rn
+          FROM latest_snap) WHERE rn = 1
+        """
+    ).collect()
+    q.stop()
+    got = {r["user_id"]: (r["seq"], r["event_type"], r["value"]) for r in rows}
+    batch = spark.read.parquet(shuffled_events_dir)
+    want = {
+        r["user_id"]: (r["seq"], r["event_type"], r["value"])
+        for r in _batch_latest(batch).collect()
+    }
+    assert got == want
+
+
+def test_state_is_one_row_per_key(spark, shuffled_events_dir):
+    """Every batch emits exactly one row per active key — the state
+    (and the changelog per batch) is O(keys), never O(events)."""
+    stream = read_event_stream(spark, shuffled_events_dir)
+    q = run_stream_to_memory(
+        streaming_latest_snapshot(stream), "latest_snap2", "append"
+    )
+    per = spark.sql(
+        "SELECT user_id, batch_seq, count(*) AS n FROM latest_snap2 "
+        "GROUP BY user_id, batch_seq HAVING count(*) > 1"
+    ).collect()
+    q.stop()
+    assert per == []
