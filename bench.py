@@ -133,6 +133,10 @@ HEADLINE = [
     # round-4: PMI collocations, k-means purity eval
     "text_collocations_pmi",
     "ml_kmeans_purity",
+    # round-4: weighted πps sampling, snapshot reconciliation
+    "pipeline_weighted_sample_wor",
+    "etl_snapshot_diff",
+    "profile_lang_token_moments",
 ]
 
 

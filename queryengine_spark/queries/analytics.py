@@ -500,10 +500,48 @@ QUALIFY rank <= {PMI_TOP}
 """
 
 
+def profile_lang_token_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language first/second moments of document length in exact
+    integer arithmetic: variance numerator n·Σx² − (Σx)² (the
+    textbook one-pass identity) stays BIGINT so partial-aggregation
+    order can never flip a bit; mean is the single final int/int
+    division. (Overflow headroom: n·Σx² < 2^63 up to ~10^9 docs of
+    10^4 chars per group — past that, rescale x.) One map-side
+    partial-agg scan."""
+    d = t(spark, sf, "documents")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sum_sq"),
+    )
+    return agg.select(
+        "lang",
+        "n",
+        "sum_chars",
+        (F.col("n") * F.col("sum_sq") - F.col("sum_chars") * F.col("sum_chars"))
+        .cast("bigint")
+        .alias("var_num"),
+        (F.col("sum_chars") / F.col("n")).alias("mean_chars"),
+    )
+
+
+LANG_MOMENTS_SQL = """
+WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq
+           FROM documents GROUP BY lang)
+SELECT lang, n, sum_chars,
+       CAST(n * sum_sq - sum_chars * sum_chars AS BIGINT) AS var_num,
+       sum_chars / n AS mean_chars
+FROM a
+"""
+
+
 QUERIES = {
     "text_bm25_search": (text_bm25_search, _bm25_sql()),
     "graph_triangles": (graph_triangles, _triangles_sql()),
     "text_collocations_pmi": (text_collocations_pmi, PMI_SQL),
+    "profile_lang_token_moments": (profile_lang_token_moments, LANG_MOMENTS_SQL),
     "text_cms_freq": (text_cms_freq, _cms_sql()),
     "text_hll_distinct": (text_hll_distinct, _hll_sql()),
     "graph_pagerank": (graph_pagerank, _pagerank_sql()),

@@ -96,7 +96,82 @@ FROM changed
 """
 
 
+def etl_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Data reconciliation: full-outer diff of the pre-CDC snapshot
+    against the applied one, classified added/removed/changed/
+    unchanged with exact per-class counts and a key checksum — the
+    report a pipeline runs after every merge to prove the change
+    batch did exactly what it claimed. Null-safe payload compare
+    (IS DISTINCT FROM); one key-partitioned join."""
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = etl_apply_cdc(spark, sf)
+    b = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("b_ck"),
+        F.col("o_orderstatus").alias("b_st"),
+        F.col("o_totalprice").alias("b_tp"),
+    )
+    s = snap.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("s_ck"),
+        F.col("o_orderstatus").alias("s_st"),
+        F.col("o_totalprice").alias("s_tp"),
+    )
+    j = b.join(s, "k", "full_outer")
+    changed = (
+        ~F.col("b_ck").eqNullSafe(F.col("s_ck"))
+        | ~F.col("b_st").eqNullSafe(F.col("s_st"))
+        | ~F.col("b_tp").eqNullSafe(F.col("s_tp"))
+    )
+    ctype = (
+        F.when(F.col("s_ck").isNull() & F.col("s_st").isNull()
+               & F.col("s_tp").isNull() & F.col("b_ck").isNotNull(), "removed")
+        .when(F.col("b_ck").isNull(), "added")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("change_type", ctype)
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    body = APPLY_CDC_SQL.strip()
+    assert body.startswith("WITH ")
+    ctes, final = body.split("\nSELECT ", 1)
+    return f"""
+{ctes},
+snap AS (SELECT {final}),
+j AS (SELECT coalesce(b.o_orderkey, s.o_orderkey) AS k,
+             b.o_custkey AS b_ck, b.o_orderstatus AS b_st,
+             b.o_totalprice AS b_tp,
+             s.o_custkey AS s_ck, s.o_orderstatus AS s_st,
+             s.o_totalprice AS s_tp
+      FROM orders b FULL OUTER JOIN snap s ON b.o_orderkey = s.o_orderkey),
+cls AS (SELECT k,
+        CASE WHEN s_ck IS NULL AND s_st IS NULL AND s_tp IS NULL
+                  AND b_ck IS NOT NULL THEN 'removed'
+             WHEN b_ck IS NULL THEN 'added'
+             WHEN b_ck IS DISTINCT FROM s_ck
+                  OR b_st IS DISTINCT FROM s_st
+                  OR b_tp IS DISTINCT FROM s_tp THEN 'changed'
+             ELSE 'unchanged' END AS change_type
+        FROM j)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS key_checksum
+FROM cls GROUP BY change_type
+"""
+
+
 QUERIES = {
     "etl_apply_cdc": (etl_apply_cdc, APPLY_CDC_SQL),
     "etl_scd2_history": (etl_scd2_history, SCD2_SQL),
+    "etl_snapshot_diff": (etl_snapshot_diff, _snapshot_diff_sql()),
 }

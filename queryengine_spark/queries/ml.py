@@ -281,9 +281,41 @@ FROM tot t JOIN maj m USING (cell)
 """
 
 
+#: sequential Poisson sample size
+WSAMPLE_K = 100
+
+
+def pipeline_weighted_sample_wor(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted document sample without replacement
+    (operators/sampling.py, sequential Poisson order sampling):
+    longer documents proportionally more likely, fully replayable —
+    the πps draw a token-budgeted corpus cut wants. One
+    TakeOrderedAndProject."""
+    from queryengine_spark.operators.sampling import weighted_sample_wor
+
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    return weighted_sample_wor(d, "doc_id", "n_chars", WSAMPLE_K).select(
+        "rank", "doc_id", "n_chars", "skey"
+    )
+
+
+WSAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+          * 10000) // n_chars AS skey
+  FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY skey ASC, doc_id ASC) AS INT) AS rank,
+       doc_id, n_chars, CAST(skey AS BIGINT) AS skey
+FROM keyed
+QUALIFY rank <= {WSAMPLE_K}
+"""
+
+
 QUERIES = {
     "ml_kmeans_distributed": (ml_kmeans_distributed, ML_KMEANS_SQL),
     "ml_kmeans_purity": (ml_kmeans_purity, ML_KMEANS_PURITY_SQL),
+    "pipeline_weighted_sample_wor": (pipeline_weighted_sample_wor, WSAMPLE_SQL),
     "pipeline_cluster_balanced_sample": (
         pipeline_cluster_balanced_sample,
         CLUSTER_SAMPLE_SQL,

@@ -122,3 +122,52 @@ class TestScd2:
                 assert a["effective_to"] == b["effective_from"], k
             assert rows[-1]["effective_to"] is None
             assert sum(r["is_current"] for r in rows) == 1
+
+
+class TestSnapshotDiff:
+    def test_diff_classes_match_cdc_synthesis(self, spark, sf_dir):
+        """The %10-update and %100==7-delete sets are disjoint (7 is
+        not a multiple of 10), so the diff must classify exactly:
+        changed = updates, removed = deletes, added = 0."""
+        from pyspark.sql import functions as F
+
+        from queryengine_spark.queries.etlq import etl_snapshot_diff
+        from queryengine_spark.sources.tables import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        n = o.count()
+        n_upd = o.filter(F.col("o_orderkey") % 10 == 0).count()
+        n_del = o.filter(F.col("o_orderkey") % 100 == 7).count()
+        got = {
+            r["change_type"]: r["n"]
+            for r in etl_snapshot_diff(spark, sf_dir).collect()
+        }
+        assert got.get("changed", 0) == n_upd
+        assert got.get("removed", 0) == n_del
+        assert "added" not in got
+        assert got["unchanged"] == n - n_upd - n_del
+
+
+class TestWeightedSample:
+    def test_keys_match_reference_and_weights_bias_inclusion(self, spark):
+        import hashlib
+
+        from queryengine_spark.operators.sampling import weighted_sample_wor
+
+        rows = [(i, (i % 7) * 140 + 10) for i in range(400)]  # weights 10..850
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        out = weighted_sample_wor(df, "doc_id", "w", 80).collect()
+
+        def key(i, w):
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+            return (u * 10_000) // w
+
+        want = sorted(((key(i, w), i) for i, w in rows))[:80]
+        got = sorted((r["skey"], r["doc_id"]) for r in out)
+        assert got == want
+        # inclusion must skew toward heavy rows: the top weight class
+        # (850) must place several times more rows than the bottom (10)
+        by_w = {}
+        for r in out:
+            by_w[r["w"]] = by_w.get(r["w"], 0) + 1
+        assert by_w.get(850, 0) >= 3 * max(1, by_w.get(10, 0))
