@@ -34,18 +34,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from queryengine_spark.operators.curation import _token_relation, token_ngrams
+from queryengine_spark.functions.text import tokenize_ws
+from queryengine_spark.operators.curation import token_ngrams
+from queryengine_spark.plans import spread
 
 
 def hashed_feature_buckets(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    flag: Column | None = None,
 ) -> DataFrame:
-    """(id, bucket) — one row per unigram/bigram feature OCCURRENCE,
-    bucket = first 4 hex chars of md5(feature) mod ``n_buckets`` (the
-    package's engine-portable hash convention)."""
-    base = _token_relation(df, id_col, text_col)
+    """(id, bucket[, tgt]) — one row per unigram/bigram feature
+    OCCURRENCE, bucket = first 4 hex chars of md5(feature) mod
+    ``n_buckets`` (the package's engine-portable hash convention).
+    ``flag`` rides along from the SOURCE row (evaluated before the
+    explode), so downstream target/raw splits are a map-side filter
+    instead of a semi-join shuffle of the feature stream."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    cols = [F.col(id_col).alias("id"), toks.alias("toks")]
+    if flag is not None:
+        cols.append(flag.cast("int").alias("tgt"))
+    base = spread(df).select(*cols)
     feats = base.select(
         "id",
+        *(["tgt"] if flag is not None else []),
         F.explode(
             F.concat(F.col("toks"), token_ngrams(F.col("toks"), 2))
         ).alias("feat"),
@@ -54,7 +68,9 @@ def hashed_feature_buckets(
         F.conv(F.substring(F.md5(F.col("feat")), 1, 4), 16, 10).cast("bigint")
         % n_buckets
     )
-    return feats.select("id", bucket.alias("bucket"))
+    return feats.select(
+        "id", *(["tgt"] if flag is not None else []), bucket.alias("bucket")
+    )
 
 
 def dsir_importance(
@@ -70,10 +86,11 @@ def dsir_importance(
     distribution from all rows. Returns
     (id, n_feats, margin, score) with margin = Σ w_f (BIGINT) and
     score = margin / n_feats (one exact int/int double division)."""
-    fb = hashed_feature_buckets(df, id_col, text_col, n_buckets)
-    tgt_ids = df.filter(target_filter).select(F.col(id_col).alias("id"))
+    fb = hashed_feature_buckets(
+        df, id_col, text_col, n_buckets, flag=target_filter
+    )
     t_counts = (
-        fb.join(tgt_ids, "id", "left_semi")
+        fb.filter(F.col("tgt") == 1)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t_f"))
     )

@@ -54,7 +54,10 @@ def weighted_sample_wor(
     Returns the input columns + ``skey`` + ``rank``."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     keyed = (
-        df.withColumn("_u", uniform_draw(id_col))
+        # zero/negative/null-weight rows cannot be drawn (standard in
+        # πps schemes) — and guard the integer division
+        df.filter(w > 0)
+        .withColumn("_u", uniform_draw(id_col))
         .withColumn("_w", w.cast("bigint"))
         # true integer division: u·scale is up to 2^62 — a double
         # round-trip (floor(x/y)) would lose low bits past 2^53

@@ -304,7 +304,7 @@ WITH keyed AS (
   SELECT doc_id, n_chars,
          ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
           * 10000) // n_chars AS skey
-  FROM documents)
+  FROM documents WHERE n_chars > 0)
 SELECT CAST(row_number() OVER (ORDER BY skey ASC, doc_id ASC) AS INT) AS rank,
        doc_id, n_chars, CAST(skey AS BIGINT) AS skey
 FROM keyed
