@@ -102,3 +102,62 @@ def test_state_is_one_row_per_key(spark, shuffled_events_dir):
     ).collect()
     q.stop()
     assert per == []
+
+
+def test_snapshot_survives_restart(spark, sf_dir, tmp_path):
+    """Kill the query after draining half the stream, restart from
+    the checkpoint with the second half present: the final
+    max-batch_seq snapshot must equal the batch reduction over ALL
+    events — state (per-key winner) crosses the restart, the file
+    sink admits no duplicate or lost changelog rows."""
+    import time as _t
+
+    from queryengine_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    mid = e.select(F.percentile(epoch_us("ts"), F.lit(0.5))).collect()[0][0]
+    first = e.filter(epoch_us("ts") <= mid)
+    second = e.filter(epoch_us("ts") > mid)
+
+    watch, out, ckpt = (
+        str(tmp_path / "watch"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(watch)
+
+    def run_once():
+        q = (
+            streaming_latest_snapshot(read_event_stream(spark, watch))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    first.coalesce(1).write.mode("append").parquet(watch)
+    run_once()
+    _t.sleep(1.1)
+    second.coalesce(1).write.mode("append").parquet(watch)
+    run_once()
+
+    got = {
+        r["user_id"]: (r["seq"], r["event_type"], r["value"])
+        for r in spark.sql(
+            f"""
+            SELECT user_id, seq, event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY batch_seq DESC) AS rn
+              FROM parquet.`{out}`) WHERE rn = 1
+            """
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["seq"], r["event_type"], r["value"])
+        for r in _batch_latest(spark.read.parquet(watch)).collect()
+    }
+    assert got == want and len(got) > 0
