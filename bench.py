@@ -137,6 +137,12 @@ HEADLINE = [
     "pipeline_weighted_sample_wor",
     "etl_snapshot_diff",
     "profile_lang_token_moments",
+    # round-4 late additions: concat-and-chunk sequence packing,
+    # MAD outlier filter, shard-balance audit, source-overlap matrix
+    "pipeline_sequence_packing",
+    "text_outlier_mad",
+    "pipeline_shard_assign",
+    "dedup_cross_source_overlap",
 ]
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from queryengine_spark.queries import (
     analytics,
     curation,
+    curation2,
     dedup,
     etlq,
     eventsq,
@@ -71,6 +72,11 @@ _MODULES = (
     ml,
     # round-4 snapshot maintenance (CDC apply, SCD2 history)
     etlq,
+    # round-4 late additions (sequence packing, MAD outliers, shard
+    # audit, cross-source overlap) — registered last within the r0
+    # tier so the 46 queries awaiting their first driver row keep
+    # their window slots; these four take the tier's remaining 4
+    curation2,
     relational,
     relational2,
     tpch_extra,

@@ -1,0 +1,416 @@
+"""Round-4 curation additions: the remaining operations a training-
+data team runs between "corpus is deduped" and "tokens hit the
+trainer" —
+
+- **sequence packing** (``pipeline_sequence_packing``): concatenate
+  documents in a deterministic pseudo-random order and slice the
+  stream into fixed-length training sequences (the GPT-style
+  concat-and-chunk packer), reporting per-pack fill and boundary
+  fragmentation. Packing runs independently per (source, shard) so
+  the window never sees more than one shard of one source — at
+  100 TB the parallelism is n_sources × PACK_SHARDS and each
+  cumulative-sum task is bounded, while determinism (md5 order)
+  makes the pack layout reproducible across runs and engines.
+- **robust outlier detection** (``text_outlier_mad``): per-language
+  median / MAD over token counts — the robust length filter that
+  survives heavy-tailed corpora where mean/stddev clipping fails.
+  Exact lower-median via row_number against the partition count
+  (all-integer; bit-identical cross-engine), two window passes and
+  two broadcast joins of |langs| rows.
+- **shard assignment audit** (``pipeline_shard_assign``): the
+  deterministic global shuffle that precedes a sharded training
+  write — md5-hash each doc into N_SHARDS shards and audit balance
+  (docs, tokens, language/source spread, xor checksum). Pure
+  map-side hash + one tiny agg; re-running reproduces the same
+  assignment, which is what makes resumable shard writes safe.
+- **cross-source overlap matrix** (``dedup_cross_source_overlap``):
+  pairwise source-level contamination — how many distinct word
+  trigrams each pair of sources shares, as a containment ratio of
+  the smaller side. The corpus-level view of decontamination: an
+  inverted-index self-join on the trigram (never all-pairs) with
+  the same hot-shingle document-frequency guard, so the join is
+  bounded by sources-per-trigram, not corpus size.
+
+No reference-engine counterpart (the reference's only query is the
+fuzzy pipeline, `/root/reference/src/heurFuzz.py`); these extend the
+north-star LLM-pipeline surface (BASELINE.json) like the rest of the
+curation family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from queryengine_spark.plans import spread
+from queryengine_spark.queries.base import t
+from queryengine_spark.queries.pipelines import _word_trigrams
+from queryengine_spark.queries.textstats import _TOKS
+from queryengine_spark.functions.text import tokenize_ws
+
+#: packing: training sequence length (tokens) and the number of
+#: independent packing shards per source. Real runs use 2048/4096 and
+#: hundreds of shards; 256/4 keeps the synthetic corpus (≈55
+#: tokens/doc) producing multi-doc packs with boundary crossings.
+SEQ_LEN = 256
+PACK_SHARDS = 4
+
+#: MAD outlier rule: |x - median| > MAD_K * MAD (with MAD = 0 the
+#: rule degenerates to "any deviation", which is the conventional
+#: strict fallback and identical on both engines).
+MAD_K = 3
+
+#: shard audit fan-out
+N_SHARDS = 16
+
+#: cross-source overlap: drop word trigrams present in more than this
+#: fraction of documents (same guard rationale as DECON_MAX_DF_RATIO —
+#: hot trigrams carry no contamination signal and would dominate the
+#: inverted self-join).
+SRC_MAX_DF_RATIO = 0.05
+
+_TOKS_RAW = _TOKS.format(c="text")
+
+
+def _h48(col):
+    """48-bit integer from the md5 of a column (engine-portable:
+    DuckDB twin is ('0x' || substr(md5(x),1,12))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+_H48_SQL = "(('0x' || substr(md5({x}), 1, 12))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pipeline_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(source, shard) deterministic concat-and-chunk packing:
+    documents are laid end-to-end in md5(doc_id) order and the token
+    stream is sliced into SEQ_LEN-token training sequences. Emits one
+    row per (pack, docs-overlapping-it): pack fill (clipped token
+    count), doc count, and how many docs cross a pack boundary (the
+    fragmentation a packer wants to minimize).
+
+    Plan: one projection, one window cumulative sum per (source,
+    shard) group, one bounded explode (a doc spans at most
+    n_tokens/SEQ_LEN + 1 packs), one partial-aggregated groupBy.
+    No joins, no UDFs, nothing driver-side."""
+    d = t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = (
+        spread(d)
+        .select(
+            "doc_id",
+            "source",
+            _h48(F.col("doc_id").cast("string")).alias("h48"),
+            F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("shard", F.col("h48") % PACK_SHARDS)
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("start", F.col("cum") - F.col("n_tokens"))
+    )
+    spans = toks.select(
+        "source",
+        "shard",
+        "start",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {SEQ_LEN}"), F.expr(f"(cum - 1) div {SEQ_LEN}")
+            )
+        ).alias("pack_id"),
+    )
+    lo = F.col("pack_id") * SEQ_LEN
+    hi = (F.col("pack_id") + 1) * SEQ_LEN
+    return (
+        spans.select(
+            "source",
+            "shard",
+            "pack_id",
+            (F.least(F.col("cum"), hi) - F.greatest(F.col("start"), lo)).alias("tk"),
+            ((F.col("start") < lo) | (F.col("cum") > hi)).cast("int").alias("crosses"),
+        )
+        .groupBy("source", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tk").cast("bigint").alias("n_tokens"),
+            F.sum("crosses").cast("bigint").alias("n_boundary_docs"),
+        )
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         {_H48_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS h48,
+         CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, h48 % {PACK_SHARDS} AS shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source, h48 % {PACK_SHARDS}
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT source, shard, cum - n_tokens AS strt, cum,
+         unnest(generate_series((cum - n_tokens) // {SEQ_LEN},
+                                (cum - 1) // {SEQ_LEN})) AS pack_id
+  FROM cum
+)
+SELECT source, shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(least(cum, (pack_id + 1) * {SEQ_LEN})
+                - greatest(strt, pack_id * {SEQ_LEN})) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN strt < pack_id * {SEQ_LEN}
+                       OR cum > (pack_id + 1) * {SEQ_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+FROM spans GROUP BY source, shard, pack_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+def _lower_median(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
+    """Exact lower median of ``val`` per ``part`` (the element at
+    1-indexed position (n+1) div 2 of the sorted values — identical
+    on both engines, no float interpolation)."""
+    w = Window.partitionBy(part).orderBy(F.col(val), F.col("doc_id"))
+    wc = Window.partitionBy(part)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(part, F.col(val).alias(out))
+    )
+
+
+def text_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language robust token-count outlier flags: exact lower
+    median, exact MAD (median absolute deviation), and the
+    |x - med| > MAD_K * MAD rule. All-integer, so the flags are
+    bit-identical cross-engine; the per-language medians are two
+    window passes plus two broadcast joins of |langs| rows."""
+    d = t(spark, sf, "documents")
+    base = spread(d).select(
+        "doc_id",
+        "lang",
+        F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    med = _lower_median(base, "lang", "n_tokens", "med_tokens")
+    dev = base.join(F.broadcast(med), "lang").withColumn(
+        "absdev", F.abs(F.col("n_tokens") - F.col("med_tokens"))
+    )
+    mad = _lower_median(dev, "lang", "absdev", "mad_tokens")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "med_tokens",
+            "mad_tokens",
+            (F.col("absdev") > MAD_K * F.col("mad_tokens")).cast("int").alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+OUTLIER_MAD_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM base
+),
+med AS (SELECT lang, n_tokens AS med_tokens FROM r1 WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT b.doc_id, b.lang, b.n_tokens, m.med_tokens,
+         abs(b.n_tokens - m.med_tokens) AS absdev
+  FROM base b JOIN med m USING (lang)
+),
+r2 AS (
+  SELECT doc_id, lang, absdev,
+         row_number() OVER (PARTITION BY lang ORDER BY absdev, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM dev
+),
+mad AS (SELECT lang, absdev AS mad_tokens FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.doc_id, d.lang, d.n_tokens, d.med_tokens, m.mad_tokens,
+       CAST(d.absdev > {MAD_K} * m.mad_tokens AS INT) AS is_outlier
+FROM dev d JOIN mad m USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard assignment + balance audit
+# ---------------------------------------------------------------------------
+
+
+def pipeline_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-shard assignment (md5 mod N_SHARDS) with
+    a balance audit per shard: doc/token counts, language and source
+    spread, and an order-independent xor checksum of the 48-bit doc
+    hashes (the signature a resumable shard writer re-verifies).
+    Pure map-side hashing plus one N_SHARDS-group aggregation — the
+    shuffle moves only partial-agg rows, never documents."""
+    d = t(spark, sf, "documents")
+    h = _h48(F.col("doc_id").cast("string"))
+    return (
+        spread(d)
+        .select(
+            (h % N_SHARDS).alias("shard"),
+            h.alias("h48"),
+            "lang",
+            "source",
+            F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.expr("bit_xor(h48)").cast("bigint").alias("xor_sig"),
+        )
+    )
+
+
+SHARD_ASSIGN_SQL = f"""
+WITH h AS (
+  SELECT {_H48_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS h48, lang, source,
+         CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT h48 % {N_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(bit_xor(h48) AS BIGINT) AS xor_sig
+FROM h GROUP BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap (contamination matrix)
+# ---------------------------------------------------------------------------
+
+
+def dedup_cross_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source-contamination matrix: for every pair of
+    sources, the number of distinct word trigrams both contain and
+    that count as a ppm containment ratio of the smaller side. The
+    inverted-index self-join runs on the distinct (source, trigram)
+    relation — at most |sources| rows per trigram — after the same
+    hot-trigram document-frequency guard decontamination uses, so
+    the join volume is Σ (sources-per-trigram)², bounded regardless
+    of corpus size. Output is |sources|² rows at most: a dashboard
+    relation, not data-sized."""
+    d = t(spark, sf, "documents")
+    toks = tokenize_ws(F.lower(F.col("text")))
+    tri = (
+        spread(d)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(_word_trigrams(toks))).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tri.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        dfreq.crossJoin(F.broadcast(tot))
+        .filter(F.col("df") > SRC_MAX_DF_RATIO * F.col("n_docs"))
+        .select("sh")
+    )
+    ssh = (
+        tri.join(F.broadcast(hot), "sh", "left_anti")
+        .select("source", "sh")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ns = ssh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = ssh.select(F.col("source").alias("source_a"), "sh")
+    b = ssh.select(F.col("source").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(ns.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(ns.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_shared) div least(n_a, n_b)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = f"""
+WITH d AS (SELECT doc_id, source, {_TOKS.format(c="lower(text)")} AS toks FROM documents),
+tri AS (SELECT doc_id, source,
+        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+        FROM d),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+ssh AS (SELECT DISTINCT t.source, t.sh
+        FROM tri t JOIN dfreq f ON t.sh = f.sh, tot
+        WHERE f.df <= {SRC_MAX_DF_RATIO} * tot.n_docs),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY source),
+shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+           FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+           GROUP BY a.source, b.source)
+SELECT s.source_a, s.source_b, s.n_shared, na.n AS n_a, nb.n AS n_b,
+       (1000000 * s.n_shared) // least(na.n, nb.n) AS containment_ppm
+FROM shared s
+JOIN ns na ON s.source_a = na.source
+JOIN ns nb ON s.source_b = nb.source
+"""
+
+
+QUERIES = {
+    "pipeline_sequence_packing": (pipeline_sequence_packing, SEQUENCE_PACKING_SQL),
+    "text_outlier_mad": (text_outlier_mad, OUTLIER_MAD_SQL),
+    "pipeline_shard_assign": (pipeline_shard_assign, SHARD_ASSIGN_SQL),
+    "dedup_cross_source_overlap": (
+        dedup_cross_source_overlap,
+        CROSS_SOURCE_OVERLAP_SQL,
+    ),
+}

@@ -310,3 +310,35 @@ def test_mmr_shortlist_group_limits(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_mmr")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_no_joins(spark, sf_dir):
+    # concat-and-chunk packing is one window pass + a bounded explode
+    # + one partial-aggregated groupBy — any join in this plan means
+    # the packer started shuffling documents against something
+    plan = _plan(spark, sf_dir, "pipeline_sequence_packing")
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_outlier_mad_broadcasts_medians(spark, sf_dir):
+    # the per-language median/MAD relations are |langs| rows: they
+    # must broadcast back onto the corpus, never shuffle it
+    plan = _plan(spark, sf_dir, "text_outlier_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_assign_pure_aggregation(spark, sf_dir):
+    # shard audit = map-side hash + one tiny agg; no joins at all
+    plan = _plan(spark, sf_dir, "pipeline_shard_assign")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_cross_source_overlap_no_cartesian(spark, sf_dir):
+    # the source-pair matrix comes from an inverted-index self-join
+    # on the trigram; per-source counts broadcast onto the pairs
+    plan = _plan(spark, sf_dir, "dedup_cross_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
