@@ -143,6 +143,11 @@ HEADLINE = [
     "text_outlier_mad",
     "pipeline_shard_assign",
     "dedup_cross_source_overlap",
+    # round-4 addenda: real PNG decode, rolling anomaly detection,
+    # bigram-LM surprise scoring
+    "multimodal_png_decode",
+    "events_anomaly_window",
+    "text_lm_surprise",
 ]
 
 

@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from queryengine_spark.queries import (
+    addenda,
     analytics,
     curation,
     curation2,
@@ -80,6 +81,9 @@ _MODULES = (
     relational,
     relational2,
     tpch_extra,
+    # ALWAYS LAST: late additions that must not displace queries
+    # still waiting for their first driver row (see addenda.py)
+    addenda,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -1,0 +1,259 @@
+"""Late-round additions, registered LAST in the module order.
+
+Why a trailing module exists: the driver's 50-row oracle window
+certifies the stalest-first prefix of the registry, and a round's
+window can be exactly full (round 4: 50 uncertified queries in 50
+slots). Queries added here sort AFTER every same-tier entry, so they
+never displace a query that is still waiting for its first driver
+row — they take their own first row the following round.
+
+Contents (round 4 tail):
+- ``multimodal_png_decode`` — the PNG twin of the real BMP/WAV decode
+  paths: full-pixel RGBA PNGs (all five scanline filters, split IDAT)
+  synthesized worker-side, decoded for real (zlib + filter
+  reconstruction incl. Paeth), channel sums checked against the
+  synthesis formula by the oracle.
+- ``events_anomaly_window`` — rolling-window anomaly detection over
+  the hourly event-count series: an all-integer z²-test
+  ((n·x − s)² > K²·(n·ss − s²)) against the trailing 24 buckets,
+  bit-identical cross-engine because no division or sqrt ever
+  happens.
+- ``text_lm_surprise`` — corpus bigram-LM quality scoring: each
+  document's mean inverse conditional-probability rank
+  ((c(w1)·10^6) div c(w1 w2), averaged over the doc's bigrams) — the
+  KenLM-style "perplexity filter" shape as an exact integer rank
+  statistic (documented divergence: monotone surprise rank, not a
+  log-space perplexity — same ordering intent, zero float drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.text import tokenize_ws
+from queryengine_spark.plans import spread
+from queryengine_spark.queries.base import t
+from queryengine_spark.queries.textstats import _TOKS
+
+# ---------------------------------------------------------------------------
+# Real PNG decode
+# ---------------------------------------------------------------------------
+
+from queryengine_spark.multimodal.png import (  # noqa: E402
+    PNG2_H_MOD,
+    PNG2_W_MOD,
+    png_pixel_stats,
+    synthesize_png,
+)
+
+
+def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthesize → decode → aggregate, entirely worker-side (two
+    chained mapInPandas stages, zero shuffles before the final
+    projection); see multimodal/png.py for the correctness story."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return png_pixel_stats(synthesize_png(spread(ids)))
+
+
+MULTIMODAL_PNG_DECODE_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+dims AS (SELECT asset_id,
+                CAST(4 + asset_id % {PNG2_W_MOD} AS INT) AS w,
+                CAST(4 + asset_id % {PNG2_H_MOD} AS INT) AS h
+         FROM ids),
+px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
+       FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
+sums AS (SELECT asset_id, w, h,
+                CAST(SUM((x * y + asset_id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((asset_id + 2 * y) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((asset_id + 3 * x) % 256) AS BIGINT) AS sum_b,
+                CAST(SUM((x + y + asset_id) % 256) AS BIGINT) AS sum_a
+         FROM px GROUP BY asset_id, w, h)
+SELECT asset_id, w AS width, h AS height,
+       CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b, sum_a
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window anomaly detection
+# ---------------------------------------------------------------------------
+
+#: trailing window length (hour buckets), z-threshold, and the
+#: minimum history before a flag can fire
+ANOM_WIN = 24
+ANOM_K = 3
+ANOM_MIN_N = 12
+
+
+def events_anomaly_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type hourly count series with a trailing-window
+    anomaly flag: bucket counts, the previous ANOM_WIN buckets'
+    (n, Σ, Σ²), and the integer z²-test
+    (n·x − s)² > K²·(n·ss − s²)  [⇔ z² > K², no division/sqrt] —
+    degenerating to "any deviation" when the window variance is 0,
+    and suppressed entirely until ANOM_MIN_N history buckets exist.
+    The frame is ROW-based over the observed bucket series (both
+    engines see identical rows, so frames align; an empty hour is
+    absent on both sides — documented).
+
+    Plan: one groupBy(event_type, hour) + one window pass partitioned
+    by event_type — at 100 TB the bucketed series is already tiny
+    (types × hours), so the window input is aggregate-sized, never
+    event-sized."""
+    e = t(spark, sf, "events")
+    buckets = (
+        spread(e)
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-ANOM_WIN, -1)
+    )
+    stats = buckets.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.coalesce(F.count("cnt").over(w), F.lit(0)).cast("bigint").alias("win_n"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("win_sum"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("win_sumsq"),
+    )
+    dev = F.col("win_n") * F.col("cnt") - F.col("win_sum")
+    lhs = dev * dev
+    rhs = F.lit(ANOM_K * ANOM_K) * (
+        F.col("win_n") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
+    )
+    return stats.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        "win_n",
+        "win_sum",
+        "win_sumsq",
+        (
+            (F.col("win_n") >= ANOM_MIN_N)
+            & (lhs.cast("bigint") > rhs.cast("bigint"))
+        )
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH buckets AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, bucket
+),
+stats AS (
+  SELECT event_type, bucket, cnt,
+         CAST(COALESCE(count(cnt) OVER w, 0) AS BIGINT) AS win_n,
+         CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS win_sum,
+         CAST(COALESCE(SUM(cnt * cnt) OVER w, 0) AS BIGINT) AS win_sumsq
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, cnt, win_n, win_sum, win_sumsq,
+       CAST(win_n >= {ANOM_MIN_N}
+            AND (win_n * cnt - win_sum) * (win_n * cnt - win_sum)
+                > {ANOM_K * ANOM_K} * (win_n * win_sumsq - win_sum * win_sum)
+            AS INT) AS is_anomaly
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprise scoring
+# ---------------------------------------------------------------------------
+
+#: integer probability scale (surprise = (c1 * SCALE) div c12)
+LM_SCALE = 1_000_000
+
+
+def text_lm_surprise(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-bigram-LM quality score per document: for each adjacent
+    token pair, surprise = (count(w1) · 10^6) div count(w1 w2) — the
+    exact-integer inverse of the conditional probability P(w2|w1) the
+    corpus LM assigns — and the per-doc mean of those surprises. High
+    mean surprise = the document's transitions are unusual for the
+    corpus (the KenLM-perplexity-filter shape; divergence from true
+    perplexity documented in the module docstring).
+
+    Plan: one (doc, position) bigram explode, one vocabulary-sized
+    bigram-count aggregate and one unigram-count aggregate, joined
+    back on the bigram/unigram key (equi-joins on token strings —
+    shuffle volume ∝ corpus tokens, state ∝ vocabulary), then a
+    per-doc partial agg. No UDFs, no driver state."""
+    d = t(spark, sf, "documents")
+    toks = tokenize_ws(F.lower(F.col("text")))
+    base = spread(d).select("doc_id", toks.alias("toks"))
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    pairs = pairs.localCheckpoint(eager=False)
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select("doc_id", F.expr(f"(c1 * {LM_SCALE}) div c12").alias("surprise"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("surprise").cast("bigint").alias("surprise_sum"),
+        F.expr("sum(surprise) div count(1)").cast("bigint").alias("surprise_avg"),
+    )
+
+
+TEXT_LM_SURPRISE_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(c="lower(text)")} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d)
+),
+uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+scored AS (
+  SELECT p.doc_id, (u.c1 * {LM_SCALE}) // b.c12 AS surprise
+  FROM pairs p JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN uni u ON p.w1 = u.w1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(surprise) AS BIGINT) AS surprise_sum,
+       CAST(SUM(surprise) // count(*) AS BIGINT) AS surprise_avg
+FROM scored GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "multimodal_png_decode": (multimodal_png_decode, MULTIMODAL_PNG_DECODE_SQL),
+    "events_anomaly_window": (events_anomaly_window, EVENTS_ANOMALY_SQL),
+    "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
+}

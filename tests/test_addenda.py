@@ -1,0 +1,85 @@
+"""Independent-reference tests for the addenda queries (anomaly
+window, bigram-LM surprise). The PNG decode path has its own suite in
+test_multimodal_png.py; its query-level parity is covered by the
+entry contract."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from queryengine_spark.queries.addenda import (
+    ANOM_K,
+    ANOM_MIN_N,
+    ANOM_WIN,
+    LM_SCALE,
+    events_anomaly_window,
+    text_lm_surprise,
+)
+from queryengine_spark.queries.base import t
+
+
+def test_anomaly_window_matches_reference(spark, sf_dir):
+    ev = [
+        (r["event_type"], r["bucket"])
+        for r in t(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS bucket",
+        )
+        .collect()
+    ]
+    counts = Counter(ev)
+    series = defaultdict(list)
+    for (et, bucket), c in sorted(counts.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        series[et].append((bucket, c))
+    expect = {}
+    for et, rows in series.items():
+        for i, (bucket, c) in enumerate(rows):
+            win = [x for _, x in rows[max(0, i - ANOM_WIN) : i]]
+            n, s, ss = len(win), sum(win), sum(x * x for x in win)
+            flag = int(
+                n >= ANOM_MIN_N
+                and (n * c - s) ** 2 > ANOM_K * ANOM_K * (n * ss - s * s)
+            )
+            expect[(et, bucket)] = (c, n, s, ss, flag)
+    got = {
+        (r["event_type"], r["bucket"]): (
+            r["cnt"],
+            r["win_n"],
+            r["win_sum"],
+            r["win_sumsq"],
+            r["is_anomaly"],
+        )
+        for r in events_anomaly_window(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_lm_surprise_matches_reference(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - 1):
+            uni[toks[i]] += 1
+            bi[(toks[i], toks[i + 1])] += 1
+    expect = {}
+    for did, toks in docs.items():
+        sur = [
+            uni[toks[i]] * LM_SCALE // bi[(toks[i], toks[i + 1])]
+            for i in range(len(toks) - 1)
+        ]
+        if sur:
+            expect[did] = (len(sur), sum(sur), sum(sur) // len(sur))
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["surprise_sum"], r["surprise_avg"])
+        for r in text_lm_surprise(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # surprise is bounded below by SCALE (c12 <= c1 always)
+    assert all(v[2] >= LM_SCALE for v in expect.values())

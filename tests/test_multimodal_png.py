@@ -1,0 +1,135 @@
+"""PNG decoder correctness, independent of the synthesizer: a
+hand-filtered byte vector pins the decoder (so a matched
+encoder/decoder bug cannot cancel out), property tests cover the
+filter inverses, and malformed-input probes pin the None paths."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from queryengine_spark.multimodal.png import (
+    _filter_row,
+    _paeth,
+    _unfilter_row,
+    decode_png,
+    make_png_rgba,
+    png_rgba_params,
+    _pixel,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, stream: bytes) -> bytes:
+    ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(stream))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_hand_filtered_vector():
+    # 2x2 RGBA image, row 0 filter=1 (Sub), row 1 filter=4 (Paeth).
+    # Raw pixels (r,g,b,a):
+    #   row0: (10,20,30,40) (50,60,70,80)
+    #   row1: (5,5,5,5)     (200,100,50,25)
+    # Filtered bytes computed BY HAND from the PNG spec:
+    # row0 Sub:  p0 unchanged (left=0) -> 10,20,30,40
+    #            p1 = raw - left      -> 40,40,40,40
+    # row1 Paeth: p0: left=0, up=row0 p0, ul=0 -> paeth predicts up
+    #            -> (5-10)%256=251, (5-20)%256=241, 231, 221
+    #             p1: left=(5,5,5,5), up=(50,60,70,80),
+    #                 ul=(10,20,30,40); p=a+b-c = 45 for every byte:
+    #                 byte0 pa=40 pb=5  pc=35 -> up=50   filt=200-50=150
+    #                 byte1 pa=40 pb=15 pc=25 -> up=60   filt=100-60=40
+    #                 byte2 pa=40 pb=25 pc=15 -> ul=30   filt=50-30=20
+    #                 byte3 pa=40 pb=35 pc=5  -> ul=40   filt=(25-40)%256=241
+    stream = bytes(
+        [1, 10, 20, 30, 40, 40, 40, 40, 40]
+        + [4, 251, 241, 231, 221, 150, 40, 20, 241]
+    )
+    img = decode_png(_png(2, 2, stream))
+    assert img is not None
+    expect = np.array(
+        [
+            [[10, 20, 30, 40], [50, 60, 70, 80]],
+            [[5, 5, 5, 5], [200, 100, 50, 25]],
+        ],
+        dtype=np.uint8,
+    )
+    assert (img == expect).all()
+
+
+def test_paeth_spec_cases():
+    # spec precedence: a, then b, then c on ties
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(50, 40, 10) == 50  # p=80: pa=30 < pb=40 < pc=70 -> a
+    assert _paeth(100, 1, 100) == 1  # p=1: pb=0 beats pa=pc=99 -> b
+    assert _paeth(1, 200, 100) == 100  # p=101: pc=1 beats pa=100, pb=99 -> c
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_filter_roundtrip_all_types(ftype):
+    rng = np.random.RandomState(ftype + 7)
+    prev = bytes(rng.randint(0, 256, 40, dtype=np.uint8))
+    raw = bytes(rng.randint(0, 256, 40, dtype=np.uint8))
+    filt = _filter_row(ftype, raw, prev)
+    assert _unfilter_row(ftype, filt, prev) == raw
+
+
+def test_synthesized_assets_decode_to_formula():
+    for aid in (0, 3, 17, 254, 100_000):
+        img = decode_png(make_png_rgba(aid))
+        w, h = png_rgba_params(aid)
+        assert img is not None and img.shape == (h, w, 4)
+        exp = np.array(
+            [[_pixel(aid, x, y) for x in range(w)] for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (img == exp).all()
+
+
+def test_malformed_inputs_return_none():
+    good = make_png_rgba(42)
+    assert decode_png(b"") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\n") is None
+    # missing IEND only: IHDR + IDAT intact -> still decodes (decoder
+    # stops at end of buffer); truncating INTO a chunk -> None
+    assert decode_png(good[:-12]) is not None
+    assert decode_png(good[:-20]) is None
+    corrupted = bytearray(good)
+    corrupted[40] ^= 0xFF  # inside IHDR/IDAT -> CRC fails
+    assert decode_png(bytes(corrupted)) is None
+    # syntactically valid chunks, but IDAT is not a zlib stream
+    ihdr_ok = struct.pack(">II5B", 2, 2, 8, 6, 0, 0, 0)
+    notz = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr_ok)
+        + _chunk(b"IDAT", b"not-a-zlib-stream")
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(notz) is None
+    # wrong color type (RGB, 2) must be rejected, not misdecoded
+    ihdr = struct.pack(">II5B", 2, 2, 8, 2, 0, 0, 0)
+    rgb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 6))))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(rgb) is None
+    # declared size mismatch: stream shorter than h*(1+4w)
+    assert decode_png(_png(3, 3, bytes(5))) is None

@@ -342,3 +342,33 @@ def test_cross_source_overlap_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_cross_source_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_png_decode_no_shuffle_before_stats(spark, sf_dir):
+    # synthesize → decode are chained mapInPandas stages: the only
+    # allowed exchange is the deliberate round-robin spread() that
+    # parallelizes synthesis — no hash/range shuffle, no join
+    plan = _plan(spark, sf_dir, "multimodal_png_decode")
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "RoundRobinPartitioning" in plan
+    assert "Join" not in plan
+
+
+def test_anomaly_window_runs_on_bucketed_series(spark, sf_dir):
+    # the rolling window must consume the AGGREGATED bucket series,
+    # not raw events: exactly one aggregate feeds one window; and
+    # nothing joins
+    plan = _plan(spark, sf_dir, "events_anomaly_window")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_lm_surprise_equi_joins_only(spark, sf_dir):
+    # the vocabulary count tables must come back onto the pair stream
+    # as broadcast equi-joins (they are vocabulary-sized, the stream
+    # is corpus-sized); the bigram explode itself sits behind the
+    # pairs localCheckpoint, so it is not in this final plan
+    plan = _plan(spark, sf_dir, "text_lm_surprise")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
