@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -592,6 +593,102 @@ def streaming_latest_snapshot(events: DataFrame) -> DataFrame:
         fold,
         outputStructType=SNAP_OUT_SCHEMA,
         stateStructType=_SNAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ANOM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket", StringType()),
+        StructField("cnt", LongType()),
+        StructField("win_n", LongType()),
+        StructField("win_sum", LongType()),
+        StructField("win_sumsq", LongType()),
+        StructField("is_anomaly", IntegerType()),
+        StructField("batch_seq", LongType()),
+    ]
+)
+
+_ANOM_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("batch_seq", LongType(), True),
+    ]
+)
+
+
+def streaming_anomaly_window(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``queries/addenda.py::events_anomaly_window``:
+    per event type, fold the hourly count series across micro-batches
+    (additive, so arrival order cannot matter) and re-emit the flagged
+    snapshot — the trailing-24-bucket integer z²-test
+    (n·x − s)² > K²·(n·ss − s²) over the observed bucket series —
+    stamped with a per-key batch sequence; consumers read max-seq
+    rows (the tests do exactly that).
+
+    State per key is the BUCKETED series — O(hours of history), never
+    O(events): a decade of hourly buckets is ~88k (string, long)
+    pairs per event type, which is what makes keep-everything viable
+    and the stream==batch equality exact (no eviction horizon to
+    diverge under). If the bucket domain were unbounded (e.g.
+    per-user keys), bound it the way ``streaming_dedup_bounded``
+    does — evict below a watermark and document the horizon.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from queryengine_spark.queries.addenda import ANOM_K, ANOM_MIN_N, ANOM_WIN
+
+    ev = events.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket"
+        ),
+    )
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            buckets, counts, batch_seq = state.get
+            series = dict(zip(buckets, counts))
+        else:
+            series, batch_seq = {}, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            for b, c in pdf["bucket"].value_counts().items():
+                series[str(b)] = series.get(str(b), 0) + int(c)
+        batch_seq += 1
+        out = {k: [] for k in (
+            "event_type", "bucket", "cnt", "win_n", "win_sum", "win_sumsq",
+            "is_anomaly", "batch_seq",
+        )}
+        items = sorted(series.items())
+        for i, (b, c) in enumerate(items):
+            win = [x for _, x in items[max(0, i - ANOM_WIN) : i]]
+            n, s, ss = len(win), sum(win), sum(x * x for x in win)
+            dev = n * c - s
+            flag = int(n >= ANOM_MIN_N and dev * dev > ANOM_K * ANOM_K * (n * ss - s * s))
+            out["event_type"].append(str(key[0]))
+            out["bucket"].append(b)
+            out["cnt"].append(c)
+            out["win_n"].append(n)
+            out["win_sum"].append(s)
+            out["win_sumsq"].append(ss)
+            out["is_anomaly"].append(flag)
+            out["batch_seq"].append(batch_seq)
+        yield pd.DataFrame(out)
+        state.update(
+            ([b for b, _ in items], [int(c) for _, c in items], batch_seq)
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
