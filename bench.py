@@ -148,6 +148,7 @@ HEADLINE = [
     "multimodal_png_decode",
     "events_anomaly_window",
     "text_lm_surprise",
+    "multimodal_gif_decode",
 ]
 
 

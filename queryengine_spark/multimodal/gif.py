@@ -1,0 +1,320 @@
+"""Real GIF decode, no media libraries: GIF87a's pixel path is LZW
+(pure arithmetic — implemented here from the published algorithm,
+both directions) over palette indices, so the full pipeline runs for
+real in this sandbox, completing the decoder set (BMP: struct+numpy,
+PNG: zlib+filters, WAV: RIFF walk, GIF: LZW). Only JPEG remains a
+documented stub (its entropy coding + DCT needs a real codec).
+
+Synthesis is deliberately adversarial for the decoder: the palette
+and the index map are both arithmetic formulas of (asset_id, x, y),
+the LZW stream uses variable code widths up to the 4096-entry table
+limit with mid-stream CLEAR codes, and the byte stream is split into
+≤255-byte sub-blocks per the spec. The DuckDB oracle recomputes the
+expected channel sums FROM THE FORMULAS (palette lookup inlined as
+arithmetic on the index) while Spark computes them FROM THE DECODED
+BYTES. The LZW decoder is additionally pinned against two
+hand-computed bit streams (including the KwKwK corner case) in
+tests/test_multimodal_gif.py, so a matched encoder/decoder bug pair
+cannot cancel out.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: deterministic synthesis parameters (mirrored in the oracle SQL —
+#: keep in sync with queries/addenda.py::MULTIMODAL_GIF_DECODE_SQL)
+GIF_W_MOD, GIF_H_MOD = 17, 13
+GIF_IDX_XM, GIF_IDX_YM = 7, 11
+PAL_RM, PAL_GM, PAL_BM = 3, 5, 7
+
+
+def gif_params(asset_id: int) -> tuple[int, int]:
+    return 6 + asset_id % GIF_W_MOD, 5 + asset_id % GIF_H_MOD
+
+
+def pixel_index(asset_id: int, x: int, y: int) -> int:
+    return (x * GIF_IDX_XM + y * GIF_IDX_YM + asset_id) % 256
+
+
+def palette_rgb(i: int) -> tuple[int, int, int]:
+    return (PAL_RM * i) % 256, (PAL_GM * i + 1) % 256, (PAL_BM * i + 2) % 256
+
+
+# ------------------------------------------------------------------- LZW
+
+_MAX_CODE = 4096
+
+
+def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable code width starting at
+    min_code_size+1, CLEAR/EOI codes, LSB-first bit packing, table
+    reset at 4096 entries."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << min_code_size)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh_table()
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < _MAX_CODE:
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh_table()
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, min_code_size: int = 8) -> bytes | None:
+    """Inverse of :func:`lzw_encode` (handles the KwKwK case where a
+    code is referenced in the step that defines it)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = 0  # bit position
+
+    def read(width: int) -> int | None:
+        nonlocal pos
+        if pos + width > len(data) * 8:
+            return None
+        val = 0
+        for i in range(width):
+            byte, bit = divmod(pos + i, 8)
+            val |= ((data[byte] >> bit) & 1) << i
+        pos += width
+        return val
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code is None:
+            return None  # truncated stream (no EOI)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < _MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+# ------------------------------------------------------------------- GIF
+
+def make_gif(asset_id: int) -> bytes:
+    """Spec-valid GIF87a: header + logical screen descriptor + 256-
+    entry global color table (formula palette) + image descriptor +
+    LZW image data in ≤255-byte sub-blocks + trailer."""
+    w, h = gif_params(asset_id)
+    pal = b"".join(bytes(palette_rgb(i)) for i in range(256))
+    idx = bytes(
+        pixel_index(asset_id, x, y) for y in range(h) for x in range(w)
+    )
+    lzw = lzw_encode(idx, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 8-bit, 256 entries
+        + pal
+        + b","  # image separator
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT, not interlaced
+        + bytes([8])  # LZW minimum code size
+        + bytes(blocks)
+        + b";"
+    )
+
+
+def decode_gif(b: bytes) -> np.ndarray | None:
+    """bytes → (h, w, 3) uint8 RGB array, or None for anything that
+    is not a well-formed non-interlaced GIF87a/89a with a global
+    color table. Walks the block structure (skipping 89a extension
+    blocks), reassembles the LZW sub-blocks, decodes, and applies the
+    palette."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            return None  # no image block found
+        if marker == 0x21:  # 89a extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:  # image separator
+            return None
+        if pos + 9 > len(b):
+            return None
+        _x0, _y0, w, h, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:  # interlaced: unsupported
+            return None
+        if iflags & 0x80:  # local color table overrides
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(b):
+                return None
+            pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None or pos >= len(b):
+            return None
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            return None
+        lzw = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            blen = b[pos]
+            if pos + 1 + blen > len(b):
+                return None
+            lzw += b[pos + 1 : pos + 1 + blen]
+            pos += 1 + blen
+        idx = lzw_decode(bytes(lzw), min_code)
+        if idx is None or len(idx) != w * h or w <= 0 or h <= 0:
+            return None
+        arr = np.frombuffer(idx, np.uint8).reshape(h, w)
+        if int(arr.max()) >= len(pal):
+            return None
+        return pal[arr]
+    return None
+
+
+GIF_ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_px", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+    ]
+)
+
+
+def synthesize_gif(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [make_gif(a) for a in ids_],
+                }
+            )
+
+    return ids.mapInPandas(run, GIF_ASSET_SCHEMA)
+
+
+def gif_pixel_stats(assets: DataFrame) -> DataFrame:
+    cols = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", *cols)}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(int(aid))
+                img = decode_gif(bytes(payload)) if payload is not None else None
+                if img is None:
+                    for k in cols:
+                        out[k].append(None)
+                    continue
+                h, w, _ = img.shape
+                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                for k, v in zip(("sum_r", "sum_g", "sum_b"), s):
+                    out[k].append(int(v))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, GIF_STATS_SCHEMA)

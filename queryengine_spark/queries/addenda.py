@@ -252,8 +252,55 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Real GIF (LZW) decode
+# ---------------------------------------------------------------------------
+
+from queryengine_spark.multimodal.gif import (  # noqa: E402
+    GIF_H_MOD,
+    GIF_IDX_XM,
+    GIF_IDX_YM,
+    GIF_W_MOD,
+    PAL_BM,
+    PAL_GM,
+    PAL_RM,
+    gif_pixel_stats,
+    synthesize_gif,
+)
+
+
+def multimodal_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthesize → LZW-decode → aggregate, entirely worker-side (the
+    GIF twin of multimodal_png_decode); see multimodal/gif.py for the
+    correctness story (hand-pinned LZW bit streams + formula oracle)."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return gif_pixel_stats(synthesize_gif(spread(ids)))
+
+
+MULTIMODAL_GIF_DECODE_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+dims AS (SELECT asset_id,
+                CAST(6 + asset_id % {GIF_W_MOD} AS INT) AS w,
+                CAST(5 + asset_id % {GIF_H_MOD} AS INT) AS h
+         FROM ids),
+px AS (SELECT asset_id, w, h,
+              (CAST(xx.i AS BIGINT) * {GIF_IDX_XM}
+               + CAST(yy.i AS BIGINT) * {GIF_IDX_YM} + asset_id) % 256 AS idx
+       FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
+sums AS (SELECT asset_id, w, h,
+                CAST(SUM(({PAL_RM} * idx) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM(({PAL_GM} * idx + 1) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM(({PAL_BM} * idx + 2) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY asset_id, w, h)
+SELECT asset_id, w AS width, h AS height,
+       CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b
+FROM sums
+"""
+
+
 QUERIES = {
     "multimodal_png_decode": (multimodal_png_decode, MULTIMODAL_PNG_DECODE_SQL),
     "events_anomaly_window": (events_anomaly_window, EVENTS_ANOMALY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
+    "multimodal_gif_decode": (multimodal_gif_decode, MULTIMODAL_GIF_DECODE_SQL),
 }

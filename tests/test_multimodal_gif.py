@@ -1,0 +1,109 @@
+"""GIF/LZW decoder correctness independent of the synthesizer:
+hand-computed LZW bit streams (including the KwKwK corner case) pin
+the decoder's bit order and table semantics, roundtrips stress
+variable code widths + the 4096-entry reset, and malformed probes pin
+the None paths."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+
+from queryengine_spark.multimodal.gif import (
+    decode_gif,
+    gif_params,
+    lzw_decode,
+    lzw_encode,
+    make_gif,
+    palette_rgb,
+    pixel_index,
+)
+
+
+def test_lzw_hand_vectors():
+    # min_code_size=2 -> clear=4, eoi=5, 3-bit codes, LSB-first.
+    # [0,0,0]  -> codes 4,0,6,5  -> value 4+0·8+6·64+5·512 = 2948
+    #          -> bytes 0x84, 0x0B
+    assert lzw_decode(bytes([0x84, 0x0B]), 2) == bytes([0, 0, 0])
+    # [1,1,1,1] -> codes 4,1,6,1,5 (6 is referenced in the step that
+    # defines it: the KwKwK case) -> 4+1·8+6·64+1·512+5·4096 = 21388
+    #           -> bytes 0x8C, 0x53
+    assert lzw_decode(bytes([0x8C, 0x53]), 2) == bytes([1, 1, 1, 1])
+
+
+def test_lzw_roundtrip_stress():
+    rng = random.Random(7)
+    cases = [
+        b"",
+        bytes([0]),
+        bytes(rng.randrange(4) for _ in range(20000)),  # 4096-table reset
+        bytes(rng.randrange(256) for _ in range(20000)),
+        bytes(range(256)) * 40,
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data, 8), 8) == data
+    for data in cases[:3]:
+        assert lzw_decode(lzw_encode(data, 2), 2) == data
+
+
+def test_lzw_truncated_stream_is_none():
+    enc = lzw_encode(bytes(range(100)), 8)
+    assert lzw_decode(enc[: len(enc) // 2], 8) is None
+
+
+def test_synthesized_assets_decode_to_formula():
+    for aid in (0, 5, 77, 1234, 99999):
+        img = decode_gif(make_gif(aid))
+        w, h = gif_params(aid)
+        assert img is not None and img.shape == (h, w, 3)
+        exp = np.array(
+            [
+                [palette_rgb(pixel_index(aid, x, y)) for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        assert (img == exp).all()
+
+
+#: image-separator offset: 13-byte header/LSD + 768-byte palette
+#: (0x2C bytes occur inside palette data, so never search for ",")
+_SEP = 13 + 768
+
+
+def test_gif89a_extension_blocks_are_skipped():
+    g = make_gif(3)
+    # splice a Graphic Control Extension before the image separator
+    sep = _SEP
+    assert g[sep] == 0x2C
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    g89 = b"GIF89a" + g[6:sep] + ext + g[sep:]
+    img = decode_gif(g89)
+    assert img is not None
+    assert (img == decode_gif(g)).all()
+
+
+def test_malformed_inputs_return_none():
+    good = make_gif(9)
+    assert decode_gif(b"") is None
+    assert decode_gif(b"GIF87a") is None
+    assert decode_gif(good[:-40]) is None  # truncated image data
+    # interlace flag set -> unsupported, must refuse not misdecode
+    sep = _SEP
+    assert good[sep] == 0x2C
+    x0, y0, w, h, fl = struct.unpack("<HHHHB", good[sep + 1 : sep + 10])
+    bad = (
+        good[: sep + 1]
+        + struct.pack("<HHHHB", x0, y0, w, h, fl | 0x40)
+        + good[sep + 10 :]
+    )
+    assert decode_gif(bad) is None
+    # pixel count mismatch: shrink declared height
+    bad2 = (
+        good[: sep + 1]
+        + struct.pack("<HHHHB", x0, y0, w, h - 1, fl)
+        + good[sep + 10 :]
+    )
+    assert decode_gif(bad2) is None

@@ -372,3 +372,10 @@ def test_lm_surprise_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gif_decode_no_shuffle_before_stats(spark, sf_dir):
+    # same shape contract as the PNG twin
+    plan = _plan(spark, sf_dir, "multimodal_gif_decode")
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "Join" not in plan
