@@ -149,6 +149,7 @@ HEADLINE = [
     "events_anomaly_window",
     "text_lm_surprise",
     "multimodal_gif_decode",
+    "graph_bfs_hops",
 ]
 
 

@@ -154,3 +154,51 @@ def triangle_counts(
     return nodes.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tri")
     )
+
+
+def bfs_hops(
+    seeds: DataFrame,
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distance over the UNDIRECTED graph induced
+    by ``edges``: (id, dist) for every vertex within ``max_hops`` of
+    any seed (unreached vertices are absent). Fixed-round frontier
+    relaxation — round i computes d_{i+1}(v) = min(d_i(v),
+    1 + min_{(u,v)∈E} d_i(u)) — so the plan is ``max_hops`` bounded
+    equi-join + min-aggregate stages, checkpointed per round to keep
+    lineage flat (the same O(rounds) discipline as :func:`pagerank`
+    and the label-propagation CC). All-integer, so the result is
+    bit-identical to the oracle's unrolled recurrence.
+
+    Scale: each round shuffles (frontier ⋈ edges) + one min-combine —
+    never materializes paths, only distances; at 100 TB the frontier
+    join is an id-only equi-join exactly like the CC rounds.
+
+    ``seeds`` must have one column named ``id``.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select("id", F.lit(0).cast("bigint").alias("dist")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(max_hops):
+        nbr = (
+            sym.join(dist, sym.src == dist.id)
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -298,9 +298,80 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance over the near-dup graph
+# ---------------------------------------------------------------------------
+
+#: seed predicate (every 25th doc), hop bound
+BFS_SEED_MOD = 25
+BFS_MAX_HOPS = 4
+
+
+def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop distance from the nearest seed document across the MinHash
+    near-dup candidate graph (same edge set as dedup_minhash_lsh /
+    graph_pagerank): "how many near-dup links away is this doc from a
+    flagged one" — the reachability primitive contamination triage
+    uses. Fixed BFS_MAX_HOPS rounds of id-only frontier relaxation
+    (operators/graph.py::bfs_hops); all-integer; the oracle unrolls
+    the identical recurrence."""
+    from queryengine_spark.operators.dedup import minhash_lsh_candidate_pairs
+    from queryengine_spark.operators.graph import bfs_hops
+    from queryengine_spark.queries.dedup import (
+        BAND_SIZE,
+        MINHASH_MAX_BUCKET,
+        N_HASHES,
+    )
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text",
+        n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+        max_bucket=MINHASH_MAX_BUCKET,
+    )
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return bfs_hops(seeds, pairs, max_hops=BFS_MAX_HOPS).select(
+        F.col("id").alias("doc_id"), "dist"
+    )
+
+
+def _bfs_sql() -> str:
+    from queryengine_spark.queries.dedup import DEDUP_MINHASH_SQL
+
+    body = DEDUP_MINHASH_SQL.strip()
+    assert body.startswith("WITH ")
+    ctes, final_select = body.rsplit("SELECT DISTINCT", 1)
+    prev = "d0"
+    rounds = []
+    for i in range(1, BFS_MAX_HOPS + 1):
+        rounds.append(
+            f"""d{i} AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+  SELECT id, dist FROM {prev}
+  UNION ALL
+  SELECT t.dst AS id, r.dist + 1 AS dist
+  FROM sym t JOIN {prev} r ON t.src = r.id
+) GROUP BY id)"""
+        )
+        prev = f"d{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+{ctes.rstrip().rstrip(",")},
+pairs AS (SELECT DISTINCT {final_select.strip()}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+d0 AS (SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist FROM documents
+       WHERE doc_id % {BFS_SEED_MOD} = 0),
+{rounds_sql}
+SELECT id AS doc_id, dist FROM {prev}
+"""
+
+
 QUERIES = {
     "multimodal_png_decode": (multimodal_png_decode, MULTIMODAL_PNG_DECODE_SQL),
     "events_anomaly_window": (events_anomaly_window, EVENTS_ANOMALY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
     "multimodal_gif_decode": (multimodal_gif_decode, MULTIMODAL_GIF_DECODE_SQL),
+    "graph_bfs_hops": (graph_bfs_hops, _bfs_sql),
 }

@@ -83,3 +83,48 @@ def test_lm_surprise_matches_reference(spark, sf_dir):
     assert got == expect
     # surprise is bounded below by SCALE (c12 <= c1 always)
     assert all(v[2] >= LM_SCALE for v in expect.values())
+
+
+def test_bfs_hops_matches_reference(spark, sf_dir):
+    """Independent BFS over the same candidate edge set."""
+    from queryengine_spark.operators.dedup import minhash_lsh_candidate_pairs
+    from queryengine_spark.queries.addenda import (
+        BFS_MAX_HOPS,
+        BFS_SEED_MOD,
+        graph_bfs_hops,
+    )
+    from queryengine_spark.queries.dedup import (
+        BAND_SIZE,
+        MINHASH_MAX_BUCKET,
+        N_HASHES,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    edges = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidate_pairs(
+            docs, "doc_id", "text",
+            n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+            max_bucket=MINHASH_MAX_BUCKET,
+        ).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = [r["doc_id"] for r in docs.select("doc_id").collect()
+             if r["doc_id"] % BFS_SEED_MOD == 0]
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    got = {r["doc_id"]: r["dist"] for r in graph_bfs_hops(spark, sf_dir).collect()}
+    assert got == dist
+    # at least one vertex must be reached at hop >= 1 (non-vacuous)
+    assert any(v >= 1 for v in got.values())

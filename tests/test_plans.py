@@ -379,3 +379,12 @@ def test_gif_decode_no_shuffle_before_stats(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_gif_decode")
     assert "ENSURE_REQUIREMENTS" not in plan
     assert "Join" not in plan
+
+
+def test_bfs_hops_id_only_equi_joins(spark, sf_dir):
+    # every BFS round is an id equi-join + min-combine; the text
+    # relation must never re-enter the loop, and nothing may go
+    # cartesian
+    plan = _plan(spark, sf_dir, "graph_bfs_hops")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
