@@ -150,6 +150,7 @@ HEADLINE = [
     "text_lm_surprise",
     "multimodal_gif_decode",
     "graph_bfs_hops",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -1,0 +1,357 @@
+"""Real baseline-JPEG entropy decode for the DC-only profile, no
+media libraries — closing the last stubbed decoder as far as exact
+arithmetic allows.
+
+What is REAL here: the complete JFIF marker walk (SOI/DQT/SOF0/DHT/
+SOS/EOI, length-prefixed segments, 0xFF00 byte unstuffing), canonical
+Huffman table construction FROM THE DHT SEGMENT BYTES (the tables are
+not baked into the decoder — it decodes whatever tables the file
+declares; the synthesizer writes the standard Annex K luminance
+tables), bit-level entropy decoding of the scan (DC category code →
+sign-extended difference bits, DC prediction across blocks, AC
+end-of-block), and dequantization.
+
+What is RESTRICTED: the synthesized scans are DC-only (every AC
+coefficient zero), for which the 8×8 IDCT collapses exactly — every
+pixel of the block equals round(dc·q/8) + 128, integer-exact when q
+is a multiple of 8 (the synthesizer uses q=8, so pixel = dc + 128).
+A scan with any nonzero AC coefficient is REFUSED (None), not
+approximated: full JPEG needs a float IDCT whose output could not be
+certified by an integer formula oracle anyway. The docstring of
+``multimodal/__init__.py`` keeps the general-JPEG pixel path
+documented as stubbed; this module is the honest exactly-decodable
+profile of it.
+
+Correctness: the DuckDB oracle recomputes channel sums from the DC
+formula while Spark decodes the actual bitstream; the entropy decoder
+is additionally pinned against a HAND-ASSEMBLED single-block scan in
+tests/test_multimodal_jpeg.py (so a matched encoder/decoder bug pair
+cannot cancel), plus refusal probes for AC coefficients, wrong
+precision, and truncation.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: deterministic synthesis parameters (mirrored in the oracle SQL —
+#: keep in sync with queries/addenda.py::MULTIMODAL_JPEG_DECODE_SQL).
+#: Dimensions are in 8x8 BLOCKS; dc values span the full signed
+#: 8-entropy-bit range to exercise multi-category Huffman codes.
+JPEG_BW_MOD, JPEG_BH_MOD = 5, 3
+DC_MULT, DC_MOD, DC_OFF = 37, 201, -100  # dc in [-100, 100]
+QUANT_DC = 8  # q multiple of 8 -> pixel = dc + 128 exactly
+
+
+def jpeg_params(asset_id: int) -> tuple[int, int]:
+    """(blocks_w, blocks_h); pixel dims are 8x those."""
+    return 1 + asset_id % JPEG_BW_MOD, 1 + asset_id % JPEG_BH_MOD
+
+
+def block_dc(asset_id: int, bx: int, by: int) -> int:
+    """The dequantized-domain-INPUT dc coefficient of block (bx, by):
+    every pixel of the block decodes to block_dc + 128 (see module
+    docstring). Range [-100, 100]."""
+    return (asset_id + 13 * bx + 31 * by) * DC_MULT % DC_MOD + DC_OFF
+
+
+#: standard Annex K luminance DC table: BITS (codes per length 1..16)
+#: and HUFFVAL (categories in code order)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+#: standard Annex K luminance AC table (only EOB = run/size 0x00 is
+#: ever emitted, but the full table ships in the DHT segment)
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length) canonical Huffman assignment (JPEG
+    C.2): codes of each length count up from (prev + 1) << 1."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def make_jpeg_dc(asset_id: int) -> bytes:
+    """Spec-valid grayscale baseline JFIF whose scan encodes DC-only
+    8×8 blocks of the formula image (Annex K tables, q[0]=QUANT_DC,
+    byte-stuffed entropy stream)."""
+    bw, bh = jpeg_params(asset_id)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            dc = block_dc(asset_id, bx, by)
+            diff = dc - pred
+            pred = dc
+            cat = _category(diff)
+            code, length = dc_codes[cat]
+            w.put(code, length)
+            if cat:
+                bits = diff if diff >= 0 else diff + (1 << cat) - 1
+                w.put(bits, cat)
+            eob, eob_len = ac_codes[0x00]
+            w.put(eob, eob_len)
+    scan = w.flush()
+    quant = bytes([QUANT_DC] + [16] * 63)  # only q[0] matters (DC-only)
+    return (
+        b"\xff\xd8"  # SOI
+        + _seg(0xDB, b"\x00" + quant)  # DQT id 0, 8-bit
+        + _seg(0xC0, struct.pack(">BHHB", 8, bh * 8, bw * 8, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position over the UNSTUFFED stream
+
+    def bit(self) -> int | None:
+        byte, off = divmod(self.pos, 8)
+        if byte >= len(self.data):
+            return None
+        self.pos += 1
+        return (self.data[byte] >> (7 - off)) & 1
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → value, from the DHT payload."""
+    return {
+        (length, code): v
+        for v, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        b = r.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        if (length, code) in table:
+            return table[(length, code)]
+    return None
+
+
+def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
+    """bytes → (h, w) uint8 grayscale array for a single-component
+    baseline JFIF whose scan is DC-only, or None for anything else —
+    including a scan that contains ANY nonzero AC coefficient (the
+    full-IDCT path is out of scope by contract, never approximated)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    quant = None
+    sof = None
+    huff: dict[int, dict] = {}
+    scan_start = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        body = b[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:
+            if body[0] & 0xF0:
+                return None  # 16-bit tables unsupported
+            quant = body[1:65]
+        elif marker == 0xC0:
+            prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                return None  # restricted profile: 8-bit single 1x1 component
+            sof = (w_, h)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            return None  # non-baseline SOF
+        elif marker == 0xC4:
+            tclass, tid = body[0] >> 4, body[0] & 0x0F
+            bits = list(body[1:17])
+            n = sum(bits)
+            huff[(tclass, tid)] = _build_decode_table(bits, list(body[17 : 17 + n]))
+        elif marker == 0xDA:
+            if body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_start is None or sof is None or quant is None:
+        return None
+    if (0, dc_id) not in huff or (1, ac_id) not in huff:
+        return None
+    end = b.rfind(b"\xff\xd9")
+    if end < scan_start:
+        return None
+    entropy = b[scan_start:end].replace(b"\xff\x00", b"\xff")
+    w_, h = sof
+    bw, bh = (w_ + 7) // 8, (h + 7) // 8
+    r = _BitReader(entropy)
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    q0 = quant[0]
+    if q0 % 8:
+        return None  # exact-pixel contract requires q0 ≡ 0 (mod 8)
+    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            cat = _read_huff(r, dc_tab)
+            if cat is None or cat > 11:
+                return None
+            diff = 0
+            if cat:
+                bits_v = 0
+                for _ in range(cat):
+                    bit = r.bit()
+                    if bit is None:
+                        return None
+                    bits_v = (bits_v << 1) | bit
+                diff = bits_v if bits_v >= (1 << (cat - 1)) else bits_v - (1 << cat) + 1
+            pred += diff
+            rs = _read_huff(r, ac_tab)
+            if rs is None:
+                return None
+            if rs != 0x00:
+                return None  # nonzero AC: outside the exact profile
+            px = pred * q0 // 8 + 128
+            if not 0 <= px <= 255:
+                return None
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return out[:h, :w_]
+
+
+JPEG_ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_px", LongType(), True),
+        StructField("sum_lum", LongType(), True),
+        StructField("min_lum", IntegerType(), True),
+        StructField("max_lum", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_jpeg(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [make_jpeg_dc(a) for a in ids_],
+                }
+            )
+
+    return ids.mapInPandas(run, JPEG_ASSET_SCHEMA)
+
+
+def jpeg_pixel_stats(assets: DataFrame) -> DataFrame:
+    cols = ("width", "height", "n_px", "sum_lum", "min_lum", "max_lum")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", *cols)}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(int(aid))
+                img = decode_jpeg_dc(bytes(payload)) if payload is not None else None
+                if img is None:
+                    for k in cols:
+                        out[k].append(None)
+                    continue
+                h, w = img.shape
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["sum_lum"].append(int(img.astype(np.int64).sum()))
+                out["min_lum"].append(int(img.min()))
+                out["max_lum"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, JPEG_STATS_SCHEMA)

@@ -368,10 +368,59 @@ SELECT id AS doc_id, dist FROM {prev}
 """
 
 
+# ---------------------------------------------------------------------------
+# Real baseline-JPEG entropy decode (DC-only exact profile)
+# ---------------------------------------------------------------------------
+
+from queryengine_spark.multimodal.jpeg import (  # noqa: E402
+    DC_MOD,
+    DC_MULT,
+    DC_OFF,
+    JPEG_BH_MOD,
+    JPEG_BW_MOD,
+    jpeg_pixel_stats,
+    synthesize_jpeg,
+)
+
+
+def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthesize → entropy-decode → aggregate, entirely worker-side:
+    real JFIF marker walk + canonical-Huffman scan decoding (tables
+    read from the DHT bytes), on the DC-only profile where
+    dequant+IDCT is exact integer arithmetic — see multimodal/jpeg.py
+    for what is real vs restricted, and the hand-assembled bitstream
+    that pins the decoder."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return jpeg_pixel_stats(synthesize_jpeg(spread(ids)))
+
+
+MULTIMODAL_JPEG_DECODE_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+dims AS (SELECT asset_id,
+                CAST(1 + asset_id % {JPEG_BW_MOD} AS INT) AS bw,
+                CAST(1 + asset_id % {JPEG_BH_MOD} AS INT) AS bh
+         FROM ids),
+blk AS (SELECT asset_id, bw, bh,
+               ((asset_id + 13 * CAST(xx.i AS BIGINT)
+                 + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
+                 + ({DC_OFF}) AS dc
+        FROM dims, unnest(range(0, bw)) xx(i), unnest(range(0, bh)) yy(i)),
+sums AS (SELECT asset_id, bw, bh,
+                CAST(SUM(64 * (dc + 128)) AS BIGINT) AS sum_lum,
+                CAST(MIN(dc) + 128 AS INT) AS min_lum,
+                CAST(MAX(dc) + 128 AS INT) AS max_lum
+         FROM blk GROUP BY asset_id, bw, bh)
+SELECT asset_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+       CAST(bw * bh * 64 AS BIGINT) AS n_px, sum_lum, min_lum, max_lum
+FROM sums
+"""
+
+
 QUERIES = {
     "multimodal_png_decode": (multimodal_png_decode, MULTIMODAL_PNG_DECODE_SQL),
     "events_anomaly_window": (events_anomaly_window, EVENTS_ANOMALY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
     "multimodal_gif_decode": (multimodal_gif_decode, MULTIMODAL_GIF_DECODE_SQL),
     "graph_bfs_hops": (graph_bfs_hops, _bfs_sql),
+    "multimodal_jpeg_decode": (multimodal_jpeg_decode, MULTIMODAL_JPEG_DECODE_SQL),
 }

@@ -1,0 +1,123 @@
+"""JPEG DC-profile decoder correctness independent of the
+synthesizer: hand-assembled entropy bitstreams (computed from the
+Annex K canonical code tables by hand, positive AND negative DC
+diffs) pin the Huffman decoding, sign extension, and DC prediction;
+refusal probes pin the restricted-profile Nones."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from queryengine_spark.multimodal.jpeg import (
+    _AC_BITS,
+    _AC_VALS,
+    _DC_BITS,
+    _DC_VALS,
+    QUANT_DC,
+    _seg,
+    block_dc,
+    decode_jpeg_dc,
+    jpeg_params,
+    make_jpeg_dc,
+)
+
+
+def _headers(bw: int, bh: int, q0: int = QUANT_DC) -> bytes:
+    quant = bytes([q0] + [16] * 63)
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + quant)
+        + _seg(0xC0, struct.pack(">BHHB", 8, bh * 8, bw * 8, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+
+
+def test_hand_assembled_single_block():
+    # DC diff +5: category 3 -> canonical DC code '100', magnitude
+    # bits '101'; EOB -> canonical AC code '1010'. 10 bits padded
+    # with 1s -> 0x96, 0xBF. Pixels = 5*q0/8 + 128 = 133 everywhere.
+    img = decode_jpeg_dc(_headers(1, 1) + bytes([0x96, 0xBF]) + b"\xff\xd9")
+    assert img is not None and img.shape == (8, 8)
+    assert (img == 133).all()
+
+
+def test_hand_assembled_negative_diff_and_prediction():
+    # Two blocks: dc 5 then dc 0. Block 2 encodes diff = -5:
+    # category 3, magnitude bits = -5 + 7 = '010'.
+    # Bits: [100 101 1010][100 010 1010] + '1111' pad
+    #     -> 0x96, 0xA2, 0xAF
+    img = decode_jpeg_dc(_headers(2, 1) + bytes([0x96, 0xA2, 0xAF]) + b"\xff\xd9")
+    assert img is not None and img.shape == (8, 16)
+    assert (img[:, :8] == 133).all()
+    assert (img[:, 8:] == 128).all()
+
+
+def test_synthesized_assets_decode_to_formula():
+    for aid in (0, 7, 42, 999, 123456):
+        img = decode_jpeg_dc(make_jpeg_dc(aid))
+        bw, bh = jpeg_params(aid)
+        assert img is not None and img.shape == (bh * 8, bw * 8)
+        exp = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    block_dc(aid, bx, by) + 128
+                )
+        assert (img == exp).all()
+
+
+def test_byte_unstuffing_hand_vector():
+    # Two blocks: diff -128 (dc=-128, pixel 0) then diff +255
+    # (dc=127, pixel 255). Both are category 8 (code '111110');
+    # magnitude bits: -128+255='01111111', +255='11111111'. Stream:
+    #   111110 01111111 1010 111110 11111111 1010 + '1111' pad
+    # -> bytes F9 FE BE FF AF, and the 0xFF data byte must be
+    # STUFFED as FF 00 on disk — so this pins the unstuffing path.
+    scan = bytes([0xF9, 0xFE, 0xBE, 0xFF, 0x00, 0xAF])
+    img = decode_jpeg_dc(_headers(2, 1) + scan + b"\xff\xd9")
+    assert img is not None and img.shape == (8, 16)
+    assert (img[:, :8] == 0).all()
+    assert (img[:, 8:] == 255).all()
+    # and the module's own writer produces exactly this stuffed form:
+    # encode the same diffs through _BitWriter for parity
+    from queryengine_spark.multimodal.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    dc = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    for diff in (-128, 255):
+        cat = 8
+        code, length = dc[cat]
+        w.put(code, length)
+        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+        w.put(bits, cat)
+        w.put(*ac[0x00])
+    assert w.flush() == scan
+
+
+def test_nonzero_ac_is_refused_not_approximated():
+    # AC run/size 0x01 = canonical code '00', then 1 magnitude bit.
+    # Bits: [100 101] dc=5, then AC '00' + '1' + EOB '1010' + pad
+    #     -> 100101 00 1 1010 111 -> 0x94, 0xD7
+    img = decode_jpeg_dc(_headers(1, 1) + bytes([0x94, 0xD7]) + b"\xff\xd9")
+    assert img is None
+
+
+def test_restricted_profile_refusals():
+    good = make_jpeg_dc(3)
+    assert decode_jpeg_dc(b"") is None
+    assert decode_jpeg_dc(good[:40]) is None  # truncated mid-headers
+    # q0 not a multiple of 8 -> exact-pixel contract broken -> None
+    assert decode_jpeg_dc(_headers(1, 1, q0=10) + bytes([0x96, 0xBF]) + b"\xff\xd9") is None
+    # progressive SOF2 must be refused
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_dc(prog) is None
+    # truncated entropy stream (EOI right after headers)
+    assert decode_jpeg_dc(_headers(1, 1) + b"\xff\xd9") is None

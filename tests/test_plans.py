@@ -388,3 +388,9 @@ def test_bfs_hops_id_only_equi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_bfs_hops")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jpeg_decode_no_shuffle_before_stats(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_jpeg_decode")
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "Join" not in plan
