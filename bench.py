@@ -151,6 +151,7 @@ HEADLINE = [
     "multimodal_gif_decode",
     "graph_bfs_hops",
     "multimodal_jpeg_decode",
+    "dedup_jaccard_prefix",
 ]
 
 

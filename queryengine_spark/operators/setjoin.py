@@ -1,0 +1,101 @@
+"""Exact set-similarity join with PPJoin-style prefix filtering
+(Chaudhuri/Ganti/Kaushik SSJoin + Xiao et al. PPJoin, prefix filter
+only): all document pairs whose WORD-SET Jaccard ≥ t, computed
+exactly, but with candidate generation bounded by the prefix-filter
+theorem instead of a full inverted-index self-join.
+
+The theorem: order all tokens by a global total order (ascending
+document frequency, ties by token — rare tokens first). If
+J(A, B) ≥ t then A and B must share at least one token among the
+first |A| − ⌈t·|A|⌉ + 1 tokens of A and the first |B| − ⌈t·|B|⌉ + 1
+of B under that order. So joining only on PREFIX tokens loses no
+qualifying pair, while hot tokens — the quadratic blowup in a naive
+inverted-index join — almost never appear in a prefix (they sort
+last). A length filter (⌈t·|A|⌉ ≤ |B| ≤ ⌊|A|/t⌋) prunes further
+before verification.
+
+Contrast with the repo's other similarity joins: ``ngram_jaccard``
+bounds the join with a document-frequency GUARD that (documented)
+changes the metric to rare-shingle Jaccard; prefix filtering bounds
+it with NO semantic change — the result equals the unguarded exact
+join, which is exactly what its DuckDB oracle computes. At 100 TB
+the prefix relation is ~(1−t) of the token relation and skew-free by
+construction (prefixes hold rare tokens), so the self-join volume is
+Σ df_prefix² — bounded without giving up exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.text import tokenize_ws
+from queryengine_spark.plans import spread
+
+
+def token_set_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok): distinct lowercase word tokens per document."""
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(tokenize_ws(F.lower(F.col(text_col))))
+        ).alias("tok"),
+    )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, shared, n_a, n_b, jaccard) for all pairs with
+    word-set Jaccard ≥ ``threshold``, id_a < id_b — EXACT (equals the
+    all-pairs inverted-index join; pinned by the oracle hash and the
+    brute-force equivalence test)."""
+    toks = token_set_relation(df, id_col, text_col).localCheckpoint(eager=False)
+    counts = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # global token order: ascending df, then token — rare first
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .join(counts, "id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    # prefix length n - ceil(t*n) + 1
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "tok", "n")
+    a = prefix.select(F.col("id").alias("id_a"), "tok", F.col("n").alias("n_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "tok", F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: ceil(t*n_a) <= n_b <= floor(n_a/t)
+        .filter(
+            (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_b") <= F.floor(F.col("n_a") / F.lit(threshold)))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification: count shared tokens over the FULL relation
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    shared = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n").cast("bigint").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n").cast("bigint").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )

@@ -416,6 +416,49 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# PPJoin-style exact set-similarity join
+# ---------------------------------------------------------------------------
+
+#: word-set Jaccard threshold for the prefix-filtered join
+PPJOIN_THRESHOLD = 0.5
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-set Jaccard pairs (threshold 0.5) via PPJoin prefix
+    filtering (operators/setjoin.py). The oracle is the PLAIN
+    all-pairs inverted-index Jaccard with no filter of any kind — so
+    the driver hash certifies the prefix-filter optimization loses
+    nothing, which is its entire claim."""
+    from queryengine_spark.operators.setjoin import jaccard_prefix_join
+    from queryengine_spark.queries.base import fround
+
+    out = jaccard_prefix_join(
+        t(spark, sf, "documents"), "doc_id", "text",
+        threshold=PPJOIN_THRESHOLD,
+    )
+    return out.select(
+        "id_a", "id_b", "shared", "n_a", "n_b",
+        fround("jaccard", 6).alias("jaccard"),
+    )
+
+
+PPJOIN_SQL = f"""
+WITH d AS (SELECT doc_id AS id, {_TOKS.format(c="lower(text)")} AS toks FROM documents),
+tok AS (SELECT DISTINCT id, unnest(toks) AS tok FROM d),
+cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY id),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+           GROUP BY a.id, b.id)
+SELECT id_a, id_b, shared, ca.n AS n_a, cb.n AS n_b,
+       floor(shared / (ca.n + cb.n - shared) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM shared
+JOIN cnt ca ON id_a = ca.id
+JOIN cnt cb ON id_b = cb.id
+WHERE shared / (ca.n + cb.n - shared) >= {PPJOIN_THRESHOLD}
+"""
+
+
 QUERIES = {
     "multimodal_png_decode": (multimodal_png_decode, MULTIMODAL_PNG_DECODE_SQL),
     "events_anomaly_window": (events_anomaly_window, EVENTS_ANOMALY_SQL),
@@ -423,4 +466,5 @@ QUERIES = {
     "multimodal_gif_decode": (multimodal_gif_decode, MULTIMODAL_GIF_DECODE_SQL),
     "graph_bfs_hops": (graph_bfs_hops, _bfs_sql),
     "multimodal_jpeg_decode": (multimodal_jpeg_decode, MULTIMODAL_JPEG_DECODE_SQL),
+    "dedup_jaccard_prefix": (dedup_jaccard_prefix, PPJOIN_SQL),
 }

@@ -128,3 +128,57 @@ def test_bfs_hops_matches_reference(spark, sf_dir):
     assert got == dist
     # at least one vertex must be reached at hop >= 1 (non-vacuous)
     assert any(v >= 1 for v in got.values())
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
+    """Prefix filtering must lose NOTHING: compare against an
+    all-pairs brute force over the collected token sets, and verify
+    the prefix candidate volume is strictly smaller than the full
+    inverted-index candidate volume (the point of the optimization)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.operators.setjoin import (
+        jaccard_prefix_join,
+        token_set_relation,
+    )
+    from queryengine_spark.queries.addenda import PPJOIN_THRESHOLD
+
+    docs = t(spark, sf_dir, "documents")
+    sets = {
+        r["doc_id"]: set(r["text"].lower().split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= PPJOIN_THRESHOLD:
+            expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    got = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["n_a"], r["n_b"])
+        for r in jaccard_prefix_join(
+            docs, "doc_id", "text", threshold=PPJOIN_THRESHOLD
+        ).collect()
+    }
+    assert got == expect
+    assert expect, "threshold yields zero pairs — test is vacuous"
+
+    # candidate-volume reduction: Σ df² over prefix tokens vs all
+    toks = token_set_relation(docs, "doc_id", "text")
+    full = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")) \
+        .agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0]
+    from pyspark.sql import Window
+
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    counts = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    pref = (
+        toks.join(dfreq, "tok").join(counts, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(PPJOIN_THRESHOLD) * F.col("n")) + 1)
+    )
+    pvol = pref.groupBy("tok").agg(F.count(F.lit(1)).alias("df")) \
+        .agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0]
+    assert pvol < full / 2, (pvol, full)

@@ -394,3 +394,10 @@ def test_jpeg_decode_no_shuffle_before_stats(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_jpeg_decode")
     assert "ENSURE_REQUIREMENTS" not in plan
     assert "Join" not in plan
+
+
+def test_jaccard_prefix_no_cartesian(spark, sf_dir):
+    # prefix-filtered candidates + exact verify: equi-joins only
+    plan = _plan(spark, sf_dir, "dedup_jaccard_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
