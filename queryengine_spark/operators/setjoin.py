@@ -33,13 +33,35 @@ from queryengine_spark.functions.text import tokenize_ws
 from queryengine_spark.plans import spread
 
 
-def token_set_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, tok): distinct lowercase word tokens per document."""
+def token_set_relation(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int = 3
+) -> DataFrame:
+    """(id, tok): each document's distinct word ``shingle_words``-gram
+    shingles (lowercased; ``shingle_words=1`` degrades to plain word
+    sets). Shingles are the set definition PPJoin is normally run on:
+    on a shared-vocabulary corpus, word-UNIGRAM Jaccard ≥ 0.5 is true
+    for a quadratic number of pairs (measured 8.9M at sf0.1 here) —
+    a degenerate OUTPUT no join algorithm can make small — while
+    trigram shingles are discriminative (256 pairs on the same
+    corpus)."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    if shingle_words == 1:
+        sets = F.array_distinct(toks)
+    else:
+        n = shingle_words
+        sets = F.array_distinct(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
     return spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(tokenize_ws(F.lower(F.col(text_col))))
-        ).alias("tok"),
+        F.col(id_col).alias("id"), F.explode(sets).alias("tok")
     )
 
 
@@ -48,12 +70,15 @@ def jaccard_prefix_join(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    shingle_words: int = 3,
 ) -> DataFrame:
     """(id_a, id_b, shared, n_a, n_b, jaccard) for all pairs with
-    word-set Jaccard ≥ ``threshold``, id_a < id_b — EXACT (equals the
-    all-pairs inverted-index join; pinned by the oracle hash and the
-    brute-force equivalence test)."""
-    toks = token_set_relation(df, id_col, text_col).localCheckpoint(eager=False)
+    word-shingle-set Jaccard ≥ ``threshold``, id_a < id_b — EXACT
+    (equals the all-pairs inverted-index join; pinned by the oracle
+    hash and the brute-force equivalence test)."""
+    toks = token_set_relation(
+        df, id_col, text_col, shingle_words=shingle_words
+    ).localCheckpoint(eager=False)
     counts = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # global token order: ascending df, then token — rare first

@@ -425,11 +425,13 @@ PPJOIN_THRESHOLD = 0.5
 
 
 def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact word-set Jaccard pairs (threshold 0.5) via PPJoin prefix
-    filtering (operators/setjoin.py). The oracle is the PLAIN
-    all-pairs inverted-index Jaccard with no filter of any kind — so
-    the driver hash certifies the prefix-filter optimization loses
-    nothing, which is its entire claim."""
+    """Exact word-trigram-shingle Jaccard pairs (threshold 0.5) via
+    PPJoin prefix filtering (operators/setjoin.py). The oracle is the
+    PLAIN all-pairs inverted-index Jaccard with no filter of any kind
+    — so the driver hash certifies the prefix-filter optimization
+    loses nothing, which is its entire claim. (Shingles, not word
+    unigrams: see token_set_relation's docstring for the measured
+    degeneracy of unigram sets on this corpus.)"""
     from queryengine_spark.operators.setjoin import jaccard_prefix_join
     from queryengine_spark.queries.base import fround
 
@@ -445,7 +447,10 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
 PPJOIN_SQL = f"""
 WITH d AS (SELECT doc_id AS id, {_TOKS.format(c="lower(text)")} AS toks FROM documents),
-tok AS (SELECT DISTINCT id, unnest(toks) AS tok FROM d),
+tok AS (SELECT DISTINCT id,
+        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS tok
+        FROM d),
 cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY id),
 shared AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
            FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id

@@ -146,8 +146,15 @@ def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
     from queryengine_spark.queries.addenda import PPJOIN_THRESHOLD
 
     docs = t(spark, sf_dir, "documents")
+
+    def trigrams(text):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
     sets = {
-        r["doc_id"]: set(r["text"].lower().split())
+        r["doc_id"]: trigrams(r["text"])
         for r in docs.select("doc_id", "text").collect()
     }
     expect = {}
