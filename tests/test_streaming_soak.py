@@ -245,3 +245,69 @@ def test_soak_history_dedup_restart_exactly_once(spark, soak_files, tmp_path):
     # the boundary-crossing hashes collapsed via restored state
     assert got_hashes == want_hashes
     assert n_got == len(want_hashes)
+
+
+def test_soak_anomaly_window_restart_equals_batch(spark, soak_files, tmp_path):
+    """Round-4 addition: the stateful anomaly stream driven through
+    all 22 micro-batches with a mid-run restart. The hourly-count
+    fold is additive and the state is the full bucketed series, so
+    after the restart the FINAL (max batch_seq per type) snapshot
+    must equal the batch twin exactly — any state loss at the restart
+    boundary would under-count every bucket that arrived in run 1."""
+    from collections import Counter, defaultdict
+
+    from queryengine_spark.queries.addenda import ANOM_K, ANOM_MIN_N, ANOM_WIN
+    from queryengine_spark.streaming import streaming_anomaly_window
+
+    root, chunks = soak_files
+    watch = str(tmp_path / "an_watch")
+    out = str(tmp_path / "an_out")
+    ckpt = str(tmp_path / "an_ckpt")
+    os.makedirs(watch)
+
+    _stage(spark, chunks[:RESTART_AFTER], watch)
+    _drain(streaming_anomaly_window(read_event_stream(spark, watch)), out, ckpt)
+    run1_max = max(r["batch_seq"] for r in spark.read.parquet(out).collect())
+    assert run1_max <= RESTART_AFTER
+
+    _stage(spark, chunks, watch)
+    _drain(streaming_anomaly_window(read_event_stream(spark, watch)), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+
+    last_seq: dict[str, int] = {}
+    for r in rows:
+        last_seq[r["event_type"]] = max(last_seq[r["event_type"]], r["batch_seq"]) \
+            if r["event_type"] in last_seq else r["batch_seq"]
+    # seq continuity across the restart
+    assert max(last_seq.values()) >= 20
+    got = {
+        (r["event_type"], r["bucket"]): (
+            r["cnt"], r["win_n"], r["win_sum"], r["win_sumsq"], r["is_anomaly"]
+        )
+        for r in rows
+        if r["batch_seq"] == last_seq[r["event_type"]]
+    }
+
+    # batch reference over ALL chunks
+    ev = [
+        (r["event_type"], r["bucket"])
+        for r in spark.read.option("basePath", watch).parquet(watch).selectExpr(
+            "event_type",
+            "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS bucket",
+        ).collect()
+    ]
+    counts = Counter(ev)
+    series = defaultdict(list)
+    for (et, b), c in sorted(counts.items()):
+        series[et].append((b, c))
+    want = {}
+    for et, rws in series.items():
+        for i, (b, c) in enumerate(rws):
+            win = [x for _, x in rws[max(0, i - ANOM_WIN) : i]]
+            n, s, ss = len(win), sum(win), sum(x * x for x in win)
+            flag = int(
+                n >= ANOM_MIN_N
+                and (n * c - s) ** 2 > ANOM_K * ANOM_K * (n * ss - s * s)
+            )
+            want[(et, b)] = (c, n, s, ss, flag)
+    assert got == want
