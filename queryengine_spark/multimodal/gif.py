@@ -61,50 +61,71 @@ _MAX_CODE = 4096
 def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     """GIF-variant LZW: variable code width starting at
     min_code_size+1, CLEAR/EOI codes, LSB-first bit packing, table
-    reset at 4096 entries."""
+    reset at 4096 entries.
+
+    Code widths come from an explicit SIMULATION of the decoder's
+    table growth (the decoder adds one entry after every code it
+    reads except the first after a clear, and widens when its table
+    size reaches 2^width). Tracking the encoder's own ``next_code``
+    instead is the classic trap: the two counters drift by one at the
+    final data code, so a table that hits exactly 2^width on the last
+    add makes the decoder read EOI one bit wider than the encoder
+    wrote it — found by hypothesis (tests/test_codec_properties.py),
+    reproduced at min_code_size=2 with a 12-symbol input."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
 
     out = bytearray()
     acc = 0
     nbits = 0
 
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
+    # simulated decoder state: table size and current code width
+    dec_len = eoi + 1
+    dec_width = min_code_size + 1
+    first_after_clear = True
+
+    def emit(code: int) -> None:
+        """Write ``code`` at the simulated decoder's width, then
+        advance the simulation exactly as the decoder will."""
+        nonlocal acc, nbits, dec_len, dec_width, first_after_clear
         acc |= code << nbits
-        nbits += width
+        nbits += dec_width
         while nbits >= 8:
             out.append(acc & 0xFF)
             acc >>= 8
             nbits -= 8
+        if code == clear:
+            dec_len = eoi + 1
+            dec_width = min_code_size + 1
+            first_after_clear = True
+        elif code != eoi:
+            if first_after_clear:
+                first_after_clear = False
+            elif dec_len < _MAX_CODE:
+                dec_len += 1
+                if dec_len >= (1 << dec_width) and dec_width < 12:
+                    dec_width += 1
 
-    def fresh_table() -> tuple[dict, int, int]:
-        return (
-            {bytes([i]): i for i in range(1 << min_code_size)},
-            eoi + 1,
-            min_code_size + 1,
-        )
-
-    table, next_code, width = fresh_table()
-    emit(clear, width)
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    emit(clear)
     w = b""
     for byte in data:
         wk = w + bytes([byte])
         if wk in table:
             w = wk
             continue
-        emit(table[w], width)
+        emit(table[w])
         if next_code < _MAX_CODE:
             table[wk] = next_code
             next_code += 1
-            if next_code > (1 << width) and width < 12:
-                width += 1
         else:
-            emit(clear, width)
-            table, next_code, width = fresh_table()
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code = eoi + 1
         w = bytes([byte])
     if w:
-        emit(table[w], width)
-    emit(eoi, width)
+        emit(table[w])
+    emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
     return bytes(out)
