@@ -76,6 +76,12 @@ def jaccard_prefix_join(
     word-shingle-set Jaccard ≥ ``threshold``, id_a < id_b — EXACT
     (equals the all-pairs inverted-index join; pinned by the oracle
     hash and the brute-force equivalence test)."""
+    # NOTE: the prefix length and length filter use ceil(t·n) in
+    # float; for a threshold that is not exactly representable in
+    # binary (e.g. 0.3) a downward-rounded product could shorten a
+    # prefix by one and cost completeness. Use dyadic thresholds
+    # (0.5, 0.75, 0.625, …) — the shipped contract uses 0.5 — or
+    # rationalize t = p/q into integer arithmetic before changing it.
     toks = token_set_relation(
         df, id_col, text_col, shingle_words=shingle_words
     ).localCheckpoint(eager=False)
