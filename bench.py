@@ -152,6 +152,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "multimodal_jpeg_decode",
     "dedup_jaccard_prefix",
+    "profile_regression_slope",
 ]
 
 

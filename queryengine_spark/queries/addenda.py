@@ -473,3 +473,67 @@ QUERIES = {
     "multimodal_jpeg_decode": (multimodal_jpeg_decode, MULTIMODAL_JPEG_DECODE_SQL),
     "dedup_jaccard_prefix": (dedup_jaccard_prefix, PPJOIN_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact least-squares regression
+# ---------------------------------------------------------------------------
+
+
+def profile_regression_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language least-squares fit of token count (y) against
+    character count (x) — the dataset-card correlation a curation
+    team reads before trusting a length-based filter. All sufficient
+    statistics and the slope's rational form stay BIGINT (numerator
+    n·Σxy − Σx·Σy, denominator n·Σx² − (Σx)²), so partial-aggregation
+    order can never flip a bit; the slope itself is the single final
+    IEEE division on identical operands both engines. One map-side
+    partial-agg scan, |langs| output rows. (Extends
+    profile_lang_token_moments from variance to covariance; the
+    Pearson-r² numerator/denominator pair ships as exact integers —
+    consumers divide when they need the float.)"""
+    d = t(spark, sf, "documents")
+    x = F.col("n_chars").cast("bigint")
+    y = F.size(tokenize_ws(F.col("text"))).cast("bigint")
+    agg = spread(d).select(
+        "lang", x.alias("x"), y.alias("y")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_num = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "lang",
+        "n",
+        cov_num.cast("bigint").alias("cov_num"),
+        varx_num.cast("bigint").alias("varx_num"),
+        vary_num.cast("bigint").alias("vary_num"),
+        (cov_num / varx_num).alias("slope"),
+    )
+
+
+REGRESSION_SQL = f"""
+WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                  CAST(len({_TOKS.format(c="text")}) AS BIGINT) AS y
+           FROM documents),
+a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM b GROUP BY lang)
+SELECT lang, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+       CAST(n * syy - sy * sy AS BIGINT) AS vary_num,
+       (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM a
+"""
+
+QUERIES["profile_regression_slope"] = (profile_regression_slope, REGRESSION_SQL)

@@ -189,3 +189,27 @@ def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
     pvol = pref.groupBy("tok").agg(F.count(F.lit(1)).alias("df")) \
         .agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0]
     assert pvol < full / 2, (pvol, full)
+
+
+def test_regression_slope_matches_reference(spark, sf_dir):
+    from queryengine_spark.queries.addenda import profile_regression_slope
+
+    rows = t(spark, sf_dir, "documents").selectExpr(
+        "lang", "n_chars", "size(split(trim(text), '\\\\s+')) AS y"
+    ).collect()
+    stats = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in rows:
+        x, y = r["n_chars"], r["y"]
+        c = stats[r["lang"]]
+        c[0] += 1; c[1] += x; c[2] += y
+        c[3] += x * x; c[4] += y * y; c[5] += x * y
+    got = {r["lang"]: r for r in profile_regression_slope(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for lg, (n, sx, sy, sxx, syy, sxy) in stats.items():
+        g = got[lg]
+        assert (g["n"], g["cov_num"], g["varx_num"], g["vary_num"]) == (
+            n, n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        )
+        assert abs(g["slope"] - (n * sxy - sx * sy) / (n * sxx - sx * sx)) < 1e-12
+        # sanity: longer docs have more tokens — slope must be positive
+        assert g["slope"] > 0

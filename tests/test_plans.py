@@ -401,3 +401,9 @@ def test_jaccard_prefix_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_jaccard_prefix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_regression_slope_single_scan_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "profile_regression_slope")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial agg
