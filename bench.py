@@ -153,6 +153,7 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "dedup_jaccard_prefix",
     "profile_regression_slope",
+    "events_pattern_match",
 ]
 
 

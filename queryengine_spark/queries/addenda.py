@@ -537,3 +537,114 @@ FROM a
 """
 
 QUERIES["profile_regression_slope"] = (profile_regression_slope, REGRESSION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching over event streams (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+def events_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-sequence pattern detection — the
+    MATCH_RECOGNIZE shape Spark lacks natively: each user's events
+    collapse (in exact (ts, event_id) order) into a symbol string,
+    and the view→click→purchase subsequence is located by the greedy
+    earliest-occurrence chain (complete for subsequence patterns:
+    earliest-v, then earliest-c after it, then earliest-p after that
+    exists iff ANY v<c<p chain exists). All-integer position
+    arithmetic — no regex engine semantics to diverge cross-engine.
+
+    Scale: one groupBy(user) with a sort_array over structs — state
+    per user ∝ their event count (the per-entity sequence IS the
+    workload; sessions-not-users would be the key at web scale,
+    exactly as events_sessionize provides). Funnel columns: first
+    chain positions and a completion flag; 1 row per user."""
+    e = t(spark, sf, "events")
+    seq_col = F.concat_ws(
+        "",
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("us").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("sym").alias("sym"),
+                    )
+                )
+            ),
+            lambda s: s["sym"],
+        ),
+    )
+    from queryengine_spark.queries.base import epoch_us
+
+    base = spread(e).select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        seq_col.alias("seq"),
+    )
+    return agg.selectExpr(
+        "user_id",
+        "n_events",
+        "seq",
+        "instr(seq, 'v') AS i_v",
+        """CASE WHEN instr(seq, 'v') > 0
+                 AND instr(substr(seq, instr(seq, 'v') + 1), 'c') > 0
+           THEN instr(seq, 'v') + instr(substr(seq, instr(seq, 'v') + 1), 'c')
+           ELSE 0 END AS i_c""",
+    ).selectExpr(
+        "user_id",
+        "n_events",
+        "seq",
+        "CAST(i_v AS INT) AS i_v",
+        "CAST(i_c AS INT) AS i_c",
+        """CAST(CASE WHEN i_c > 0
+                      AND instr(substr(seq, i_c + 1), 'p') > 0
+                THEN i_c + instr(substr(seq, i_c + 1), 'p')
+                ELSE 0 END AS INT) AS i_p""",
+    ).selectExpr(
+        "user_id",
+        "n_events",
+        "seq",
+        "i_v",
+        "i_c",
+        "i_p",
+        "CAST(i_p > 0 AS INT) AS has_funnel",
+    )
+
+
+EVENTS_PATTERN_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS sym
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         string_agg(sym, '' ORDER BY ts, event_id) AS seq
+  FROM base GROUP BY user_id
+),
+s1 AS (
+  SELECT user_id, n_events, seq, instr(seq, 'v') AS i_v,
+         CASE WHEN instr(seq, 'v') > 0
+               AND instr(substr(seq, instr(seq, 'v') + 1), 'c') > 0
+         THEN instr(seq, 'v') + instr(substr(seq, instr(seq, 'v') + 1), 'c')
+         ELSE 0 END AS i_c
+  FROM agg
+),
+s2 AS (
+  SELECT user_id, n_events, seq, CAST(i_v AS INT) AS i_v, CAST(i_c AS INT) AS i_c,
+         CAST(CASE WHEN i_c > 0 AND instr(substr(seq, i_c + 1), 'p') > 0
+              THEN i_c + instr(substr(seq, i_c + 1), 'p')
+              ELSE 0 END AS INT) AS i_p
+  FROM s1
+)
+SELECT user_id, n_events, seq, i_v, i_c, i_p,
+       CAST(i_p > 0 AS INT) AS has_funnel
+FROM s2
+"""
+
+QUERIES["events_pattern_match"] = (events_pattern_match, EVENTS_PATTERN_SQL)

@@ -213,3 +213,36 @@ def test_regression_slope_matches_reference(spark, sf_dir):
         assert abs(g["slope"] - (n * sxy - sx * sy) / (n * sxx - sx * sx)) < 1e-12
         # sanity: longer docs have more tokens — slope must be positive
         assert g["slope"] > 0
+
+
+def test_events_pattern_match_reference(spark, sf_dir):
+    """Independent reference: Python re.search over the same
+    per-user ordered symbol strings proves the greedy chain equals
+    regex subsequence matching."""
+    import re
+
+    from queryengine_spark.queries.addenda import events_pattern_match
+
+    ev = t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "ts", "substr(event_type, 1, 1) AS sym"
+    ).collect()
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["sym"]))
+    got = {r["user_id"]: r for r in events_pattern_match(spark, sf_dir).collect()}
+    assert set(got) == set(seqs)
+    n_funnel = 0
+    for uid, rows in seqs.items():
+        seq = "".join(s for _, _, s in sorted(rows))
+        g = got[uid]
+        assert g["seq"] == seq and g["n_events"] == len(rows)
+        # regex ground truth for the subsequence pattern
+        m = re.search(r"v.*?c.*?p", seq)
+        assert g["has_funnel"] == (1 if m else 0)
+        if m:
+            n_funnel += 1
+            # greedy chain positions are the lazy regex match's ends
+            assert seq[g["i_v"] - 1] == "v"
+            assert seq[g["i_c"] - 1] == "c" and g["i_c"] > g["i_v"]
+            assert seq[g["i_p"] - 1] == "p" and g["i_p"] > g["i_c"]
+    assert n_funnel > 0, "no user completes the funnel — test is vacuous"

@@ -407,3 +407,10 @@ def test_regression_slope_single_scan_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "profile_regression_slope")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # map-side partial agg
+
+
+def test_pattern_match_single_user_shuffle(spark, sf_dir):
+    # one groupBy(user) aggregation; no joins
+    plan = _plan(spark, sf_dir, "events_pattern_match")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning(user_id" in plan
