@@ -154,6 +154,7 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "profile_regression_slope",
     "events_pattern_match",
+    "text_winsorize",
 ]
 
 

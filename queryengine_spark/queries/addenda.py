@@ -36,6 +36,8 @@ from queryengine_spark.plans import spread
 from queryengine_spark.queries.base import t
 from queryengine_spark.queries.textstats import _TOKS
 
+_TOKS_RAW = _TOKS.format(c="text")
+
 # ---------------------------------------------------------------------------
 # Real PNG decode
 # ---------------------------------------------------------------------------
@@ -648,3 +650,89 @@ FROM s2
 """
 
 QUERIES["events_pattern_match"] = (events_pattern_match, EVENTS_PATTERN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (exact per-group percentile clipping)
+# ---------------------------------------------------------------------------
+
+#: winsorize at the exact p10/p90 ranks: rank_p = ⌈p·n/100⌉ (1-based,
+#: clamped to ≥1) — pure integer, identical on both engines
+WINSOR_LO, WINSOR_HI = 10, 90
+
+
+def text_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language winsorization of token counts: clip each document
+    to the exact empirical [p10, p90] of its language — the
+    complement of text_outlier_mad (clip instead of flag). Percentile
+    = the value at 1-based rank ⌈p·n/100⌉ of the (value, doc_id)
+    sort: all-integer, no interpolation, bit-identical cross-engine.
+    Two window passes produce a |langs|-row bound table that
+    broadcasts back onto the corpus."""
+    d = t(spark, sf, "documents")
+    base = spread(d).select(
+        "doc_id",
+        "lang",
+        F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    lo_rank = F.expr(f"greatest(CAST(1 AS BIGINT), ({WINSOR_LO} * n + 99) div 100)")
+    hi_rank = F.expr(f"greatest(CAST(1 AS BIGINT), ({WINSOR_HI} * n + 99) div 100)")
+    bounds = (
+        ranked.filter((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
+        .groupBy("lang")
+        .agg(
+            F.min("n_tokens").cast("bigint").alias("p_lo"),
+            F.max("n_tokens").cast("bigint").alias("p_hi"),
+        )
+    )
+    return (
+        base.join(F.broadcast(bounds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "p_lo",
+            "p_hi",
+            F.expr("least(greatest(n_tokens, p_lo), p_hi)").alias("clipped"),
+            (
+                (F.col("n_tokens") < F.col("p_lo"))
+                | (F.col("n_tokens") > F.col("p_hi"))
+            )
+            .cast("int")
+            .alias("was_clipped"),
+        )
+    )
+
+
+WINSORIZE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM base
+),
+bounds AS (
+  SELECT lang,
+         CAST(MIN(n_tokens) AS BIGINT) AS p_lo,
+         CAST(MAX(n_tokens) AS BIGINT) AS p_hi
+  FROM ranked
+  WHERE rn = greatest(1, ({WINSOR_LO} * n + 99) // 100)
+     OR rn = greatest(1, ({WINSOR_HI} * n + 99) // 100)
+  GROUP BY lang
+)
+SELECT b.doc_id, b.lang, b.n_tokens, o.p_lo, o.p_hi,
+       least(greatest(b.n_tokens, o.p_lo), o.p_hi) AS clipped,
+       CAST(b.n_tokens < o.p_lo OR b.n_tokens > o.p_hi AS INT) AS was_clipped
+FROM base b JOIN bounds o USING (lang)
+"""
+
+QUERIES["text_winsorize"] = (text_winsorize, WINSORIZE_SQL)

@@ -246,3 +246,35 @@ def test_events_pattern_match_reference(spark, sf_dir):
             assert seq[g["i_c"] - 1] == "c" and g["i_c"] > g["i_v"]
             assert seq[g["i_p"] - 1] == "p" and g["i_p"] > g["i_c"]
     assert n_funnel > 0, "no user completes the funnel — test is vacuous"
+
+
+def test_winsorize_matches_reference(spark, sf_dir):
+    from queryengine_spark.queries.addenda import (
+        WINSOR_HI,
+        WINSOR_LO,
+        text_winsorize,
+    )
+
+    rows = t(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((len(r["text"].split()), r["doc_id"]))
+    bounds = {}
+    for lg, vals in by_lang.items():
+        vs = sorted(vals)
+        n = len(vs)
+        lo = vs[max(1, (WINSOR_LO * n + 99) // 100) - 1][0]
+        hi = vs[max(1, (WINSOR_HI * n + 99) // 100) - 1][0]
+        bounds[lg] = (lo, hi)
+    got = {r["doc_id"]: r for r in text_winsorize(spark, sf_dir).collect()}
+    assert len(got) == len(rows)
+    clipped_any = False
+    for r in rows:
+        x = len(r["text"].split())
+        lo, hi = bounds[r["lang"]]
+        g = got[r["doc_id"]]
+        assert (g["n_tokens"], g["p_lo"], g["p_hi"]) == (x, lo, hi)
+        assert g["clipped"] == min(max(x, lo), hi)
+        assert g["was_clipped"] == (1 if (x < lo or x > hi) else 0)
+        clipped_any |= g["was_clipped"] == 1
+    assert clipped_any, "p10/p90 clipped nothing — vacuous"

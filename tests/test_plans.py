@@ -414,3 +414,9 @@ def test_pattern_match_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_pattern_match")
     assert "Join" not in plan
     assert "Exchange hashpartitioning(user_id" in plan
+
+
+def test_winsorize_broadcast_bounds(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
