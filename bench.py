@@ -155,6 +155,7 @@ HEADLINE = [
     "profile_regression_slope",
     "events_pattern_match",
     "text_winsorize",
+    "events_transition_matrix",
 ]
 
 

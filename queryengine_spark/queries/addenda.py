@@ -736,3 +736,68 @@ FROM base b JOIN bounds o USING (lang)
 """
 
 QUERIES["text_winsorize"] = (text_winsorize, WINSORIZE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts
+    of consecutive (event → next event) pairs within each user's
+    (ts, event_id)-ordered stream, with the conditional transition
+    probability as an exact ppm integer ((10^6·c) div row-total).
+    One window lag pass per user + one |types|²-bounded aggregate —
+    the journey-analysis primitive behind "what do users do after an
+    error"."""
+    e = t(spark, sf, "events")
+    from queryengine_spark.queries.base import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts"), F.col("event_id"))
+    pairs = (
+        spread(e)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "row_total", F.sum("n").over(wt).cast("bigint")
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        "row_total",
+        F.expr("(1000000 * n) div row_total").alias("prob_ppm"),
+    )
+
+
+TRANSITION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+       (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS prob_ppm
+FROM counts
+"""
+
+QUERIES["events_transition_matrix"] = (events_transition_matrix, TRANSITION_SQL)

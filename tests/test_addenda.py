@@ -278,3 +278,34 @@ def test_winsorize_matches_reference(spark, sf_dir):
         assert g["was_clipped"] == (1 if (x < lo or x > hi) else 0)
         clipped_any |= g["was_clipped"] == 1
     assert clipped_any, "p10/p90 clipped nothing — vacuous"
+
+
+def test_transition_matrix_reference(spark, sf_dir):
+    from queryengine_spark.queries.addenda import events_transition_matrix
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    pair_counts = Counter()
+    for rows in per_user.values():
+        seq = [t_ for _, _, t_ in sorted(rows)]
+        for a, b in zip(seq, seq[1:]):
+            pair_counts[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _b), c in pair_counts.items():
+        row_tot[a] += c
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["row_total"], r["prob_ppm"])
+        for r in events_transition_matrix(spark, sf_dir).collect()
+    }
+    assert set(got) == set(pair_counts)
+    for k, c in pair_counts.items():
+        assert got[k] == (c, row_tot[k[0]], 1_000_000 * c // row_tot[k[0]])
+    # each row's probabilities sum to ~1e6 (floor rounding loses < |types|)
+    by_prev = defaultdict(int)
+    for (a, _b), (_n, _t, p) in got.items():
+        by_prev[a] += p
+    assert all(1_000_000 - len(by_prev) * 1 <= s <= 1_000_000 for s in by_prev.values())

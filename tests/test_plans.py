@@ -420,3 +420,10 @@ def test_winsorize_broadcast_bounds(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_winsorize")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_transition_matrix_aggregate_sized_window(spark, sf_dir):
+    # the row-total window runs over the |types|^2 aggregate, and the
+    # lag pass is one user shuffle; no joins at all
+    plan = _plan(spark, sf_dir, "events_transition_matrix")
+    assert "Join" not in plan
