@@ -156,6 +156,7 @@ HEADLINE = [
     "events_pattern_match",
     "text_winsorize",
     "events_transition_matrix",
+    "text_novelty_hapax",
 ]
 
 

@@ -801,3 +801,66 @@ FROM counts
 """
 
 QUERIES["events_transition_matrix"] = (events_transition_matrix, TRANSITION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-novelty scoring (hapax fraction)
+# ---------------------------------------------------------------------------
+
+
+def text_novelty_hapax(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document novelty signals: distinct-token count, type-token
+    ratio (ppm integer), and the corpus-hapax share — how many of the
+    doc's distinct tokens appear NOWHERE else in the corpus (df = 1).
+    High hapax share = novel/rare content (or noise); near-zero =
+    boilerplate. One distinct (doc, token) relation feeding a
+    vocabulary-sized df aggregate that joins back on the token key —
+    the same inverted shape as TF-IDF, all-integer output."""
+    d = t(spark, sf, "documents")
+    toks = tokenize_ws(F.lower(F.col("text")))
+    rel = (
+        spread(d)
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.explode(F.array_distinct(toks)).alias("tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dfreq = rel.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        rel.join(dfreq, "tok")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum((F.col("df") == 1).cast("bigint")).cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "n_hapax",
+            F.expr("(1000000 * n_distinct) div n_tokens").alias("ttr_ppm"),
+            F.expr("(1000000 * n_hapax) div n_distinct").alias("hapax_ppm"),
+        )
+    )
+
+
+NOVELTY_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(c="lower(text)")} AS toks FROM documents),
+rel AS (SELECT DISTINCT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               unnest(toks) AS tok
+        FROM d),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM rel GROUP BY tok),
+agg AS (SELECT r.doc_id, r.n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM rel r JOIN dfreq f ON r.tok = f.tok
+        GROUP BY r.doc_id, r.n_tokens)
+SELECT doc_id, n_tokens, n_distinct, n_hapax,
+       (1000000 * n_distinct) // n_tokens AS ttr_ppm,
+       (1000000 * n_hapax) // n_distinct AS hapax_ppm
+FROM agg
+"""
+
+QUERIES["text_novelty_hapax"] = (text_novelty_hapax, NOVELTY_SQL)

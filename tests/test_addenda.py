@@ -309,3 +309,50 @@ def test_transition_matrix_reference(spark, sf_dir):
     for (a, _b), (_n, _t, p) in got.items():
         by_prev[a] += p
     assert all(1_000_000 - len(by_prev) * 1 <= s <= 1_000_000 for s in by_prev.values())
+
+
+def test_novelty_hapax_reference(spark, sf_dir):
+    from queryengine_spark.queries.addenda import text_novelty_hapax
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    df = Counter()
+    for toks in docs.values():
+        for tk in set(toks):
+            df[tk] += 1
+    got = {r["doc_id"]: r for r in text_novelty_hapax(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    any_hapax = False
+    for did, toks in docs.items():
+        dist = set(toks)
+        hap = sum(1 for tk in dist if df[tk] == 1)
+        g = got[did]
+        assert (g["n_tokens"], g["n_distinct"], g["n_hapax"]) == (
+            len(toks), len(dist), hap
+        )
+        assert g["ttr_ppm"] == 1_000_000 * len(dist) // len(toks)
+        assert g["hapax_ppm"] == 1_000_000 * hap // len(dist)
+        any_hapax |= hap > 0
+    # sf0.001's 50-doc shared vocabulary can genuinely contain zero
+    # hapax tokens — so non-vacuity comes from a PLANTED frame instead
+    if not any_hapax:
+        from queryengine_spark.operators.setjoin import spread  # reuse import path
+
+        planted = spark.createDataFrame(
+            [(1, "alpha beta gamma uniquetokenxyz"), (2, "alpha beta gamma")],
+            ["doc_id", "text"],
+        )
+        import queryengine_spark.queries.addenda as add
+        import queryengine_spark.queries.base as qb
+
+        orig = qb.t
+        try:
+            qb.t = lambda _s, _sf, _n: planted
+            add.t = qb.t
+            g = {r["doc_id"]: r for r in add.text_novelty_hapax(spark, sf_dir).collect()}
+        finally:
+            qb.t = orig
+            add.t = orig
+        assert g[1]["n_hapax"] == 1 and g[2]["n_hapax"] == 0

@@ -427,3 +427,8 @@ def test_transition_matrix_aggregate_sized_window(spark, sf_dir):
     # lag pass is one user shuffle; no joins at all
     plan = _plan(spark, sf_dir, "events_transition_matrix")
     assert "Join" not in plan
+
+
+def test_novelty_hapax_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_novelty_hapax")
+    assert "CartesianProduct" not in plan
