@@ -95,7 +95,9 @@ def kmeans_fit_distributed(
             nxt = [list(c) for c in cents]  # empty cell keeps its centroid
             for r in stats:
                 n = int(r["n"])
-                # Python // floors like the SQL twin's floor(S/n)
+                # Python // floors like the SQL twin's integer S // n
+                # (both floor toward -inf; no double round-trip, so
+                # the match holds even past 2^53 sums)
                 nxt[int(r["cell"])] = [int(r[f"s{d}"]) // n for d in range(dim)]
             cents = nxt
         return cents

@@ -27,16 +27,48 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     The decision reads ``df.inputFiles()`` (a DataFrame API — no RDD
     materialization, Connect-compatible; the previous
     ``rdd.getNumPartitions()`` triggered plan analysis through the
-    RDD conversion on every call) against the session's shuffle
-    parallelism: enough source files → the scan is already parallel,
-    skip the shuffle. Non-file sources report zero files and get the
-    defensive repartition — correct, at worst one cheap shuffle of a
-    narrow input."""
-    target = partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    if len(df.inputFiles()) >= target:
-        return df
+    RDD conversion on every call) and estimates how many SCAN SPLITS
+    those files yield. A raw file COUNT is not enough: Spark's file
+    packing (``spark.sql.files.maxPartitionBytes`` +
+    ``openCostInBytes``) coalesces many small files into few scan
+    partitions, so "enough files" does not imply a parallel scan.
+    Estimated splits = Σ max(size, openCost) / maxPartitionBytes,
+    the same bin-packing bound FilePartition uses. Enough estimated
+    splits → the scan is already parallel, skip the shuffle.
+    Non-file sources report zero files and get the defensive
+    repartition — correct, at worst one cheap shuffle of a narrow
+    input. The shuffle-partitions conf can be the string ``"auto"``
+    on some platforms; fall back to ``defaultParallelism``."""
+    spark = df.sparkSession
+    if partitions:
+        target = partitions
+    else:
+        try:
+            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        try:
+            max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        except (TypeError, ValueError):
+            max_bytes = 128 * 1024 * 1024
+        try:
+            open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes"))
+        except (TypeError, ValueError):
+            open_cost = 4 * 1024 * 1024
+        total = 0
+        for f in files:
+            path = f[len("file:") :] if f.startswith("file:") else f
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                # non-local or vanished file: assume one full split
+                size = max_bytes
+            total += max(size, open_cost)
+        est_splits = -(-total // max_bytes)  # ceil
+        if est_splits >= target:
+            return df
     return df.repartition(target)
 
 

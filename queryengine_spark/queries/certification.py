@@ -43,6 +43,22 @@ VOID: dict[str, int] = {
     "knn_lsh": 1,                     # 16-table multiprobe retune
     "knn_lsh_recall": 1,
     "text_kmv_distinct_shingles": 1,  # KMV NULL filter (r2 ADVICE)
+    # round 5: k-means oracle centroid update floor(S::DOUBLE/n) ->
+    # integer S // n (r4 ADVICE — 2^53 safety); identical results at
+    # test scale but the oracle text changed, so every query whose
+    # oracle embeds _ivf_cte (or the PQ copy of the pattern) re-certifies:
+    "knn_ivf": 4,
+    "knn_ivf_recall": 4,
+    "knn_pq": 4,
+    "knn_pq_rerank": 4,
+    "knn_pq_recall": 4,
+    "dedup_semantic": 4,
+    "ml_kmeans_distributed": 4,
+    "ml_kmeans_purity": 4,
+    "pipeline_cluster_balanced_sample": 4,
+    # round 5: snapshot-diff classification now uses join-side
+    # presence flags instead of payload nullness (r4 ADVICE):
+    "etl_snapshot_diff": 4,
 }
 
 

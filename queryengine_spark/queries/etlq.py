@@ -107,14 +107,21 @@ def etl_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     snap = etl_apply_cdc(spark, sf)
+    # Presence is a literal flag stamped on each side BEFORE the
+    # full-outer join — classifying on payload-column nullness would
+    # misread a row whose payload is legitimately all-NULL as absent
+    # (and a NULL o_custkey could dodge 'removed'). The flag is only
+    # NULL when the join side itself is missing.
     b = o.select(
         F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("b_present"),
         F.col("o_custkey").alias("b_ck"),
         F.col("o_orderstatus").alias("b_st"),
         F.col("o_totalprice").alias("b_tp"),
     )
     s = snap.select(
         F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("s_present"),
         F.col("o_custkey").alias("s_ck"),
         F.col("o_orderstatus").alias("s_st"),
         F.col("o_totalprice").alias("s_tp"),
@@ -126,9 +133,8 @@ def etl_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         | ~F.col("b_tp").eqNullSafe(F.col("s_tp"))
     )
     ctype = (
-        F.when(F.col("s_ck").isNull() & F.col("s_st").isNull()
-               & F.col("s_tp").isNull() & F.col("b_ck").isNotNull(), "removed")
-        .when(F.col("b_ck").isNull(), "added")
+        F.when(F.col("s_present").isNull(), "removed")
+        .when(F.col("b_present").isNull(), "added")
         .when(changed, "changed")
         .otherwise("unchanged")
     )
@@ -150,15 +156,16 @@ def _snapshot_diff_sql() -> str:
 {ctes},
 snap AS (SELECT {final}),
 j AS (SELECT coalesce(b.o_orderkey, s.o_orderkey) AS k,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN 1 END AS b_present,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN 1 END AS s_present,
              b.o_custkey AS b_ck, b.o_orderstatus AS b_st,
              b.o_totalprice AS b_tp,
              s.o_custkey AS s_ck, s.o_orderstatus AS s_st,
              s.o_totalprice AS s_tp
       FROM orders b FULL OUTER JOIN snap s ON b.o_orderkey = s.o_orderkey),
 cls AS (SELECT k,
-        CASE WHEN s_ck IS NULL AND s_st IS NULL AND s_tp IS NULL
-                  AND b_ck IS NOT NULL THEN 'removed'
-             WHEN b_ck IS NULL THEN 'added'
+        CASE WHEN s_present IS NULL THEN 'removed'
+             WHEN b_present IS NULL THEN 'added'
              WHEN b_ck IS DISTINCT FROM s_ck
                   OR b_st IS DISTINCT FROM s_st
                   OR b_tp IS DISTINCT FROM s_tp THEN 'changed'

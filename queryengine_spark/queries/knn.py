@@ -209,9 +209,16 @@ def _ivf_cte(
     Mirrors operators/knn.py::kmeans_centroids_int exactly: points
     as long-form (vec_id, d, x) with x = floor(v[d]*10^4) BIGINT;
     assignment by integer Σ(x-c)² (order-independent), ties to the
-    smallest cell id; centroid update floor(SUM(x)::DOUBLE / n)
-    (exact — see the operator docstring); empty cells keep their
-    previous centroid via LEFT JOIN + CASE.
+    smallest cell id; centroid update is Python-style FLOOR division
+    done wholly in integers: (S - pymod) // n with
+    pymod = ((S % n) + n) % n — DuckDB's ``//`` truncates toward
+    zero and ``%`` takes the dividend's sign, so the pymod adjustment
+    reproduces floor-toward--inf exactly, and (S - pymod) is an
+    exact multiple of n so the final ``//`` is safe. This keeps the
+    WHOLE iteration in the integer domain (the earlier
+    floor(S::DOUBLE / n) form could misfloor once a per-cell
+    per-dimension sum passed 2^53 under full-corpus training); empty
+    cells keep their previous centroid via LEFT JOIN + CASE.
 
     One source of truth for every quantizer oracle: knn_ivf* use the
     defaults; knn2's PQ oracle appends to it; dedup_semantic's oracle
@@ -248,7 +255,7 @@ m{k} AS (SELECT a.cid, p.d, COUNT(*) AS n, SUM(p.x) AS sx
         FROM a{k} a JOIN sp p ON p.vec_id = a.vec_id GROUP BY a.cid, p.d),
 c{k} AS (SELECT c.cid, c.d,
          CASE WHEN m.n IS NULL THEN c.c
-              ELSE CAST(floor(CAST(m.sx AS DOUBLE) / m.n) AS BIGINT) END AS c
+              ELSE CAST((m.sx - ((m.sx % m.n) + m.n) % m.n) // m.n AS BIGINT) END AS c
          FROM c{k - 1} c LEFT JOIN m{k} m ON m.cid = c.cid AND m.d = c.d)""")
     tail = f""",
 ep AS (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM e, dims),

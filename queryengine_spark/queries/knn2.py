@@ -103,7 +103,7 @@ pm{k} AS MATERIALIZED (SELECT a.sub, a.cid, p.d, COUNT(*) AS n, SUM(p.x) AS sx
          GROUP BY a.sub, a.cid, p.d),
 pc{k} AS MATERIALIZED (SELECT c.sub, c.cid, c.d,
           CASE WHEN m.n IS NULL THEN c.c
-               ELSE CAST(floor(CAST(m.sx AS DOUBLE) / m.n) AS BIGINT) END AS c
+               ELSE CAST((m.sx - ((m.sx % m.n) + m.n) % m.n) // m.n AS BIGINT) END AS c
           FROM pc{k - 1} c LEFT JOIN pm{k} m
             ON m.sub = c.sub AND m.cid = c.cid AND m.d = c.d)""")
     parts.append(f""",

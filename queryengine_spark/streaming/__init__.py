@@ -570,11 +570,20 @@ def streaming_latest_snapshot(events: DataFrame) -> DataFrame:
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
+            # Null-safe fold: the batch twin (apply_cdc) carries null
+            # payload fields through, so a NULL value/event_type must
+            # update state as None rather than raise TypeError inside
+            # the state function (which would kill the whole query).
+            # Rows with a NULL seq are unorderable — drop them, same
+            # as the batch twin's seq-window never ranking them first.
+            pdf = pdf[pdf["seq"].notna()]
+            if not len(pdf):
+                continue
             row = pdf.loc[pdf["seq"].idxmax()]
             if seq is None or int(row["seq"]) > seq:
                 seq = int(row["seq"])
-                etype = str(row["event_type"])
-                value = float(row["value"])
+                etype = None if pd.isna(row["event_type"]) else str(row["event_type"])
+                value = None if pd.isna(row["value"]) else float(row["value"])
         batch_seq += 1
         yield pd.DataFrame(
             {

@@ -61,3 +61,28 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = {(r["l_orderkey"], r["n"]) for r in plain.collect()}
     b = {(r["o_orderkey"], r["n"]) for r in salted.collect()}
     assert a == b
+
+def test_spread_sees_through_file_packing(spark, tmp_path):
+    """Many TINY files are NOT a parallel scan: Spark's file packing
+    (maxPartitionBytes/openCostInBytes) coalesces them into few scan
+    partitions, so spread() must estimate SPLITS, not count files.
+    40 near-empty files pack into ~2 splits at the default 128 MB —
+    the old len(inputFiles) >= target check would have skipped the
+    fan-out here and left the downstream explode on two cores."""
+    from queryengine_spark.plans import spread
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    path = str(tmp_path / "tiny")
+    spark.range(0, max(40, target + 8), 1, max(40, target + 8)).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) >= target  # the trap spread must not fall into
+    assert spread(df).rdd.getNumPartitions() == target
+
+
+def test_spread_skips_genuinely_parallel_scan(spark, sf_dir):
+    """partitions=1 makes any file scan 'already parallel enough':
+    spread must return the input unchanged (no defensive shuffle)."""
+    from queryengine_spark.plans import spread
+
+    df = load_table(spark, sf_dir, "lineitem")
+    assert spread(df, partitions=1) is df

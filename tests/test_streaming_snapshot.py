@@ -161,3 +161,39 @@ def test_snapshot_survives_restart(spark, sf_dir, tmp_path):
         for r in _batch_latest(spark.read.parquet(watch)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_null_payload_updates_state_as_none(spark, tmp_path):
+    """A change row with NULL value / event_type must flow through
+    the state fold as None (matching the batch twin, which carries
+    null payloads), not raise TypeError inside applyInPandasWithState
+    and kill the query; rows with a NULL seq are unorderable and are
+    ignored entirely."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), "click", 1.0),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 2), None, None),  # winner, null payload
+        (2, dt.datetime(2024, 1, 1, 0, 0, 1), "view", 5.0),
+        (2, None, "purchase", 9.0),  # null seq: dropped
+    ]
+    src = str(tmp_path / "null_events")
+    spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(
+        streaming_latest_snapshot(stream), "latest_snap_nulls", "append"
+    )
+    rows_out = spark.sql(
+        """
+        SELECT user_id, seq, event_type, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY batch_seq DESC) AS rn
+          FROM latest_snap_nulls) WHERE rn = 1
+        """
+    ).collect()
+    q.stop()
+    got = {r["user_id"]: (r["event_type"], r["value"]) for r in rows_out}
+    assert got == {1: (None, None), 2: ("view", 5.0)}
