@@ -36,8 +36,8 @@ HEADLINE = [
     "join_broadcast_dims",
     "window_topk_orders_per_customer",
     "window_running_total",
-    "setop_intersect",
-    "agg_rollup",
+    "setop_suite",
+    "agg_grouping_suite",
     "fuzzy_candidates_coverage",
     "fuzzy_match_full",
     "dedup_exact",
@@ -49,8 +49,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
-    "text_quality_scores",
-    "text_lang_id",
+    "text_doc_profile",
     "pipeline_clean_corpus",
     "q13_order_count_distribution",
     "subquery_in",
@@ -84,7 +83,7 @@ HEADLINE = [
     "multimodal_header_parse",
     "agg_histogram_quantiles",
     "text_pii_scrub",
-    "events_json_malformed_audit",
+    "events_json_extract",
     "udtf_token_windows",
     # round-3 additions: sketch-scored pairs, budget sampling, e2e prep
     "dedup_minhash_jaccard",
@@ -242,21 +241,20 @@ def main() -> None:
     # queries/knn.py — 8 bits × 16 tables, Hamming≤1 multiprobe).
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    recall = (
-        queries["knn_lsh_recall"](spark, sf_dir)
-        .agg(F.avg("recall").alias("r"))
-        .collect()[0]["r"]
-    )
-    ivf_recall = (
-        queries["knn_ivf_recall"](spark, sf_dir)
-        .agg(F.avg("recall").alias("r"))
-        .collect()[0]["r"]
-    )
-    pq_recall = (
-        queries["knn_pq_recall"](spark, sf_dir)
-        .agg(F.avg("recall").alias("r"))
-        .collect()[0]["r"]
-    )
+    def _mean_recall(qname: str) -> float:
+        # recall is a per-query column on the ANN output since the r5
+        # registry fold — distinct per query before averaging
+        return (
+            queries[qname](spark, sf_dir)
+            .select("query_id", "recall")
+            .distinct()
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+
+    recall = _mean_recall("knn_lsh")
+    ivf_recall = _mean_recall("knn_ivf")
+    pq_recall = _mean_recall("knn_pq_rerank")
 
     total = round(sum(timings.values()), 3)
     print(

@@ -40,18 +40,18 @@ VOID: dict[str, int] = {
                                       # r4: production 7x4 bucketing default
                                       # (verdict r3 item 6) voids the r3 row
     "knn_bruteforce": 1,              # plan rework
-    "knn_lsh": 1,                     # 16-table multiprobe retune
-    "knn_lsh_recall": 1,
+    # r5: recall@3 folded into the parent ANN queries as a column
+    "knn_lsh": 4,
+    # r5: malformed-payload audit folded in as extra columns
+    "events_json_extract": 4,
     "text_kmv_distinct_shingles": 1,  # KMV NULL filter (r2 ADVICE)
     # round 5: k-means oracle centroid update floor(S::DOUBLE/n) ->
     # integer S // n (r4 ADVICE — 2^53 safety); identical results at
     # test scale but the oracle text changed, so every query whose
     # oracle embeds _ivf_cte (or the PQ copy of the pattern) re-certifies:
     "knn_ivf": 4,
-    "knn_ivf_recall": 4,
     "knn_pq": 4,
     "knn_pq_rerank": 4,
-    "knn_pq_recall": 4,
     "dedup_semantic": 4,
     "ml_kmeans_distributed": 4,
     "ml_kmeans_purity": 4,

@@ -183,73 +183,58 @@ GROUP BY ws, event_type
 
 
 def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """Semi-structured scalar surface: JSON path extraction from the
-    events props column, aggregated per event type."""
+    """Semi-structured scalar surface AND dirty-data resilience in one
+    per-event-type relation (r5 fold of the former
+    events_json_malformed_audit into this query — both legs still run
+    and feed the hash):
+
+    - clean leg: JSON path extraction ($.k) from the events props
+      column, aggregated per event type (n, sum/min/max);
+    - audit leg: the same extraction over a stream where every 13th
+      payload gets planted garbage (the synthetic props are all
+      well-formed). Spark's Jackson-based get_json_object returns
+      NULL on malformed input instead of failing the job; the audit
+      counts parse failures and sums only the valid values — the
+      triage a real ingest runs before tightening a schema. The
+      corruption hits the PREFIX because Jackson is lenient about
+      trailing garbage but rejects a broken document start. Oracle
+      guards with json_valid() since DuckDB's extraction errors on
+      invalid JSON rather than returning NULL."""
     e = t(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("int")
+    dirty = F.when(
+        F.col("event_id") % 13 == 0, F.concat(F.lit("}{"), F.col("props"))
+    ).otherwise(F.col("props"))
+    kd = F.get_json_object(dirty, "$.k").cast("int")
     return (
-        e.select("event_id", "event_type", k.alias("k_value"))
+        e.select("event_type", k.alias("k_value"), kd.alias("k_dirty"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k_value").alias("sum_k"),
             F.min("k_value").alias("min_k"),
             F.max("k_value").alias("max_k"),
+            F.sum(F.col("k_dirty").isNull().cast("int")).cast("bigint").alias("n_malformed"),
+            F.sum("k_dirty").alias("sum_valid_k"),
         )
     )
 
 
 JSON_SQL = """
-SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-FROM events GROUP BY event_type
-"""
-
-
-def events_json_malformed_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """Dirty-data resilience: schema-on-read over a props column where
-    some payloads are corrupt (every 13th event gets planted garbage —
-    the synthetic props are all well-formed). Spark's get_json_object
-    returns NULL on malformed input instead of failing the job; the
-    audit counts parse failures and aggregates only the valid values —
-    the triage shape a real ingest runs before tightening a schema.
-    Oracle guards with json_valid() since DuckDB's extraction errors
-    on invalid JSON rather than returning NULL."""
-    e = t(spark, sf, "events")
-    # corrupt the PREFIX: Spark's Jackson-based extraction is lenient
-    # about trailing garbage but rejects a broken document start
-    dirty = F.when(
-        F.col("event_id") % 13 == 0, F.concat(F.lit("}{"), F.col("props"))
-    ).otherwise(F.col("props"))
-    k = F.get_json_object(dirty, "$.k").cast("int")
-    return (
-        e.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("k").isNull().cast("int")).cast("bigint").alias("n_malformed"),
-            F.sum("k").alias("sum_valid_k"),
-        )
-    )
-
-
-JSON_MALFORMED_SQL = """
-WITH d AS (
+WITH parsed AS (
   SELECT event_type,
-         CASE WHEN event_id % 13 = 0 THEN '}{' || props ELSE props END AS p
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         CASE WHEN json_valid(CASE WHEN event_id % 13 = 0
+                                   THEN '}{' || props ELSE props END)
+              THEN CAST(json_extract_string(props, '$.k') AS INT) END AS kd
   FROM events
-),
-parsed AS (
-  SELECT event_type,
-         CASE WHEN json_valid(p)
-              THEN CAST(json_extract_string(p, '$.k') AS INT) END AS k
-  FROM d
 )
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
-       CAST(SUM(k) AS BIGINT) AS sum_valid_k
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS INT) AS min_k,
+       CAST(MAX(k) AS INT) AS max_k,
+       CAST(SUM(CASE WHEN kd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       CAST(SUM(kd) AS BIGINT) AS sum_valid_k
 FROM parsed GROUP BY event_type
 """
 
@@ -507,11 +492,9 @@ QUERIES = {
         SESSION_WINDOW_SQL,
     ),
     "events_sliding_window": (events_sliding_window, SLIDING_SQL),
+    # r5 fold: the malformed-payload audit is part of
+    # events_json_extract now (same legs, one scan)
     "events_json_extract": (events_json_extract, JSON_SQL),
-    "events_json_malformed_audit": (
-        events_json_malformed_audit,
-        JSON_MALFORMED_SQL,
-    ),
     "shipping_delay_stats": (shipping_delay_stats, SHIPPING_DELAY_SQL),
     "events_asof_last_purchase": (events_asof_last_purchase, ASOF_SQL),
     "events_range_join_active_sessions": (

@@ -1,5 +1,6 @@
-"""Round-3 ANN additions: IVF-PQ (product-quantized) top-k, its
-exact-re-rank variant, and the recall harness. Registered after the
+"""Round-3 ANN additions: IVF-PQ (product-quantized) top-k and its
+exact-re-rank variant (which carries the recall@3 evaluation as an
+output column since the r5 registry fold). Registered after the
 round-3 certification window (see queries/__init__.py) — first driver
 row in round 4.
 
@@ -34,6 +35,8 @@ from queryengine_spark.queries.knn import (
     N_CELLS,
     NPROBE,
     SAMPLE_N,
+    _BF_HITS_CTE,
+    _RECALL_TAIL,
     _ivf_cte,
 )
 
@@ -62,12 +65,18 @@ def knn_pq(spark: SparkSession, sf: str) -> DataFrame:
 
 def knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """ADC top-32 shortlist → exact cosine re-rank over only those 32
-    full vectors per query — the production IVF-PQ configuration."""
+    full vectors per query — the production IVF-PQ configuration.
+    Per-query recall@3 vs brute force rides along as a column (r5
+    fold of the standalone knn_pq_recall evaluation query)."""
+    from queryengine_spark.queries.knn import _with_recall
+
     e = t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
-    return ivf_pq_topk(
+    ann = ivf_pq_topk(
         queries, e, "vec_id", "embedding", rerank_r=RERANK_R, **_KW
     )
+    bf = brute_force_topk(queries, e, "vec_id", "embedding", k=K_LSH)
+    return _with_recall(ann, bf)
 
 
 def _pq_cte() -> str:
@@ -163,77 +172,22 @@ rer AS (SELECT s.query_id, s.neighbor_id,
         JOIN e qe ON qe.vec_id = s.query_id
         JOIN e ce ON ce.vec_id = s.neighbor_id)"""
 
-KNN_PQ_RERANK_SQL = f"""{_pq_cte()}{_SHORT_CTE}
-SELECT query_id, neighbor_id,
-       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
-       CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
-FROM rer
-QUALIFY rn <= {K_LSH}
+KNN_PQ_RERANK_SQL = f"""{_pq_cte()}{_SHORT_CTE},
+topk AS (
+  SELECT query_id, neighbor_id,
+         floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+  FROM rer
+  QUALIFY rn <= {K_LSH}
+){_BF_HITS_CTE}
+{_RECALL_TAIL}
 """
 
 
-def knn_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """Recall@3 of the re-ranked IVF-PQ path vs exact brute force —
-    isolates what 16-byte codes + a 32-deep exact re-rank give up vs
-    IVF-Flat (same shortlist cells, full vectors everywhere)."""
-    e = t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
-    bf = brute_force_topk(queries, e, "vec_id", "embedding", k=K_LSH)
-    pq = knn_pq_rerank(spark, sf)
-    hits = (
-        bf.select("query_id", "neighbor_id")
-        .join(pq.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_found"))
-    )
-    return (
-        bf.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_found", F.lit(0)).alias("n_found"),
-            (F.coalesce("n_found", F.lit(0)) / F.lit(K_LSH)).alias("recall"),
-        )
-    )
-
-
-KNN_PQ_RECALL_SQL = f"""{_pq_cte()}{_SHORT_CTE},
-bf AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
-           row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
-    FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q
-    JOIN e e2 ON e2.vec_id <> q.vec_id
-  ) WHERE rn <= {K_LSH}
-),
-pqtop AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT r.query_id, r.neighbor_id,
-           row_number() OVER (PARTITION BY r.query_id
-               ORDER BY r.cos DESC, r.neighbor_id ASC) AS rn
-    FROM rer r
-  ) WHERE rn <= {K_LSH}
-),
-hits AS (
-  SELECT bf.query_id, COUNT(*) AS n_found
-  FROM bf WHERE EXISTS (SELECT 1 FROM pqtop
-                        WHERE pqtop.query_id = bf.query_id
-                          AND pqtop.neighbor_id = bf.neighbor_id)
-  GROUP BY bf.query_id
-)
-SELECT q.query_id,
-       CAST(COALESCE(h.n_found, 0) AS BIGINT) AS n_found,
-       COALESCE(h.n_found, 0) / {K_LSH} AS recall
-FROM (SELECT DISTINCT query_id FROM bf) q
-LEFT JOIN hits h ON q.query_id = h.query_id
-"""
-
-
+# r5 fold: knn_pq_recall is gone — recall@3 vs brute force is an
+# output COLUMN of knn_pq_rerank now (certified inside the parent).
 QUERIES = {
     "knn_pq": (knn_pq, KNN_PQ_SQL),
     "knn_pq_rerank": (knn_pq_rerank, KNN_PQ_RERANK_SQL),
-    "knn_pq_recall": (knn_pq_recall, KNN_PQ_RECALL_SQL),
 }

@@ -354,6 +354,64 @@ FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
 """
 
 
+def agg_grouping_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS in one tagged relation (r5 fold
+    of agg_rollup / agg_cube / agg_grouping_sets — all three grouping
+    operators still run on their original tables and feed the hash;
+    the certification window covers them in one row). Legs are
+    coerced to a common (src, g1, g2, n, sum_qty) shape; sum_qty only
+    exists on the rollup leg."""
+    roll = (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("l_quantity", "sum_qty"))
+        .select(
+            F.lit("rollup").alias("src"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            "n",
+            "sum_qty",
+        )
+    )
+    cube = (
+        t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cube").alias("src"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "n",
+            F.lit(None).cast("double").alias("sum_qty"),
+        )
+    )
+    t(spark, sf, "customer").createOrReplaceTempView("customer")
+    gs = spark.sql(
+        """
+        SELECT 'grouping_sets' AS src, c_mktsegment AS g1,
+               CAST(c_nationkey AS STRING) AS g2, COUNT(*) AS n,
+               CAST(NULL AS DOUBLE) AS sum_qty
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+    return roll.unionByName(cube).unionByName(gs)
+
+
+GROUPING_SUITE_SQL = f"""
+SELECT 'rollup' AS src, l_returnflag AS g1, l_linestatus AS g2,
+       COUNT(*) AS n, {sql_fsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube', o_orderstatus, o_orderpriority, COUNT(*), CAST(NULL AS DOUBLE)
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'grouping_sets', c_mktsegment, CAST(c_nationkey AS VARCHAR),
+       COUNT(*), CAST(NULL AS DOUBLE)
+FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+"""
+
+
 # --- joins -------------------------------------------------------------------
 
 def join_broadcast_dims(spark: SparkSession, sf: str) -> DataFrame:
@@ -657,6 +715,35 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+def setop_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION (distinct) / INTERSECT / EXCEPT over the same two inputs
+    in one op-tagged relation (r5 fold of setop_union /
+    setop_intersect / setop_except — all three set operators still
+    execute and feed the hash)."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.union(s).distinct().withColumn("op", F.lit("union"))
+        .unionByName(c.intersect(s).withColumn("op", F.lit("intersect")))
+        .unionByName(c.subtract(s).withColumn("op", F.lit("except")))
+    )
+
+
+SETOP_SUITE_SQL = """
+SELECT nationkey, 'union' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'intersect' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
 # --- sorts / limits ----------------------------------------------------------
 
 def sort_limit_top10(spark: SparkSession, sf: str) -> DataFrame:
@@ -804,9 +891,9 @@ QUERIES = {
     "agg_count_distinct": (agg_count_distinct, COUNT_DISTINCT_SQL),
     "agg_having": (agg_having, HAVING_SQL),
     "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
-    "agg_rollup": (agg_rollup, ROLLUP_SQL),
-    "agg_cube": (agg_cube, CUBE_SQL),
-    "agg_grouping_sets": (agg_grouping_sets, GROUPING_SETS_SQL),
+    # r5 fold: rollup/cube/grouping-sets run inside one tagged
+    # relation now (each leg unchanged on its original table)
+    "agg_grouping_suite": (agg_grouping_suite, GROUPING_SUITE_SQL),
     "join_broadcast_dims": (join_broadcast_dims, JOIN_BROADCAST_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
@@ -818,9 +905,8 @@ QUERIES = {
     "window_running_total": (window_running_total, WINDOW_RUNNING_SQL),
     "window_lag_delta": (window_lag_delta, WINDOW_LAG_SQL),
     "window_rank_dense": (window_rank_dense, WINDOW_RANK_SQL),
-    "setop_union": (setop_union, SETOP_UNION_SQL),
-    "setop_intersect": (setop_intersect, SETOP_INTERSECT_SQL),
-    "setop_except": (setop_except, SETOP_EXCEPT_SQL),
+    # r5 fold: the three set operators run inside one tagged relation
+    "setop_suite": (setop_suite, SETOP_SUITE_SQL),
     "sort_limit_top10": (sort_limit_top10, SORT_LIMIT_SQL),
     "scalar_functions": (scalar_functions, SCALAR_SQL),
     "subquery_scalar_correlated": (subquery_scalar_correlated, SUBQUERY_SCALAR_SQL),

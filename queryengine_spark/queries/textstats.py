@@ -121,6 +121,74 @@ FROM documents
 """
 
 
+def text_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document text-analysis card in ONE map-side scan: token
+    counts (whitespace + BPE-ish regex), quality ratios, heuristic
+    language ID with per-language marker scores, and the content
+    fingerprint.
+
+    Round-5 fold of the four r1 contract queries text_token_stats /
+    text_quality_scores / text_lang_id / text_fingerprint — the
+    SAME kernels (queryengine_spark/textstats), now emitted as one
+    relation so the certification window covers them in one row with
+    zero coverage loss: every kernel's column feeds the hash. At
+    scale this is strictly better than four queries — one pass over
+    the corpus instead of four."""
+    d = t(spark, sf, "documents")
+    scores = ts.lang_scores("text")
+    return d.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        ts.bpe_token_count("text").alias("n_bpe_tokens"),
+        ts.char_count("text").alias("n_chars_actual"),
+        ts.punct_ratio("text").alias("punct_ratio"),
+        ts.stopword_ratio("text").alias("stopword_ratio"),
+        ts.avg_token_len("text").alias("avg_token_len"),
+        F.col("lang").alias("lang_declared"),
+        ts.lang_id("text").alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in ("en", "de", "fr", "es")],
+        ts.content_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _doc_profile_sql() -> str:
+    score_exprs = {
+        lang: (
+            f"CAST(len(list_filter({_TOKS_LOW}, "
+            f"x -> x IN ({', '.join(repr(m) for m in markers)}))) AS BIGINT)"
+        )
+        for lang, markers in ts.LANG_MARKERS.items()
+    }
+    s = {k: f"score_{k}" for k in score_exprs}
+    cols = ",\n       ".join(f"{e} AS score_{k}" for k, e in score_exprs.items())
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, lang AS lang_declared,
+       {cols}
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{ts.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       {_fr6(f"(length(text) - length(regexp_replace(text, '{ts.PUNCT_CLASS}', '', 'g'))) / length(text)")} AS punct_ratio,
+       {_fr6(f"len(list_filter({_TOKS_LOW}, x -> x IN ({_STOP_LIST}))) / len({_TOKS_LOW})")} AS stopword_ratio,
+       {_fr6(f"list_sum(list_transform({_TOKS.format(c='text')}, x -> length(x))) / len({_TOKS.format(c='text')})")} AS avg_token_len,
+       lang_declared,
+       CASE WHEN {s['en']} + {s['de']} + {s['fr']} + {s['es']} = 0 THEN 'und'
+            WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} THEN 'en'
+            WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de'
+            WHEN {s['fr']} >= {s['es']} THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       score_en, score_de, score_fr, score_es,
+       md5(array_to_string(list_sort(list_distinct({_TOKS_LOW})), ' ')) AS fingerprint
+FROM scored
+"""
+
+
+DOC_PROFILE_SQL = _doc_profile_sql()
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The composed training-data shape: quality-filter → fingerprint
     dedup (keep lowest doc_id per canonical content) → per-language
@@ -303,12 +371,12 @@ QUALIFY rank <= 3
 
 
 QUERIES = {
-    "text_token_stats": (text_token_stats, TOKEN_STATS_SQL),
+    # r5 fold: text_token_stats + text_quality_scores + text_lang_id
+    # + text_fingerprint are ONE per-doc scan now (text_doc_profile);
+    # the standalone callables above remain for direct use/tests.
+    "text_doc_profile": (text_doc_profile, DOC_PROFILE_SQL),
     "text_term_frequency": (text_term_frequency, TERM_FREQ_SQL),
     "text_tfidf_top_terms": (text_tfidf_top_terms, TFIDF_SQL),
     "text_kmv_distinct_shingles": (text_kmv_distinct_shingles, KMV_SQL),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_SQL),
-    "text_quality_scores": (text_quality_scores, QUALITY_SQL),
-    "text_lang_id": (text_lang_id, LANG_SQL),
-    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
 }
