@@ -2,14 +2,17 @@
 ``binary`` payload columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` feature extractors.
 
-Decode strategy (see ``_decode_dims``): formats decodable without
-media libraries run a REAL decode — uncompressed 24-bit BMP through
-``multimodal.bmp``'s full pixel decoder (PCM WAV has its own path
-there too) — while formats that need external codecs (PNG/JPEG pixel
-data) fall back to a deterministic fake derived from the payload
-bytes, so schema, partitioning, batch shapes and the UDF signature
-are real and tested either way, and swapping in PIL/librosa/ffmpeg
-is a one-function change (the ``_decode_image`` hook).
+Decode strategy (see ``_decode_dims``): payloads are routed by MAGIC
+BYTES through every in-repo from-scratch decoder — uncompressed
+24-bit BMP (``multimodal.bmp``), 8-bit RGBA PNG (``multimodal.png``:
+zlib + all five scanline filters), GIF87a/89a (``multimodal.gif``:
+own LZW), and DC-profile baseline JPEG (``multimodal.jpeg``: own
+canonical-Huffman entropy decoder) — yielding TRUE dimensions with no
+media libraries installed. Formats outside those profiles try the
+PIL-shaped ``_decode_image`` hook, then fall back to a deterministic
+fake derived from the payload bytes, so schema, partitioning, batch
+shapes and the UDF signature are real and tested either way, and
+swapping in PIL/librosa/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -79,15 +82,33 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 
 
 def _decode_dims(payload: bytes) -> tuple[int, int] | None:
-    """REAL decode first: formats decodable without media libraries
-    (uncompressed 24-bit BMP, via multimodal.bmp's full pixel decoder)
-    yield true (width, height); then the PIL-shaped hook for formats
-    that need external libs; ``None`` → opaque payload (caller falls
-    back to the deterministic fake)."""
-    from queryengine_spark.multimodal.bmp import decode_bmp
+    """REAL decode first, dispatched by magic bytes through every
+    in-repo decoder (BMP / PNG / GIF / baseline-JPEG DC profile) —
+    true (width, height) with no media libraries; then the PIL-shaped
+    hook for formats that need external libs; ``None`` → genuinely
+    opaque payload (caller falls back to the deterministic fake).
+    A decoder returning None for a sniffed-but-malformed (or
+    out-of-profile, e.g. AC-bearing JPEG) container also falls
+    through to the hook/fake rather than failing the batch."""
+    arr = None
+    if payload[:2] == b"BM":
+        from queryengine_spark.multimodal.bmp import decode_bmp
 
-    arr = decode_bmp(payload)
+        arr = decode_bmp(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from queryengine_spark.multimodal.png import decode_png
+
+        arr = decode_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from queryengine_spark.multimodal.gif import decode_gif
+
+        arr = decode_gif(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from queryengine_spark.multimodal.jpeg import decode_jpeg_dc
+
+        arr = decode_jpeg_dc(payload)
     if arr is not None:
+        # (h, w) grayscale or (h, w, channels): shape[1] is width
         return int(arr.shape[1]), int(arr.shape[0])
     try:
         return _decode_image(payload)

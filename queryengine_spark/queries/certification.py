@@ -59,6 +59,9 @@ VOID: dict[str, int] = {
     # round 5: snapshot-diff classification now uses join-side
     # presence flags instead of payload nullness (r4 ADVICE):
     "etl_snapshot_diff": 4,
+    # round 5: mixed-asset relation gained PNG/GIF/JPEG legs and
+    # extract_features routes by magic bytes through all real decoders:
+    "multimodal_features": 4,
 }
 
 

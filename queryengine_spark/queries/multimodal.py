@@ -40,40 +40,67 @@ FROM documents
 
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched (mapInPandas) feature extraction over a MIXED
-    asset relation — odd doc_ids ship their text as an opaque
-    text/plain payload (md5 content hash + deterministic fake dims),
-    even doc_ids ship a synthesized uncompressed 24-bit BMP that goes
-    through the REAL pixel decoder (multimodal/bmp.py:decode_bmp), so
-    the flagship feature query exercises the real decode path.
+    asset relation covering EVERY in-repo real decoder via
+    ``_decode_dims``'s magic-byte dispatch (r5: PNG/GIF/JPEG legs
+    joined the r4 BMP leg) — odd doc_ids ship their text as an opaque
+    text/plain payload (md5 content hash + deterministic fake dims);
+    even doc_ids ship a synthesized container routed by doc_id % 8:
+    0 → uncompressed 24-bit BMP, 2 → 8-bit RGBA PNG (zlib +
+    scanline filters), 4 → GIF89a (LZW), 6 → DC-profile baseline
+    JPEG (canonical Huffman). Each decodes for REAL worker-side and
+    reports its true pixel dimensions.
 
-    Fully oracled: text-row hash and fake dims are md5-derived (DuckDB
-    recomputes them from md5(text) hex digits); BMP true dims and
-    container size follow the synthesis arithmetic (bmp_params). The
-    content hash is projected NULL for structurally-decoded media —
-    its byte-exactness is certified far more strongly by
-    multimodal_bmp_decode's channel-sum formula oracle."""
+    Fully oracled: text-row hash and fake dims are md5-derived
+    (DuckDB recomputes them from md5(text) hex digits); image true
+    dims follow each synthesizer's arithmetic (bmp_params /
+    png_rgba_params / gif_params / jpeg_params×8). Container size
+    stays a real output for text and BMP (deterministic layout) but
+    is projected NULL for the compressed formats — a zlib/LZW/Huffman
+    stream length is not SQL-derivable — and content_hash is NULL for
+    all structurally-decoded media: their byte-exactness is certified
+    far more strongly by the multimodal_*_decode channel-sum formula
+    oracles."""
     from queryengine_spark.multimodal.bmp import synthesize_bmp
+    from queryengine_spark.multimodal.gif import synthesize_gif
+    from queryengine_spark.multimodal.jpeg import synthesize_jpeg
+    from queryengine_spark.multimodal.png import synthesize_png
 
     docs = t(spark, sf, "documents")
     text_assets = attach_payload(
         docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", "text/plain"
     )
-    bmp_assets = synthesize_bmp(
-        docs.filter(F.col("doc_id") % 2 == 0).select(
+
+    def _ids(rem: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 8 == rem).select(
             F.col("doc_id").cast("long").alias("asset_id")
         )
-    ).select(
-        "asset_id",
-        F.lit("image/bmp").alias("media_type"),
-        "payload",
-        F.octet_length("payload").cast("long").alias("n_bytes"),
+
+    def _leg(synth: DataFrame, mtype: str, real_len: bool) -> DataFrame:
+        n = (
+            F.octet_length("payload").cast("long")
+            if real_len
+            else F.lit(None).cast("long")
+        )
+        return synth.select(
+            "asset_id",
+            F.lit(mtype).alias("media_type"),
+            "payload",
+            n.alias("n_bytes"),
+        )
+
+    assets = (
+        text_assets
+        .unionByName(_leg(synthesize_bmp(_ids(0)), "image/bmp", True))
+        .unionByName(_leg(synthesize_png(_ids(2)), "image/png", False))
+        .unionByName(_leg(synthesize_gif(_ids(4)), "image/gif", False))
+        .unionByName(_leg(synthesize_jpeg(_ids(6)), "image/jpeg", False))
     )
-    feats = extract_features(text_assets.unionByName(bmp_assets))
+    feats = extract_features(assets)
     return feats.select(
         "asset_id",
         "media_type",
         "n_bytes",
-        F.when(F.col("media_type") == "image/bmp", F.lit(None).cast("string"))
+        F.when(F.col("media_type") != "text/plain", F.lit(None).cast("string"))
         .otherwise(F.col("content_hash"))
         .alias("content_hash"),
         "width",
@@ -92,8 +119,11 @@ def _md5_byte(k: int) -> str:
 
 
 # Mirrors multimodal/__init__.py::_fake_decode (md5-derived dims for
-# opaque payloads) and multimodal/bmp.py::bmp_params + make_bmp's
-# container layout: 54 header bytes + 4-byte-aligned rows.
+# opaque payloads), multimodal/bmp.py::bmp_params + make_bmp's
+# container layout (54 header bytes + 4-byte-aligned rows), and the
+# dimension arithmetic of png_rgba_params / gif_params / jpeg_params
+# (jpeg dims are 8×(block counts)). Compressed-container sizes are
+# NULL by contract (zlib/LZW/Huffman lengths are not SQL-derivable).
 FEATURES_SQL = f"""
 SELECT doc_id AS asset_id,
        'text/plain' AS media_type,
@@ -110,7 +140,31 @@ SELECT doc_id AS asset_id,
        CAST(NULL AS VARCHAR) AS content_hash,
        CAST(4 + doc_id % 13 AS INT) AS width,
        CAST(4 + doc_id % 9 AS INT) AS height
-FROM documents WHERE doc_id % 2 = 0
+FROM documents WHERE doc_id % 8 = 0
+UNION ALL
+SELECT doc_id AS asset_id,
+       'image/png' AS media_type,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_hash,
+       CAST(4 + doc_id % 11 AS INT) AS width,
+       CAST(4 + doc_id % 7 AS INT) AS height
+FROM documents WHERE doc_id % 8 = 2
+UNION ALL
+SELECT doc_id AS asset_id,
+       'image/gif' AS media_type,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_hash,
+       CAST(6 + doc_id % 17 AS INT) AS width,
+       CAST(5 + doc_id % 13 AS INT) AS height
+FROM documents WHERE doc_id % 8 = 4
+UNION ALL
+SELECT doc_id AS asset_id,
+       'image/jpeg' AS media_type,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_hash,
+       CAST(8 * (1 + doc_id % 5) AS INT) AS width,
+       CAST(8 * (1 + doc_id % 3) AS INT) AS height
+FROM documents WHERE doc_id % 8 = 6
 """
 
 

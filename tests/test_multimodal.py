@@ -85,3 +85,40 @@ def test_map_in_arrow_features_equal_pandas(spark, sf_dir):
     lhs = sorted(map(tuple, extract_features(a).collect()))
     rhs = sorted(map(tuple, extract_features_arrow(a).collect()))
     assert lhs == rhs and len(lhs) > 0
+
+
+def test_extract_features_magic_byte_routing_all_formats(spark):
+    """Every in-repo decoder is reachable from extract_features via
+    magic-byte dispatch: PNG/GIF/JPEG payloads report their TRUE
+    synthesis dimensions (not the md5 fake), in both the pandas and
+    Arrow extractors; an opaque text payload still takes the fake."""
+    import hashlib
+
+    from queryengine_spark.multimodal import extract_features_arrow
+    from queryengine_spark.multimodal.gif import gif_params, make_gif
+    from queryengine_spark.multimodal.jpeg import jpeg_params, make_jpeg_dc
+    from queryengine_spark.multimodal.png import make_png_rgba, png_rgba_params
+
+    opaque = b"plain text payload, no container signature"
+    rows = [
+        (1, "image/png", make_png_rgba(1), None),
+        (2, "image/gif", make_gif(2), None),
+        (3, "image/jpeg", make_jpeg_dc(3), None),
+        (4, "text/plain", opaque, len(opaque)),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, n_bytes long"
+    )
+    h = hashlib.md5(opaque).digest()
+    want = {
+        1: png_rgba_params(1),
+        2: gif_params(2),
+        3: tuple(8 * b for b in jpeg_params(3)),
+        4: (16 + h[0] % 64, 16 + h[1] % 64),  # fake path
+    }
+    for extractor in (extract_features, extract_features_arrow):
+        got = {
+            r["asset_id"]: (r["width"], r["height"])
+            for r in extractor(df).collect()
+        }
+        assert got == want
