@@ -11,23 +11,28 @@ tables), bit-level entropy decoding of the scan (DC category code →
 sign-extended difference bits, DC prediction across blocks, AC
 end-of-block), and dequantization.
 
-What is RESTRICTED: the synthesized scans are DC-only (every AC
-coefficient zero), for which the 8×8 IDCT collapses exactly — every
-pixel of the block equals round(dc·q/8) + 128, integer-exact when q
-is a multiple of 8 (the synthesizer uses q=8, so pixel = dc + 128).
-A scan with any nonzero AC coefficient is REFUSED (None), not
-approximated: full JPEG needs a float IDCT whose output could not be
-certified by an integer formula oracle anyway. The docstring of
-``multimodal/__init__.py`` keeps the general-JPEG pixel path
-documented as stubbed; this module is the honest exactly-decodable
-profile of it.
+Since round 5 the AC run/size grammar is decoded too
+(``decode_jpeg_coeffs``): ZRL 16-zero runs, EOB, implicit block end
+after a coefficient at zigzag 63, zigzag→natural placement, and
+exact integer dequantization — the full baseline sequential entropy
+surface for single-component scans. What remains RESTRICTED is only
+the PIXEL domain: the 8×8 IDCT collapses exactly just for DC-only
+scans (every pixel = round(dc·q/8) + 128, integer-exact when q ≡ 0
+mod 8), so ``decode_jpeg_dc`` still refuses any nonzero AC rather
+than approximate a float IDCT — AC-bearing scans get exact pre-IDCT
+COEFFICIENT statistics instead, which an integer formula oracle can
+certify. Progressive/multi-component/DRI profiles are refused
+everywhere.
 
-Correctness: the DuckDB oracle recomputes channel sums from the DC
-formula while Spark decodes the actual bitstream; the entropy decoder
-is additionally pinned against a HAND-ASSEMBLED single-block scan in
-tests/test_multimodal_jpeg.py (so a matched encoder/decoder bug pair
-cannot cancel), plus refusal probes for AC coefficients, wrong
-precision, and truncation.
+Correctness: the DuckDB oracle recomputes pixel sums from the DC
+formula and coefficient sums from the AC formula while Spark decodes
+the actual bitstreams; the entropy decoder is additionally pinned
+against HAND-ASSEMBLED scans in tests/test_multimodal_jpeg.py —
+single-block, negative diffs, byte unstuffing, and an AC vector with
+ZRL runs — so a matched encoder/decoder bug pair cannot cancel, plus
+refusal probes for wrong precision and truncation, plus a hypothesis
+property suite round-tripping random sparse coefficient blocks
+through the generic encoder.
 """
 
 from __future__ import annotations
@@ -142,30 +147,87 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def make_jpeg_dc(asset_id: int) -> bytes:
-    """Spec-valid grayscale baseline JFIF whose scan encodes DC-only
-    8×8 blocks of the formula image (Annex K tables, q[0]=QUANT_DC,
-    byte-stuffed entropy stream)."""
-    bw, bh = jpeg_params(asset_id)
+#: zigzag scan order: scan index k → (row, col); even diagonals are
+#: walked bottom-left→top-right, odd ones top-right→bottom-left
+#: (generated, not transcribed — a transposition bug in a hand-typed
+#: table is exactly the kind the property tests could miss if the
+#: encoder shared it, so the tests pin known positions independently)
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        out.extend(diag)
+    return out
+
+
+#: scan index k → natural (row-major) index row*8+col
+ZIGZAG_NAT = [r * 8 + c for r, c in _zigzag_pairs()]
+
+#: AC synthesis: fixed zigzag positions chosen to exercise every
+#: run-length shape — k=1 (run 0), k=5 (run 3), k=23 (run 17 → ZRL +
+#: run 1), k=63 (run 39 → ZRL + ZRL + run 7, and the block then ends
+#: at k=64 WITHOUT an EOB, the implicit-end path)
+AC_POSITIONS = (1, 5, 23, 63)
+AC_MULT, AC_MOD, AC_SHIFT = 29, 41, 20  # value formula constants
+QUANT_AC = 16  #: q[k] for k>0 — dequantized AC = 16 × decoded value
+
+
+def block_ac(asset_id: int, bx: int, by: int, p: int) -> int:
+    """Quantized-domain AC coefficient planted at zigzag position p
+    of block (bx, by): nonzero by construction (the %-range [-20, 20]
+    maps 0..20 up by one → [-20, -1] ∪ [1, 21]), spanning Huffman
+    size categories 1–5. Mirrored in the DuckDB oracle."""
+    v0 = (asset_id + 7 * bx + 11 * by + 53 * p) * AC_MULT % AC_MOD - AC_SHIFT
+    return v0 + 1 if v0 >= 0 else v0
+
+
+def _encode_scan(blocks: list[list[int]]) -> bytes:
+    """Entropy-encode quantized coefficient blocks (zigzag order,
+    64 each): DC difference coding + AC run/size coding with ZRL for
+    runs ≥ 16, EOB only when trailing zeros remain (a coefficient at
+    k=63 ends the block implicitly). For all-zero AC this emits
+    exactly the DC-only stream the hand-pinned tests expect."""
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            dc = block_dc(asset_id, bx, by)
-            diff = dc - pred
-            pred = dc
-            cat = _category(diff)
-            code, length = dc_codes[cat]
+    for coefs in blocks:
+        diff = coefs[0] - pred
+        pred = coefs[0]
+        cat = _category(diff)
+        code, length = dc_codes[cat]
+        w.put(code, length)
+        if cat:
+            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        k = 1
+        while k < 64:
+            j = k
+            while j < 64 and coefs[j] == 0:
+                j += 1
+            if j == 64:
+                eob, eob_len = ac_codes[0x00]
+                w.put(eob, eob_len)
+                break
+            run = j - k
+            while run >= 16:
+                zrl, zrl_len = ac_codes[0xF0]
+                w.put(zrl, zrl_len)
+                run -= 16
+            size = _category(coefs[j])
+            code, length = ac_codes[(run << 4) | size]
             w.put(code, length)
-            if cat:
-                bits = diff if diff >= 0 else diff + (1 << cat) - 1
-                w.put(bits, cat)
-            eob, eob_len = ac_codes[0x00]
-            w.put(eob, eob_len)
-    scan = w.flush()
-    quant = bytes([QUANT_DC] + [16] * 63)  # only q[0] matters (DC-only)
+            v = coefs[j]
+            w.put(v if v >= 0 else v + (1 << size) - 1, size)
+            k = j + 1
+    return w.flush()
+
+
+def _container(bw: int, bh: int, scan: bytes) -> bytes:
+    """Wrap an entropy scan in the fixed grayscale baseline JFIF
+    envelope (Annex K tables, q[0]=QUANT_DC, q[k>0]=QUANT_AC)."""
+    quant = bytes([QUANT_DC] + [QUANT_AC] * 63)
     return (
         b"\xff\xd8"  # SOI
         + _seg(0xDB, b"\x00" + quant)  # DQT id 0, 8-bit
@@ -176,6 +238,37 @@ def make_jpeg_dc(asset_id: int) -> bytes:
         + scan
         + b"\xff\xd9"  # EOI
     )
+
+
+def _formula_blocks(asset_id: int, with_ac: bool) -> tuple[int, int, list[list[int]]]:
+    bw, bh = jpeg_params(asset_id)
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = [0] * 64
+            coefs[0] = block_dc(asset_id, bx, by)
+            if with_ac:
+                for p in AC_POSITIONS:
+                    coefs[p] = block_ac(asset_id, bx, by, p)
+            blocks.append(coefs)
+    return bw, bh, blocks
+
+
+def make_jpeg_dc(asset_id: int) -> bytes:
+    """Spec-valid grayscale baseline JFIF whose scan encodes DC-only
+    8×8 blocks of the formula image (Annex K tables, q[0]=QUANT_DC,
+    byte-stuffed entropy stream)."""
+    bw, bh, blocks = _formula_blocks(asset_id, with_ac=False)
+    return _container(bw, bh, _encode_scan(blocks))
+
+
+def make_jpeg_ac(asset_id: int) -> bytes:
+    """AC-bearing variant: every block additionally carries four
+    formula AC coefficients at AC_POSITIONS, so the scan contains
+    real run/size codes, double-ZRL runs, and implicit block ends —
+    the general baseline entropy surface (r5 extension)."""
+    bw, bh, blocks = _formula_blocks(asset_id, with_ac=True)
+    return _container(bw, bh, _encode_scan(blocks))
 
 
 class _BitReader:
@@ -211,18 +304,22 @@ def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
     return None
 
 
-def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
-    """bytes → (h, w) uint8 grayscale array for a single-component
-    baseline JFIF whose scan is DC-only, or None for anything else —
-    including a scan that contains ANY nonzero AC coefficient (the
-    full-IDCT path is out of scope by contract, never approximated)."""
+def _parse_segments(b: bytes):
+    """Shared JFIF marker walk: SOI → (DQT, SOF0, DHTs, SOS) →
+    entropy bytes (0xFF00-unstuffed). Returns
+    (quant, (w, h), dc_table, ac_table, entropy) or None. Refuses
+    non-baseline SOFs, 16-bit quant tables, multi-component scans,
+    and DRI (restart markers inside the scan would silently corrupt
+    bit-level decoding, so files declaring them are rejected, not
+    misread)."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2
     quant = None
     sof = None
-    huff: dict[int, dict] = {}
+    huff: dict[tuple[int, int], dict] = {}
     scan_start = None
+    dc_id = ac_id = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -242,6 +339,8 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
             sof = (w_, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             return None  # non-baseline SOF
+        elif marker == 0xDD:
+            return None  # DRI: restart markers unsupported
         elif marker == 0xC4:
             tclass, tid = body[0] >> 4, body[0] & 0x0F
             bits = list(body[1:17])
@@ -262,10 +361,37 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
     if end < scan_start:
         return None
     entropy = b[scan_start:end].replace(b"\xff\x00", b"\xff")
-    w_, h = sof
+    return quant, sof, huff[(0, dc_id)], huff[(1, ac_id)], entropy
+
+
+def _read_dc_diff(r: _BitReader, dc_tab: dict) -> int | None:
+    cat = _read_huff(r, dc_tab)
+    if cat is None or cat > 11:
+        return None
+    if not cat:
+        return 0
+    bits_v = 0
+    for _ in range(cat):
+        bit = r.bit()
+        if bit is None:
+            return None
+        bits_v = (bits_v << 1) | bit
+    return bits_v if bits_v >= (1 << (cat - 1)) else bits_v - (1 << cat) + 1
+
+
+def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
+    """bytes → (h, w) uint8 grayscale array for a single-component
+    baseline JFIF whose scan is DC-only, or None for anything else —
+    including a scan that contains ANY nonzero AC coefficient (the
+    full-IDCT pixel path is out of scope by contract, never
+    approximated; AC-bearing scans are exactly decodable in the
+    COEFFICIENT domain instead — ``decode_jpeg_coeffs``)."""
+    parsed = _parse_segments(b)
+    if parsed is None:
+        return None
+    quant, (w_, h), dc_tab, ac_tab, entropy = parsed
     bw, bh = (w_ + 7) // 8, (h + 7) // 8
     r = _BitReader(entropy)
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
     q0 = quant[0]
     if q0 % 8:
         return None  # exact-pixel contract requires q0 ≡ 0 (mod 8)
@@ -273,29 +399,77 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
     pred = 0
     for by in range(bh):
         for bx in range(bw):
-            cat = _read_huff(r, dc_tab)
-            if cat is None or cat > 11:
+            diff = _read_dc_diff(r, dc_tab)
+            if diff is None:
                 return None
-            diff = 0
-            if cat:
-                bits_v = 0
-                for _ in range(cat):
-                    bit = r.bit()
-                    if bit is None:
-                        return None
-                    bits_v = (bits_v << 1) | bit
-                diff = bits_v if bits_v >= (1 << (cat - 1)) else bits_v - (1 << cat) + 1
             pred += diff
             rs = _read_huff(r, ac_tab)
             if rs is None:
                 return None
             if rs != 0x00:
-                return None  # nonzero AC: outside the exact profile
+                return None  # nonzero AC: outside the exact-pixel profile
             px = pred * q0 // 8 + 128
             if not 0 <= px <= 255:
                 return None
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
     return out[:h, :w_]
+
+
+def decode_jpeg_coeffs(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Full baseline entropy decode in the exact COEFFICIENT domain
+    (r5): bytes → (width, height, coeffs) where coeffs is an
+    (n_blocks, 64) int64 array of DEQUANTIZED pre-IDCT coefficients
+    in natural (row-major) order, blocks in scan order. Handles the
+    complete AC run/size grammar — ZRL (16-zero runs), EOB, and the
+    implicit block end after a coefficient at k=63. Only
+    non-baseline/multi-component/DRI profiles are refused (via
+    ``_parse_segments``); unlike the pixel path there is NO DC-only
+    restriction and no q0 % 8 requirement, because dequantization is
+    exact integer multiplication and the float IDCT is never run.
+    Coefficient k (zigzag) dequantizes with quant[k] (DQT stores
+    zigzag order) and lands at natural index ZIGZAG_NAT[k]."""
+    parsed = _parse_segments(b)
+    if parsed is None:
+        return None
+    quant, (w_, h), dc_tab, ac_tab, entropy = parsed
+    bw, bh = (w_ + 7) // 8, (h + 7) // 8
+    r = _BitReader(entropy)
+    out = np.zeros((bw * bh, 64), dtype=np.int64)
+    pred = 0
+    for bi in range(bw * bh):
+        diff = _read_dc_diff(r, dc_tab)
+        if diff is None:
+            return None
+        pred += diff
+        out[bi, 0] = pred * quant[0]
+        k = 1
+        while k < 64:
+            rs = _read_huff(r, ac_tab)
+            if rs is None:
+                return None
+            if rs == 0x00:  # EOB: rest of the block is zero
+                break
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run != 15:
+                    return None  # only ZRL has size 0
+                k += 16
+                if k >= 64:
+                    return None  # ZRL must leave room for a coefficient
+                continue
+            k += run
+            if k > 63:
+                return None
+            bits_v = 0
+            for _ in range(size):
+                bit = r.bit()
+                if bit is None:
+                    return None
+                bits_v = (bits_v << 1) | bit
+            val = bits_v if bits_v >= (1 << (size - 1)) else bits_v - (1 << size) + 1
+            out[bi, ZIGZAG_NAT[k]] = val * quant[k]
+            k += 1
+    return w_, h, out
 
 
 JPEG_ASSET_SCHEMA = StructType(
@@ -330,6 +504,86 @@ def synthesize_jpeg(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             )
 
     return ids.mapInPandas(run, JPEG_ASSET_SCHEMA)
+
+
+JPEG_FULL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_px", LongType(), True),
+        StructField("sum_lum", LongType(), True),
+        StructField("min_lum", IntegerType(), True),
+        StructField("max_lum", IntegerType(), True),
+        StructField("n_blocks", LongType(), True),
+        StructField("sum_dc_dq", LongType(), True),
+        StructField("sum_ac_dq", LongType(), True),
+        StructField("sum_abs_ac_dq", LongType(), True),
+        StructField("n_nonzero_ac", LongType(), True),
+    ]
+)
+
+
+def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Even asset_ids → DC-only payloads (exact-pixel profile), odd →
+    AC-bearing payloads (full baseline entropy surface)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [
+                        make_jpeg_dc(a) if a % 2 == 0 else make_jpeg_ac(a)
+                        for a in ids_
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(run, JPEG_ASSET_SCHEMA)
+
+
+def jpeg_full_stats(assets: DataFrame) -> DataFrame:
+    """Pixel stats where the exact-pixel profile applies (DC-only
+    scans; NULL for AC-bearing payloads — honest refusal, never an
+    approximate IDCT) PLUS exact integer pre-IDCT coefficient stats
+    for EVERY baseline payload, one decode pass each."""
+    pix_cols = ("width", "height", "n_px", "sum_lum", "min_lum", "max_lum")
+    co_cols = ("n_blocks", "sum_dc_dq", "sum_ac_dq", "sum_abs_ac_dq", "n_nonzero_ac")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", *pix_cols, *co_cols)}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(int(aid))
+                b = bytes(payload) if payload is not None else b""
+                co = decode_jpeg_coeffs(b)
+                if co is None:
+                    for k in (*pix_cols, *co_cols):
+                        out[k].append(None)
+                    continue
+                w, h, coefs = co
+                out["width"].append(w)
+                out["height"].append(h)
+                img = decode_jpeg_dc(b)
+                if img is None:  # AC-bearing: pixel profile refused
+                    for k in ("n_px", "sum_lum", "min_lum", "max_lum"):
+                        out[k].append(None)
+                else:
+                    out["n_px"].append(w * h)
+                    out["sum_lum"].append(int(img.astype(np.int64).sum()))
+                    out["min_lum"].append(int(img.min()))
+                    out["max_lum"].append(int(img.max()))
+                ac = np.delete(coefs, 0, axis=1)
+                out["n_blocks"].append(int(coefs.shape[0]))
+                out["sum_dc_dq"].append(int(coefs[:, 0].sum()))
+                out["sum_ac_dq"].append(int(ac.sum()))
+                out["sum_abs_ac_dq"].append(int(np.abs(ac).sum()))
+                out["n_nonzero_ac"].append(int((ac != 0).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, JPEG_FULL_SCHEMA)
 
 
 def jpeg_pixel_stats(assets: DataFrame) -> DataFrame:

@@ -375,25 +375,34 @@ SELECT id AS doc_id, dist FROM {prev}
 # ---------------------------------------------------------------------------
 
 from queryengine_spark.multimodal.jpeg import (  # noqa: E402
+    AC_MOD,
+    AC_MULT,
+    AC_POSITIONS,
+    AC_SHIFT,
     DC_MOD,
     DC_MULT,
     DC_OFF,
     JPEG_BH_MOD,
     JPEG_BW_MOD,
-    jpeg_pixel_stats,
-    synthesize_jpeg,
+    QUANT_AC,
+    QUANT_DC,
+    jpeg_full_stats,
+    synthesize_jpeg_mixed,
 )
 
 
 def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → entropy-decode → aggregate, entirely worker-side:
     real JFIF marker walk + canonical-Huffman scan decoding (tables
-    read from the DHT bytes), on the DC-only profile where
-    dequant+IDCT is exact integer arithmetic — see multimodal/jpeg.py
-    for what is real vs restricted, and the hand-assembled bitstream
-    that pins the decoder."""
+    read from the DHT bytes). Even asset_ids carry DC-only scans
+    (exact pixel stats); odd asset_ids carry AC-BEARING scans (r5) —
+    ZRL runs, EOB, implicit block ends — decoded to exact integer
+    pre-IDCT coefficient statistics, with the pixel columns honestly
+    NULL (a float IDCT is never approximated). See
+    multimodal/jpeg.py for the real-vs-restricted contract and the
+    hand-assembled bitstreams that pin both decode paths."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return jpeg_pixel_stats(synthesize_jpeg(spread(ids)))
+    return jpeg_full_stats(synthesize_jpeg_mixed(spread(ids)))
 
 
 MULTIMODAL_JPEG_DECODE_SQL = f"""
@@ -407,14 +416,41 @@ blk AS (SELECT asset_id, bw, bh,
                  + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
                  + ({DC_OFF}) AS dc
         FROM dims, unnest(range(0, bw)) xx(i), unnest(range(0, bh)) yy(i)),
-sums AS (SELECT asset_id, bw, bh,
+dcsums AS (SELECT asset_id, bw, bh,
                 CAST(SUM(64 * (dc + 128)) AS BIGINT) AS sum_lum,
                 CAST(MIN(dc) + 128 AS INT) AS min_lum,
-                CAST(MAX(dc) + 128 AS INT) AS max_lum
-         FROM blk GROUP BY asset_id, bw, bh)
-SELECT asset_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
-       CAST(bw * bh * 64 AS BIGINT) AS n_px, sum_lum, min_lum, max_lum
-FROM sums
+                CAST(MAX(dc) + 128 AS INT) AS max_lum,
+                CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS sum_dc_dq
+         FROM blk GROUP BY asset_id, bw, bh),
+acv AS (SELECT d.asset_id,
+               CASE WHEN v0 >= 0 THEN v0 + 1 ELSE v0 END AS v
+        FROM dims d,
+             unnest(range(0, d.bw)) xx(i),
+             unnest(range(0, d.bh)) yy(i),
+             unnest([{", ".join(str(p) for p in AC_POSITIONS)}]) pp(p),
+             LATERAL (SELECT (d.asset_id + 7 * CAST(xx.i AS BIGINT)
+                              + 11 * CAST(yy.i AS BIGINT)
+                              + 53 * CAST(pp.p AS BIGINT)) * {AC_MULT}
+                             % {AC_MOD} - {AC_SHIFT} AS v0) q
+        WHERE d.asset_id % 2 = 1),
+acsums AS (SELECT asset_id,
+                  CAST(SUM({QUANT_AC} * v) AS BIGINT) AS sum_ac_dq,
+                  CAST(SUM({QUANT_AC} * abs(v)) AS BIGINT) AS sum_abs_ac_dq,
+                  CAST(COUNT(*) AS BIGINT) AS n_nonzero_ac
+           FROM acv GROUP BY asset_id)
+SELECT s.asset_id,
+       CAST(s.bw * 8 AS INT) AS width, CAST(s.bh * 8 AS INT) AS height,
+       CASE WHEN s.asset_id % 2 = 0
+            THEN CAST(s.bw * s.bh * 64 AS BIGINT) END AS n_px,
+       CASE WHEN s.asset_id % 2 = 0 THEN s.sum_lum END AS sum_lum,
+       CASE WHEN s.asset_id % 2 = 0 THEN s.min_lum END AS min_lum,
+       CASE WHEN s.asset_id % 2 = 0 THEN s.max_lum END AS max_lum,
+       CAST(s.bw * s.bh AS BIGINT) AS n_blocks,
+       s.sum_dc_dq,
+       CAST(COALESCE(a.sum_ac_dq, 0) AS BIGINT) AS sum_ac_dq,
+       CAST(COALESCE(a.sum_abs_ac_dq, 0) AS BIGINT) AS sum_abs_ac_dq,
+       CAST(COALESCE(a.n_nonzero_ac, 0) AS BIGINT) AS n_nonzero_ac
+FROM dcsums s LEFT JOIN acsums a ON s.asset_id = a.asset_id
 """
 
 

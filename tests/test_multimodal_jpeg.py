@@ -121,3 +121,143 @@ def test_restricted_profile_refusals():
     assert decode_jpeg_dc(prog) is None
     # truncated entropy stream (EOI right after headers)
     assert decode_jpeg_dc(_headers(1, 1) + b"\xff\xd9") is None
+
+
+# --- r5: AC coefficient-domain decoding ------------------------------------
+
+
+def test_zigzag_known_positions():
+    """Pin the generated zigzag table against hand-derived spec
+    positions (a generation bug must not be able to cancel against
+    the encoder, which never uses the table)."""
+    from queryengine_spark.multimodal.jpeg import ZIGZAG_NAT
+
+    assert len(ZIGZAG_NAT) == 64 and sorted(ZIGZAG_NAT) == list(range(64))
+    assert ZIGZAG_NAT[0] == 0          # DC
+    assert ZIGZAG_NAT[1] == 1          # (0,1)
+    assert ZIGZAG_NAT[2] == 8          # (1,0)
+    assert ZIGZAG_NAT[3] == 16         # (2,0)
+    assert ZIGZAG_NAT[5] == 2          # (0,2)
+    assert ZIGZAG_NAT[18] == 26        # (3,2) — s=5 diagonal, 4th entry
+    assert ZIGZAG_NAT[63] == 63        # (7,7)
+
+
+def test_hand_assembled_ac_block_with_zrl():
+    # One block: DC diff +5 ('100'+'101'), AC k=1 value 3 (run 0,
+    # size 2 -> rs 0x02 code '01', bits '11'), 16 zeros, AC k=18
+    # value -1 (ZRL '11111111001', then rs 0x01 code '00', bit '0'),
+    # EOB '1010'. 28 bits + '1111' pad:
+    #   10010101 11111111 11001000 10101111
+    # -> 0x95 0xFF(stuffed +00) 0xC8 0xAF
+    from queryengine_spark.multimodal.jpeg import decode_jpeg_coeffs
+
+    scan = bytes([0x95, 0xFF, 0x00, 0xC8, 0xAF])
+    got = decode_jpeg_coeffs(_headers(1, 1) + scan + b"\xff\xd9")
+    assert got is not None
+    w, h, coefs = got
+    assert (w, h) == (8, 8) and coefs.shape == (1, 64)
+    exp = np.zeros(64, dtype=np.int64)
+    exp[0] = 5 * QUANT_DC     # dequantized DC
+    exp[1] = 3 * 16           # zigzag 1 -> natural 1
+    exp[26] = -1 * 16         # zigzag 18 -> natural (3,2)
+    assert (coefs[0] == exp).all()
+    # and the module's own encoder emits exactly this stuffed stream
+    from queryengine_spark.multimodal.jpeg import _encode_scan
+
+    block = [0] * 64
+    block[0], block[1], block[18] = 5, 3, -1
+    assert _encode_scan([block]) == scan
+
+
+def test_ac_formula_assets_decode_exactly():
+    from queryengine_spark.multimodal.jpeg import (
+        AC_POSITIONS,
+        ZIGZAG_NAT,
+        block_ac,
+        decode_jpeg_coeffs,
+        make_jpeg_ac,
+    )
+
+    for aid in (1, 7, 42, 999, 123457):
+        got = decode_jpeg_coeffs(make_jpeg_ac(aid))
+        bw, bh = jpeg_params(aid)
+        assert got is not None
+        w, h, coefs = got
+        assert (w, h) == (bw * 8, bh * 8) and coefs.shape == (bw * bh, 64)
+        for by in range(bh):
+            for bx in range(bw):
+                exp = np.zeros(64, dtype=np.int64)
+                exp[0] = block_dc(aid, bx, by) * QUANT_DC
+                for p in AC_POSITIONS:
+                    exp[ZIGZAG_NAT[p]] = block_ac(aid, bx, by, p) * 16
+                assert (coefs[by * bw + bx] == exp).all()
+
+
+def test_coeff_decode_of_dc_only_assets():
+    """The coefficient decoder must also handle plain EOB blocks: a
+    DC-only payload yields all-zero AC and the dequantized DC."""
+    from queryengine_spark.multimodal.jpeg import decode_jpeg_coeffs
+
+    aid = 42
+    got = decode_jpeg_coeffs(make_jpeg_dc(aid))
+    assert got is not None
+    bw, bh = jpeg_params(aid)
+    _, _, coefs = got
+    assert coefs.shape == (bw * bh, 64)
+    assert (coefs[:, 1:] == 0).all()
+    for by in range(bh):
+        for bx in range(bw):
+            assert coefs[by * bw + bx, 0] == block_dc(aid, bx, by) * QUANT_DC
+
+
+def test_coeff_roundtrip_property():
+    """Hypothesis: random sparse quantized blocks survive
+    encode→decode bit-exactly (dequantized), including runs that
+    need one or two ZRLs and blocks ending at k=63."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from queryengine_spark.multimodal.jpeg import (
+        ZIGZAG_NAT,
+        _container,
+        _encode_scan,
+        decode_jpeg_coeffs,
+    )
+
+    nonzero = st.integers(-1023, 1023).filter(lambda v: v != 0)
+    block = st.dictionaries(st.integers(1, 63), nonzero, max_size=8).flatmap(
+        lambda acs: st.integers(-1023, 1023).map(lambda dc: (dc, acs))
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(block, min_size=1, max_size=4))
+    def run(blocks):
+        zz = []
+        for dc, acs in blocks:
+            co = [0] * 64
+            co[0] = dc
+            for k, v in acs.items():
+                co[k] = v
+            zz.append(co)
+        payload = _container(len(blocks), 1, _encode_scan(zz))
+        got = decode_jpeg_coeffs(payload)
+        assert got is not None
+        _, _, coefs = got
+        for bi, co in enumerate(zz):
+            exp = np.zeros(64, dtype=np.int64)
+            exp[0] = co[0] * QUANT_DC
+            for k in range(1, 64):
+                exp[ZIGZAG_NAT[k]] = co[k] * 16
+            assert (coefs[bi] == exp).all()
+
+    run()
+
+
+def test_dri_is_refused():
+    from queryengine_spark.multimodal.jpeg import _seg, decode_jpeg_coeffs
+
+    good = make_jpeg_dc(3)
+    # splice a DRI segment right after SOI
+    dri = good[:2] + _seg(0xDD, struct.pack(">H", 4)) + good[2:]
+    assert decode_jpeg_coeffs(dri) is None
+    assert decode_jpeg_dc(dri) is None
