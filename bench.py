@@ -156,6 +156,10 @@ HEADLINE = [
     "text_winsorize",
     "events_transition_matrix",
     "text_novelty_hapax",
+    # round-5 URL/domain curation pack
+    "curation_url_canonicalize",
+    "curation_domain_cap",
+    "curation_domain_overlap",
 ]
 
 

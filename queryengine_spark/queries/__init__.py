@@ -45,6 +45,7 @@ from queryengine_spark.queries import (
     textstats,
     tpch_extra,
     udx,
+    urlsq,
 )
 from queryengine_spark.queries.certification import LAST_CERTIFIED
 
@@ -81,6 +82,8 @@ _MODULES = (
     relational,
     relational2,
     tpch_extra,
+    # round-5 URL/domain curation pack
+    urlsq,
     # ALWAYS LAST: late additions that must not displace queries
     # still waiting for their first driver row (see addenda.py)
     addenda,

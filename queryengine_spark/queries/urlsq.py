@@ -1,0 +1,259 @@
+"""Round-5 URL/domain curation pack — the standard web-corpus
+stages that key on the document's origin rather than its content:
+
+- ``curation_url_canonicalize``: messy URL → canonical form + host +
+  registered domain (``functions/urls.py`` kernels, pure JVM regex);
+- ``curation_domain_cap``: per-domain document quota (smallest-md5
+  draw — replayable, mirroring pipeline_cluster_balanced_sample);
+- ``curation_domain_overlap``: pairwise cross-DOMAIN trigram
+  containment — the domain-keyed twin of
+  ``dedup_cross_source_overlap`` (same hot-trigram guard, same
+  bounded inverted self-join; key = registered domain instead of the
+  source label).
+
+The documents table carries no URL column, so each doc gets a
+deterministic MESSY url synthesized from doc_id arithmetic (uppercase
+scheme/host, planted default and non-default ports, missing paths,
+unsorted query params, fragments). Spark runs the GENERAL
+canonicalizer over the messy strings; the oracle writes the canonical
+result directly from the synthesis formulas — so the driver hash
+certifies that canonicalization undoes exactly the planted mess, the
+same synthesize→operate-for-real→formula-oracle pattern the media
+decoders use.
+
+Scale: canonicalization is map-side; the cap is one window over a
+(doc, domain) shuffle; the overlap join is bounded by
+domains-per-trigram after the df guard. Nothing is data-sized on the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.text import tokenize_ws
+from queryengine_spark.functions.urls import (
+    canonicalize_url,
+    url_domain,
+    url_host,
+)
+from queryengine_spark.plans import spread
+from queryengine_spark.queries.base import t
+
+#: per-domain document quota
+DOMAIN_CAP_K = 10
+#: hot-trigram guard, same role as curation2.SRC_MAX_DF_RATIO
+DOM_MAX_DF_RATIO = 0.05
+
+
+def _s(c: Column) -> Column:
+    return c.cast("string")
+
+
+def _messy_url() -> Column:
+    """Deterministic messy URL for doc_id d (every branch mirrored in
+    the oracle formulas): uppercase-mixed scheme (d%3) and host
+    casing; default port planted when d%5==0 (80/443 matching the
+    scheme — must be stripped), explicit :8080 kept when d%5==1;
+    empty path when d%6==0 (must normalize to '/'); query params in
+    REVERSE order when d%2==1 (must sort); fragment when d%4==0
+    (must strip)."""
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("HTTP"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("HtTpS"))
+    )
+    host = F.concat(
+        F.lit("WWW.Site"), _s(d % 7), F.lit(".Dom"), _s(d % 11), F.lit(".COM")
+    )
+    port = (
+        F.when((d % 5 == 0) & (d % 3 == 0), F.lit(":80"))
+        .when(d % 5 == 0, F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(d % 6 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p"), _s(d % 4), F.lit("/x"))
+    )
+    query = F.when(d % 2 == 1, F.concat(F.lit("?z="), _s(d % 10), F.lit("&a="), _s(d % 9))).otherwise(F.lit(""))
+    frag = F.when(d % 4 == 0, F.concat(F.lit("#sec"), _s(d))).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def _with_url(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").withColumn("url_raw", _messy_url())
+
+
+def curation_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    d = _with_url(spark, sf)
+    host = url_host(F.col("url_raw"))
+    return d.select(
+        "doc_id",
+        canonicalize_url(F.col("url_raw")).alias("url_canon"),
+        host.alias("host"),
+        url_domain(host).alias("domain"),
+    )
+
+
+#: canonical components written straight from the synthesis formulas
+_SCHEME_C = "CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END"
+_HOST_C = (
+    "'www.site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.dom' || CAST(doc_id % 11 AS VARCHAR) || '.com'"
+)
+_PORT_C = "CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END"
+_PATH_C = (
+    "CASE WHEN doc_id % 6 = 0 THEN '/'"
+    " ELSE '/p' || CAST(doc_id % 4 AS VARCHAR) || '/x' END"
+)
+_QUERY_C = (
+    "CASE WHEN doc_id % 2 = 1 THEN '?a=' || CAST(doc_id % 9 AS VARCHAR)"
+    " || '&z=' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END"
+)
+_DOMAIN_C = "'dom' || CAST(doc_id % 11 AS VARCHAR) || '.com'"
+
+URL_CANONICALIZE_SQL = f"""
+SELECT doc_id,
+       {_SCHEME_C} || '://' || {_HOST_C} || {_PORT_C} || {_PATH_C} || {_QUERY_C}
+         AS url_canon,
+       {_HOST_C} AS host,
+       {_DOMAIN_C} AS domain
+FROM documents
+"""
+
+
+def curation_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document quota: keep the DOMAIN_CAP_K smallest-md5
+    docs per registered domain (replayable — re-running on the same
+    corpus keeps the same docs; adding docs can only displace at the
+    quota boundary). Output is the per-domain audit: total docs,
+    kept docs, and the checksum of kept ids so the hash certifies
+    WHICH docs survived, not just how many."""
+    d = _with_url(spark, sf)
+    dom = d.select(
+        "doc_id", url_domain(url_host(F.col("url_raw"))).alias("domain")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = dom.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("rn") <= DOMAIN_CAP_K).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= DOMAIN_CAP_K, F.col("doc_id"))).cast("bigint").alias("kept_checksum"),
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+WITH u AS (SELECT doc_id, {_DOMAIN_C} AS domain FROM documents),
+r AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM u)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP_K} THEN doc_id END) AS BIGINT) AS kept_checksum
+FROM r GROUP BY domain
+"""
+
+
+def curation_domain_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise cross-DOMAIN contamination matrix — the domain-keyed
+    twin of curation2.dedup_cross_source_overlap: distinct word
+    trigrams per registered domain after the hot-trigram df guard,
+    inverted self-join bounded by domains-per-trigram (≤ 11 here, ≤
+    |domains| always), ppm containment of the smaller side. Output ≤
+    |domains|² rows — a dashboard relation."""
+    d = _with_url(spark, sf)
+    from queryengine_spark.queries.pipelines import _word_trigrams
+
+    toks = tokenize_ws(F.lower(F.col("text")))
+    tri = (
+        spread(d)
+        .select(
+            "doc_id",
+            url_domain(url_host(F.col("url_raw"))).alias("domain"),
+            F.explode(F.array_distinct(_word_trigrams(toks))).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tri.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        dfreq.crossJoin(F.broadcast(tot))
+        .filter(F.col("df") > DOM_MAX_DF_RATIO * F.col("n_docs"))
+        .select("sh")
+    )
+    ssh = (
+        tri.join(F.broadcast(hot), "sh", "left_anti")
+        .select("domain", "sh")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ns = ssh.groupBy("domain").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = ssh.select(F.col("domain").alias("domain_a"), "sh")
+    b = ssh.select(F.col("domain").alias("domain_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("domain_a") < F.col("domain_b"))
+        .groupBy("domain_a", "domain_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(ns.select(F.col("domain").alias("domain_a"), F.col("n").alias("n_a"))),
+            "domain_a",
+        )
+        .join(
+            F.broadcast(ns.select(F.col("domain").alias("domain_b"), F.col("n").alias("n_b"))),
+            "domain_b",
+        )
+        .select(
+            "domain_a",
+            "domain_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_shared) div least(n_a, n_b)").alias("containment_ppm"),
+        )
+    )
+
+
+# DuckDB-side whitespace tokens matching functions.text.tokenize_ws
+_TOKS = (
+    "list_filter(string_split_regex(regexp_replace({c}, '^\\s+|\\s+$', '', 'g'),"
+    " '\\s+'), t0 -> t0 <> '')"
+)
+
+DOMAIN_OVERLAP_SQL = f"""
+WITH d AS (SELECT doc_id, {_DOMAIN_C} AS domain,
+                  {_TOKS.format(c="lower(text)")} AS toks FROM documents),
+tri AS (SELECT doc_id, domain,
+        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+        FROM d),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+ssh AS (SELECT DISTINCT t.domain, t.sh
+        FROM tri t JOIN dfreq f ON t.sh = f.sh, tot
+        WHERE f.df <= {DOM_MAX_DF_RATIO} * tot.n_docs),
+ns AS (SELECT domain, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY domain),
+shared AS (SELECT a.domain AS domain_a, b.domain AS domain_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+           FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.domain < b.domain
+           GROUP BY a.domain, b.domain)
+SELECT s.domain_a, s.domain_b, s.n_shared, na.n AS n_a, nb.n AS n_b,
+       (1000000 * s.n_shared) // least(na.n, nb.n) AS containment_ppm
+FROM shared s
+JOIN ns na ON s.domain_a = na.domain
+JOIN ns nb ON s.domain_b = nb.domain
+"""
+
+
+QUERIES = {
+    "curation_url_canonicalize": (curation_url_canonicalize, URL_CANONICALIZE_SQL),
+    "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),
+    "curation_domain_overlap": (curation_domain_overlap, DOMAIN_OVERLAP_SQL),
+}

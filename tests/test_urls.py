@@ -1,0 +1,55 @@
+"""URL canonicalization kernels pinned on hand-written messy URLs —
+independent of the query synthesis formulas, so a matched
+synthesizer/canonicalizer bug pair cannot cancel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from queryengine_spark.functions.urls import (
+    canonicalize_url,
+    url_domain,
+    url_host,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM/a/b", "http://www.example.com/a/b"),
+    ("https://host.com:443/x", "https://host.com/x"),       # default port strip
+    ("http://host.com:80/", "http://host.com/"),
+    ("http://host.com:8080/x", "http://host.com:8080/x"),   # explicit port kept
+    ("https://Host.com", "https://host.com/"),              # empty path -> /
+    ("http://h.com/p?z=1&a=2", "http://h.com/p?a=2&z=1"),   # query sort
+    ("http://h.com/p?single=1", "http://h.com/p?single=1"),
+    ("http://h.com/p#frag", "http://h.com/p"),              # fragment strip
+    ("HtTpS://A.B.C.com:9999/P/Q?b=2&a=1#x", "https://a.b.c.com:9999/P/Q?a=1&b=2"),
+]
+
+
+def test_canonicalize_hand_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["u"])
+    got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
+    assert got == [c for _, c in CASES]
+
+
+def test_host_and_domain(spark):
+    rows = [
+        ("http://WWW.News.Site.CO:80/x", "www.news.site.co", "site.co"),
+        ("https://abc.com/", "abc.com", "abc.com"),
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], ["u"])
+    host = url_host(F.col("u"))
+    got = df.select(host.alias("h"), url_domain(host).alias("d")).collect()
+    assert [(r["h"], r["d"]) for r in got] == [(h, d) for _, h, d in rows]
+
+
+def test_path_case_preserved_query_sorted_stable(spark):
+    """Path case must survive (only scheme/host lowercase); sorting
+    is idempotent: canonicalize(canonicalize(u)) == canonicalize(u)."""
+    raw = "HTTPS://X.Com/CaseSensitive/Path?c=3&b=2&a=1#f"
+    df = spark.createDataFrame([(raw,)], ["u"])
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c2"))
+    c1 = once.collect()[0]["c"]
+    assert c1 == "https://x.com/CaseSensitive/Path?a=1&b=2&c=3"
+    assert twice.collect()[0]["c2"] == c1
