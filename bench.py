@@ -160,6 +160,9 @@ HEADLINE = [
     "curation_url_canonicalize",
     "curation_domain_cap",
     "curation_domain_overlap",
+    # round-5: persistent IVF-PQ index (build + read-path query; at
+    # real scale the build amortizes to zero — see annindex docstring)
+    "knn_pq_index",
 ]
 
 

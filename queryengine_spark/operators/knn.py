@@ -650,21 +650,47 @@ def ivf_pq_topk(
     cents = kmeans_centroids_int(sample[:sample_n], n_cells, train_iters)
     books = pq_train_codebooks(sample[:pq_sample_n], m, ksub, train_iters, dim)
     assign1 = ivf_cells_int_udf(cents, 1)
-    assignp = ivf_cells_int_udf(cents, nprobe)
     codes = pq_codes_udf(books)
-    adc = adc_score_udf(books)
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
         codes(F.col(vec_col)).alias("codes"),
     ).filter(F.col("codes").isNotNull())
+    cand_vecs = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    return pq_score_rank(
+        queries, c, cents, books, id_col, vec_col,
+        k=k, nprobe=nprobe, rerank_r=rerank_r, cand_vecs=cand_vecs,
+    )
+
+
+def pq_score_rank(
+    queries: DataFrame,
+    coded: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+    rerank_r: int | None,
+    cand_vecs: DataFrame | None,
+) -> DataFrame:
+    """Shared IVF-PQ scoring tail: probe-cell join against an
+    ALREADY-ENCODED candidate relation (neighbor_id, cell, codes) —
+    used by in-session :func:`ivf_pq_topk` and by the persistent-
+    index read path (operators/annindex.py), so both produce
+    bit-identical results from the same centroids/codebooks."""
+    assignp = ivf_cells_int_udf(cents, nprobe)
+    adc = adc_score_udf(books)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(assignp(F.col(vec_col))).alias("cell"),
     )
     scored = (
-        c.join(q, "cell")
+        coded.join(q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", adc(F.col("q_vec"), F.col("codes")))
         # the ADC UDF emits NaN for malformed inputs or a zero-norm
@@ -693,10 +719,9 @@ def ivf_pq_topk(
         [F.col("score").desc(), F.col("neighbor_id").asc()],
         rerank_r,
     ).select("query_id", "neighbor_id", "q_vec")
-    cv = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    exact = shortlist.join(cv, "neighbor_id").withColumn(
+    if cand_vecs is None:
+        raise ValueError("rerank_r requires cand_vecs (full-vector relation)")
+    exact = shortlist.join(cand_vecs, "neighbor_id").withColumn(
         "cosine", cosine_similarity("q_vec", "c_vec")
     )
     top = grouped_topk(

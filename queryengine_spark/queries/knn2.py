@@ -185,9 +185,57 @@ topk AS (
 """
 
 
+def knn_pq_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-once/query-many (r5): persist the trained IVF-PQ index
+    as a parquet artifact (operators/annindex.py — centroids,
+    codebooks, cell-PARTITIONED 16-byte codes), then answer the
+    queries FROM THE ARTIFACT with zero retraining and zero sample
+    collects. Same parameters and the same shared scoring tail as
+    knn_pq_rerank, so the ANN result is bit-identical to it — the
+    oracle is therefore the rerank oracle (minus the folded recall
+    column), which certifies the whole write→read→query roundtrip:
+    any loss in the parquet round-trip of centroids, codebooks or
+    codes would break the hash. At real scale the build is the
+    one-time cost (BASELINE.md's codebook argument) and THIS query
+    is the recurring one."""
+    import os
+
+    from queryengine_spark.operators.annindex import (
+        ivf_pq_topk_from_index,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    e = t(spark, sf, "embeddings")
+    path = f"/tmp/qe-annindex-{os.path.basename(os.path.normpath(sf))}"
+    write_pq_index(
+        e, "vec_id", "embedding",
+        path,
+        n_cells=N_CELLS, m=PQ_M, ksub=PQ_KSUB, dim=DIM,
+        sample_n=SAMPLE_N, pq_sample_n=PQ_SAMPLE_N, train_iters=KMEANS_ITERS,
+    )
+    idx = read_pq_index(spark, path)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_topk_from_index(
+        queries, idx, "vec_id", "embedding",
+        k=K_LSH, nprobe=NPROBE, rerank_r=RERANK_R, candidates=e,
+    )
+
+
+KNN_PQ_INDEX_SQL = f"""{_pq_cte()}{_SHORT_CTE}
+SELECT query_id, neighbor_id,
+       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+FROM rer
+QUALIFY rn <= {K_LSH}
+"""
+
+
 # r5 fold: knn_pq_recall is gone — recall@3 vs brute force is an
 # output COLUMN of knn_pq_rerank now (certified inside the parent).
 QUERIES = {
     "knn_pq": (knn_pq, KNN_PQ_SQL),
     "knn_pq_rerank": (knn_pq_rerank, KNN_PQ_RERANK_SQL),
+    "knn_pq_index": (knn_pq_index, KNN_PQ_INDEX_SQL),
 }
