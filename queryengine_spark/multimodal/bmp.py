@@ -71,10 +71,13 @@ def make_bmp(asset_id: int) -> bytes:
 
 def decode_bmp(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 3) uint8 RGB array (top-down), or None for
-    anything that is not a well-formed uncompressed 24-bit BMP.
-    Handles the on-disk realities: pixel-data offset from the file
-    header, 4-byte row padding, bottom-up row order, BGR channel
-    order, and (per spec) negative height = top-down storage."""
+    anything that is not a well-formed uncompressed 24-bit or 8-bit
+    paletted BMP. Handles the on-disk realities: pixel-data offset
+    from the file header, 4-byte row padding, bottom-up row order,
+    BGR channel order, (per spec) negative height = top-down storage,
+    and for bpp=8 the BGRX color table after the info header with
+    biClrUsed=0 meaning a full 256-entry palette (r5 extension —
+    grayscale is just the identity-gray palette)."""
     if len(b) < 54 or b[:2] != b"BM":
         return None
     try:
@@ -82,22 +85,95 @@ def decode_bmp(b: bytes) -> np.ndarray | None:
         hdr_size, w, h_signed = struct.unpack("<Iii", b[14:26])
         planes, bpp = struct.unpack("<HH", b[26:30])
         compression = struct.unpack("<I", b[30:34])[0]
+        clr_used = struct.unpack("<I", b[46:50])[0]
     except struct.error:
         return None
-    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+    if hdr_size < 40 or planes != 1 or bpp not in (8, 24) or compression != 0:
         return None
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
     if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
         return None
-    stride = (w * 3 + 3) & ~3
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        if off + stride * h > len(b):
+            return None
+        raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, ::-1]  # BGR → RGB
+    # bpp == 8: color table (BGRX entries) sits right after the info
+    # header; indices look colors up
+    n_colors = clr_used or 256
+    pal_off = 14 + hdr_size
+    if n_colors > 256 or pal_off + 4 * n_colors > len(b):
+        return None
+    pal = np.frombuffer(b, dtype=np.uint8, count=4 * n_colors, offset=pal_off)
+    pal = pal.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX → RGB
+    stride = (w + 3) & ~3
     if off + stride * h > len(b):
         return None
     raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
-    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    idx = raw.reshape(h, stride)[:, :w]
+    if idx.max() >= n_colors:
+        return None
+    rows = pal[idx]
     if not top_down:
         rows = rows[::-1]
-    return rows[:, :, ::-1]  # BGR → RGB
+    return rows
+
+
+#: 8-bit palette/index synthesis formulas (mirrored in the oracle)
+PAL_R_MULT, PAL_G_MULT, PAL_G_A, PAL_B_MULT, PAL_B_OFF = 7, 13, 2, 29, 5
+IDX_Y_MULT = 3
+
+
+def bmp8_palette(asset_id: int, j: int) -> tuple[int, int, int]:
+    """(r, g, b) of palette entry j — linear-mod formulas the oracle
+    recomputes symbolically."""
+    return (
+        (j * PAL_R_MULT + asset_id) % 256,
+        (j * PAL_G_MULT + PAL_G_A * asset_id) % 256,
+        (j * PAL_B_MULT + PAL_B_OFF) % 256,
+    )
+
+
+def bmp8_index(asset_id: int, x: int, y: int) -> int:
+    return (x + IDX_Y_MULT * y + asset_id) % 256
+
+
+def make_bmp8_paletted(
+    w: int, h: int, palette: list[tuple[int, int, int]], idx_rows: list[list[int]]
+) -> bytes:
+    """Generic spec-valid 8-bit paletted BMP (BGRX color table,
+    4-byte-aligned index rows, bottom-up) — used by the formula
+    synthesizer below and directly by the property tests, so the
+    container layout is exercised with arbitrary palettes/indices,
+    not only formula ones."""
+    n_colors = len(palette)
+    stride = (w + 3) & ~3
+    img_size = stride * h
+    off = 14 + 40 + 4 * n_colors
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, img_size, 2835, 2835, n_colors, 0
+    )
+    pal = b"".join(bytes((bb, gg, rr, 0)) for rr, gg, bb in palette)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytes(idx_rows[y]) + b"\x00" * (stride - w)
+        rows.append(row)
+    return file_hdr + info_hdr + pal + b"".join(rows)
+
+
+def make_bmp8(asset_id: int) -> bytes:
+    """Formula 8-bit paletted BMP: same dims as the 24-bit twin,
+    palette and indices from the bmp8_* formulas."""
+    w, h = bmp_params(asset_id)
+    palette = [bmp8_palette(asset_id, j) for j in range(256)]
+    idx_rows = [[bmp8_index(asset_id, x, y) for x in range(w)] for y in range(h)]
+    return make_bmp8_paletted(w, h, palette, idx_rows)
 
 
 BMP_ASSET_SCHEMA = StructType(
@@ -188,10 +264,46 @@ def make_pcm_wav(asset_id: int) -> bytes:
     data = b"".join(
         struct.pack("<h", _sample(asset_id, i)) for i in range(n)
     )
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return _wav_container(rate, 16, data)
+
+
+def _wav_container(rate: int, bits: int, data: bytes) -> bytes:
+    width = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * width, width, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:  # RIFF chunks are word-aligned
+        body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+#: 24-bit waveform formula constants (mirrored in the oracle)
+WAV24_A_MULT, WAV24_I_MULT = 7919, 104729
+WAV24_MOD, WAV24_HALF = 1 << 24, 1 << 23
+
+
+def _sample24(asset_id: int, i: int) -> int:
+    """int24 PCM sample i of the synthetic waveform — full 24-bit
+    signed range, the formula the oracle recomputes symbolically."""
+    return (asset_id * WAV24_A_MULT + i * WAV24_I_MULT) % WAV24_MOD - WAV24_HALF
+
+
+def pack_int24(samples: list[int]) -> bytes:
+    """Little-endian signed 24-bit packing (3 bytes per sample)."""
+    out = bytearray()
+    for s in samples:
+        u = s & 0xFFFFFF
+        out += bytes((u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF))
+    return bytes(out)
+
+
+def make_pcm_wav24(asset_id: int) -> bytes:
+    """Complete mono 24-bit PCM WAV with deterministic samples (r5
+    decoder-breadth extension; note an ODD byte count when n_samples
+    is odd — the container pads the RIFF chunk, exercising the
+    word-alignment path the 16-bit twin never hits)."""
+    rate, n = wav_audio_params(asset_id)
+    return _wav_container(rate, 24, pack_int24([_sample24(asset_id, i) for i in range(n)]))
 
 
 def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
@@ -221,10 +333,17 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data is None or channels != 1 or bits != 16:
+    if rate is None or data is None or channels != 1 or bits not in (16, 24):
         return None
-    n = len(data) // 2
-    return int(rate), np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    if bits == 16:
+        n = len(data) // 2
+        return int(rate), np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    # 24-bit: assemble 3 little-endian bytes, then sign-extend from
+    # bit 23 (r5 extension)
+    n = len(data) // 3
+    raw = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(n, 3).astype(np.int64)
+    u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+    return int(rate), u - (u >= (1 << 23)) * (1 << 24)
 
 
 WAV_STATS_SCHEMA = StructType(
@@ -247,6 +366,43 @@ def synthesize_pcm_wav(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 {
                     "asset_id": pd.Series(ids_, dtype="int64"),
                     "payload": [make_pcm_wav(a) for a in ids_],
+                }
+            )
+
+    return ids.mapInPandas(run, BMP_ASSET_SCHEMA)
+
+
+def synthesize_bmp_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Even asset_ids → 24-bit BI_RGB, odd → 8-bit paletted (r5)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [
+                        make_bmp(a) if a % 2 == 0 else make_bmp8(a) for a in ids_
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(run, BMP_ASSET_SCHEMA)
+
+
+def synthesize_wav_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Even asset_ids → 16-bit PCM, odd → 24-bit PCM (r5)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [
+                        make_pcm_wav(a) if a % 2 == 0 else make_pcm_wav24(a)
+                        for a in ids_
+                    ],
                 }
             )
 

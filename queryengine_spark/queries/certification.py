@@ -62,6 +62,10 @@ VOID: dict[str, int] = {
     # round 5: mixed-asset relation gained PNG/GIF/JPEG legs and
     # extract_features routes by magic bytes through all real decoders:
     "multimodal_features": 4,
+    # round 5: decoder breadth — odd ids now carry 8-bit paletted BMP
+    # / 24-bit PCM WAV legs:
+    "multimodal_bmp_decode": 4,
+    "multimodal_wav_decode": 4,
 }
 
 

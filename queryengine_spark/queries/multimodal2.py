@@ -18,15 +18,28 @@ from pyspark.sql import functions as F
 from queryengine_spark.multimodal.bmp import (
     BMP_H_MOD,
     BMP_W_MOD,
+    IDX_Y_MULT,
+    PAL_B_MULT,
+    PAL_B_OFF,
+    PAL_G_A,
+    PAL_G_MULT,
+    PAL_R_MULT,
     bmp_pixel_stats,
-    synthesize_bmp,
+    synthesize_bmp_mixed,
 )
 from queryengine_spark.queries.base import t
 
 
 def multimodal_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed BMP profiles (r5): even asset_ids are 24-bit BI_RGB,
+    odd are 8-bit PALETTED (BGRX color table, index rows) — both
+    decoded by the same decode_bmp through its bpp dispatch. The
+    oracle recomputes channel sums from the pixel formula (24-bit
+    legs) and from palette[index] composition (8-bit legs), so the
+    hash certifies stride padding, bottom-up flip, BGR(X) ordering
+    AND the palette-lookup path."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return bmp_pixel_stats(synthesize_bmp(ids))
+    return bmp_pixel_stats(synthesize_bmp_mixed(ids))
 
 
 MULTIMODAL_BMP_DECODE_SQL = f"""
@@ -37,11 +50,20 @@ dims AS (SELECT asset_id,
          FROM ids),
 px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
+idx AS (SELECT asset_id, w, h, x, y,
+               (x + {IDX_Y_MULT} * y + asset_id) % 256 AS j
+        FROM px),
 sums AS (SELECT asset_id, w, h,
-                CAST(SUM((x * y + asset_id) % 256) AS BIGINT) AS sum_r,
-                CAST(SUM((asset_id + y) % 256) AS BIGINT) AS sum_g,
-                CAST(SUM((asset_id + x) % 256) AS BIGINT) AS sum_b
-         FROM px GROUP BY asset_id, w, h)
+                CAST(SUM(CASE WHEN asset_id % 2 = 0
+                     THEN (x * y + asset_id) % 256
+                     ELSE (j * {PAL_R_MULT} + asset_id) % 256 END) AS BIGINT) AS sum_r,
+                CAST(SUM(CASE WHEN asset_id % 2 = 0
+                     THEN (asset_id + y) % 256
+                     ELSE (j * {PAL_G_MULT} + {PAL_G_A} * asset_id) % 256 END) AS BIGINT) AS sum_g,
+                CAST(SUM(CASE WHEN asset_id % 2 = 0
+                     THEN (asset_id + x) % 256
+                     ELSE (j * {PAL_B_MULT} + {PAL_B_OFF}) % 256 END) AS BIGINT) AS sum_b
+         FROM idx GROUP BY asset_id, w, h)
 SELECT asset_id, w AS width, h AS height,
        CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b
 FROM sums
@@ -54,21 +76,26 @@ QUERIES = {
 
 
 def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Audio twin of the BMP path: synthesize mono 16-bit PCM WAV
-    with a deterministic waveform, decode it for REAL (RIFF chunk
-    walk + int16 sample extraction), aggregate exact integer
-    amplitude stats; the oracle recomputes them from the waveform
-    formula."""
+    """Audio twin of the BMP path, mixed bit depths (r5): even
+    asset_ids are mono 16-bit PCM, odd are mono 24-BIT PCM (3-byte
+    little-endian samples with sign extension from bit 23, plus the
+    RIFF word-alignment pad an odd byte count forces). Both decode
+    through the same RIFF chunk walk; the oracle recomputes the
+    amplitude stats from each leg's waveform formula."""
     from queryengine_spark.multimodal.bmp import (
-        synthesize_pcm_wav,
+        synthesize_wav_mixed,
         wav_sample_stats,
     )
 
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return wav_sample_stats(synthesize_pcm_wav(ids))
+    return wav_sample_stats(synthesize_wav_mixed(ids))
 
 
 from queryengine_spark.multimodal.bmp import (  # noqa: E402
+    WAV24_A_MULT,
+    WAV24_HALF,
+    WAV24_I_MULT,
+    WAV24_MOD,
     WAV_A_MULT,
     WAV_I_MULT,
     WAV_N_MOD,
@@ -82,7 +109,10 @@ par AS (SELECT asset_id,
                CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n_samples
         FROM ids),
 smp AS (SELECT asset_id, sample_rate, n_samples,
-               (asset_id * {WAV_A_MULT} + CAST(t.i AS BIGINT) * {WAV_I_MULT}) % {WAV_S_MOD} - 32768 AS s
+               CASE WHEN asset_id % 2 = 0
+               THEN (asset_id * {WAV_A_MULT} + CAST(t.i AS BIGINT) * {WAV_I_MULT}) % {WAV_S_MOD} - 32768
+               ELSE (asset_id * {WAV24_A_MULT} + CAST(t.i AS BIGINT) * {WAV24_I_MULT}) % {WAV24_MOD} - {WAV24_HALF}
+               END AS s
         FROM par, unnest(range(0, n_samples)) t(i))
 SELECT asset_id, sample_rate, n_samples,
        CAST(SUM(s) AS BIGINT) AS sum_amp,

@@ -61,3 +61,105 @@ def test_jpeg_dc_category_sign_extension_roundtrip(diff):
     # decoder side (decode_jpeg_dc inlines this)
     back = bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
     assert back == diff
+
+
+# --- r5 decoder breadth: 8-bit paletted BMP, 24-bit PCM WAV ----------------
+
+
+@given(
+    st.integers(2, 12),
+    st.integers(1, 6),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp8_palette_roundtrip(w, h, data):
+    """Arbitrary palette + index rows survive the 8-bit container:
+    decode(make) == palette[idx], exercising stride padding and the
+    bottom-up flip with non-formula content."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.bmp import decode_bmp, make_bmp8_paletted
+
+    n_colors = data.draw(st.integers(2, 256))
+    palette = [
+        (data.draw(st.integers(0, 255)), data.draw(st.integers(0, 255)),
+         data.draw(st.integers(0, 255)))
+        for _ in range(n_colors)
+    ]
+    idx_rows = [
+        [data.draw(st.integers(0, n_colors - 1)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    img = decode_bmp(make_bmp8_paletted(w, h, palette, idx_rows))
+    assert img is not None and img.shape == (h, w, 3)
+    exp = np.array([[palette[j] for j in row] for row in idx_rows], dtype=np.uint8)
+    assert (img == exp).all()
+
+
+@given(st.lists(st.integers(-(1 << 23), (1 << 23) - 1), max_size=33))
+@settings(max_examples=60, deadline=None)
+def test_wav24_roundtrip(samples):
+    """Random int24 samples survive pack → container → RIFF walk →
+    sign extension, including odd byte counts (word-alignment pad)."""
+    from queryengine_spark.multimodal.bmp import (
+        _wav_container,
+        decode_pcm_wav,
+        pack_int24,
+    )
+
+    dec = decode_pcm_wav(_wav_container(16000, 24, pack_int24(samples)))
+    assert dec is not None
+    rate, got = dec
+    assert rate == 16000 and list(got) == samples
+
+
+def test_bmp8_hand_vector():
+    """Hand-laid 2x2 8-bit BMP: explicit header bytes, 2-entry
+    palette, bottom-up index rows with stride padding — decoded
+    against hand-derived RGB (so a builder/decoder bug pair cannot
+    cancel)."""
+    import struct
+
+    import numpy as np
+
+    from queryengine_spark.multimodal.bmp import decode_bmp
+
+    # palette: entry 0 = red (stored BGRX 00 00 FF 00),
+    #          entry 1 = blue (stored FF 00 00 00)
+    pal = bytes([0x00, 0x00, 0xFF, 0x00, 0xFF, 0x00, 0x00, 0x00])
+    # image (top-down logical): row0 = [0, 1], row1 = [1, 0]
+    # stored bottom-up, stride 4: row1 first
+    pix = bytes([1, 0, 0, 0]) + bytes([0, 1, 0, 0])
+    off = 14 + 40 + 8
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(pix), 0, 0, 2, 0)
+    img = decode_bmp(hdr + info + pal + pix)
+    assert img is not None
+    exp = np.array(
+        [[[255, 0, 0], [0, 0, 255]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    assert (img == exp).all()
+
+
+def test_wav24_hand_vector():
+    """Hand-packed 24-bit samples: +1 = 01 00 00, -1 = FF FF FF,
+    -8388608 = 00 00 80 (sign bit), 8388607 = FF FF 7F."""
+    from queryengine_spark.multimodal.bmp import _wav_container, decode_pcm_wav
+
+    data = bytes(
+        [0x01, 0x00, 0x00, 0xFF, 0xFF, 0xFF, 0x00, 0x00, 0x80, 0xFF, 0xFF, 0x7F]
+    )
+    dec = decode_pcm_wav(_wav_container(8000, 24, data))
+    assert dec is not None
+    rate, got = dec
+    assert rate == 8000 and list(got) == [1, -1, -8388608, 8388607]
+
+
+def test_bmp8_out_of_range_index_refused():
+    from queryengine_spark.multimodal.bmp import decode_bmp, make_bmp8_paletted
+
+    b = bytearray(make_bmp8_paletted(2, 1, [(1, 2, 3), (4, 5, 6)], [[0, 1]]))
+    # second PIXEL byte (not the stride padding, which is ignored):
+    # pixel rows start at the declared data offset 14 + 40 + 4*2
+    b[14 + 40 + 8 + 1] = 7  # index past the declared 2-color palette
+    assert decode_bmp(bytes(b)) is None
