@@ -405,6 +405,40 @@ JOIN ns nb ON s.source_b = nb.source
 """
 
 
+#: suffix-array span window (power of 2 — 3 prefix-doubling rounds)
+SA_WINDOW = 8
+
+
+def curation_repeated_spans_sa(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed SUFFIX-ARRAY repeated-span detection
+    (operators/suffix.py, r5): prefix doubling ranks every corpus
+    position by its first SA_WINDOW tokens in log2(W) rank-join
+    rounds — no n-gram string is ever materialized — then rank
+    classes of size ≥ 2 are the repeated spans (including
+    intra-document repeats, the upgrade over span_scrub's
+    cross-document distinct-doc count). The oracle IS the n-gram
+    formulation (DuckDB materializes the 8-gram strings and counts
+    occurrences), so the driver hash certifies the suffix-array
+    construction is position-for-position equivalent to the direct
+    method while shuffling only fixed-width ranks."""
+    from queryengine_spark.operators.suffix import repeated_spans_sa
+
+    return repeated_spans_sa(
+        t(spark, sf, "documents"), "doc_id", "text", window=SA_WINDOW
+    )
+
+
+REPEATED_SPANS_SA_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(c="lower(text)")} AS toks FROM documents),
+grams AS (SELECT doc_id, CAST(t.i AS INT) AS pos,
+          array_to_string(list_slice(toks, t.i + 1, t.i + {SA_WINDOW}), ' ') AS g
+          FROM d, unnest(range(0, len(toks) - {SA_WINDOW} + 1)) t(i)),
+cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_dup FROM grams GROUP BY g)
+SELECT doc_id, pos, n_dup
+FROM grams JOIN cnt USING (g) WHERE n_dup >= 2
+"""
+
+
 QUERIES = {
     "pipeline_sequence_packing": (pipeline_sequence_packing, SEQUENCE_PACKING_SQL),
     "text_outlier_mad": (text_outlier_mad, OUTLIER_MAD_SQL),
@@ -412,5 +446,9 @@ QUERIES = {
     "dedup_cross_source_overlap": (
         dedup_cross_source_overlap,
         CROSS_SOURCE_OVERLAP_SQL,
+    ),
+    "curation_repeated_spans_sa": (
+        curation_repeated_spans_sa,
+        REPEATED_SPANS_SA_SQL,
     ),
 }
