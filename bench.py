@@ -35,7 +35,7 @@ HEADLINE = [
     "join_theta",
     "join_broadcast_dims",
     "window_topk_orders_per_customer",
-    "window_running_total",
+    "window_basic_suite",
     "setop_suite",
     "agg_grouping_suite",
     "fuzzy_candidates_coverage",

@@ -674,6 +674,56 @@ FROM part
 """
 
 
+def window_basic_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Running frame-sum + lag delta + rank/dense_rank in one tagged
+    relation (r5 fold of window_running_total / window_lag_delta /
+    window_rank_dense — each leg unchanged on its original table and
+    window; legs coerced to a common (src, k1, k2, v, v2) shape)."""
+    run = window_running_total(spark, sf).select(
+        F.lit("running_total").alias("src"),
+        F.col("o_custkey").cast("string").alias("k1"),
+        F.col("o_orderkey").cast("bigint").alias("k2"),
+        F.col("running_spend").alias("v"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    lag = window_lag_delta(spark, sf).select(
+        F.lit("lag_delta").alias("src"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_id").cast("bigint").alias("k2"),
+        F.col("value_delta").alias("v"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    rnk = window_rank_dense(spark, sf).select(
+        F.lit("rank_dense").alias("src"),
+        F.col("p_brand").alias("k1"),
+        F.col("p_partkey").cast("bigint").alias("k2"),
+        F.col("price_rank").cast("double").alias("v"),
+        F.col("price_dense_rank").cast("double").alias("v2"),
+    )
+    return run.unionByName(lag).unionByName(rnk)
+
+
+WINDOW_SUITE_SQL = f"""
+SELECT 'running_total' AS src, CAST(o_custkey AS VARCHAR) AS k1,
+       CAST(o_orderkey AS BIGINT) AS k2,
+       SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0 AS v,
+       CAST(NULL AS DOUBLE) AS v2
+FROM orders
+UNION ALL
+SELECT 'lag_delta', CAST(user_id AS VARCHAR), CAST(event_id AS BIGINT),
+       {sql_fround("value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)", 6)},
+       CAST(NULL AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'rank_dense', p_brand, CAST(p_partkey AS BIGINT),
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS DOUBLE),
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS DOUBLE)
+FROM part
+"""
+
+
 # --- set ops -----------------------------------------------------------------
 
 def setop_union(spark: SparkSession, sf: str) -> DataFrame:
@@ -902,9 +952,9 @@ QUERIES = {
     "join_theta": (join_theta, JOIN_THETA_SQL),
     "join_outer_order_counts": (join_outer_order_counts, JOIN_OUTER_SQL),
     "window_topk_orders_per_customer": (window_topk_orders_per_customer, WINDOW_TOPK_SQL),
-    "window_running_total": (window_running_total, WINDOW_RUNNING_SQL),
-    "window_lag_delta": (window_lag_delta, WINDOW_LAG_SQL),
-    "window_rank_dense": (window_rank_dense, WINDOW_RANK_SQL),
+    # r5 fold: the three basic window queries run inside one tagged
+    # relation now (same windows on their original tables)
+    "window_basic_suite": (window_basic_suite, WINDOW_SUITE_SQL),
     # r5 fold: the three set operators run inside one tagged relation
     "setop_suite": (setop_suite, SETOP_SUITE_SQL),
     "sort_limit_top10": (sort_limit_top10, SORT_LIMIT_SQL),

