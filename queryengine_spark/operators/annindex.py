@@ -82,6 +82,28 @@ def write_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_to_pq_index(
+    new_batch: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Incremental ingest — the other half of build-once/query-many:
+    encode a NEW batch with the EXISTING centroids/codebooks (no
+    retraining; quantizer drift is a reindex decision, not an ingest
+    side effect — FAISS add() semantics) and append its codes to the
+    cell-partitioned relation. Queries over the updated index equal
+    in-session scoring over the unioned corpus with the original
+    training state (tests/test_annindex.py pins it)."""
+    spark = new_batch.sparkSession
+    idx = read_pq_index(spark, path)
+    assign1 = ivf_cells_int_udf(idx["cents"], 1)
+    codes = pq_codes_udf(idx["books"])
+    enc = new_batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+        codes(F.col(vec_col)).alias("codes"),
+    ).filter(F.col("codes").isNotNull())
+    enc.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
 def read_pq_index(spark: SparkSession, path: str) -> dict:
     """Load the artifact: centroids/codebooks into driver state
     (k·dim and m·ksub·sub ints — broadcast-sized by construction,

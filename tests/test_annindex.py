@@ -75,3 +75,43 @@ def test_read_path_matches_in_session_training(spark, sf_dir, tmp_path):
         queries, idx, "vec_id", "embedding", k=3, nprobe=2, rerank_r=8, candidates=e
     )
     assert rows(rer_mem) == rows(rer_idx) and len(rows(rer_idx)) > 0
+
+
+def test_incremental_append_equals_full_scoring(spark, sf_dir, tmp_path):
+    """FAISS add() semantics: build on half the corpus, append the
+    other half encoded with the ORIGINAL training state — queries
+    over the updated artifact must equal in-session scoring over the
+    full corpus using that same original state (codebooks are frozen
+    by contract; drift is a reindex decision)."""
+    from queryengine_spark.operators.annindex import append_to_pq_index
+    from queryengine_spark.operators.knn import pq_score_rank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    second = e.filter(F.col("vec_id") % 2 == 1)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "idx")
+
+    write_pq_index(first, "vec_id", "embedding", path, **PARAMS)
+    append_to_pq_index(second, "vec_id", "embedding", path)
+    idx = read_pq_index(spark, path)
+    got = ivf_pq_topk_from_index(queries, idx, "vec_id", "embedding", k=3, nprobe=2)
+
+    # reference: same frozen training state, full corpus scored in-session
+    from queryengine_spark.operators.knn import ivf_cells_int_udf, pq_codes_udf
+
+    assign1 = ivf_cells_int_udf(idx["cents"], 1)
+    codes = pq_codes_udf(idx["books"])
+    coded = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(assign1(F.col("embedding")), 1).alias("cell"),
+        codes(F.col("embedding")).alias("codes"),
+    ).filter(F.col("codes").isNotNull())
+    want = pq_score_rank(
+        queries, coded, idx["cents"], idx["books"], "vec_id", "embedding",
+        k=3, nprobe=2, rerank_r=None, cand_vecs=None,
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(got) == rows(want) and len(rows(got)) > 0
+    # and the appended ids are actually searchable
+    assert spark.read.parquet(f"{path}/codes").count() == e.count()
