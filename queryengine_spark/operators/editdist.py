@@ -14,10 +14,15 @@ AQE-splittable, never a cross join; `levenshtein` runs once per
 distinct candidate pair. Per-string fan-out is len+1 variants, so
 the exploded size is O(total characters) — linear in corpus bytes.
 
-d >= 2 generalizes by deleting up to d characters (neighborhood size
-C(len, d)); the quadratic-and-worse fan-out is the documented
-SymSpell trade — this module implements the d=1 join and raises
-otherwise rather than silently generating a combinatorial plan.
+d = 2 (r5): the neighborhood grows to {s} ∪ deletions1 ∪ deletions2
+(1 + L + C(L,2) variants — the documented quadratic SymSpell
+fan-out, still a pure JVM expression and still an equi-join).
+Completeness for d=2 follows the same argument as d=1 applied twice:
+any ≤2-edit alignment can be normalized into ≤2 deletions on each
+side landing on a common string (pinned against brute-force
+levenshtein over random vocabularies in tests/test_addenda.py).
+d >= 3's factorial fan-out remains the documented cut-off — the
+module raises rather than silently generating a combinatorial plan.
 """
 
 from __future__ import annotations
@@ -39,6 +44,24 @@ def _variants_of(col_name: str) -> Column:
     )
 
 
+def _variants_upto2(col_name: str) -> Column:
+    """{s} ∪ deletions1 ∪ deletions2 — all strings reachable by
+    deleting ≤ 2 characters, as one JVM expression. The two-deletion
+    set enumerates position pairs i < j (delete both, keeping the
+    middle i+1..j-1 slice); the CASE guards length < 2, where Spark's
+    ``sequence(1, 0)`` would otherwise DESCEND instead of being
+    empty."""
+    pairs = F.expr(
+        f"CASE WHEN length({col_name}) < 2 THEN array() "
+        f"ELSE flatten(transform(sequence(1, length({col_name}) - 1), i -> "
+        f"transform(sequence(i + 1, length({col_name})), j -> "
+        f"concat(substring({col_name}, 1, i - 1), "
+        f"substring({col_name}, i + 1, j - i - 1), "
+        f"substring({col_name}, j + 1, length({col_name})))))) END"
+    )
+    return F.array_distinct(F.concat(_variants_of(col_name), pairs))
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,23 +72,24 @@ def edit_distance_join(
     max_dist: int = 1,
 ) -> DataFrame:
     """All (left, right) pairs with levenshtein(term_l, term_r) <=
-    ``max_dist`` via deletion-neighborhood blocking. Returns
-    (q_id, r_id, dist)."""
-    if max_dist != 1:
+    ``max_dist`` (1 or 2) via deletion-neighborhood blocking.
+    Returns (q_id, r_id, dist)."""
+    if max_dist not in (1, 2):
         raise NotImplementedError(
-            "deletion-neighborhood blocking is implemented for max_dist=1; "
-            "d>=2 needs the C(len,d) multi-deletion neighborhood — see the "
-            "module docstring for the documented trade"
+            "deletion-neighborhood blocking is implemented for max_dist in "
+            "(1, 2); d>=3's C(len,d) fan-out is the documented cut-off — "
+            "see the module docstring"
         )
+    variants = _variants_of if max_dist == 1 else _variants_upto2
     lv = left.select(
         F.col(left_id).alias("q_id"),
         F.col(left_term).alias("q_term"),
-        F.explode(_variants_of(left_term)).alias("v"),
+        F.explode(variants(left_term)).alias("v"),
     ).distinct()
     rv = right.select(
         F.col(right_id).alias("r_id"),
         F.col(right_term).alias("r_term"),
-        F.explode(_variants_of(right_term)).alias("v"),
+        F.explode(variants(right_term)).alias("v"),
     ).distinct()
     cand = lv.join(rv, "v").select("q_id", "q_term", "r_id", "r_term").distinct()
     return cand.select(

@@ -66,6 +66,9 @@ VOID: dict[str, int] = {
     # / 24-bit PCM WAV legs:
     "multimodal_bmp_decode": 4,
     "multimodal_wav_decode": 4,
+    # round 5: gained the d=2 first-word leg (SymSpell 2-deletion
+    # neighborhood):
+    "fuzzy_edit_join": 4,
 }
 
 

@@ -218,9 +218,49 @@ def test_edit_distance_join_complete_vs_bruteforce(spark):
     assert got == want  # complete AND exact — blocking lost nothing
 
 
-def test_edit_distance_join_rejects_d2(spark):
+def test_edit_distance_join_d2_complete_vs_bruteforce(spark):
+    """r5: the 2-deletion neighborhood must be COMPLETE for d=2 —
+    random short vocabularies, every pair class 0/1/2 present, exact
+    equality with brute-force levenshtein."""
+    import random
+
+    from queryengine_spark.operators.editdist import edit_distance_join
+
+    rng = random.Random(42)
+    alphabet = "abc"
+    qs = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6))))
+          for i in range(1, 25)]
+    rs = [(100 + i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6))))
+          for i in range(1, 25)]
+    qdf = spark.createDataFrame(qs, "id long, term string")
+    rdf = spark.createDataFrame(rs, "id long, term string")
+    got = {
+        (r["q_id"], r["r_id"]): r["dist"]
+        for r in edit_distance_join(
+            qdf, rdf, "id", "term", "id", "term", max_dist=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (qi, ri): lev(qt, rt)
+        for qi, qt in qs
+        for ri, rt in rs
+        if lev(qt, rt) <= 2
+    }
+    assert got == want and any(d == 2 for d in want.values())
+
+
+def test_edit_distance_join_rejects_d3(spark):
     from queryengine_spark.operators.editdist import edit_distance_join
 
     df = spark.createDataFrame([(1, "a")], "id long, term string")
     with pytest.raises(NotImplementedError):
-        edit_distance_join(df, df, "id", "term", "id", "term", max_dist=2)
+        edit_distance_join(df, df, "id", "term", "id", "term", max_dist=3)
