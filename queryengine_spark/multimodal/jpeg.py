@@ -584,28 +584,3 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, JPEG_FULL_SCHEMA)
-
-
-def jpeg_pixel_stats(assets: DataFrame) -> DataFrame:
-    cols = ("width", "height", "n_px", "sum_lum", "min_lum", "max_lum")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("asset_id", *cols)}
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                out["asset_id"].append(int(aid))
-                img = decode_jpeg_dc(bytes(payload)) if payload is not None else None
-                if img is None:
-                    for k in cols:
-                        out[k].append(None)
-                    continue
-                h, w = img.shape
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_px"].append(w * h)
-                out["sum_lum"].append(int(img.astype(np.int64).sum()))
-                out["min_lum"].append(int(img.min()))
-                out["max_lum"].append(int(img.max()))
-            yield pd.DataFrame(out)
-
-    return assets.mapInPandas(run, JPEG_STATS_SCHEMA)
