@@ -160,9 +160,11 @@ HEADLINE = [
     "curation_url_canonicalize",
     "curation_domain_cap",
     "curation_domain_overlap",
-    # round-5: persistent IVF-PQ index (build + read-path query; at
-    # real scale the build amortizes to zero — see annindex docstring)
+    # round-5: persistent IVF-PQ index (read-path query; the one-time
+    # build is skipped once the artifact exists — annindex docstring)
     "knn_pq_index",
+    # round-5: suffix-array exact-substring spans (prefix doubling)
+    "curation_repeated_spans_sa",
 ]
 
 
