@@ -77,6 +77,7 @@ def repeated_spans_sa(
     id_col: str,
     text_col: str,
     window: int = 8,
+    rerank_threshold: int = 1 << 62,
 ) -> DataFrame:
     """All positions whose ``window``-token span occurs ≥ 2 times in
     the corpus (any document, including intra-document repeats —
@@ -96,6 +97,19 @@ def repeated_spans_sa(
     cur = toks.join(tok_rank, toks["tk"] == tok_rank["tk"]).select(
         "doc_id", "pos", "r"
     )
+    # driver-side UPPER BOUND on the current rank values (exact after
+    # a re-rank, the arithmetic product bound after a combine): while
+    # (B+1)² stays inside int64, the (r, r2) pair can be combined
+    # INJECTIVELY as r·(B+2) + r2 — equality classes are identical to
+    # a re-rank's but it costs ZERO extra shuffles. The distributed
+    # re-rank remains the overflow path: it compresses ranks back to
+    # ≤ #positions, which is how the construction stays exact at any
+    # corpus size (small vocabularies — including this corpus — never
+    # need it; a 100 TB corpus re-ranks every couple of rounds).
+    # ``rerank_threshold`` exists for tests to force the re-rank path
+    # — both paths produce identical equality classes by construction
+    # and tests/test_suffix.py pins the equivalence.
+    bound = int(tok_rank.agg(F.max("r")).collect()[0][0] or 0)
     k = 1
     while k < window:
         # rank of the suffix k positions to the right, seen from pos
@@ -105,14 +119,23 @@ def repeated_spans_sa(
         paired = cur.join(shifted, ["doc_id", "pos"], "left").fillna(
             {"r2": 0}  # sentinel: past end of document
         )
-        pair_rank = global_rank(
-            paired.select("r", "r2").distinct(), ["r", "r2"], out="nr"
-        )
-        cur = (
-            paired.join(pair_rank, ["r", "r2"])
-            .select("doc_id", "pos", F.col("nr").alias("r"))
-            .localCheckpoint(eager=False)  # truncate the doubling lineage
-        )
+        if (bound + 2) * (bound + 2) < rerank_threshold:
+            cur = paired.select(
+                "doc_id",
+                "pos",
+                (F.col("r") * (bound + 2) + F.col("r2")).alias("r"),
+            )
+            bound = bound * (bound + 2) + bound + 1
+        else:
+            pair_rank = global_rank(
+                paired.select("r", "r2").distinct(), ["r", "r2"], out="nr"
+            )
+            cur = (
+                paired.join(pair_rank, ["r", "r2"])
+                .select("doc_id", "pos", F.col("nr").alias("r"))
+                .localCheckpoint(eager=False)  # truncate the doubling lineage
+            )
+            bound = int(pair_rank.agg(F.max("nr")).collect()[0][0] or 0)
         k *= 2
     dup = cur.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_dup"))
     return (

@@ -86,3 +86,25 @@ def test_global_rank_is_exact_order(spark):
     got = {r["k"]: r["r"] for r in global_rank(df.distinct(), ["k"]).collect()}
     for rank0, v in enumerate(sorted(vals)):
         assert got[v] == rank0 + 1
+
+
+def test_rerank_and_arithmetic_paths_agree(spark):
+    """The adaptive combine (r5 perf): arithmetic pair packing and
+    the distributed re-rank must produce identical span classes —
+    rerank_threshold=0 forces a re-rank every round."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "zero alpha beta gamma delta omega"),
+        (3, "x y z w junk x y z w tail"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def spans(**kw):
+        return sorted(
+            tuple(r)
+            for r in repeated_spans_sa(df, "doc_id", "text", window=W, **kw).collect()
+        )
+
+    fast = spans()
+    forced = spans(rerank_threshold=0)
+    assert fast == forced and len(fast) > 0
