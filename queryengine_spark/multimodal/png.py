@@ -152,11 +152,49 @@ def make_png_rgba(asset_id: int) -> bytes:
     )
 
 
+#: grayscale synthesis formula constants (mirrored in the oracle)
+GRAY_X_MULT, GRAY_Y_MULT = 3, 5
+
+
+def _gray_pixel(asset_id: int, x: int, y: int) -> int:
+    return (GRAY_X_MULT * x + GRAY_Y_MULT * y + asset_id) % 256
+
+
+def make_png_gray(asset_id: int) -> bytes:
+    """Complete spec-valid 8-bit GRAYSCALE PNG (color type 0, r5
+    decoder-breadth extension): same dims as the RGBA twin, per-row
+    filter type y % 5 with bpp=1 (the Sub/Average/Paeth left
+    neighbor is ONE byte back, a different arithmetic path than
+    RGBA's bpp=4), deflate stream split across two IDAT chunks."""
+    w, h = png_rgba_params(asset_id)
+    prev = bytes(w)
+    stream = bytearray()
+    for y in range(h):
+        raw = bytes(_gray_pixel(asset_id, x, y) for x in range(w))
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, bpp=1)
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_png(b: bytes) -> np.ndarray | None:
-    """bytes → (h, w, 4) uint8 RGBA array, or None for anything that
-    is not a well-formed 8-bit non-interlaced RGBA PNG. Walks chunks
-    with CRC verification, reassembles multi-chunk IDAT, inflates,
-    and runs the full scanline reconstruction (all 5 filter types)."""
+    """bytes → (h, w, 4) uint8 RGBA array for color type 6, or
+    (h, w) uint8 grayscale for color type 0 (r5), or None for
+    anything else (other color types / depths / interlace). Walks
+    chunks with CRC verification, reassembles multi-chunk IDAT,
+    inflates, and runs the full scanline reconstruction (all 5
+    filter types, with the correct bytes-per-pixel offset for each
+    color type)."""
     if not b.startswith(_SIG):
         return None
     pos = len(_SIG)
@@ -181,7 +219,7 @@ def decode_png(b: bytes) -> np.ndarray | None:
     if ihdr is None or len(ihdr) != 13 or not idat:
         return None
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">II5B", ihdr)
-    if (depth, ctype_, comp, filt, interlace) != (8, 6, 0, 0, 0):
+    if depth != 8 or ctype_ not in (0, 6) or (comp, filt, interlace) != (0, 0, 0):
         return None
     if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
         return None
@@ -189,19 +227,21 @@ def decode_png(b: bytes) -> np.ndarray | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * 4
+    bpp = 4 if ctype_ == 6 else 1
+    stride = w * bpp
     if len(raw) != h * (1 + stride):
         return None
     prev = bytes(stride)
     rows = []
     for y in range(h):
         off = y * (1 + stride)
-        rec = _unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prev)
+        rec = _unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prev, bpp=bpp)
         if rec is None:
             return None
         rows.append(np.frombuffer(rec, dtype=np.uint8))
         prev = rec
-    return np.stack(rows).reshape(h, w, 4)
+    out = np.stack(rows)
+    return out.reshape(h, w, 4) if ctype_ == 6 else out.reshape(h, w)
 
 
 PNG_ASSET_SCHEMA = StructType(
@@ -221,6 +261,7 @@ PNG_STATS_SCHEMA = StructType(
         StructField("sum_g", LongType(), True),
         StructField("sum_b", LongType(), True),
         StructField("sum_a", LongType(), True),
+        StructField("sum_gray", LongType(), True),
     ]
 )
 
@@ -241,11 +282,32 @@ def synthesize_png(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     return ids.mapInPandas(run, PNG_ASSET_SCHEMA)
 
 
+def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Even asset_ids → 8-bit RGBA, odd → 8-bit grayscale (r5)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [
+                        make_png_rgba(a) if a % 2 == 0 else make_png_gray(a)
+                        for a in ids_
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(run, PNG_ASSET_SCHEMA)
+
+
 def png_pixel_stats(assets: DataFrame) -> DataFrame:
     """Decode every payload and aggregate exact integer channel sums
-    (order-invariant, engine-portable). Undecodable → NULL stats."""
+    (order-invariant, engine-portable). RGBA payloads fill
+    sum_r/g/b/a with sum_gray NULL; grayscale payloads fill sum_gray
+    with the channels NULL. Undecodable → all NULL."""
 
-    cols = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b", "sum_a")
+    cols = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b", "sum_a", "sum_gray")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -257,6 +319,15 @@ def png_pixel_stats(assets: DataFrame) -> DataFrame:
                     for k in cols:
                         out[k].append(None)
                     continue
+                if img.ndim == 2:
+                    h, w = img.shape
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_px"].append(w * h)
+                    for k in ("sum_r", "sum_g", "sum_b", "sum_a"):
+                        out[k].append(None)
+                    out["sum_gray"].append(int(img.astype(np.int64).sum()))
+                    continue
                 h, w, _ = img.shape
                 s = img.reshape(-1, 4).astype(np.int64).sum(axis=0)
                 out["width"].append(w)
@@ -264,6 +335,7 @@ def png_pixel_stats(assets: DataFrame) -> DataFrame:
                 out["n_px"].append(w * h)
                 for k, v in zip(("sum_r", "sum_g", "sum_b", "sum_a"), s):
                     out[k].append(int(v))
+                out["sum_gray"].append(None)
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, PNG_STATS_SCHEMA)

@@ -45,7 +45,10 @@ _TOKS_RAW = _TOKS.format(c="text")
 from queryengine_spark.multimodal.png import (  # noqa: E402
     PNG2_H_MOD,
     PNG2_W_MOD,
+    GRAY_X_MULT,
+    GRAY_Y_MULT,
     png_pixel_stats,
+    synthesize_png_mixed,
     synthesize_png,
 )
 
@@ -53,9 +56,13 @@ from queryengine_spark.multimodal.png import (  # noqa: E402
 def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → decode → aggregate, entirely worker-side (two
     chained mapInPandas stages, zero shuffles before the final
-    projection); see multimodal/png.py for the correctness story."""
+    projection). Mixed color types since r5: even asset_ids are
+    8-bit RGBA, odd are 8-bit GRAYSCALE (color type 0 — the filter
+    arithmetic runs with bpp=1, a different Sub/Average/Paeth left
+    offset than RGBA's 4). See multimodal/png.py for the
+    correctness story."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return png_pixel_stats(synthesize_png(spread(ids)))
+    return png_pixel_stats(synthesize_png_mixed(spread(ids)))
 
 
 MULTIMODAL_PNG_DECODE_SQL = f"""
@@ -67,13 +74,20 @@ dims AS (SELECT asset_id,
 px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
 sums AS (SELECT asset_id, w, h,
-                CAST(SUM((x * y + asset_id) % 256) AS BIGINT) AS sum_r,
-                CAST(SUM((asset_id + 2 * y) % 256) AS BIGINT) AS sum_g,
-                CAST(SUM((asset_id + 3 * x) % 256) AS BIGINT) AS sum_b,
-                CAST(SUM((x + y + asset_id) % 256) AS BIGINT) AS sum_a
+                CAST(SUM(CASE WHEN asset_id % 2 = 0
+                     THEN (x * y + asset_id) % 256 END) AS BIGINT) AS sum_r,
+                CAST(SUM(CASE WHEN asset_id % 2 = 0
+                     THEN (asset_id + 2 * y) % 256 END) AS BIGINT) AS sum_g,
+                CAST(SUM(CASE WHEN asset_id % 2 = 0
+                     THEN (asset_id + 3 * x) % 256 END) AS BIGINT) AS sum_b,
+                CAST(SUM(CASE WHEN asset_id % 2 = 0
+                     THEN (x + y + asset_id) % 256 END) AS BIGINT) AS sum_a,
+                CAST(SUM(CASE WHEN asset_id % 2 = 1
+                     THEN ({GRAY_X_MULT} * x + {GRAY_Y_MULT} * y + asset_id) % 256
+                     END) AS BIGINT) AS sum_gray
          FROM px GROUP BY asset_id, w, h)
 SELECT asset_id, w AS width, h AS height,
-       CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b, sum_a
+       CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b, sum_a, sum_gray
 FROM sums
 """
 

@@ -133,3 +133,96 @@ def test_malformed_inputs_return_none():
     assert decode_png(rgb) is None
     # declared size mismatch: stream shorter than h*(1+4w)
     assert decode_png(_png(3, 3, bytes(5))) is None
+
+
+# --- r5: grayscale (color type 0) ------------------------------------------
+
+
+def test_gray_png_decodes_to_formula():
+    import numpy as np
+
+    from queryengine_spark.multimodal.png import (
+        _gray_pixel,
+        decode_png,
+        make_png_gray,
+        png_rgba_params,
+    )
+
+    for aid in (1, 7, 42, 999):
+        img = decode_png(make_png_gray(aid))
+        w, h = png_rgba_params(aid)
+        assert img is not None and img.shape == (h, w)
+        exp = np.array(
+            [[_gray_pixel(aid, x, y) for x in range(w)] for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (img == exp).all()
+
+
+def test_gray_hand_filtered_vector():
+    """Hand-computed Sub-filtered grayscale scanline with bpp=1: raw
+    row [10, 13, 13, 200] -> filtered [10, 3, 0, 187] (left neighbor
+    ONE byte back — the RGBA decoder would subtract 4 back). Pins the
+    bpp dispatch independent of the synthesizer."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from queryengine_spark.multimodal.png import _SIG, _chunk, decode_png
+
+    stream = bytes([1, 10, 3, 0, 187])  # filter type 1 (Sub) + row
+    comp = zlib.compress(stream)
+    ihdr = struct.pack(">II5B", 4, 1, 8, 0, 0, 0, 0)
+    b = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", comp) + _chunk(b"IEND", b"")
+    img = decode_png(b)
+    assert img is not None and img.shape == (1, 4)
+    assert (img == np.array([[10, 13, 13, 200]], dtype=np.uint8)).all()
+
+
+def test_gray_roundtrip_property():
+    """Hypothesis: arbitrary grayscale pixel grids survive the
+    filter-encode → container → decode pipeline for every filter
+    type (the synthesizer's y%5 covers all five on multi-row
+    images)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from queryengine_spark.multimodal.png import (
+        _SIG,
+        _chunk,
+        _filter_row,
+        decode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 9),
+        st.lists(st.lists(st.integers(0, 255), min_size=9, max_size=9), min_size=1, max_size=7),
+    )
+    def run(w, rows):
+        rows = [r[:w] for r in rows]
+        h = len(rows)
+        prev = bytes(w)
+        stream = bytearray()
+        for y, r in enumerate(rows):
+            raw = bytes(r)
+            f = y % 5
+            stream.append(f)
+            stream += _filter_row(f, raw, prev, bpp=1)
+            prev = raw
+        ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+        b = (
+            _SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _chunk(b"IEND", b"")
+        )
+        img = decode_png(b)
+        assert img is not None
+        assert (img == np.array(rows, dtype=np.uint8)).all()
+
+    run()
