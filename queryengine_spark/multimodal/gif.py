@@ -217,6 +217,51 @@ def make_gif(asset_id: int) -> bytes:
     )
 
 
+#: local-color-table palette formulas (r5 — distinct from the global
+#: palette so using the wrong table breaks the formula oracle)
+LCT_RM, LCT_GM, LCT_BM = 7, 11, 13
+
+
+def lct_rgb(asset_id: int, i: int) -> tuple[int, int, int]:
+    return (
+        (LCT_RM * i + asset_id) % 256,
+        (LCT_GM * i + 3) % 256,
+        (LCT_BM * i + 2 * asset_id) % 256,
+    )
+
+
+def make_gif_lct(asset_id: int) -> bytes:
+    """GIF89a whose image carries a LOCAL color table that must
+    OVERRIDE the (deliberately different, decoy) global table — a
+    decoder that reads the GCT instead produces wrong channel sums
+    and fails the oracle. Also exercises the 89a signature and the
+    LCT-size flag parsing."""
+    w, h = gif_params(asset_id)
+    decoy = b"".join(bytes(palette_rgb(i)) for i in range(256))
+    lct = b"".join(bytes(lct_rgb(asset_id, i)) for i in range(256))
+    idx = bytes(
+        pixel_index(asset_id, x, y) for y in range(h) for x in range(w)
+    )
+    lzw = lzw_encode(idx, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # decoy GCT present
+        + decoy
+        + b","
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x87)  # LCT flag, 256 entries
+        + lct
+        + bytes([8])
+        + bytes(blocks)
+        + b";"
+    )
+
+
 def decode_gif(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 3) uint8 RGB array, or None for anything that
     is not a well-formed non-interlaced GIF87a/89a with a global
@@ -300,6 +345,27 @@ GIF_STATS_SCHEMA = StructType(
         StructField("sum_b", LongType(), True),
     ]
 )
+
+
+def synthesize_gif_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Even asset_ids → GIF87a with a global color table, odd →
+    GIF89a with a local table overriding a decoy global (r5)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [
+                        make_gif(a) if a % 2 == 0 else make_gif_lct(a)
+                        for a in ids_
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(run, GIF_ASSET_SCHEMA)
 
 
 def synthesize_gif(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:

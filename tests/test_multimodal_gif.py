@@ -107,3 +107,36 @@ def test_malformed_inputs_return_none():
         + good[sep + 10 :]
     )
     assert decode_gif(bad2) is None
+
+
+def test_local_color_table_overrides_global():
+    """r5: an image-level LCT must be used INSTEAD of the decoy
+    global table — using the GCT would give different channel values
+    for every pixel index where the palettes disagree."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.gif import (
+        decode_gif,
+        gif_params,
+        lct_rgb,
+        make_gif_lct,
+        palette_rgb,
+        pixel_index,
+    )
+
+    for aid in (1, 9, 77):
+        img = decode_gif(make_gif_lct(aid))
+        w, h = gif_params(aid)
+        assert img is not None and img.shape == (h, w, 3)
+        exp = np.array(
+            [[lct_rgb(aid, pixel_index(aid, x, y)) for x in range(w)]
+             for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (img == exp).all()
+        wrong = np.array(
+            [[palette_rgb(pixel_index(aid, x, y)) for x in range(w)]
+             for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (img != wrong).any()  # decoy global genuinely differs
