@@ -14,7 +14,10 @@ stages that key on the document's origin rather than its content:
 The documents table carries no URL column, so each doc gets a
 deterministic MESSY url synthesized from doc_id arithmetic (uppercase
 scheme/host, planted default and non-default ports, missing paths,
-unsorted query params, fragments). Spark runs the GENERAL
+unsorted query params, fragments, and percent-escape mess — a
+lowercase-hex reserved escape, an unreserved escape that must
+decode, and a non-unreserved escape that must survive). Spark runs
+the GENERAL
 canonicalizer over the messy strings; the oracle writes the canonical
 result directly from the synthesis formulas — so the driver hash
 certifies that canonicalization undoes exactly the planted mess, the
@@ -74,8 +77,14 @@ def _messy_url() -> Column:
         .when(d % 5 == 1, F.lit(":8080"))
         .otherwise(F.lit(""))
     )
+    # percent-escape mess (r5): '%4'||(d%10) decodes to A..I for
+    # digits 1-9 (unreserved) but must STAY '%40' for 0 ('@' is not
+    # unreserved); '%7e' must decode to '~'; '%2f' must stay, hex
+    # uppercased, as '%2F' (reserved '/')
     path = F.when(d % 6 == 0, F.lit("")).otherwise(
-        F.concat(F.lit("/p"), _s(d % 4), F.lit("/x"))
+        F.concat(
+            F.lit("/p"), _s(d % 4), F.lit("/x%4"), _s(d % 10), F.lit("%7e%2f")
+        )
     )
     query = F.when(d % 2 == 1, F.concat(F.lit("?z="), _s(d % 10), F.lit("&a="), _s(d % 9))).otherwise(F.lit(""))
     frag = F.when(d % 4 == 0, F.concat(F.lit("#sec"), _s(d))).otherwise(F.lit(""))
@@ -106,7 +115,10 @@ _HOST_C = (
 _PORT_C = "CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END"
 _PATH_C = (
     "CASE WHEN doc_id % 6 = 0 THEN '/'"
-    " ELSE '/p' || CAST(doc_id % 4 AS VARCHAR) || '/x' END"
+    " ELSE '/p' || CAST(doc_id % 4 AS VARCHAR) || '/x'"
+    " || CASE WHEN doc_id % 10 = 0 THEN '%40'"
+    "         ELSE chr(64 + CAST(doc_id % 10 AS INT)) END"
+    " || '~%2F' END"
 )
 _QUERY_C = (
     "CASE WHEN doc_id % 2 = 1 THEN '?a=' || CAST(doc_id % 9 AS VARCHAR)"

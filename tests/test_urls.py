@@ -23,6 +23,12 @@ CASES = [
     ("http://h.com/p?single=1", "http://h.com/p?single=1"),
     ("http://h.com/p#frag", "http://h.com/p"),              # fragment strip
     ("HtTpS://A.B.C.com:9999/P/Q?b=2&a=1#x", "https://a.b.c.com:9999/P/Q?a=1&b=2"),
+    # r5 percent-escape normalization:
+    ("http://h.com/a%41b", "http://h.com/aAb"),           # unreserved decodes
+    ("http://h.com/a%2fb", "http://h.com/a%2Fb"),         # reserved kept, hex upper
+    ("http://h.com/%7e%5F%2E", "http://h.com/~_."),       # ~ _ . all decode
+    ("http://h.com/%G1%", "http://h.com/%G1%"),           # malformed passes through
+    ("http://h.com/p?a=%3d1", "http://h.com/p?a=%3D1"),   # query escapes normalized too
 ]
 
 
