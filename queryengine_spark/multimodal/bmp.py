@@ -297,6 +297,31 @@ def pack_int24(samples: list[int]) -> bytes:
     return bytes(out)
 
 
+#: stereo right-channel offset constant (mirrored in the oracle)
+STEREO_OFF = 12347
+
+
+def _sample_st(asset_id: int, i: int, ch: int) -> int:
+    return (
+        asset_id * WAV_A_MULT + i * WAV_I_MULT + ch * STEREO_OFF
+    ) % WAV_S_MOD - 32768
+
+
+def make_pcm_wav_stereo(asset_id: int) -> bytes:
+    """Complete STEREO 16-bit PCM WAV (r5): channel-interleaved
+    L0 R0 L1 R1 … frames, blockAlign 4, the formula offset by
+    STEREO_OFF on the right channel."""
+    rate, n = wav_audio_params(asset_id)
+    data = b"".join(
+        struct.pack("<hh", _sample_st(asset_id, i, 0), _sample_st(asset_id, i, 1))
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def make_pcm_wav24(asset_id: int) -> bytes:
     """Complete mono 24-bit PCM WAV with deterministic samples (r5
     decoder-breadth extension; note an ODD byte count when n_samples
@@ -307,9 +332,11 @@ def make_pcm_wav24(asset_id: int) -> bytes:
 
 
 def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
-    """bytes → (sample_rate, int16 sample array) for mono 16-bit PCM
-    WAV; None for anything else. Walks RIFF chunks properly (skips
-    unknown chunks, honors declared sizes + word alignment) instead of
+    """bytes → (sample_rate, int64 sample array) for 16- or 24-bit
+    PCM WAV, mono or stereo (stereo returns the channel-interleaved
+    flat stream — r5; per-channel views are one reshape away); None
+    for anything else. Walks RIFF chunks properly (skips unknown
+    chunks, honors declared sizes + word alignment) instead of
     assuming a fixed layout."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -333,7 +360,7 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data is None or channels != 1 or bits not in (16, 24):
+    if rate is None or data is None or channels not in (1, 2) or bits not in (16, 24):
         return None
     if bits == 16:
         n = len(data) // 2
@@ -391,7 +418,13 @@ def synthesize_bmp_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 
 def synthesize_wav_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """Even asset_ids → 16-bit PCM, odd → 24-bit PCM (r5)."""
+    """asset_id % 4 == 0 → mono 16-bit, % 4 == 2 → STEREO 16-bit,
+    odd → mono 24-bit (r5)."""
+
+    def _mk(a: int) -> bytes:
+        if a % 2 == 1:
+            return make_pcm_wav24(a)
+        return make_pcm_wav(a) if a % 4 == 0 else make_pcm_wav_stereo(a)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -399,10 +432,7 @@ def synthesize_wav_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids_, dtype="int64"),
-                    "payload": [
-                        make_pcm_wav(a) if a % 2 == 0 else make_pcm_wav24(a)
-                        for a in ids_
-                    ],
+                    "payload": [_mk(a) for a in ids_],
                 }
             )
 

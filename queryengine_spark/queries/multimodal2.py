@@ -76,12 +76,15 @@ QUERIES = {
 
 
 def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Audio twin of the BMP path, mixed bit depths (r5): even
-    asset_ids are mono 16-bit PCM, odd are mono 24-BIT PCM (3-byte
-    little-endian samples with sign extension from bit 23, plus the
-    RIFF word-alignment pad an odd byte count forces). Both decode
-    through the same RIFF chunk walk; the oracle recomputes the
-    amplitude stats from each leg's waveform formula."""
+    """Audio twin of the BMP path, mixed profiles (r5): asset_id % 4
+    == 0 → mono 16-bit PCM, % 4 == 2 → STEREO 16-bit (interleaved
+    L/R frames, the right channel's formula offset by STEREO_OFF;
+    n_samples counts all decoded values, 2 per frame), odd → mono
+    24-BIT PCM (3-byte little-endian samples with sign extension
+    from bit 23, plus the RIFF word-alignment pad an odd byte count
+    forces). All decode through the same RIFF chunk walk; the oracle
+    recomputes the amplitude stats from each leg's waveform
+    formula."""
     from queryengine_spark.multimodal.bmp import (
         synthesize_wav_mixed,
         wav_sample_stats,
@@ -92,6 +95,7 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 from queryengine_spark.multimodal.bmp import (  # noqa: E402
+    STEREO_OFF,
     WAV24_A_MULT,
     WAV24_HALF,
     WAV24_I_MULT,
@@ -106,20 +110,26 @@ MULTIMODAL_WAV_DECODE_SQL = f"""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
 par AS (SELECT asset_id,
                CAST(8000 + 1000 * (asset_id % 4) AS INT) AS sample_rate,
-               CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n_samples
+               CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n_frames
         FROM ids),
-smp AS (SELECT asset_id, sample_rate, n_samples,
-               CASE WHEN asset_id % 2 = 0
-               THEN (asset_id * {WAV_A_MULT} + CAST(t.i AS BIGINT) * {WAV_I_MULT}) % {WAV_S_MOD} - 32768
-               ELSE (asset_id * {WAV24_A_MULT} + CAST(t.i AS BIGINT) * {WAV24_I_MULT}) % {WAV24_MOD} - {WAV24_HALF}
+smp AS (SELECT asset_id, sample_rate, n_frames,
+               CASE WHEN asset_id % 2 = 1
+               THEN (asset_id * {WAV24_A_MULT} + CAST(t.i AS BIGINT) * {WAV24_I_MULT}) % {WAV24_MOD} - {WAV24_HALF}
+               ELSE (asset_id * {WAV_A_MULT} + CAST(t.i AS BIGINT) * {WAV_I_MULT}
+                     + CAST(c.ch AS BIGINT) * {STEREO_OFF}) % {WAV_S_MOD} - 32768
                END AS s
-        FROM par, unnest(range(0, n_samples)) t(i))
-SELECT asset_id, sample_rate, n_samples,
+        FROM par,
+             unnest(range(0, n_frames)) t(i),
+             unnest(CASE WHEN asset_id % 4 = 2 THEN [0, 1] ELSE [0] END) c(ch)
+        WHERE asset_id % 2 = 0 OR c.ch = 0)
+SELECT asset_id, sample_rate,
+       CAST(CASE WHEN asset_id % 4 = 2 THEN 2 * n_frames
+                 ELSE n_frames END AS BIGINT) AS n_samples,
        CAST(SUM(s) AS BIGINT) AS sum_amp,
        CAST(SUM(s * s) AS BIGINT) AS sum_sq,
        CAST(MAX(abs(s)) AS INT) AS max_amp
 FROM smp
-GROUP BY asset_id, sample_rate, n_samples
+GROUP BY asset_id, sample_rate, n_frames
 """
 
 QUERIES["multimodal_wav_decode"] = (multimodal_wav_decode, MULTIMODAL_WAV_DECODE_SQL)

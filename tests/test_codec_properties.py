@@ -163,3 +163,52 @@ def test_bmp8_out_of_range_index_refused():
     # pixel rows start at the declared data offset 14 + 40 + 4*2
     b[14 + 40 + 8 + 1] = 7  # index past the declared 2-color palette
     assert decode_bmp(bytes(b)) is None
+
+
+def test_wav_stereo_interleave_hand_vector():
+    """r5 stereo: L0 R0 L1 R1 frames come back as the interleaved
+    flat stream; blockAlign/byteRate declare 2 channels."""
+    import struct
+
+    from queryengine_spark.multimodal.bmp import decode_pcm_wav
+
+    data = struct.pack("<hhhh", 100, -200, 300, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec = decode_pcm_wav(wav)
+    assert dec is not None
+    rate, got = dec
+    assert rate == 8000 and list(got) == [100, -200, 300, -32768]
+
+
+def test_wav_stereo_formula_assets():
+    from queryengine_spark.multimodal.bmp import (
+        _sample_st,
+        decode_pcm_wav,
+        make_pcm_wav_stereo,
+        wav_audio_params,
+    )
+
+    for aid in (2, 6, 42):
+        dec = decode_pcm_wav(make_pcm_wav_stereo(aid))
+        assert dec is not None
+        rate, got = dec
+        want_rate, n = wav_audio_params(aid)
+        assert rate == want_rate and len(got) == 2 * n
+        want = [
+            _sample_st(aid, i, ch) for i in range(n) for ch in (0, 1)
+        ]
+        assert list(got) == want
+
+
+def test_wav_three_channels_refused():
+    import struct
+
+    from queryengine_spark.multimodal.bmp import decode_pcm_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 3, 8000, 8000 * 6, 6, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 6) + b"\x00" * 6
+    assert decode_pcm_wav(b"RIFF" + struct.pack("<I", len(body)) + body) is None
