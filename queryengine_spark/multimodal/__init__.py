@@ -104,9 +104,14 @@ def _decode_dims(payload: bytes) -> tuple[int, int] | None:
 
         arr = decode_gif(payload)
     elif payload[:2] == b"\xff\xd8":
-        from queryengine_spark.multimodal.jpeg import decode_jpeg_dc
+        from queryengine_spark.multimodal.jpeg import (
+            decode_jpeg_dc,
+            decode_jpeg_dc3,
+        )
 
         arr = decode_jpeg_dc(payload)
+        if arr is None:
+            arr = decode_jpeg_dc3(payload)  # 3-component 4:4:4 profile
     if arr is not None:
         # (h, w) grayscale or (h, w, channels): shape[1] is width
         return int(arr.shape[1]), int(arr.shape[0])

@@ -262,6 +262,90 @@ def make_jpeg_dc(asset_id: int) -> bytes:
     return _container(bw, bh, _encode_scan(blocks))
 
 
+#: chroma Huffman tables for the 3-component profile (r5): Annex K
+#: chroma DC; the AC table is a deliberately MINIMAL valid canonical
+#: table (two length-2 codes: EOB and run0/size1) — the decoder reads
+#: whatever the DHT declares, so a tiny non-Annex-K table is itself a
+#: test that nothing is baked in
+_DC2_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC2_VALS = list(range(12))
+_AC2_BITS = [0, 2] + [0] * 14
+_AC2_VALS = [0x00, 0x01]
+
+#: component multiplier in the 3-component DC formula
+YCC_C_MULT = 47
+#: chroma quant table body differs from luma in the AC entries only
+#: (q[0] stays QUANT_DC so chroma pixels stay integer-exact)
+QUANT_AC_CHROMA = 17
+
+
+def block_dc3(asset_id: int, c: int, bx: int, by: int) -> int:
+    """DC of component c (0=Y, 1=Cb, 2=Cr) of block (bx, by); every
+    pixel of that component's block decodes to block_dc3 + 128."""
+    return (
+        asset_id + 13 * bx + 31 * by + YCC_C_MULT * c
+    ) * DC_MULT % DC_MOD + DC_OFF
+
+
+def make_jpeg_ycc(asset_id: int) -> bytes:
+    """Spec-valid 3-component (YCbCr 4:4:4) baseline JFIF, DC-only
+    scan (r5): interleaved MCUs of one block per component with
+    SEPARATE DC predictors, luma on table pair 0 (Annex K), chroma
+    on table pair 1 (Annex K chroma DC + the minimal AC table), and
+    both quant tables shipped in ONE DQT segment / all four Huffman
+    tables in ONE DHT segment — exercising the multi-table-per-
+    segment parsing real encoders emit."""
+    bw, bh = jpeg_params(asset_id)
+    dc_codes = [
+        _canonical_codes(_DC_BITS, _DC_VALS),
+        _canonical_codes(_DC2_BITS, _DC2_VALS),
+        _canonical_codes(_DC2_BITS, _DC2_VALS),
+    ]
+    ac_codes = [
+        _canonical_codes(_AC_BITS, _AC_VALS),
+        _canonical_codes(_AC2_BITS, _AC2_VALS),
+        _canonical_codes(_AC2_BITS, _AC2_VALS),
+    ]
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(3):
+                dc = block_dc3(asset_id, c, bx, by)
+                diff = dc - preds[c]
+                preds[c] = dc
+                cat = _category(diff)
+                code, length = dc_codes[c][cat]
+                w.put(code, length)
+                if cat:
+                    w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                eob, eob_len = ac_codes[c][0x00]
+                w.put(eob, eob_len)
+    scan = w.flush()
+    quant_l = bytes([QUANT_DC] + [QUANT_AC] * 63)
+    quant_c = bytes([QUANT_DC] + [QUANT_AC_CHROMA] * 63)
+    dqt = b"\x00" + quant_l + b"\x01" + quant_c
+    sof = struct.pack(">BHHB", 8, bh * 8, bw * 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC2_BITS) + bytes(_DC2_VALS)
+        + b"\x11" + bytes(_AC2_BITS) + bytes(_AC2_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 def make_jpeg_ac(asset_id: int) -> bytes:
     """AC-bearing variant: every block additionally carries four
     formula AC coefficients at AC_POSITIONS, so the scan contains
@@ -304,22 +388,27 @@ def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
     return None
 
 
-def _parse_segments(b: bytes):
-    """Shared JFIF marker walk: SOI → (DQT, SOF0, DHTs, SOS) →
-    entropy bytes (0xFF00-unstuffed). Returns
-    (quant, (w, h), dc_table, ac_table, entropy) or None. Refuses
-    non-baseline SOFs, 16-bit quant tables, multi-component scans,
-    and DRI (restart markers inside the scan would silently corrupt
-    bit-level decoding, so files declaring them are rejected, not
-    misread)."""
+def _parse_segments_multi(b: bytes):
+    """Generalized JFIF marker walk (r5): SOI → (DQTs, SOF0, DHTs,
+    SOS) → entropy bytes (0xFF00-unstuffed). Handles MULTIPLE quant
+    tables (including several per DQT segment, keyed by table id)
+    and 1- or 3-component baseline sequential scans where every
+    component samples 1×1 (4:4:4 — one block per component per MCU).
+    Returns (comps, (w, h), entropy) with
+    comps = [(quant_bytes, dc_table, ac_table), ...] in scan order,
+    or None. Refuses non-baseline SOFs, 16-bit quant tables,
+    subsampled components, and DRI (restart markers inside the scan
+    would silently corrupt bit-level decoding, so files declaring
+    them are rejected, not misread)."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2
-    quant = None
+    quants: dict[int, bytes] = {}
     sof = None
+    sof_comps: list[tuple[int, int]] = []  # (comp_id, quant_id)
     huff: dict[tuple[int, int], dict] = {}
     scan_start = None
-    dc_id = ac_id = None
+    scan_tabs: list[tuple[int, int, int]] = []  # (comp_id, dc_id, ac_id)
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -329,39 +418,91 @@ def _parse_segments(b: bytes):
         if len(body) != seglen - 2:
             return None
         if marker == 0xDB:
-            if body[0] & 0xF0:
-                return None  # 16-bit tables unsupported
-            quant = body[1:65]
+            # a DQT segment may carry several 65-byte table entries
+            p = 0
+            while p < len(body):
+                if body[p] & 0xF0:
+                    return None  # 16-bit tables unsupported
+                tid = body[p] & 0x0F
+                if p + 65 > len(body):
+                    return None
+                quants[tid] = body[p + 1 : p + 65]
+                p += 65
         elif marker == 0xC0:
             prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1 or body[7] != 0x11:
-                return None  # restricted profile: 8-bit single 1x1 component
+            if prec != 8 or ncomp not in (1, 3):
+                return None
+            sof_comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    return None  # 4:4:4 only — no subsampling
+                sof_comps.append((cid, tq))
             sof = (w_, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             return None  # non-baseline SOF
         elif marker == 0xDD:
             return None  # DRI: restart markers unsupported
         elif marker == 0xC4:
-            tclass, tid = body[0] >> 4, body[0] & 0x0F
-            bits = list(body[1:17])
-            n = sum(bits)
-            huff[(tclass, tid)] = _build_decode_table(bits, list(body[17 : 17 + n]))
+            # a DHT segment may carry several tables too
+            p = 0
+            while p < len(body):
+                tclass, tid = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                if len(bits) != 16:
+                    return None
+                n = sum(bits)
+                if p + 17 + n > len(body):
+                    return None
+                huff[(tclass, tid)] = _build_decode_table(
+                    bits, list(body[p + 17 : p + 17 + n])
+                )
+                p += 17 + n
         elif marker == 0xDA:
-            if body[0] != 1:
+            ns = body[0]
+            if ns not in (1, 3):
                 return None
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_tabs = []
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tt = body[2 + 2 * ci]
+                scan_tabs.append((cid, tt >> 4, tt & 0x0F))
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if scan_start is None or sof is None or quant is None:
+    if scan_start is None or sof is None or not quants:
         return None
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
+    if len(scan_tabs) != len(sof_comps):
         return None
+    sof_by_id = dict(sof_comps)
+    comps = []
+    for cid, dc_id, ac_id in scan_tabs:
+        if cid not in sof_by_id:
+            return None
+        tq = sof_by_id[cid]
+        if tq not in quants or (0, dc_id) not in huff or (1, ac_id) not in huff:
+            return None
+        comps.append((quants[tq], huff[(0, dc_id)], huff[(1, ac_id)]))
     end = b.rfind(b"\xff\xd9")
     if end < scan_start:
         return None
     entropy = b[scan_start:end].replace(b"\xff\x00", b"\xff")
-    return quant, sof, huff[(0, dc_id)], huff[(1, ac_id)], entropy
+    return comps, sof, entropy
+
+
+def _parse_segments(b: bytes):
+    """Single-component view of :func:`_parse_segments_multi` — the
+    contract the grayscale decode paths keep: returns
+    (quant, (w, h), dc_table, ac_table, entropy) or None (also None
+    for 3-component files; those go through decode_jpeg_dc3)."""
+    parsed = _parse_segments_multi(b)
+    if parsed is None:
+        return None
+    comps, sof, entropy = parsed
+    if len(comps) != 1:
+        return None
+    quant, dc_tab, ac_tab = comps[0]
+    return quant, sof, dc_tab, ac_tab, entropy
 
 
 def _read_dc_diff(r: _BitReader, dc_tab: dict) -> int | None:
@@ -413,6 +554,42 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
                 return None
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
     return out[:h, :w_]
+
+
+def decode_jpeg_dc3(b: bytes) -> np.ndarray | None:
+    """bytes → (h, w, 3) uint8 YCbCr planes for a 3-component 4:4:4
+    baseline JFIF whose scan is DC-only (r5): interleaved MCUs, one
+    block per component, SEPARATE DC predictors and per-component
+    quant/Huffman tables resolved from the headers. Any nonzero AC,
+    subsampling, or non-baseline profile → None (same honest-refusal
+    contract as the grayscale pixel path)."""
+    parsed = _parse_segments_multi(b)
+    if parsed is None:
+        return None
+    comps, (w_, h), entropy = parsed
+    if len(comps) != 3:
+        return None
+    if any(q[0] % 8 for q, _, _ in comps):
+        return None  # exact-pixel contract requires q0 ≡ 0 (mod 8)
+    bw, bh = (w_ + 7) // 8, (h + 7) // 8
+    r = _BitReader(entropy)
+    out = np.empty((bh * 8, bw * 8, 3), dtype=np.uint8)
+    preds = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for c, (quant, dc_tab, ac_tab) in enumerate(comps):
+                diff = _read_dc_diff(r, dc_tab)
+                if diff is None:
+                    return None
+                preds[c] += diff
+                rs = _read_huff(r, ac_tab)
+                if rs is None or rs != 0x00:
+                    return None  # nonzero AC: outside the exact profile
+                px = preds[c] * quant[0] // 8 + 128
+                if not 0 <= px <= 255:
+                    return None
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c] = px
+    return out[:h, :w_, :]
 
 
 def decode_jpeg_coeffs(b: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -520,13 +697,22 @@ JPEG_FULL_SCHEMA = StructType(
         StructField("sum_ac_dq", LongType(), True),
         StructField("sum_abs_ac_dq", LongType(), True),
         StructField("n_nonzero_ac", LongType(), True),
+        StructField("sum_cb", LongType(), True),
+        StructField("sum_cr", LongType(), True),
     ]
 )
 
 
 def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """Even asset_ids → DC-only payloads (exact-pixel profile), odd →
-    AC-bearing payloads (full baseline entropy surface)."""
+    """asset_id % 4 == 0 → grayscale DC-only (exact-pixel profile),
+    % 4 == 2 → YCbCr 4:4:4 DC-only (3 components, separate
+    predictors/tables — r5), odd → grayscale AC-bearing (full
+    baseline entropy surface)."""
+
+    def _mk(a: int) -> bytes:
+        if a % 2 == 1:
+            return make_jpeg_ac(a)
+        return make_jpeg_dc(a) if a % 4 == 0 else make_jpeg_ycc(a)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -534,10 +720,7 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids_, dtype="int64"),
-                    "payload": [
-                        make_jpeg_dc(a) if a % 2 == 0 else make_jpeg_ac(a)
-                        for a in ids_
-                    ],
+                    "payload": [_mk(a) for a in ids_],
                 }
             )
 
@@ -551,16 +734,42 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
     for EVERY baseline payload, one decode pass each."""
     pix_cols = ("width", "height", "n_px", "sum_lum", "min_lum", "max_lum")
     co_cols = ("n_blocks", "sum_dc_dq", "sum_ac_dq", "sum_abs_ac_dq", "n_nonzero_ac")
+    ycc_cols = ("sum_cb", "sum_cr")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("asset_id", *pix_cols, *co_cols)}
+            out = {k: [] for k in ("asset_id", *pix_cols, *co_cols, *ycc_cols)}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 out["asset_id"].append(int(aid))
                 b = bytes(payload) if payload is not None else b""
+                ycc = decode_jpeg_dc3(b)
+                if ycc is not None:
+                    h, w, _ = ycc.shape
+                    planes = ycc.astype(np.int64)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_px"].append(w * h)
+                    out["sum_lum"].append(int(planes[:, :, 0].sum()))
+                    out["min_lum"].append(int(planes[:, :, 0].min()))
+                    out["max_lum"].append(int(planes[:, :, 0].max()))
+                    out["sum_cb"].append(int(planes[:, :, 1].sum()))
+                    out["sum_cr"].append(int(planes[:, :, 2].sum()))
+                    bw, bh = w // 8, h // 8
+                    out["n_blocks"].append(3 * bw * bh)
+                    # each block is a constant plane, so its top-left
+                    # sample recovers the dc exactly: dequantized sum
+                    # = Σ (sample - 128) × q0 (q0 = 8 for all comps)
+                    dcsum = int(
+                        (planes[::8, ::8, :] - 128).sum()
+                    ) * 8
+                    out["sum_dc_dq"].append(dcsum)
+                    out["sum_ac_dq"].append(0)
+                    out["sum_abs_ac_dq"].append(0)
+                    out["n_nonzero_ac"].append(0)
+                    continue
                 co = decode_jpeg_coeffs(b)
                 if co is None:
-                    for k in (*pix_cols, *co_cols):
+                    for k in (*pix_cols, *co_cols, *ycc_cols):
                         out[k].append(None)
                     continue
                 w, h, coefs = co
@@ -581,6 +790,8 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                 out["sum_ac_dq"].append(int(ac.sum()))
                 out["sum_abs_ac_dq"].append(int(np.abs(ac).sum()))
                 out["n_nonzero_ac"].append(int((ac != 0).sum()))
+                out["sum_cb"].append(None)
+                out["sum_cr"].append(None)
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, JPEG_FULL_SCHEMA)

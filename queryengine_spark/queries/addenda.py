@@ -414,6 +414,7 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
     JPEG_BW_MOD,
     QUANT_AC,
     QUANT_DC,
+    YCC_C_MULT,
     jpeg_full_stats,
     synthesize_jpeg_mixed,
 )
@@ -422,8 +423,12 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
 def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → entropy-decode → aggregate, entirely worker-side:
     real JFIF marker walk + canonical-Huffman scan decoding (tables
-    read from the DHT bytes). Even asset_ids carry DC-only scans
-    (exact pixel stats); odd asset_ids carry AC-BEARING scans (r5) —
+    read from the DHT bytes). asset_id % 4 == 0 carries grayscale
+    DC-only scans (exact pixel stats); % 4 == 2 carries YCbCr 4:4:4
+    DC-only scans (r5 — three interleaved components with separate
+    predictors, per-component quant/Huffman tables, multi-table DQT/
+    DHT segments; Y/Cb/Cr plane sums all exact); odd asset_ids carry
+    grayscale AC-BEARING scans (r5) —
     ZRL runs, EOB, implicit block ends — decoded to exact integer
     pre-IDCT coefficient statistics, with the pixel columns honestly
     NULL (a float IDCT is never approximated). See
@@ -465,7 +470,20 @@ acsums AS (SELECT asset_id,
                   CAST(SUM({QUANT_AC} * v) AS BIGINT) AS sum_ac_dq,
                   CAST(SUM({QUANT_AC} * abs(v)) AS BIGINT) AS sum_abs_ac_dq,
                   CAST(COUNT(*) AS BIGINT) AS n_nonzero_ac
-           FROM acv GROUP BY asset_id)
+           FROM acv GROUP BY asset_id),
+blk3 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
+               ((d.asset_id + 13 * CAST(xx.i AS BIGINT)
+                 + 31 * CAST(yy.i AS BIGINT)
+                 + {YCC_C_MULT} * CAST(cc.c AS BIGINT)) * {DC_MULT}) % {DC_MOD}
+                 + ({DC_OFF}) AS dc
+        FROM dims d, unnest(range(0, d.bw)) xx(i),
+             unnest(range(0, d.bh)) yy(i), unnest([0, 1, 2]) cc(c)
+        WHERE d.asset_id % 4 = 2),
+ycc AS (SELECT asset_id,
+               CAST(SUM(CASE WHEN comp = 1 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cb,
+               CAST(SUM(CASE WHEN comp = 2 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cr,
+               CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS dc3_dq
+        FROM blk3 GROUP BY asset_id)
 SELECT s.asset_id,
        CAST(s.bw * 8 AS INT) AS width, CAST(s.bh * 8 AS INT) AS height,
        CASE WHEN s.asset_id % 2 = 0
@@ -473,12 +491,18 @@ SELECT s.asset_id,
        CASE WHEN s.asset_id % 2 = 0 THEN s.sum_lum END AS sum_lum,
        CASE WHEN s.asset_id % 2 = 0 THEN s.min_lum END AS min_lum,
        CASE WHEN s.asset_id % 2 = 0 THEN s.max_lum END AS max_lum,
-       CAST(s.bw * s.bh AS BIGINT) AS n_blocks,
-       s.sum_dc_dq,
+       CAST(CASE WHEN s.asset_id % 4 = 2 THEN 3 * s.bw * s.bh
+                 ELSE s.bw * s.bh END AS BIGINT) AS n_blocks,
+       CAST(CASE WHEN s.asset_id % 4 = 2 THEN y.dc3_dq
+                 ELSE s.sum_dc_dq END AS BIGINT) AS sum_dc_dq,
        CAST(COALESCE(a.sum_ac_dq, 0) AS BIGINT) AS sum_ac_dq,
        CAST(COALESCE(a.sum_abs_ac_dq, 0) AS BIGINT) AS sum_abs_ac_dq,
-       CAST(COALESCE(a.n_nonzero_ac, 0) AS BIGINT) AS n_nonzero_ac
-FROM dcsums s LEFT JOIN acsums a ON s.asset_id = a.asset_id
+       CAST(COALESCE(a.n_nonzero_ac, 0) AS BIGINT) AS n_nonzero_ac,
+       y.sum_cb AS sum_cb,
+       y.sum_cr AS sum_cr
+FROM dcsums s
+LEFT JOIN acsums a ON s.asset_id = a.asset_id
+LEFT JOIN ycc y ON s.asset_id = y.asset_id
 """
 
 

