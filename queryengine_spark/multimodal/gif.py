@@ -262,12 +262,55 @@ def make_gif_lct(asset_id: int) -> bytes:
     )
 
 
+def interlace_order(h: int) -> list[int]:
+    """GIF 4-pass interlace row sequence (storage order → display
+    row): rows 0,8,16… then 4,12… then 2,6,10… then 1,3,5…"""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def make_gif_interlaced(asset_id: int) -> bytes:
+    """GIF87a with the INTERLACE flag set (r5): same global palette
+    and pixel formula as make_gif, but index rows stored in the
+    4-pass interlace sequence — channel sums are permutation-
+    invariant, so the deinterlacing itself is pinned by hand-order
+    tests, not the formula oracle."""
+    w, h = gif_params(asset_id)
+    pal = b"".join(bytes(palette_rgb(i)) for i in range(256))
+    rows = [
+        bytes(pixel_index(asset_id, x, y) for x in range(w))
+        for y in range(h)
+    ]
+    idx = b"".join(rows[y] for y in interlace_order(h))
+    lzw = lzw_encode(idx, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + pal
+        + b","
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+        + bytes([8])
+        + bytes(blocks)
+        + b";"
+    )
+
+
 def decode_gif(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 3) uint8 RGB array, or None for anything that
-    is not a well-formed non-interlaced GIF87a/89a with a global
-    color table. Walks the block structure (skipping 89a extension
-    blocks), reassembles the LZW sub-blocks, decodes, and applies the
-    palette."""
+    is not a well-formed GIF87a/89a with a color table (global, or a
+    local one overriding it). Walks the block structure (skipping 89a
+    extension blocks), reassembles the LZW sub-blocks, decodes,
+    DEINTERLACES 4-pass images (r5), and applies the palette."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
@@ -296,8 +339,7 @@ def decode_gif(b: bytes) -> np.ndarray | None:
             return None
         _x0, _y0, w, h, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:  # interlaced: unsupported
-            return None
+        interlaced = bool(iflags & 0x40)  # r5: 4-pass deinterlace below
         if iflags & 0x80:  # local color table overrides
             n = 2 << (iflags & 0x07)
             if pos + 3 * n > len(b):
@@ -321,6 +363,10 @@ def decode_gif(b: bytes) -> np.ndarray | None:
         if idx is None or len(idx) != w * h or w <= 0 or h <= 0:
             return None
         arr = np.frombuffer(idx, np.uint8).reshape(h, w)
+        if interlaced:
+            out = np.empty_like(arr)
+            out[interlace_order(h)] = arr  # storage row i → display row
+            arr = out
         if int(arr.max()) >= len(pal):
             return None
         return pal[arr]
@@ -348,9 +394,16 @@ GIF_STATS_SCHEMA = StructType(
 
 
 def synthesize_gif_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """Even asset_ids → GIF87a with a global color table, odd →
-    GIF89a with a local table overriding a decoy global (r5)."""
+    """asset_id % 4 == 0 → GIF87a with a global color table, % 4 ==
+    2 → GIF89a with a local table overriding a decoy global, odd →
+    INTERLACED GIF87a (r5; same palette/pixels as the plain leg —
+    the deinterlace permutation is pinned by hand-order tests)."""
     import pandas as pd
+
+    def _mk(a: int) -> bytes:
+        if a % 2 == 1:
+            return make_gif_interlaced(a)
+        return make_gif(a) if a % 4 == 0 else make_gif_lct(a)
 
     def run(batches):
         for pdf in batches:
@@ -358,10 +411,7 @@ def synthesize_gif_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids_, dtype="int64"),
-                    "payload": [
-                        make_gif(a) if a % 2 == 0 else make_gif_lct(a)
-                        for a in ids_
-                    ],
+                    "payload": [_mk(a) for a in ids_],
                 }
             )
 

@@ -290,13 +290,18 @@ from queryengine_spark.multimodal.gif import (  # noqa: E402
 
 def multimodal_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → LZW-decode → aggregate, entirely worker-side (the
-    GIF twin of multimodal_png_decode). Mixed palettes since r5: even
-    asset_ids are GIF87a with a global color table, odd are GIF89a
-    with a LOCAL color table that must OVERRIDE a deliberately
-    different decoy global table — the oracle applies each leg's own
-    palette formula, so reading the wrong table breaks the hash. See
-    multimodal/gif.py for the correctness story (hand-pinned LZW bit
-    streams + formula oracle)."""
+    GIF twin of multimodal_png_decode). Mixed profiles since r5:
+    asset_id % 4 == 0 is GIF87a with a global color table, % 4 == 2
+    is GIF89a with a LOCAL color table that must OVERRIDE a
+    deliberately different decoy global table — the oracle applies
+    each leg's own palette formula, so reading the wrong table
+    breaks the hash — and odd ids are INTERLACED GIF87a (4-pass
+    storage order; pixel sums are permutation-invariant so the
+    deinterlace itself is pinned by the hand-order tests in
+    tests/test_multimodal_gif.py, while the oracle still certifies
+    the LZW/palette path on those legs). See multimodal/gif.py for
+    the correctness story (hand-pinned LZW bit streams + formula
+    oracle)."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return gif_pixel_stats(synthesize_gif_mixed(spread(ids)))
 
@@ -312,15 +317,15 @@ px AS (SELECT asset_id, w, h,
                + CAST(yy.i AS BIGINT) * {GIF_IDX_YM} + asset_id) % 256 AS idx
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
 sums AS (SELECT asset_id, w, h,
-                CAST(SUM(CASE WHEN asset_id % 2 = 0
-                     THEN ({PAL_RM} * idx) % 256
-                     ELSE ({LCT_RM} * idx + asset_id) % 256 END) AS BIGINT) AS sum_r,
-                CAST(SUM(CASE WHEN asset_id % 2 = 0
-                     THEN ({PAL_GM} * idx + 1) % 256
-                     ELSE ({LCT_GM} * idx + 3) % 256 END) AS BIGINT) AS sum_g,
-                CAST(SUM(CASE WHEN asset_id % 2 = 0
-                     THEN ({PAL_BM} * idx + 2) % 256
-                     ELSE ({LCT_BM} * idx + 2 * asset_id) % 256 END) AS BIGINT) AS sum_b
+                CAST(SUM(CASE WHEN asset_id % 4 = 2
+                     THEN ({LCT_RM} * idx + asset_id) % 256
+                     ELSE ({PAL_RM} * idx) % 256 END) AS BIGINT) AS sum_r,
+                CAST(SUM(CASE WHEN asset_id % 4 = 2
+                     THEN ({LCT_GM} * idx + 3) % 256
+                     ELSE ({PAL_GM} * idx + 1) % 256 END) AS BIGINT) AS sum_g,
+                CAST(SUM(CASE WHEN asset_id % 4 = 2
+                     THEN ({LCT_BM} * idx + 2 * asset_id) % 256
+                     ELSE ({PAL_BM} * idx + 2) % 256 END) AS BIGINT) AS sum_b
          FROM px GROUP BY asset_id, w, h)
 SELECT asset_id, w AS width, h AS height,
        CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b

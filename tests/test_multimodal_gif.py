@@ -90,7 +90,9 @@ def test_malformed_inputs_return_none():
     assert decode_gif(b"") is None
     assert decode_gif(b"GIF87a") is None
     assert decode_gif(good[:-40]) is None  # truncated image data
-    # interlace flag set -> unsupported, must refuse not misdecode
+    # r5: interlace flag set on non-interlaced content now DECODES
+    # (deinterlace applies the 4-pass inverse) — the result is a pure
+    # row permutation of the original, same multiset of rows
     sep = _SEP
     assert good[sep] == 0x2C
     x0, y0, w, h, fl = struct.unpack("<HHHHB", good[sep + 1 : sep + 10])
@@ -99,7 +101,12 @@ def test_malformed_inputs_return_none():
         + struct.pack("<HHHHB", x0, y0, w, h, fl | 0x40)
         + good[sep + 10 :]
     )
-    assert decode_gif(bad) is None
+    img_bad = decode_gif(bad)
+    img_good = decode_gif(good)
+    assert img_bad is not None and img_bad.shape == img_good.shape
+    rows = lambda im: sorted(im[y].tobytes() for y in range(im.shape[0]))  # noqa: E731
+    assert rows(img_bad) == rows(img_good)
+    assert img_bad.tobytes() != img_good.tobytes()  # genuinely permuted
     # pixel count mismatch: shrink declared height
     bad2 = (
         good[: sep + 1]
@@ -140,3 +147,59 @@ def test_local_color_table_overrides_global():
             dtype=np.uint8,
         )
         assert (img != wrong).any()  # decoy global genuinely differs
+
+
+def test_interlaced_decode_restores_row_order():
+    """r5: channel sums are permutation-invariant, so the
+    deinterlacing must be pinned POSITIONALLY — a hand-built 1×8
+    interlaced image with distinct single-index rows must come back
+    in display order 0..7 from storage order [0,4,2,6,1,3,5,7]."""
+    import struct
+
+    import numpy as np
+
+    from queryengine_spark.multimodal.gif import (
+        decode_gif,
+        interlace_order,
+        lzw_encode,
+    )
+
+    h = 8
+    order = interlace_order(h)
+    assert order == [0, 4, 2, 6, 1, 3, 5, 7]
+    # display row y holds index value y; stored in interlace order
+    idx = bytes(order)  # one pixel per row, rows stored per pass
+    pal = b"".join(bytes((i, (2 * i) % 256, (3 * i) % 256)) for i in range(256))
+    lzw = lzw_encode(idx, 8)
+    blocks = bytes([len(lzw)]) + lzw + b"\x00"
+    g = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 1, h, 0xF7, 0, 0)
+        + pal
+        + b","
+        + struct.pack("<HHHHB", 0, 0, 1, h, 0x40)
+        + bytes([8])
+        + blocks
+        + b";"
+    )
+    img = decode_gif(g)
+    assert img is not None and img.shape == (h, 1, 3)
+    got_rows = [int(img[y, 0, 0]) for y in range(h)]
+    assert got_rows == list(range(h))  # display order restored
+
+
+def test_interlaced_formula_assets_equal_plain():
+    import numpy as np
+
+    from queryengine_spark.multimodal.gif import (
+        decode_gif,
+        make_gif,
+        make_gif_interlaced,
+    )
+
+    for aid in (1, 9, 42):
+        a = decode_gif(make_gif(aid))
+        b = decode_gif(make_gif_interlaced(aid))
+        assert a is not None and b is not None and (a == b).all()
+        # and the containers genuinely differ (flag + row order)
+        assert make_gif(aid) != make_gif_interlaced(aid)
