@@ -252,12 +252,21 @@ def main() -> None:
 
     def _mean_recall(qname: str) -> float:
         # recall is a per-query column on the ANN output since the r5
-        # registry fold — distinct per query before averaging
+        # registry fold. A query whose bucket/cell probe comes back
+        # EMPTY has no output rows at all, so averaging the output's
+        # distinct recall values alone would silently drop it from the
+        # mean; left-join the full query sample (vec_id % 50 == 0,
+        # shared by every ANN entry) and count the missing as 0 —
+        # matching the removed standalone knn_*_recall semantics.
+        sample = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") % 50 == 0)
+            .select(F.col("vec_id").alias("query_id"))
+        )
+        got = queries[qname](spark, sf_dir).select("query_id", "recall").distinct()
         return (
-            queries[qname](spark, sf_dir)
-            .select("query_id", "recall")
-            .distinct()
-            .agg(F.avg("recall").alias("r"))
+            sample.join(got, "query_id", "left")
+            .agg(F.avg(F.coalesce("recall", F.lit(0.0))).alias("r"))
             .collect()[0]["r"]
         )
 

@@ -61,7 +61,11 @@ def url_path(url: Column | str) -> Column:
 
 
 def url_query(url: Column | str) -> Column:
-    return F.regexp_extract(url, r"\?([^#]*)", 1)
+    # Strip the fragment FIRST: a '?' inside the fragment
+    # (http://h/p#sec?x=1) is fragment content, not a query — matching
+    # '\?' over the whole URL would resurrect it as one.
+    pre_fragment = F.regexp_extract(url, r"^([^#]*)", 1)
+    return F.regexp_extract(pre_fragment, r"\?(.*)$", 1)
 
 
 def url_domain(host: Column | str) -> Column:

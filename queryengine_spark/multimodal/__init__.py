@@ -106,12 +106,16 @@ def _decode_dims(payload: bytes) -> tuple[int, int] | None:
     elif payload[:2] == b"\xff\xd8":
         from queryengine_spark.multimodal.jpeg import (
             decode_jpeg_dc,
-            decode_jpeg_dc3,
+            decode_jpeg_dc_planes,
         )
 
         arr = decode_jpeg_dc(payload)
         if arr is None:
-            arr = decode_jpeg_dc3(payload)  # 3-component 4:4:4 profile
+            # 3-component profiles incl. 4:2:0/4:2:2 subsampling and
+            # DRI (r6): the planes decode carries (w, h) directly
+            res = decode_jpeg_dc_planes(payload)
+            if res is not None:
+                return int(res[0]), int(res[1])
     if arr is not None:
         # (h, w) grayscale or (h, w, channels): shape[1] is width
         return int(arr.shape[1]), int(arr.shape[0])

@@ -21,8 +21,14 @@ scans (every pixel = round(dc·q/8) + 128, integer-exact when q ≡ 0
 mod 8), so ``decode_jpeg_dc`` still refuses any nonzero AC rather
 than approximate a float IDCT — AC-bearing scans get exact pre-IDCT
 COEFFICIENT statistics instead, which an integer formula oracle can
-certify. Progressive/multi-component/DRI profiles are refused
-everywhere.
+certify. Since round 6 the MCU geometry is general: per-component
+sampling factors h, v ∈ {1, 2} (4:4:4, 4:2:0 — the dominant
+real-world baseline profile — 4:2:2, 4:4:0) with interleaved
+multi-block MCUs, and DRI restart intervals are honored (scan split
+at validated RST0..RST7 markers, DC predictors reset, bitstream
+byte-realigned). The only refusals left are progressive (SOF2) and
+other non-baseline SOFs, 16-bit quant tables, and sampling factors
+3/4.
 
 Correctness: the DuckDB oracle recomputes pixel sums from the DC
 formula and coefficient sums from the AC formula while Spark decodes
@@ -129,13 +135,24 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad the current partial byte with 1-bits (JPEG B.2.1 byte
+        alignment before a restart marker); no-op when aligned."""
         if self.n:
             self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
             self.out.append(self.acc)
             if self.acc == 0xFF:
                 self.out.append(0x00)
             self.acc, self.n = 0, 0
+
+    def marker(self, m: int) -> None:
+        """Emit a raw marker (0xFF m) into the entropy stream —
+        markers are never byte-stuffed; caller aligns first."""
+        assert self.n == 0
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -346,6 +363,82 @@ def make_jpeg_ycc(asset_id: int) -> bytes:
     )
 
 
+def jpeg420_ri(asset_id: int) -> int:
+    """Restart interval (in MCUs) for the DRI leg: 1..3, so short
+    corpora still exercise multi-restart scans and RSTn wraparound."""
+    return 1 + asset_id % 3
+
+
+def make_jpeg_420(asset_id: int, dri: bool) -> bytes:
+    """Spec-valid 3-component YCbCr 4:2:0 baseline JFIF, DC-only scan
+    (r6): Y samples 2×2, chroma 1×1, so each MCU interleaves FOUR Y
+    blocks (raster order within the MCU) + one Cb + one Cr with
+    separate predictors — the dominant real-world baseline profile.
+    Dimensions are 16·mw × 16·mh pixels (mw, mh = jpeg_params), so
+    the luma grid is 2mw×2mh blocks and each chroma plane exactly
+    mw×mh — no padding blocks, which keeps the formula oracle pure
+    arithmetic (the DECODER handles padding generally; a hand case
+    pins it in pytest). With ``dri`` a DRI segment declares
+    jpeg420_ri MCUs per restart interval and the scan carries real
+    byte-aligned RST0..RST7 markers with predictor resets. Block DC
+    formula block_dc3(asset_id, c, bx, by) in each component's OWN
+    block grid."""
+    mw, mh = jpeg_params(asset_id)
+    ri = jpeg420_ri(asset_id) if dri else 0
+    dc_codes = [
+        _canonical_codes(_DC_BITS, _DC_VALS),
+        _canonical_codes(_DC2_BITS, _DC2_VALS),
+        _canonical_codes(_DC2_BITS, _DC2_VALS),
+    ]
+    ac_codes = [
+        _canonical_codes(_AC_BITS, _AC_VALS),
+        _canonical_codes(_AC2_BITS, _AC2_VALS),
+        _canonical_codes(_AC2_BITS, _AC2_VALS),
+    ]
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    for mcu in range(mw * mh):
+        if ri and mcu and mcu % ri == 0:
+            w.align()
+            w.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            preds = [0, 0, 0]
+        my, mx = divmod(mcu, mw)
+        # (component, block coords in the component's own grid)
+        units = [(0, 2 * mx + dx, 2 * my + dy) for dy in (0, 1) for dx in (0, 1)]
+        units += [(1, mx, my), (2, mx, my)]
+        for c, bx, by in units:
+            dc = block_dc3(asset_id, c, bx, by)
+            diff = dc - preds[c]
+            preds[c] = dc
+            cat = _category(diff)
+            code, length = dc_codes[c][cat]
+            w.put(code, length)
+            if cat:
+                w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            eob, eob_len = ac_codes[c][0x00]
+            w.put(eob, eob_len)
+    scan = w.flush()
+    quant_l = bytes([QUANT_DC] + [QUANT_AC] * 63)
+    quant_c = bytes([QUANT_DC] + [QUANT_AC_CHROMA] * 63)
+    dqt = b"\x00" + quant_l + b"\x01" + quant_c
+    sof = struct.pack(">BHHB", 8, mh * 16, mw * 16, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC2_BITS) + bytes(_DC2_VALS)
+        + b"\x11" + bytes(_AC2_BITS) + bytes(_AC2_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out = b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof) + _seg(0xC4, dht)
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", ri))
+    return out + _seg(0xDA, sos) + scan + b"\xff\xd9"
+
+
 def make_jpeg_ac(asset_id: int) -> bytes:
     """AC-bearing variant: every block additionally carries four
     formula AC coefficients at AC_POSITIONS, so the scan contains
@@ -388,27 +481,67 @@ def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
     return None
 
 
+def _split_entropy(b: bytes, scan_start: int):
+    """Entropy region → (segments, end_ok): walk from scan_start,
+    0xFF00 unstuffs to a data 0xFF, restart markers RST0..RST7 split
+    the stream into byte-aligned segments (validated to cycle n =
+    0, 1, ... mod 8 — an out-of-order RSTn is corruption, not data),
+    EOI terminates. Any other marker inside the scan → None."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    expect_rst = 0
+    pos = scan_start
+    n = len(b)
+    while pos < n:
+        c = b[pos]
+        if c != 0xFF:
+            cur.append(c)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            return None
+        m = b[pos + 1]
+        if m == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            if m - 0xD0 != expect_rst:
+                return None
+            expect_rst = (expect_rst + 1) % 8
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        elif m == 0xD9:  # EOI
+            segs.append(bytes(cur))
+            return segs
+        else:
+            return None
+    return None  # ran off the end without EOI
+
+
 def _parse_segments_multi(b: bytes):
-    """Generalized JFIF marker walk (r5): SOI → (DQTs, SOF0, DHTs,
-    SOS) → entropy bytes (0xFF00-unstuffed). Handles MULTIPLE quant
-    tables (including several per DQT segment, keyed by table id)
-    and 1- or 3-component baseline sequential scans where every
-    component samples 1×1 (4:4:4 — one block per component per MCU).
-    Returns (comps, (w, h), entropy) with
-    comps = [(quant_bytes, dc_table, ac_table), ...] in scan order,
-    or None. Refuses non-baseline SOFs, 16-bit quant tables,
-    subsampled components, and DRI (restart markers inside the scan
-    would silently corrupt bit-level decoding, so files declaring
-    them are rejected, not misread)."""
+    """Generalized JFIF marker walk (r5, extended r6): SOI → (DQTs,
+    SOF0, DHTs, optional DRI, SOS) → entropy bytes. Handles MULTIPLE
+    quant tables (several per DQT segment, keyed by table id), 1- or
+    3-component baseline sequential scans with per-component sampling
+    factors h, v ∈ {1, 2} — covering 4:4:4 (1×1 everywhere), 4:2:0
+    (Y 2×2, chroma 1×1), 4:2:2 and 4:4:0 — and DRI restart intervals
+    (the scan is split at RSTn markers into byte-aligned segments
+    with the marker sequence number validated). Returns
+    (comps, (w, h), segments, restart_interval) with
+    comps = [(quant_bytes, dc_table, ac_table, h_c, v_c), ...] in
+    scan order, or None. Refuses non-baseline SOFs, 16-bit quant
+    tables, and sampling factors outside {1, 2}."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2
     quants: dict[int, bytes] = {}
     sof = None
-    sof_comps: list[tuple[int, int]] = []  # (comp_id, quant_id)
+    sof_comps: list[tuple[int, int, int, int]] = []  # (comp_id, quant_id, h, v)
     huff: dict[tuple[int, int], dict] = {}
     scan_start = None
     scan_tabs: list[tuple[int, int, int]] = []  # (comp_id, dc_id, ac_id)
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -429,20 +562,31 @@ def _parse_segments_multi(b: bytes):
                 quants[tid] = body[p + 1 : p + 65]
                 p += 65
         elif marker == 0xC0:
+            if len(body) < 6:
+                return None
             prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8 or ncomp not in (1, 3):
                 return None
+            if len(body) < 6 + 3 * ncomp:
+                return None  # truncated SOF: refuse, don't raise
             sof_comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    return None  # 4:4:4 only — no subsampling
-                sof_comps.append((cid, tq))
+                hc, vc = samp >> 4, samp & 0x0F
+                if ncomp == 1:
+                    # a single-component scan is non-interleaved: one
+                    # block per MCU regardless of declared factors
+                    hc = vc = 1
+                if hc not in (1, 2) or vc not in (1, 2):
+                    return None  # sampling factors 3/4 unsupported
+                sof_comps.append((cid, tq, hc, vc))
             sof = (w_, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             return None  # non-baseline SOF
         elif marker == 0xDD:
-            return None  # DRI: restart markers unsupported
+            if len(body) != 2:
+                return None
+            (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xC4:
             # a DHT segment may carry several tables too
             p = 0
@@ -474,35 +618,35 @@ def _parse_segments_multi(b: bytes):
         return None
     if len(scan_tabs) != len(sof_comps):
         return None
-    sof_by_id = dict(sof_comps)
+    sof_by_id = {cid: (tq, hc, vc) for cid, tq, hc, vc in sof_comps}
     comps = []
     for cid, dc_id, ac_id in scan_tabs:
         if cid not in sof_by_id:
             return None
-        tq = sof_by_id[cid]
+        tq, hc, vc = sof_by_id[cid]
         if tq not in quants or (0, dc_id) not in huff or (1, ac_id) not in huff:
             return None
-        comps.append((quants[tq], huff[(0, dc_id)], huff[(1, ac_id)]))
-    end = b.rfind(b"\xff\xd9")
-    if end < scan_start:
+        comps.append((quants[tq], huff[(0, dc_id)], huff[(1, ac_id)], hc, vc))
+    segments = _split_entropy(b, scan_start)
+    if segments is None:
         return None
-    entropy = b[scan_start:end].replace(b"\xff\x00", b"\xff")
-    return comps, sof, entropy
+    return comps, sof, segments, restart_interval
 
 
 def _parse_segments(b: bytes):
     """Single-component view of :func:`_parse_segments_multi` — the
     contract the grayscale decode paths keep: returns
-    (quant, (w, h), dc_table, ac_table, entropy) or None (also None
-    for 3-component files; those go through decode_jpeg_dc3)."""
+    (quant, (w, h), dc_table, ac_table, segments, restart_interval)
+    or None (also None for 3-component files; those go through
+    decode_jpeg_dc3 / decode_jpeg_dc_planes)."""
     parsed = _parse_segments_multi(b)
     if parsed is None:
         return None
-    comps, sof, entropy = parsed
+    comps, sof, segments, ri = parsed
     if len(comps) != 1:
         return None
-    quant, dc_tab, ac_tab = comps[0]
-    return quant, sof, dc_tab, ac_tab, entropy
+    quant, dc_tab, ac_tab, _, _ = comps[0]
+    return quant, sof, dc_tab, ac_tab, segments, ri
 
 
 def _read_dc_diff(r: _BitReader, dc_tab: dict) -> int | None:
@@ -530,66 +674,118 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
     parsed = _parse_segments(b)
     if parsed is None:
         return None
-    quant, (w_, h), dc_tab, ac_tab, entropy = parsed
+    quant, (w_, h), dc_tab, ac_tab, segments, ri = parsed
     bw, bh = (w_ + 7) // 8, (h + 7) // 8
-    r = _BitReader(entropy)
+    if len(segments) != (1 if ri == 0 else -(-(bw * bh) // ri)):
+        return None  # segment count must match the declared interval
     q0 = quant[0]
     if q0 % 8:
         return None  # exact-pixel contract requires q0 ≡ 0 (mod 8)
     out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
     pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            diff = _read_dc_diff(r, dc_tab)
-            if diff is None:
-                return None
-            pred += diff
-            rs = _read_huff(r, ac_tab)
-            if rs is None:
-                return None
-            if rs != 0x00:
-                return None  # nonzero AC: outside the exact-pixel profile
-            px = pred * q0 // 8 + 128
-            if not 0 <= px <= 255:
-                return None
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    r = _BitReader(segments[0])
+    seg = 0
+    for bi in range(bw * bh):
+        if ri and bi and bi % ri == 0:
+            seg += 1
+            r = _BitReader(segments[seg])
+            pred = 0  # predictor resets at every restart marker
+        diff = _read_dc_diff(r, dc_tab)
+        if diff is None:
+            return None
+        pred += diff
+        rs = _read_huff(r, ac_tab)
+        if rs is None:
+            return None
+        if rs != 0x00:
+            return None  # nonzero AC: outside the exact-pixel profile
+        px = pred * q0 // 8 + 128
+        if not 0 <= px <= 255:
+            return None
+        by, bx = divmod(bi, bw)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
     return out[:h, :w_]
+
+
+def decode_jpeg_dc_planes(b: bytes) -> tuple[int, int, list[np.ndarray]] | None:
+    """bytes → (w, h, planes) for a 1- or 3-component baseline JFIF
+    whose scan is DC-only, with GENERAL {1,2}×{1,2} per-component
+    sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0) and DRI restart
+    intervals (r6). MCU geometry per JPEG A.2.3: an MCU covers
+    8·h_max × 8·v_max pixels and carries v_c×h_c blocks of component
+    c in raster order; component c's native dimensions are
+    ceil(w·h_c/h_max) × ceil(h·v_c/v_max) (A.1.1) and planes[c] is
+    that native-resolution uint8 array (padding blocks decoded, then
+    trimmed — chroma stats stay exact in the subsampled domain, no
+    upsampling filter is ever invented). At each restart marker the
+    DC predictors reset and the bitstream re-aligns; the segment
+    count and RSTn sequence numbers are validated, a mismatch →
+    None. Any nonzero AC or non-baseline profile → None (honest
+    refusal, never an approximate IDCT)."""
+    parsed = _parse_segments_multi(b)
+    if parsed is None:
+        return None
+    comps, (w_, h), segments, ri = parsed
+    if any(q[0] % 8 for q, _, _, _, _ in comps):
+        return None  # exact-pixel contract requires q0 ≡ 0 (mod 8)
+    hmax = max(hc for _, _, _, hc, _ in comps)
+    vmax = max(vc for _, _, _, _, vc in comps)
+    mcux = -(-w_ // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    total = mcux * mcuy
+    if len(segments) != (1 if ri == 0 else -(-total // ri)):
+        return None
+    padded = [
+        np.empty((mcuy * vc * 8, mcux * hc * 8), dtype=np.uint8)
+        for _, _, _, hc, vc in comps
+    ]
+    preds = [0] * len(comps)
+    r = _BitReader(segments[0])
+    seg = 0
+    for mcu in range(total):
+        if ri and mcu and mcu % ri == 0:
+            seg += 1
+            r = _BitReader(segments[seg])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for c, (quant, dc_tab, ac_tab, hc, vc) in enumerate(comps):
+            for dy in range(vc):
+                for dx in range(hc):
+                    diff = _read_dc_diff(r, dc_tab)
+                    if diff is None:
+                        return None
+                    preds[c] += diff
+                    rs = _read_huff(r, ac_tab)
+                    if rs is None or rs != 0x00:
+                        return None  # nonzero AC: outside the exact profile
+                    px = preds[c] * quant[0] // 8 + 128
+                    if not 0 <= px <= 255:
+                        return None
+                    y0, x0 = (my * vc + dy) * 8, (mx * hc + dx) * 8
+                    padded[c][y0 : y0 + 8, x0 : x0 + 8] = px
+    planes = []
+    for (_, _, _, hc, vc), arr in zip(comps, padded):
+        wc = -(-(w_ * hc) // hmax)
+        hcp = -(-(h * vc) // vmax)
+        planes.append(arr[:hcp, :wc])
+    return w_, h, planes
 
 
 def decode_jpeg_dc3(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 3) uint8 YCbCr planes for a 3-component 4:4:4
-    baseline JFIF whose scan is DC-only (r5): interleaved MCUs, one
-    block per component, SEPARATE DC predictors and per-component
-    quant/Huffman tables resolved from the headers. Any nonzero AC,
-    subsampling, or non-baseline profile → None (same honest-refusal
-    contract as the grayscale pixel path)."""
-    parsed = _parse_segments_multi(b)
-    if parsed is None:
+    baseline JFIF whose scan is DC-only (r5): interleaved MCUs,
+    SEPARATE DC predictors and per-component quant/Huffman tables
+    resolved from the headers. Since r6 a thin stacking wrapper over
+    :func:`decode_jpeg_dc_planes`; subsampled files (planes of
+    different shapes) keep returning None from THIS function — they
+    are served natively by the planes path instead."""
+    res = decode_jpeg_dc_planes(b)
+    if res is None:
         return None
-    comps, (w_, h), entropy = parsed
-    if len(comps) != 3:
+    w_, h, planes = res
+    if len(planes) != 3 or any(p.shape != (h, w_) for p in planes):
         return None
-    if any(q[0] % 8 for q, _, _ in comps):
-        return None  # exact-pixel contract requires q0 ≡ 0 (mod 8)
-    bw, bh = (w_ + 7) // 8, (h + 7) // 8
-    r = _BitReader(entropy)
-    out = np.empty((bh * 8, bw * 8, 3), dtype=np.uint8)
-    preds = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for c, (quant, dc_tab, ac_tab) in enumerate(comps):
-                diff = _read_dc_diff(r, dc_tab)
-                if diff is None:
-                    return None
-                preds[c] += diff
-                rs = _read_huff(r, ac_tab)
-                if rs is None or rs != 0x00:
-                    return None  # nonzero AC: outside the exact profile
-                px = preds[c] * quant[0] // 8 + 128
-                if not 0 <= px <= 255:
-                    return None
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c] = px
-    return out[:h, :w_, :]
+    return np.stack(planes, axis=-1)
 
 
 def decode_jpeg_coeffs(b: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -604,16 +800,25 @@ def decode_jpeg_coeffs(b: bytes) -> tuple[int, int, np.ndarray] | None:
     restriction and no q0 % 8 requirement, because dequantization is
     exact integer multiplication and the float IDCT is never run.
     Coefficient k (zigzag) dequantizes with quant[k] (DQT stores
-    zigzag order) and lands at natural index ZIGZAG_NAT[k]."""
+    zigzag order) and lands at natural index ZIGZAG_NAT[k]. DRI
+    restart intervals are honored (r6): predictor resets + bitstream
+    re-alignment at each validated RSTn."""
     parsed = _parse_segments(b)
     if parsed is None:
         return None
-    quant, (w_, h), dc_tab, ac_tab, entropy = parsed
+    quant, (w_, h), dc_tab, ac_tab, segments, ri = parsed
     bw, bh = (w_ + 7) // 8, (h + 7) // 8
-    r = _BitReader(entropy)
+    if len(segments) != (1 if ri == 0 else -(-(bw * bh) // ri)):
+        return None
+    r = _BitReader(segments[0])
+    seg = 0
     out = np.zeros((bw * bh, 64), dtype=np.int64)
     pred = 0
     for bi in range(bw * bh):
+        if ri and bi and bi % ri == 0:
+            seg += 1
+            r = _BitReader(segments[seg])
+            pred = 0
         diff = _read_dc_diff(r, dc_tab)
         if diff is None:
             return None
@@ -704,15 +909,22 @@ JPEG_FULL_SCHEMA = StructType(
 
 
 def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """asset_id % 4 == 0 → grayscale DC-only (exact-pixel profile),
-    % 4 == 2 → YCbCr 4:4:4 DC-only (3 components, separate
-    predictors/tables — r5), odd → grayscale AC-bearing (full
-    baseline entropy surface)."""
+    """asset_id % 8 == 0 → grayscale DC-only (exact-pixel profile),
+    % 8 == 2 → YCbCr 4:4:4 DC-only (3 components, separate
+    predictors/tables — r5), % 8 == 4 → YCbCr 4:2:0 DC-only (2×2
+    luma sampling, 6-block MCUs — r6), % 8 == 6 → YCbCr 4:2:0 with a
+    DRI restart interval (real RSTn markers, predictor resets — r6),
+    odd → grayscale AC-bearing (full baseline entropy surface)."""
 
     def _mk(a: int) -> bytes:
         if a % 2 == 1:
             return make_jpeg_ac(a)
-        return make_jpeg_dc(a) if a % 4 == 0 else make_jpeg_ycc(a)
+        r8 = a % 8
+        if r8 == 0:
+            return make_jpeg_dc(a)
+        if r8 == 2:
+            return make_jpeg_ycc(a)
+        return make_jpeg_420(a, dri=(r8 == 6))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -742,26 +954,32 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 out["asset_id"].append(int(aid))
                 b = bytes(payload) if payload is not None else b""
-                ycc = decode_jpeg_dc3(b)
-                if ycc is not None:
-                    h, w, _ = ycc.shape
-                    planes = ycc.astype(np.int64)
+                res = decode_jpeg_dc_planes(b)
+                if res is not None and len(res[2]) == 3:
+                    # 3-component DC-only pixel path: 4:4:4 AND the
+                    # subsampled profiles (r6) — chroma stats are
+                    # exact in each plane's NATIVE resolution, no
+                    # upsampling filter is invented
+                    w, h, comps3 = res
+                    y, cb, cr = (p.astype(np.int64) for p in comps3)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_px"].append(w * h)
-                    out["sum_lum"].append(int(planes[:, :, 0].sum()))
-                    out["min_lum"].append(int(planes[:, :, 0].min()))
-                    out["max_lum"].append(int(planes[:, :, 0].max()))
-                    out["sum_cb"].append(int(planes[:, :, 1].sum()))
-                    out["sum_cr"].append(int(planes[:, :, 2].sum()))
-                    bw, bh = w // 8, h // 8
-                    out["n_blocks"].append(3 * bw * bh)
-                    # each block is a constant plane, so its top-left
-                    # sample recovers the dc exactly: dequantized sum
-                    # = Σ (sample - 128) × q0 (q0 = 8 for all comps)
-                    dcsum = int(
-                        (planes[::8, ::8, :] - 128).sum()
-                    ) * 8
+                    out["sum_lum"].append(int(y.sum()))
+                    out["min_lum"].append(int(y.min()))
+                    out["max_lum"].append(int(y.max()))
+                    out["sum_cb"].append(int(cb.sum()))
+                    out["sum_cr"].append(int(cr.sum()))
+                    nblk = 0
+                    dcsum = 0
+                    for p in (y, cb, cr):
+                        ph, pw = p.shape
+                        nblk += ((ph + 7) // 8) * ((pw + 7) // 8)
+                        # each block is a constant plane, so its
+                        # top-left sample recovers the dequantized dc
+                        # exactly: dc_dq = (sample - 128) × 8
+                        dcsum += int((p[::8, ::8] - 128).sum()) * 8
+                    out["n_blocks"].append(nblk)
                     out["sum_dc_dq"].append(dcsum)
                     out["sum_ac_dq"].append(0)
                     out["sum_abs_ac_dq"].append(0)

@@ -428,17 +428,22 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
 def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → entropy-decode → aggregate, entirely worker-side:
     real JFIF marker walk + canonical-Huffman scan decoding (tables
-    read from the DHT bytes). asset_id % 4 == 0 carries grayscale
-    DC-only scans (exact pixel stats); % 4 == 2 carries YCbCr 4:4:4
+    read from the DHT bytes). asset_id % 8 == 0 carries grayscale
+    DC-only scans (exact pixel stats); % 8 == 2 carries YCbCr 4:4:4
     DC-only scans (r5 — three interleaved components with separate
     predictors, per-component quant/Huffman tables, multi-table DQT/
-    DHT segments; Y/Cb/Cr plane sums all exact); odd asset_ids carry
-    grayscale AC-BEARING scans (r5) —
-    ZRL runs, EOB, implicit block ends — decoded to exact integer
-    pre-IDCT coefficient statistics, with the pixel columns honestly
-    NULL (a float IDCT is never approximated). See
-    multimodal/jpeg.py for the real-vs-restricted contract and the
-    hand-assembled bitstreams that pin both decode paths."""
+    DHT segments; Y/Cb/Cr plane sums all exact); % 8 == 4 carries
+    YCbCr 4:2:0 DC-only scans (r6 — 2×2 luma sampling, six-block
+    interleaved MCUs, chroma stats exact in NATIVE subsampled
+    resolution); % 8 == 6 carries 4:2:0 WITH a DRI restart interval
+    (r6 — real RST0..RST7 markers every 1–3 MCUs, byte realignment +
+    predictor resets, sequence numbers validated); odd asset_ids
+    carry grayscale AC-BEARING scans (r5) — ZRL runs, EOB, implicit
+    block ends — decoded to exact integer pre-IDCT coefficient
+    statistics, with the pixel columns honestly NULL (a float IDCT
+    is never approximated). See multimodal/jpeg.py for the
+    real-vs-restricted contract and the hand-assembled bitstreams
+    that pin every decode path."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return jpeg_full_stats(synthesize_jpeg_mixed(spread(ids)))
 
@@ -483,31 +488,66 @@ blk3 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
                  + ({DC_OFF}) AS dc
         FROM dims d, unnest(range(0, d.bw)) xx(i),
              unnest(range(0, d.bh)) yy(i), unnest([0, 1, 2]) cc(c)
-        WHERE d.asset_id % 4 = 2),
+        WHERE d.asset_id % 8 = 2),
 ycc AS (SELECT asset_id,
                CAST(SUM(CASE WHEN comp = 1 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cb,
                CAST(SUM(CASE WHEN comp = 2 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cr,
                CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS dc3_dq
-        FROM blk3 GROUP BY asset_id)
+        FROM blk3 GROUP BY asset_id),
+-- r6: 4:2:0 legs (%8 = 4 plain, %8 = 6 with DRI — same pixel formula,
+-- the restart machinery is what the DECODER must get right): dims'
+-- bw×bh are MCU counts, luma grid 2bw×2bh blocks, each chroma plane
+-- native bw×bh blocks, same per-component dc formula as blk3
+blk420 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
+               ((d.asset_id + 13 * CAST(xx.i AS BIGINT)
+                 + 31 * CAST(yy.i AS BIGINT)
+                 + {YCC_C_MULT} * CAST(cc.c AS BIGINT)) * {DC_MULT}) % {DC_MOD}
+                 + ({DC_OFF}) AS dc
+        FROM dims d, unnest([0, 1, 2]) cc(c),
+             unnest(range(0, CASE WHEN cc.c = 0 THEN 2 * d.bw ELSE d.bw END)) xx(i),
+             unnest(range(0, CASE WHEN cc.c = 0 THEN 2 * d.bh ELSE d.bh END)) yy(i)
+        WHERE d.asset_id % 8 IN (4, 6)),
+y420 AS (SELECT asset_id,
+               CAST(SUM(CASE WHEN comp = 0 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_lum,
+               CAST(MIN(CASE WHEN comp = 0 THEN dc END) + 128 AS INT) AS min_lum,
+               CAST(MAX(CASE WHEN comp = 0 THEN dc END) + 128 AS INT) AS max_lum,
+               CAST(SUM(CASE WHEN comp = 1 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cb,
+               CAST(SUM(CASE WHEN comp = 2 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cr,
+               CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS dc420_dq
+        FROM blk420 GROUP BY asset_id)
 SELECT s.asset_id,
-       CAST(s.bw * 8 AS INT) AS width, CAST(s.bh * 8 AS INT) AS height,
-       CASE WHEN s.asset_id % 2 = 0
-            THEN CAST(s.bw * s.bh * 64 AS BIGINT) END AS n_px,
-       CASE WHEN s.asset_id % 2 = 0 THEN s.sum_lum END AS sum_lum,
-       CASE WHEN s.asset_id % 2 = 0 THEN s.min_lum END AS min_lum,
-       CASE WHEN s.asset_id % 2 = 0 THEN s.max_lum END AS max_lum,
-       CAST(CASE WHEN s.asset_id % 4 = 2 THEN 3 * s.bw * s.bh
+       CAST(s.bw * CASE WHEN s.asset_id % 8 IN (4, 6) THEN 16 ELSE 8 END
+            AS INT) AS width,
+       CAST(s.bh * CASE WHEN s.asset_id % 8 IN (4, 6) THEN 16 ELSE 8 END
+            AS INT) AS height,
+       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+            WHEN s.asset_id % 8 IN (4, 6)
+            THEN CAST(s.bw * s.bh * 256 AS BIGINT)
+            ELSE CAST(s.bw * s.bh * 64 AS BIGINT) END AS n_px,
+       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+            WHEN s.asset_id % 8 IN (4, 6) THEN z.sum_lum
+            ELSE s.sum_lum END AS sum_lum,
+       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+            WHEN s.asset_id % 8 IN (4, 6) THEN z.min_lum
+            ELSE s.min_lum END AS min_lum,
+       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+            WHEN s.asset_id % 8 IN (4, 6) THEN z.max_lum
+            ELSE s.max_lum END AS max_lum,
+       CAST(CASE WHEN s.asset_id % 8 = 2 THEN 3 * s.bw * s.bh
+                 WHEN s.asset_id % 8 IN (4, 6) THEN 6 * s.bw * s.bh
                  ELSE s.bw * s.bh END AS BIGINT) AS n_blocks,
-       CAST(CASE WHEN s.asset_id % 4 = 2 THEN y.dc3_dq
+       CAST(CASE WHEN s.asset_id % 8 = 2 THEN y.dc3_dq
+                 WHEN s.asset_id % 8 IN (4, 6) THEN z.dc420_dq
                  ELSE s.sum_dc_dq END AS BIGINT) AS sum_dc_dq,
        CAST(COALESCE(a.sum_ac_dq, 0) AS BIGINT) AS sum_ac_dq,
        CAST(COALESCE(a.sum_abs_ac_dq, 0) AS BIGINT) AS sum_abs_ac_dq,
        CAST(COALESCE(a.n_nonzero_ac, 0) AS BIGINT) AS n_nonzero_ac,
-       y.sum_cb AS sum_cb,
-       y.sum_cr AS sum_cr
+       COALESCE(y.sum_cb, z.sum_cb) AS sum_cb,
+       COALESCE(y.sum_cr, z.sum_cr) AS sum_cr
 FROM dcsums s
 LEFT JOIN acsums a ON s.asset_id = a.asset_id
 LEFT JOIN ycc y ON s.asset_id = y.asset_id
+LEFT JOIN y420 z ON s.asset_id = z.asset_id
 """
 
 

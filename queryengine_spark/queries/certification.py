@@ -69,6 +69,10 @@ VOID: dict[str, int] = {
     # round 5: gained the d=2 first-word leg (SymSpell 2-deletion
     # neighborhood):
     "fuzzy_edit_join": 4,
+    # round 6: residue map %4 -> %8 — ids ≡ 4, 6 (mod 8) now carry
+    # YCbCr 4:2:0 scans (≡ 6 with DRI restart markers); oracle gained
+    # the blk420/y420 legs:
+    "multimodal_jpeg_decode": 5,
 }
 
 

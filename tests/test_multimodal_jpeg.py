@@ -253,14 +253,76 @@ def test_coeff_roundtrip_property():
     run()
 
 
-def test_dri_is_refused():
-    from queryengine_spark.multimodal.jpeg import _seg, decode_jpeg_coeffs
+def _headers_dri(bw: int, bh: int, ri: int) -> bytes:
+    """Grayscale headers with a DRI segment between DHT and SOS."""
+    quant = bytes([QUANT_DC] + [16] * 63)
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + quant)
+        + _seg(0xC0, struct.pack(">BHHB", 8, bh * 8, bw * 8, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _seg(0xDD, struct.pack(">H", ri))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
 
-    good = make_jpeg_dc(3)
-    # splice a DRI segment right after SOI
-    dri = good[:2] + _seg(0xDD, struct.pack(">H", 4)) + good[2:]
+
+def test_dri_hand_assembled_predictor_reset():
+    """Two blocks, restart interval 1, a real RST0 between them. Both
+    blocks encode diff +5 — WITHOUT the predictor reset the second
+    block would decode to dc 10 (pixel 138); the reset pins it back
+    to dc 5 (pixel 133). Each segment: '100 101 1010' + 1-pad
+    → 0x96 0xBF (the single-block hand vector, byte-aligned twice)."""
+    seg = bytes([0x96, 0xBF])
+    scan = seg + b"\xff\xd0" + seg
+    img = decode_jpeg_dc(_headers_dri(2, 1, 1) + scan + b"\xff\xd9")
+    assert img is not None and img.shape == (8, 16)
+    assert (img == 133).all()
+
+
+def test_dri_wrong_sequence_number_refused():
+    """Restart markers must cycle RST0, RST1, ... — an out-of-order
+    marker is stream corruption, not data."""
+    seg = bytes([0x96, 0xBF])
+    bad = seg + b"\xff\xd1" + seg  # RST1 where RST0 is required
+    assert decode_jpeg_dc(_headers_dri(2, 1, 1) + bad + b"\xff\xd9") is None
+
+
+def test_dri_missing_restart_marker_refused():
+    """A declared restart interval with no markers in the scan means
+    the segment count can't match ceil(MCUs/interval) → None, never
+    a silently mispredicted decode."""
+    from queryengine_spark.multimodal.jpeg import _seg as seg_, decode_jpeg_coeffs
+
+    good = make_jpeg_dc(3)  # 4 blocks, no restart markers in the scan
+    dri = good[:2] + seg_(0xDD, struct.pack(">H", 2)) + good[2:]
     assert decode_jpeg_coeffs(dri) is None
     assert decode_jpeg_dc(dri) is None
+
+
+def test_dri_coeffs_path_resets_predictor():
+    """decode_jpeg_coeffs honors restarts too: same two-block stream,
+    both blocks must dequantize to dc 5·q0, not 5 then 10."""
+    from queryengine_spark.multimodal.jpeg import decode_jpeg_coeffs
+
+    seg = bytes([0x96, 0xBF])
+    scan = seg + b"\xff\xd0" + seg
+    res = decode_jpeg_coeffs(_headers_dri(2, 1, 1) + scan + b"\xff\xd9")
+    assert res is not None
+    _, _, coefs = res
+    assert coefs[0, 0] == 5 * QUANT_DC and coefs[1, 0] == 5 * QUANT_DC
+
+
+def test_truncated_sof_returns_none():
+    """A SOF declaring 3 components but truncated mid-component-list
+    must return None, not raise (r5 ADVICE: one corrupt payload must
+    not fail the whole mapInPandas batch)."""
+    from queryengine_spark.multimodal.jpeg import _parse_segments_multi
+
+    bad_sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x11, 0]))
+    payload = b"\xff\xd8" + bad_sof + b"\xff\xd9"
+    assert _parse_segments_multi(payload) is None
+    assert decode_jpeg_dc(payload) is None
 
 
 # --- r5: 3-component YCbCr 4:4:4 -------------------------------------------
@@ -340,3 +402,200 @@ def test_decode_dims_routes_ycc(spark):
     row = extract_features(df).collect()[0]
     bw, bh = jpeg_params(9)
     assert (row["width"], row["height"]) == (bw * 8, bh * 8)
+
+
+# --- r6: 4:2:0 chroma subsampling + DRI restart intervals -------------------
+
+
+def test_420_assets_decode_to_formula():
+    """Every synthesized 4:2:0 asset (with and without DRI) decodes
+    plane-exactly to the block_dc3 formula in each component's OWN
+    grid: luma 2mw×2mh blocks, chroma mw×mh."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import (
+        block_dc3,
+        decode_jpeg_dc_planes,
+        make_jpeg_420,
+    )
+
+    for aid, dri in ((4, False), (6, True), (12, False), (14, True), (22, True)):
+        res = decode_jpeg_dc_planes(make_jpeg_420(aid, dri=dri))
+        assert res is not None, (aid, dri)
+        w, h, planes = res
+        mw, mh = jpeg_params(aid)
+        assert (w, h) == (16 * mw, 16 * mh)
+        assert planes[0].shape == (h, w)
+        assert planes[1].shape == planes[2].shape == (h // 2, w // 2)
+        for c, p in enumerate(planes):
+            nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+            for by in range(nby):
+                for bx in range(nbx):
+                    want = block_dc3(aid, c, bx, by) + 128
+                    assert (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all()
+
+
+def test_420_hand_assembled_mcu_interleave_order():
+    """One-MCU 4:2:0 stream with six DISTINCT dc values pins the
+    block order inside the MCU: Y(0,0) Y(1,0) Y(0,1) Y(1,1) Cb Cr —
+    a decoder walking Y blocks column-major or putting chroma first
+    would scramble them. All six components/tables = Annex K luma
+    pair (table ids 0), so the stream is hand-computable: diff d ∈
+    {1..6} relative to the per-component predictor."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _BitWriter,
+        _canonical_codes,
+        _seg,
+        decode_jpeg_dc_planes,
+    )
+
+    dc = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac = _canonical_codes(_AC_BITS, _AC_VALS)
+    # dc values per unit in scan order: Y blocks 10, 20, 30, 40 then
+    # Cb 50, Cr 60; Y diffs are 10,10,10,10 (running predictor), the
+    # chroma diffs are absolute (each component's first block)
+    w = _BitWriter()
+    for diff in (10, 10, 10, 10, 50, 60):
+        cat = diff.bit_length()
+        code, length = dc[cat]
+        w.put(code, length)
+        w.put(diff, cat)
+        w.put(*ac[0x00])
+    scan = w.flush()
+    quant = bytes([QUANT_DC] + [16] * 63)
+    sof = struct.pack(">BHHB", 8, 16, 16, 3) + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + quant)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    res = decode_jpeg_dc_planes(payload)
+    assert res is not None
+    w_, h_, planes = res
+    assert (w_, h_) == (16, 16)
+    y, cb, cr = planes
+    assert y[0, 0] == 138 and y[0, 8] == 148   # Y(0,0)=10, Y(1,0)=20
+    assert y[8, 0] == 158 and y[8, 8] == 168   # Y(0,1)=30, Y(1,1)=40
+    assert (cb == 178).all() and (cr == 188).all()
+
+
+def test_420_padding_blocks_trimmed():
+    """Non-multiple-of-16 width (24×16): mcux=2 pads the chroma plane
+    to 16 columns on the wire; the decoder must trim it to the native
+    ceil(24/2)=12 (JPEG A.1.1) while decoding the padding blocks."""
+    from queryengine_spark.multimodal import jpeg as J
+
+    dc_codes = [
+        J._canonical_codes(J._DC_BITS, J._DC_VALS),
+        J._canonical_codes(J._DC2_BITS, J._DC2_VALS),
+        J._canonical_codes(J._DC2_BITS, J._DC2_VALS),
+    ]
+    ac_codes = [
+        J._canonical_codes(J._AC_BITS, J._AC_VALS),
+        J._canonical_codes(J._AC2_BITS, J._AC2_VALS),
+        J._canonical_codes(J._AC2_BITS, J._AC2_VALS),
+    ]
+    w = J._BitWriter()
+    preds = [0, 0, 0]
+    vals = {}
+    v = 0
+    for mcu in range(2):
+        my, mx = divmod(mcu, 2)
+        units = [(0, 2 * mx + dx, 2 * my + dy) for dy in (0, 1) for dx in (0, 1)]
+        units += [(1, mx, my), (2, mx, my)]
+        for c, bx, by in units:
+            v += 3
+            dcv = v - 20
+            vals[(c, bx, by)] = dcv
+            diff = dcv - preds[c]
+            preds[c] = dcv
+            cat = J._category(diff)
+            code, ln = dc_codes[c][cat]
+            w.put(code, ln)
+            if cat:
+                w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            w.put(*ac_codes[c][0x00])
+    scan = w.flush()
+    quant_l = bytes([8] + [16] * 63)
+    quant_c = bytes([8] + [17] * 63)
+    dqt = b"\x00" + quant_l + b"\x01" + quant_c
+    sof = struct.pack(">BHHB", 8, 16, 24, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    dht = (
+        b"\x00" + bytes(J._DC_BITS) + bytes(J._DC_VALS)
+        + b"\x10" + bytes(J._AC_BITS) + bytes(J._AC_VALS)
+        + b"\x01" + bytes(J._DC2_BITS) + bytes(J._DC2_VALS)
+        + b"\x11" + bytes(J._AC2_BITS) + bytes(J._AC2_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    payload = (
+        b"\xff\xd8" + J._seg(0xDB, dqt) + J._seg(0xC0, sof) + J._seg(0xC4, dht)
+        + J._seg(0xDA, sos) + scan + b"\xff\xd9"
+    )
+    res = J.decode_jpeg_dc_planes(payload)
+    assert res is not None
+    w_, h_, planes = res
+    assert (w_, h_) == (24, 16)
+    assert planes[0].shape == (16, 24)
+    assert planes[1].shape == (8, 12)
+    assert planes[0][0, 16] == vals[(0, 2, 0)] + 128  # 2nd MCU, 1st Y block
+    assert planes[1][0, 8] == vals[(1, 1, 0)] + 128   # 2nd MCU's Cb block
+
+
+def test_420_dri_restart_resets_all_predictors():
+    """The DRI synthesis leg's scan really contains RSTn markers and
+    the decode is formula-exact (covered above); here additionally
+    pin that STRIPPING the restart markers from the scan breaks the
+    decode (segment-count mismatch) — i.e. the markers are load-
+    bearing, not cosmetic."""
+    import re as _re
+
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_dc_planes,
+        make_jpeg_420,
+    )
+
+    payload = make_jpeg_420(14, dri=True)  # mw=5·? → multiple MCUs, ri=1+14%3=3
+    assert decode_jpeg_dc_planes(payload) is not None
+    # locate the scan (after SOS) and strip RSTn markers from it
+    sos_at = payload.find(b"\xff\xda")
+    scan_at = sos_at + 2 + struct.unpack(">H", payload[sos_at + 2 : sos_at + 4])[0]
+    head, scan = payload[:scan_at], payload[scan_at:]
+    stripped = head + _re.sub(b"\xff[\xd0-\xd7]", b"", scan)
+    assert stripped != payload  # markers were present
+    assert decode_jpeg_dc_planes(stripped) is None
+
+
+def test_420_subsampled_refused_by_dc3_and_gray_paths():
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_coeffs,
+        decode_jpeg_dc3,
+        make_jpeg_420,
+    )
+
+    p = make_jpeg_420(4, dri=False)
+    assert decode_jpeg_dc3(p) is None  # planes differ in shape
+    assert decode_jpeg_dc(p) is None
+    assert decode_jpeg_coeffs(p) is None
+
+
+def test_sampling_factor_3_refused():
+    """h=3 sampling is outside the {1,2} contract → None."""
+    from queryengine_spark.multimodal.jpeg import (
+        _parse_segments_multi,
+        make_jpeg_420,
+    )
+
+    p = make_jpeg_420(4, dri=False)
+    bad = p.replace(bytes([1, 0x22, 0]), bytes([1, 0x32, 0]), 1)
+    assert _parse_segments_multi(bad) is None
