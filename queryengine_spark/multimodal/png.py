@@ -187,18 +187,134 @@ def make_png_gray(asset_id: int) -> bytes:
     )
 
 
+#: Adam7 pass geometry (PNG spec 4.5.2): (x0, y0, dx, dy) per pass —
+#: each pass is an INDEPENDENTLY FILTERED sub-image (its first row's
+#: "up" neighbor is zero, not the previous pass's last row)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, pass_w, pass_h) per NON-EMPTY pass — a pass
+    with zero width or height contributes no scanlines at all (spec:
+    empty passes are entirely absent from the datastream)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+#: paletted-leg formula constants (r6, mirrored in the oracle):
+#: palette entry i → (RM·i + asset_id, GM·i + 7, BM·i + 2·asset_id)
+#: mod 256; pixel index formula below. Distinct from the GIF palette
+#: constants so a cross-wired palette read can't accidentally match.
+PAL3_RM, PAL3_GM, PAL3_BM = 11, 23, 31
+PAL3_IDX_XM, PAL3_IDX_YM = 7, 13
+
+
+def _pal3_index(asset_id: int, x: int, y: int) -> int:
+    return (PAL3_IDX_XM * x + PAL3_IDX_YM * y + asset_id) % 256
+
+
+def make_png_palette(asset_id: int) -> bytes:
+    """Complete spec-valid 8-bit PALETTED PNG (color type 3, r6):
+    a full 256-entry PLTE built from the palette formula, index
+    pixels from the index formula, per-row filter type y % 5 with
+    bpp=1, deflate stream split across two IDAT chunks. The decoder
+    must compose palette[index] — the oracle recomputes that
+    composition symbolically, so reading indices as pixels (or the
+    wrong palette) breaks the hash."""
+    w, h = png_rgba_params(asset_id)
+    plte = bytes(
+        v
+        for i in range(256)
+        for v in (
+            (PAL3_RM * i + asset_id) % 256,
+            (PAL3_GM * i + 7) % 256,
+            (PAL3_BM * i + 2 * asset_id) % 256,
+        )
+    )
+    prev = bytes(w)
+    stream = bytearray()
+    for y in range(h):
+        raw = bytes(_pal3_index(asset_id, x, y) for x in range(w))
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, bpp=1)
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 8, 3, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
+def make_png_gray_adam7(asset_id: int) -> bytes:
+    """8-bit grayscale PNG with Adam7 INTERLACE (r6): the SAME
+    _gray_pixel image as make_png_gray, stored in 7-pass order —
+    each non-empty pass independently filtered (row filter = pass-row
+    % 5). The decoded output must equal the sequential twin
+    pixel-for-pixel; the query's position-WEIGHTED checksum column
+    certifies the deinterlace scatter in the oracle hash (a plain sum
+    is permutation-invariant and would miss a misplaced pass)."""
+    w, h = png_rgba_params(asset_id)
+    stream = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+        prev = bytes(pw)
+        for ry in range(ph):
+            raw = bytes(
+                _gray_pixel(asset_id, x0 + rx * dx, y0 + ry * dy)
+                for rx in range(pw)
+            )
+            f = ry % 5
+            stream.append(f)
+            stream += _filter_row(f, raw, prev, bpp=1)
+            prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_png(b: bytes) -> np.ndarray | None:
-    """bytes → (h, w, 4) uint8 RGBA array for color type 6, or
-    (h, w) uint8 grayscale for color type 0 (r5), or None for
-    anything else (other color types / depths / interlace). Walks
-    chunks with CRC verification, reassembles multi-chunk IDAT,
-    inflates, and runs the full scanline reconstruction (all 5
-    filter types, with the correct bytes-per-pixel offset for each
-    color type)."""
+    """bytes → (h, w, 4) uint8 RGBA for color type 6, (h, w)
+    grayscale for color type 0 (r5), or (h, w, 3) RGB for PALETTED
+    color type 3 (r6 — indices mapped through the PLTE chunk, an
+    index beyond the palette is REFUSED like BMP's out-of-range
+    path). Sequential and Adam7-INTERLACED (r6) datastreams both
+    decode: each Adam7 pass is reconstructed as an independent
+    sub-image (own filter context) and scattered to (x0 + i·dx,
+    y0 + j·dy). Walks chunks with CRC verification, reassembles
+    multi-chunk IDAT, inflates, and runs the full scanline
+    reconstruction (all 5 filter types, correct bytes-per-pixel
+    offset per color type). None for other color types / depths."""
     if not b.startswith(_SIG):
         return None
     pos = len(_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(b):
         (clen,) = struct.unpack(">I", b[pos : pos + 4])
@@ -211,6 +327,8 @@ def decode_png(b: bytes) -> np.ndarray | None:
             return None
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -219,29 +337,63 @@ def decode_png(b: bytes) -> np.ndarray | None:
     if ihdr is None or len(ihdr) != 13 or not idat:
         return None
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">II5B", ihdr)
-    if depth != 8 or ctype_ not in (0, 6) or (comp, filt, interlace) != (0, 0, 0):
+    if depth != 8 or ctype_ not in (0, 3, 6) or (comp, filt) != (0, 0):
+        return None
+    if interlace not in (0, 1):
         return None
     if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+        return None
+    if ctype_ == 3 and (
+        plte is None or len(plte) == 0 or len(plte) % 3 or len(plte) > 768
+    ):
         return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
     bpp = 4 if ctype_ == 6 else 1
-    stride = w * bpp
-    if len(raw) != h * (1 + stride):
-        return None
-    prev = bytes(stride)
-    rows = []
-    for y in range(h):
-        off = y * (1 + stride)
-        rec = _unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prev, bpp=bpp)
-        if rec is None:
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (1 + stride):
             return None
-        rows.append(np.frombuffer(rec, dtype=np.uint8))
-        prev = rec
-    out = np.stack(rows)
-    return out.reshape(h, w, 4) if ctype_ == 6 else out.reshape(h, w)
+        prev = bytes(stride)
+        rows = []
+        for y in range(h):
+            off = y * (1 + stride)
+            rec = _unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prev, bpp=bpp)
+            if rec is None:
+                return None
+            rows.append(np.frombuffer(rec, dtype=np.uint8))
+            prev = rec
+        img = np.stack(rows).reshape(h, w, bpp)
+    else:
+        passes = _adam7_pass_dims(w, h)
+        if len(raw) != sum(ph * (1 + pw * bpp) for *_, pw, ph in passes):
+            return None
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            stride = pw * bpp
+            prev = bytes(stride)
+            for ry in range(ph):
+                rec = _unfilter_row(
+                    raw[off], raw[off + 1 : off + 1 + stride], prev, bpp=bpp
+                )
+                if rec is None:
+                    return None
+                samples = np.frombuffer(rec, dtype=np.uint8).reshape(pw, bpp)
+                img[y0 + ry * dy, x0 : x0 + (pw - 1) * dx + 1 : dx, :] = samples
+                prev = rec
+                off += 1 + stride
+    if ctype_ == 6:
+        return img
+    if ctype_ == 0:
+        return img.reshape(h, w)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = img.reshape(h, w)
+    if int(idx.max()) >= pal.shape[0]:
+        return None  # index beyond the palette: refuse, don't clamp
+    return pal[idx]
 
 
 PNG_ASSET_SCHEMA = StructType(
@@ -262,6 +414,7 @@ PNG_STATS_SCHEMA = StructType(
         StructField("sum_b", LongType(), True),
         StructField("sum_a", LongType(), True),
         StructField("sum_gray", LongType(), True),
+        StructField("wsum", LongType(), True),
     ]
 )
 
@@ -283,7 +436,19 @@ def synthesize_png(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 
 def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """Even asset_ids → 8-bit RGBA, odd → 8-bit grayscale (r5)."""
+    """asset_id % 4 == 0 → 8-bit RGBA, % 4 == 2 → 8-bit PALETTED
+    (color type 3, r6), % 4 == 1 → 8-bit grayscale sequential,
+    % 4 == 3 → 8-bit grayscale Adam7-INTERLACED (r6; same pixel
+    formula as the sequential leg — the weighted checksum column is
+    what makes a misplaced pass visible to the oracle)."""
+
+    def _mk(a: int) -> bytes:
+        r4 = a % 4
+        if r4 == 0:
+            return make_png_rgba(a)
+        if r4 == 2:
+            return make_png_palette(a)
+        return make_png_gray(a) if r4 == 1 else make_png_gray_adam7(a)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,10 +456,7 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids_, dtype="int64"),
-                    "payload": [
-                        make_png_rgba(a) if a % 2 == 0 else make_png_gray(a)
-                        for a in ids_
-                    ],
+                    "payload": [_mk(a) for a in ids_],
                 }
             )
 
@@ -304,10 +466,19 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 def png_pixel_stats(assets: DataFrame) -> DataFrame:
     """Decode every payload and aggregate exact integer channel sums
     (order-invariant, engine-portable). RGBA payloads fill
-    sum_r/g/b/a with sum_gray NULL; grayscale payloads fill sum_gray
-    with the channels NULL. Undecodable → all NULL."""
+    sum_r/g/b/a with sum_gray NULL; RGB (paletted, r6) payloads fill
+    sum_r/g/b with sum_a and sum_gray NULL; grayscale payloads fill
+    sum_gray with the channels NULL. ``wsum`` (r6) is the
+    position-WEIGHTED checksum Σ (y·w + x + 1) · first_channel(x, y)
+    — unlike the plain sums it is NOT permutation-invariant, so the
+    oracle hash certifies pixel PLACEMENT (the Adam7 deinterlace
+    scatter) and not just the multiset of values. Undecodable →
+    all NULL."""
 
-    cols = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b", "sum_a", "sum_gray")
+    cols = (
+        "width", "height", "n_px",
+        "sum_r", "sum_g", "sum_b", "sum_a", "sum_gray", "wsum",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -319,22 +490,23 @@ def png_pixel_stats(assets: DataFrame) -> DataFrame:
                     for k in cols:
                         out[k].append(None)
                     continue
-                if img.ndim == 2:
-                    h, w = img.shape
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["n_px"].append(w * h)
-                    for k in ("sum_r", "sum_g", "sum_b", "sum_a"):
-                        out[k].append(None)
-                    out["sum_gray"].append(int(img.astype(np.int64).sum()))
-                    continue
-                h, w, _ = img.shape
-                s = img.reshape(-1, 4).astype(np.int64).sum(axis=0)
+                h, w = img.shape[:2]
+                first = (img if img.ndim == 2 else img[:, :, 0]).astype(np.int64)
+                weights = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_px"].append(w * h)
-                for k, v in zip(("sum_r", "sum_g", "sum_b", "sum_a"), s):
+                out["wsum"].append(int((weights * first).sum()))
+                if img.ndim == 2:
+                    for k in ("sum_r", "sum_g", "sum_b", "sum_a"):
+                        out[k].append(None)
+                    out["sum_gray"].append(int(first.sum()))
+                    continue
+                nchan = img.shape[2]
+                s = img.reshape(-1, nchan).astype(np.int64).sum(axis=0)
+                for k, v in zip(("sum_r", "sum_g", "sum_b"), s[:3]):
                     out[k].append(int(v))
+                out["sum_a"].append(int(s[3]) if nchan == 4 else None)
                 out["sum_gray"].append(None)
             yield pd.DataFrame(out)
 

@@ -47,6 +47,11 @@ from queryengine_spark.multimodal.png import (  # noqa: E402
     PNG2_W_MOD,
     GRAY_X_MULT,
     GRAY_Y_MULT,
+    PAL3_BM,
+    PAL3_GM,
+    PAL3_IDX_XM,
+    PAL3_IDX_YM,
+    PAL3_RM,
     png_pixel_stats,
     synthesize_png_mixed,
     synthesize_png,
@@ -56,11 +61,15 @@ from queryengine_spark.multimodal.png import (  # noqa: E402
 def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → decode → aggregate, entirely worker-side (two
     chained mapInPandas stages, zero shuffles before the final
-    projection). Mixed color types since r5: even asset_ids are
-    8-bit RGBA, odd are 8-bit GRAYSCALE (color type 0 — the filter
-    arithmetic runs with bpp=1, a different Sub/Average/Paeth left
-    offset than RGBA's 4). See multimodal/png.py for the
-    correctness story."""
+    projection). Mixed color types: asset_id % 4 == 0 is 8-bit RGBA;
+    % 4 == 2 is 8-bit PALETTED (r6 — 256-entry PLTE, the oracle
+    recomputes palette[index] composition symbolically); % 4 == 1 is
+    8-bit grayscale (color type 0, bpp=1 filter arithmetic); % 4 == 3
+    is grayscale with ADAM7 INTERLACE (r6 — 7 independently filtered
+    passes scattered back to place; the position-weighted ``wsum``
+    column makes a misplaced pass break the oracle hash, where plain
+    channel sums are permutation-invariant and could not). See
+    multimodal/png.py for the correctness story."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return png_pixel_stats(synthesize_png_mixed(spread(ids)))
 
@@ -71,23 +80,39 @@ dims AS (SELECT asset_id,
                 CAST(4 + asset_id % {PNG2_W_MOD} AS INT) AS w,
                 CAST(4 + asset_id % {PNG2_H_MOD} AS INT) AS h
          FROM ids),
-px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
+px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y,
+              ({PAL3_IDX_XM} * CAST(xx.i AS BIGINT)
+               + {PAL3_IDX_YM} * CAST(yy.i AS BIGINT) + asset_id) % 256 AS pidx
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
+ch AS (SELECT asset_id, w, h, x, y,
+              CASE asset_id % 4
+                   WHEN 0 THEN (x * y + asset_id) % 256
+                   WHEN 2 THEN ({PAL3_RM} * pidx + asset_id) % 256
+                   ELSE ({GRAY_X_MULT} * x + {GRAY_Y_MULT} * y + asset_id) % 256
+              END AS first_ch,
+              pidx
+       FROM px),
 sums AS (SELECT asset_id, w, h,
-                CAST(SUM(CASE WHEN asset_id % 2 = 0
-                     THEN (x * y + asset_id) % 256 END) AS BIGINT) AS sum_r,
-                CAST(SUM(CASE WHEN asset_id % 2 = 0
-                     THEN (asset_id + 2 * y) % 256 END) AS BIGINT) AS sum_g,
-                CAST(SUM(CASE WHEN asset_id % 2 = 0
-                     THEN (asset_id + 3 * x) % 256 END) AS BIGINT) AS sum_b,
-                CAST(SUM(CASE WHEN asset_id % 2 = 0
+                CAST(SUM(CASE WHEN asset_id % 4 = 0 THEN first_ch
+                              WHEN asset_id % 4 = 2 THEN first_ch
+                         END) AS BIGINT) AS sum_r,
+                CAST(SUM(CASE WHEN asset_id % 4 = 0
+                     THEN (asset_id + 2 * y) % 256
+                     WHEN asset_id % 4 = 2
+                     THEN ({PAL3_GM} * pidx + 7) % 256 END) AS BIGINT) AS sum_g,
+                CAST(SUM(CASE WHEN asset_id % 4 = 0
+                     THEN (asset_id + 3 * x) % 256
+                     WHEN asset_id % 4 = 2
+                     THEN ({PAL3_BM} * pidx + 2 * asset_id) % 256
+                     END) AS BIGINT) AS sum_b,
+                CAST(SUM(CASE WHEN asset_id % 4 = 0
                      THEN (x + y + asset_id) % 256 END) AS BIGINT) AS sum_a,
                 CAST(SUM(CASE WHEN asset_id % 2 = 1
-                     THEN ({GRAY_X_MULT} * x + {GRAY_Y_MULT} * y + asset_id) % 256
-                     END) AS BIGINT) AS sum_gray
-         FROM px GROUP BY asset_id, w, h)
+                     THEN first_ch END) AS BIGINT) AS sum_gray,
+                CAST(SUM((y * w + x + 1) * first_ch) AS BIGINT) AS wsum
+         FROM ch GROUP BY asset_id, w, h)
 SELECT asset_id, w AS width, h AS height,
-       CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b, sum_a, sum_gray
+       CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b, sum_a, sum_gray, wsum
 FROM sums
 """
 

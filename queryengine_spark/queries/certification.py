@@ -73,6 +73,10 @@ VOID: dict[str, int] = {
     # YCbCr 4:2:0 scans (≡ 6 with DRI restart markers); oracle gained
     # the blk420/y420 legs:
     "multimodal_jpeg_decode": 5,
+    # round 6: residue map %2 -> %4 — ids ≡ 2 (mod 4) now carry
+    # paletted (PLTE) payloads, ≡ 3 Adam7-interlaced; schema gained
+    # the position-weighted wsum column:
+    "multimodal_png_decode": 5,
 }
 
 

@@ -226,3 +226,179 @@ def test_gray_roundtrip_property():
         assert (img == np.array(rows, dtype=np.uint8)).all()
 
     run()
+
+
+# --- r6: paletted (color type 3) + Adam7 interlace ---------------------------
+
+
+def test_paletted_decodes_through_plte():
+    """palette[index] composition, checked pixel-for-pixel against
+    both formulas."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.png import (
+        PAL3_BM,
+        PAL3_GM,
+        PAL3_RM,
+        _pal3_index,
+        decode_png,
+        make_png_palette,
+        png_rgba_params,
+    )
+
+    for aid in (2, 6, 14, 102):
+        img = decode_png(make_png_palette(aid))
+        w, h = png_rgba_params(aid)
+        assert img is not None and img.shape == (h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                i = _pal3_index(aid, x, y)
+                want = (
+                    (PAL3_RM * i + aid) % 256,
+                    (PAL3_GM * i + 7) % 256,
+                    (PAL3_BM * i + 2 * aid) % 256,
+                )
+                assert tuple(img[y, x]) == want, (aid, x, y)
+
+
+def test_paletted_out_of_range_index_refused():
+    """A 2-entry palette with an index byte of 5 must be refused,
+    not clamped or wrapped (the BMP paletted contract)."""
+    import struct
+    import zlib
+
+    from queryengine_spark.multimodal import png as P
+
+    plte = bytes([10, 20, 30, 40, 50, 60])  # 2 entries
+    stream = bytes([0]) + bytes([0, 1, 5])  # filter None; index 5 invalid
+    comp = zlib.compress(stream)
+    ihdr = struct.pack(">II5B", 3, 1, 8, 3, 0, 0, 0)
+    b = (
+        P._SIG
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"PLTE", plte)
+        + P._chunk(b"IDAT", comp)
+        + P._chunk(b"IEND", b"")
+    )
+    assert P.decode_png(b) is None
+    # same stream with valid indices decodes through the palette
+    ok = zlib.compress(bytes([0]) + bytes([0, 1, 0]))
+    b2 = (
+        P._SIG
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"PLTE", plte)
+        + P._chunk(b"IDAT", ok)
+        + P._chunk(b"IEND", b"")
+    )
+    img = P.decode_png(b2)
+    assert img is not None
+    assert tuple(img[0, 0]) == (10, 20, 30)
+    assert tuple(img[0, 1]) == (40, 50, 60)
+    # paletted without any PLTE chunk → None
+    b3 = P._SIG + P._chunk(b"IHDR", ihdr) + P._chunk(b"IDAT", ok) + P._chunk(b"IEND", b"")
+    assert P.decode_png(b3) is None
+
+
+def test_adam7_equals_sequential_twin():
+    """The interlaced synthesis leg decodes pixel-identically to its
+    sequential twin for every dims residue."""
+    from queryengine_spark.multimodal.png import (
+        decode_png,
+        make_png_gray,
+        make_png_gray_adam7,
+    )
+
+    for aid in (3, 7, 11, 19, 23, 77):
+        seq = decode_png(make_png_gray(aid))
+        il = decode_png(make_png_gray_adam7(aid))
+        assert il is not None and (il == seq).all(), aid
+
+
+def test_adam7_hand_positions_8x8():
+    """Hand-pinned 8×8 Adam7 scatter: encode an image whose pixel
+    value IS its pass number (1..7), decode, and check the spec's
+    pass-membership pattern — pass 1 owns (0,0) only, pass 2 owns
+    (4,0), pass 3 (0,4)/(4,4), pass 4 columns 2/6 of even-4 rows,
+    pass 5 rows 2/6, pass 6 odd columns of even rows, pass 7 odd
+    rows. A transposed or swapped scatter cannot pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from queryengine_spark.multimodal import png as P
+
+    w = h = 8
+    # spec pass-number grid for an 8x8 tile (PNG spec figure)
+    grid = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ],
+        dtype=np.uint8,
+    )
+    stream = bytearray()
+    for pno, (x0, y0, dx, dy, pw, ph) in enumerate(P._adam7_pass_dims(w, h), start=1):
+        prev = bytes(pw)
+        for ry in range(ph):
+            raw = bytes([pno]) * pw
+            stream.append(0)  # filter None keeps the vector hand-checkable
+            stream += P._filter_row(0, raw, prev, bpp=1)
+            prev = raw
+    comp = zlib.compress(bytes(stream))
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 1)
+    b = P._SIG + P._chunk(b"IHDR", ihdr) + P._chunk(b"IDAT", comp) + P._chunk(b"IEND", b"")
+    img = P.decode_png(b)
+    assert img is not None
+    assert (img == grid).all()
+
+
+def test_adam7_empty_pass_dims():
+    """Dims small enough to drop whole passes (spec: empty passes are
+    absent from the datastream) still decode exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from queryengine_spark.multimodal import png as P
+
+    for w, h in [(1, 1), (1, 9), (9, 1), (2, 3), (3, 13)]:
+        stream = bytearray()
+        for x0, y0, dx, dy, pw, ph in P._adam7_pass_dims(w, h):
+            prev = bytes(pw)
+            for ry in range(ph):
+                raw = bytes(
+                    P._gray_pixel(5, x0 + rx * dx, y0 + ry * dy) for rx in range(pw)
+                )
+                f = ry % 5
+                stream.append(f)
+                stream += P._filter_row(f, raw, prev, bpp=1)
+                prev = raw
+        comp = zlib.compress(bytes(stream))
+        ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 1)
+        b = P._SIG + P._chunk(b"IHDR", ihdr) + P._chunk(b"IDAT", comp) + P._chunk(b"IEND", b"")
+        img = P.decode_png(b)
+        assert img is not None and img.shape == (h, w)
+        exp = np.array([[P._gray_pixel(5, x, y) for x in range(w)] for y in range(h)])
+        assert (img == exp).all(), (w, h)
+
+
+def test_wsum_catches_misplacement():
+    """The position-weighted checksum is the anti-permutation guard:
+    the same multiset of pixels in a different arrangement must give
+    a different wsum (here: the image vs its horizontal flip)."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.png import decode_png, make_png_gray
+
+    img = decode_png(make_png_gray(3)).astype(np.int64)
+    h, w = img.shape
+    weights = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+    assert (weights * img).sum() != (weights * img[:, ::-1]).sum()
