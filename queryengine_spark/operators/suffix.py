@@ -59,17 +59,24 @@ def global_rank(keys: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
         .localCheckpoint(eager=True)  # pin pid assignment for both passes
     )
     counts = {r["_pid"]: r["n"] for r in p.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    off = F.create_map(
-        *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+    # offsets ship as a BROADCAST relation, not a create_map literal:
+    # at production shuffle-partition counts (10k+) a literal map is a
+    # 10k-entry expression in every plan that ranks — constant-size
+    # plans matter as much as constant-size driver state (r5 verdict)
+    off = F.broadcast(
+        p.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return p.withColumn(
-        out, (F.row_number().over(w) + off[F.col("_pid")]).cast("bigint")
-    ).drop("_pid")
+    return (
+        p.withColumn("_rn", F.row_number().over(w))
+        .join(off, "_pid")
+        .withColumn(out, (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def repeated_spans_sa(
@@ -84,10 +91,14 @@ def repeated_spans_sa(
     the upgrade over span_scrub's cross-document distinct-df count),
     found WITHOUT materializing a single n-gram string.
 
-    ``window`` must be a power of two (prefix doubling lands exactly
-    on it). Output: (doc_id, pos, n_dup) with pos 0-based and n_dup
-    the total occurrence count of the span."""
-    assert window >= 2 and (window & (window - 1)) == 0, "window must be a power of 2"
+    Any ``window`` ≥ 2 (r6): prefix doubling runs to P = the largest
+    power of two ≤ W, then one final combine pairs rank_P(pos) with
+    rank_P(pos + W − P) — two OVERLAPPING P-token spans cover the
+    W-token span exactly (the sparse-table trick), so the final
+    equality classes are W-window equality without a single extra
+    doubling round. Output: (doc_id, pos, n_dup) with pos 0-based
+    and n_dup the total occurrence count of the span."""
+    assert window >= 2, "window must be >= 2"
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize_ws(F.lower(F.col(text_col)))).alias("pos", "tk"),
@@ -110,33 +121,41 @@ def repeated_spans_sa(
     # — both paths produce identical equality classes by construction
     # and tests/test_suffix.py pins the equivalence.
     bound = int(tok_rank.agg(F.max("r")).collect()[0][0] or 0)
-    k = 1
-    while k < window:
-        # rank of the suffix k positions to the right, seen from pos
+
+    def combine(cur: DataFrame, shift: int, bound: int) -> tuple[DataFrame, int]:
+        """One rank-pair combine: class of (r[pos], r[pos + shift])."""
         shifted = cur.select(
-            "doc_id", (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
+            "doc_id", (F.col("pos") - shift).alias("pos"), F.col("r").alias("r2")
         )
         paired = cur.join(shifted, ["doc_id", "pos"], "left").fillna(
             {"r2": 0}  # sentinel: past end of document
         )
         if (bound + 2) * (bound + 2) < rerank_threshold:
-            cur = paired.select(
+            nxt = paired.select(
                 "doc_id",
                 "pos",
                 (F.col("r") * (bound + 2) + F.col("r2")).alias("r"),
             )
-            bound = bound * (bound + 2) + bound + 1
-        else:
-            pair_rank = global_rank(
-                paired.select("r", "r2").distinct(), ["r", "r2"], out="nr"
-            )
-            cur = (
-                paired.join(pair_rank, ["r", "r2"])
-                .select("doc_id", "pos", F.col("nr").alias("r"))
-                .localCheckpoint(eager=False)  # truncate the doubling lineage
-            )
-            bound = int(pair_rank.agg(F.max("nr")).collect()[0][0] or 0)
+            return nxt, bound * (bound + 2) + bound + 1
+        pair_rank = global_rank(
+            paired.select("r", "r2").distinct(), ["r", "r2"], out="nr"
+        )
+        nxt = (
+            paired.join(pair_rank, ["r", "r2"])
+            .select("doc_id", "pos", F.col("nr").alias("r"))
+            .localCheckpoint(eager=False)  # truncate the doubling lineage
+        )
+        return nxt, int(pair_rank.agg(F.max("nr")).collect()[0][0] or 0)
+
+    # P = largest power of two ≤ window; doubling rounds to P, then
+    # (for non-power-of-2 windows) one overlapping-span combine
+    p2 = 1 << (window.bit_length() - 1)
+    k = 1
+    while k < p2:
+        cur, bound = combine(cur, k, bound)
         k *= 2
+    if window > p2:
+        cur, bound = combine(cur, window - p2, bound)
     dup = cur.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_dup"))
     return (
         cur.join(dup, "r")
@@ -145,4 +164,107 @@ def repeated_spans_sa(
         # full-window spans only: the span must fit inside the doc
         .filter(F.col("pos") + window - 1 <= F.col("max_pos"))
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "n_dup")
+    )
+
+
+def repeated_intervals(
+    spans: DataFrame,
+    window: int,
+) -> DataFrame:
+    """Merge the per-position hits of :func:`repeated_spans_sa` into
+    MAXIMAL repeated intervals (the detection→action step of Lee et
+    al. 2022: what gets removed is the maximal repeated substring,
+    not each overlapping W-window separately). Two hit positions p ≤
+    q in one document merge when q ≤ p + window — their covers
+    [p, p+W−1] and [q, q+W−1] overlap or touch, so the union is one
+    contiguous removal region. Classic gaps-and-islands: lag + running
+    island counter, both partitioned BY DOCUMENT (the window state is
+    bounded by document length, never corpus size).
+
+    Input: (doc_id, pos, ...) hits. Output: (doc_id, start, end,
+    n_hits) token intervals, end inclusive."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        spans.select("doc_id", "pos")
+        .withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > window))
+            .cast("int"),
+        )
+        .withColumn("_island", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").cast("int").alias("start"),
+        (F.max("pos") + window - 1).cast("int").alias("end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+    ).drop("_island")
+
+
+def sa_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    rerank_threshold: int = 1 << 62,
+) -> DataFrame:
+    """End-to-end exact-substring dedup (Lee et al. 2022): detect
+    duplicated ``window``-token spans with the suffix-array
+    construction, merge them into maximal repeated intervals, and
+    REMOVE the covered tokens — the action `span_scrub`
+    (operators/curation.py) performs from its fixed-W n-gram cover,
+    now driven by the SA detector (any-W, intra-document repeats
+    included, rank shuffles instead of gram strings — the long-W
+    scale path).
+
+    Output one row per INPUT document: (doc_id, n_intervals,
+    n_removed, n_kept, clean_text) — clean_text is the kept tokens
+    joined by single spaces (the same token-domain normalization the
+    detector works in; docs with no repeats pass through with their
+    token stream intact)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_ws(F.lower(F.col(text_col)))).alias("pos", "tk"),
+    ).localCheckpoint(eager=False)
+    spans = repeated_spans_sa(
+        df, id_col, text_col, window=window, rerank_threshold=rerank_threshold
+    )
+    ivals = repeated_intervals(spans, window)
+    # covered positions: intervals are disjoint by construction, so
+    # the explode emits exactly n_removed rows per doc — no dedup pass
+    covered = ivals.select(
+        "doc_id", F.explode(F.sequence("start", "end")).alias("pos")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                lambda s: s["tk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    istats = ivals.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("end") - F.col("start") + 1).cast("bigint").alias("n_removed"),
+    )
+    totals = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_toks")
+    )
+    return (
+        totals.join(istats, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_intervals", F.lit(0)).cast("bigint").alias("n_intervals"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            # a fully-covered document keeps zero tokens: per_doc has
+            # no row for it, so n_kept/clean_text coalesce to 0 / ''
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

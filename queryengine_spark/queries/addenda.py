@@ -624,7 +624,82 @@ WHERE shared / (ca.n + cb.n - shared) >= {PPJOIN_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Suffix-array exact-substring dedup, detection → ACTION (r6)
+# ---------------------------------------------------------------------------
+
+#: deliberately NOT a power of two: certifies the overlapping-span
+#: composition (prefix doubling to P=4, then one combine at shift 2)
+SA_SCRUB_WINDOW = 6
+
+
+def curation_sa_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end Lee-et-al exact-substring dedup (r6 — closes the
+    detection→action gap): suffix-array span detection
+    (operators/suffix.py::repeated_spans_sa, here at the
+    non-power-of-2 window {W} via the overlapping power-of-2-span
+    composition), maximal-interval merge (gaps-and-islands per
+    document), and token removal, emitting per-document
+    (n_intervals, n_removed, n_kept, clean_text). The oracle
+    recomputes the WHOLE pipeline from the direct n-gram formulation
+    in DuckDB — hits, island merge, interval cover, and the kept
+    token stream as a string — so the hash certifies detection,
+    merge arithmetic, and the scrub action together."""
+    from queryengine_spark.operators.suffix import sa_scrub
+
+    return sa_scrub(
+        t(spark, sf, "documents"), "doc_id", "text", window=SA_SCRUB_WINDOW
+    )
+
+
+SA_SCRUB_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(c="lower(text)")} AS toks FROM documents),
+toks AS (SELECT doc_id, CAST(t.i AS INT) AS pos, toks[t.i + 1] AS tk
+         FROM d, unnest(range(0, len(toks))) t(i)),
+grams AS (SELECT doc_id, CAST(t.i AS INT) AS pos,
+          array_to_string(list_slice(toks, t.i + 1, t.i + {SA_SCRUB_WINDOW}), ' ') AS g
+          FROM d, unnest(range(0, len(toks) - {SA_SCRUB_WINDOW} + 1)) t(i)),
+cnt AS (SELECT g, count(*) AS n FROM grams GROUP BY g),
+hits AS (SELECT doc_id, pos FROM grams JOIN cnt USING (g) WHERE n >= 2),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > {SA_SCRUB_WINDOW}
+             THEN 1 ELSE 0 END AS newi
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl2 AS (SELECT doc_id, pos,
+         SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+iv AS (SELECT doc_id, island, MIN(pos) AS istart,
+              MAX(pos) + {SA_SCRUB_WINDOW} - 1 AS iend
+       FROM isl2 GROUP BY doc_id, island),
+istats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_intervals,
+                  CAST(SUM(iend - istart + 1) AS BIGINT) AS n_removed
+           FROM iv GROUP BY doc_id),
+covered AS (SELECT doc_id, CAST(u.p AS INT) AS pos
+            FROM iv, unnest(range(istart, iend + 1)) u(p)),
+kept AS (SELECT t.doc_id, t.pos, t.tk
+         FROM toks t LEFT JOIN covered c
+           ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL),
+perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(tk, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id FROM toks GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(i.n_intervals, 0) AS n_intervals,
+       COALESCE(i.n_removed, 0) AS n_removed,
+       COALESCE(p.n_kept, 0) AS n_kept,
+       COALESCE(p.clean_text, '') AS clean_text
+FROM totals t
+LEFT JOIN istats i ON t.doc_id = i.doc_id
+LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+"""
+
+curation_sa_scrub.__doc__ = curation_sa_scrub.__doc__.format(W=SA_SCRUB_WINDOW)
+
+
 QUERIES = {
+    "curation_sa_scrub": (curation_sa_scrub, SA_SCRUB_SQL),
     "multimodal_png_decode": (multimodal_png_decode, MULTIMODAL_PNG_DECODE_SQL),
     "events_anomaly_window": (events_anomaly_window, EVENTS_ANOMALY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),

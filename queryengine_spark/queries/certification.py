@@ -77,6 +77,11 @@ VOID: dict[str, int] = {
     # paletted (PLTE) payloads, ≡ 3 Adam7-interlaced; schema gained
     # the position-weighted wsum column:
     "multimodal_png_decode": 5,
+    # round 6: global_rank offsets moved from a create_map literal to
+    # a broadcast join, and the doubling loop was refactored for
+    # arbitrary W (identical classes at W=8, pinned in pytest; the
+    # re-certification is the VOID discipline on a touched kernel):
+    "curation_repeated_spans_sa": 5,
 }
 
 

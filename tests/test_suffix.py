@@ -108,3 +108,136 @@ def test_rerank_and_arithmetic_paths_agree(spark):
     fast = spans()
     forced = spans(rerank_threshold=0)
     assert fast == forced and len(fast) > 0
+
+
+# --- r6: arbitrary W, maximal intervals, scrub action ------------------------
+
+
+def _ngram_reference_w(docs, w):
+    from collections import Counter
+
+    grams = []
+    for did, text in docs:
+        toks = text.lower().split()
+        for p in range(len(toks) - w + 1):
+            grams.append((did, p, tuple(toks[p : p + w])))
+    cnt = Counter(g for _, _, g in grams)
+    return {(did, p): cnt[g] for did, p, g in grams if cnt[g] >= 2}
+
+
+def test_non_power_of_two_windows_match_reference(spark):
+    """W = 3, 5, 6, 7 run through the overlapping power-of-2-span
+    composition; each must match the direct n-gram count exactly
+    (both combine paths)."""
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "z a b c d e f y x w"),
+        (3, "q r s t u v q r s t u v"),  # intra-doc repeat, run of 6
+        (4, "lone words that match nothing else"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for w in (3, 5, 6, 7):
+        for kw in ({}, {"rerank_threshold": 0}):
+            got = {
+                (r["doc_id"], r["pos"]): r["n_dup"]
+                for r in repeated_spans_sa(
+                    df, "doc_id", "text", window=w, **kw
+                ).collect()
+            }
+            assert got == _ngram_reference_w(docs, w), (w, kw)
+
+
+def test_repeated_intervals_merges_overlapping_and_adjacent(spark):
+    from queryengine_spark.operators.suffix import repeated_intervals
+
+    hits = spark.createDataFrame(
+        # doc 1: 0,1,2 overlap → one island [0, 2+W-1]; 20 is separate;
+        # 2 and 2+W are ADJACENT covers (touching) → merge when gap == W
+        [(1, 0), (1, 1), (1, 2), (1, 20), (2, 5), (2, 5 + 4)],
+        ["doc_id", "pos"],
+    )
+    got = {
+        (r["doc_id"], r["start"]): (r["end"], r["n_hits"])
+        for r in repeated_intervals(hits, 4).collect()
+    }
+    assert got == {
+        (1, 0): (5, 3),    # 0..2 merged, end = 2 + 3
+        (1, 20): (23, 1),
+        (2, 5): (12, 2),   # gap exactly W merges (touching covers)
+    }
+
+
+def _scrub_reference(docs, w):
+    """Independent pure-Python simulator of detect→merge→remove."""
+    dup = _ngram_reference_w(docs, w)
+    out = {}
+    for did, text in docs:
+        toks = text.lower().split()
+        hits = sorted(p for (d, p) in dup if d == did)
+        ivals = []
+        for p in hits:
+            if ivals and p <= ivals[-1][1] + 1 and p - ivals[-1][2] <= w:
+                ivals[-1] = (ivals[-1][0], p + w - 1, p)
+            elif ivals and p - ivals[-1][2] <= w:
+                ivals[-1] = (ivals[-1][0], p + w - 1, p)
+            else:
+                ivals.append((p, p + w - 1, p))
+        covered = set()
+        for s, e, _ in ivals:
+            covered.update(range(s, e + 1))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[did] = (
+            len(ivals),
+            len(covered),
+            len(kept),
+            " ".join(kept),
+        )
+    return out
+
+
+def test_sa_scrub_matches_independent_simulator(spark):
+    from queryengine_spark.operators.suffix import sa_scrub
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "z a b c d e f y x w"),
+        (3, "q r s t u v q r s t u v"),
+        (4, "lone words that match nothing else"),
+        (5, "a b c d e f tail1 tail2 a b c d e f"),  # two islands? overlapping
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for w in (4, 6):
+        got = {
+            r["doc_id"]: (
+                r["n_intervals"], r["n_removed"], r["n_kept"], r["clean_text"]
+            )
+            for r in sa_scrub(df, "doc_id", "text", window=w).collect()
+        }
+        assert got == _scrub_reference(docs, w), w
+
+
+def test_sa_scrub_fully_covered_doc_keeps_zero(spark):
+    """A document that is one big repeated span scrubs to empty."""
+    from queryengine_spark.operators.suffix import sa_scrub
+
+    docs = [(1, "a b c d"), (2, "a b c d")]
+    got = {
+        r["doc_id"]: (r["n_removed"], r["n_kept"], r["clean_text"])
+        for r in sa_scrub(spark.createDataFrame(docs, ["doc_id", "text"]),
+                          "doc_id", "text", window=4).collect()
+    }
+    assert got == {1: (4, 0, ""), 2: (4, 0, "")}
+
+
+def test_global_rank_plan_has_no_offset_literal(spark):
+    """r6: partition offsets ship as a broadcast relation, not a
+    create_map literal — the plan must stay constant-size at any
+    shuffle-partition count."""
+    df = spark.createDataFrame([(v,) for v in range(500)], ["k"])
+    ranked = global_rank(df.distinct(), ["k"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "map_from" not in plan and "keys: [" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # and the ranking is still exact
+    got = {r["k"]: r["r"] for r in ranked.collect()}
+    assert got == {v: v + 1 for v in range(500)}
