@@ -82,6 +82,10 @@ VOID: dict[str, int] = {
     # arbitrary W (identical classes at W=8, pinned in pytest; the
     # re-certification is the VOID discipline on a touched kernel):
     "curation_repeated_spans_sa": 5,
+    # round 6: PPJoin threshold rationalized to p/q integer
+    # arithmetic (identical rows at the shipped t=0.5, but every
+    # filter expression changed):
+    "dedup_jaccard_prefix": 5,
 }
 
 

@@ -191,6 +191,47 @@ def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
     assert pvol < full / 2, (pvol, full)
 
 
+def test_jaccard_prefix_join_non_dyadic_thresholds(spark, sf_dir):
+    """r6: the threshold is rationalized to p/q and every filter runs
+    in integer arithmetic, so NON-DYADIC thresholds (0.3, 0.7 — the
+    values binary float ceil() could silently mis-prefix) must also
+    equal brute force exactly. The brute-force side compares with
+    integer cross-multiplication too, so a float boundary can't hide
+    on either side."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    from queryengine_spark.operators.setjoin import jaccard_prefix_join
+
+    docs = t(spark, sf_dir, "documents")
+
+    def trigrams(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {
+        r["doc_id"]: trigrams(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for thr in (0.3, 0.7):
+        frac = Fraction(thr).limit_denominator(1000)
+        p, q = frac.numerator, frac.denominator
+        expect = {}
+        for a, b in combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and q * inter >= p * union:
+                expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+        got = {
+            (r["id_a"], r["id_b"]): (r["shared"], r["n_a"], r["n_b"])
+            for r in jaccard_prefix_join(
+                docs, "doc_id", "text", threshold=thr
+            ).collect()
+        }
+        assert got == expect, thr
+    assert expect, "0.7 yields zero pairs — test is vacuous"
+
+
 def test_regression_slope_matches_reference(spark, sf_dir):
     from queryengine_spark.queries.addenda import profile_regression_slope
 
