@@ -86,6 +86,13 @@ VOID: dict[str, int] = {
     # arithmetic (identical rows at the shipped t=0.5, but every
     # filter expression changed):
     "dedup_jaccard_prefix": 5,
+    # round 6: PSL registered-domain extraction — the synthesized
+    # hosts now cycle multi-label public suffixes (co.uk, com.au) and
+    # the domain column comes from the broadcast longest-match join;
+    # url_query also strips the fragment before extracting:
+    "curation_url_canonicalize": 5,
+    "curation_domain_cap": 5,
+    "curation_domain_overlap": 5,
 }
 
 

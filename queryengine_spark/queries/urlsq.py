@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from queryengine_spark.functions.text import tokenize_ws
 from queryengine_spark.functions.urls import (
     canonicalize_url,
-    url_domain,
+    registered_domain_psl,
     url_host,
 )
 from queryengine_spark.plans import spread
@@ -68,8 +68,19 @@ def _messy_url() -> Column:
         .when(d % 3 == 1, F.lit("https"))
         .otherwise(F.lit("HtTpS"))
     )
+    # r6: the host's PUBLIC SUFFIX cycles through single- and
+    # MULTI-LABEL entries (co.uk, com.au) so the PSL registered-domain
+    # path is oracle-visible — last-two-labels would collapse the
+    # multi-label cases to the bare suffix and break the hash
+    suf = (
+        F.when(d % 5 == 0, F.lit("COM"))
+        .when(d % 5 == 1, F.lit("Co.Uk"))
+        .when(d % 5 == 2, F.lit("ORG"))
+        .when(d % 5 == 3, F.lit("CoM.aU"))
+        .otherwise(F.lit("Io"))
+    )
     host = F.concat(
-        F.lit("WWW.Site"), _s(d % 7), F.lit(".Dom"), _s(d % 11), F.lit(".COM")
+        F.lit("WWW.Site"), _s(d % 7), F.lit(".Dom"), _s(d % 11), F.lit("."), suf
     )
     port = (
         F.when((d % 5 == 0) & (d % 3 == 0), F.lit(":80"))
@@ -96,21 +107,30 @@ def _with_url(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def curation_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonicalize + host + PSL registered domain (r6: the domain
+    column comes from the broadcast public-suffix longest-match join
+    — functions/urls.py::registered_domain_psl — certified against
+    the suffix formula in the oracle, including the co.uk/com.au
+    multi-label legs the last-two-labels rule gets wrong)."""
     d = _with_url(spark, sf)
     host = url_host(F.col("url_raw"))
-    return d.select(
+    base = d.select(
         "doc_id",
         canonicalize_url(F.col("url_raw")).alias("url_canon"),
         host.alias("host"),
-        url_domain(host).alias("domain"),
     )
+    return registered_domain_psl(base, "host", "domain")
 
 
 #: canonical components written straight from the synthesis formulas
 _SCHEME_C = "CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END"
+_SUF_C = (
+    "CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'"
+    " WHEN 2 THEN 'org' WHEN 3 THEN 'com.au' ELSE 'io' END"
+)
 _HOST_C = (
     "'www.site' || CAST(doc_id % 7 AS VARCHAR)"
-    " || '.dom' || CAST(doc_id % 11 AS VARCHAR) || '.com'"
+    " || '.dom' || CAST(doc_id % 11 AS VARCHAR) || '.' || " + _SUF_C
 )
 _PORT_C = "CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END"
 _PATH_C = (
@@ -124,7 +144,8 @@ _QUERY_C = (
     "CASE WHEN doc_id % 2 = 1 THEN '?a=' || CAST(doc_id % 9 AS VARCHAR)"
     " || '&z=' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END"
 )
-_DOMAIN_C = "'dom' || CAST(doc_id % 11 AS VARCHAR) || '.com'"
+#: PSL registered domain: one label left of the public suffix
+_DOMAIN_C = "'dom' || CAST(doc_id % 11 AS VARCHAR) || '.' || " + _SUF_C
 
 URL_CANONICALIZE_SQL = f"""
 SELECT doc_id,
@@ -144,9 +165,11 @@ def curation_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     kept docs, and the checksum of kept ids so the hash certifies
     WHICH docs survived, not just how many."""
     d = _with_url(spark, sf)
-    dom = d.select(
-        "doc_id", url_domain(url_host(F.col("url_raw"))).alias("domain")
-    )
+    dom = registered_domain_psl(
+        d.select("doc_id", url_host(F.col("url_raw")).alias("host")),
+        "host",
+        "domain",
+    ).select("doc_id", "domain")
     w = Window.partitionBy("domain").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -182,11 +205,15 @@ def curation_domain_overlap(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.queries.pipelines import _word_trigrams
 
     toks = tokenize_ws(F.lower(F.col("text")))
+    with_dom = registered_domain_psl(
+        spread(d).withColumn("host", url_host(F.col("url_raw"))),
+        "host",
+        "domain",
+    )
     tri = (
-        spread(d)
-        .select(
+        with_dom.select(
             "doc_id",
-            url_domain(url_host(F.col("url_raw"))).alias("domain"),
+            "domain",
             F.explode(F.array_distinct(_word_trigrams(toks))).alias("sh"),
         )
         .localCheckpoint(eager=False)

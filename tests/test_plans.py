@@ -447,13 +447,17 @@ def test_novelty_hapax_no_cartesian(spark, sf_dir):
 # --- round-5 plan gates -----------------------------------------------------
 
 
-def test_url_canonicalize_is_map_side_only(spark, sf_dir):
-    """Pure Column-regex projection: no exchange, no join, no UDF in
-    the plan — whole-stage codegen end to end."""
+def test_url_canonicalize_plan_shape(spark, sf_dir):
+    """Canonicalization itself stays pure Column regex (no UDF
+    anywhere in the plan); the r6 PSL registered-domain lookup adds
+    exactly the joins the design calls for — the suffix match against
+    the broadcast PSL relation — and nothing quadratic: every join is
+    hash-equi, no cartesian, no nested loop."""
     plan = _plan(spark, sf_dir, "curation_url_canonicalize")
-    assert "Exchange" not in plan
-    assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the PSL suffix match
 
 
 def test_domain_overlap_no_cartesian(spark, sf_dir):

@@ -59,3 +59,39 @@ def test_path_case_preserved_query_sorted_stable(spark):
     c1 = once.collect()[0]["c"]
     assert c1 == "https://x.com/CaseSensitive/Path?a=1&b=2&c=3"
     assert twice.collect()[0]["c2"] == c1
+
+
+def test_fragment_question_mark_not_resurrected(spark):
+    """r5 ADVICE: a '?' INSIDE the fragment is fragment content, not
+    a query — the canonical form must not resurrect it."""
+    cases = [
+        ("http://h.com/p#sec?x=1", "http://h.com/p"),
+        ("http://h.com/p?a=1#sec?x=9", "http://h.com/p?a=1"),
+        ("http://h.com#f?z=1&a=2", "http://h.com/"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["u"])
+    got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_registered_domain_psl_suffixes(spark):
+    """r6 PSL longest-suffix-match: co.uk-style registries resolve to
+    label+suffix, single-label suffixes behave like last-two, unknown
+    TLDs fall back, and a bare public suffix maps to itself."""
+    from queryengine_spark.functions.urls import registered_domain_psl
+
+    rows = [
+        ("www.foo.co.uk", "foo.co.uk"),        # multi-label suffix
+        ("a.b.example.com", "example.com"),
+        ("deep.sub.x.gov.uk", "x.gov.uk"),
+        ("www.site.com.au", "site.com.au"),
+        ("example.io", "example.io"),
+        ("weird.host.zz", "host.zz"),           # no PSL entry: fallback
+        ("co.uk", "co.uk"),                     # bare suffix: itself
+        ("single", "single"),                   # one label: itself
+    ]
+    df = spark.createDataFrame(rows, ["host", "want"])
+    got = registered_domain_psl(df, "host", "domain").collect()
+    for r in got:
+        assert r["domain"] == r["want"], (r["host"], r["domain"])
+    assert len(got) == len(rows)
