@@ -215,11 +215,37 @@ def knn_pq_index(spark: SparkSession, sf: str) -> DataFrame:
         write_pq_index,
     )
 
+    def _corpus_fingerprint(src: str) -> str:
+        """Cheap source fingerprint (r5 ADVICE): sorted (relpath,
+        size, mtime_ns) of the embeddings parquet file(s), hashed —
+        no Spark job. A regenerated corpus, or a different checkout
+        whose data dir shares the basename, changes the fingerprint
+        and forces a rebuild instead of silently reusing stale
+        codes."""
+        import hashlib
+
+        root = os.path.join(src, "embeddings.parquet")
+        entries = []
+        if os.path.isdir(root):
+            for dirpath, _, files in os.walk(root):
+                for fn in sorted(files):
+                    fp = os.path.join(dirpath, fn)
+                    st = os.stat(fp)
+                    entries.append(
+                        (os.path.relpath(fp, root), st.st_size, st.st_mtime_ns)
+                    )
+        else:
+            st = os.stat(root)
+            entries.append(("", st.st_size, st.st_mtime_ns))
+        entries.sort()
+        return hashlib.md5(repr(entries).encode()).hexdigest()
+
     e = t(spark, sf, "embeddings")
     path = f"/tmp/qe-annindex-{os.path.basename(os.path.normpath(sf))}"
     params = dict(
         version=_INDEX_VERSION, n_cells=N_CELLS, m=PQ_M, ksub=PQ_KSUB, dim=DIM,
         sample_n=SAMPLE_N, pq_sample_n=PQ_SAMPLE_N, train_iters=KMEANS_ITERS,
+        corpus=_corpus_fingerprint(sf),
     )
     marker = os.path.join(path, "BUILT.json")
     try:
