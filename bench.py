@@ -76,7 +76,6 @@ HEADLINE = [
     "pivot_returnflag_revenue",
     "window_range_30d_spend",
     # round-2 additions: native windowing, melt, bloom, binary headers
-    "events_session_window_native",
     "events_sliding_window",
     "unpivot_lineitem_metrics",
     "dedup_decontaminate_bloom",
@@ -165,6 +164,9 @@ HEADLINE = [
     "knn_pq_index",
     # round-5: suffix-array exact-substring spans (prefix doubling)
     "curation_repeated_spans_sa",
+    # round-6: persistent SRP-LSH index (read path), SA detect→scrub
+    "knn_lsh_index",
+    "curation_sa_scrub",
 ]
 
 

@@ -158,3 +158,216 @@ def ivf_pq_topk_from_index(
         rerank_r=rerank_r,
         cand_vecs=cand_vecs,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent SRP-LSH index artifact (r6 — parity with the IVF-PQ one)
+# ---------------------------------------------------------------------------
+#
+# Layout under ``<path>/``:
+#
+# - ``meta/``     one row: (n_bits, n_tables, nnz, dim) — reader
+#   compatibility check;
+# - ``planes/``   the hash functions THEMSELVES: (pid, col, sign)
+#   rows — the artifact is self-contained, a reader never re-derives
+#   the planes from a seed (a seed is how you BUILD an index, not
+#   what an index IS);
+# - ``vectors/``  (neighbor_id, vec) — the scoring relation, stored
+#   once (not per-table);
+# - ``buckets/``  the lookup relation, hive-PARTITIONED BY BUCKET:
+#   (neighbor_id, tbl) rows under ``bucket=N/`` — a query set probing
+#   a subset of buckets prunes to those directories (the LSH bucket
+#   lookup expressed at the file layout level; with n_bits=8 that is
+#   ≤ 256 directories at any corpus size).
+#
+# Query results are BIT-IDENTICAL to the in-session
+# operators.knn.srp_bucketed_topk with the same parameters: the
+# buckets were computed by the same UDF at build time, and the
+# scoring tail (pair dedup → one cosine → WindowGroupLimit) is the
+# same code (tests/test_annindex.py pins roundtrip + parity).
+
+
+def corpus_fingerprint(src_file: str) -> str:
+    """Cheap source fingerprint shared by the build-once markers:
+    sorted (relpath, size, mtime_ns) of the parquet file or
+    directory, hashed — no Spark job."""
+    import hashlib
+    import os
+
+    entries = []
+    if os.path.isdir(src_file):
+        for dirpath, _, files in os.walk(src_file):
+            for fn in sorted(files):
+                fp = os.path.join(dirpath, fn)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, src_file), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        st = os.stat(src_file)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return hashlib.md5(repr(entries).encode()).hexdigest()
+
+
+def _lsh_encode(
+    batch: DataFrame, id_col: str, vec_col: str, planes, n_bits: int, n_tables: int,
+    dim: int,
+) -> DataFrame:
+    from queryengine_spark.operators.knn import srp_buckets_udf
+
+    buckets_udf = srp_buckets_udf(planes, n_bits, n_tables, dim=dim)
+    return (
+        batch.select(
+            F.col(id_col).alias("neighbor_id"),
+            buckets_udf(F.col(vec_col)).alias("bs"),
+        )
+        .filter(F.col("bs").isNotNull())
+        .select("neighbor_id", F.posexplode("bs").alias("tbl", "bucket"))
+    )
+
+
+def write_lsh_index(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_bits: int = 8,
+    n_tables: int = 16,
+    nnz: int = 16,
+    dim: int = 64,
+    seed: int | None = None,
+) -> None:
+    """Build and persist the full SRP-LSH artifact (plane
+    coefficients included — self-contained, see layout note)."""
+    from queryengine_spark.operators.knn import SRP_SEED, srp_planes
+
+    spark = candidates.sparkSession
+    planes = srp_planes(
+        n_bits * n_tables, dim=dim, nnz=nnz,
+        seed=SRP_SEED if seed is None else seed,
+    )
+    enc = _lsh_encode(candidates, id_col, vec_col, planes, n_bits, n_tables, dim)
+    enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/buckets")
+    candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    ).write.mode("overwrite").parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [
+            (pid, col, float(sign))
+            for pid, plane in enumerate(planes)
+            for col, sign in plane
+        ],
+        "pid int, col int, sign double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/planes")
+    spark.createDataFrame(
+        [(n_bits, n_tables, nnz, dim)], "n_bits int, n_tables int, nnz int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_lsh_index(
+    new_batch: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Incremental ingest with the EXISTING planes (no rehash of the
+    old corpus — the add() semantics the PQ artifact has)."""
+    idx = read_lsh_index(new_batch.sparkSession, path)
+    m = idx["meta"]
+    enc = _lsh_encode(
+        new_batch, id_col, vec_col, idx["planes"], m["n_bits"], m["n_tables"],
+        m["dim"],
+    )
+    enc.write.mode("append").partitionBy("bucket").parquet(f"{path}/buckets")
+    new_batch.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    ).write.mode("append").parquet(f"{path}/vectors")
+
+
+def read_lsh_index(spark: SparkSession, path: str) -> dict:
+    """Load the artifact: planes into driver state (n_planes·nnz
+    rows — broadcast-sized by construction), buckets/vectors stay
+    DataFrames."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    plane_rows = spark.read.parquet(f"{path}/planes").collect()
+    n_planes = meta["n_bits"] * meta["n_tables"]
+    planes: list[list[tuple[int, float]]] = [[] for _ in range(n_planes)]
+    for r in sorted(plane_rows, key=lambda r: (r["pid"], r["col"])):
+        planes[r["pid"]].append((int(r["col"]), float(r["sign"])))
+    buckets = spark.read.parquet(f"{path}/buckets").select(
+        "neighbor_id", "tbl", F.col("bucket").cast("int").alias("bucket")
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    return {
+        "meta": {k: int(meta[k]) for k in ("n_bits", "n_tables", "nnz", "dim")},
+        "planes": planes,
+        "buckets": buckets,
+        "vectors": vectors,
+    }
+
+
+def srp_topk_from_index(
+    queries: DataFrame,
+    index: dict,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    probe: int = 1,
+) -> DataFrame:
+    """Answer top-k from the persisted artifact — no plane
+    re-derivation, no candidate-side rehash; the query side hashes
+    with the ARTIFACT's planes and the scoring tail is the same code
+    as srp_bucketed_topk, so results are bit-identical to the
+    in-session path with equal parameters."""
+    from queryengine_spark.functions.numeric import fround
+    from queryengine_spark.functions.similarity import cosine_similarity
+    from queryengine_spark.operators.knn import srp_buckets_udf
+    from queryengine_spark.operators.topk import grouped_topk
+
+    m = index["meta"]
+    masks = [0] + ([1 << j for j in range(m["n_bits"])] if probe >= 1 else [])
+    buckets_udf = srp_buckets_udf(
+        index["planes"], m["n_bits"], m["n_tables"], dim=m["dim"]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            buckets_udf(F.col(vec_col)).alias("bs"),
+        )
+        .select("query_id", "q_vec", F.posexplode("bs").alias("tbl", "qb"))
+        .select(
+            "query_id",
+            "q_vec",
+            "tbl",
+            F.explode(F.array(*[F.lit(mk) for mk in masks])).alias("mask"),
+            F.col("qb"),
+        )
+        .withColumn("bucket", F.col("qb").bitwiseXOR(F.col("mask")))
+    )
+    pairs = (
+        index["buckets"]
+        .join(q.select("query_id", "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = index["vectors"].select(
+        "neighbor_id", F.col("vec").alias("c_vec")
+    )
+    scored = (
+        pairs.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+    )
+    top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    )
+    return top.select(
+        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    )

@@ -93,6 +93,9 @@ VOID: dict[str, int] = {
     "curation_url_canonicalize": 5,
     "curation_domain_cap": 5,
     "curation_domain_overlap": 5,
+    # round 6 fold: events_session_window_native became a leg of the
+    # events_sessionize composite (padded-union schema):
+    "events_sessionize": 5,
 }
 
 

@@ -44,9 +44,48 @@ GROUP BY 1, 2
 
 
 def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag + running sum
-    of session-start flags, then per-session rollup. Microsecond
-    arithmetic so both engines compare the same integers."""
+    """Gap-based sessionization, BOTH formulations in one composite
+    (r6 fold of events_session_window_native — COVERAGE.md rotation
+    note; both legs still execute inside this one hash):
+
+    - leg 'wf': lag + running sum of session-start flags, then
+      per-session rollup (microsecond integer arithmetic);
+    - leg 'native': Spark's BUILT-IN session_window operator (one
+      hash-aggregate with window merging — the code path Structured
+      Streaming uses for streaming sessions). Note the built-in's
+      merge rule: an event extends a session iff ts < prev_ts + gap,
+      i.e. a gap EXACTLY equal to 30 min starts a NEW session — one
+      tick stricter than leg wf's diff > gap; the oracle mirrors each
+      leg's own rule.
+
+    Legs union on a shared padded schema, distinguished by ``leg``."""
+    wf = _sessionize_wf(spark, sf).select(
+        F.lit("wf").alias("leg"),
+        "user_id",
+        "session_id",
+        "session_start",
+        F.lit(None).cast("string").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("duration_us").cast("bigint").alias("duration_us"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    native = _sessionize_native(spark, sf).select(
+        F.lit("native").alias("leg"),
+        "user_id",
+        F.lit(None).cast("bigint").alias("session_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lit(None).cast("bigint").alias("duration_us"),
+        "sum_value",
+    )
+    return wf.unionByName(native)
+
+
+def _sessionize_wf(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function leg: lag + running sum of session-start flags,
+    then per-session rollup. Microsecond arithmetic so both engines
+    compare the same integers."""
     e = t(spark, sf, "events").withColumn("us", epoch_us("ts"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     flagged = e.withColumn(
@@ -93,16 +132,29 @@ FROM sess
 GROUP BY user_id, session_id
 """
 
+#: r6 composite oracle: both legs on the shared padded schema
+SESSIONIZE_SUITE_SQL = """
+WITH wf_leg AS ({wf}),
+native_leg AS ({native})
+SELECT 'wf' AS leg, user_id, CAST(session_id AS BIGINT) AS session_id,
+       session_start, CAST(NULL AS VARCHAR) AS session_end,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(duration_us AS BIGINT) AS duration_us,
+       CAST(NULL AS DOUBLE) AS sum_value
+FROM wf_leg
+UNION ALL
+SELECT 'native' AS leg, user_id, CAST(NULL AS BIGINT) AS session_id,
+       session_start, session_end,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(NULL AS BIGINT) AS duration_us,
+       CAST(sum_value AS DOUBLE) AS sum_value
+FROM native_leg
+"""
 
-def events_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
-    """Gap sessionization via Spark's BUILT-IN session_window operator
-    (one hash-aggregate with window merging — the same code path
-    Structured Streaming uses for streaming sessions, here in batch).
-    Note the built-in's merge rule: an event extends a session iff
-    ts < previous_end (= prev_ts + gap), i.e. a gap EXACTLY equal to
-    30 min starts a NEW session — one tick stricter than the
-    window-function formulation in events_sessionize (diff > gap).
-    The oracle mirrors the built-in's rule."""
+
+def _sessionize_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Built-in session_window leg (see events_sessionize docstring
+    for the merge-rule subtlety)."""
     e = t(spark, sf, "events")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return (
@@ -486,10 +538,11 @@ QUERIES = {
         events_click_purchase_attribution,
         CLICK_PURCHASE_SQL,
     ),
-    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
-    "events_session_window_native": (
-        events_session_window_native,
-        SESSION_WINDOW_SQL,
+    # r6 fold: events_session_window_native is a LEG of the
+    # events_sessionize composite now (both formulations, one hash)
+    "events_sessionize": (
+        events_sessionize,
+        SESSIONIZE_SUITE_SQL.format(wf=SESSIONIZE_SQL, native=SESSION_WINDOW_SQL),
     ),
     "events_sliding_window": (events_sliding_window, SLIDING_SQL),
     # r5 fold: the malformed-payload audit is part of

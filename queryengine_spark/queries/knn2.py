@@ -215,37 +215,17 @@ def knn_pq_index(spark: SparkSession, sf: str) -> DataFrame:
         write_pq_index,
     )
 
-    def _corpus_fingerprint(src: str) -> str:
-        """Cheap source fingerprint (r5 ADVICE): sorted (relpath,
-        size, mtime_ns) of the embeddings parquet file(s), hashed —
-        no Spark job. A regenerated corpus, or a different checkout
-        whose data dir shares the basename, changes the fingerprint
-        and forces a rebuild instead of silently reusing stale
-        codes."""
-        import hashlib
-
-        root = os.path.join(src, "embeddings.parquet")
-        entries = []
-        if os.path.isdir(root):
-            for dirpath, _, files in os.walk(root):
-                for fn in sorted(files):
-                    fp = os.path.join(dirpath, fn)
-                    st = os.stat(fp)
-                    entries.append(
-                        (os.path.relpath(fp, root), st.st_size, st.st_mtime_ns)
-                    )
-        else:
-            st = os.stat(root)
-            entries.append(("", st.st_size, st.st_mtime_ns))
-        entries.sort()
-        return hashlib.md5(repr(entries).encode()).hexdigest()
+    from queryengine_spark.operators.annindex import corpus_fingerprint
 
     e = t(spark, sf, "embeddings")
     path = f"/tmp/qe-annindex-{os.path.basename(os.path.normpath(sf))}"
     params = dict(
         version=_INDEX_VERSION, n_cells=N_CELLS, m=PQ_M, ksub=PQ_KSUB, dim=DIM,
         sample_n=SAMPLE_N, pq_sample_n=PQ_SAMPLE_N, train_iters=KMEANS_ITERS,
-        corpus=_corpus_fingerprint(sf),
+        # r5 ADVICE: key the cache on the SOURCE too — a regenerated
+        # corpus (or a checkout sharing the sf-dir basename) must
+        # force a rebuild, not silently reuse stale codes
+        corpus=corpus_fingerprint(os.path.join(sf, "embeddings.parquet")),
     )
     marker = os.path.join(path, "BUILT.json")
     try:
@@ -280,10 +260,74 @@ QUALIFY rn <= {K_LSH}
 """
 
 
+def knn_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-once/query-many for the SRP-LSH path (r6 — artifact
+    parity with knn_pq_index): persist planes + bucket relation +
+    vectors as parquet (operators/annindex.py — buckets
+    hive-partitioned BY BUCKET, so probing prunes directories), then
+    answer the queries FROM THE ARTIFACT with zero plane re-derivation
+    and zero candidate rehash. Same parameters and the same scoring
+    tail as knn_lsh, so the ANN rows are bit-identical to it — the
+    oracle is the knn_lsh oracle minus the folded recall column,
+    certifying the whole write→read→query roundtrip (any loss in the
+    plane/bucket/vector round-trip breaks the hash). Build-once
+    marker + corpus fingerprint, same discipline as knn_pq_index."""
+    import json
+    import os
+
+    from queryengine_spark.operators.annindex import (
+        corpus_fingerprint,
+        read_lsh_index,
+        srp_topk_from_index,
+        write_lsh_index,
+    )
+    from queryengine_spark.queries.knn import N_BITS, N_TABLES, NNZ, PROBE
+
+    e = t(spark, sf, "embeddings")
+    path = f"/tmp/qe-lshindex-{os.path.basename(os.path.normpath(sf))}"
+    params = dict(
+        version=_INDEX_VERSION, n_bits=N_BITS, n_tables=N_TABLES, nnz=NNZ,
+        dim=DIM,
+        corpus=corpus_fingerprint(os.path.join(sf, "embeddings.parquet")),
+    )
+    marker = os.path.join(path, "BUILT.json")
+    try:
+        with open(marker) as f:
+            need_build = json.load(f) != params
+    except (OSError, ValueError):
+        need_build = True
+    if need_build:
+        write_lsh_index(
+            e, "vec_id", "embedding", path,
+            n_bits=N_BITS, n_tables=N_TABLES, nnz=NNZ, dim=DIM,
+        )
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    idx = read_lsh_index(spark, path)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return srp_topk_from_index(
+        queries, idx, "vec_id", "embedding", k=K_LSH, probe=PROBE
+    )
+
+
+def _lsh_index_sql() -> str:
+    from queryengine_spark.queries.knn import _srp_cte
+
+    return f"""{_srp_cte()}
+SELECT query_id, neighbor_id,
+       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+FROM scored
+QUALIFY rn <= {K_LSH}
+"""
+
+
 # r5 fold: knn_pq_recall is gone — recall@3 vs brute force is an
 # output COLUMN of knn_pq_rerank now (certified inside the parent).
 QUERIES = {
     "knn_pq": (knn_pq, KNN_PQ_SQL),
     "knn_pq_rerank": (knn_pq_rerank, KNN_PQ_RERANK_SQL),
     "knn_pq_index": (knn_pq_index, KNN_PQ_INDEX_SQL),
+    "knn_lsh_index": (knn_lsh_index, _lsh_index_sql()),
 }

@@ -115,3 +115,109 @@ def test_incremental_append_equals_full_scoring(spark, sf_dir, tmp_path):
     assert rows(got) == rows(want) and len(rows(got)) > 0
     # and the appended ids are actually searchable
     assert spark.read.parquet(f"{path}/codes").count() == e.count()
+
+
+# --- r6: persistent SRP-LSH index artifact -----------------------------------
+
+
+def test_lsh_roundtrip_preserves_planes(spark, sf_dir, tmp_path):
+    from queryengine_spark.operators.annindex import (
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from queryengine_spark.operators.knn import srp_planes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    write_lsh_index(e, "vec_id", "embedding", path, n_bits=8, n_tables=4, nnz=16, dim=64)
+    idx = read_lsh_index(spark, path)
+    assert idx["meta"] == {"n_bits": 8, "n_tables": 4, "nnz": 16, "dim": 64}
+    # the artifact's planes are bit-identical to the generator's
+    assert idx["planes"] == srp_planes(32, dim=64, nnz=16)
+
+
+def test_lsh_buckets_partitioned_by_bucket(spark, sf_dir, tmp_path):
+    from queryengine_spark.operators.annindex import write_lsh_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    write_lsh_index(e, "vec_id", "embedding", path, n_bits=4, n_tables=2, nnz=16, dim=64)
+    parts = [
+        d for d in os.listdir(os.path.join(path, "buckets"))
+        if d.startswith("bucket=")
+    ]
+    assert parts, "bucket relation must be hive-partitioned by bucket"
+
+
+def test_lsh_read_path_matches_in_session(spark, sf_dir, tmp_path):
+    from queryengine_spark.operators.annindex import (
+        read_lsh_index,
+        srp_topk_from_index,
+        write_lsh_index,
+    )
+    from queryengine_spark.operators.knn import srp_bucketed_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    kw = dict(n_bits=8, n_tables=16, nnz=16, dim=64)
+    insess = srp_bucketed_topk(
+        queries, e, "vec_id", "embedding", k=3, probe=1, **kw
+    )
+    path = str(tmp_path / "lsh")
+    write_lsh_index(e, "vec_id", "embedding", path, **kw)
+    idx = read_lsh_index(spark, path)
+    fromidx = srp_topk_from_index(queries, idx, "vec_id", "embedding", k=3, probe=1)
+    a = sorted(tuple(r) for r in insess.collect())
+    b = sorted(tuple(r) for r in fromidx.collect())
+    assert a == b and a
+
+
+def test_lsh_incremental_append_equals_full(spark, sf_dir, tmp_path):
+    """Build on half the corpus, append the other half: queries over
+    the appended index must equal the index built on the full corpus
+    in one shot (planes are fixed, so encode order can't matter)."""
+    from queryengine_spark.operators.annindex import (
+        append_to_lsh_index,
+        read_lsh_index,
+        srp_topk_from_index,
+        write_lsh_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    kw = dict(n_bits=8, n_tables=16, nnz=16, dim=64)
+    full_path = str(tmp_path / "full")
+    write_lsh_index(e, "vec_id", "embedding", full_path, **kw)
+    inc_path = str(tmp_path / "inc")
+    write_lsh_index(
+        e.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", inc_path, **kw
+    )
+    append_to_lsh_index(
+        e.filter(F.col("vec_id") % 2 == 1), "vec_id", "embedding", inc_path
+    )
+    a = sorted(
+        tuple(r)
+        for r in srp_topk_from_index(
+            queries, read_lsh_index(spark, full_path), "vec_id", "embedding",
+            k=3, probe=1,
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in srp_topk_from_index(
+            queries, read_lsh_index(spark, inc_path), "vec_id", "embedding",
+            k=3, probe=1,
+        ).collect()
+    )
+    assert a == b and a
+
+
+def test_corpus_fingerprint_changes_on_touch(tmp_path):
+    from queryengine_spark.operators.annindex import corpus_fingerprint
+
+    f = tmp_path / "data.parquet"
+    f.write_bytes(b"abc")
+    fp1 = corpus_fingerprint(str(f))
+    assert corpus_fingerprint(str(f)) == fp1  # stable
+    os.utime(f, ns=(1, 2))  # mtime change = regenerated corpus
+    assert corpus_fingerprint(str(f)) != fp1
