@@ -371,3 +371,135 @@ def srp_topk_from_index(
     return top.select(
         "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent MinHash band-bucket index artifact (r6 stretch — the
+# incremental-dedup counterpart of the ANN artifacts above)
+# ---------------------------------------------------------------------------
+#
+# Layout under ``<path>/``:
+#
+# - ``meta/``    one row: (n_hashes, band_size, shingle_n) — a reader
+#   hashing a new batch MUST use the index's own parameters, never
+#   its caller's defaults;
+# - ``buckets/`` the history relation: (id, bucket) band-bucket rows,
+#   hive-partitioned by ``bp`` = the bucket's first two hex chars
+#   (256 directories at any corpus size — an md5-valued bucket can't
+#   be a partition key itself, its prefix can).
+#
+# This is the stored half of incremental_minhash_flags' design note
+# ("in a real deployment that set is the stored index, appended batch
+# over batch"): history TEXT is never re-read, never re-hashed — each
+# day's batch hashes itself with the artifact's parameters, flags
+# against the bucket relation, and appends its own rows. Appending a
+# batch twice changes no flags (bucket membership is a set — the
+# flag joins are DISTINCT/semi-joins), so re-ingest after a failed
+# pipeline run is safe.
+
+
+def write_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_hashes: int = 8,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Hash the initial history corpus and persist the band-bucket
+    index artifact."""
+    from queryengine_spark.operators.dedup import (
+        _band_bucket_array,
+        minhash_signatures,
+    )
+
+    spark = df.sparkSession
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    buckets = sig.select(
+        "id", F.explode(_band_bucket_array(n_hashes, band_size)).alias("bucket")
+    ).withColumn("bp", F.substring("bucket", 1, 2))
+    buckets.write.mode("overwrite").partitionBy("bp").parquet(f"{path}/buckets")
+    spark.createDataFrame(
+        [(n_hashes, band_size, shingle_n)],
+        "n_hashes int, band_size int, shingle_n int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_minhash_index(spark: SparkSession, path: str) -> dict:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    buckets = spark.read.parquet(f"{path}/buckets").select("id", "bucket")
+    return {
+        "meta": {k: int(meta[k]) for k in ("n_hashes", "band_size", "shingle_n")},
+        "buckets": buckets,
+    }
+
+
+def _minhash_batch_buckets(
+    new_batch: DataFrame, id_col: str, text_col: str, meta: dict
+) -> DataFrame:
+    from queryengine_spark.operators.dedup import (
+        _band_bucket_array,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(
+        new_batch, id_col, text_col, meta["n_hashes"], meta["shingle_n"]
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            _band_bucket_array(meta["n_hashes"], meta["band_size"])
+        ).alias("bucket"),
+    )
+
+
+def append_to_minhash_index(
+    new_batch: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Ingest a new batch: hash with the ARTIFACT's parameters and
+    append its band-bucket rows. Idempotent at the flag level —
+    duplicate rows cannot change any DISTINCT/semi-join outcome."""
+    spark = new_batch.sparkSession
+    idx = read_minhash_index(spark, path)
+    enc = _minhash_batch_buckets(new_batch, id_col, text_col, idx["meta"]).withColumn(
+        "bp", F.substring("bucket", 1, 2)
+    )
+    enc.write.mode("append").partitionBy("bp").parquet(f"{path}/buckets")
+
+
+def incremental_flags_from_index(
+    new_batch: DataFrame, index: dict, id_col: str, text_col: str
+) -> DataFrame:
+    """Flag each new-batch document that band-collides with the
+    PERSISTED history (dup_of_history) or with an earlier doc of the
+    same batch (dup_in_batch) — identical output to the in-session
+    operators.curation.incremental_minhash_flags because the history
+    side reduces to its distinct bucket set either way (pinned in
+    tests/test_annindex.py). History text is never touched."""
+    newb = _minhash_batch_buckets(
+        new_batch, id_col, text_col, index["meta"]
+    ).localCheckpoint(eager=False)
+    hist = index["buckets"].select("bucket").distinct()
+    dup_hist = (
+        newb.join(hist, "bucket", "left_semi").select("id").distinct()
+        .withColumn("dh", F.lit(1))
+    )
+    earlier = newb.select(F.col("id").alias("id_e"), "bucket")
+    dup_batch = (
+        newb.join(earlier, "bucket")
+        .filter(F.col("id_e") < F.col("id"))
+        .select("id")
+        .distinct()
+        .withColumn("db", F.lit(1))
+    )
+    ids = new_batch.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(dup_hist, "id", "left")
+        .join(dup_batch, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dh", F.lit(0)).cast("int").alias("dup_of_history"),
+            F.coalesce("db", F.lit(0)).cast("int").alias("dup_in_batch"),
+        )
+    )

@@ -96,6 +96,9 @@ VOID: dict[str, int] = {
     # round 6 fold: events_session_window_native became a leg of the
     # events_sessionize composite (padded-union schema):
     "events_sessionize": 5,
+    # round 6: dedup_incremental now runs from the persisted MinHash
+    # band-bucket index artifact (identical rows, new code path):
+    "dedup_incremental": 5,
 }
 
 

@@ -200,15 +200,54 @@ HIST_MOD = 5
 
 
 def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
-    from queryengine_spark.operators.curation import incremental_minhash_flags
+    """Incremental dedup FROM THE PERSISTED INDEX (r6 — the artifact
+    story incremental_minhash_flags' docstring promised): the history
+    partition's band buckets are built ONCE into a parquet artifact
+    (operators/annindex.py::write_minhash_index — bucket relation
+    partitioned by bucket-prefix, meta row carrying the hash
+    parameters), and each run hashes only the NEW batch and flags it
+    against the stored buckets. Output identical to the in-session
+    formulation (history reduces to its distinct bucket set either
+    way — parity pinned in tests/test_annindex.py), so the oracle is
+    unchanged; the hash now additionally certifies the artifact
+    write→read roundtrip. Build-once marker + corpus fingerprint,
+    same discipline as knn_pq_index / knn_lsh_index."""
+    import json
+    import os
+
+    from queryengine_spark.operators.annindex import (
+        corpus_fingerprint,
+        incremental_flags_from_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
     from queryengine_spark.queries.dedup import BAND_SIZE, N_HASHES
 
     d = t(spark, sf, "documents")
-    return incremental_minhash_flags(
-        d, "doc_id", "text",
-        is_new=F.col("doc_id") % HIST_MOD == 0,
-        n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
-    ).select(F.col("id").alias("doc_id"), "dup_of_history", "dup_in_batch")
+    path = f"/tmp/qe-mhindex-{os.path.basename(os.path.normpath(sf))}"
+    params = dict(
+        version=1, n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+        hist_mod=HIST_MOD,
+        corpus=corpus_fingerprint(os.path.join(sf, "documents.parquet")),
+    )
+    marker = os.path.join(path, "BUILT.json")
+    try:
+        with open(marker) as f:
+            need_build = json.load(f) != params
+    except (OSError, ValueError):
+        need_build = True
+    if need_build:
+        write_minhash_index(
+            d.filter(F.col("doc_id") % HIST_MOD != 0), "doc_id", "text",
+            path, n_hashes=N_HASHES, band_size=BAND_SIZE, shingle_n=3,
+        )
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    idx = read_minhash_index(spark, path)
+    batch = d.filter(F.col("doc_id") % HIST_MOD == 0)
+    return incremental_flags_from_index(batch, idx, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "dup_of_history", "dup_in_batch"
+    )
 
 
 def _inc_sql() -> str:

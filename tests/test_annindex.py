@@ -221,3 +221,88 @@ def test_corpus_fingerprint_changes_on_touch(tmp_path):
     assert corpus_fingerprint(str(f)) == fp1  # stable
     os.utime(f, ns=(1, 2))  # mtime change = regenerated corpus
     assert corpus_fingerprint(str(f)) != fp1
+
+
+# --- r6 stretch: persistent MinHash band-bucket index ------------------------
+
+
+def test_minhash_index_parity_with_in_session(spark, sf_dir, tmp_path):
+    """Flags from the artifact == the in-session
+    incremental_minhash_flags on the same history/batch split."""
+    from queryengine_spark.operators.annindex import (
+        incremental_flags_from_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from queryengine_spark.operators.curation import incremental_minhash_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    kw = dict(n_hashes=8, band_size=4, shingle_n=3)
+    insess = incremental_minhash_flags(
+        d, "doc_id", "text", is_new=F.col("doc_id") % 5 == 0, **kw
+    )
+    path = str(tmp_path / "mh")
+    write_minhash_index(
+        d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", path, **kw
+    )
+    idx = read_minhash_index(spark, path)
+    fromidx = incremental_flags_from_index(
+        d.filter(F.col("doc_id") % 5 == 0), idx, "doc_id", "text"
+    )
+    a = sorted(tuple(r) for r in insess.collect())
+    b = sorted(tuple(r) for r in fromidx.collect())
+    assert a == b and a
+    assert any(r[1] == 1 or r[2] == 1 for r in a), "no dup flags — vacuous"
+
+
+def test_minhash_index_append_and_idempotent_reingest(spark, sf_dir, tmp_path):
+    """History built in two appends == one shot; re-appending the
+    same batch changes NO flags (set semantics — safe re-ingest after
+    a failed pipeline run)."""
+    from queryengine_spark.operators.annindex import (
+        append_to_minhash_index,
+        incremental_flags_from_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    kw = dict(n_hashes=8, band_size=4, shingle_n=3)
+
+    one = str(tmp_path / "one")
+    write_minhash_index(hist, "doc_id", "text", one, **kw)
+
+    two = str(tmp_path / "two")
+    write_minhash_index(hist.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", two, **kw)
+    append_to_minhash_index(hist.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", two)
+
+    def flags(path):
+        idx = read_minhash_index(spark, path)
+        return sorted(
+            tuple(r)
+            for r in incremental_flags_from_index(
+                batch, idx, "doc_id", "text"
+            ).collect()
+        )
+
+    a, b = flags(one), flags(two)
+    assert a == b and a
+    # idempotent re-ingest: append an already-ingested slice again
+    append_to_minhash_index(hist.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", two)
+    assert flags(two) == a
+
+
+def test_minhash_index_partitioned_by_prefix(spark, sf_dir, tmp_path):
+    from queryengine_spark.operators.annindex import write_minhash_index
+
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "mh")
+    write_minhash_index(d, "doc_id", "text", path, n_hashes=8, band_size=4, shingle_n=3)
+    parts = [
+        p for p in os.listdir(os.path.join(path, "buckets")) if p.startswith("bp=")
+    ]
+    assert parts, "bucket relation must be partitioned by bucket prefix"
+    # prefix values are 2 hex chars -> bounded directory count
+    assert all(len(p) == len("bp=") + 2 for p in parts)
