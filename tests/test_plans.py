@@ -496,3 +496,25 @@ def test_pq_index_read_scans_partitioned_codes(spark, sf_dir):
         if "FileScan parquet" in line and "qe-annindex" in line and "codes" in line
     ]
     assert codes_scans, "codes relation must be scanned from the artifact"
+
+
+# --- round-6 plan gates -----------------------------------------------------
+
+
+def test_sa_scrub_equi_joins_only(spark, sf_dir):
+    """Detection (rank equi-joins), island merge (per-doc windows),
+    and the scrub anti-join must never go quadratic."""
+    plan = _plan(spark, sf_dir, "curation_sa_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_index_reads_partitioned_buckets(spark, sf_dir):
+    """The persisted bucket relation is read through its
+    bucket-partition layout (PartitionFilters slot on the scan) and
+    scoring stays equi-join only with Arrow-batched hashing."""
+    plan = _plan(spark, sf_dir, "knn_lsh_index")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PartitionFilters: [" in plan
+    assert "BatchEvalPython" not in plan  # Arrow UDF, never row-at-a-time
