@@ -383,6 +383,22 @@ def make_jpeg_420(asset_id: int, dri: bool) -> bytes:
     byte-aligned RST0..RST7 markers with predictor resets. Block DC
     formula block_dc3(asset_id, c, bx, by) in each component's OWN
     block grid."""
+    return _make_jpeg_sub(asset_id, 2, 2, dri)
+
+
+def make_jpeg_411(asset_id: int, dri: bool) -> bytes:
+    """YCbCr 4:1:1 twin of :func:`make_jpeg_420` (r6): Y samples 4×1
+    (the DV/camcorder chroma layout), so each MCU covers 32×8 pixels
+    and interleaves FOUR horizontally-adjacent Y blocks + one Cb +
+    one Cr — exercising sampling factor 4, which the {1,2} gate of
+    the first r6 cut refused. Dimensions 32·mw × 8·mh; luma grid
+    4mw×mh blocks, chroma mw×mh."""
+    return _make_jpeg_sub(asset_id, 4, 1, dri)
+
+
+def _make_jpeg_sub(asset_id: int, hy: int, vy: int, dri: bool) -> bytes:
+    """Shared 3-component subsampled synthesizer: luma samples hy×vy,
+    chroma 1×1; MCU = hy·vy Y blocks (raster order) + Cb + Cr."""
     mw, mh = jpeg_params(asset_id)
     ri = jpeg420_ri(asset_id) if dri else 0
     dc_codes = [
@@ -406,7 +422,11 @@ def make_jpeg_420(asset_id: int, dri: bool) -> bytes:
             preds = [0, 0, 0]
         my, mx = divmod(mcu, mw)
         # (component, block coords in the component's own grid)
-        units = [(0, 2 * mx + dx, 2 * my + dy) for dy in (0, 1) for dx in (0, 1)]
+        units = [
+            (0, hy * mx + dx, vy * my + dy)
+            for dy in range(vy)
+            for dx in range(hy)
+        ]
         units += [(1, mx, my), (2, mx, my)]
         for c, bx, by in units:
             dc = block_dc3(asset_id, c, bx, by)
@@ -423,8 +443,8 @@ def make_jpeg_420(asset_id: int, dri: bool) -> bytes:
     quant_l = bytes([QUANT_DC] + [QUANT_AC] * 63)
     quant_c = bytes([QUANT_DC] + [QUANT_AC_CHROMA] * 63)
     dqt = b"\x00" + quant_l + b"\x01" + quant_c
-    sof = struct.pack(">BHHB", 8, mh * 16, mw * 16, 3) + bytes(
-        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    sof = struct.pack(">BHHB", 8, mh * vy * 8, mw * hy * 8, 3) + bytes(
+        [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     dht = (
         b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
@@ -446,6 +466,30 @@ def make_jpeg_ac(asset_id: int) -> bytes:
     the general baseline entropy surface (r5 extension)."""
     bw, bh, blocks = _formula_blocks(asset_id, with_ac=True)
     return _container(bw, bh, _encode_scan(blocks))
+
+
+QUANT_AC16 = 300  #: q[k>0] of the 16-bit-DQT leg — does not fit a byte
+
+
+def make_jpeg_ac16(asset_id: int) -> bytes:
+    """Same formula blocks as :func:`make_jpeg_ac`, but the quant
+    table ships as a 16-BIT DQT (Pq=1, big-endian entries — r6):
+    q[k>0] = QUANT_AC16 = 300 cannot be expressed in an 8-bit table,
+    so a decoder that ignores the precision nibble cannot even walk
+    the segment, let alone dequantize correctly. High-quality real
+    encoders emit Pq=1 whenever any quantizer exceeds 255."""
+    bw, bh, blocks = _formula_blocks(asset_id, with_ac=True)
+    quant = struct.pack(">64H", *([QUANT_DC] + [QUANT_AC16] * 63))
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x10" + quant)
+        + _seg(0xC0, struct.pack(">BHHB", 8, bh * 8, bw * 8, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + _encode_scan(blocks)
+        + b"\xff\xd9"
+    )
 
 
 class _BitReader:
@@ -522,16 +566,18 @@ def _split_entropy(b: bytes, scan_start: int):
 def _parse_segments_multi(b: bytes):
     """Generalized JFIF marker walk (r5, extended r6): SOI → (DQTs,
     SOF0, DHTs, optional DRI, SOS) → entropy bytes. Handles MULTIPLE
-    quant tables (several per DQT segment, keyed by table id), 1- or
-    3-component baseline sequential scans with per-component sampling
-    factors h, v ∈ {1, 2} — covering 4:4:4 (1×1 everywhere), 4:2:0
-    (Y 2×2, chroma 1×1), 4:2:2 and 4:4:0 — and DRI restart intervals
-    (the scan is split at RSTn markers into byte-aligned segments
-    with the marker sequence number validated). Returns
+    quant tables (several per DQT segment, keyed by table id; 8-bit
+    Pq=0 AND 16-bit Pq=1 precisions, normalized to int tuples), 1- or
+    3-component baseline sequential scans with the FULL legal range
+    of per-component sampling factors h, v ∈ 1..4 (B.2.2; interleaved
+    MCUs capped at 10 data units per B.2.3) — covering 4:4:4, 4:2:0,
+    4:2:2, 4:4:0, 4:1:1 — and DRI restart intervals (the scan is
+    split at RSTn markers into byte-aligned segments with the marker
+    sequence number validated). Returns
     (comps, (w, h), segments, restart_interval) with
-    comps = [(quant_bytes, dc_table, ac_table, h_c, v_c), ...] in
-    scan order, or None. Refuses non-baseline SOFs, 16-bit quant
-    tables, and sampling factors outside {1, 2}."""
+    comps = [(quant_ints, dc_table, ac_table, h_c, v_c), ...] in
+    scan order, or None. Refuses non-baseline SOFs and undefined DQT
+    precisions (Pq ≥ 2)."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -551,16 +597,26 @@ def _parse_segments_multi(b: bytes):
         if len(body) != seglen - 2:
             return None
         if marker == 0xDB:
-            # a DQT segment may carry several 65-byte table entries
+            # a DQT segment may carry several table entries; Pq=0 →
+            # 65-byte 8-bit tables, Pq=1 → 129-byte big-endian 16-bit
+            # tables (r6 — high-quality encoders emit these); both are
+            # normalized to int tuples so dequantization is uniform
             p = 0
             while p < len(body):
-                if body[p] & 0xF0:
-                    return None  # 16-bit tables unsupported
+                pq = body[p] >> 4
                 tid = body[p] & 0x0F
-                if p + 65 > len(body):
-                    return None
-                quants[tid] = body[p + 1 : p + 65]
-                p += 65
+                if pq == 0:
+                    if p + 65 > len(body):
+                        return None
+                    quants[tid] = tuple(body[p + 1 : p + 65])
+                    p += 65
+                elif pq == 1:
+                    if p + 129 > len(body):
+                        return None
+                    quants[tid] = struct.unpack(">64H", body[p + 1 : p + 129])
+                    p += 129
+                else:
+                    return None  # Pq 2..15 undefined
         elif marker == 0xC0:
             if len(body) < 6:
                 return None
@@ -577,9 +633,11 @@ def _parse_segments_multi(b: bytes):
                     # a single-component scan is non-interleaved: one
                     # block per MCU regardless of declared factors
                     hc = vc = 1
-                if hc not in (1, 2) or vc not in (1, 2):
-                    return None  # sampling factors 3/4 unsupported
+                if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                    return None  # factors 0 and 5..15 are illegal (B.2.2)
                 sof_comps.append((cid, tq, hc, vc))
+            if ncomp > 1 and sum(hc * vc for _, _, hc, vc in sof_comps) > 10:
+                return None  # interleaved MCU exceeds 10 blocks (B.2.3)
             sof = (w_, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             return None  # non-baseline SOF
@@ -709,9 +767,9 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
 
 def decode_jpeg_dc_planes(b: bytes) -> tuple[int, int, list[np.ndarray]] | None:
     """bytes → (w, h, planes) for a 1- or 3-component baseline JFIF
-    whose scan is DC-only, with GENERAL {1,2}×{1,2} per-component
-    sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0) and DRI restart
-    intervals (r6). MCU geometry per JPEG A.2.3: an MCU covers
+    whose scan is DC-only, with GENERAL per-component sampling
+    factors h, v ∈ 1..4 (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1) and DRI
+    restart intervals (r6). MCU geometry per JPEG A.2.3: an MCU covers
     8·h_max × 8·v_max pixels and carries v_c×h_c blocks of component
     c in raster order; component c's native dimensions are
     ceil(w·h_c/h_max) × ceil(h·v_c/v_max) (A.1.1) and planes[c] is
@@ -909,22 +967,25 @@ JPEG_FULL_SCHEMA = StructType(
 
 
 def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """asset_id % 8 == 0 → grayscale DC-only (exact-pixel profile),
-    % 8 == 2 → YCbCr 4:4:4 DC-only (3 components, separate
-    predictors/tables — r5), % 8 == 4 → YCbCr 4:2:0 DC-only (2×2
-    luma sampling, 6-block MCUs — r6), % 8 == 6 → YCbCr 4:2:0 with a
-    DRI restart interval (real RSTn markers, predictor resets — r6),
-    odd → grayscale AC-bearing (full baseline entropy surface)."""
+    """Leg map on asset_id (mod 16 where legs split — mirrored in the
+    oracle SQL): % 8 == 0 → grayscale DC-only (exact-pixel profile);
+    % 8 == 2 → YCbCr 4:4:4 DC-only (r5); % 16 == 4 / 6 → YCbCr 4:2:0
+    DC-only, plain / with DRI restart markers (r6); % 16 == 12 / 14 →
+    YCbCr 4:1:1 DC-only (4×1 luma sampling — factor 4), plain / with
+    DRI (r6); odd → grayscale AC-bearing, of which % 16 == 9 ships
+    its quant table as a 16-bit Pq=1 DQT (r6)."""
 
     def _mk(a: int) -> bytes:
         if a % 2 == 1:
-            return make_jpeg_ac(a)
+            return make_jpeg_ac16(a) if a % 16 == 9 else make_jpeg_ac(a)
         r8 = a % 8
         if r8 == 0:
             return make_jpeg_dc(a)
         if r8 == 2:
             return make_jpeg_ycc(a)
-        return make_jpeg_420(a, dri=(r8 == 6))
+        if a % 16 in (4, 6):
+            return make_jpeg_420(a, dri=(a % 16 == 6))
+        return make_jpeg_411(a, dri=(a % 16 == 14))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -443,6 +443,7 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
     JPEG_BH_MOD,
     JPEG_BW_MOD,
     QUANT_AC,
+    QUANT_AC16,
     QUANT_DC,
     YCC_C_MULT,
     jpeg_full_stats,
@@ -457,18 +458,21 @@ def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     DC-only scans (exact pixel stats); % 8 == 2 carries YCbCr 4:4:4
     DC-only scans (r5 — three interleaved components with separate
     predictors, per-component quant/Huffman tables, multi-table DQT/
-    DHT segments; Y/Cb/Cr plane sums all exact); % 8 == 4 carries
-    YCbCr 4:2:0 DC-only scans (r6 — 2×2 luma sampling, six-block
-    interleaved MCUs, chroma stats exact in NATIVE subsampled
-    resolution); % 8 == 6 carries 4:2:0 WITH a DRI restart interval
-    (r6 — real RST0..RST7 markers every 1–3 MCUs, byte realignment +
-    predictor resets, sequence numbers validated); odd asset_ids
-    carry grayscale AC-BEARING scans (r5) — ZRL runs, EOB, implicit
-    block ends — decoded to exact integer pre-IDCT coefficient
-    statistics, with the pixel columns honestly NULL (a float IDCT
-    is never approximated). See multimodal/jpeg.py for the
-    real-vs-restricted contract and the hand-assembled bitstreams
-    that pin every decode path."""
+    DHT segments; Y/Cb/Cr plane sums all exact); % 16 == 4 / 6
+    carries YCbCr 4:2:0 DC-only scans plain / WITH a DRI restart
+    interval (r6 — 2×2 luma sampling, six-block interleaved MCUs,
+    chroma stats exact in NATIVE subsampled resolution; real
+    RST0..RST7 markers every 1–3 MCUs, byte realignment + predictor
+    resets, sequence numbers validated); % 16 == 12 / 14 carries
+    YCbCr 4:1:1 plain / with DRI (r6 — 4×1 luma sampling exercising
+    sampling factor FOUR); odd asset_ids carry grayscale AC-BEARING
+    scans (r5) — ZRL runs, EOB, implicit block ends — decoded to
+    exact integer pre-IDCT coefficient statistics, with the pixel
+    columns honestly NULL (a float IDCT is never approximated); of
+    the odd legs, % 16 == 9 ships its quant table as a 16-BIT Pq=1
+    DQT whose AC quantizer (300) cannot fit an 8-bit table (r6).
+    See multimodal/jpeg.py for the real-vs-restricted contract and
+    the hand-assembled bitstreams that pin every decode path."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return jpeg_full_stats(synthesize_jpeg_mixed(spread(ids)))
 
@@ -491,7 +495,11 @@ dcsums AS (SELECT asset_id, bw, bh,
                 CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS sum_dc_dq
          FROM blk GROUP BY asset_id, bw, bh),
 acv AS (SELECT d.asset_id,
-               CASE WHEN v0 >= 0 THEN v0 + 1 ELSE v0 END AS v
+               CASE WHEN v0 >= 0 THEN v0 + 1 ELSE v0 END AS v,
+               -- r6: the %16=9 leg ships a 16-bit Pq=1 DQT whose AC
+               -- quantizer exceeds one byte
+               CASE WHEN d.asset_id % 16 = 9 THEN {QUANT_AC16}
+                    ELSE {QUANT_AC} END AS q
         FROM dims d,
              unnest(range(0, d.bw)) xx(i),
              unnest(range(0, d.bh)) yy(i),
@@ -499,11 +507,11 @@ acv AS (SELECT d.asset_id,
              LATERAL (SELECT (d.asset_id + 7 * CAST(xx.i AS BIGINT)
                               + 11 * CAST(yy.i AS BIGINT)
                               + 53 * CAST(pp.p AS BIGINT)) * {AC_MULT}
-                             % {AC_MOD} - {AC_SHIFT} AS v0) q
+                             % {AC_MOD} - {AC_SHIFT} AS v0) qq
         WHERE d.asset_id % 2 = 1),
 acsums AS (SELECT asset_id,
-                  CAST(SUM({QUANT_AC} * v) AS BIGINT) AS sum_ac_dq,
-                  CAST(SUM({QUANT_AC} * abs(v)) AS BIGINT) AS sum_abs_ac_dq,
+                  CAST(SUM(q * v) AS BIGINT) AS sum_ac_dq,
+                  CAST(SUM(q * abs(v)) AS BIGINT) AS sum_abs_ac_dq,
                   CAST(COUNT(*) AS BIGINT) AS n_nonzero_ac
            FROM acv GROUP BY asset_id),
 blk3 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
@@ -519,9 +527,11 @@ ycc AS (SELECT asset_id,
                CAST(SUM(CASE WHEN comp = 2 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cr,
                CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS dc3_dq
         FROM blk3 GROUP BY asset_id),
--- r6: 4:2:0 legs (%8 = 4 plain, %8 = 6 with DRI — same pixel formula,
--- the restart machinery is what the DECODER must get right): dims'
--- bw×bh are MCU counts, luma grid 2bw×2bh blocks, each chroma plane
+-- r6: subsampled legs — %16 ∈ (4, 6) = 4:2:0 (luma 2×2) plain/DRI,
+-- %16 ∈ (12, 14) = 4:1:1 (luma 4×1, sampling factor 4) plain/DRI.
+-- Same pixel formula everywhere (the restart machinery and MCU
+-- geometry are what the DECODER must get right): dims' bw×bh are MCU
+-- counts, the luma grid is (hy·bw)×(vy·bh) blocks, each chroma plane
 -- native bw×bh blocks, same per-component dc formula as blk3
 blk420 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
                ((d.asset_id + 13 * CAST(xx.i AS BIGINT)
@@ -529,8 +539,12 @@ blk420 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
                  + {YCC_C_MULT} * CAST(cc.c AS BIGINT)) * {DC_MULT}) % {DC_MOD}
                  + ({DC_OFF}) AS dc
         FROM dims d, unnest([0, 1, 2]) cc(c),
-             unnest(range(0, CASE WHEN cc.c = 0 THEN 2 * d.bw ELSE d.bw END)) xx(i),
-             unnest(range(0, CASE WHEN cc.c = 0 THEN 2 * d.bh ELSE d.bh END)) yy(i)
+             unnest(range(0, CASE WHEN cc.c > 0 THEN d.bw
+                                  WHEN d.asset_id % 16 IN (4, 6) THEN 2 * d.bw
+                                  ELSE 4 * d.bw END)) xx(i),
+             unnest(range(0, CASE WHEN cc.c > 0 THEN d.bh
+                                  WHEN d.asset_id % 16 IN (4, 6) THEN 2 * d.bh
+                                  ELSE d.bh END)) yy(i)
         WHERE d.asset_id % 8 IN (4, 6)),
 y420 AS (SELECT asset_id,
                CAST(SUM(CASE WHEN comp = 0 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_lum,
@@ -541,9 +555,10 @@ y420 AS (SELECT asset_id,
                CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS dc420_dq
         FROM blk420 GROUP BY asset_id)
 SELECT s.asset_id,
-       CAST(s.bw * CASE WHEN s.asset_id % 8 IN (4, 6) THEN 16 ELSE 8 END
-            AS INT) AS width,
-       CAST(s.bh * CASE WHEN s.asset_id % 8 IN (4, 6) THEN 16 ELSE 8 END
+       CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6) THEN 16
+                        WHEN s.asset_id % 16 IN (12, 14) THEN 32
+                        ELSE 8 END AS INT) AS width,
+       CAST(s.bh * CASE WHEN s.asset_id % 16 IN (4, 6) THEN 16 ELSE 8 END
             AS INT) AS height,
        CASE WHEN s.asset_id % 2 = 1 THEN NULL
             WHEN s.asset_id % 8 IN (4, 6)

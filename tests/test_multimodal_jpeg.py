@@ -589,13 +589,146 @@ def test_420_subsampled_refused_by_dc3_and_gray_paths():
     assert decode_jpeg_coeffs(p) is None
 
 
-def test_sampling_factor_3_refused():
-    """h=3 sampling is outside the {1,2} contract → None."""
+def test_sampling_factor_limits():
+    """r6: the gate widened from {1,2} to the FULL legal 1..4 range —
+    what remains refused is exactly what the spec forbids: factor 0,
+    factors 5..15 (B.2.2), and interleaved MCUs over 10 data units
+    (B.2.3: 2×2 + 2×2 + 2×2 = 12 blocks)."""
     from queryengine_spark.multimodal.jpeg import (
         _parse_segments_multi,
         make_jpeg_420,
     )
 
     p = make_jpeg_420(4, dri=False)
-    bad = p.replace(bytes([1, 0x22, 0]), bytes([1, 0x32, 0]), 1)
-    assert _parse_segments_multi(bad) is None
+    assert _parse_segments_multi(p) is not None
+    for samp in (0x52, 0x25, 0x02, 0x20, 0xF1):
+        bad = p.replace(bytes([1, 0x22, 0]), bytes([1, samp, 0]), 1)
+        assert _parse_segments_multi(bad) is None, hex(samp)
+    over = p.replace(
+        bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        bytes([1, 0x22, 0, 2, 0x22, 1, 3, 0x22, 1]),
+        1,
+    )
+    assert _parse_segments_multi(over) is None
+
+
+def test_411_assets_decode_to_formula():
+    """r6: every synthesized 4:1:1 asset (sampling factor FOUR, with
+    and without DRI) decodes plane-exactly to the block_dc3 formula:
+    luma 4mw×mh blocks, chroma mw×mh, 32·mw × 8·mh pixels."""
+    from queryengine_spark.multimodal.jpeg import (
+        block_dc3,
+        decode_jpeg_dc_planes,
+        make_jpeg_411,
+    )
+
+    for aid, dri in ((12, False), (14, True), (28, False), (30, True)):
+        res = decode_jpeg_dc_planes(make_jpeg_411(aid, dri=dri))
+        assert res is not None, (aid, dri)
+        w, h, planes = res
+        mw, mh = jpeg_params(aid)
+        assert (w, h) == (32 * mw, 8 * mh)
+        assert planes[0].shape == (h, w)
+        assert planes[1].shape == planes[2].shape == (h, w // 4)
+        for c, p in enumerate(planes):
+            for by in range(p.shape[0] // 8):
+                for bx in range(p.shape[1] // 8):
+                    want = block_dc3(aid, c, bx, by) + 128
+                    assert (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all()
+
+
+def test_411_hand_assembled_block_order():
+    """One-MCU 4:1:1 stream: the four Y blocks must land LEFT-TO-RIGHT
+    (raster order within the 4×1 MCU), pinned with distinct values."""
+    from queryengine_spark.multimodal.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _DC2_BITS,
+        _DC2_VALS,
+        _AC2_BITS,
+        _AC2_VALS,
+        decode_jpeg_dc_planes,
+    )
+
+    dc_l = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_l = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_c = _canonical_codes(_DC2_BITS, _DC2_VALS)
+    ac_c = _canonical_codes(_AC2_BITS, _AC2_VALS)
+
+    def put_dc(w, codes, ac, diff):
+        cat = 0 if diff == 0 else abs(diff).bit_length()
+        c, ln = codes[cat]
+        w.put(c, ln)
+        if cat:
+            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        e, el = ac[0x00]
+        w.put(e, el)
+
+    w = _BitWriter()
+    # Y blocks: dc 8, 16, 24, 32 encoded as successive diffs of +8
+    pred = 0
+    for dc in (8, 16, 24, 32):
+        put_dc(w, dc_l, ac_l, dc - pred)
+        pred = dc
+    put_dc(w, dc_c, ac_c, -8)  # Cb
+    put_dc(w, dc_c, ac_c, 40)  # Cr (separate predictor: diff from 0... )
+    scan = w.flush()
+    quant = bytes([8] + [16] * 63)
+    hdr = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + quant + b"\x01" + quant)
+        + _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 32, 3)
+            + bytes([1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _seg(
+            0xC4,
+            b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+            + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+            + b"\x01" + bytes(_DC2_BITS) + bytes(_DC2_VALS)
+            + b"\x11" + bytes(_AC2_BITS) + bytes(_AC2_VALS),
+        )
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    )
+    res = decode_jpeg_dc_planes(hdr + scan + b"\xff\xd9")
+    assert res is not None
+    w_, h_, planes = res
+    assert (w_, h_) == (32, 8)
+    for i, want in enumerate((8, 16, 24, 32)):
+        assert (planes[0][:, i * 8 : i * 8 + 8] == want + 128).all(), i
+    assert (planes[1] == -8 + 128).all()
+    assert (planes[2] == 40 + 128).all()
+
+
+def test_16bit_quant_table_decodes_exactly():
+    """r6: a Pq=1 DQT with q_ac = 300 (unrepresentable in 8 bits)
+    parses and dequantizes exactly; Pq≥2 is refused."""
+    from queryengine_spark.multimodal.jpeg import (
+        AC_POSITIONS,
+        QUANT_AC16,
+        ZIGZAG_NAT,
+        _parse_segments_multi,
+        block_ac,
+        decode_jpeg_coeffs,
+        make_jpeg_ac16,
+    )
+
+    for aid in (9, 25, 41):
+        p = make_jpeg_ac16(aid)
+        res = decode_jpeg_coeffs(p)
+        assert res is not None
+        w, h, coefs = res
+        bw, bh = jpeg_params(aid)
+        for bi in range(bw * bh):
+            by, bx = divmod(bi, bw)
+            assert coefs[bi, 0] == block_dc(aid, bx, by) * QUANT_DC
+            for pz in AC_POSITIONS:
+                assert (
+                    coefs[bi, ZIGZAG_NAT[pz]]
+                    == block_ac(aid, bx, by, pz) * QUANT_AC16
+                )
+        # flip the precision nibble to the undefined Pq=2 → refusal
+        i = p.index(b"\xff\xdb") + 4
+        bad = p[:i] + bytes([0x20 | (p[i] & 0x0F)]) + p[i + 1 :]
+        assert _parse_segments_multi(bad) is None
