@@ -22,13 +22,20 @@ mod 8), so ``decode_jpeg_dc`` still refuses any nonzero AC rather
 than approximate a float IDCT — AC-bearing scans get exact pre-IDCT
 COEFFICIENT statistics instead, which an integer formula oracle can
 certify. Since round 6 the MCU geometry is general: per-component
-sampling factors h, v ∈ {1, 2} (4:4:4, 4:2:0 — the dominant
-real-world baseline profile — 4:2:2, 4:4:0) with interleaved
-multi-block MCUs, and DRI restart intervals are honored (scan split
-at validated RST0..RST7 markers, DC predictors reset, bitstream
-byte-realigned). The only refusals left are progressive (SOF2) and
-other non-baseline SOFs, 16-bit quant tables, and sampling factors
-3/4.
+sampling factors h, v ∈ 1..4 (4:4:4, 4:2:0 — the dominant
+real-world baseline profile — 4:2:2, 4:4:0, 4:1:1) with interleaved
+multi-block MCUs, DRI restart intervals are honored (scan split at
+validated RST0..RST7 markers, DC predictors reset, bitstream
+byte-realigned), quant tables parse at BOTH precisions (8-bit Pq=0
+and big-endian 16-bit Pq=1), and PROGRESSIVE (SOF2) single-component
+streams decode exactly in the coefficient domain — spectral
+selection, successive approximation (arithmetic-shift DC vs
+magnitude-shift AC point transforms), EOBn end-of-band runs, and
+refinement correction bits (``decode_jpeg_coeffs_prog``). The
+refusals left are multi-component progressive scans and the
+non-Huffman / non-DCT SOFs (arithmetic-coded, lossless,
+hierarchical), plus undefined DQT precisions — all validated, never
+guessed at.
 
 Correctness: the DuckDB oracle recomputes pixel sums from the DC
 formula and coefficient sums from the AC formula while Spark decodes
@@ -912,6 +919,531 @@ def decode_jpeg_coeffs(b: bytes) -> tuple[int, int, np.ndarray] | None:
     return w_, h, out
 
 
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — exact coefficient-domain decode (r6)
+# ---------------------------------------------------------------------------
+#
+# Spectral selection + successive approximation per ITU T.81 Annex G,
+# single-component scans. The point transforms differ by coefficient
+# kind and the decoder must honor both exactly: DC uses an ARITHMETIC
+# shift of the signed value (G.1.2.1 — so refinement bits OR into the
+# two's-complement representation), while AC shifts the MAGNITUDE and
+# reapplies the sign (G.1.2.2 — so a refinement correction bit moves
+# the value AWAY from zero). AC first scans code end-of-band runs
+# (EOBn: run/size symbols with size 0 and run < 15, run extension
+# bits, spanning up to 2^14 blocks); AC refinement scans interleave
+# one correction bit for every already-nonzero coefficient passed
+# while positioning newly-nonzero ±1·2^Al coefficients, and defer the
+# correction bits of EOB-run blocks until the next EOBn emission.
+# Everything decodes to the same exact integer coefficient domain as
+# the sequential path — the float IDCT is still never run.
+
+#: canonical Huffman table for the synthesized progressive AC scans:
+#: every symbol the encoder can emit — EOBn (r<<4 for r 0..14), ZRL
+#: (0xF0), and (r<<4)|s for s 1..6 — as a flat 7-bit canonical table
+#: (113 codes < 127, so the all-ones padding pattern is never a valid
+#: code). Deliberately NOT Annex K: the decoder reads whatever the
+#: DHT declares, and real progressive encoders ship custom tables.
+_ACP_VALS = sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 7)]
+)
+_ACP_BITS = [0, 0, 0, 0, 0, 0, len(_ACP_VALS), 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+#: the synthesized scan script: DC first (Al=1), two AC first bands
+#: (spectral selection at 1..5 / 6..63, Al=1), then the three
+#: refinement scans completing every coefficient to full precision
+PROG_SCRIPT = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _encode_dc_first(w: _BitWriter, blocks: list[list[int]], al: int) -> None:
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    pred = 0
+    for coefs in blocks:
+        v = coefs[0] >> al  # arithmetic shift of the SIGNED value
+        diff = v - pred
+        pred = v
+        cat = _category(diff)
+        code, length = dc_codes[cat]
+        w.put(code, length)
+        if cat:
+            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+
+def _encode_dc_refine(w: _BitWriter, blocks: list[list[int]], al: int) -> None:
+    for coefs in blocks:
+        w.put((coefs[0] >> al) & 1, 1)
+
+
+class _EobState:
+    """EOB-run accumulator shared by the AC first/refine encoders:
+    ``bits`` holds the correction bits of refinement blocks absorbed
+    into the pending run, flushed right after the EOBn symbol."""
+
+    def __init__(self, w: _BitWriter, codes: dict) -> None:
+        self.w = w
+        self.codes = codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.run:
+            nbits = self.run.bit_length() - 1
+            code, length = self.codes[nbits << 4]
+            self.w.put(code, length)
+            if nbits:
+                self.w.put(self.run - (1 << nbits), nbits)
+            self.run = 0
+        for b in self.bits:
+            self.w.put(b, 1)
+        self.bits = []
+
+
+def _encode_ac_first(
+    w: _BitWriter, blocks: list[list[int]], ss: int, se: int, al: int
+) -> None:
+    codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+    eob = _EobState(w, codes)
+    for coefs in blocks:
+        band = []
+        for k in range(ss, se + 1):
+            v = coefs[k]
+            band.append(-((-v) >> al) if v < 0 else v >> al)  # magnitude shift
+        if not any(band):
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush()
+            continue
+        eob.flush()
+        r = 0
+        for v in band:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                zrl, zl = codes[0xF0]
+                w.put(zrl, zl)
+                r -= 16
+            s = _category(v)
+            code, length = codes[(r << 4) | s]
+            w.put(code, length)
+            w.put(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eob.run += 1
+    eob.flush()
+
+
+def _encode_ac_refine(
+    w: _BitWriter, blocks: list[list[int]], ss: int, se: int, al: int
+) -> None:
+    codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+    eob = _EobState(w, codes)
+    for coefs in blocks:
+        absvals = [abs(coefs[k]) >> al for k in range(ss, se + 1)]
+        last_new = -1  # band index of the last newly-nonzero (mag 1)
+        for i, t in enumerate(absvals):
+            if t == 1:
+                last_new = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absvals):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs only when another new coefficient follows; trailing
+            # zero-runs fold into the EOB run instead
+            while r > 15 and i <= last_new:
+                eob.flush()
+                zrl, zl = codes[0xF0]
+                w.put(zrl, zl)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if t > 1:  # already nonzero: buffer its correction bit
+                br.append(t & 1)
+                continue
+            eob.flush()
+            code, length = codes[(r << 4) | 1]
+            w.put(code, length)
+            w.put(0 if coefs[ss + i] < 0 else 1, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r or br:
+            eob.run += 1
+            eob.bits.extend(br)
+            if eob.run == 0x7FFF:
+                eob.flush()
+    eob.flush()
+
+
+def _assemble_progressive(
+    bw: int,
+    bh: int,
+    blocks: list[list[int]],
+    script: tuple = PROG_SCRIPT,
+) -> bytes:
+    """Wrap quantized zigzag blocks in a single-component SOF2 JFIF
+    delivered over ``script`` scans. The custom AC Huffman table is
+    declared MID-STREAM (after the DC scan, before the first AC
+    scan) — the between-scan DHT pattern real progressive encoders
+    emit."""
+    quant = bytes([QUANT_DC] + [QUANT_AC] * 63)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xDB, b"\x00" + quant)
+    out += _seg(
+        0xC2, struct.pack(">BHHB", 8, bh * 8, bw * 8, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    ac_declared = False
+    for ss, se, ah, al in script:
+        if ss and not ac_declared:
+            out += _seg(0xC4, b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS))
+            ac_declared = True
+        w = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _encode_dc_first(w, blocks, al)
+            else:
+                _encode_dc_refine(w, blocks, al)
+        elif ah == 0:
+            _encode_ac_first(w, blocks, ss, se, al)
+        else:
+            _encode_ac_refine(w, blocks, ss, se, al)
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def make_jpeg_progressive(asset_id: int) -> bytes:
+    """Spec-valid single-component PROGRESSIVE JFIF (SOF2) carrying
+    the SAME formula blocks as :func:`make_jpeg_ac`, delivered over
+    the six-scan PROG_SCRIPT — DC first at Al=1, two spectrally-
+    selected AC first bands at Al=1, then the three refinement scans.
+    Decoding a progressive payload must therefore reproduce
+    bit-identical coefficient stats to the sequential leg — which is
+    exactly what the oracle certifies."""
+    bw, bh, blocks = _formula_blocks(asset_id, with_ac=True)
+    return _assemble_progressive(bw, bh, blocks)
+
+
+def _split_entropy_scan(b: bytes, start: int):
+    """Progressive twin of :func:`_split_entropy`: collect one scan's
+    entropy region from ``start``, unstuffing 0xFF00 and splitting at
+    validated RSTn markers, but STOP at the first other marker (the
+    next scan's DHT/SOS, or EOI) instead of requiring EOI — returns
+    (segments, marker_pos) or None on corruption/truncation."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    expect_rst = 0
+    pos = start
+    n = len(b)
+    while pos < n:
+        c = b[pos]
+        if c != 0xFF:
+            cur.append(c)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            return None
+        m = b[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            if m - 0xD0 != expect_rst:
+                return None
+            expect_rst = (expect_rst + 1) % 8
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            segs.append(bytes(cur))
+            return segs, pos
+    return None
+
+
+def _parse_progressive(b: bytes):
+    """Marker walk for a single-component PROGRESSIVE (SOF2) JFIF:
+    unlike the sequential walk, SOS repeats — each scan's parameters
+    (Ss, Se, Ah, Al), table snapshot, restart interval, and entropy
+    segments are collected in order, and DQT/DHT/DRI segments may
+    appear BETWEEN scans (tables are resolved at scan time, the way
+    real progressive encoders redefine them). Returns
+    (quant, (w, h), scans) with scans = [(ss, se, ah, al, dc_tab,
+    ac_tab, segments, ri), ...], or None. Multi-component progressive
+    and undefined DQT precisions are refused."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    quants: dict[int, tuple] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    sof_tq = None
+    restart_interval = 0
+    scans = []
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            if sof is None or not scans:
+                return None
+            if sof_tq not in quants:
+                return None
+            return quants[sof_tq], sof, scans
+        if pos + 4 > len(b):
+            return None
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        body = b[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq = body[p] >> 4
+                tid = body[p] & 0x0F
+                if pq == 0:
+                    if p + 65 > len(body):
+                        return None
+                    quants[tid] = tuple(body[p + 1 : p + 65])
+                    p += 65
+                elif pq == 1:
+                    if p + 129 > len(body):
+                        return None
+                    quants[tid] = struct.unpack(">64H", body[p + 1 : p + 129])
+                    p += 129
+                else:
+                    return None
+        elif marker == 0xC2:
+            if len(body) < 9:
+                return None
+            prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                return None  # multi-component progressive unsupported
+            _cid, samp, tq = body[6:9]
+            del samp  # non-interleaved single-component: factors moot
+            sof = (w_, h)
+            sof_tq = tq
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            return None  # not progressive (or non-baseline): not ours
+        elif marker == 0xDD:
+            if len(body) != 2:
+                return None
+            (restart_interval,) = struct.unpack(">H", body)
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tclass, tid = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                if len(bits) != 16:
+                    return None
+                nv = sum(bits)
+                if p + 17 + nv > len(body):
+                    return None
+                huff[(tclass, tid)] = _build_decode_table(
+                    bits, list(body[p + 17 : p + 17 + nv])
+                )
+                p += 17 + nv
+        elif marker == 0xDA:
+            if sof is None or len(body) != 6 or body[0] != 1:
+                return None
+            tt = body[2]
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0x0F
+            # table presence is only required where the scan reads it:
+            # DC refinement scans are raw bits, AC scans never touch DC
+            dc_tab = huff.get((0, tt >> 4))
+            ac_tab = huff.get((1, tt & 0x0F))
+            if ss == 0 and ah == 0 and dc_tab is None:
+                return None
+            if ss > 0 and ac_tab is None:
+                return None
+            split = _split_entropy_scan(b, pos + 2 + seglen)
+            if split is None:
+                return None
+            segments, nxt = split
+            scans.append((ss, se, ah, al, dc_tab, ac_tab, segments, restart_interval))
+            pos = nxt
+            continue
+        pos += 2 + seglen
+    return None
+
+
+def decode_jpeg_coeffs_prog(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Progressive twin of :func:`decode_jpeg_coeffs` (r6): bytes →
+    (width, height, coeffs) with coeffs an (n_blocks, 64) int64 array
+    of exact DEQUANTIZED pre-IDCT coefficients in natural order —
+    assembled by replaying every scan of a single-component SOF2
+    stream through the four Annex G decoders (DC first/refine, AC
+    first with EOBn runs, AC refine with interleaved correction
+    bits). Scan-script sanity is enforced (band bounds, Ah = Al + 1
+    on refinement, DC-before-AC); restart intervals are honored per
+    scan with predictor AND EOB-run resets; a nonzero EOB run
+    crossing a restart boundary is corruption → None."""
+    parsed = _parse_progressive(b)
+    if parsed is None:
+        return None
+    quant, (w_, h), scans = parsed
+    bw, bh = (w_ + 7) // 8, (h + 7) // 8
+    total = bw * bh
+    coef = [[0] * 64 for _ in range(total)]  # QUANTIZED, zigzag-indexed
+    dc_done = False
+    for ss, se, ah, al, dc_tab, ac_tab, segments, ri in scans:
+        if not (0 <= ss <= se <= 63) or al > 13 or (ah and ah != al + 1):
+            return None
+        if ss == 0 and se != 0:
+            return None  # DC and AC never share a progressive scan
+        if ss > 0 and not dc_done:
+            return None  # G.1.1.1.1: first DC scan precedes AC scans
+        if len(segments) != (1 if ri == 0 else -(-total // ri)):
+            return None
+        if ss == 0:
+            dc_done = True
+        pred = 0
+        eobrun = 0
+        r = _BitReader(segments[0])
+        seg = 0
+        for bi in range(total):
+            if ri and bi and bi % ri == 0:
+                if eobrun:
+                    return None  # EOB runs must not cross restarts
+                seg += 1
+                r = _BitReader(segments[seg])
+                pred = 0
+            if ss == 0:
+                if ah == 0:  # DC first
+                    diff = _read_dc_diff(r, dc_tab)
+                    if diff is None:
+                        return None
+                    pred += diff
+                    coef[bi][0] = pred << al
+                else:  # DC refine: one raw bit, ORed at two's complement
+                    bit = r.bit()
+                    if bit is None:
+                        return None
+                    if bit:
+                        coef[bi][0] |= 1 << al
+                continue
+            row = coef[bi]
+            if ah == 0:  # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_huff(r, ac_tab)
+                    if rs is None:
+                        return None
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            k += 16
+                            continue
+                        bits_v = 0
+                        for _ in range(run):  # extension bits, MSB first
+                            bit = r.bit()
+                            if bit is None:
+                                return None
+                            bits_v = (bits_v << 1) | bit
+                        # the run includes the current block
+                        eobrun = (1 << run) + bits_v - 1
+                        break
+                    k += run
+                    if k > se:
+                        return None
+                    bits_v = 0
+                    for _ in range(size):
+                        bit = r.bit()
+                        if bit is None:
+                            return None
+                        bits_v = (bits_v << 1) | bit
+                    val = (
+                        bits_v
+                        if bits_v >= (1 << (size - 1))
+                        else bits_v - (1 << size) + 1
+                    )
+                    row[k] = val << al
+                    k += 1
+                continue
+            # AC refine
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_huff(r, ac_tab)
+                    if rs is None:
+                        return None
+                    run, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run < 15:
+                            bits_v = 0
+                            for _ in range(run):
+                                bit = r.bit()
+                                if bit is None:
+                                    return None
+                                bits_v = (bits_v << 1) | bit
+                            eobrun = (1 << run) + bits_v
+                            break  # → correction sweep below
+                        # run == 15: ZRL — skip 16 zero-history coeffs
+                    elif size == 1:
+                        bit = r.bit()
+                        if bit is None:
+                            return None
+                        newval = p1 if bit else m1
+                    else:
+                        return None  # refinement sizes are 0 or 1 only
+                    while k <= se:
+                        if row[k] != 0:
+                            bit = r.bit()
+                            if bit is None:
+                                return None
+                            if bit and not (row[k] & p1):
+                                row[k] += p1 if row[k] >= 0 else m1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            return None
+                        row[k] = newval
+                    # past the placed coefficient (or the 16th zero of
+                    # a ZRL, where the advance loop stopped ON it)
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if row[k] != 0:
+                        bit = r.bit()
+                        if bit is None:
+                            return None
+                        if bit and not (row[k] & p1):
+                            row[k] += p1 if row[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    out = np.zeros((total, 64), dtype=np.int64)
+    for bi, row in enumerate(coef):
+        for k, v in enumerate(row):
+            if v:
+                out[bi, ZIGZAG_NAT[k]] = v * quant[k]
+    return w_, h, out
+
+
 JPEG_ASSET_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -973,10 +1505,14 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
     DC-only, plain / with DRI restart markers (r6); % 16 == 12 / 14 →
     YCbCr 4:1:1 DC-only (4×1 luma sampling — factor 4), plain / with
     DRI (r6); odd → grayscale AC-bearing, of which % 16 == 9 ships
-    its quant table as a 16-bit Pq=1 DQT (r6)."""
+    its quant table as a 16-bit Pq=1 DQT (r6) and % 16 == 1 is
+    PROGRESSIVE (SOF2, six scans of spectral selection + successive
+    approximation encoding the same blocks — r6)."""
 
     def _mk(a: int) -> bytes:
         if a % 2 == 1:
+            if a % 16 == 1:
+                return make_jpeg_progressive(a)
             return make_jpeg_ac16(a) if a % 16 == 9 else make_jpeg_ac(a)
         r8 = a % 8
         if r8 == 0:
@@ -1047,6 +1583,8 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                     out["n_nonzero_ac"].append(0)
                     continue
                 co = decode_jpeg_coeffs(b)
+                if co is None:  # not sequential: try progressive (r6)
+                    co = decode_jpeg_coeffs_prog(b)
                 if co is None:
                     for k in (*pix_cols, *co_cols, *ycc_cols):
                         out[k].append(None)

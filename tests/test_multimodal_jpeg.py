@@ -732,3 +732,228 @@ def test_16bit_quant_table_decodes_exactly():
         i = p.index(b"\xff\xdb") + 4
         bad = p[:i] + bytes([0x20 | (p[i] & 0x0F)]) + p[i + 1 :]
         assert _parse_segments_multi(bad) is None
+
+
+# --- r6: progressive (SOF2) coefficient-domain decode -----------------------
+
+
+def test_progressive_matches_sequential_coefficients():
+    """Every progressive asset decodes to coefficients BIT-IDENTICAL
+    to the sequential encoding of the same formula blocks — the
+    whole claim of the progressive path; and every sequential-only
+    decoder refuses SOF2."""
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_coeffs,
+        decode_jpeg_coeffs_prog,
+        decode_jpeg_dc_planes,
+        make_jpeg_ac,
+        make_jpeg_progressive,
+    )
+
+    for a in (1, 17, 33, 49, 65, 113):
+        p = make_jpeg_progressive(a)
+        res = decode_jpeg_coeffs_prog(p)
+        assert res is not None, a
+        w1, h1, c1 = res
+        w2, h2, c2 = decode_jpeg_coeffs(make_jpeg_ac(a))
+        assert (w1, h1) == (w2, h2)
+        assert (c1 == c2).all(), a
+        assert decode_jpeg_coeffs(p) is None
+        assert decode_jpeg_dc(p) is None
+        assert decode_jpeg_dc_planes(p) is None
+
+
+def _prog_headers(bw, bh, dri=0):
+    from queryengine_spark.multimodal.jpeg import (
+        _ACP_BITS,
+        _ACP_VALS,
+    )
+
+    out = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + bytes([QUANT_DC] + [16] * 63))
+        + _seg(
+            0xC2,
+            struct.pack(">BHHB", 8, bh * 8, bw * 8, 1) + bytes([1, 0x11, 0]),
+        )
+        + _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS))
+    )
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    return out
+
+
+def _sos(ss, se, ah, al):
+    return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+
+def test_progressive_hand_assembled_ac_first_eobrun():
+    """HAND-computed bitstream (independent of the encoder) for a
+    2-block AC-first scan with an EOB run of 2 carrying one extension
+    bit: custom 7-bit canonical table → code(sym) = sorted index.
+    DC scan '010 1' + '010 0' = 0x54; AC scan: value 3 is category 2
+    → sym 0x02 (idx 2 = 0000010) + bits '11', then EOB2 = sym 0x10
+    (idx 7 = 0000111) + ext '0' → 0x05 0x87 0x7F."""
+    from queryengine_spark.multimodal.jpeg import (
+        ZIGZAG_NAT,
+        decode_jpeg_coeffs_prog,
+    )
+
+    b = (
+        _prog_headers(2, 1)
+        + _sos(0, 0, 0, 0)
+        + bytes([0x54])
+        + _sos(1, 63, 0, 0)
+        + bytes([0x05, 0x87, 0x7F])
+        + b"\xff\xd9"
+    )
+    res = decode_jpeg_coeffs_prog(b)
+    assert res is not None
+    w, h, c = res
+    assert (w, h) == (16, 8)
+    assert c[0, 0] == 1 * QUANT_DC
+    assert c[0, ZIGZAG_NAT[1]] == 3 * 16
+    assert c[0].sum() == 1 * QUANT_DC + 3 * 16  # nothing else set
+    assert c[1].sum() == 0  # dc diff -1 brought pred back to 0
+
+
+def test_progressive_hand_assembled_refinement_bits():
+    """HAND-computed refinement scan: one block, ac k1=5, k2=-1.
+    First AC scan at Al=1 sends only k1 (magnitude 2): sym 0x02
+    (idx 2 = 0000010) + '10', EOB1 = sym 0x00 (0000000) → 0x05 0x00.
+    The refine scan at Al=0 must emit sym 0x01 (idx 1 = 0000001),
+    sign '0' (new k2 = -1), then k1's buffered correction bit '1',
+    then EOB → 0x02 0x80. Decoder must apply the correction bit to
+    k1 (4 → 5) BEFORE placing the new -1 at k2."""
+    from queryengine_spark.multimodal.jpeg import (
+        ZIGZAG_NAT,
+        decode_jpeg_coeffs_prog,
+    )
+
+    b = (
+        _prog_headers(1, 1)
+        + _sos(0, 0, 0, 0)
+        + bytes([0x3F])  # dc diff 0: '00' + pad
+        + _sos(1, 63, 0, 1)
+        + bytes([0x05, 0x00])
+        + _sos(1, 63, 1, 0)
+        + bytes([0x02, 0x80])
+        + b"\xff\xd9"
+    )
+    res = decode_jpeg_coeffs_prog(b)
+    assert res is not None
+    _, _, c = res
+    assert c[0, 0] == 0
+    assert c[0, ZIGZAG_NAT[1]] == 5 * 16
+    assert c[0, ZIGZAG_NAT[2]] == -1 * 16
+    assert abs(c[0]).sum() == 6 * 16
+
+
+def test_progressive_dri_restart_resets_predictor():
+    """DRI applies inside progressive scans too: ri=1, two blocks of
+    dc 3 and 5 — the second SEGMENT re-encodes 5 as a fresh diff
+    (predictor reset), '100 101' = 0x97; without the reset the diff
+    would have been 2."""
+    from queryengine_spark.multimodal.jpeg import decode_jpeg_coeffs_prog
+
+    b = (
+        _prog_headers(2, 1, dri=1)
+        + _sos(0, 0, 0, 0)
+        + bytes([0x7F])  # '011 11' dc=3, pad
+        + b"\xff\xd0"
+        + bytes([0x97])  # '100 101' dc=5 from reset predictor
+        + b"\xff\xd9"
+    )
+    res = decode_jpeg_coeffs_prog(b)
+    assert res is not None
+    _, _, c = res
+    assert c[0, 0] == 3 * QUANT_DC
+    assert c[1, 0] == 5 * QUANT_DC
+
+
+def test_progressive_scan_script_violations_refused():
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_coeffs_prog,
+        make_jpeg_progressive,
+    )
+
+    good = make_jpeg_progressive(1)
+    assert decode_jpeg_coeffs_prog(good) is not None
+    # multi-component SOF2 → refused at parse (patch the ncomp byte:
+    # SOF body = prec(1) h(2) w(2) ncomp(1), after marker+length)
+    i = good.index(b"\xff\xc2") + 9
+    bad = good[:i] + b"\x03" + good[i + 1 :]
+    assert decode_jpeg_coeffs_prog(bad) is None
+    # AC scan before any DC scan (G.1.1.1.1)
+    b = _prog_headers(1, 1) + _sos(1, 63, 0, 0) + bytes([0x00]) + b"\xff\xd9"
+    assert decode_jpeg_coeffs_prog(b) is None
+    # refinement with Ah != Al + 1
+    b = (
+        _prog_headers(1, 1)
+        + _sos(0, 0, 0, 0)
+        + bytes([0x3F])
+        + _sos(1, 63, 2, 0)
+        + bytes([0x00])
+        + b"\xff\xd9"
+    )
+    assert decode_jpeg_coeffs_prog(b) is None
+    # truncated entropy: '100 101' decodes block 1 (dc diff 5), then
+    # block 2's code starts '10' and the bits run out mid-codeword
+    b = _prog_headers(2, 1) + _sos(0, 0, 0, 0) + bytes([0x96]) + b"\xff\xd9"
+    assert decode_jpeg_coeffs_prog(b) is None
+
+
+def test_progressive_roundtrip_property():
+    """Adversarial random blocks through the real encoder → decoder:
+    empty blocks in runs (EOB runs with extension bits), ±1 values
+    (vanish at Al=1, reappear as newly-nonzero in refinement), long
+    zero gaps (ZRL in first AND refinement scans), and a randomized
+    spectral split. The decoder must reproduce the blocks exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from queryengine_spark.multimodal.jpeg import (
+        ZIGZAG_NAT,
+        _assemble_progressive,
+        decode_jpeg_coeffs_prog,
+    )
+
+    @st.composite
+    def blocks_and_split(draw):
+        n = draw(st.integers(1, 6))
+        blocks = []
+        for _ in range(n):
+            coefs = [0] * 64
+            coefs[0] = draw(st.integers(-60, 60))
+            if not draw(st.booleans()):  # some blocks stay AC-empty
+                for _ in range(draw(st.integers(1, 6))):
+                    k = draw(st.integers(1, 63))
+                    coefs[k] = draw(
+                        st.sampled_from([-33, -17, -2, -1, 1, 2, 3, 21])
+                    )
+            blocks.append(coefs)
+        split = draw(st.integers(1, 62))
+        return blocks, split
+
+    @settings(max_examples=120, deadline=None)
+    @given(blocks_and_split())
+    def run(bs):
+        blocks, split = bs
+        script = (
+            (0, 0, 0, 1),
+            (1, split, 0, 1),
+            (split + 1, 63, 0, 1),
+            (0, 0, 1, 0),
+            (1, split, 1, 0),
+            (split + 1, 63, 1, 0),
+        )
+        b = _assemble_progressive(len(blocks), 1, blocks, script)
+        res = decode_jpeg_coeffs_prog(b)
+        assert res is not None
+        _, _, c = res
+        for bi, coefs in enumerate(blocks):
+            for k, v in enumerate(coefs):
+                q = QUANT_DC if k == 0 else 16
+                assert c[bi, ZIGZAG_NAT[k]] == v * q, (bi, k)
+
+    run()
