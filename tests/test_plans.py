@@ -470,11 +470,19 @@ def test_domain_overlap_no_cartesian(spark, sf_dir):
 
 
 def test_domain_cap_single_window_pass(spark, sf_dir):
-    """One rank window partitioned by domain, then a partial agg —
-    no join at all."""
+    """One rank window partitioned by domain, then a partial agg.
+    Since the r6 PSL change, registered-domain extraction adds ONE
+    BROADCAST join against the bounded public-suffix table plus
+    host-keyed EQUI-joins bounded by distinct-host cardinality (the
+    host map must NOT broadcast — at corpus scale it is data-sized).
+    A cartesian or nested-loop join here would be a regression."""
     plan = _plan(spark, sf_dir, "curation_domain_cap")
     assert "CartesianProduct" not in plan
-    assert "Join" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every join must be an equi (hash/merge) join; the planner may
+    # broadcast the small sides at test scale — that's its call, the
+    # gate only forbids non-equi shapes
+    assert "Join Inner, (" not in plan  # no theta-join residuals
 
 
 def test_repeated_spans_sa_no_cartesian_and_equi_joins(spark, sf_dir):
