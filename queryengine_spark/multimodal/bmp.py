@@ -307,19 +307,27 @@ def _sample_st(asset_id: int, i: int, ch: int) -> int:
     ) % WAV_S_MOD - 32768
 
 
+def make_pcm_wav_multi(asset_id: int, nch: int) -> bytes:
+    """Complete nch-channel 16-bit PCM WAV: channel-interleaved
+    frames (c0 c1 … c{nch-1} per frame), blockAlign 2·nch, channel
+    c's formula offset by c·STEREO_OFF. nch=2 is the r5 stereo leg;
+    nch=6 is the r6 5.1-layout leg."""
+    rate, n = wav_audio_params(asset_id)
+    data = b"".join(
+        struct.pack(f"<{nch}h", *(_sample_st(asset_id, i, c) for c in range(nch)))
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def make_pcm_wav_stereo(asset_id: int) -> bytes:
     """Complete STEREO 16-bit PCM WAV (r5): channel-interleaved
     L0 R0 L1 R1 … frames, blockAlign 4, the formula offset by
     STEREO_OFF on the right channel."""
-    rate, n = wav_audio_params(asset_id)
-    data = b"".join(
-        struct.pack("<hh", _sample_st(asset_id, i, 0), _sample_st(asset_id, i, 1))
-        for i in range(n)
-    )
-    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return make_pcm_wav_multi(asset_id, 2)
 
 
 def make_pcm_wav24(asset_id: int) -> bytes:
@@ -360,7 +368,10 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data is None or channels not in (1, 2) or bits not in (16, 24):
+    # channel count: anything in the practical 1..8 range decodes
+    # (the flat interleaved stream is channel-agnostic — r6 widened
+    # the earlier {1, 2} gate); 0 is malformed, > 8 suspicious
+    if rate is None or data is None or not 1 <= channels <= 8 or bits not in (16, 24):
         return None
     if bits == 16:
         n = len(data) // 2
@@ -418,13 +429,16 @@ def synthesize_bmp_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 
 def synthesize_wav_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """asset_id % 4 == 0 → mono 16-bit, % 4 == 2 → STEREO 16-bit,
-    odd → mono 24-bit (r5)."""
+    """asset_id % 4 == 0 → mono 16-bit, % 8 == 2 → STEREO 16-bit,
+    % 8 == 6 → SIX-channel 16-bit (5.1 layout, r6), odd → mono
+    24-bit (r5)."""
 
     def _mk(a: int) -> bytes:
         if a % 2 == 1:
             return make_pcm_wav24(a)
-        return make_pcm_wav(a) if a % 4 == 0 else make_pcm_wav_stereo(a)
+        if a % 4 == 0:
+            return make_pcm_wav(a)
+        return make_pcm_wav_multi(a, 2 if a % 8 == 2 else 6)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -65,7 +65,9 @@ VOID: dict[str, int] = {
     # round 5: decoder breadth — odd ids now carry 8-bit paletted BMP
     # / 24-bit PCM WAV legs:
     "multimodal_bmp_decode": 4,
-    "multimodal_wav_decode": 4,
+    # round 6: residue map %4 -> %8 — ids ≡ 6 (mod 8) now carry
+    # SIX-channel (5.1) 16-bit frames; channel gate widened to 1..8:
+    "multimodal_wav_decode": 5,
     # round 5: gained the d=2 first-word leg (SymSpell 2-deletion
     # neighborhood):
     "fuzzy_edit_join": 4,

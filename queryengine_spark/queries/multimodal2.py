@@ -76,15 +76,17 @@ QUERIES = {
 
 
 def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Audio twin of the BMP path, mixed profiles (r5): asset_id % 4
-    == 0 → mono 16-bit PCM, % 4 == 2 → STEREO 16-bit (interleaved
-    L/R frames, the right channel's formula offset by STEREO_OFF;
-    n_samples counts all decoded values, 2 per frame), odd → mono
-    24-BIT PCM (3-byte little-endian samples with sign extension
-    from bit 23, plus the RIFF word-alignment pad an odd byte count
-    forces). All decode through the same RIFF chunk walk; the oracle
-    recomputes the amplitude stats from each leg's waveform
-    formula."""
+    """Audio twin of the BMP path, mixed profiles (r5, extended r6):
+    asset_id % 4 == 0 → mono 16-bit PCM, % 8 == 2 → STEREO 16-bit
+    (interleaved L/R frames, channel c's formula offset by
+    c·STEREO_OFF; n_samples counts all decoded values, 2 per frame),
+    % 8 == 6 → SIX-channel 16-bit (5.1 layout — r6 widened the
+    decoder's {1,2} channel gate to the practical 1..8 range), odd →
+    mono 24-BIT PCM (3-byte little-endian samples with sign
+    extension from bit 23, plus the RIFF word-alignment pad an odd
+    byte count forces). All decode through the same RIFF chunk walk;
+    the oracle recomputes the amplitude stats from each leg's
+    waveform formula."""
     from queryengine_spark.multimodal.bmp import (
         synthesize_wav_mixed,
         wav_sample_stats,
@@ -120,10 +122,13 @@ smp AS (SELECT asset_id, sample_rate, n_frames,
                END AS s
         FROM par,
              unnest(range(0, n_frames)) t(i),
-             unnest(CASE WHEN asset_id % 4 = 2 THEN [0, 1] ELSE [0] END) c(ch)
+             unnest(CASE WHEN asset_id % 8 = 6 THEN [0, 1, 2, 3, 4, 5]
+                         WHEN asset_id % 8 = 2 THEN [0, 1]
+                         ELSE [0] END) c(ch)
         WHERE asset_id % 2 = 0 OR c.ch = 0)
 SELECT asset_id, sample_rate,
-       CAST(CASE WHEN asset_id % 4 = 2 THEN 2 * n_frames
+       CAST(CASE WHEN asset_id % 8 = 6 THEN 6 * n_frames
+                 WHEN asset_id % 8 = 2 THEN 2 * n_frames
                  ELSE n_frames END AS BIGINT) AS n_samples,
        CAST(SUM(s) AS BIGINT) AS sum_amp,
        CAST(SUM(s * s) AS BIGINT) AS sum_sq,

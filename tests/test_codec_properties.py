@@ -203,12 +203,43 @@ def test_wav_stereo_formula_assets():
         assert list(got) == want
 
 
-def test_wav_three_channels_refused():
+def test_wav_multichannel_formula_assets():
+    """r6: the channel gate widened from {1,2} to 1..8 — six-channel
+    (5.1) frames decode to the interleaved flat stream with channel
+    c's formula offset c·STEREO_OFF."""
+    from queryengine_spark.multimodal.bmp import (
+        _sample_st,
+        decode_pcm_wav,
+        make_pcm_wav_multi,
+        wav_audio_params,
+    )
+
+    for aid in (6, 14, 46):
+        dec = decode_pcm_wav(make_pcm_wav_multi(aid, 6))
+        assert dec is not None
+        rate, got = dec
+        want_rate, n = wav_audio_params(aid)
+        assert rate == want_rate and len(got) == 6 * n
+        want = [
+            _sample_st(aid, i, ch) for i in range(n) for ch in range(6)
+        ]
+        assert list(got) == want
+
+
+def test_wav_channel_count_limits():
+    """What remains refused is malformed (0 channels) or outside the
+    practical range (9+)."""
     import struct
 
     from queryengine_spark.multimodal.bmp import decode_pcm_wav
 
-    fmt = struct.pack("<HHIIHH", 1, 3, 8000, 8000 * 6, 6, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", 6) + b"\x00" * 6
-    assert decode_pcm_wav(b"RIFF" + struct.pack("<I", len(body)) + body) is None
+    def wav_with_channels(nch):
+        fmt = struct.pack("<HHIIHH", 1, nch, 8000, 8000 * 2 * max(nch, 1), 2 * max(nch, 1), 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 16) + b"\x00" * 16
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert decode_pcm_wav(wav_with_channels(0)) is None
+    assert decode_pcm_wav(wav_with_channels(9)) is None
+    assert decode_pcm_wav(wav_with_channels(3)) is not None  # r6: accepted
+    assert decode_pcm_wav(wav_with_channels(8)) is not None
