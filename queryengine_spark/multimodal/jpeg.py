@@ -27,15 +27,16 @@ real-world baseline profile — 4:2:2, 4:4:0, 4:1:1) with interleaved
 multi-block MCUs, DRI restart intervals are honored (scan split at
 validated RST0..RST7 markers, DC predictors reset, bitstream
 byte-realigned), quant tables parse at BOTH precisions (8-bit Pq=0
-and big-endian 16-bit Pq=1), and PROGRESSIVE (SOF2) single-component
-streams decode exactly in the coefficient domain — spectral
+and big-endian 16-bit Pq=1), and PROGRESSIVE (SOF2) streams — single-component
+AND 3-component with interleaved DC scans + per-component AC band
+scans — decode exactly in the coefficient domain: spectral
 selection, successive approximation (arithmetic-shift DC vs
 magnitude-shift AC point transforms), EOBn end-of-band runs, and
-refinement correction bits (``decode_jpeg_coeffs_prog``). The
-refusals left are multi-component progressive scans and the
-non-Huffman / non-DCT SOFs (arithmetic-coded, lossless,
-hierarchical), plus undefined DQT precisions — all validated, never
-guessed at.
+refinement correction bits (``decode_jpeg_coeffs_prog`` /
+``decode_jpeg_coeffs_prog3``). Huffman-DCT JPEG is COMPLETE; the
+refusals left are the genuinely different codecs — arithmetic-coded
+(SOF9+), lossless (SOF3), hierarchical (SOF5+) — plus undefined DQT
+precisions, all validated, never guessed at.
 
 Correctness: the DuckDB oracle recomputes pixel sums from the DC
 formula and coefficient sums from the AC formula while Spark decodes
@@ -1140,6 +1141,115 @@ def make_jpeg_progressive(asset_id: int) -> bytes:
     return _assemble_progressive(bw, bh, blocks)
 
 
+def make_jpeg_prog_420(asset_id: int) -> bytes:
+    """3-component YCbCr 4:2:0 PROGRESSIVE JFIF (r6) — the fully
+    general web-JPEG shape: INTERLEAVED DC scans (six-block 4:2:0
+    MCUs with per-component predictors, first at Al=1 then the
+    refinement bit-plane) followed by per-component NON-interleaved
+    AC band scans in each component's own block raster. Luma carries
+    the block_ac formula coefficients (run/size + ZRL traffic); the
+    chroma AC scans are all-zero, so they compress to pure EOBn
+    end-of-band runs spanning the whole component — the longest
+    EOB-run shape real encoders emit. Dimensions 16·mw × 16·mh (mw,
+    mh = jpeg_params): luma grid 2mw×2mh blocks, chroma mw×mh."""
+    mw, mh = jpeg_params(asset_id)
+    yw, yh = 2 * mw, 2 * mh
+    comp_blocks: list[list[list[int]]] = []
+    for c, (cw, ch) in enumerate(((yw, yh), (mw, mh), (mw, mh))):
+        blocks = []
+        for by in range(ch):
+            for bx in range(cw):
+                coefs = [0] * 64
+                coefs[0] = block_dc3(asset_id, c, bx, by)
+                if c == 0:
+                    for p in AC_POSITIONS:
+                        coefs[p] = block_ac(asset_id, bx, by, p)
+                blocks.append(coefs)
+        comp_blocks.append(blocks)
+    dc_codes = [
+        _canonical_codes(_DC_BITS, _DC_VALS),
+        _canonical_codes(_DC2_BITS, _DC2_VALS),
+        _canonical_codes(_DC2_BITS, _DC2_VALS),
+    ]
+
+    def mcu_units():
+        for m in range(mw * mh):
+            my, mx = divmod(m, mw)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    yield 0, (2 * my + dy) * yw + (2 * mx + dx)
+            yield 1, my * mw + mx
+            yield 2, my * mw + mx
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        w = _BitWriter()
+        preds = [0, 0, 0]
+        for c, bi in mcu_units():
+            dc = comp_blocks[c][bi][0]
+            if ah == 0:
+                v = dc >> al  # arithmetic shift of the signed value
+                diff = v - preds[c]
+                preds[c] = v
+                cat = _category(diff)
+                code, length = dc_codes[c][cat]
+                w.put(code, length)
+                if cat:
+                    w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            else:
+                w.put((dc >> al) & 1, 1)
+        return w.flush()
+
+    def ac_scan(c: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        w = _BitWriter()
+        if ah == 0:
+            _encode_ac_first(w, comp_blocks[c], ss, se, al)
+        else:
+            _encode_ac_refine(w, comp_blocks[c], ss, se, al)
+        return w.flush()
+
+    quant_l = bytes([QUANT_DC] + [QUANT_AC] * 63)
+    quant_c = bytes([QUANT_DC] + [QUANT_AC_CHROMA] * 63)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xDB, b"\x00" + quant_l + b"\x01" + quant_c)
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, mh * 16, mw * 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x01" + bytes(_DC2_BITS) + bytes(_DC2_VALS)
+        + b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS),
+    )
+    ileave_sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10])
+    # scan script: interleaved DC first, luma AC bands, chroma EOB-run
+    # scans, then every refinement
+    out += _seg(0xDA, ileave_sos + bytes([0, 0, 0x01]))
+    out += dc_scan(0, 1)
+    for cid, c, ss, se in (
+        (1, 0, 1, 5),
+        (1, 0, 6, 63),
+        (2, 1, 1, 63),
+        (3, 2, 1, 63),
+    ):
+        out += _seg(0xDA, bytes([1, cid, 0x00, ss, se, 0x01]))
+        out += ac_scan(c, ss, se, 0, 1)
+    out += _seg(0xDA, ileave_sos + bytes([0, 0, 0x10]))
+    out += dc_scan(1, 0)
+    for cid, c, ss, se in (
+        (1, 0, 1, 5),
+        (1, 0, 6, 63),
+        (2, 1, 1, 63),
+        (3, 2, 1, 63),
+    ):
+        out += _seg(0xDA, bytes([1, cid, 0x00, ss, se, 0x10]))
+        out += ac_scan(c, ss, se, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _split_entropy_scan(b: bytes, start: int):
     """Progressive twin of :func:`_split_entropy`: collect one scan's
     entropy region from ``start``, unstuffing 0xFF00 and splitting at
@@ -1177,22 +1287,26 @@ def _split_entropy_scan(b: bytes, start: int):
 
 
 def _parse_progressive(b: bytes):
-    """Marker walk for a single-component PROGRESSIVE (SOF2) JFIF:
-    unlike the sequential walk, SOS repeats — each scan's parameters
-    (Ss, Se, Ah, Al), table snapshot, restart interval, and entropy
-    segments are collected in order, and DQT/DHT/DRI segments may
-    appear BETWEEN scans (tables are resolved at scan time, the way
-    real progressive encoders redefine them). Returns
-    (quant, (w, h), scans) with scans = [(ss, se, ah, al, dc_tab,
-    ac_tab, segments, ri), ...], or None. Multi-component progressive
-    and undefined DQT precisions are refused."""
+    """Marker walk for a PROGRESSIVE (SOF2) JFIF, 1 or 3 components
+    (r6): unlike the sequential walk, SOS repeats — each scan's
+    parameters (component list, Ss, Se, Ah, Al), table snapshot,
+    restart interval, and entropy segments are collected in order,
+    and DQT/DHT/DRI segments may appear BETWEEN scans (tables are
+    resolved at scan time, the way real progressive encoders
+    redefine them). Returns (comps, (w, h), scans) with comps =
+    [(quant_ints, h_c, v_c), ...] in SOF order and scans =
+    [(comp_tabs, ss, se, ah, al, segments, ri), ...] where comp_tabs
+    = [(comp_index, dc_tab, ac_tab), ...] in scan order. Refuses
+    undefined DQT precisions, illegal sampling factors, and
+    interleaved scans that are not DC-only (G.1: AC scans are always
+    single-component)."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2
     quants: dict[int, tuple] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
-    sof_tq = None
+    sof_comps: list[tuple[int, int, int, int]] = []  # (cid, tq, hc, vc)
     restart_interval = 0
     scans = []
     while pos + 2 <= len(b):
@@ -1202,9 +1316,12 @@ def _parse_progressive(b: bytes):
         if marker == 0xD9:  # EOI
             if sof is None or not scans:
                 return None
-            if sof_tq not in quants:
-                return None
-            return quants[sof_tq], sof, scans
+            comps = []
+            for _cid, tq, hc, vc in sof_comps:
+                if tq not in quants:
+                    return None
+                comps.append((quants[tq], hc, vc))
+            return comps, sof, scans
         if pos + 4 > len(b):
             return None
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
@@ -1229,15 +1346,23 @@ def _parse_progressive(b: bytes):
                 else:
                     return None
         elif marker == 0xC2:
-            if len(body) < 9:
+            if len(body) < 6:
                 return None
             prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                return None  # multi-component progressive unsupported
-            _cid, samp, tq = body[6:9]
-            del samp  # non-interleaved single-component: factors moot
+            if prec != 8 or ncomp not in (1, 3):
+                return None
+            if len(body) < 6 + 3 * ncomp:
+                return None
+            sof_comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                hc, vc = samp >> 4, samp & 0x0F
+                if ncomp == 1:
+                    hc = vc = 1  # single component is non-interleaved
+                if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                    return None
+                sof_comps.append((cid, tq, hc, vc))
             sof = (w_, h)
-            sof_tq = tq
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             return None  # not progressive (or non-baseline): not ours
         elif marker == 0xDD:
@@ -1259,189 +1384,297 @@ def _parse_progressive(b: bytes):
                 )
                 p += 17 + nv
         elif marker == 0xDA:
-            if sof is None or len(body) != 6 or body[0] != 1:
+            if sof is None or len(body) < 1:
                 return None
-            tt = body[2]
-            ss, se, ahal = body[3], body[4], body[5]
+            ns = body[0]
+            if len(body) != 4 + 2 * ns or not 1 <= ns <= len(sof_comps):
+                return None
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            # table presence is only required where the scan reads it:
-            # DC refinement scans are raw bits, AC scans never touch DC
-            dc_tab = huff.get((0, tt >> 4))
-            ac_tab = huff.get((1, tt & 0x0F))
-            if ss == 0 and ah == 0 and dc_tab is None:
-                return None
-            if ss > 0 and ac_tab is None:
-                return None
+            if ns > 1:
+                if ss != 0 or se != 0:
+                    return None  # interleaved AC scans are illegal (G.1)
+                if sum(hc * vc for _, _, hc, vc in sof_comps) > 10:
+                    return None
+            cid_index = {cid: i for i, (cid, _, _, _) in enumerate(sof_comps)}
+            comp_tabs = []
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                tt = body[2 + 2 * si]
+                if cid not in cid_index:
+                    return None
+                # table presence is only required where the scan reads
+                # it: DC refinement is raw bits, AC never touches DC
+                dc_tab = huff.get((0, tt >> 4))
+                ac_tab = huff.get((1, tt & 0x0F))
+                if ss == 0 and ah == 0 and dc_tab is None:
+                    return None
+                if ss > 0 and ac_tab is None:
+                    return None
+                comp_tabs.append((cid_index[cid], dc_tab, ac_tab))
             split = _split_entropy_scan(b, pos + 2 + seglen)
             if split is None:
                 return None
             segments, nxt = split
-            scans.append((ss, se, ah, al, dc_tab, ac_tab, segments, restart_interval))
+            scans.append(
+                (comp_tabs, ss, se, ah, al, segments, restart_interval)
+            )
             pos = nxt
             continue
         pos += 2 + seglen
     return None
 
 
-def decode_jpeg_coeffs_prog(b: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Progressive twin of :func:`decode_jpeg_coeffs` (r6): bytes →
-    (width, height, coeffs) with coeffs an (n_blocks, 64) int64 array
-    of exact DEQUANTIZED pre-IDCT coefficients in natural order —
-    assembled by replaying every scan of a single-component SOF2
-    stream through the four Annex G decoders (DC first/refine, AC
-    first with EOBn runs, AC refine with interleaved correction
-    bits). Scan-script sanity is enforced (band bounds, Ah = Al + 1
-    on refinement, DC-before-AC); restart intervals are honored per
-    scan with predictor AND EOB-run resets; a nonzero EOB run
-    crossing a restart boundary is corruption → None."""
-    parsed = _parse_progressive(b)
-    if parsed is None:
-        return None
-    quant, (w_, h), scans = parsed
-    bw, bh = (w_ + 7) // 8, (h + 7) // 8
-    total = bw * bh
-    coef = [[0] * 64 for _ in range(total)]  # QUANTIZED, zigzag-indexed
-    dc_done = False
-    for ss, se, ah, al, dc_tab, ac_tab, segments, ri in scans:
-        if not (0 <= ss <= se <= 63) or al > 13 or (ah and ah != al + 1):
+def _dec_ac_first(r, row, ac_tab, ss, se, al, eobrun):
+    """One block of an AC first scan; returns the updated EOB run or
+    None on corruption."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(r, ac_tab)
+        if rs is None:
             return None
-        if ss == 0 and se != 0:
-            return None  # DC and AC never share a progressive scan
-        if ss > 0 and not dc_done:
-            return None  # G.1.1.1.1: first DC scan precedes AC scans
-        if len(segments) != (1 if ri == 0 else -(-total // ri)):
-            return None
-        if ss == 0:
-            dc_done = True
-        pred = 0
-        eobrun = 0
-        r = _BitReader(segments[0])
-        seg = 0
-        for bi in range(total):
-            if ri and bi and bi % ri == 0:
-                if eobrun:
-                    return None  # EOB runs must not cross restarts
-                seg += 1
-                r = _BitReader(segments[seg])
-                pred = 0
-            if ss == 0:
-                if ah == 0:  # DC first
-                    diff = _read_dc_diff(r, dc_tab)
-                    if diff is None:
-                        return None
-                    pred += diff
-                    coef[bi][0] = pred << al
-                else:  # DC refine: one raw bit, ORed at two's complement
-                    bit = r.bit()
-                    if bit is None:
-                        return None
-                    if bit:
-                        coef[bi][0] |= 1 << al
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16
                 continue
-            row = coef[bi]
-            if ah == 0:  # AC first
-                if eobrun:
-                    eobrun -= 1
-                    continue
-                k = ss
-                while k <= se:
-                    rs = _read_huff(r, ac_tab)
-                    if rs is None:
-                        return None
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:
-                            k += 16
-                            continue
-                        bits_v = 0
-                        for _ in range(run):  # extension bits, MSB first
-                            bit = r.bit()
-                            if bit is None:
-                                return None
-                            bits_v = (bits_v << 1) | bit
-                        # the run includes the current block
-                        eobrun = (1 << run) + bits_v - 1
-                        break
-                    k += run
-                    if k > se:
-                        return None
+            bits_v = 0
+            for _ in range(run):  # extension bits, MSB first
+                bit = r.bit()
+                if bit is None:
+                    return None
+                bits_v = (bits_v << 1) | bit
+            # the run includes the current block
+            return (1 << run) + bits_v - 1
+        k += run
+        if k > se:
+            return None
+        bits_v = 0
+        for _ in range(size):
+            bit = r.bit()
+            if bit is None:
+                return None
+            bits_v = (bits_v << 1) | bit
+        val = bits_v if bits_v >= (1 << (size - 1)) else bits_v - (1 << size) + 1
+        row[k] = val << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(r, row, ac_tab, ss, se, al, eobrun):
+    """One block of an AC refinement scan; returns the updated EOB
+    run or None on corruption."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(r, ac_tab)
+            if rs is None:
+                return None
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run < 15:
                     bits_v = 0
-                    for _ in range(size):
+                    for _ in range(run):
                         bit = r.bit()
                         if bit is None:
                             return None
                         bits_v = (bits_v << 1) | bit
-                    val = (
-                        bits_v
-                        if bits_v >= (1 << (size - 1))
-                        else bits_v - (1 << size) + 1
-                    )
-                    row[k] = val << al
-                    k += 1
-                continue
-            # AC refine
-            p1, m1 = 1 << al, -1 << al
-            k = ss
-            if eobrun == 0:
-                while k <= se:
-                    rs = _read_huff(r, ac_tab)
-                    if rs is None:
+                    eobrun = (1 << run) + bits_v
+                    break  # → correction sweep below
+                # run == 15: ZRL — skip 16 zero-history coeffs
+            elif size == 1:
+                bit = r.bit()
+                if bit is None:
+                    return None
+                newval = p1 if bit else m1
+            else:
+                return None  # refinement sizes are 0 or 1 only
+            while k <= se:
+                if row[k] != 0:
+                    bit = r.bit()
+                    if bit is None:
                         return None
-                    run, size = rs >> 4, rs & 0x0F
-                    newval = 0
-                    if size == 0:
-                        if run < 15:
-                            bits_v = 0
-                            for _ in range(run):
-                                bit = r.bit()
-                                if bit is None:
-                                    return None
-                                bits_v = (bits_v << 1) | bit
-                            eobrun = (1 << run) + bits_v
-                            break  # → correction sweep below
-                        # run == 15: ZRL — skip 16 zero-history coeffs
-                    elif size == 1:
+                    if bit and not (row[k] & p1):
+                        row[k] += p1 if row[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    return None
+                row[k] = newval
+            # past the placed coefficient (or the 16th zero of a ZRL,
+            # where the advance loop stopped ON it)
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if row[k] != 0:
+                bit = r.bit()
+                if bit is None:
+                    return None
+                if bit and not (row[k] & p1):
+                    row[k] += p1 if row[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(b: bytes):
+    """Replay every scan of a 1- or 3-component SOF2 stream through
+    the four Annex G decoders. Geometry per A.2.3: interleaved
+    (multi-component, DC-only by G.1) scans walk MCUs carrying
+    h_c×v_c blocks per component into each component's PADDED grid
+    (mcux·h_c wide); non-interleaved scans walk the owning
+    component's ceil-dimension block raster. Returns (comps, (w, h),
+    grids, pw, wb, hb) with grids[c] the padded QUANTIZED
+    zigzag-indexed rows, pw[c] the padded width and wb/hb[c] the
+    real (non-padding) block dims, or None. Scan-script sanity is
+    enforced (band bounds, Ah = Al + 1, per-component DC-before-AC);
+    restart intervals are honored per scan with predictor AND
+    EOB-run resets; a nonzero EOB run crossing a restart boundary is
+    corruption → None."""
+    parsed = _parse_progressive(b)
+    if parsed is None:
+        return None
+    comps, (w_, h), scans = parsed
+    ncomp = len(comps)
+    hmax = max(hc for _, hc, _ in comps)
+    vmax = max(vc for _, _, vc in comps)
+    mcux = -(-w_ // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    pw = [mcux * hc for _, hc, _ in comps]
+    ph = [mcuy * vc for _, _, vc in comps]
+    # real block dims: ceil(component sample dims / 8), sample dims
+    # per A.1.1 = ceil(image dim · factor / max factor)
+    wb = [-(-(-(-(w_ * hc) // hmax)) // 8) for _, hc, _ in comps]
+    hb = [-(-(-(-(h * vc) // vmax)) // 8) for _, _, vc in comps]
+    grids = [
+        [[0] * 64 for _ in range(pw[c] * ph[c])] for c in range(ncomp)
+    ]
+    dc_done = [False] * ncomp
+    for comp_tabs, ss, se, ah, al, segments, ri in scans:
+        if not (0 <= ss <= se <= 63) or al > 13 or (ah and ah != al + 1):
+            return None
+        if ss == 0 and se != 0:
+            return None  # DC and AC never share a progressive scan
+        if ss > 0 and not dc_done[comp_tabs[0][0]]:
+            return None  # G.1.1.1.1: the DC scan precedes AC scans
+        interleaved = len(comp_tabs) > 1
+        if interleaved:
+            total = mcux * mcuy
+        else:
+            c0 = comp_tabs[0][0]
+            total = wb[c0] * hb[c0]
+        if len(segments) != (1 if ri == 0 else -(-total // ri)):
+            return None
+        preds = [0] * ncomp
+        eobrun = 0
+        r = _BitReader(segments[0])
+        seg = 0
+        for m in range(total):
+            if ri and m and m % ri == 0:
+                if eobrun:
+                    return None  # EOB runs must not cross restarts
+                seg += 1
+                r = _BitReader(segments[seg])
+                preds = [0] * ncomp
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                units = [
+                    (c, dc_tab, (my * vc + dy) * pw[c] + (mx * hc + dx))
+                    for c, dc_tab, _ in comp_tabs
+                    for _, hc, vc in (comps[c],)
+                    for dy in range(vc)
+                    for dx in range(hc)
+                ]
+            else:
+                c0, dc_tab0, ac_tab0 = comp_tabs[0]
+                by, bx = divmod(m, wb[c0])
+                units = [(c0, dc_tab0, by * pw[c0] + bx)]
+            for c, dc_tab, bi in units:
+                row = grids[c][bi]
+                if ss == 0:
+                    if ah == 0:  # DC first
+                        diff = _read_dc_diff(r, dc_tab)
+                        if diff is None:
+                            return None
+                        preds[c] += diff
+                        row[0] = preds[c] << al
+                    else:  # DC refine: raw bit ORed at two's complement
                         bit = r.bit()
                         if bit is None:
                             return None
-                        newval = p1 if bit else m1
-                    else:
-                        return None  # refinement sizes are 0 or 1 only
-                    while k <= se:
-                        if row[k] != 0:
-                            bit = r.bit()
-                            if bit is None:
-                                return None
-                            if bit and not (row[k] & p1):
-                                row[k] += p1 if row[k] >= 0 else m1
-                        else:
-                            if run == 0:
-                                break
-                            run -= 1
-                        k += 1
-                    if newval:
-                        if k > se:
-                            return None
-                        row[k] = newval
-                    # past the placed coefficient (or the 16th zero of
-                    # a ZRL, where the advance loop stopped ON it)
-                    k += 1
-            if eobrun > 0:
-                while k <= se:
-                    if row[k] != 0:
-                        bit = r.bit()
-                        if bit is None:
-                            return None
-                        if bit and not (row[k] & p1):
-                            row[k] += p1 if row[k] >= 0 else m1
-                    k += 1
-                eobrun -= 1
-    out = np.zeros((total, 64), dtype=np.int64)
-    for bi, row in enumerate(coef):
-        for k, v in enumerate(row):
-            if v:
-                out[bi, ZIGZAG_NAT[k]] = v * quant[k]
-    return w_, h, out
+                        if bit:
+                            row[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _dec_ac_first(
+                        r, row, comp_tabs[0][2], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _dec_ac_refine(
+                        r, row, comp_tabs[0][2], ss, se, al, eobrun
+                    )
+                if eobrun is None:
+                    return None
+        if ss == 0:
+            for c, _, _ in comp_tabs:
+                dc_done[c] = True
+    return comps, (w_, h), grids, pw, wb, hb
+
+
+def _dequant_grid(grid, quant, pw_c, wb_c, hb_c) -> np.ndarray:
+    """Padded quantized grid → (wb·hb, 64) dequantized natural-order
+    array over the REAL blocks only, raster order."""
+    out = np.zeros((wb_c * hb_c, 64), dtype=np.int64)
+    for by in range(hb_c):
+        for bx in range(wb_c):
+            row = grid[by * pw_c + bx]
+            o = out[by * wb_c + bx]
+            for k, v in enumerate(row):
+                if v:
+                    o[ZIGZAG_NAT[k]] = v * quant[k]
+    return out
+
+
+def decode_jpeg_coeffs_prog(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Progressive twin of :func:`decode_jpeg_coeffs` (r6): bytes →
+    (width, height, coeffs) with coeffs an (n_blocks, 64) int64 array
+    of exact DEQUANTIZED pre-IDCT coefficients in natural order, for
+    a SINGLE-component SOF2 stream; 3-component streams are served by
+    :func:`decode_jpeg_coeffs_prog3`."""
+    res = _decode_progressive(b)
+    if res is None:
+        return None
+    comps, (w_, h), grids, pw, wb, hb = res
+    if len(comps) != 1:
+        return None
+    return w_, h, _dequant_grid(grids[0], comps[0][0], pw[0], wb[0], hb[0])
+
+
+def decode_jpeg_coeffs_prog3(
+    b: bytes,
+) -> tuple[int, int, list[np.ndarray]] | None:
+    """3-component progressive decode (r6): bytes → (width, height,
+    [per-component (n_blocks_c, 64) dequantized coefficient arrays])
+    over each component's REAL (non-padding) block grid — subsampled
+    chroma keeps its native resolution, consistent with the baseline
+    planes path."""
+    res = _decode_progressive(b)
+    if res is None:
+        return None
+    comps, (w_, h), grids, pw, wb, hb = res
+    if len(comps) != 3:
+        return None
+    return w_, h, [
+        _dequant_grid(grids[c], comps[c][0], pw[c], wb[c], hb[c])
+        for c in range(3)
+    ]
 
 
 JPEG_ASSET_SCHEMA = StructType(
@@ -1505,14 +1738,19 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
     DC-only, plain / with DRI restart markers (r6); % 16 == 12 / 14 →
     YCbCr 4:1:1 DC-only (4×1 luma sampling — factor 4), plain / with
     DRI (r6); odd → grayscale AC-bearing, of which % 16 == 9 ships
-    its quant table as a 16-bit Pq=1 DQT (r6) and % 16 == 1 is
+    its quant table as a 16-bit Pq=1 DQT (r6), % 16 == 1 is
     PROGRESSIVE (SOF2, six scans of spectral selection + successive
-    approximation encoding the same blocks — r6)."""
+    approximation encoding the same blocks — r6), and % 16 == 11 is
+    3-COMPONENT 4:2:0 PROGRESSIVE (interleaved DC scans +
+    per-component AC band scans, luma AC formula, chroma EOB-run
+    scans — r6)."""
 
     def _mk(a: int) -> bytes:
         if a % 2 == 1:
             if a % 16 == 1:
                 return make_jpeg_progressive(a)
+            if a % 16 == 11:
+                return make_jpeg_prog_420(a)
             return make_jpeg_ac16(a) if a % 16 == 9 else make_jpeg_ac(a)
         r8 = a % 8
         if r8 == 0:
@@ -1585,6 +1823,26 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                 co = decode_jpeg_coeffs(b)
                 if co is None:  # not sequential: try progressive (r6)
                     co = decode_jpeg_coeffs_prog(b)
+                if co is None:  # 3-component progressive (r6): exact
+                    # coefficient stats summed across components,
+                    # pixel columns honestly NULL (AC present)
+                    r3 = decode_jpeg_coeffs_prog3(b)
+                    if r3 is not None:
+                        w, h, arrs = r3
+                        allc = np.concatenate(arrs, axis=0)
+                        ac = np.delete(allc, 0, axis=1)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        for k in ("n_px", "sum_lum", "min_lum", "max_lum"):
+                            out[k].append(None)
+                        out["n_blocks"].append(int(allc.shape[0]))
+                        out["sum_dc_dq"].append(int(allc[:, 0].sum()))
+                        out["sum_ac_dq"].append(int(ac.sum()))
+                        out["sum_abs_ac_dq"].append(int(np.abs(ac).sum()))
+                        out["n_nonzero_ac"].append(int((ac != 0).sum()))
+                        out["sum_cb"].append(None)
+                        out["sum_cr"].append(None)
+                        continue
                 if co is None:
                     for k in (*pix_cols, *co_cols, *ycc_cols):
                         out[k].append(None)

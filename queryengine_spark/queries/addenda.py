@@ -470,9 +470,15 @@ def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     exact integer pre-IDCT coefficient statistics, with the pixel
     columns honestly NULL (a float IDCT is never approximated); of
     the odd legs, % 16 == 9 ships its quant table as a 16-BIT Pq=1
-    DQT whose AC quantizer (300) cannot fit an 8-bit table (r6).
-    See multimodal/jpeg.py for the real-vs-restricted contract and
-    the hand-assembled bitstreams that pin every decode path."""
+    DQT whose AC quantizer (300) cannot fit an 8-bit table (r6),
+    % 16 == 1 is PROGRESSIVE (SOF2: spectral selection + successive
+    approximation + EOBn runs, decoding bit-identically to the
+    sequential leg — r6), and % 16 == 11 is 3-COMPONENT 4:2:0
+    PROGRESSIVE (interleaved DC scans, per-component AC band scans,
+    chroma pure-EOB-run scans; coefficient stats summed across
+    components — r6). See multimodal/jpeg.py for the
+    real-vs-restricted contract and the hand-assembled bitstreams
+    that pin every decode path."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return jpeg_full_stats(synthesize_jpeg_mixed(spread(ids)))
 
@@ -501,8 +507,13 @@ acv AS (SELECT d.asset_id,
                CASE WHEN d.asset_id % 16 = 9 THEN {QUANT_AC16}
                     ELSE {QUANT_AC} END AS q
         FROM dims d,
-             unnest(range(0, d.bw)) xx(i),
-             unnest(range(0, d.bh)) yy(i),
+             -- r6: the %16=11 3-component progressive leg plants its
+             -- AC formula on the LUMA grid (2bw×2bh); all other odd
+             -- legs are grayscale bw×bh
+             unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+                                  THEN 2 * d.bw ELSE d.bw END)) xx(i),
+             unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+                                  THEN 2 * d.bh ELSE d.bh END)) yy(i),
              unnest([{", ".join(str(p) for p in AC_POSITIONS)}]) pp(p),
              LATERAL (SELECT (d.asset_id + 7 * CAST(xx.i AS BIGINT)
                               + 11 * CAST(yy.i AS BIGINT)
@@ -540,12 +551,12 @@ blk420 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
                  + ({DC_OFF}) AS dc
         FROM dims d, unnest([0, 1, 2]) cc(c),
              unnest(range(0, CASE WHEN cc.c > 0 THEN d.bw
-                                  WHEN d.asset_id % 16 IN (4, 6) THEN 2 * d.bw
+                                  WHEN d.asset_id % 16 IN (4, 6, 11) THEN 2 * d.bw
                                   ELSE 4 * d.bw END)) xx(i),
              unnest(range(0, CASE WHEN cc.c > 0 THEN d.bh
-                                  WHEN d.asset_id % 16 IN (4, 6) THEN 2 * d.bh
+                                  WHEN d.asset_id % 16 IN (4, 6, 11) THEN 2 * d.bh
                                   ELSE d.bh END)) yy(i)
-        WHERE d.asset_id % 8 IN (4, 6)),
+        WHERE d.asset_id % 8 IN (4, 6) OR d.asset_id % 16 = 11),
 y420 AS (SELECT asset_id,
                CAST(SUM(CASE WHEN comp = 0 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_lum,
                CAST(MIN(CASE WHEN comp = 0 THEN dc END) + 128 AS INT) AS min_lum,
@@ -555,10 +566,10 @@ y420 AS (SELECT asset_id,
                CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS dc420_dq
         FROM blk420 GROUP BY asset_id)
 SELECT s.asset_id,
-       CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6) THEN 16
+       CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6, 11) THEN 16
                         WHEN s.asset_id % 16 IN (12, 14) THEN 32
                         ELSE 8 END AS INT) AS width,
-       CAST(s.bh * CASE WHEN s.asset_id % 16 IN (4, 6) THEN 16 ELSE 8 END
+       CAST(s.bh * CASE WHEN s.asset_id % 16 IN (4, 6, 11) THEN 16 ELSE 8 END
             AS INT) AS height,
        CASE WHEN s.asset_id % 2 = 1 THEN NULL
             WHEN s.asset_id % 8 IN (4, 6)
@@ -575,15 +586,22 @@ SELECT s.asset_id,
             ELSE s.max_lum END AS max_lum,
        CAST(CASE WHEN s.asset_id % 8 = 2 THEN 3 * s.bw * s.bh
                  WHEN s.asset_id % 8 IN (4, 6) THEN 6 * s.bw * s.bh
+                 WHEN s.asset_id % 16 = 11 THEN 6 * s.bw * s.bh
                  ELSE s.bw * s.bh END AS BIGINT) AS n_blocks,
        CAST(CASE WHEN s.asset_id % 8 = 2 THEN y.dc3_dq
                  WHEN s.asset_id % 8 IN (4, 6) THEN z.dc420_dq
+                 WHEN s.asset_id % 16 = 11 THEN z.dc420_dq
                  ELSE s.sum_dc_dq END AS BIGINT) AS sum_dc_dq,
        CAST(COALESCE(a.sum_ac_dq, 0) AS BIGINT) AS sum_ac_dq,
        CAST(COALESCE(a.sum_abs_ac_dq, 0) AS BIGINT) AS sum_abs_ac_dq,
        CAST(COALESCE(a.n_nonzero_ac, 0) AS BIGINT) AS n_nonzero_ac,
-       COALESCE(y.sum_cb, z.sum_cb) AS sum_cb,
-       COALESCE(y.sum_cr, z.sum_cr) AS sum_cr
+       -- pixel-domain chroma sums exist only on the DC-only legs;
+       -- the odd (AC-bearing) legs are honestly NULL even when a
+       -- blk420 row exists (the %16=11 progressive leg)
+       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+            ELSE COALESCE(y.sum_cb, z.sum_cb) END AS sum_cb,
+       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+            ELSE COALESCE(y.sum_cr, z.sum_cr) END AS sum_cr
 FROM dcsums s
 LEFT JOIN acsums a ON s.asset_id = a.asset_id
 LEFT JOIN ycc y ON s.asset_id = y.asset_id

@@ -957,3 +957,146 @@ def test_progressive_roundtrip_property():
                 assert c[bi, ZIGZAG_NAT[k]] == v * q, (bi, k)
 
     run()
+
+
+def test_prog3_assets_decode_to_formula():
+    """3-component 4:2:0 progressive: interleaved DC scans +
+    per-component AC band scans reassemble every component's exact
+    coefficients — luma carries the AC formula, chroma decodes
+    all-zero AC from pure EOB-run scans (mw·mh-block end-of-band
+    runs with extension bits)."""
+    from queryengine_spark.multimodal.jpeg import (
+        AC_POSITIONS,
+        QUANT_AC,
+        ZIGZAG_NAT,
+        block_ac,
+        block_dc3,
+        decode_jpeg_coeffs_prog,
+        decode_jpeg_coeffs_prog3,
+        make_jpeg_prog_420,
+    )
+
+    for a in (11, 27, 43, 59):  # includes mw·mh up to 12 (long EOB runs)
+        p = make_jpeg_prog_420(a)
+        res = decode_jpeg_coeffs_prog3(p)
+        assert res is not None, a
+        w, h, arrs = res
+        mw, mh = jpeg_params(a)
+        assert (w, h) == (16 * mw, 16 * mh)
+        for c, (cw, ch) in enumerate(((2 * mw, 2 * mh), (mw, mh), (mw, mh))):
+            assert arrs[c].shape == (cw * ch, 64)
+            for by in range(ch):
+                for bx in range(cw):
+                    row = arrs[c][by * cw + bx]
+                    assert row[0] == block_dc3(a, c, bx, by) * QUANT_DC
+                    if c == 0:
+                        for pz in AC_POSITIONS:
+                            assert (
+                                row[ZIGZAG_NAT[pz]]
+                                == block_ac(a, bx, by, pz) * QUANT_AC
+                            )
+                    else:
+                        assert (row[1:] == 0).all()
+        assert decode_jpeg_coeffs_prog(p) is None  # wrong-arity wrapper
+
+
+def test_prog3_luma_padding_blocks_outside_real_grid():
+    """8×8-pixel 4:2:0 progressive: one MCU carries FOUR luma blocks
+    but the real luma grid is 1×1 — the interleaved DC scan must
+    write the three padding blocks somewhere the REAL-grid output
+    never reads, and the non-interleaved luma AC scan walks only the
+    single real block. Assembled from the bit primitives directly so
+    make_jpeg_prog_420's no-padding geometry cannot mask a bug."""
+    from queryengine_spark.multimodal.jpeg import (
+        _ACP_BITS,
+        _ACP_VALS,
+        _BitWriter,
+        _canonical_codes,
+        _DC2_BITS,
+        _DC2_VALS,
+        _seg,
+        decode_jpeg_coeffs_prog3,
+    )
+
+    dc_l = _canonical_codes(_DC_BITS, _DC_VALS)
+    dc_c = _canonical_codes(_DC2_BITS, _DC2_VALS)
+    acp = _canonical_codes(_ACP_BITS, _ACP_VALS)
+
+    def put_diff(w, codes, diff):
+        cat = 0 if diff == 0 else abs(diff).bit_length()
+        c, ln = codes[cat]
+        w.put(c, ln)
+        if cat:
+            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    # DC-first scan (Al=0), one MCU: Y blocks 7, 1, 2, 3 (real block
+    # first, then three padding blocks), Cb -4, Cr 9
+    w = _BitWriter()
+    pred = 0
+    for dc in (7, 1, 2, 3):
+        put_diff(w, dc_l, dc - pred)
+        pred = dc
+    put_diff(w, dc_c, -4)
+    put_diff(w, dc_c, 9)
+    dc_scan = w.flush()
+    # luma AC-first scan (band 1..63, Al=0), ONE block only: k=1
+    # value 2 → sym 0x02 idx 2, bits '10'; EOB1 sym 0x00
+    w = _BitWriter()
+    c2, l2 = acp[0x02]
+    w.put(c2, l2)
+    w.put(2, 2)
+    e0, el0 = acp[0x00]
+    w.put(e0, el0)
+    ac_scan = w.flush()
+    quant = bytes([QUANT_DC] + [16] * 63)
+    b = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + quant + b"\x01" + quant)
+        + _seg(
+            0xC2,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _seg(
+            0xC4,
+            b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+            + b"\x01" + bytes(_DC2_BITS) + bytes(_DC2_VALS)
+            + b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS),
+        )
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x00]))
+        + dc_scan
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + ac_scan
+        + b"\xff\xd9"
+    )
+    res = decode_jpeg_coeffs_prog3(b)
+    assert res is not None
+    w_, h_, arrs = res
+    assert (w_, h_) == (8, 8)
+    # real luma grid is exactly ONE block: dc 7, ac k1=2
+    assert arrs[0].shape == (1, 64)
+    assert arrs[0][0, 0] == 7 * QUANT_DC
+    assert arrs[0][0, 1] == 2 * 16
+    assert arrs[1][0, 0] == -4 * QUANT_DC
+    assert arrs[2][0, 0] == 9 * QUANT_DC
+
+
+def test_prog3_interleaved_ac_scan_refused():
+    """G.1: progressive AC scans must be single-component — an ns=3
+    SOS with Ss>0 is refused at parse."""
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_coeffs_prog3,
+        make_jpeg_prog_420,
+    )
+
+    good = make_jpeg_prog_420(11)
+    # patch the FIRST single-component luma AC SOS (ns=1, cid=1,
+    # Ss=1, Se=5) into a 3-component one is length-inconsistent;
+    # instead patch the interleaved DC SOS's Ss byte to 1
+    i = good.index(bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]))
+    bad = (
+        good[:i]
+        + bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 1, 5, 0x01])
+        + good[i + 10 :]
+    )
+    assert decode_jpeg_coeffs_prog3(bad) is None
