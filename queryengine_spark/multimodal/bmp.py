@@ -88,9 +88,14 @@ def decode_bmp(b: bytes) -> np.ndarray | None:
         clr_used = struct.unpack("<I", b[46:50])[0]
     except struct.error:
         return None
-    if hdr_size < 40 or planes != 1 or bpp not in (8, 24) or compression != 0:
+    if hdr_size < 40 or planes != 1 or bpp not in (8, 24):
+        return None
+    # BI_RGB everywhere; BI_RLE8 (compression 1) only with bpp 8 (r6)
+    if compression != 0 and not (compression == 1 and bpp == 8):
         return None
     top_down = h_signed < 0
+    if top_down and compression == 1:
+        return None  # the spec forbids top-down RLE bitmaps
     h = -h_signed if top_down else h_signed
     if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
         return None
@@ -111,6 +116,11 @@ def decode_bmp(b: bytes) -> np.ndarray | None:
         return None
     pal = np.frombuffer(b, dtype=np.uint8, count=4 * n_colors, offset=pal_off)
     pal = pal.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX → RGB
+    if compression == 1:  # BI_RLE8 (r6): decompress to the index grid
+        idx = _decode_rle8(b[off:], w, h)
+        if idx is None or idx.max() >= n_colors:
+            return None
+        return pal[idx][::-1]  # RLE is always bottom-up
     stride = (w + 3) & ~3
     if off + stride * h > len(b):
         return None
@@ -174,6 +184,117 @@ def make_bmp8(asset_id: int) -> bytes:
     palette = [bmp8_palette(asset_id, j) for j in range(256)]
     idx_rows = [[bmp8_index(asset_id, x, y) for x in range(w)] for y in range(h)]
     return make_bmp8_paletted(w, h, palette, idx_rows)
+
+
+def bmp8_index_rle(asset_id: int, x: int, y: int) -> int:
+    """Index formula of the BI_RLE8 leg (r6), mirrored in the oracle:
+    odd rows repeat each index three times along x (x // 3 — RLE
+    encoded-mode runs), even rows are the run-free plain formula
+    (absolute-mode segments), so one image exercises both RLE8
+    payload shapes."""
+    xe = x // 3 if y % 2 == 1 else x
+    return (xe + IDX_Y_MULT * y + asset_id) % 256
+
+
+def _rle8_encode_row(row: list[int]) -> bytes:
+    """One stored row → RLE8 bytes (no EOL marker): runs ≥ 3 become
+    encoded mode [count, index]; literal stretches of ≥ 3 become
+    absolute mode [0, n, indices..., word pad]; stray 1–2 literals
+    become count-1/2 encoded pairs."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 255:
+            run += 1
+        if run >= 3:
+            out += bytes([run, row[i]])
+            i += run
+            continue
+        # literal stretch: until the next ≥3-run starts (or row end)
+        j = i
+        while j < n:
+            r2 = 1
+            while j + r2 < n and row[j + r2] == row[j] and r2 < 255:
+                r2 += 1
+            if r2 >= 3:
+                break
+            j += r2
+        lit = row[i:j]
+        for s in range(0, len(lit), 255):
+            chunk = lit[s : s + 255]
+            if len(chunk) >= 3:
+                out += bytes([0, len(chunk)]) + bytes(chunk)
+                if len(chunk) & 1:
+                    out += b"\x00"  # absolute runs are word-aligned
+            else:
+                for v in chunk:
+                    out += bytes([1, v])
+        i = j
+    return bytes(out)
+
+
+def make_bmp8_rle(asset_id: int) -> bytes:
+    """BI_RLE8-compressed 8-bit paletted BMP (r6): same palette
+    formula as the plain leg, bmp8_index_rle indices, rows stored
+    bottom-up, [0,0] end-of-line after every row and [0,1]
+    end-of-bitmap closing the stream."""
+    w, h = bmp_params(asset_id)
+    palette = [bmp8_palette(asset_id, j) for j in range(256)]
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        data += _rle8_encode_row([bmp8_index_rle(asset_id, x, y) for x in range(w)])
+        data += b"\x00\x00" if y else b"\x00\x01"  # EOL; EOB after top row
+    off = 14 + 40 + 4 * 256
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, 256, 0
+    )
+    pal = b"".join(bytes((bb, gg, rr, 0)) for rr, gg, bb in palette)
+    return file_hdr + info_hdr + pal + bytes(data)
+
+
+def _decode_rle8(data: bytes, w: int, h: int) -> np.ndarray | None:
+    """RLE8 stream → (h, w) uint8 index array in STORED (bottom-up)
+    row order, or None on corruption. Escapes per the BMP spec:
+    [0,0] end of line, [0,1] end of bitmap, [0,2,dx,dy] cursor delta,
+    [0,n≥3] absolute mode (word-aligned); pixels never written
+    (skipped by EOL/EOB/delta) decode as index 0, the common real-
+    decoder convention."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            return None  # ran out without end-of-bitmap
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            if y >= h or x + c > w:
+                return None
+            out[y, x : x + c] = v
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                return None
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 2 > n:
+                return None
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x += dx
+            y += dy
+            if x > w or y > h:
+                return None
+        else:  # absolute mode: v literal indices
+            if i + v > n or y >= h or x + v > w:
+                return None
+            out[y, x : x + v] = np.frombuffer(data, np.uint8, v, i)
+            x += v
+            i += v + (v & 1)  # word-aligned
 
 
 BMP_ASSET_SCHEMA = StructType(
@@ -411,7 +532,14 @@ def synthesize_pcm_wav(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 
 def synthesize_bmp_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """Even asset_ids → 24-bit BI_RGB, odd → 8-bit paletted (r5)."""
+    """Even asset_ids → 24-bit BI_RGB, % 4 == 1 → plain 8-bit
+    paletted (r5), % 4 == 3 → BI_RLE8-compressed 8-bit paletted
+    (r6)."""
+
+    def _mk(a: int) -> bytes:
+        if a % 2 == 0:
+            return make_bmp(a)
+        return make_bmp8(a) if a % 4 == 1 else make_bmp8_rle(a)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -419,9 +547,7 @@ def synthesize_bmp_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids_, dtype="int64"),
-                    "payload": [
-                        make_bmp(a) if a % 2 == 0 else make_bmp8(a) for a in ids_
-                    ],
+                    "payload": [_mk(a) for a in ids_],
                 }
             )
 

@@ -62,9 +62,10 @@ VOID: dict[str, int] = {
     # round 5: mixed-asset relation gained PNG/GIF/JPEG legs and
     # extract_features routes by magic bytes through all real decoders:
     "multimodal_features": 4,
-    # round 5: decoder breadth — odd ids now carry 8-bit paletted BMP
-    # / 24-bit PCM WAV legs:
-    "multimodal_bmp_decode": 4,
+    # round 6: residue map %2 -> %4 — ids ≡ 3 (mod 4) now carry
+    # BI_RLE8-compressed paletted payloads with the row-parity index
+    # formula:
+    "multimodal_bmp_decode": 5,
     # round 6: residue map %4 -> %8 — ids ≡ 6 (mod 8) now carry
     # SIX-channel (5.1) 16-bit frames; channel gate widened to 1..8:
     "multimodal_wav_decode": 5,

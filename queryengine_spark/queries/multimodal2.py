@@ -31,13 +31,18 @@ from queryengine_spark.queries.base import t
 
 
 def multimodal_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Mixed BMP profiles (r5): even asset_ids are 24-bit BI_RGB,
-    odd are 8-bit PALETTED (BGRX color table, index rows) — both
-    decoded by the same decode_bmp through its bpp dispatch. The
-    oracle recomputes channel sums from the pixel formula (24-bit
-    legs) and from palette[index] composition (8-bit legs), so the
-    hash certifies stride padding, bottom-up flip, BGR(X) ordering
-    AND the palette-lookup path."""
+    """Mixed BMP profiles (r5, extended r6): even asset_ids are
+    24-bit BI_RGB, % 4 == 1 are plain 8-bit PALETTED (BGRX color
+    table, index rows), % 4 == 3 are BI_RLE8-COMPRESSED paletted
+    (r6) — real run-length decompression: encoded-mode runs on odd
+    rows (the index formula repeats 3× along x), absolute-mode
+    word-aligned segments on even rows, end-of-line and
+    end-of-bitmap escapes. All decode through the same decode_bmp
+    dispatch; the oracle recomputes channel sums from the pixel
+    formula (24-bit), palette[index] composition (8-bit), and the
+    row-parity RLE index formula (%4==3), so the hash certifies
+    stride padding, bottom-up flip, BGR(X) ordering, the
+    palette-lookup path AND the RLE8 decompressor."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return bmp_pixel_stats(synthesize_bmp_mixed(ids))
 
@@ -51,7 +56,12 @@ dims AS (SELECT asset_id,
 px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
 idx AS (SELECT asset_id, w, h, x, y,
-               (x + {IDX_Y_MULT} * y + asset_id) % 256 AS j
+               -- r6: the %4=3 BI_RLE8 leg repeats indices 3× along x
+               -- on odd rows (encoded-mode runs); even rows keep the
+               -- run-free formula (absolute-mode segments)
+               (CASE WHEN asset_id % 4 = 3 AND y % 2 = 1
+                     THEN x // 3 ELSE x END
+                + {IDX_Y_MULT} * y + asset_id) % 256 AS j
         FROM px),
 sums AS (SELECT asset_id, w, h,
                 CAST(SUM(CASE WHEN asset_id % 2 = 0

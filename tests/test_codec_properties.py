@@ -243,3 +243,69 @@ def test_wav_channel_count_limits():
     assert decode_pcm_wav(wav_with_channels(9)) is None
     assert decode_pcm_wav(wav_with_channels(3)) is not None  # r6: accepted
     assert decode_pcm_wav(wav_with_channels(8)) is not None
+
+
+def test_bmp_rle8_formula_assets():
+    """r6: BI_RLE8 assets decompress pixel-exactly to the row-parity
+    index formula — odd rows arrive as encoded-mode runs, even rows
+    as word-aligned absolute segments."""
+    from queryengine_spark.multimodal.bmp import (
+        bmp8_index_rle,
+        bmp8_palette,
+        bmp_params,
+        decode_bmp,
+        make_bmp8_rle,
+    )
+
+    for aid in (3, 7, 19, 43):
+        img = decode_bmp(make_bmp8_rle(aid))
+        assert img is not None, aid
+        w, h = bmp_params(aid)
+        assert img.shape == (h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                want = bmp8_palette(aid, bmp8_index_rle(aid, x, y))
+                assert tuple(img[y, x]) == want, (aid, x, y)
+
+
+def test_bmp_rle8_delta_and_skipped_pixels():
+    """Hand-assembled stream: encoded run, a [0,2,dx,dy] delta jump,
+    and end-of-bitmap — pixels the cursor skips decode as index 0
+    (the real-decoder convention for undefined RLE pixels)."""
+    from queryengine_spark.multimodal.bmp import _decode_rle8
+
+    # run1 idx5 at stored (0,0) → delta (0,+1) → run1 idx7 → EOB
+    data = bytes([1, 5, 0, 2, 0, 1, 1, 7, 0, 1])
+    idx = _decode_rle8(data, 2, 2)
+    assert idx is not None
+    assert idx[0, 0] == 5 and idx[1, 1] == 7
+    assert idx[0, 1] == 0 and idx[1, 0] == 0
+    # absolute mode with odd count carries a word-alignment pad byte;
+    # two rows of three literals each, EOL between, EOB at the end
+    data = bytes([0, 3, 9, 8, 7, 0, 0, 0, 0, 3, 2, 4, 0, 0, 0, 1])
+    idx = _decode_rle8(data, 3, 2)
+    assert idx is not None
+    assert list(idx[0]) == [9, 8, 7] and list(idx[1]) == [2, 4, 0]
+
+
+def test_bmp_rle8_refusals():
+    from queryengine_spark.multimodal.bmp import (
+        _decode_rle8,
+        decode_bmp,
+        make_bmp8_rle,
+    )
+    import struct as _s
+
+    good = make_bmp8_rle(3)
+    assert decode_bmp(good) is not None
+    # truncated: no end-of-bitmap
+    assert _decode_rle8(bytes([1, 5, 0, 0]), 2, 2) is None
+    # encoded run crossing the row end
+    assert _decode_rle8(bytes([3, 5, 0, 1]), 2, 2) is None
+    # top-down (negative height) RLE is forbidden by the spec
+    w, h = _s.unpack("<ii", good[18:26])
+    bad = good[:22] + _s.pack("<i", -h) + good[26:]
+    assert decode_bmp(bad) is None
+    # RLE with 24bpp is not a thing
+    bad = good[:28] + _s.pack("<H", 24) + good[30:]
+    assert decode_bmp(bad) is None
