@@ -305,6 +305,147 @@ def make_gif_interlaced(asset_id: int) -> bytes:
     )
 
 
+#: animated-leg formulas (r6, mirrored in the oracle): frame count,
+#: per-frame pixel-index offset, per-frame delay in centiseconds
+ANIM_FM = 17
+
+
+def gif_frames(asset_id: int) -> int:
+    return 2 + asset_id % 3
+
+
+def anim_index(asset_id: int, f: int, x: int, y: int) -> int:
+    return (x * GIF_IDX_XM + y * GIF_IDX_YM + asset_id + ANIM_FM * f) % 256
+
+
+def gif_delay(asset_id: int, f: int) -> int:
+    return 4 + (asset_id + f) % 10
+
+
+def make_gif_animated(asset_id: int) -> bytes:
+    """ANIMATED GIF89a (r6): NETSCAPE2.0 looping application
+    extension, then gif_frames full-screen frames, each preceded by
+    a Graphic Control Extension carrying its gif_delay — the
+    real-world animation layout. All frames share the global color
+    table; frame f's pixels follow anim_index(·, f, ·, ·)."""
+    w, h = gif_params(asset_id)
+    pal = b"".join(bytes(palette_rgb(i)) for i in range(256))
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += pal
+    # NETSCAPE looping extension (application extension 0xFF)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(gif_frames(asset_id)):
+        out += b"\x21\xf9\x04"  # GCE: 4-byte block
+        out += struct.pack("<BHB", 0, gif_delay(asset_id, f), 0)
+        out += b"\x00"  # GCE terminator
+        idx = bytes(
+            anim_index(asset_id, f, x, y) for y in range(h) for x in range(w)
+        )
+        lzw = lzw_encode(idx, 8)
+        out += b","
+        out += struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([8])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b";"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    b: bytes,
+) -> tuple[int, int, list[tuple[int, int, np.ndarray, int]]] | None:
+    """Full multi-image GIF walk (r6): bytes → (screen_w, screen_h,
+    frames) with frames = [(x0, y0, rgb_array, delay_cs), ...] in
+    stream order — Graphic Control Extensions are parsed for the
+    per-frame delay (and apply to the NEXT image only, per 89a),
+    other extensions are skipped, each image may carry its own local
+    color table and interlacing. No disposal compositing is invented:
+    frames are returned as decoded, which is exactly what per-frame
+    statistics need. None on any malformation."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        gpal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    frames: list[tuple[int, int, np.ndarray, int]] = []
+    delay = 0  # from the pending GCE, if any
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            return (sw, sh, frames) if frames else None
+        if marker == 0x21:  # extension: label + sub-blocks
+            if pos >= len(b):
+                return None
+            label = b[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if pos >= len(b) or b[pos] != 4 or pos + 5 > len(b):
+                    return None
+                delay = struct.unpack("<H", b[pos + 2 : pos + 4])[0]
+                pos += 5
+                if pos >= len(b) or b[pos] != 0:
+                    return None
+                pos += 1
+            else:  # any other extension: skip its sub-blocks
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            continue
+        if marker != 0x2C:  # image separator
+            return None
+        if pos + 9 > len(b):
+            return None
+        x0, y0, w, h, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        interlaced = bool(iflags & 0x40)
+        pal = gpal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(b):
+                return None
+            pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None or pos >= len(b):
+            return None
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            return None
+        lzw = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            blen = b[pos]
+            if pos + 1 + blen > len(b):
+                return None
+            lzw += b[pos + 1 : pos + 1 + blen]
+            pos += 1 + blen
+        pos += 1  # sub-block terminator
+        idx = lzw_decode(bytes(lzw), min_code)
+        if idx is None or len(idx) != w * h or w <= 0 or h <= 0:
+            return None
+        arr = np.frombuffer(idx, np.uint8).reshape(h, w)
+        if interlaced:
+            out = np.empty_like(arr)
+            out[interlace_order(h)] = arr
+            arr = out
+        if int(arr.max()) >= len(pal):
+            return None
+        frames.append((x0, y0, pal[arr], delay))
+        delay = 0  # a GCE governs only the image that follows it
+    return None  # ran out without a trailer
+
+
 def decode_gif(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 3) uint8 RGB array, or None for anything that
     is not a well-formed GIF87a/89a with a color table (global, or a
@@ -389,21 +530,27 @@ GIF_STATS_SCHEMA = StructType(
         StructField("sum_r", LongType(), True),
         StructField("sum_g", LongType(), True),
         StructField("sum_b", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("total_delay_cs", LongType(), True),
     ]
 )
 
 
 def synthesize_gif_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """asset_id % 4 == 0 → GIF87a with a global color table, % 4 ==
-    2 → GIF89a with a local table overriding a decoy global, odd →
-    INTERLACED GIF87a (r5; same palette/pixels as the plain leg —
-    the deinterlace permutation is pinned by hand-order tests)."""
+    """asset_id % 4 == 0 → GIF87a with a global color table, % 8 ==
+    2 → GIF89a with a local table overriding a decoy global, % 8 ==
+    6 → ANIMATED GIF89a (gif_frames full-screen frames with GCE
+    delays and a NETSCAPE loop extension — r6), odd → INTERLACED
+    GIF87a (r5; same palette/pixels as the plain leg — the
+    deinterlace permutation is pinned by hand-order tests)."""
     import pandas as pd
 
     def _mk(a: int) -> bytes:
         if a % 2 == 1:
             return make_gif_interlaced(a)
-        return make_gif(a) if a % 4 == 0 else make_gif_lct(a)
+        if a % 4 == 0:
+            return make_gif(a)
+        return make_gif_lct(a) if a % 8 == 2 else make_gif_animated(a)
 
     def run(batches):
         for pdf in batches:
@@ -433,25 +580,42 @@ def synthesize_gif(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 
 def gif_pixel_stats(assets: DataFrame) -> DataFrame:
-    cols = ("width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+    """Per-asset stats over ALL frames (r6 — decode_gif_frames):
+    width/height from the screen descriptor, n_px the total decoded
+    pixels across frames, channel sums across frames, the frame
+    count, and the summed GCE delays (0 for still images)."""
+    cols = (
+        "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+        "n_frames", "total_delay_cs",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("asset_id", *cols)}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 out["asset_id"].append(int(aid))
-                img = decode_gif(bytes(payload)) if payload is not None else None
-                if img is None:
+                res = (
+                    decode_gif_frames(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if res is None:
                     for k in cols:
                         out[k].append(None)
                     continue
-                h, w, _ = img.shape
-                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_px"].append(w * h)
+                sw, sh, frames = res
+                s = np.zeros(3, dtype=np.int64)
+                n_px = 0
+                for _x0, _y0, img, _delay in frames:
+                    s += img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    n_px += img.shape[0] * img.shape[1]
+                out["width"].append(sw)
+                out["height"].append(sh)
+                out["n_px"].append(n_px)
                 for k, v in zip(("sum_r", "sum_g", "sum_b"), s):
                     out[k].append(int(v))
+                out["n_frames"].append(len(frames))
+                out["total_delay_cs"].append(sum(f[3] for f in frames))
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, GIF_STATS_SCHEMA)

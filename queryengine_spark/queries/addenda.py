@@ -298,6 +298,7 @@ FROM scored GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 from queryengine_spark.multimodal.gif import (  # noqa: E402
+    ANIM_FM,
     GIF_H_MOD,
     GIF_IDX_XM,
     GIF_IDX_YM,
@@ -316,17 +317,21 @@ from queryengine_spark.multimodal.gif import (  # noqa: E402
 def multimodal_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → LZW-decode → aggregate, entirely worker-side (the
     GIF twin of multimodal_png_decode). Mixed profiles since r5:
-    asset_id % 4 == 0 is GIF87a with a global color table, % 4 == 2
+    asset_id % 4 == 0 is GIF87a with a global color table, % 8 == 2
     is GIF89a with a LOCAL color table that must OVERRIDE a
     deliberately different decoy global table — the oracle applies
     each leg's own palette formula, so reading the wrong table
-    breaks the hash — and odd ids are INTERLACED GIF87a (4-pass
-    storage order; pixel sums are permutation-invariant so the
-    deinterlace itself is pinned by the hand-order tests in
-    tests/test_multimodal_gif.py, while the oracle still certifies
-    the LZW/palette path on those legs). See multimodal/gif.py for
-    the correctness story (hand-pinned LZW bit streams + formula
-    oracle)."""
+    breaks the hash — % 8 == 6 is ANIMATED GIF89a (r6: 2–4
+    full-screen frames, per-frame Graphic Control Extension delays,
+    NETSCAPE loop extension; n_px/channel sums span ALL frames and
+    total_delay_cs sums the GCE delays, so the hash certifies the
+    multi-image walk + GCE parsing), and odd ids are INTERLACED
+    GIF87a (4-pass storage order; pixel sums are
+    permutation-invariant so the deinterlace itself is pinned by the
+    hand-order tests in tests/test_multimodal_gif.py, while the
+    oracle still certifies the LZW/palette path on those legs). See
+    multimodal/gif.py for the correctness story (hand-pinned LZW bit
+    streams + formula oracle)."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return gif_pixel_stats(synthesize_gif_mixed(spread(ids)))
 
@@ -335,26 +340,39 @@ MULTIMODAL_GIF_DECODE_SQL = f"""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
 dims AS (SELECT asset_id,
                 CAST(6 + asset_id % {GIF_W_MOD} AS INT) AS w,
-                CAST(5 + asset_id % {GIF_H_MOD} AS INT) AS h
+                CAST(5 + asset_id % {GIF_H_MOD} AS INT) AS h,
+                -- r6: the %8=6 animated leg carries 2..4 frames;
+                -- every other leg is a single still image
+                CAST(CASE WHEN asset_id % 8 = 6 THEN 2 + asset_id % 3
+                          ELSE 1 END AS BIGINT) AS nf
          FROM ids),
-px AS (SELECT asset_id, w, h,
+px AS (SELECT asset_id, w, h, nf,
               (CAST(xx.i AS BIGINT) * {GIF_IDX_XM}
-               + CAST(yy.i AS BIGINT) * {GIF_IDX_YM} + asset_id) % 256 AS idx
-       FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
-sums AS (SELECT asset_id, w, h,
-                CAST(SUM(CASE WHEN asset_id % 4 = 2
+               + CAST(yy.i AS BIGINT) * {GIF_IDX_YM} + asset_id
+               + {ANIM_FM} * CAST(ff.f AS BIGINT)) % 256 AS idx
+       FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i),
+            unnest(range(0, nf)) ff(f)),
+sums AS (SELECT asset_id, w, h, nf,
+                CAST(SUM(CASE WHEN asset_id % 8 = 2
                      THEN ({LCT_RM} * idx + asset_id) % 256
                      ELSE ({PAL_RM} * idx) % 256 END) AS BIGINT) AS sum_r,
-                CAST(SUM(CASE WHEN asset_id % 4 = 2
+                CAST(SUM(CASE WHEN asset_id % 8 = 2
                      THEN ({LCT_GM} * idx + 3) % 256
                      ELSE ({PAL_GM} * idx + 1) % 256 END) AS BIGINT) AS sum_g,
-                CAST(SUM(CASE WHEN asset_id % 4 = 2
+                CAST(SUM(CASE WHEN asset_id % 8 = 2
                      THEN ({LCT_BM} * idx + 2 * asset_id) % 256
                      ELSE ({PAL_BM} * idx + 2) % 256 END) AS BIGINT) AS sum_b
-         FROM px GROUP BY asset_id, w, h)
-SELECT asset_id, w AS width, h AS height,
-       CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b
-FROM sums
+         FROM px GROUP BY asset_id, w, h, nf),
+del AS (SELECT asset_id,
+               CAST(SUM(4 + (asset_id + CAST(ff.f AS BIGINT)) % 10) AS BIGINT)
+                 AS tdel
+        FROM dims, unnest(range(0, nf)) ff(f)
+        WHERE asset_id % 8 = 6 GROUP BY asset_id)
+SELECT s.asset_id, s.w AS width, s.h AS height,
+       CAST(s.w * s.h * s.nf AS BIGINT) AS n_px, s.sum_r, s.sum_g, s.sum_b,
+       s.nf AS n_frames,
+       CAST(COALESCE(d.tdel, 0) AS BIGINT) AS total_delay_cs
+FROM sums s LEFT JOIN del d ON s.asset_id = d.asset_id
 """
 
 

@@ -80,6 +80,10 @@ VOID: dict[str, int] = {
     # paletted (PLTE) payloads, ≡ 3 Adam7-interlaced; schema gained
     # the position-weighted wsum column:
     "multimodal_png_decode": 5,
+    # round 6: residue map %4 -> %8 — ids ≡ 6 (mod 8) now carry
+    # ANIMATED payloads (multi-image walk + GCE delays); schema
+    # gained n_frames / total_delay_cs:
+    "multimodal_gif_decode": 5,
     # round 6: global_rank offsets moved from a create_map literal to
     # a broadcast join, and the doubling loop was refactored for
     # arbitrary W (identical classes at W=8, pinned in pytest; the

@@ -203,3 +203,84 @@ def test_interlaced_formula_assets_equal_plain():
         assert a is not None and b is not None and (a == b).all()
         # and the containers genuinely differ (flag + row order)
         assert make_gif(aid) != make_gif_interlaced(aid)
+
+
+# --- r6: animated GIF (multi-image walk + GCE delays) -----------------------
+
+
+def test_animated_assets_decode_to_formula():
+    from queryengine_spark.multimodal.gif import (
+        anim_index,
+        decode_gif_frames,
+        gif_delay,
+        gif_frames,
+        gif_params,
+        make_gif_animated,
+        palette_rgb,
+    )
+
+    for a in (6, 14, 22, 46):
+        res = decode_gif_frames(make_gif_animated(a))
+        assert res is not None, a
+        sw, sh, frames = res
+        w, h = gif_params(a)
+        assert (sw, sh) == (w, h) and len(frames) == gif_frames(a)
+        for f, (x0, y0, img, d) in enumerate(frames):
+            assert (x0, y0) == (0, 0) and d == gif_delay(a, f)
+            for y in range(h):
+                for x in range(w):
+                    assert tuple(img[y, x]) == palette_rgb(
+                        anim_index(a, f, x, y)
+                    )
+
+
+def test_gce_applies_to_next_image_only():
+    """Two frames, GCE only before the FIRST: frame 1 carries the
+    delay, frame 2 must come back with delay 0 (the pending-GCE
+    state resets after each image)."""
+    import struct
+
+    from queryengine_spark.multimodal.gif import (
+        decode_gif_frames,
+        lzw_encode,
+    )
+
+    pal = bytes(6)  # 2-entry black palette
+    idx = bytes([0, 1, 1, 0])
+    lzw = lzw_encode(idx, 2)
+    img = (
+        b","
+        + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2, len(lzw)])
+        + lzw
+        + b"\x00"
+    )
+    gce = b"\x21\xf9\x04" + struct.pack("<BHB", 0, 37, 0) + b"\x00"
+    b = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)  # GCT, 2 entries
+        + pal
+        + gce
+        + img
+        + img
+        + b";"
+    )
+    res = decode_gif_frames(b)
+    assert res is not None
+    _, _, frames = res
+    assert len(frames) == 2
+    assert frames[0][3] == 37 and frames[1][3] == 0
+
+
+def test_animated_truncation_refused():
+    from queryengine_spark.multimodal.gif import (
+        decode_gif_frames,
+        make_gif_animated,
+    )
+
+    p = make_gif_animated(6)
+    assert decode_gif_frames(p[:-1]) is None  # no trailer
+    # corrupt a GCE block size (4 -> 5)
+    i = p.index(b"\x21\xf9\x04")
+    bad = p[:i] + b"\x21\xf9\x05" + p[i + 3 :]
+    assert decode_gif_frames(bad) is None
