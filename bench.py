@@ -167,6 +167,8 @@ HEADLINE = [
     # round-6: persistent SRP-LSH index (read path), SA detect→scrub
     "knn_lsh_index",
     "curation_sa_scrub",
+    # round-6: WebDataset-style tar/zip shard ingestion
+    "source_archive_shards",
 ]
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from queryengine_spark.queries import (
     addenda,
     analytics,
+    archives,
     curation,
     curation2,
     dedup,
@@ -84,6 +85,8 @@ _MODULES = (
     tpch_extra,
     # round-5 URL/domain curation pack
     urlsq,
+    # round-6 archive-shard source (WebDataset tar/zip ingestion)
+    archives,
     # ALWAYS LAST: late additions that must not displace queries
     # still waiting for their first driver row (see addenda.py)
     addenda,

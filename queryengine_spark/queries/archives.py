@@ -1,0 +1,89 @@
+"""Round-6 archive-shard source queries (sources/archives.py).
+
+``source_archive_shards``: WebDataset-style shard ingestion — even
+doc_ids become TAR shards, odd become ZIP shards, all members from
+the same arithmetic formulas. Spark synthesizes the container bytes
+worker-side, parses them back for REAL (ustar checksum walk / ZIP
+central-directory walk with CRC-32 + deflate inflation), and
+aggregates per-shard member statistics inside the same mapInPandas
+pass (one shard = one row: zero shuffle). The DuckDB oracle
+recomputes every statistic FROM THE MEMBER FORMULAS — sizes, payload
+byte-sums, the order-weighted size sum (member ORDER certified), and
+an md5 name-hash sum (exact names incl. zero-padding certified) —
+never touching the bytes, so a hash match certifies both container
+walks end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from queryengine_spark.queries.base import t
+from queryengine_spark.sources.archives import (
+    BIN_SZ_A,
+    BIN_SZ_B,
+    BIN_SZ_BASE,
+    BIN_SZ_MOD,
+    BIN_A,
+    BIN_MULT,
+    BIN_S,
+    NAME_HASH_HEX,
+    SAMP_MOD,
+    TXT_MULT,
+    TXT_S,
+    TXT_SZ_A,
+    TXT_SZ_BASE,
+    TXT_SZ_MOD,
+    archive_shard_stats,
+    synthesize_archives,
+)
+
+
+def source_archive_shards(spark: SparkSession, sf: str) -> DataFrame:
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
+    return archive_shard_stats(synthesize_archives(ids))
+
+
+SOURCE_ARCHIVE_SHARDS_SQL = f"""
+WITH ids AS (SELECT doc_id AS shard_id FROM documents),
+cfg AS (SELECT shard_id, 2 + shard_id % {SAMP_MOD} AS n FROM ids),
+samples AS (SELECT shard_id, CAST(ss.i AS BIGINT) AS s
+            FROM cfg, unnest(range(0, n)) ss(i)),
+members AS (
+  SELECT shard_id, s, 'txt' AS ext, 2 * s AS ordinal,
+         CAST({TXT_SZ_BASE} + ({TXT_SZ_A} * s + shard_id) % {TXT_SZ_MOD} AS BIGINT) AS size
+  FROM samples
+  UNION ALL
+  SELECT shard_id, s, 'bin', 2 * s + 1,
+         CAST({BIN_SZ_BASE} + ({BIN_SZ_A} * s + {BIN_SZ_B} * shard_id) % {BIN_SZ_MOD} AS BIGINT)
+  FROM samples),
+paysums AS (
+  SELECT shard_id, s, ext, ordinal, size,
+         SUM(CASE WHEN ext = 'txt'
+              THEN 32 + ({TXT_MULT} * ii.i + {TXT_S} * s + shard_id) % 95
+              ELSE ({BIN_MULT} * ii.i + {BIN_S} * s + {BIN_A} * shard_id) % 256
+             END) AS psum
+  FROM members, unnest(range(0, size)) ii(i)
+  GROUP BY shard_id, s, ext, ordinal, size),
+per AS (
+  SELECT shard_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_samples,
+         CAST(SUM(size) AS BIGINT) AS total_bytes,
+         CAST(SUM(psum) AS BIGINT) AS payload_sum,
+         CAST(SUM((ordinal + 1) * size) AS BIGINT) AS wsum,
+         CAST(SUM(('0x' || substr(md5(
+               lpad(CAST(s AS VARCHAR), 6, '0') || '.' || ext),
+               1, {NAME_HASH_HEX}))::BIGINT) AS BIGINT) AS name_hash
+  FROM paysums GROUP BY shard_id)
+SELECT shard_id,
+       CASE WHEN shard_id % 2 = 0 THEN 'tar' ELSE 'zip' END AS fmt,
+       n_members, n_samples, total_bytes, payload_sum, wsum, name_hash
+FROM per
+"""
+
+
+QUERIES = {
+    "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
+}

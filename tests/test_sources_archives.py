@@ -1,0 +1,250 @@
+"""Archive shard source (sources/archives.py): hand-built byte
+vectors pin the ustar and zip walks independently of the synthesis
+helpers (so an encoder/decoder bug pair can't cancel), refusal probes
+cover the structural checks, and the Spark plumbing is verified
+end-to-end against a pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from queryengine_spark.sources.archives import (
+    MEMBER_SCHEMA,
+    STATS_SCHEMA,
+    _tar_header,
+    archive_members,
+    archive_shard_stats,
+    make_archive,
+    make_tar_shard,
+    make_zip_shard,
+    member_payload,
+    member_sizes,
+    parse_archive,
+    shard_members,
+    shard_samples,
+    synthesize_archives,
+)
+
+# ---------------------------------------------------------------------------
+# hand-built tar vectors (never touching make_tar_shard)
+# ---------------------------------------------------------------------------
+
+
+def _hand_tar(entries, end_marker=True):
+    out = bytearray()
+    for name, payload, typeflag in entries:
+        out += _tar_header(name, len(payload), typeflag)
+        out += payload + b"\0" * (-len(payload) % 512)
+    if end_marker:
+        out += b"\0" * 1024
+    return bytes(out)
+
+
+def test_tar_hand_single_member():
+    b = _hand_tar([("a.txt", b"hi", b"0")])
+    assert parse_archive(b) == [("a.txt", b"hi")]
+
+
+def test_tar_header_bytes_pinned():
+    """Byte-level pin of the ustar header: offsets, octal size field,
+    magic/version, and the checksum-over-spaces rule — computed by
+    hand for name='x' size=3."""
+    hdr = _tar_header("x", 3)
+    assert hdr[0:2] == b"x\0"
+    assert hdr[124:136] == b"00000000003\0"
+    assert hdr[156:157] == b"0"
+    assert hdr[257:265] == b"ustar\00000"
+    # checksum: recompute with the field spaced out
+    chk = int(hdr[148:155].rstrip(b"\0 "), 8)
+    assert chk == sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+
+
+def test_tar_prefix_field_joined():
+    # 155-byte prefix support: build a >100-char path split at a '/'
+    deep = "d/" * 60 + "leaf.bin"  # 128 chars
+    b = _hand_tar([(deep, b"\x01\x02\x03", b"0")])
+    assert parse_archive(b) == [(deep, b"\x01\x02\x03")]
+
+
+def test_tar_directory_and_pax_members_skipped():
+    b = _hand_tar(
+        [
+            ("dir/", b"", b"5"),
+            ("pax", b"27 path=ignored/by/parser\n", b"x"),
+            ("keep.txt", b"ok", b"0"),
+        ]
+    )
+    assert parse_archive(b) == [("keep.txt", b"ok")]
+
+
+def test_tar_gnu_longname_refused():
+    b = _hand_tar([("././@LongLink", b"some/long/name\0", b"L"), ("t", b"x", b"0")])
+    assert parse_archive(b) is None
+
+
+def test_tar_checksum_corruption_refused():
+    b = bytearray(_hand_tar([("a.txt", b"hi", b"0")]))
+    b[0] ^= 0xFF  # name byte changes → stored checksum stale
+    assert parse_archive(bytes(b)) is None
+
+
+def test_tar_truncated_payload_refused():
+    b = _hand_tar([("a.bin", b"x" * 700, b"0")], end_marker=False)
+    assert parse_archive(b[: 512 + 600]) is None
+
+
+def test_tar_missing_end_marker_refused():
+    b = _hand_tar([("a.txt", b"hi", b"0")], end_marker=False)
+    assert parse_archive(b) is None
+
+
+# ---------------------------------------------------------------------------
+# hand-built / corrupted zip vectors
+# ---------------------------------------------------------------------------
+
+
+def _zip_single(name: bytes, payload: bytes, method=0, crc=None, flags=0):
+    data = payload
+    if method == 8:
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        data = co.compress(payload) + co.flush()
+    crc = zlib.crc32(payload) & 0xFFFFFFFF if crc is None else crc
+    lhdr = struct.pack(
+        "<IHHHHHIIIHH", 0x04034B50, 20, flags, method, 0, 0, crc,
+        len(data), len(payload), len(name), 0,
+    )
+    local = lhdr + name + data
+    central = struct.pack(
+        "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, flags, method, 0, 0, crc,
+        len(data), len(payload), len(name), 0, 0, 0, 0, 0, 0,
+    ) + name
+    eocd = struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, len(central), len(local), 0
+    )
+    return local + central + eocd
+
+
+def test_zip_hand_stored_and_deflate():
+    assert parse_archive(_zip_single(b"a.bin", b"\x00\x01\x02")) == [
+        ("a.bin", b"\x00\x01\x02")
+    ]
+    assert parse_archive(_zip_single(b"a.txt", b"hello world " * 10, method=8)) == [
+        ("a.txt", b"hello world " * 10)
+    ]
+
+
+def test_zip_crc_mismatch_refused():
+    assert parse_archive(_zip_single(b"a.bin", b"abc", crc=0xDEADBEEF)) is None
+
+
+def test_zip_streaming_flag_refused():
+    assert parse_archive(_zip_single(b"a.bin", b"abc", flags=0x08)) is None
+
+
+def test_zip_local_central_name_mismatch_refused():
+    b = bytearray(_zip_single(b"a.bin", b"abc"))
+    b[30] ^= 0x01  # flip a byte of the LOCAL name only
+    assert parse_archive(bytes(b)) is None
+
+
+def test_zip_unsupported_method_refused():
+    assert parse_archive(_zip_single(b"a.bin", b"abc", method=12)) is None
+
+
+def test_zip_missing_eocd_refused():
+    b = _zip_single(b"a.bin", b"abc")
+    assert parse_archive(b[:-22]) is None
+
+
+def test_unrecognized_payload_refused():
+    assert parse_archive(b"\x89PNG\r\n\x1a\n" + b"\0" * 600) is None
+    assert parse_archive(b"") is None
+
+
+# ---------------------------------------------------------------------------
+# synthesis ↔ formula ↔ parser agreement, both containers
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_matches_formula_both_formats():
+    for sid in range(30):
+        want = shard_members(sid)
+        assert parse_archive(make_tar_shard(sid)) == want
+        assert parse_archive(make_zip_shard(sid)) == want
+        assert len(want) == 2 * shard_samples(sid)
+        for s in range(shard_samples(sid)):
+            tsz, bsz = member_sizes(sid, s)
+            assert len(member_payload(sid, s, "txt")) == tsz
+            assert len(member_payload(sid, s, "bin")) == bsz
+
+
+def test_tar_blocking_factor():
+    assert len(make_tar_shard(7)) % 10240 == 0
+
+
+def test_txt_payloads_printable():
+    for s in range(shard_samples(11)):
+        assert all(32 <= c < 127 for c in member_payload(11, s, "txt"))
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_spark_member_relation(spark):
+    ids = spark.range(0, 8).select(F.col("id").alias("shard_id"))
+    members = archive_members(synthesize_archives(ids))
+    assert members.schema == MEMBER_SCHEMA
+    rows = members.collect()
+    want = sum(2 * shard_samples(s) for s in range(8))
+    assert len(rows) == want
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for sid, rs in by_shard.items():
+        rs.sort(key=lambda r: r.ordinal)
+        assert [(r.name, bytes(r.payload)) for r in rs] == shard_members(sid)
+        # WebDataset grouping: sample_key = basename, ext split off
+        assert all(r.name == f"{r.sample_key}.{r.ext}" for r in rs)
+
+
+def test_spark_stats_match_python_reference(spark):
+    ids = spark.range(0, 12).select(F.col("id").alias("shard_id"))
+    got = {
+        r.shard_id: r
+        for r in archive_shard_stats(synthesize_archives(ids)).collect()
+    }
+    assert len(got) == 12
+    for sid in range(12):
+        members = shard_members(sid)
+        r = got[sid]
+        assert r.fmt == ("tar" if sid % 2 == 0 else "zip")
+        assert r.n_members == len(members)
+        assert r.n_samples == shard_samples(sid)
+        assert r.total_bytes == sum(len(d) for _, d in members)
+        assert r.payload_sum == sum(sum(d) for _, d in members)
+        assert r.wsum == sum((i + 1) * len(d) for i, (_, d) in enumerate(members))
+    assert archive_shard_stats(synthesize_archives(ids)).schema == STATS_SCHEMA
+
+
+def test_stats_plan_no_shuffle(spark):
+    """One shard = one row: synthesis, parsing and per-shard stats all
+    happen in mapInPandas passes — the plan must contain no Exchange."""
+    ids = spark.range(0, 4).select(F.col("id").alias("shard_id"))
+    plan = (
+        archive_shard_stats(synthesize_archives(ids))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_make_archive_parity_split():
+    assert make_archive(0)[0] == "tar"
+    assert make_archive(1)[0] == "zip"
