@@ -169,6 +169,8 @@ HEADLINE = [
     "curation_sa_scrub",
     # round-6: WebDataset-style tar/zip shard ingestion
     "source_archive_shards",
+    # round-6: perceptual-hash image dedup (decode -> dHash -> banded Hamming)
+    "dedup_image_phash",
 ]
 
 

@@ -1,0 +1,234 @@
+"""Image perceptual-hash (dHash) dedup — the bridge between the
+decoder matrix and the dedup pillar.
+
+The classic near-duplicate-image pipeline (web-scale image corpora
+dedupe on perceptual hashes, not byte hashes, because re-encodes and
+tiny edits change every byte): decode → grayscale → downsample to a
+9x8 grid → difference hash (64 bits: cell (cx, cy) brighter than its
+right neighbour) → banded Hamming search for pairs within distance d.
+
+Everything here is EXACT integer arithmetic so the DuckDB oracle can
+recompute the fingerprints from the pixel FORMULA while Spark computes
+them from really-decoded container bytes (mixed BMP / PNG, routed by
+magic numbers through the in-repo decoders):
+
+- luma      = 299*R + 587*G + 114*B         (Rec. 601 x1000, integer)
+- cell of x = x*9 // w   (cols, 0..8)        exact area partition
+- cell of y = y*8 // h   (rows, 0..7)
+- bit(cx, cy), cx<8 = [ s[cx]*n[cx+1] > s[cx+1]*n[cx] ]   — the
+  mean comparison cross-multiplied into integers (s = cell luma sum,
+  n = cell pixel count; counts differ because w, h need not divide
+  by 9/8).
+- fingerprint = 16-hex-char string of the 64-bit value with bit
+  (cy*8 + cx) at weight 2^(63 - (cy*8+cx))  (MSB-first raster order).
+
+Near-dup planting: assets pair up as gid = asset_id // 2; the odd
+variant re-renders the SAME image with one grid CELL (i0, j0)
+brightness-shifted. A single cell participates in at most two
+difference bits (its left and right comparisons), so every planted
+pair is within Hamming distance 2 <= max_dist = 3, while unrelated
+images differ in ~32 bits — the same exact-by-pigeonhole banded
+search as text SimHash applies unchanged.
+
+Scale: synthesis → decode → hash is one mapInPandas chain (row-linear,
+zero shuffle); pair search is the shared banded equi-join
+(operators/dedup.py::banded_hamming64_pairs). No all-pairs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: synthesis formula constants (mirrored in the oracle SQL)
+PH_W_MOD, PH_H_MOD = 13, 11  # w = 16 + gid % 13, h = 16 + gid % 11
+PH_R = (7, 11, 3)  # r = (7x + 11y + 3*gid) % 256
+PH_G = (5, 13, 7)
+PH_B = (3, 17, 11)
+PH_DELTA_BASE, PH_DELTA_MOD = 40, 50  # delta = 40 + gid % 50
+
+
+def phash_params(gid: int) -> tuple[int, int, int, int, int]:
+    """(w, h, i0, j0, delta) for a pair group."""
+    return (
+        16 + gid % PH_W_MOD,
+        16 + gid % PH_H_MOD,
+        1 + gid % 7,  # perturbed grid col, 1..7 (interior: 2 bits max)
+        gid % 8,  # perturbed grid row
+        PH_DELTA_BASE + gid % PH_DELTA_MOD,
+    )
+
+
+def _pixel(gid: int, variant: int, x: int, y: int) -> tuple[int, int, int]:
+    w, h, i0, j0, delta = phash_params(gid)
+    r = (PH_R[0] * x + PH_R[1] * y + PH_R[2] * gid) % 256
+    g = (PH_G[0] * x + PH_G[1] * y + PH_G[2] * gid) % 256
+    b = (PH_B[0] * x + PH_B[1] * y + PH_B[2] * gid) % 256
+    if variant == 1 and (x * 9) // w == i0 and (y * 8) // h == j0:
+        r = (r + delta) % 256
+    return r, g, b
+
+
+def make_phash_asset(asset_id: int) -> bytes:
+    """Container bytes for one asset: even gid → 24-bit BMP, odd gid →
+    RGBA PNG (alpha 255 — ignored by luma), both rendering the SAME
+    pixel formula so the oracle needs one arithmetic branch, not one
+    per container. Reuses the spec-valid writers the decode queries
+    already pin byte-by-byte."""
+    from queryengine_spark.multimodal import png as pngmod
+
+    gid, variant = asset_id // 2, asset_id % 2
+    w, h, _, _, _ = phash_params(gid)
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return _pixel(gid, variant, x, y)
+    if gid % 2 == 0:
+        return _bmp_container(w, h, px)
+    return _png_container(w, h, px, pngmod)
+
+
+def _bmp_container(w: int, h: int, px) -> bytes:
+    import struct
+
+    row_stride = (w * 3 + 3) & ~3
+    img_size = row_stride * h
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = px(x, y)
+            row += bytes((b, g, r))  # BGR
+        row += b"\x00" * (row_stride - len(row))
+        rows.append(bytes(row))
+    return file_hdr + info_hdr + b"".join(rows)
+
+
+def _png_container(w: int, h: int, px, pngmod) -> bytes:
+    import struct
+    import zlib
+
+    prev = bytes(w * 4)
+    stream = bytearray()
+    for y in range(h):
+        raw = bytes(v for x in range(w) for v in (*px(x, y), 255))
+        f = y % 5  # exercise all five filters
+        stream.append(f)
+        stream += pngmod._filter_row(f, raw, prev)
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+    return (
+        pngmod._SIG
+        + pngmod._chunk(b"IHDR", ihdr)
+        + pngmod._chunk(b"IDAT", comp)
+        + pngmod._chunk(b"IEND", b"")
+    )
+
+
+PHASH_ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def synthesize_phash_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": a,
+                    "payload": [make_phash_asset(int(v)) for v in a],
+                }
+            )
+
+    return ids.mapInPandas(run, PHASH_ASSET_SCHEMA)
+
+
+def dhash64(arr: np.ndarray) -> str:
+    """(h, w, >=3) uint8 array → 16-hex-char dHash fingerprint.
+    Integer-exact: scaled Rec. 601 luma, cross-multiplied cell-mean
+    comparisons (no division anywhere)."""
+    h, w = arr.shape[0], arr.shape[1]
+    rgb = arr[..., :3].astype(np.int64)
+    lum = 299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+    cx = (np.arange(w, dtype=np.int64) * 9) // w  # per-column cell
+    cy = (np.arange(h, dtype=np.int64) * 8) // h  # per-row cell
+    s = np.zeros((8, 9), dtype=np.int64)
+    n = np.zeros((8, 9), dtype=np.int64)
+    np.add.at(s, (cy[:, None], cx[None, :]), lum)
+    np.add.at(n, (cy[:, None], cx[None, :]), 1)
+    # bit (cy, cx): mean(cell cx) > mean(cell cx+1), cross-multiplied
+    bits = s[:, :8] * n[:, 1:] > s[:, 1:] * n[:, :8]  # (8, 8)
+    v = 0
+    for k, b in enumerate(bits.reshape(64)):
+        if b:
+            v |= 1 << (63 - k)
+    return "%016x" % v
+
+
+PHASH_FP_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("sim", StringType()),
+    ]
+)
+
+
+def dhash_relation(assets: DataFrame) -> DataFrame:
+    """(id, sim): really decode each payload (magic-byte dispatch —
+    BMP / PNG / GIF, anything the in-repo decoders understand) and
+    fingerprint the pixels. Undecodable payloads are dropped (NULL
+    would poison the band join)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from queryengine_spark.multimodal.bmp import decode_bmp
+        from queryengine_spark.multimodal.gif import decode_gif
+        from queryengine_spark.multimodal.png import decode_png
+
+        for pdf in batches:
+            ids, fps = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                arr = None
+                if b[:2] == b"BM":
+                    arr = decode_bmp(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = decode_png(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    arr = decode_gif(b)
+                if arr is None or arr.ndim != 3 or arr.shape[2] < 3:
+                    continue
+                ids.append(int(aid))
+                fps.append(dhash64(arr))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"), "sim": fps})
+
+    return assets.mapInPandas(run, PHASH_FP_SCHEMA)
+
+
+def image_near_dup_pairs(
+    ids: DataFrame, max_dist: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """End-to-end: synthesize container bytes → decode → dHash →
+    banded Hamming pairs (id_a, id_b, hamming)."""
+    from queryengine_spark.operators.dedup import banded_hamming64_pairs
+
+    fp = dhash_relation(synthesize_phash_assets(ids))
+    return banded_hamming64_pairs(fp, max_dist=max_dist, n_bands=n_bands)

@@ -506,11 +506,29 @@ def simhash_hamming_pairs(
     residual is then two xor+bit_count expressions instead of 64
     nibble ops, and no join back to the fingerprint relation is
     needed at all."""
+    return banded_hamming64_pairs(
+        simhash64_relation(df, id_col, text_col),
+        max_dist=max_dist,
+        n_bands=n_bands,
+    )
+
+
+def banded_hamming64_pairs(
+    fingerprints: DataFrame,
+    max_dist: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Banded Hamming self-join over ANY 64-bit fingerprint relation
+    ``(id, sim)`` with ``sim`` a 16-hex-char lowercase string —
+    the candidate-generation + refine core shared by text SimHash
+    (simhash_hamming_pairs) and image perceptual-hash dedup
+    (multimodal/phash.py). Exactness/pigeonhole and the hi/lo split
+    are documented on simhash_hamming_pairs."""
     assert 16 % n_bands == 0, "bands must tile the 16 hex chars"
     assert max_dist < n_bands * 64, "nonsense distance"
     w = 16 // n_bands
     fp = (
-        simhash64_relation(df, id_col, text_col)
+        fingerprints
         .select(
             "id",
             "sim",

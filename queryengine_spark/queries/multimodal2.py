@@ -148,3 +148,71 @@ GROUP BY asset_id, sample_rate, n_frames
 """
 
 QUERIES["multimodal_wav_decode"] = (multimodal_wav_decode, MULTIMODAL_WAV_DECODE_SQL)
+
+
+from queryengine_spark.multimodal.phash import (  # noqa: E402
+    PH_B,
+    PH_DELTA_BASE,
+    PH_DELTA_MOD,
+    PH_G,
+    PH_H_MOD,
+    PH_R,
+    PH_W_MOD,
+    image_near_dup_pairs,
+)
+
+
+def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image dedup (r6) — the decoder matrix feeding
+    the dedup pillar: synthesize a mixed BMP/PNG corpus where each
+    even/odd asset pair renders the same image with one grid cell
+    brightness-shifted, REALLY decode every container (magic-byte
+    dispatch), fingerprint with an integer-exact 9×8 dHash, and find
+    all pairs within Hamming distance 3 via the banded equi-join
+    shared with text SimHash (exact by pigeonhole, no all-pairs).
+    The oracle recomputes fingerprints from the pixel FORMULA and
+    compares all pairs — a hash match certifies the BMP and PNG
+    decoders, the luma/downsample/difference arithmetic, the hex
+    encoding, and the banded search's exactness in one number.
+    Design doc: multimodal/phash.py."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return image_near_dup_pairs(ids, max_dist=3, n_bands=4)
+
+
+DEDUP_IMAGE_PHASH_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id, asset_id // 2 AS gid, asset_id % 2 AS variant FROM ids),
+dims AS (SELECT asset_id, gid, variant,
+                CAST(16 + gid % {PH_W_MOD} AS BIGINT) AS w,
+                CAST(16 + gid % {PH_H_MOD} AS BIGINT) AS h,
+                1 + gid % 7 AS i0, gid % 8 AS j0,
+                {PH_DELTA_BASE} + gid % {PH_DELTA_MOD} AS delta
+         FROM par),
+px AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta,
+              CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
+       FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
+lum AS (SELECT asset_id, (x*9)//w AS cx, (y*8)//h AS cy,
+          299*(CASE WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
+               THEN (({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 + delta) % 256
+               ELSE ({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 END)
+        + 587*(({PH_G[0]}*x + {PH_G[1]}*y + {PH_G[2]}*gid) % 256)
+        + 114*(({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256) AS l
+        FROM px),
+cells AS (SELECT asset_id, cx, cy, CAST(SUM(l) AS BIGINT) AS s, COUNT(*) AS n
+          FROM lum GROUP BY 1, 2, 3),
+bits AS (SELECT a.asset_id, a.cy*8 + a.cx AS k,
+                CASE WHEN a.s*b.n > b.s*a.n THEN 1 ELSE 0 END AS bit
+         FROM cells a JOIN cells b
+           ON a.asset_id = b.asset_id AND a.cy = b.cy AND b.cx = a.cx + 1
+         WHERE a.cx < 8),
+fp AS (SELECT asset_id,
+              CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END) AS BIGINT) AS hi,
+              CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END) AS BIGINT) AS lo
+       FROM bits GROUP BY 1)
+SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+"""
+
+QUERIES["dedup_image_phash"] = (dedup_image_phash, DEDUP_IMAGE_PHASH_SQL)
