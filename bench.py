@@ -94,8 +94,9 @@ HEADLINE = [
     "dedup_containment",
     "dedup_semantic",
     "text_heavy_hitters",
-    # round-3 IVF-PQ: 16-byte codes + 32-deep exact re-rank
-    "knn_pq_rerank",
+    # round-3 IVF-PQ (r6 fold: ADC + 32-deep exact re-rank + the
+    # persistent-index read path as one tagged composite)
+    "knn_pq_suite",
     # round-3: incremental batch-vs-history dedup, NFC normalization,
     # hashed-feature quality classifier
     "dedup_incremental",
@@ -159,9 +160,6 @@ HEADLINE = [
     "curation_url_canonicalize",
     "curation_domain_cap",
     "curation_domain_overlap",
-    # round-5: persistent IVF-PQ index (read-path query; the one-time
-    # build is skipped once the artifact exists — annindex docstring)
-    "knn_pq_index",
     # round-5: suffix-array exact-substring spans (prefix doubling)
     "curation_repeated_spans_sa",
     # round-6: persistent SRP-LSH index (read path), SA detect→scrub
@@ -256,7 +254,7 @@ def main() -> None:
     # queries/knn.py — 8 bits × 16 tables, Hamming≤1 multiprobe).
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    def _mean_recall(qname: str) -> float:
+    def _mean_recall(qname: str, leg: str | None = None) -> float:
         # recall is a per-query column on the ANN output since the r5
         # registry fold. A query whose bucket/cell probe comes back
         # EMPTY has no output rows at all, so averaging the output's
@@ -269,7 +267,10 @@ def main() -> None:
             .filter(F.col("vec_id") % 50 == 0)
             .select(F.col("vec_id").alias("query_id"))
         )
-        got = queries[qname](spark, sf_dir).select("query_id", "recall").distinct()
+        got = queries[qname](spark, sf_dir)
+        if leg is not None:  # r6 fold: suite composites tag legs
+            got = got.filter(F.col("leg") == leg)
+        got = got.select("query_id", "recall").distinct()
         return (
             sample.join(got, "query_id", "left")
             .agg(F.avg(F.coalesce("recall", F.lit(0.0))).alias("r"))
@@ -278,7 +279,7 @@ def main() -> None:
 
     recall = _mean_recall("knn_lsh")
     ivf_recall = _mean_recall("knn_ivf")
-    pq_recall = _mean_recall("knn_pq_rerank")
+    pq_recall = _mean_recall("knn_pq_suite", leg="rerank")
 
     total = round(sum(timings.values()), 3)
     print(

@@ -230,12 +230,19 @@ def test_heavy_hitters_sketch_then_broadcast_verify(spark, sf_dir):
 def test_pq_scoring_joins_codes_not_vectors(spark, sf_dir):
     """IVF-PQ's cell join must never go quadratic, and the re-rank's
     vector fetch must stay a (shortlist ⋈ vectors) equi-join.
-    knn_pq has no recall column → zero nested loops; knn_pq_rerank
-    carries the folded ground-truth brute-force leg → exactly one
-    (see test_srp_knn_no_cartesian); knn_pq_index reads the artifact
-    with no recall column → zero."""
-    for name, bnlj in (("knn_pq", 0), ("knn_pq_rerank", 1), ("knn_pq_index", 0)):
-        plan = _plan(spark, sf_dir, name)
+    The adc leg has no recall column → zero nested loops; the rerank
+    leg carries the folded ground-truth brute-force leg → exactly one
+    (see test_srp_knn_no_cartesian); the index leg reads the artifact
+    with no recall column → zero. Since the r6 fold the three legs
+    are functions unioned inside knn_pq_suite — gate each leg's plan
+    individually (the union plan is their sum)."""
+    from queryengine_spark.queries.knn2 import knn_pq, knn_pq_index, knn_pq_rerank
+
+    for fn, name, bnlj in (
+        (knn_pq, "adc", 0), (knn_pq_rerank, "rerank", 1), (knn_pq_index, "index", 0)
+    ):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastNestedLoopJoin") == bnlj, name
         assert "WindowGroupLimit" in plan, name
@@ -497,7 +504,12 @@ def test_pq_index_read_scans_partitioned_codes(spark, sf_dir):
     """The persisted code relation is read through its cell-partition
     layout (PartitionFilters slot present on the scan), and scoring
     remains equi-join only."""
-    plan = _plan(spark, sf_dir, "knn_pq_index")
+    from queryengine_spark.queries.knn2 import knn_pq_index
+
+    plan = (
+        knn_pq_index(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "CartesianProduct" not in plan
     codes_scans = [
         line for line in plan.splitlines()
