@@ -167,6 +167,15 @@ HEADLINE = [
     "curation_sa_scrub",
     # round-6: WebDataset-style tar/zip shard ingestion
     "source_archive_shards",
+    # round-6: media transforms over really-decoded payloads
+    # (resize/crop, animation frame sampling, audio framing) and RAG
+    # token-window chunking
+    "multimodal_image_ops",
+    "multimodal_frame_sample",
+    "multimodal_audio_frames",
+    # round-6: baseline TIFF (II/MM, strips, PackBits, WhiteIsZero)
+    "multimodal_tiff_decode",
+    "text_chunk_rag",
     # round-6: perceptual-hash image dedup (decode -> dHash -> banded Hamming)
     "dedup_image_phash",
 ]

@@ -6,9 +6,10 @@ Decode strategy (see ``_decode_dims``): payloads are routed by MAGIC
 BYTES through every in-repo from-scratch decoder — uncompressed
 24-bit BMP (``multimodal.bmp``), 8-bit RGBA PNG (``multimodal.png``:
 zlib + all five scanline filters), GIF87a/89a (``multimodal.gif``:
-own LZW), and DC-profile baseline JPEG (``multimodal.jpeg``: own
-canonical-Huffman entropy decoder) — yielding TRUE dimensions with no
-media libraries installed. Formats outside those profiles try the
+own LZW), baseline TIFF in both byte orders (``multimodal.tiff``:
+IFD walk + PackBits — r6), and DC-profile baseline JPEG
+(``multimodal.jpeg``: own canonical-Huffman entropy decoder) —
+yielding TRUE dimensions with no media libraries installed. Formats outside those profiles try the
 PIL-shaped ``_decode_image`` hook, then fall back to a deterministic
 fake derived from the payload bytes, so schema, partitioning, batch
 shapes and the UDF signature are real and tested either way, and
@@ -103,6 +104,10 @@ def _decode_dims(payload: bytes) -> tuple[int, int] | None:
         from queryengine_spark.multimodal.gif import decode_gif
 
         arr = decode_gif(payload)
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from queryengine_spark.multimodal.tiff import decode_tiff
+
+        arr = decode_tiff(payload)
     elif payload[:2] == b"\xff\xd8":
         from queryengine_spark.multimodal.jpeg import (
             decode_jpeg_dc,

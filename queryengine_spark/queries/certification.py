@@ -60,8 +60,10 @@ VOID: dict[str, int] = {
     # presence flags instead of payload nullness (r4 ADVICE):
     "etl_snapshot_diff": 4,
     # round 5: mixed-asset relation gained PNG/GIF/JPEG legs and
-    # extract_features routes by magic bytes through all real decoders:
-    "multimodal_features": 4,
+    # extract_features routes by magic bytes through all real decoders;
+    # round 6: the BMP slot split %8 -> %16 — ids ≡ 8 (mod 16) now
+    # carry baseline TIFF containers routed through decode_tiff:
+    "multimodal_features": 5,
     # round 6: residue map %2 -> %4 — ids ≡ 3 (mod 4) now carry
     # BI_RLE8-compressed paletted payloads with the row-parity index
     # formula:

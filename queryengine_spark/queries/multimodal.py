@@ -42,12 +42,14 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched (mapInPandas) feature extraction over a MIXED
     asset relation covering EVERY in-repo real decoder via
     ``_decode_dims``'s magic-byte dispatch (r5: PNG/GIF/JPEG legs
-    joined the r4 BMP leg) — odd doc_ids ship their text as an opaque
-    text/plain payload (md5 content hash + deterministic fake dims);
-    even doc_ids ship a synthesized container routed by doc_id % 8:
-    0 → uncompressed 24-bit BMP, 2 → 8-bit RGBA PNG (zlib +
-    scanline filters), 4 → GIF89a (LZW), 6 → DC-profile baseline
-    JPEG (canonical Huffman). Each decodes for REAL worker-side and
+    joined the r4 BMP leg; r6: TIFF) — odd doc_ids ship their text as
+    an opaque text/plain payload (md5 content hash + deterministic
+    fake dims); even doc_ids ship a synthesized container routed by
+    doc_id residue: ≡0 (mod 16) → uncompressed 24-bit BMP, ≡8 (mod
+    16) → baseline TIFF (II/MM byte orders + PackBits, mixed by
+    asset_id % 3), ≡2 (mod 8) → 8-bit RGBA PNG (zlib + scanline
+    filters), ≡4 → GIF89a (LZW), ≡6 → DC-profile baseline JPEG
+    (canonical Huffman). Each decodes for REAL worker-side and
     reports its true pixel dimensions.
 
     Fully oracled: text-row hash and fake dims are md5-derived
@@ -64,14 +66,15 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.multimodal.gif import synthesize_gif
     from queryengine_spark.multimodal.jpeg import synthesize_jpeg
     from queryengine_spark.multimodal.png import synthesize_png
+    from queryengine_spark.multimodal.tiff import synthesize_tiff
 
     docs = t(spark, sf, "documents")
     text_assets = attach_payload(
         docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", "text/plain"
     )
 
-    def _ids(rem: int) -> DataFrame:
-        return docs.filter(F.col("doc_id") % 8 == rem).select(
+    def _ids(rem: int, mod: int = 8) -> DataFrame:
+        return docs.filter(F.col("doc_id") % mod == rem).select(
             F.col("doc_id").cast("long").alias("asset_id")
         )
 
@@ -88,9 +91,13 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
             n.alias("n_bytes"),
         )
 
+    # r6: the BMP slot split in two — ids ≡ 8 (mod 16) now carry
+    # baseline TIFF containers (mixed II/MM + PackBits profiles by
+    # asset_id % 3), routed by the II*/MM* magic through decode_tiff
     assets = (
         text_assets
-        .unionByName(_leg(synthesize_bmp(_ids(0)), "image/bmp", True))
+        .unionByName(_leg(synthesize_bmp(_ids(0, 16)), "image/bmp", True))
+        .unionByName(_leg(synthesize_tiff(_ids(8, 16)), "image/tiff", False))
         .unionByName(_leg(synthesize_png(_ids(2)), "image/png", False))
         .unionByName(_leg(synthesize_gif(_ids(4)), "image/gif", False))
         .unionByName(_leg(synthesize_jpeg(_ids(6)), "image/jpeg", False))
@@ -140,7 +147,15 @@ SELECT doc_id AS asset_id,
        CAST(NULL AS VARCHAR) AS content_hash,
        CAST(4 + doc_id % 13 AS INT) AS width,
        CAST(4 + doc_id % 9 AS INT) AS height
-FROM documents WHERE doc_id % 8 = 0
+FROM documents WHERE doc_id % 16 = 0
+UNION ALL
+SELECT doc_id AS asset_id,
+       'image/tiff' AS media_type,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_hash,
+       CAST(5 + doc_id % 12 AS INT) AS width,
+       CAST(4 + doc_id % 9 AS INT) AS height
+FROM documents WHERE doc_id % 16 = 8
 UNION ALL
 SELECT doc_id AS asset_id,
        'image/png' AS media_type,

@@ -216,3 +216,237 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 """
 
 QUERIES["dedup_image_phash"] = (dedup_image_phash, DEDUP_IMAGE_PHASH_SQL)
+
+
+# ------------------------------------------------- r6 media ops
+
+from queryengine_spark.multimodal.mediaops import (  # noqa: E402
+    AF_WIN,
+    FRAME_STRIDE,
+    RZ_H,
+    RZ_W,
+    audio_frame_features,
+    gif_frame_sample,
+    image_ops_stats,
+)
+
+
+def multimodal_image_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize + center-crop over really-decoded pixels (r6): the
+    phash corpus (mixed 24-bit BMP / RGBA PNG containers rendering one
+    pixel formula) → magic-byte decode → nearest-neighbor resize to
+    8×8 and center crop to (w//2, h//2) → exact integer channel sums
+    of both outputs. The oracle recomputes every resized/cropped pixel
+    from the formula via the same index maps, so the hash certifies
+    the NN source-coordinate arithmetic and the crop origin exactly —
+    on top of the decoders themselves. Design doc:
+    multimodal/mediaops.py."""
+    from queryengine_spark.multimodal.phash import synthesize_phash_assets
+
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return image_ops_stats(synthesize_phash_assets(ids))
+
+
+MULTIMODAL_IMAGE_OPS_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+dims AS (SELECT asset_id, asset_id // 2 AS gid, asset_id % 2 AS variant,
+                CAST(16 + (asset_id // 2) % {PH_W_MOD} AS BIGINT) AS w,
+                CAST(16 + (asset_id // 2) % {PH_H_MOD} AS BIGINT) AS h,
+                1 + (asset_id // 2) % 7 AS i0, (asset_id // 2) % 8 AS j0,
+                {PH_DELTA_BASE} + (asset_id // 2) % {PH_DELTA_MOD} AS delta
+         FROM ids),
+pts AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta, 0 AS leg,
+               (CAST(dx.i AS BIGINT) * w) // {RZ_W} AS x,
+               (CAST(dy.i AS BIGINT) * h) // {RZ_H} AS y
+        FROM dims, unnest(range(0, {RZ_W})) dx(i), unnest(range(0, {RZ_H})) dy(i)
+        UNION ALL
+        SELECT asset_id, gid, variant, w, h, i0, j0, delta, 1,
+               (w - w // 2) // 2 + CAST(xx.i AS BIGINT),
+               (h - h // 2) // 2 + CAST(yy.i AS BIGINT)
+        FROM dims, unnest(range(0, w // 2)) xx(i), unnest(range(0, h // 2)) yy(i)),
+ch AS (SELECT asset_id, w, h, leg,
+              CASE WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
+                   THEN (({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 + delta) % 256
+                   ELSE ({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 END AS r,
+              ({PH_G[0]}*x + {PH_G[1]}*y + {PH_G[2]}*gid) % 256 AS g,
+              ({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256 AS b
+       FROM pts)
+SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(SUM(CASE WHEN leg = 0 THEN r ELSE 0 END) AS BIGINT) AS rz_sum_r,
+       CAST(SUM(CASE WHEN leg = 0 THEN g ELSE 0 END) AS BIGINT) AS rz_sum_g,
+       CAST(SUM(CASE WHEN leg = 0 THEN b ELSE 0 END) AS BIGINT) AS rz_sum_b,
+       CAST(SUM(CASE WHEN leg = 1 THEN r ELSE 0 END) AS BIGINT) AS cr_sum_r,
+       CAST(SUM(CASE WHEN leg = 1 THEN g ELSE 0 END) AS BIGINT) AS cr_sum_g,
+       CAST(SUM(CASE WHEN leg = 1 THEN b ELSE 0 END) AS BIGINT) AS cr_sum_b
+FROM ch GROUP BY asset_id, w, h
+"""
+
+QUERIES["multimodal_image_ops"] = (multimodal_image_ops, MULTIMODAL_IMAGE_OPS_SQL)
+
+
+from queryengine_spark.multimodal.gif import (  # noqa: E402
+    ANIM_FM,
+    GIF_H_MOD,
+    GIF_IDX_XM,
+    GIF_IDX_YM,
+    GIF_W_MOD,
+    PAL_BM,
+    PAL_GM,
+    PAL_RM,
+)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Animation frame sampling (r6): synthesize ANIMATED GIF89a
+    containers (NETSCAPE loop + per-frame GCE delays), really decode
+    every frame via the multi-image LZW walk, keep frames f % 2 == 0
+    — one row per sampled frame with its GCE delay and exact channel
+    sums. The oracle recomputes frames, delays and sums from the
+    anim_index / palette / delay formulas, so the hash certifies the
+    frame walk order, GCE→frame delay binding AND the sampling
+    arithmetic. Design doc: multimodal/mediaops.py."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return gif_frame_sample(ids, stride=FRAME_STRIDE)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id,
+               CAST(6 + asset_id % {GIF_W_MOD} AS BIGINT) AS w,
+               CAST(5 + asset_id % {GIF_H_MOD} AS BIGINT) AS h,
+               2 + asset_id % 3 AS nf
+        FROM ids),
+fr AS (SELECT asset_id, w, h, CAST(ff.i AS BIGINT) AS f
+       FROM par, unnest(range(0, nf)) ff(i)
+       WHERE ff.i % {FRAME_STRIDE} = 0),
+px AS (SELECT asset_id, f, w, h,
+              (CAST(xx.i AS BIGINT) * {GIF_IDX_XM}
+               + CAST(yy.i AS BIGINT) * {GIF_IDX_YM}
+               + asset_id + {ANIM_FM} * f) % 256 AS j
+       FROM fr, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i))
+SELECT asset_id, CAST(f AS INT) AS frame_idx,
+       CAST(4 + (asset_id + f) % 10 AS INT) AS delay_cs,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(({PAL_RM} * j) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM(({PAL_GM} * j + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM(({PAL_BM} * j + 2) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY asset_id, f, w, h
+"""
+
+QUERIES["multimodal_frame_sample"] = (
+    multimodal_frame_sample,
+    MULTIMODAL_FRAME_SAMPLE_SQL,
+)
+
+
+def multimodal_audio_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio framing (r6): synthesize mono 16-bit PCM WAVs, really
+    decode through the RIFF chunk walk, frame into non-overlapping
+    32-sample windows — one row per window with exact int64 energy
+    (Σ s²) and the zero-crossing count, the front half of any VAD /
+    silence-trim stage. The oracle regenerates the waveform from the
+    sample formula and re-derives windows/energy/crossings in SQL.
+    Design doc: multimodal/mediaops.py."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return audio_frame_features(ids, win=AF_WIN)
+
+
+MULTIMODAL_AUDIO_FRAMES_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id, CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n
+        FROM ids),
+smp AS (SELECT asset_id, CAST(t.i AS BIGINT) AS i,
+               (asset_id * {WAV_A_MULT} + CAST(t.i AS BIGINT) * {WAV_I_MULT})
+                 % {WAV_S_MOD} - 32768 AS s
+        FROM par, unnest(range(0, n)) t(i)),
+wn AS (SELECT asset_id, i, s, CAST(i // {AF_WIN} AS INT) AS win_idx,
+              CASE WHEN i % {AF_WIN} > 0
+                        AND (lag(s) OVER (PARTITION BY asset_id ORDER BY i) < 0)
+                            <> (s < 0)
+                   THEN 1 ELSE 0 END AS zc1
+       FROM smp)
+SELECT asset_id, win_idx, CAST(COUNT(*) AS INT) AS n,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(zc1) AS INT) AS zc
+FROM wn GROUP BY asset_id, win_idx
+"""
+
+QUERIES["multimodal_audio_frames"] = (
+    multimodal_audio_frames,
+    MULTIMODAL_AUDIO_FRAMES_SQL,
+)
+
+
+from queryengine_spark.multimodal.tiff import (  # noqa: E402
+    TIF_B,
+    TIF_G,
+    TIF_GRAY0,
+    TIF_GRAY1,
+    TIF_H_MOD,
+    TIF_R,
+    TIF_W_MOD,
+    synthesize_tiff,
+    tiff_pixel_stats,
+)
+
+
+def multimodal_tiff_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Baseline TIFF 6.0 decode (r6) — mixed profiles by asset_id % 3:
+    uncompressed RGB little-endian / PACKBITS-compressed grayscale
+    BIG-endian / uncompressed WhiteIsZero grayscale (value-inverted
+    per the fax/scan convention). All profiles use RowsPerStrip 4 so
+    the multi-strip walk (StripOffsets / StripByteCounts arrays,
+    stored out-of-line) is really exercised, and the RGB leg's
+    BitsPerSample is a 3-SHORT out-of-line array — the IFD
+    value-vs-offset rule in both byte orders. The oracle recomputes
+    channel sums from the pixel formulas, so the hash certifies the
+    IFD walk, byte-order handling, strip assembly, the real PackBits
+    decompressor AND the photometric inversion. Design doc:
+    multimodal/tiff.py."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return tiff_pixel_stats(synthesize_tiff(ids))
+
+
+_TIF_GRAY1_EXPR = (
+    f"((x // 4) * {TIF_GRAY1[0]} + {TIF_GRAY1[1]}*y"
+    f" + {TIF_GRAY1[2]}*asset_id) % 256"
+)
+_TIF_GRAY0_EXPR = (
+    f"255 - ({TIF_GRAY0[0]}*x + {TIF_GRAY0[1]}*y"
+    f" + {TIF_GRAY0[2]}*asset_id) % 256"
+)
+
+MULTIMODAL_TIFF_DECODE_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+dims AS (SELECT asset_id,
+                CAST(5 + asset_id % {TIF_W_MOD} AS BIGINT) AS w,
+                CAST(4 + asset_id % {TIF_H_MOD} AS BIGINT) AS h
+         FROM ids),
+px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
+       FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
+ch AS (SELECT asset_id, w, h,
+              CASE asset_id % 3
+                WHEN 0 THEN ({TIF_R[0]}*x + {TIF_R[1]}*y + {TIF_R[2]}*asset_id) % 256
+                WHEN 1 THEN {_TIF_GRAY1_EXPR}
+                ELSE {_TIF_GRAY0_EXPR} END AS r,
+              CASE asset_id % 3
+                WHEN 0 THEN ({TIF_G[0]}*x + {TIF_G[1]}*y + {TIF_G[2]}*asset_id) % 256
+                WHEN 1 THEN {_TIF_GRAY1_EXPR}
+                ELSE {_TIF_GRAY0_EXPR} END AS g,
+              CASE asset_id % 3
+                WHEN 0 THEN ({TIF_B[0]}*x + {TIF_B[1]}*y + {TIF_B[2]}*asset_id) % 256
+                WHEN 1 THEN {_TIF_GRAY1_EXPR}
+                ELSE {_TIF_GRAY0_EXPR} END AS b
+       FROM px)
+SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM ch GROUP BY asset_id, w, h
+"""
+
+QUERIES["multimodal_tiff_decode"] = (
+    multimodal_tiff_decode,
+    MULTIMODAL_TIFF_DECODE_SQL,
+)

