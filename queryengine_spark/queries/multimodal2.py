@@ -27,6 +27,7 @@ from queryengine_spark.multimodal.bmp import (
     bmp_pixel_stats,
     synthesize_bmp_mixed,
 )
+from queryengine_spark.plans import spread
 from queryengine_spark.queries.base import t
 
 
@@ -44,7 +45,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
     stride padding, bottom-up flip, BGR(X) ordering, the
     palette-lookup path AND the RLE8 decompressor."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return bmp_pixel_stats(synthesize_bmp_mixed(ids))
+    return bmp_pixel_stats(synthesize_bmp_mixed(spread(ids)))
 
 
 MULTIMODAL_BMP_DECODE_SQL = f"""
@@ -103,7 +104,7 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return wav_sample_stats(synthesize_wav_mixed(ids))
+    return wav_sample_stats(synthesize_wav_mixed(spread(ids)))
 
 
 from queryengine_spark.multimodal.bmp import (  # noqa: E402
@@ -176,7 +177,7 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
     encoding, and the banded search's exactness in one number.
     Design doc: multimodal/phash.py."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return image_near_dup_pairs(ids, max_dist=3, n_bands=4)
+    return image_near_dup_pairs(spread(ids), max_dist=3, n_bands=4)
 
 
 DEDUP_IMAGE_PHASH_SQL = f"""
@@ -244,7 +245,7 @@ def multimodal_image_ops(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.multimodal.phash import synthesize_phash_assets
 
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return image_ops_stats(synthesize_phash_assets(ids))
+    return image_ops_stats(synthesize_phash_assets(spread(ids)))
 
 
 MULTIMODAL_IMAGE_OPS_SQL = f"""
@@ -306,7 +307,7 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     frame walk order, GCE→frame delay binding AND the sampling
     arithmetic. Design doc: multimodal/mediaops.py."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return gif_frame_sample(ids, stride=FRAME_STRIDE)
+    return gif_frame_sample(spread(ids), stride=FRAME_STRIDE)
 
 
 MULTIMODAL_FRAME_SAMPLE_SQL = f"""
@@ -348,7 +349,7 @@ def multimodal_audio_frames(spark: SparkSession, sf: str) -> DataFrame:
     sample formula and re-derives windows/energy/crossings in SQL.
     Design doc: multimodal/mediaops.py."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return audio_frame_features(ids, win=AF_WIN)
+    return audio_frame_features(spread(ids), win=AF_WIN)
 
 
 MULTIMODAL_AUDIO_FRAMES_SQL = f"""
@@ -404,7 +405,7 @@ def multimodal_tiff_decode(spark: SparkSession, sf: str) -> DataFrame:
     decompressor AND the photometric inversion. Design doc:
     multimodal/tiff.py."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
-    return tiff_pixel_stats(synthesize_tiff(ids))
+    return tiff_pixel_stats(synthesize_tiff(spread(ids)))
 
 
 _TIF_GRAY1_EXPR = (

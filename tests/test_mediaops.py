@@ -177,9 +177,11 @@ def test_audio_frame_features_against_formula(spark):
 
 
 def test_mediaops_plans_are_single_map_chains(spark, sf_dir):
-    """All three media ops must stay shuffle-free row-linear
-    mapInPandas chains — no exchange anywhere in the plan (the 100 TB
-    shape: transform travels to the data)."""
+    """All three media ops must stay row-linear mapInPandas chains:
+    the only allowed exchange is the deliberate round-robin spread()
+    that parallelizes synthesis of single-file inputs — no
+    required-distribution shuffle, no join (the 100 TB shape: the
+    transform travels to the data)."""
     from queryengine_spark.queries.multimodal2 import (
         multimodal_audio_frames,
         multimodal_frame_sample,
@@ -188,5 +190,6 @@ def test_mediaops_plans_are_single_map_chains(spark, sf_dir):
 
     for fn in (multimodal_image_ops, multimodal_frame_sample, multimodal_audio_frames):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, fn.__name__
+        assert "ENSURE_REQUIREMENTS" not in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
         assert "MapInPandas" in plan, fn.__name__

@@ -236,5 +236,7 @@ def test_tiff_query_plan_shuffle_free(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan
+    # the only exchange is the deliberate round-robin spread()
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "Join" not in plan
     assert "MapInPandas" in plan
