@@ -46,9 +46,8 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_simhash",
     "dedup_simhash_hamming",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivf",
+    # r6 fold: brute/LSH/IVF as one tagged composite
+    "knn_ann_suite",
     "text_doc_profile",
     "pipeline_clean_corpus",
     "q13_order_count_distribution",
@@ -286,8 +285,8 @@ def main() -> None:
             .collect()[0]["r"]
         )
 
-    recall = _mean_recall("knn_lsh")
-    ivf_recall = _mean_recall("knn_ivf")
+    recall = _mean_recall("knn_ann_suite", leg="lsh")
+    ivf_recall = _mean_recall("knn_ann_suite", leg="ivf")
     pq_recall = _mean_recall("knn_pq_suite", leg="rerank")
 
     total = round(sum(timings.values()), 3)

@@ -298,8 +298,49 @@ topk AS (
 # r5 fold: the standalone knn_lsh_recall / knn_ivf_recall evaluation
 # queries are gone — recall@3 vs brute force is an output COLUMN of
 # knn_lsh / knn_ivf now (same hits-join, certified inside the parent).
+def knn_ann_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """r6 registry fold (same discipline as knn_pq_suite): the
+    in-session ANN trio — exact brute-force baseline (1% query
+    sample), SRP-LSH with Hamming≤1 multiprobe, and IVF-Flat with the
+    trained integer k-means quantizer (both on the 2% sample, both
+    carrying their folded per-query recall columns) — as ONE tagged
+    composite relation. Every leg still executes in full; one driver
+    hash row certifies all three. ``recall`` is NULL on the 'brute'
+    leg (it IS the ground truth)."""
+    nul = F.lit(None).cast("double")
+    br = knn_bruteforce(spark, sf).select(
+        F.lit("brute").alias("leg"), "query_id", "neighbor_id",
+        "cosine", "rn", nul.alias("recall"),
+    )
+    lsh = knn_lsh(spark, sf).select(
+        F.lit("lsh").alias("leg"), "query_id", "neighbor_id",
+        "cosine", "rn", "recall",
+    )
+    ivf = knn_ivf(spark, sf).select(
+        F.lit("ivf").alias("leg"), "query_id", "neighbor_id",
+        "cosine", "rn", "recall",
+    )
+    return br.unionAll(lsh).unionAll(ivf)
+
+
+# WITH is legal inside a derived table, so the suite oracle simply
+# wraps the three existing single-leg statements — no CTE renaming,
+# each leg's chain certified exactly as before, one window slot.
+KNN_ANN_SUITE_SQL = f"""
+SELECT 'brute' AS leg, query_id, neighbor_id, cosine, rn,
+       CAST(NULL AS DOUBLE) AS recall
+FROM ({KNN_BRUTE_SQL})
+UNION ALL
+SELECT 'lsh' AS leg, query_id, neighbor_id, cosine, rn, recall
+FROM ({KNN_LSH_SQL})
+UNION ALL
+SELECT 'ivf' AS leg, query_id, neighbor_id, cosine, rn, recall
+FROM ({KNN_IVF_SQL})
+"""
+
+
+# r6 fold: knn_bruteforce / knn_lsh / knn_ivf merged into the tagged
+# composite above (one certification slot; every leg still executes).
 QUERIES = {
-    "knn_bruteforce": (knn_bruteforce, KNN_BRUTE_SQL),
-    "knn_lsh": (knn_lsh, KNN_LSH_SQL),
-    "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    "knn_ann_suite": (knn_ann_suite, KNN_ANN_SUITE_SQL),
 }

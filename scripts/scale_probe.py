@@ -30,7 +30,7 @@ DEFAULT_QUERIES = [
     "dedup_decontaminate",
     "dedup_decontaminate_bloom",
     "dedup_embedding",
-    "knn_lsh",
+    "knn_ann_suite",
     "fuzzy_candidates_coverage",
     "fuzzy_match_full",
     "text_repetition_stats",

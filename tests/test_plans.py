@@ -128,7 +128,11 @@ def test_srp_knn_no_cartesian(spark, sf_dir):
     nested-loop (that is what ground truth means); exactly one such
     join is allowed and the candidate scoring itself must be hashed
     equi-joins."""
-    plan = _plan(spark, sf_dir, "knn_lsh")
+    from queryengine_spark.queries.knn import knn_lsh
+
+    plan = (
+        knn_lsh(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the bf ground-truth leg
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
