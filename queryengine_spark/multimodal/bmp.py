@@ -388,14 +388,60 @@ def make_pcm_wav(asset_id: int) -> bytes:
     return _wav_container(rate, 16, data)
 
 
-def _wav_container(rate: int, bits: int, data: bytes) -> bytes:
+def _wav_container(rate: int, bits: int, data: bytes, fmt_tag: int = 1) -> bytes:
     width = bits // 8
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * width, width, bits)
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, rate * width, width, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     if len(data) & 1:  # RIFF chunks are word-aligned
         body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+#: µ-law byte-stream formula constants (mirrored in the oracle)
+ULAW_A_MULT, ULAW_I_MULT = 37, 11
+ULAW_BIAS = 0x84
+
+
+def _ulaw_byte(asset_id: int, i: int) -> int:
+    return (asset_id * ULAW_A_MULT + i * ULAW_I_MULT) % 256
+
+
+def ulaw2linear(u: int) -> int:
+    """G.711 µ-law expansion (the CCITT table as arithmetic): the
+    byte is stored complemented; sign / 3-bit exponent / 4-bit
+    mantissa expand to ((m·8 + 132) << e) − 132, negated on sign.
+    0xFF → +0, 0x7F → −0, 0x00 → −32124."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    mag = (((u & 0x0F) << 3) + ULAW_BIAS) << ((u >> 4) & 0x07)
+    mag -= ULAW_BIAS
+    return -mag if sign else mag
+
+
+def make_pcm_wav_ulaw(asset_id: int) -> bytes:
+    """Complete mono G.711 µ-LAW WAV (format tag 7, 8 bits/sample —
+    the telephony/callcenter-corpus profile, r6). The data bytes
+    follow the _ulaw_byte formula directly, so the oracle expands
+    them with the same G.711 arithmetic without round-tripping an
+    encoder."""
+    rate, n = wav_audio_params(asset_id)
+    data = bytes(_ulaw_byte(asset_id, i) for i in range(n))
+    return _wav_container(rate, 8, data, fmt_tag=7)
+
+
+def make_pcm_wav_f32(asset_id: int) -> bytes:
+    """Complete mono IEEE-FLOAT WAV (format tag 3, 32 bits — the DAW
+    /ML-dataset interchange profile, r6). Samples are the mono-16
+    formula divided by 32768: exactly representable in float32
+    (integer magnitude < 2^16, division by a power of two), so the
+    decoder's float→PCM16 conversion floor(f·32768) reproduces the
+    integer formula bit-exactly and the oracle stays in BIGINT."""
+    rate, n = wav_audio_params(asset_id)
+    data = b"".join(
+        struct.pack("<f", _sample(asset_id, i) / 32768.0) for i in range(n)
+    )
+    return _wav_container(rate, 32, data, fmt_tag=3)
 
 
 #: 24-bit waveform formula constants (mirrored in the oracle)
@@ -461,17 +507,20 @@ def make_pcm_wav24(asset_id: int) -> bytes:
 
 
 def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
-    """bytes → (sample_rate, int64 sample array) for 16- or 24-bit
-    PCM WAV, mono or stereo (stereo returns the channel-interleaved
-    flat stream — r5; per-channel views are one reshape away); None
-    for anything else. Walks RIFF chunks properly (skips unknown
-    chunks, honors declared sizes + word alignment) instead of
-    assuming a fixed layout."""
+    """bytes → (sample_rate, int64 sample array) for integer PCM
+    (format 1: 16- or 24-bit, mono/multi-channel — the interleaved
+    flat stream; per-channel views are one reshape away), IEEE FLOAT
+    (format 3, 32-bit — converted to PCM16 via floor(f·32768),
+    clamped, the standard render path — r6), or G.711 µ-LAW (format
+    7, 8-bit — expanded through the CCITT arithmetic — r6); None for
+    anything else. Walks RIFF chunks properly (skips unknown chunks,
+    honors declared sizes + word alignment) instead of assuming a
+    fixed layout."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     pos = 12
     rate = None
-    channels = bits = None
+    audio_fmt = channels = bits = None
     data: bytes | None = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
@@ -484,7 +533,7 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 3, 7):
                 return None
         elif cid == b"data":
             data = body
@@ -492,8 +541,26 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
     # channel count: anything in the practical 1..8 range decodes
     # (the flat interleaved stream is channel-agnostic — r6 widened
     # the earlier {1, 2} gate); 0 is malformed, > 8 suspicious
-    if rate is None or data is None or not 1 <= channels <= 8 or bits not in (16, 24):
+    if rate is None or data is None or not 1 <= channels <= 8:
         return None
+    if (
+        (audio_fmt == 1 and bits not in (16, 24))
+        or (audio_fmt == 3 and bits != 32)
+        or (audio_fmt == 7 and bits != 8)
+    ):
+        return None
+    if audio_fmt == 3:  # IEEE float → PCM16 render (r6)
+        n = len(data) // 4
+        f = np.frombuffer(data, dtype="<f4", count=n).astype(np.float64)
+        return int(rate), np.clip(
+            np.floor(f * 32768.0), -32768, 32767
+        ).astype(np.int64)
+    if audio_fmt == 7:  # µ-law expansion (r6)
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        v = ~u & 0xFF
+        mag = (((v & 0x0F) << 3) + ULAW_BIAS) * (1 << ((v >> 4) & 0x07))
+        mag -= ULAW_BIAS
+        return int(rate), np.where(v & 0x80, -mag, mag)
     if bits == 16:
         n = len(data) // 2
         return int(rate), np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
@@ -556,10 +623,15 @@ def synthesize_bmp_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 def synthesize_wav_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """asset_id % 4 == 0 → mono 16-bit, % 8 == 2 → STEREO 16-bit,
-    % 8 == 6 → SIX-channel 16-bit (5.1 layout, r6), odd → mono
-    24-bit (r5)."""
+    % 8 == 6 → SIX-channel 16-bit (5.1 layout, r6); odd ids split the
+    r5 all-24-bit leg: % 8 ∈ {1, 5} → mono 24-bit, % 8 == 3 →
+    G.711 µ-LAW (r6), % 8 == 7 → IEEE FLOAT32 (r6)."""
 
     def _mk(a: int) -> bytes:
+        if a % 8 == 3:
+            return make_pcm_wav_ulaw(a)
+        if a % 8 == 7:
+            return make_pcm_wav_f32(a)
         if a % 2 == 1:
             return make_pcm_wav24(a)
         if a % 4 == 0:

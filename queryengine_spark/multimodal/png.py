@@ -187,6 +187,45 @@ def make_png_gray(asset_id: int) -> bytes:
     )
 
 
+#: 16-BIT grayscale synthesis constants (r6; mirrored in the oracle)
+GRAY16_X, GRAY16_Y, GRAY16_A = 449, 1021, 257
+
+
+def _gray16_pixel(asset_id: int, x: int, y: int) -> int:
+    return (GRAY16_X * x + GRAY16_Y * y + GRAY16_A * asset_id) % 65536
+
+
+def make_png_gray16(asset_id: int) -> bytes:
+    """Complete spec-valid 16-BIT grayscale PNG (color type 0, bit
+    depth 16 — the photography/scientific profile, r6): big-endian
+    two-byte samples, per-row filter type y % 5 with bpp=2 (PNG
+    filters operate BYTEWISE with the left neighbor ceil(depth/8)
+    bytes back — a sample's low byte filters against the previous
+    sample's low byte, its high byte against the previous high byte),
+    deflate stream split across two IDAT chunks."""
+    w, h = png_rgba_params(asset_id)
+    prev = bytes(w * 2)
+    stream = bytearray()
+    for y in range(h):
+        raw = b"".join(
+            struct.pack(">H", _gray16_pixel(asset_id, x, y)) for x in range(w)
+        )
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, bpp=2)
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 16, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
 #: Adam7 pass geometry (PNG spec 4.5.2): (x0, y0, dx, dy) per pass —
 #: each pass is an INDEPENDENTLY FILTERED sub-image (its first row's
 #: "up" neighbor is zero, not the previous pass's last row)
@@ -337,7 +376,14 @@ def decode_png(b: bytes) -> np.ndarray | None:
     if ihdr is None or len(ihdr) != 13 or not idat:
         return None
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">II5B", ihdr)
-    if depth != 8 or ctype_ not in (0, 3, 6) or (comp, filt) != (0, 0):
+    if ctype_ not in (0, 3, 6) or (comp, filt) != (0, 0):
+        return None
+    if depth == 16:
+        # r6: 16-bit grayscale, sequential only (16-bit color and
+        # interlaced 16-bit stay honest refusals)
+        if ctype_ != 0 or interlace != 0:
+            return None
+    elif depth != 8:
         return None
     if interlace not in (0, 1):
         return None
@@ -351,7 +397,9 @@ def decode_png(b: bytes) -> np.ndarray | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    bpp = 4 if ctype_ == 6 else 1
+    # bytewise filter offset = bytes per pixel (PNG 6.2): RGBA8 → 4,
+    # gray16 → 2, gray8/paletted → 1
+    bpp = 4 if ctype_ == 6 else (2 if depth == 16 else 1)
     if interlace == 0:
         stride = w * bpp
         if len(raw) != h * (1 + stride):
@@ -388,6 +436,9 @@ def decode_png(b: bytes) -> np.ndarray | None:
     if ctype_ == 6:
         return img
     if ctype_ == 0:
+        if depth == 16:  # big-endian sample pairs → uint16 values
+            pairs = img.reshape(h, w, 2).astype(np.uint16)
+            return (pairs[..., 0] << 8) | pairs[..., 1]
         return img.reshape(h, w)
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     idx = img.reshape(h, w)
@@ -437,10 +488,11 @@ def synthesize_png(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """asset_id % 4 == 0 → 8-bit RGBA, % 4 == 2 → 8-bit PALETTED
-    (color type 3, r6), % 4 == 1 → 8-bit grayscale sequential,
-    % 4 == 3 → 8-bit grayscale Adam7-INTERLACED (r6; same pixel
-    formula as the sequential leg — the weighted checksum column is
-    what makes a misplaced pass visible to the oracle)."""
+    (color type 3, r6), % 8 == 1 → 8-bit grayscale sequential,
+    % 8 == 5 → 16-BIT grayscale sequential (r6 — the gray-8 slot
+    split in two), % 4 == 3 → 8-bit grayscale Adam7-INTERLACED (r6;
+    same pixel formula as the sequential leg — the weighted checksum
+    column is what makes a misplaced pass visible to the oracle)."""
 
     def _mk(a: int) -> bytes:
         r4 = a % 4
@@ -448,7 +500,9 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             return make_png_rgba(a)
         if r4 == 2:
             return make_png_palette(a)
-        return make_png_gray(a) if r4 == 1 else make_png_gray_adam7(a)
+        if r4 == 3:
+            return make_png_gray_adam7(a)
+        return make_png_gray16(a) if a % 8 == 5 else make_png_gray(a)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -45,6 +45,9 @@ _TOKS_RAW = _TOKS.format(c="text")
 from queryengine_spark.multimodal.png import (  # noqa: E402
     PNG2_H_MOD,
     PNG2_W_MOD,
+    GRAY16_A,
+    GRAY16_X,
+    GRAY16_Y,
     GRAY_X_MULT,
     GRAY_Y_MULT,
     PAL3_BM,
@@ -63,8 +66,10 @@ def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     chained mapInPandas stages, zero shuffles before the final
     projection). Mixed color types: asset_id % 4 == 0 is 8-bit RGBA;
     % 4 == 2 is 8-bit PALETTED (r6 — 256-entry PLTE, the oracle
-    recomputes palette[index] composition symbolically); % 4 == 1 is
-    8-bit grayscale (color type 0, bpp=1 filter arithmetic); % 4 == 3
+    recomputes palette[index] composition symbolically); % 8 == 1 is
+    8-bit grayscale (color type 0, bpp=1 filter arithmetic); % 8 == 5
+    is 16-BIT grayscale (r6 — big-endian sample pairs, bpp=2 BYTEWISE
+    filters: low bytes filter against low bytes two back); % 4 == 3
     is grayscale with ADAM7 INTERLACE (r6 — 7 independently filtered
     passes scattered back to place; the position-weighted ``wsum``
     column makes a misplaced pass break the oracle hash, where plain
@@ -85,9 +90,11 @@ px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS
                + {PAL3_IDX_YM} * CAST(yy.i AS BIGINT) + asset_id) % 256 AS pidx
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
 ch AS (SELECT asset_id, w, h, x, y,
-              CASE asset_id % 4
-                   WHEN 0 THEN (x * y + asset_id) % 256
-                   WHEN 2 THEN ({PAL3_RM} * pidx + asset_id) % 256
+              CASE WHEN asset_id % 8 = 5
+                   THEN ({GRAY16_X} * x + {GRAY16_Y} * y
+                         + {GRAY16_A} * asset_id) % 65536
+                   WHEN asset_id % 4 = 0 THEN (x * y + asset_id) % 256
+                   WHEN asset_id % 4 = 2 THEN ({PAL3_RM} * pidx + asset_id) % 256
                    ELSE ({GRAY_X_MULT} * x + {GRAY_Y_MULT} * y + asset_id) % 256
               END AS first_ch,
               pidx

@@ -92,12 +92,18 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     (interleaved L/R frames, channel c's formula offset by
     c·STEREO_OFF; n_samples counts all decoded values, 2 per frame),
     % 8 == 6 → SIX-channel 16-bit (5.1 layout — r6 widened the
-    decoder's {1,2} channel gate to the practical 1..8 range), odd →
-    mono 24-BIT PCM (3-byte little-endian samples with sign
-    extension from bit 23, plus the RIFF word-alignment pad an odd
-    byte count forces). All decode through the same RIFF chunk walk;
-    the oracle recomputes the amplitude stats from each leg's
-    waveform formula."""
+    decoder's {1,2} channel gate to the practical 1..8 range),
+    % 8 ∈ {1, 5} → mono 24-BIT PCM (3-byte little-endian samples
+    with sign extension from bit 23, plus the RIFF word-alignment pad
+    an odd byte count forces), % 8 == 3 → G.711 µ-LAW (format tag 7,
+    8-bit bytes expanded through the CCITT sign/exponent/mantissa
+    arithmetic — r6), % 8 == 7 → IEEE FLOAT32 (format tag 3,
+    rendered to PCM16 via floor(f·32768); the synthesized floats are
+    the mono-16 formula over 32768, exactly representable, so the
+    render is bit-exact — r6). All decode through the same RIFF chunk
+    walk; the oracle recomputes the amplitude stats from each leg's
+    formula (for µ-law it expands the BYTE formula with the same
+    G.711 arithmetic in SQL)."""
     from queryengine_spark.multimodal.bmp import (
         synthesize_wav_mixed,
         wav_sample_stats,
@@ -109,6 +115,9 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 from queryengine_spark.multimodal.bmp import (  # noqa: E402
     STEREO_OFF,
+    ULAW_A_MULT,
+    ULAW_BIAS,
+    ULAW_I_MULT,
     WAV24_A_MULT,
     WAV24_HALF,
     WAV24_I_MULT,
@@ -119,24 +128,45 @@ from queryengine_spark.multimodal.bmp import (  # noqa: E402
     WAV_S_MOD,
 )
 
+
 MULTIMODAL_WAV_DECODE_SQL = f"""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
 par AS (SELECT asset_id,
                CAST(8000 + 1000 * (asset_id % 4) AS INT) AS sample_rate,
                CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n_frames
         FROM ids),
+-- v is the COMPLEMENTED µ-law byte of the %8=3 leg (G.711 stores
+-- bytes complemented); NULL on every other leg
+smp0 AS (SELECT asset_id, sample_rate, n_frames,
+                CAST(t.i AS BIGINT) AS i, CAST(c.ch AS BIGINT) AS ch,
+                CASE WHEN asset_id % 8 = 3
+                     THEN 255 - ((asset_id * {ULAW_A_MULT}
+                                  + CAST(t.i AS BIGINT) * {ULAW_I_MULT}) % 256)
+                END AS v
+         FROM par,
+              unnest(range(0, n_frames)) t(i),
+              unnest(CASE WHEN asset_id % 8 = 6 THEN [0, 1, 2, 3, 4, 5]
+                          WHEN asset_id % 8 = 2 THEN [0, 1]
+                          ELSE [0] END) c(ch)
+         WHERE asset_id % 2 = 0 OR c.ch = 0),
 smp AS (SELECT asset_id, sample_rate, n_frames,
-               CASE WHEN asset_id % 2 = 1
-               THEN (asset_id * {WAV24_A_MULT} + CAST(t.i AS BIGINT) * {WAV24_I_MULT}) % {WAV24_MOD} - {WAV24_HALF}
-               ELSE (asset_id * {WAV_A_MULT} + CAST(t.i AS BIGINT) * {WAV_I_MULT}
-                     + CAST(c.ch AS BIGINT) * {STEREO_OFF}) % {WAV_S_MOD} - 32768
+               CASE
+               WHEN asset_id % 8 = 3 THEN
+                 -- G.711 expansion: mag = ((v%16)·8 + bias)·2^((v//16)%8) − bias,
+                 -- negated when the sign bit (v ≥ 128) is set
+                 (CASE WHEN v >= 128 THEN -1 ELSE 1 END)
+                 * (((v % 16) * 8 + {ULAW_BIAS})
+                    * (1::BIGINT << ((v // 16) % 8)) - {ULAW_BIAS})
+               WHEN asset_id % 8 = 7 THEN
+                 -- float32 leg renders back to the mono-16 formula
+                 (asset_id * {WAV_A_MULT} + i * {WAV_I_MULT}) % {WAV_S_MOD} - 32768
+               WHEN asset_id % 2 = 1 THEN
+                 (asset_id * {WAV24_A_MULT} + i * {WAV24_I_MULT}) % {WAV24_MOD} - {WAV24_HALF}
+               ELSE
+                 (asset_id * {WAV_A_MULT} + i * {WAV_I_MULT}
+                  + ch * {STEREO_OFF}) % {WAV_S_MOD} - 32768
                END AS s
-        FROM par,
-             unnest(range(0, n_frames)) t(i),
-             unnest(CASE WHEN asset_id % 8 = 6 THEN [0, 1, 2, 3, 4, 5]
-                         WHEN asset_id % 8 = 2 THEN [0, 1]
-                         ELSE [0] END) c(ch)
-        WHERE asset_id % 2 = 0 OR c.ch = 0)
+        FROM smp0)
 SELECT asset_id, sample_rate,
        CAST(CASE WHEN asset_id % 8 = 6 THEN 6 * n_frames
                  WHEN asset_id % 8 = 2 THEN 2 * n_frames

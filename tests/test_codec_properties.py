@@ -309,3 +309,72 @@ def test_bmp_rle8_refusals():
     # RLE with 24bpp is not a thing
     bad = good[:28] + _s.pack("<H", 24) + good[30:]
     assert decode_bmp(bad) is None
+
+
+# ------------------------------------------------------ µ-law / float32 (r6)
+
+
+def test_ulaw_endpoint_pins():
+    """G.711 canonical endpoints: 0xFF is +0, 0x7F is −0, 0x00 is
+    −32124, 0x80 is +32124."""
+    from queryengine_spark.multimodal.bmp import ulaw2linear
+
+    assert ulaw2linear(0xFF) == 0
+    assert ulaw2linear(0x7F) == 0
+    assert ulaw2linear(0x00) == -32124
+    assert ulaw2linear(0x80) == 32124
+
+
+def test_ulaw_all_bytes_vs_independent_formulation():
+    """All 256 codes vs the algebraic variant 4·(2m+33)·2^e − 132 and
+    the sign-symmetry property decode(u) == −decode(u ^ 0x80)."""
+    from queryengine_spark.multimodal.bmp import ulaw2linear
+
+    for u in range(256):
+        c = ~u & 0xFF
+        e, m = (c >> 4) & 7, c & 15
+        mag = 4 * (2 * m + 33) * (1 << e) - 132
+        assert ulaw2linear(u) == (-mag if c & 0x80 else mag), u
+        assert ulaw2linear(u) == -ulaw2linear(u ^ 0x80), u
+
+
+def test_ulaw_wav_decode_matches_table():
+    import numpy as np
+
+    from queryengine_spark.multimodal.bmp import (
+        _wav_container,
+        decode_pcm_wav,
+        ulaw2linear,
+    )
+
+    data = bytes(range(256))
+    rate, s = decode_pcm_wav(_wav_container(8000, 8, data, fmt_tag=7))
+    assert rate == 8000 and len(s) == 256
+    assert s.tolist() == [ulaw2linear(u) for u in range(256)]
+
+
+def test_float_wav_renders_and_clamps():
+    """IEEE-float WAV → PCM16 render: floor(f·32768) with clamping at
+    the int16 rails (1.5 → 32767, −2.0 → −32768, 0.5 → 16384,
+    tiny negatives floor DOWN: −1/65536 → −1)."""
+    import struct
+
+    from queryengine_spark.multimodal.bmp import _wav_container, decode_pcm_wav
+
+    fs = [0.0, 0.5, -0.5, 1.5, -2.0, -1.0 / 65536.0]
+    data = b"".join(struct.pack("<f", f) for f in fs)
+    rate, s = decode_pcm_wav(_wav_container(44100, 32, data, fmt_tag=3))
+    assert rate == 44100
+    assert s.tolist() == [0, 16384, -16384, 32767, -32768, -1]
+
+
+def test_wav_format_bits_gates():
+    """Format/bits mismatches refuse: µ-law must be 8-bit, float
+    32-bit, PCM 16/24; unknown format tags refuse outright."""
+    from queryengine_spark.multimodal.bmp import _wav_container, decode_pcm_wav
+
+    assert decode_pcm_wav(_wav_container(8000, 16, b"\0\0", fmt_tag=7)) is None
+    assert decode_pcm_wav(_wav_container(8000, 16, b"\0\0", fmt_tag=3)) is None
+    assert decode_pcm_wav(_wav_container(8000, 32, b"\0" * 4, fmt_tag=1)) is None
+    assert decode_pcm_wav(_wav_container(8000, 16, b"\0\0", fmt_tag=2)) is None
+    assert decode_pcm_wav(_wav_container(8000, 8, b"\0", fmt_tag=7)) is not None

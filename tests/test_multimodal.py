@@ -98,6 +98,7 @@ def test_extract_features_magic_byte_routing_all_formats(spark):
     from queryengine_spark.multimodal.gif import gif_params, make_gif
     from queryengine_spark.multimodal.jpeg import jpeg_params, make_jpeg_dc
     from queryengine_spark.multimodal.png import make_png_rgba, png_rgba_params
+    from queryengine_spark.multimodal.tiff import make_tiff, tiff_params
 
     opaque = b"plain text payload, no container signature"
     rows = [
@@ -105,6 +106,8 @@ def test_extract_features_magic_byte_routing_all_formats(spark):
         (2, "image/gif", make_gif(2), None),
         (3, "image/jpeg", make_jpeg_dc(3), None),
         (4, "text/plain", opaque, len(opaque)),
+        (5, "image/tiff", make_tiff(5), None),  # II, r6
+        (6, "image/tiff", make_tiff(7), None),  # MM + PackBits, r6
     ]
     df = spark.createDataFrame(
         rows, "asset_id long, media_type string, payload binary, n_bytes long"
@@ -115,6 +118,8 @@ def test_extract_features_magic_byte_routing_all_formats(spark):
         2: gif_params(2),
         3: tuple(8 * b for b in jpeg_params(3)),
         4: (16 + h[0] % 64, 16 + h[1] % 64),  # fake path
+        5: tiff_params(5),
+        6: tiff_params(7),
     }
     for extractor in (extract_features, extract_features_arrow):
         got = {

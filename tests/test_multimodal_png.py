@@ -402,3 +402,71 @@ def test_wsum_catches_misplacement():
     h, w = img.shape
     weights = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
     assert (weights * img).sum() != (weights * img[:, ::-1]).sum()
+
+
+def test_gray16_sub_filter_hand_vector():
+    """16-bit Sub filter is BYTEWISE with the left neighbor two bytes
+    back (PNG 6.2): for samples [0x1234, 0x1278], the filtered second
+    sample is (0x12-0x12, 0x78-0x34) = (0x00, 0x44) — the high byte
+    differences never borrow from the low byte. Hand-assembled
+    container, decoded by the real chunk/zlib/unfilter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    import queryengine_spark.multimodal.png as P
+
+    raw = struct.pack(">2H", 0x1234, 0x1278)
+    filtered = P._filter_row(1, raw, bytes(4), bpp=2)  # Sub
+    assert filtered == bytes([0x12, 0x34, 0x00, 0x44])
+    stream = bytes([1]) + filtered
+    ihdr = struct.pack(">II5B", 2, 1, 16, 0, 0, 0, 0)
+    b = (
+        P._SIG
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(stream))
+        + P._chunk(b"IEND", b"")
+    )
+    img = P.decode_png(b)
+    assert img is not None and img.dtype == np.uint16
+    assert img.tolist() == [[0x1234, 0x1278]]
+
+
+def test_gray16_roundtrip_formula():
+    import numpy as np
+
+    import queryengine_spark.multimodal.png as P
+
+    for a in (5, 13, 45, 213):
+        w, h = P.png_rgba_params(a)
+        arr = P.decode_png(P.make_png_gray16(a))
+        assert arr is not None and arr.shape == (h, w) and arr.dtype == np.uint16
+        exp = np.array(
+            [[P._gray16_pixel(a, x, y) for x in range(w)] for y in range(h)]
+        )
+        assert (arr == exp).all(), a
+
+
+def test_gray16_refusals():
+    """16-bit color and interlaced 16-bit are honest refusals."""
+    import struct
+    import zlib
+
+    import queryengine_spark.multimodal.png as P
+
+    def rebuild(depth, ctype, interlace):
+        # one 1×1 row: filter byte + w * bytes-per-pixel of data
+        stream = bytes([0]) + bytes(2 if depth == 16 else 1)
+        ihdr = struct.pack(">II5B", 1, 1, depth, ctype, 0, 0, interlace)
+        return (
+            P._SIG
+            + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(stream))
+            + P._chunk(b"IEND", b"")
+        )
+
+    assert P.decode_png(rebuild(16, 0, 0)) is not None
+    assert P.decode_png(rebuild(16, 6, 0)) is None
+    assert P.decode_png(rebuild(16, 0, 1)) is None
+    assert P.decode_png(rebuild(4, 0, 0)) is None  # sub-byte depths too
