@@ -61,13 +61,21 @@ def write_pq_index(
         candidates, id_col, vec_col, max(sample_n, pq_sample_n, n_cells, ksub), dim=dim
     )
     cents = kmeans_centroids_int(sample[:sample_n], n_cells, train_iters)
-    books = pq_train_codebooks(sample[:pq_sample_n], m, ksub, train_iters, dim)
+    # r6: codebooks train on coarse residuals; codes encode x - c(x)
+    # (FAISS IVFPQ semantics — operators/knn.py::pq_train_codebooks)
+    books = pq_train_codebooks(
+        sample[:pq_sample_n], m, ksub, train_iters, dim, cents=cents
+    )
     assign1 = ivf_cells_int_udf(cents, 1)
-    codes = pq_codes_udf(books)
+    codes = pq_codes_udf(books, cents=cents)
     enc = candidates.select(
         F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
-        codes(F.col(vec_col)).alias("codes"),
+    ).select(
+        "neighbor_id",
+        "cell",
+        codes(F.col("v"), F.col("cell")).alias("codes"),
     ).filter(F.col("codes").isNotNull())
     enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     spark.createDataFrame(
@@ -95,11 +103,15 @@ def append_to_pq_index(
     spark = new_batch.sparkSession
     idx = read_pq_index(spark, path)
     assign1 = ivf_cells_int_udf(idx["cents"], 1)
-    codes = pq_codes_udf(idx["books"])
+    codes = pq_codes_udf(idx["books"], cents=idx["cents"])
     enc = new_batch.select(
         F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
-        codes(F.col(vec_col)).alias("codes"),
+    ).select(
+        "neighbor_id",
+        "cell",
+        codes(F.col("v"), F.col("cell")).alias("codes"),
     ).filter(F.col("codes").isNotNull())
     enc.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
 

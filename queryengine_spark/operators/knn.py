@@ -273,6 +273,7 @@ def kmeans_centroids_int(
     sample: list[tuple[int, list[float]]],
     n_cells: int,
     iters: int,
+    prescaled: bool = False,
 ) -> list[list[int]]:
     """Deterministic, engine-portable Lloyd k-means over a BOUNDED
     sample, entirely in scaled-integer arithmetic.
@@ -291,7 +292,12 @@ def kmeans_centroids_int(
     ``sample`` must arrive sorted by id (init = first ``n_cells``
     points, matching the oracle's ORDER BY id LIMIT n) and must be
     RECTANGULAR — callers guard vector lengths before collecting
-    (:func:`_collect_vec_sample`).
+    (:func:`_collect_vec_sample`). ``prescaled=True`` means the
+    sample vectors are ALREADY in the scaled-integer domain (e.g.
+    coarse-quantizer residuals, r6) and must not be floor-scaled
+    again; the rest of the arithmetic is identical — numpy's ``//``
+    floors toward −inf for the negative sums residuals produce,
+    exactly like the oracle's pymod formulation.
 
     Internally vectorized over int64 numpy (exact — integer argmin
     first-hit = smallest cell id, integer ``//`` floors exactly like
@@ -299,7 +305,13 @@ def kmeans_centroids_int(
     this replaced (pinned by the unchanged oracle hashes)."""
     if not sample:
         return []
-    X = np.array([_int_vec(v) for _sid, v in sample], dtype=np.int64)
+    X = np.array(
+        [
+            v if prescaled else _int_vec(v)
+            for _sid, v in sample
+        ],
+        dtype=np.int64,
+    )
     C = X[: min(n_cells, len(X))].copy()
     k = len(C)
     for _ in range(iters):
@@ -495,12 +507,22 @@ def lsh_bucketed_topk(
     )
 
 
+def _assign_cells_int(X: np.ndarray, cents: list[list[int]]) -> np.ndarray:
+    """Nearest coarse centroid per scaled-int row — integer Σ(x−c)²,
+    ties to the smallest cell id (argmin first-hit), the exact twin
+    of the oracle's row_number() ORDER BY dd, cid assignment."""
+    C = np.asarray(cents, dtype=np.int64)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
 def pq_train_codebooks(
     sample: list[tuple[int, list[float]]],
     m: int,
     ksub: int,
     iters: int,
     dim: int,
+    cents: list[list[int]] | None = None,
 ) -> list[list[list[int]]]:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the space into
@@ -508,9 +530,29 @@ def pq_train_codebooks(
     independent ``ksub``-centroid integer k-means per subspace on the
     same bounded smallest-id sample as the IVF coarse quantizer —
     fully engine-portable (:func:`kmeans_centroids_int`). Returns
-    ``m × ksub × (dim//m)`` scaled-integer centroids."""
+    ``m × ksub × (dim//m)`` scaled-integer centroids.
+
+    ``cents`` (r6): train on coarse-quantizer RESIDUALS x − c(x)
+    instead of raw vectors — FAISS IVFPQ's actual semantics (Jégou
+    §IV.B, "product quantization of residuals"). Residuals of a
+    clustered corpus spread across the codebook's dynamic range
+    where raw cluster members collapse onto near-identical codes, so
+    8-bit codes resolve WITHIN clusters. Residuals are already in
+    the scaled-int domain (difference of scaled ints) — trained with
+    ``prescaled=True``, never double-scaled."""
     assert dim % m == 0, f"dim={dim} must split evenly into m={m} subspaces"
     sub = dim // m
+    if cents is not None:
+        X = np.array([_int_vec(v) for _sid, v in sample], dtype=np.int64)
+        R = X - np.asarray(cents, dtype=np.int64)[_assign_cells_int(X, cents)]
+        sample = [
+            (sid, R[i]) for i, (sid, _v) in enumerate(sample)
+        ]
+        books = []
+        for s in range(m):
+            sliced = [(sid, r[s * sub : (s + 1) * sub]) for sid, r in sample]
+            books.append(kmeans_centroids_int(sliced, ksub, iters, prescaled=True))
+        return books
     books = []
     for s in range(m):
         sliced = [(sid, v[s * sub : (s + 1) * sub]) for sid, v in sample]
@@ -518,27 +560,32 @@ def pq_train_codebooks(
     return books
 
 
-def pq_codes_udf(books: list[list[list[int]]]):
+def pq_codes_udf(
+    books: list[list[list[int]]], cents: list[list[int]] | None = None
+):
     """Arrow UDF: vector → its ``m`` PQ codes (per-subspace nearest
     codebook centroid by scaled-integer squared distance, ties to the
     smallest code — np.argmin first-hit, the exact twin of the SQL
     ``row_number() ORDER BY dd, cid`` rank). NULL for NULL /
-    wrong-dimension vectors."""
+    wrong-dimension vectors.
+
+    With ``cents`` (r6 residual encoding) the UDF takes a second
+    column — the vector's coarse CELL — and encodes the residual
+    x − cents[cell] instead of x, matching codebooks trained with
+    the same ``cents``."""
     B = np.asarray(books, dtype=np.int64)  # (m, ksub, sub)
     m, _ksub, sub = B.shape
     dim = m * sub
+    C = None if cents is None else np.asarray(cents, dtype=np.int64)
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _codes(vs: pd.Series) -> pd.Series:
-        vals = [
-            None if v is None or len(v) != dim else np.asarray(v, dtype=np.float64)
-            for v in vs
-        ]
+    def _encode(vals, cells=None):
         good = [i for i, v in enumerate(vals) if v is not None]
         out: list[np.ndarray | None] = [None] * len(vals)
         if not good:
-            return pd.Series(out)
+            return out
         X = np.floor(np.stack([vals[i] for i in good]) * KMEANS_SCALE).astype(np.int64)
+        if C is not None:
+            X = X - C[np.asarray([cells[i] for i in good], dtype=np.int64)]
         codes = np.empty((len(good), m), dtype=np.int32)
         for s in range(m):
             Xs = X[:, s * sub : (s + 1) * sub]  # (n, sub)
@@ -547,24 +594,57 @@ def pq_codes_udf(books: list[list[list[int]]]):
             codes[:, s] = np.argmin(d2, axis=1)  # first hit = smallest cid
         for j, i in enumerate(good):
             out[i] = codes[j]
-        return pd.Series(out)
+        return out
 
-    return _codes
+    def _clean(vs: pd.Series):
+        return [
+            None if v is None or len(v) != dim else np.asarray(v, dtype=np.float64)
+            for v in vs
+        ]
+
+    if C is None:
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _codes(vs: pd.Series) -> pd.Series:
+            return pd.Series(_encode(_clean(vs)))
+
+        return _codes
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes_resid(vs: pd.Series, cell: pd.Series) -> pd.Series:
+        vals = _clean(vs)
+        cells = [
+            int(c) if c is not None and not pd.isna(c) else -1
+            for c in cell.tolist()
+        ]
+        vals = [
+            None if not 0 <= cells[i] < len(C) else v
+            for i, v in enumerate(vals)
+        ]
+        return pd.Series(_encode(vals, cells=cells))
+
+    return _codes_resid
 
 
-def adc_score_udf(books: list[list[list[int]]]):
+def adc_score_udf(
+    books: list[list[list[int]]], cents: list[list[int]] | None = None
+):
     """Arrow UDF: (query_vec, codes) → approximate cosine via
     asymmetric distance computation: the candidate is reconstructed
     from its codebook centroids, all accumulation happens in exact
     int64 (scaled domain, order-independent), and the final
     dot/(‖q‖·‖recon‖) division is one double op — bit-identical to
-    the SQL twin's SUM-over-dims formulation."""
+    the SQL twin's SUM-over-dims formulation.
+
+    With ``cents`` (r6 residual encoding) the UDF takes the
+    candidate's CELL between the two and reconstructs
+    cents[cell] + decode(codes) — the FAISS IVFPQ reconstruction."""
     B = np.asarray(books, dtype=np.int64)  # (m, ksub, sub)
     m, _ksub, sub = B.shape
     dim = m * sub
+    CC = None if cents is None else np.asarray(cents, dtype=np.int64)
 
-    @F.pandas_udf("double")
-    def _adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+    def _score(qv, codes, cells=None):
         n = len(qv)
         out = np.full(n, np.nan)
         good = [
@@ -574,15 +654,18 @@ def adc_score_udf(books: list[list[list[int]]]):
             and len(qv.iloc[i]) == dim
             and codes.iloc[i] is not None
             and len(codes.iloc[i]) == m
+            and (cells is None or 0 <= cells[i] < len(CC))
         ]
         if not good:
-            return pd.Series(out)
+            return out
         Q = np.floor(
             np.stack([np.asarray(qv.iloc[i], dtype=np.float64) for i in good])
             * KMEANS_SCALE
         ).astype(np.int64)
         K = np.stack([np.asarray(codes.iloc[i], dtype=np.int64) for i in good])
         C = np.concatenate([B[s][K[:, s]] for s in range(m)], axis=1)  # (n, dim)
+        if cells is not None:
+            C = C + CC[np.asarray([cells[i] for i in good], dtype=np.int64)]
         dot = (Q * C).sum(axis=1)
         qn2 = (Q * Q).sum(axis=1)
         rn2 = (C * C).sum(axis=1)
@@ -591,9 +674,25 @@ def adc_score_udf(books: list[list[list[int]]]):
         score = np.where(ok, dot / np.where(ok, denom, 1.0), np.nan)
         for j, i in enumerate(good):
             out[i] = score[j]
-        return pd.Series(out)
+        return out
 
-    return _adc
+    if CC is None:
+
+        @F.pandas_udf("double")
+        def _adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+            return pd.Series(_score(qv, codes))
+
+        return _adc
+
+    @F.pandas_udf("double")
+    def _adc_resid(qv: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        cells = [
+            int(c) if c is not None and not pd.isna(c) else -1
+            for c in cell.tolist()
+        ]
+        return pd.Series(_score(qv, codes, cells=cells))
+
+    return _adc_resid
 
 
 def ivf_pq_topk(
@@ -611,11 +710,23 @@ def ivf_pq_topk(
     dim: int = 64,
     pq_sample_n: int = 1024,
     rerank_r: int | None = None,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the IVF coarse quantizer shortlists
     candidates (``nprobe`` cells per query), PQ codes score them —
     the candidate VECTORS never join into the scoring stage, only
     their ``m`` small-int codes travel.
+
+    ``residual=True`` (r6 default — FAISS IVFPQ's actual semantics,
+    Jégou et al. §IV.B): codebooks train on and codes encode the
+    coarse-quantizer RESIDUAL x − c(x); ADC reconstructs
+    cents[cell] + decode(codes). Within a tight cluster raw vectors
+    collapse onto near-identical codes (the documented 8-bit ranking
+    noise); their residuals spread over the codebook's full dynamic
+    range, so residual ADC resolves intra-cluster order
+    (tests/test_knn_pq.py measures the lift on the clustered
+    corpus). ``residual=False`` keeps the r3 raw-vector encoding for
+    comparison.
 
     This is the memory/shuffle lever that matters at 100 TB: a 64-dim
     float64 vector is 512 bytes, its 16×8-bit PQ code is 16 bytes —
@@ -648,13 +759,23 @@ def ivf_pq_topk(
         candidates, id_col, vec_col, max(sample_n, pq_sample_n, n_cells, ksub), dim=dim
     )
     cents = kmeans_centroids_int(sample[:sample_n], n_cells, train_iters)
-    books = pq_train_codebooks(sample[:pq_sample_n], m, ksub, train_iters, dim)
+    books = pq_train_codebooks(
+        sample[:pq_sample_n], m, ksub, train_iters, dim,
+        cents=cents if residual else None,
+    )
     assign1 = ivf_cells_int_udf(cents, 1)
-    codes = pq_codes_udf(books)
-    c = candidates.select(
+    codes = pq_codes_udf(books, cents=cents if residual else None)
+    with_cell = candidates.select(
         F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
-        codes(F.col(vec_col)).alias("codes"),
+    )
+    c = with_cell.select(
+        "neighbor_id",
+        "cell",
+        (
+            codes(F.col("v"), F.col("cell")) if residual else codes(F.col("v"))
+        ).alias("codes"),
     ).filter(F.col("codes").isNotNull())
     cand_vecs = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -662,6 +783,7 @@ def ivf_pq_topk(
     return pq_score_rank(
         queries, c, cents, books, id_col, vec_col,
         k=k, nprobe=nprobe, rerank_r=rerank_r, cand_vecs=cand_vecs,
+        residual=residual,
     )
 
 
@@ -676,14 +798,16 @@ def pq_score_rank(
     nprobe: int,
     rerank_r: int | None,
     cand_vecs: DataFrame | None,
+    residual: bool = True,
 ) -> DataFrame:
     """Shared IVF-PQ scoring tail: probe-cell join against an
     ALREADY-ENCODED candidate relation (neighbor_id, cell, codes) —
     used by in-session :func:`ivf_pq_topk` and by the persistent-
     index read path (operators/annindex.py), so both produce
-    bit-identical results from the same centroids/codebooks."""
+    bit-identical results from the same centroids/codebooks.
+    ``residual`` must match how ``coded`` was encoded."""
     assignp = ivf_cells_int_udf(cents, nprobe)
-    adc = adc_score_udf(books)
+    adc = adc_score_udf(books, cents=cents if residual else None)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -692,7 +816,12 @@ def pq_score_rank(
     scored = (
         coded.join(q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", adc(F.col("q_vec"), F.col("codes")))
+        .withColumn(
+            "score",
+            adc(F.col("q_vec"), F.col("cell"), F.col("codes"))
+            if residual
+            else adc(F.col("q_vec"), F.col("codes")),
+        )
         # the ADC UDF emits NaN for malformed inputs or a zero-norm
         # reconstruction; Spark sorts NaN GREATEST under DESC, so an
         # unfiltered degenerate code would outrank every real

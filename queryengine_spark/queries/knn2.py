@@ -45,7 +45,8 @@ PQ_KSUB = 256
 PQ_SAMPLE_N = 1024
 RERANK_R = 32
 #: bump when index encode semantics change (invalidates /tmp artifacts)
-_INDEX_VERSION = 1
+#: v2 (r6): residual encoding — codes are PQ(x − c(x)), not PQ(x)
+_INDEX_VERSION = 2
 _SUB = DIM // PQ_M
 
 _KW = dict(
@@ -93,9 +94,19 @@ def _pq_cte() -> str:
         _ivf_cte(),
         f""",
 ps AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_SAMPLE_N}),
-psp AS MATERIALIZED (SELECT vec_id, CAST((d - 1) // {_SUB} AS INT) AS sub, d,
-               CAST(floor(v[d] * 10000.0) AS BIGINT) AS x FROM ps, dims),
-pep AS MATERIALIZED (SELECT vec_id, CAST((d - 1) // {_SUB} AS INT) AS sub, d, x FROM ep),
+-- r6 residual encoding (FAISS IVFPQ): the PQ domain is x − c(x),
+-- the coarse-quantizer residual — training sample and corpus alike
+psp AS MATERIALIZED (SELECT p.vec_id, CAST((p.d - 1) // {_SUB} AS INT) AS sub, p.d,
+               p.x - cc.c AS x
+        FROM (SELECT vec_id, d, CAST(floor(v[d] * 10000.0) AS BIGINT) AS x
+              FROM ps, dims) p
+        JOIN cells ce ON ce.vec_id = p.vec_id
+        JOIN c{KMEANS_ITERS} cc ON cc.cid = ce.cell AND cc.d = p.d),
+pep AS MATERIALIZED (SELECT p.vec_id, CAST((p.d - 1) // {_SUB} AS INT) AS sub, p.d,
+               p.x - cc.c AS x
+        FROM ep p
+        JOIN cells ce ON ce.vec_id = p.vec_id
+        JOIN c{KMEANS_ITERS} cc ON cc.cid = ce.cell AND cc.d = p.d),
 pseed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
           FROM (SELECT vec_id FROM ps ORDER BY vec_id LIMIT {PQ_KSUB})),
 pc0 AS MATERIALIZED (SELECT p.sub, sd.cid, p.d, p.x AS c
@@ -125,8 +136,11 @@ pcodes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
             SELECT vec_id, sub, cid,
                    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
             FROM pdist) WHERE rn = 1),
-rsel AS MATERIALIZED (SELECT co.vec_id, c.d, c.c
-         FROM pcodes co JOIN pc{KMEANS_ITERS} c ON c.sub = co.sub AND c.cid = co.cid),
+rsel AS MATERIALIZED (SELECT co.vec_id, c.d, c.c + cc.c AS c
+         FROM pcodes co
+         JOIN pc{KMEANS_ITERS} c ON c.sub = co.sub AND c.cid = co.cid
+         JOIN cells ce ON ce.vec_id = co.vec_id
+         JOIN c{KMEANS_ITERS} cc ON cc.cid = ce.cell AND cc.d = c.d),
 rnorm AS (SELECT vec_id, SUM(c * c) AS rn2 FROM rsel GROUP BY vec_id),
 qp AS (SELECT vec_id, d, x FROM ep WHERE vec_id % 50 = 0),
 qnorm AS (SELECT vec_id, SUM(x * x) AS qn2 FROM qp GROUP BY vec_id),

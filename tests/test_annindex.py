@@ -34,7 +34,8 @@ def test_roundtrip_preserves_trained_state(spark, sf_dir, tmp_path):
 
     sample = _collect_vec_sample(e, "vec_id", "embedding", 128, dim=64)
     cents = kmeans_centroids_int(sample[:64], 8, 2)
-    books = pq_train_codebooks(sample[:128], 8, 16, 2, 64)
+    # r6: books are trained on coarse residuals (cents=...)
+    books = pq_train_codebooks(sample[:128], 8, 16, 2, 64, cents=cents)
     assert idx["meta"] == {"n_cells": 8, "m": 8, "ksub": 16, "dim": 64}
     assert idx["cents"] == cents
     assert idx["books"] == books
@@ -101,11 +102,13 @@ def test_incremental_append_equals_full_scoring(spark, sf_dir, tmp_path):
     from queryengine_spark.operators.knn import ivf_cells_int_udf, pq_codes_udf
 
     assign1 = ivf_cells_int_udf(idx["cents"], 1)
-    codes = pq_codes_udf(idx["books"])
+    codes = pq_codes_udf(idx["books"], cents=idx["cents"])
     coded = e.select(
         F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
         F.element_at(assign1(F.col("embedding")), 1).alias("cell"),
-        codes(F.col("embedding")).alias("codes"),
+    ).select(
+        "neighbor_id", "cell", codes(F.col("v"), F.col("cell")).alias("codes")
     ).filter(F.col("codes").isNotNull())
     want = pq_score_rank(
         queries, coded, idx["cents"], idx["books"], "vec_id", "embedding",

@@ -70,16 +70,35 @@ def test_pq_rerank_recovers_ivf_recall(clustered):
 
 def test_adc_only_is_noisy_inside_clusters(clustered):
     """Documents the quantization physics the re-rank exists for:
-    8-bit codes cannot rank within a tight cluster, so ADC-only
-    recall must be visibly below the re-ranked path."""
+    8-bit codes over RAW vectors cannot rank within a tight cluster
+    (all members collapse onto near-identical codes), so raw-vector
+    ADC recall must be visibly below the re-ranked path. Pinned to
+    residual=False — the r6 residual default fixes exactly this."""
     q = clustered.filter(F.col("vec_id") % 40 == 0)
     bf = brute_force_topk(q, clustered, "vec_id", "embedding", k=K)
-    adc = ivf_pq_topk(q, clustered, "vec_id", "embedding", k=K, **PQ_KW)
+    adc = ivf_pq_topk(
+        q, clustered, "vec_id", "embedding", k=K, residual=False, **PQ_KW
+    )
     rerank = ivf_pq_topk(
         q, clustered, "vec_id", "embedding", k=K, rerank_r=32, **PQ_KW
     )
     r_adc, r_rer = _recall(bf, adc), _recall(bf, rerank)
     assert r_rer > r_adc, (r_rer, r_adc)
+
+
+def test_residual_encoding_lifts_adc_recall(clustered):
+    """The r6 FAISS-semantics change, measured: PQ over coarse
+    residuals must beat PQ over raw vectors at ADC-only ranking on
+    the clustered corpus — residuals spread across the codebook's
+    dynamic range where raw cluster members collapse together."""
+    q = clustered.filter(F.col("vec_id") % 40 == 0)
+    bf = brute_force_topk(q, clustered, "vec_id", "embedding", k=K)
+    raw = ivf_pq_topk(
+        q, clustered, "vec_id", "embedding", k=K, residual=False, **PQ_KW
+    )
+    res = ivf_pq_topk(q, clustered, "vec_id", "embedding", k=K, **PQ_KW)
+    r_raw, r_res = _recall(bf, raw), _recall(bf, res)
+    assert r_res > r_raw, (r_res, r_raw)
 
 
 def test_pq_matches_ivf_flat_on_same_shortlist(clustered):
