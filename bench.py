@@ -174,6 +174,9 @@ HEADLINE = [
     "multimodal_audio_frames",
     # round-6: baseline TIFF (II/MM, strips, PackBits, WhiteIsZero)
     "multimodal_tiff_decode",
+    # round-6: AVI/MJPEG video frame sampling (RIFF walk + idx1
+    # cross-check + real JPEG decode of sampled frames)
+    "multimodal_video_frames",
     "text_chunk_rag",
     # round-6: perceptual-hash image dedup (decode -> dHash -> banded Hamming)
     "dedup_image_phash",

@@ -481,3 +481,68 @@ QUERIES["multimodal_tiff_decode"] = (
     multimodal_tiff_decode,
     MULTIMODAL_TIFF_DECODE_SQL,
 )
+
+
+from queryengine_spark.multimodal.avi import (  # noqa: E402
+    VID_FM,
+    VID_FPS_BASE,
+    VID_FPS_MOD,
+    VID_NF_BASE,
+    VID_NF_MOD,
+    synthesize_avi,
+    video_frame_stats,
+)
+from queryengine_spark.multimodal.jpeg import (  # noqa: E402
+    DC_MOD,
+    DC_MULT,
+    DC_OFF,
+    JPEG_BH_MOD,
+    JPEG_BW_MOD,
+)
+
+
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """VIDEO frame sampling over real bytes (r6): synthesize an
+    AVI 1.0 / Motion-JPEG container per asset (RIFF hdrl/avih/strl/
+    strh/strf headers, word-aligned '00dc' movi chunks, idx1 index
+    whose offsets are cross-checked against the walked stream), parse
+    it, keep frames f % 2 == 0, and REALLY entropy-decode each
+    sampled frame through the in-repo baseline-JPEG decoder — one row
+    per sampled frame with its exact luminance sum, the container's
+    frame count and the strh-derived fps. The oracle recomputes
+    everything from the synthesis formulas (dims constant per video,
+    frame f's blocks = the shared JPEG DC formula at the derived id
+    a + VID_FM·f), so the hash certifies the RIFF walk, header
+    parsing, frame chunk order, idx1 agreement AND the JPEG decode of
+    every sampled frame. Design doc: multimodal/avi.py."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return video_frame_stats(synthesize_avi(spread(ids)), stride=2)
+
+
+MULTIMODAL_VIDEO_FRAMES_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id,
+               CAST(1 + asset_id % {JPEG_BW_MOD} AS BIGINT) AS bw,
+               CAST(1 + asset_id % {JPEG_BH_MOD} AS BIGINT) AS bh,
+               {VID_NF_BASE} + asset_id % {VID_NF_MOD} AS nf,
+               CAST({VID_FPS_BASE} + asset_id % {VID_FPS_MOD} AS INT) AS fps
+        FROM ids),
+fr AS (SELECT asset_id, bw, bh, nf, fps, CAST(ff.i AS BIGINT) AS f
+       FROM par, unnest(range(0, nf)) ff(i)
+       WHERE ff.i % 2 = 0),
+blk AS (SELECT asset_id, f, bw, bh, nf, fps,
+               ((asset_id + {VID_FM} * f
+                 + 13 * CAST(xx.i AS BIGINT)
+                 + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
+                 + ({DC_OFF}) AS dc
+        FROM fr, unnest(range(0, bw)) xx(i), unnest(range(0, bh)) yy(i))
+SELECT asset_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, fps,
+       CAST(8 * bw AS INT) AS width, CAST(8 * bh AS INT) AS height,
+       CAST(SUM(64 * (dc + 128)) AS BIGINT) AS sum_lum
+FROM blk GROUP BY asset_id, f, nf, fps, bw, bh
+"""
+
+QUERIES["multimodal_video_frames"] = (
+    multimodal_video_frames,
+    MULTIMODAL_VIDEO_FRAMES_SQL,
+)
