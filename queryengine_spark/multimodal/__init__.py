@@ -212,22 +212,77 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Batch image resize over binary payloads (mapInPandas). The
-    pixel work is stubbed (no imaging libs here): the fake emits the
-    payload's md5 digest bytes as the 'resized' image, keeping the
-    Arrow round-trip of binary columns and the output contract real —
-    production swaps `_fake_resize` for PIL's Image.resize."""
+def _decode_rgb(payload: bytes):
+    """Magic-byte dispatch → (h, w, ≥3) uint8 array through every
+    in-repo image decoder (grayscale replicated to RGB), or None for
+    genuinely opaque / out-of-profile payloads."""
+    import numpy as np
 
-    def _fake_resize(payload: bytes) -> bytes:
-        return hashlib.md5(payload).digest()
+    arr = None
+    if payload[:2] == b"BM":
+        from queryengine_spark.multimodal.bmp import decode_bmp
+
+        arr = decode_bmp(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from queryengine_spark.multimodal.png import decode_png
+
+        arr = decode_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from queryengine_spark.multimodal.gif import decode_gif
+
+        arr = decode_gif(payload)
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from queryengine_spark.multimodal.tiff import decode_tiff
+
+        arr = decode_tiff(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from queryengine_spark.multimodal.jpeg import decode_jpeg_dc
+
+        arr = decode_jpeg_dc(payload)
+    if arr is None:
+        return None
+    if arr.ndim == 2:  # grayscale (gray-8 JPEG/PNG; 16-bit scaled down)
+        if arr.dtype != np.uint8:
+            arr = (arr.astype(np.int64) >> 8).astype(np.uint8)
+        arr = np.repeat(arr[..., None], 3, axis=2)
+    return arr[..., :3]
+
+
+def _bmp_bytes(arr) -> bytes:
+    """(h, w, 3) array → complete 24-bit BMP bytes — the writer the
+    decode queries pin byte-by-byte (multimodal/phash.py)."""
+    from queryengine_spark.multimodal.phash import _bmp_container
+
+    h, w = arr.shape[0], arr.shape[1]
+    return _bmp_container(w, h, lambda x, y: tuple(int(v) for v in arr[y, x]))
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch image resize over binary payloads (mapInPandas): REAL
+    decode through the magic-byte dispatch, exact nearest-neighbor
+    resize (multimodal/mediaops.py — the index-arithmetic kernel the
+    oracle certifies), re-encoded as a real 24-bit BMP payload that
+    decodes back to exactly the resized pixels. Payloads no in-repo
+    decoder understands fall back to the deterministic md5-digest
+    fake — the documented opaque-payload path (production would hook
+    PIL there), so the Arrow round-trip and output contract stay real
+    for every input."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from queryengine_spark.multimodal.mediaops import resize_nn
+
         for pdf in batches:
-            out = [
-                _fake_resize(bytes(p)) if p is not None else None
-                for p in pdf["payload"]
-            ]
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                b = bytes(p)
+                rgb = _decode_rgb(b)
+                if rgb is None:  # opaque: deterministic fake
+                    out.append(hashlib.md5(b).digest())
+                    continue
+                out.append(_bmp_bytes(resize_nn(rgb, width, height)))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -250,20 +305,51 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
-    """Frame sampling for video payloads: a 1→N row-expanding
-    mapInPandas (the UDF shape that matters — output rows ≠ input
-    rows). Decode stubbed: fake frames are deterministic byte slices
-    of the payload; production swaps in ffmpeg/pyav keyframe
-    extraction."""
+    """Frame sampling over binary payloads: a 1→N row-expanding
+    mapInPandas (output rows ≠ input rows). REAL extraction (r6):
+    AVI/MJPEG containers yield their sampled '00dc' JPEG frame bytes
+    (each a complete decodable image), animated GIFs yield each
+    sampled frame re-encoded as a 24-bit BMP, still images yield
+    their single frame unchanged — indices 0, every_n, 2·every_n, …
+    capped at ``max_frames``. Payloads nothing decodes keep the
+    deterministic byte-slice fake (the documented opaque fallback),
+    so the row-expansion contract holds for every input."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from queryengine_spark.multimodal.avi import parse_avi
+        from queryengine_spark.multimodal.gif import decode_gif_frames
+
+        step = max(every_n, 1)
+
+        def media_frames(b: bytes) -> list[bytes] | None:
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                parsed = parse_avi(b)
+                return None if parsed is None else parsed[4]
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                dec = decode_gif_frames(b)
+                if dec is None:
+                    return None
+                return [_bmp_bytes(rgb) for _x, _y, rgb, _d in dec[2]]
+            if _decode_rgb(b) is not None:  # still image: one frame
+                return [b]
+            return None
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 if p is None:
                     continue
                 b = bytes(p)
-                n = min(max_frames, max(len(b) // max(every_n, 1), 1))
+                media = media_frames(b)
+                if media is not None:
+                    picked = media[::step][:max_frames]
+                    for i, fb in enumerate(picked):
+                        ids.append(aid)
+                        idxs.append(i)
+                        frames.append(fb)
+                    continue
+                # opaque fallback: deterministic byte slices
+                n = min(max_frames, max(len(b) // step, 1))
                 for i in range(n):
                     ids.append(aid)
                     idxs.append(i)

@@ -127,3 +127,71 @@ def test_extract_features_magic_byte_routing_all_formats(spark):
             for r in extractor(df).collect()
         }
         assert got == want
+
+
+def test_resize_images_real_path(spark):
+    """r6: decodable payloads resize for REAL — the output is a
+    complete 24-bit BMP whose pixels equal resize_nn of the decoded
+    input; opaque payloads keep the md5 fallback (mixed batch)."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.bmp import decode_bmp
+    from queryengine_spark.multimodal.mediaops import resize_nn
+    from queryengine_spark.multimodal.png import decode_png, make_png_rgba
+
+    png = make_png_rgba(7)
+    rows = [(1, "image/png", png, None), (2, "text/plain", b"opaque", 6)]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, n_bytes long"
+    )
+    got = {r["asset_id"]: r for r in resize_images(df, 8, 8).collect()}
+    out = decode_bmp(bytes(got[1]["payload"]))
+    assert out is not None and out.shape == (8, 8, 3)
+    src = decode_png(png)[..., :3]
+    assert (out == resize_nn(src, 8, 8)).all()
+    assert len(bytes(got[2]["payload"])) == 16  # md5 fallback
+
+
+def test_sample_frames_real_media(spark):
+    """r6: AVI yields its sampled JPEG frame bytes verbatim; animated
+    GIF yields BMP-encoded frames whose pixels equal the decoded
+    frames; a still image yields exactly one frame (itself)."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.avi import make_avi, parse_avi, video_params
+    from queryengine_spark.multimodal.bmp import decode_bmp, make_bmp
+    from queryengine_spark.multimodal.gif import (
+        decode_gif_frames,
+        gif_frames,
+        make_gif_animated,
+    )
+
+    avi = make_avi(6)  # nf = 2 + 6 % 4 = 4 frames
+    gif = make_gif_animated(7)  # 2 + 7 % 3 = 3 frames
+    bmp = make_bmp(4)
+    rows = [
+        (1, "video/avi", avi, None),
+        (2, "image/gif", gif, None),
+        (3, "image/bmp", bmp, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, n_bytes long"
+    )
+    got = sample_frames(df, every_n=2, max_frames=4).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["asset_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    # AVI: frames 0 and 2 of 4, verbatim JPEG bytes
+    container_frames = parse_avi(avi)[4]
+    assert sorted(by[1]) == [0, 1]
+    assert by[1][0] == container_frames[0]
+    assert by[1][1] == container_frames[2]
+    # GIF: frames 0 and 2 of 3, BMP-encoded with matching pixels
+    gif_decoded = decode_gif_frames(gif)[2]
+    assert sorted(by[2]) == [0, 1]
+    for out_idx, src_idx in ((0, 0), (1, 2)):
+        arr = decode_bmp(by[2][out_idx])
+        assert arr is not None
+        assert (arr == gif_decoded[src_idx][2]).all(), (out_idx, src_idx)
+    # still image: exactly one frame, the payload itself
+    assert by[3] == {0: bmp}
