@@ -701,3 +701,30 @@ def streaming_anomaly_window(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_append_to_pq_index(
+    vectors: DataFrame, id_col: str, vec_col: str, path: str
+):
+    """Streaming ingestion into the persistent IVF-PQ artifact (r6):
+    each micro-batch is encoded with the artifact's FROZEN training
+    state and appended to the cell-partitioned code relation
+    (operators/annindex.py::append_to_pq_index — FAISS add()
+    semantics; quantizer drift is a reindex decision, never an
+    ingest side effect). foreachBatch is the right shape because the
+    sink is an idempotent-by-content parquet append keyed by the
+    batch's ids, and encoding is a bounded map-side pass — no
+    streaming state at all. Returns the started query
+    (availableNow trigger: drains what exists, then stops)."""
+    from queryengine_spark.operators.annindex import append_to_pq_index
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_pq_index(batch_df, id_col, vec_col, path)
+
+    return (
+        vectors.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )

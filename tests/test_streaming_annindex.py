@@ -1,0 +1,77 @@
+"""Streaming ANN-index ingestion (streaming/::stream_append_to_pq_index):
+micro-batch appends into the persistent IVF-PQ artifact must leave an
+index identical to batch append of the same vectors — FAISS add()
+semantics under Structured Streaming, stream == batch pinned."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from queryengine_spark.operators.annindex import (
+    ivf_pq_topk_from_index,
+    read_pq_index,
+    write_pq_index,
+)
+from queryengine_spark.sources.tables import load_table
+from queryengine_spark.streaming import stream_append_to_pq_index
+
+PARAMS = dict(n_cells=8, m=8, ksub=16, dim=64, sample_n=64, pq_sample_n=128, train_iters=2)
+
+
+def test_stream_append_equals_batch_append(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "embeddings")
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    second = e.filter(F.col("vec_id") % 2 == 1)
+
+    # batch reference: build on the first half, append the second in
+    # one call
+    ref_path = str(tmp_path / "ref")
+    write_pq_index(first, "vec_id", "embedding", ref_path, **PARAMS)
+    from queryengine_spark.operators.annindex import append_to_pq_index
+
+    append_to_pq_index(second, "vec_id", "embedding", ref_path)
+
+    # streaming path: same build, then the second half arrives as
+    # THREE parquet micro-batches through a file-source stream
+    st_path = str(tmp_path / "st")
+    write_pq_index(first, "vec_id", "embedding", st_path, **PARAMS)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    for k in range(3):
+        second.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(second.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(watch)
+    )
+    q = stream_append_to_pq_index(stream, "vec_id", "embedding", st_path)
+    q.awaitTermination()
+
+    ref_codes = sorted(
+        (r["neighbor_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{ref_path}/codes").collect()
+    )
+    st_codes = sorted(
+        (r["neighbor_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{st_path}/codes").collect()
+    )
+    assert st_codes == ref_codes and len(st_codes) == e.count()
+
+    # and queries over the streamed index equal the batch index
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+
+    def rows(path):
+        idx = read_pq_index(spark, path)
+        return sorted(
+            tuple(r)
+            for r in ivf_pq_topk_from_index(
+                queries, idx, "vec_id", "embedding", k=3, nprobe=2
+            ).collect()
+        )
+
+    got, want = rows(st_path), rows(ref_path)
+    assert got == want and len(got) > 0
