@@ -81,6 +81,7 @@ HEADLINE = [
     "multimodal_header_parse",
     "agg_histogram_quantiles",
     "text_pii_scrub",
+    "text_pii_pseudonymize",
     "events_json_extract",
     "udtf_token_windows",
     # round-3 additions: sketch-scored pairs, budget sampling, e2e prep

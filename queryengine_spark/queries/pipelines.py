@@ -706,6 +706,126 @@ FROM scrubbed
 """
 
 
+def text_pii_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """PII PSEUDONYMIZATION (r6) — the sibling of the scrub pass for
+    pipelines that must keep referential integrity: each detected
+    email/IPv4 is replaced by a STABLE token derived from the match's
+    own md5 (``<EMAIL_xxxxxxxx>``), so the same address maps to the
+    same token corpus-wide and joins/dedup/frequency analyses survive
+    redaction. Implemented as a pure-Column fold: distinct matches →
+    ``aggregate(matches, text, (acc, m) -> replace(acc, m, token))``
+    — zero UDF, zero shuffle, row-parallel at any scale. Planting
+    scheme extends the scrub query's: every 7th doc gains an email,
+    every 21st the SHARED address (so cross-document token stability
+    is itself under the oracle hash), every 11th an IPv4. Caveat
+    (documented): literal-fold replacement assumes no match is a
+    substring of another — true for these patterns' plants; a corpus
+    with overlapping matches would sort matches longest-first."""
+    d = t(spark, sf, "documents")
+    planted = d.withColumn(
+        "t2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 21 == 0, F.lit(" mail shared@example.com")
+            )
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            )
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+    def tok(prefix: str):
+        return lambda acc, m: F.replace(
+            acc,
+            m,
+            F.concat(
+                F.lit(f"<{prefix}_"), F.substring(F.md5(m), 1, 8), F.lit(">")
+            ),
+        )
+
+    emails = F.array_distinct(
+        F.regexp_extract_all(F.col("t2"), F.lit(PII_EMAIL), F.lit(0))
+    )
+    step1 = F.aggregate(emails, F.col("t2"), tok("EMAIL"))
+    ips = F.array_distinct(
+        F.regexp_extract_all(step1, F.lit(PII_IPV4), F.lit(0))
+    )
+    pseudo = F.aggregate(ips, step1, tok("IP"))
+    return planted.select(
+        "doc_id",
+        F.size(emails).cast("int").alias("n_emails"),
+        F.try_element_at(
+            F.transform(
+                emails,
+                lambda m: F.concat(
+                    F.lit("<EMAIL_"), F.substring(F.md5(m), 1, 8), F.lit(">")
+                ),
+            ),
+            F.lit(1),
+        ).alias("email_token"),
+        F.length(pseudo).cast("bigint").alias("pseudo_len"),
+        F.md5(pseudo).alias("pseudo_hash"),
+    )
+
+
+PII_PSEUDONYMIZE_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 21 = 0 THEN ' mail shared@example.com'
+                 WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END AS t2
+  FROM documents
+),
+em AS (
+  SELECT doc_id, t2,
+         list_distinct(regexp_extract_all(t2, '{PII_EMAIL}')) AS emails
+  FROM planted
+),
+s1 AS (
+  SELECT doc_id, t2, emails,
+         list_reduce(list_prepend(t2, emails),
+                     (acc, m) -> replace(acc, m,
+                         '<EMAIL_' || substr(md5(m), 1, 8) || '>')) AS p1
+  FROM em
+),
+s2 AS (
+  SELECT doc_id, emails,
+         list_reduce(
+             list_prepend(p1, list_distinct(regexp_extract_all(p1, '{PII_IPV4}'))),
+             (acc, m) -> replace(acc, m,
+                 '<IP_' || substr(md5(m), 1, 8) || '>')) AS p2
+  FROM s1
+)
+SELECT doc_id,
+       CAST(len(emails) AS INT) AS n_emails,
+       CASE WHEN len(emails) >= 1
+            THEN '<EMAIL_' || substr(md5(emails[1]), 1, 8) || '>' END AS email_token,
+       CAST(length(p2) AS BIGINT) AS pseudo_len,
+       md5(p2) AS pseudo_hash
+FROM s2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Token-budget sampling
 # ---------------------------------------------------------------------------
@@ -862,6 +982,7 @@ LLM_PREP_SQL = _llm_prep_sql()
 QUERIES = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
     "text_pii_scrub": (text_pii_scrub, PII_SCRUB_SQL),
+    "text_pii_pseudonymize": (text_pii_pseudonymize, PII_PSEUDONYMIZE_SQL),
     "text_repetition_stats": (text_repetition_stats, REPETITION_SQL),
     "dedup_decontaminate": (dedup_decontaminate, DECON_SQL),
     "dedup_decontaminate_bloom": (dedup_decontaminate_bloom, DECON_BLOOM_SQL),

@@ -123,3 +123,21 @@ def test_funnel_is_monotone(spark, sf_dir):
     r = Q["events_funnel"](spark, sf_dir).collect()[0]
     assert r["n_signup"] >= r["n_click_after_signup"] >= r["n_purchase_after_click"]
     assert r["n_signup"] > 0
+
+
+def test_pii_pseudonymize_tokens_stable_across_docs(spark, sf_dir):
+    """The operator's whole claim: the SAME address maps to the SAME
+    token in every document (referential integrity survives
+    redaction), and different addresses map to different tokens."""
+    from queryengine_spark.queries.pipelines import text_pii_pseudonymize
+
+    out = text_pii_pseudonymize(spark, sf_dir).collect()
+    shared = [r["email_token"] for r in out if r["doc_id"] % 21 == 0 and r["n_emails"]]
+    assert len(shared) >= 2 and len(set(shared)) == 1  # one shared address, one token
+    unique = {
+        r["doc_id"]: r["email_token"]
+        for r in out
+        if r["doc_id"] % 7 == 0 and r["doc_id"] % 21 != 0 and r["n_emails"]
+    }
+    assert len(set(unique.values())) == len(unique)  # distinct addresses differ
+    assert all(t.startswith("<EMAIL_") for t in unique.values())
