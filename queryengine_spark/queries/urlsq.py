@@ -48,6 +48,10 @@ from queryengine_spark.queries.base import t
 DOMAIN_CAP_K = 10
 #: hot-trigram guard, same role as curation2.SRC_MAX_DF_RATIO
 DOM_MAX_DF_RATIO = 0.05
+#: r6: drop trigrams spanning more than this many DOMAINS — bounds
+#: the overlap self-join at DOM_MAX_DOMS² pairs per trigram at any
+#: domain cardinality (see curation_domain_overlap)
+DOM_MAX_DOMS = 16
 
 
 def _s(c: Column) -> Column:
@@ -205,10 +209,17 @@ def curation_domain_overlap(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.queries.pipelines import _word_trigrams
 
     toks = tokenize_ws(F.lower(F.col("text")))
-    with_dom = registered_domain_psl(
-        spread(d).withColumn("host", url_host(F.col("url_raw"))),
-        "host",
-        "domain",
+    # spread AFTER the PSL join, not before: AQE rightly coalesces the
+    # small join output to one partition, which would serialize the
+    # row-multiplying trigram explode onto one core (measured 29 s of
+    # the 37 s r6 regression at sf0.1; 3.4 s spread) — the canonical
+    # fan-out-before-explode placement.
+    with_dom = spread(
+        registered_domain_psl(
+            d.withColumn("host", url_host(F.col("url_raw"))),
+            "host",
+            "domain",
+        )
     )
     tri = (
         with_dom.select(
@@ -231,9 +242,24 @@ def curation_domain_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    ns = ssh.groupBy("domain").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = ssh.select(F.col("domain").alias("domain_a"), "sh")
-    b = ssh.select(F.col("domain").alias("domain_b"), "sh")
+    # r6: DOMAIN-df cap — the join's cost driver is Σ_sh d(sh)² with
+    # d(sh) ≤ |domains|, and the PSL change grew the correct domain
+    # space 11 → 55 on this corpus (37 s uncapped at sf0.1). A
+    # trigram present in more than DOM_MAX_DOMS domains identifies
+    # nothing (it is a domain-space stopword) yet contributes the
+    # quadratic bulk; dropping it bounds pairs-per-trigram at
+    # DOM_MAX_DOMS² at ANY domain cardinality — the standard
+    # df-capping move, now keyed to the join's actual unit. The
+    # frequent set is tiny (trigrams spanning >16 domains), so it
+    # broadcasts into an anti-join.
+    dcnt = ssh.groupBy("sh").agg(F.count(F.lit(1)).alias("dd"))
+    wide = dcnt.filter(F.col("dd") > DOM_MAX_DOMS).select("sh")
+    kept = ssh.join(F.broadcast(wide), "sh", "left_anti").localCheckpoint(
+        eager=False
+    )
+    ns = kept.groupBy("domain").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = kept.select(F.col("domain").alias("domain_a"), "sh")
+    b = kept.select(F.col("domain").alias("domain_b"), "sh")
     shared = (
         a.join(b, "sh")
         .filter(F.col("domain_a") < F.col("domain_b"))
@@ -278,10 +304,14 @@ dfreq AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
 ssh AS (SELECT DISTINCT t.domain, t.sh
         FROM tri t JOIN dfreq f ON t.sh = f.sh, tot
         WHERE f.df <= {DOM_MAX_DF_RATIO} * tot.n_docs),
-ns AS (SELECT domain, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY domain),
+dcnt AS (SELECT sh, count(*) AS dd FROM ssh GROUP BY sh),
+kept AS (SELECT s.domain, s.sh
+         FROM ssh s JOIN dcnt c ON c.sh = s.sh
+         WHERE c.dd <= {DOM_MAX_DOMS}),
+ns AS (SELECT domain, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY domain),
 shared AS (SELECT a.domain AS domain_a, b.domain AS domain_b,
                   CAST(count(*) AS BIGINT) AS n_shared
-           FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.domain < b.domain
+           FROM kept a JOIN kept b ON a.sh = b.sh AND a.domain < b.domain
            GROUP BY a.domain, b.domain)
 SELECT s.domain_a, s.domain_b, s.n_shared, na.n AS n_a, nb.n AS n_b,
        (1000000 * s.n_shared) // least(na.n, nb.n) AS containment_ppm
