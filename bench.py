@@ -160,6 +160,7 @@ HEADLINE = [
     "curation_url_canonicalize",
     "curation_domain_cap",
     "curation_domain_overlap",
+    "curation_robots_filter",
     # round-5: suffix-array exact-substring spans (prefix doubling)
     "curation_repeated_spans_sa",
     # round-6: persistent SRP-LSH index (read path), SA detect→scrub
@@ -179,6 +180,7 @@ HEADLINE = [
     # cross-check + real JPEG decode of sampled frames)
     "multimodal_video_frames",
     "text_chunk_rag",
+    "text_html_extract",
     # round-6: perceptual-hash image dedup (decode -> dHash -> banded Hamming)
     "dedup_image_phash",
 ]

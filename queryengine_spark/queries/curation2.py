@@ -452,3 +452,129 @@ QUERIES = {
         REPEATED_SPANS_SA_SQL,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (r6)
+# ---------------------------------------------------------------------------
+
+#: entities the decoder handles (the HTML4 core set; decode &amp;
+#: LAST so "&amp;lt;" correctly yields the literal "&lt;")
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML main-content extraction (r6) — THE CommonCrawl ingestion
+    step (WARC/WET production is exactly this: markup → clean text):
+    each document is wrapped in a deterministic but realistic HTML
+    page (doctype, head with <style> and <script> payloads that MUST
+    NOT leak into the text, nav/footer boilerplate, entity-encoded
+    punctuation in the body), then extracted back with the standard
+    pure-regex pipeline — (?s) non-greedy script/style block removal,
+    tag stripping, HTML-entity decoding with &amp; decoded LAST, and
+    whitespace collapse. Everything is a Column expression (zero UDF,
+    zero shuffle — whole-stage codegen) with byte-identical RE2/Java
+    regex semantics, so the oracle runs the same extraction and the
+    hash certifies every stage: a script leak, a missed entity or a
+    greedy tag match all change extracted_hash. boilerplate_ratio_ppm
+    = share of the raw page the extractor discarded — the field
+    real pipelines threshold on."""
+    d = t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body { color: #111; }</style>"),
+        F.lit("<script>var js = 1 < 2 && 3 > 2; track('"),
+        F.col("doc_id").cast("string"),
+        F.lit("');</script></head><body><nav>home &amp; about &gt; docs</nav>"),
+        F.lit('<div class="main" id="c'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><h1>Title '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &lt;tail "),
+        F.col("doc_id").cast("string"),
+        F.lit("&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;end</p></div>"),
+        F.lit("<footer>&copy; site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example</footer></body></html>"),
+    )
+    base = d.select("doc_id", html.alias("html"))
+    # two separate block patterns, not one with a backreference —
+    # RE2 (the oracle's engine) has no backrefs, and the split form
+    # parses identically under Java regex
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(F.col("html"), r"(?s)<script[^>]*>.*?</script>", " "),
+        r"(?s)<style[^>]*>.*?</style>",
+        " ",
+    )
+    no_tags = F.regexp_replace(no_blocks, r"<[^>]*>", " ")
+    decoded = no_tags
+    for ent, ch in _HTML_ENTITIES:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    withc = base.select("doc_id", "html", clean.alias("clean"))
+    return withc.select(
+        "doc_id",
+        F.regexp_count(F.col("html"), F.lit(r"<[^>]*>")).cast("int").alias("n_tags"),
+        F.regexp_count(F.col("html"), F.lit(r"&[a-z#0-9]+;"))
+        .cast("int")
+        .alias("n_entities"),
+        F.length("clean").cast("bigint").alias("extracted_len"),
+        F.md5("clean").alias("extracted_hash"),
+        F.expr(
+            "(1000000 * (length(html) - length(clean))) div length(html)"
+        ).alias("boilerplate_ratio_ppm"),
+    )
+
+
+
+HTML_EXTRACT_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>body { color: #111; }</style>'
+         || '<script>var js = 1 < 2 && 3 > 2; track(''' || CAST(doc_id AS VARCHAR)
+         || ''');</script></head><body><nav>home &amp; about &gt; docs</nav>'
+         || '<div class="main" id="c' || CAST(doc_id AS VARCHAR)
+         || '"><h1>Title ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text
+         || ' &lt;tail ' || CAST(doc_id AS VARCHAR)
+         || '&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;end</p></div>'
+         || '<footer>&copy; site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example</footer></body></html>' AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' '),
+                 '(?s)<style[^>]*>.*?</style>', ' '),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+       CAST(len(regexp_extract_all(html, '&[a-z#0-9]+;')) AS INT) AS n_entities,
+       CAST(length(clean) AS BIGINT) AS extracted_len,
+       md5(clean) AS extracted_hash,
+       (1000000 * (length(html) - length(clean))) // length(html)
+         AS boilerplate_ratio_ppm
+FROM cleaned
+"""
+
+QUERIES["text_html_extract"] = (text_html_extract, HTML_EXTRACT_SQL)

@@ -40,6 +40,7 @@ from queryengine_spark.functions.urls import (
     canonicalize_url,
     registered_domain_psl,
     url_host,
+    url_path,
 )
 from queryengine_spark.plans import spread
 from queryengine_spark.queries.base import t
@@ -321,8 +322,143 @@ JOIN ns nb ON s.domain_b = nb.domain
 """
 
 
+# ---------------------------------------------------------------------------
+# Robots-exclusion filtering (r6)
+# ---------------------------------------------------------------------------
+
+
+def curation_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Robots-exclusion URL filtering (r6) — RFC 9309 semantics over
+    a BROADCAST per-host rules relation, the opt-out-compliance pass
+    a crawled training corpus runs before ingestion: each host
+    carries Disallow/Allow path-prefix rules (here synthesized
+    deterministically per host — a real pipeline materializes them
+    from fetched robots.txt into exactly this relation); a URL's
+    verdict is the LONGEST matching rule, with Allow winning
+    length-ties (RFC 9309 §2.2.2). The rules relation is bounded by
+    host cardinality (three rows/host max), so it broadcasts at any
+    corpus size; matching is one broadcast join + a per-doc max —
+    map-side except one partial agg.
+
+    Synthesized rule set per host www.site{s}.dom{d}.{suf}:
+    - Disallow: /p{s % 4}              (every host)
+    - Allow:    /p{s % 4}/x            (only hosts with d % 3 == 0 —
+      the longest-match EXCEPTION that re-allows deeper paths)
+    - Disallow: /                      (full-site opt-out when
+      (s + d) % 13 == 0)
+    The oracle re-derives the rules and the longest-match arithmetic
+    from the same formulas."""
+    d = _with_url(spark, sf)
+    urls = d.select(
+        "doc_id",
+        url_host(F.col("url_raw")).alias("host"),
+        url_path(canonicalize_url(F.col("url_raw"))).alias("path"),
+    )
+    hosts = (
+        urls.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.regexp_extract("host", r"site(\d+)", 1).cast("int").alias("s"),
+            F.regexp_extract("host", r"\.dom(\d+)\.", 1).cast("int").alias("d"),
+        )
+    )
+    dis1 = F.concat(F.lit("/p"), (F.col("s") % 4).cast("string"))
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("disallow").alias("rtype"), dis1.alias("prefix")
+                    ),
+                    F.struct(
+                        F.lit("allow").alias("rtype"),
+                        F.concat(dis1, F.lit("/x")).alias("prefix"),
+                    ),
+                    F.struct(
+                        F.lit("disallow").alias("rtype"),
+                        F.lit("/").alias("prefix"),
+                    ),
+                ),
+                lambda r: F.when(
+                    r["rtype"] == "allow", F.col("d") % 3 == 0
+                ).otherwise(
+                    (r["prefix"] != "/") | ((F.col("s") + F.col("d")) % 13 == 0)
+                ),
+            )
+        ).alias("r"),
+    ).select("host", F.col("r.rtype").alias("rtype"), F.col("r.prefix").alias("prefix"))
+    m = (
+        urls.join(F.broadcast(rules), "host", "left")
+        .withColumn(
+            "mlen",
+            F.when(
+                F.col("prefix").isNotNull()
+                & F.col("path").startswith(F.col("prefix")),
+                F.length("prefix"),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "host", "path")
+        .agg(
+            F.max(
+                F.when(F.col("rtype") == "allow", F.col("mlen")).otherwise(-1)
+            )
+            .cast("int")
+            .alias("best_allow_len"),
+            F.max(
+                F.when(F.col("rtype") == "disallow", F.col("mlen")).otherwise(-1)
+            )
+            .cast("int")
+            .alias("best_dis_len"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "host",
+        "path",
+        F.greatest("best_allow_len", F.lit(-1)).alias("best_allow_len"),
+        F.greatest("best_dis_len", F.lit(-1)).alias("best_dis_len"),
+        # RFC 9309: longest match wins, Allow wins equal-length ties;
+        # no matching rule at all → allowed
+        (F.col("best_dis_len") <= F.col("best_allow_len"))
+        .cast("int")
+        .alias("allowed"),
+    )
+
+
+ROBOTS_FILTER_SQL = f"""
+WITH urls AS (
+  SELECT doc_id,
+         {_HOST_C} AS host,
+         {_PATH_C} AS path,
+         doc_id % 7 AS s, doc_id % 11 AS d
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, host, path,
+         -- Disallow /p(s%4): every host
+         CASE WHEN starts_with(path, '/p' || CAST(s % 4 AS VARCHAR))
+              THEN length('/p' || CAST(s % 4 AS VARCHAR)) ELSE -1 END AS d1,
+         -- Allow /p(s%4)/x: hosts with d % 3 == 0
+         CASE WHEN d % 3 = 0
+                   AND starts_with(path, '/p' || CAST(s % 4 AS VARCHAR) || '/x')
+              THEN length('/p' || CAST(s % 4 AS VARCHAR) || '/x') ELSE -1 END AS a1,
+         -- Disallow /: full-site opt-out when (s + d) % 13 == 0
+         CASE WHEN (s + d) % 13 = 0 THEN 1 ELSE -1 END AS dr
+  FROM urls
+)
+SELECT doc_id, host, path,
+       CAST(a1 AS INT) AS best_allow_len,
+       CAST(greatest(d1, dr) AS INT) AS best_dis_len,
+       CAST(CASE WHEN greatest(d1, dr) <= a1 THEN 1 ELSE 0 END AS INT) AS allowed
+FROM scored
+"""
+
+
 QUERIES = {
     "curation_url_canonicalize": (curation_url_canonicalize, URL_CANONICALIZE_SQL),
     "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),
     "curation_domain_overlap": (curation_domain_overlap, DOMAIN_OVERLAP_SQL),
+    "curation_robots_filter": (curation_robots_filter, ROBOTS_FILTER_SQL),
 }

@@ -190,3 +190,48 @@ def test_cross_source_overlap_matches_reference(spark, sf_dir, docs):
         for r in dedup_cross_source_overlap(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_html_extract_hand_cases(spark, sf_dir):
+    """The three classic extraction traps, via the registered query's
+    own synthesis: (1) script/style payloads must NOT leak (the
+    script contains '<' and '>' that a greedy tag-stripper would
+    mangle); (2) entity decoding order — '&amp;' decodes LAST;
+    (3) whitespace collapse leaves single spaces."""
+    from queryengine_spark.queries.curation2 import text_html_extract
+
+    out = {r["doc_id"]: r for r in text_html_extract(spark, sf_dir).collect()}
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    import hashlib
+    import re
+
+    for doc_id, text in docs[:25]:
+        html = (
+            f"<!DOCTYPE html><html><head><title>Doc {doc_id}</title>"
+            "<style>body { color: #111; }</style>"
+            f"<script>var js = 1 < 2 && 3 > 2; track('{doc_id}');</script>"
+            "</head><body><nav>home &amp; about &gt; docs</nav>"
+            f'<div class="main" id="c{doc_id}"><h1>Title {doc_id}</h1><p>{text}'
+            f" &lt;tail {doc_id}&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;end</p></div>"
+            f"<footer>&copy; site{doc_id % 7}.example</footer></body></html>"
+        )
+        s = re.sub(r"(?s)<script[^>]*>.*?</script>", " ", html)
+        s = re.sub(r"(?s)<style[^>]*>.*?</style>", " ", s)
+        s = re.sub(r"<[^>]*>", " ", s)
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+        ):
+            s = s.replace(ent, ch)
+        s = re.sub(r"\s+", " ", s).strip()
+        r = out[doc_id]
+        assert r["extracted_hash"] == hashlib.md5(s.encode()).hexdigest(), doc_id
+        assert "track(" not in s and "color" not in s  # no script/style leak
+        assert f'<tail {doc_id}>' in s  # entities decoded to literals
+        assert '"quoted"' in s and "'s'" in s
+        assert "  " not in s  # whitespace collapsed
+        assert r["n_tags"] > 10 and r["n_entities"] >= 8

@@ -95,3 +95,50 @@ def test_registered_domain_psl_suffixes(spark):
     for r in got:
         assert r["domain"] == r["want"], (r["host"], r["domain"])
     assert len(got) == len(rows)
+
+
+def test_robots_filter_rfc_semantics(spark, sf_dir):
+    """Independent scalar re-derivation of the RFC 9309 verdicts:
+    longest match wins, Allow wins equal-length ties, no-rule →
+    allowed. Checks every doc against the formulas."""
+    from queryengine_spark.queries.urlsq import curation_robots_filter
+
+    out = {r["doc_id"]: r for r in curation_robots_filter(spark, sf_dir).collect()}
+    assert out
+    saw_allow_exception = saw_root_block = saw_plain_dis = False
+    for doc_id, r in out.items():
+        s, d = doc_id % 7, doc_id % 11
+        path = r["path"]
+        d1 = len(f"/p{s % 4}") if path.startswith(f"/p{s % 4}") else -1
+        a1 = (
+            len(f"/p{s % 4}/x")
+            if d % 3 == 0 and path.startswith(f"/p{s % 4}/x")
+            else -1
+        )
+        dr = 1 if (s + d) % 13 == 0 else -1
+        best_dis = max(d1, dr)
+        assert r["best_allow_len"] == a1, doc_id
+        assert r["best_dis_len"] == best_dis, doc_id
+        assert r["allowed"] == int(best_dis <= a1), doc_id
+        if a1 > best_dis >= 0:
+            saw_allow_exception = True
+        if dr == 1 and r["allowed"] == 0:
+            saw_root_block = True
+        if d1 > a1:
+            saw_plain_dis = True
+    # the corpus must actually exercise all three rule interactions
+    assert saw_allow_exception and saw_root_block and saw_plain_dis
+
+
+def test_robots_filter_plan_broadcast_rules(spark, sf_dir):
+    from queryengine_spark.queries.urlsq import curation_robots_filter
+
+    plan = (
+        curation_robots_filter(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the rules relation
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
