@@ -179,6 +179,8 @@ HEADLINE = [
     # round-6: AVI/MJPEG video frame sampling (RIFF walk + idx1
     # cross-check + real JPEG decode of sampled frames)
     "multimodal_video_frames",
+    "multimodal_scene_cuts",
+    "multimodal_audio_trim",
     "text_chunk_rag",
     "text_html_extract",
     # round-6: perceptual-hash image dedup (decode -> dHash -> banded Hamming)

@@ -546,3 +546,146 @@ QUERIES["multimodal_video_frames"] = (
     multimodal_video_frames,
     MULTIMODAL_VIDEO_FRAMES_SQL,
 )
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-cut detection (r6) — the keyframe-selection pass a video
+    pipeline runs before captioning/embedding: decode EVERY frame of
+    each AVI (stride 1 — cut detection needs consecutive frames),
+    compute the absolute luminance delta between consecutive frames,
+    and emit the cut frame (argmax delta, ties to the earliest
+    frame) with its delta. Integer-exact end-to-end: per-frame sums
+    come from the real JPEG decode, the argmax is a window rank.
+    Videos with one sampled frame emit no row (no pair exists) —
+    nf ≥ 2 by synthesis, so every asset appears. The oracle
+    recomputes the frame sums from the DC formulas and re-derives
+    the same argmax."""
+    from pyspark.sql import Window
+
+    frames = video_frame_stats(synthesize_avi(spread(
+        t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    )), stride=1)
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    deltas = (
+        frames.withColumn("prev", F.lag("sum_lum").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("delta", F.abs(F.col("sum_lum") - F.col("prev")))
+    )
+    rank = Window.partitionBy("asset_id").orderBy(
+        F.col("delta").desc(), F.col("frame_idx").asc()
+    )
+    return (
+        deltas.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "asset_id",
+            "n_frames",
+            F.col("frame_idx").cast("int").alias("cut_frame"),
+            F.col("delta").cast("bigint").alias("max_delta"),
+        )
+    )
+
+
+MULTIMODAL_SCENE_CUTS_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id,
+               CAST(1 + asset_id % {JPEG_BW_MOD} AS BIGINT) AS bw,
+               CAST(1 + asset_id % {JPEG_BH_MOD} AS BIGINT) AS bh,
+               {VID_NF_BASE} + asset_id % {VID_NF_MOD} AS nf
+        FROM ids),
+blk AS (SELECT asset_id, nf, CAST(ff.i AS BIGINT) AS f,
+               ((asset_id + {VID_FM} * CAST(ff.i AS BIGINT)
+                 + 13 * CAST(xx.i AS BIGINT)
+                 + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
+                 + ({DC_OFF}) AS dc
+        FROM par, unnest(range(0, nf)) ff(i),
+             unnest(range(0, bw)) xx(i), unnest(range(0, bh)) yy(i)),
+sums AS (SELECT asset_id, nf, f,
+                CAST(SUM(64 * (dc + 128)) AS BIGINT) AS sum_lum
+         FROM blk GROUP BY asset_id, nf, f),
+deltas AS (SELECT asset_id, nf, f,
+                  abs(sum_lum - lag(sum_lum) OVER (
+                      PARTITION BY asset_id ORDER BY f)) AS delta
+           FROM sums),
+ranked AS (SELECT asset_id, nf, f, delta,
+                  row_number() OVER (PARTITION BY asset_id
+                      ORDER BY delta DESC, f ASC) AS rn
+           FROM deltas WHERE delta IS NOT NULL)
+SELECT asset_id, CAST(nf AS INT) AS n_frames,
+       CAST(f AS INT) AS cut_frame,
+       CAST(delta AS BIGINT) AS max_delta
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["multimodal_scene_cuts"] = (
+    multimodal_scene_cuts,
+    MULTIMODAL_SCENE_CUTS_SQL,
+)
+
+
+#: silence threshold for the trim query: per-window energy Σ s² over
+#: 32 samples of the full int16 sawtooth averages ≈ 32·(2^15)²/3 ≈
+#: 1.1e10; windows below the threshold count as silence
+AF_SILENCE_T = 8_000_000_000
+
+
+def multimodal_audio_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Silence-trim offsets (r6) — the VAD back half over the framed
+    audio: from the per-window energies of the really-decoded
+    waveform, find the first and last NON-silent window (energy ≥
+    AF_SILENCE_T) and report the trim span in windows plus the
+    silent-window count. Assets whose every window is silent emit
+    first/last = NULL with kept_windows 0 — the drop-candidate a
+    pipeline filters on. One extra aggregation over the same decode
+    chain as multimodal_audio_frames."""
+    feats = audio_frame_features(
+        spread(
+            t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+        ),
+        win=AF_WIN,
+    )
+    loud = F.when(F.col("energy") >= AF_SILENCE_T, F.col("win_idx"))
+    return feats.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_windows"),
+        F.min(loud).cast("int").alias("first_loud"),
+        F.max(loud).cast("int").alias("last_loud"),
+        F.sum((F.col("energy") < AF_SILENCE_T).cast("int"))
+        .cast("int")
+        .alias("n_silent"),
+        F.coalesce(
+            F.max(loud) - F.min(loud) + 1, F.lit(0)
+        )
+        .cast("int")
+        .alias("kept_windows"),
+    )
+
+
+MULTIMODAL_AUDIO_TRIM_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id, CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n
+        FROM ids),
+smp AS (SELECT asset_id, CAST(t.i AS BIGINT) AS i,
+               (asset_id * {WAV_A_MULT} + CAST(t.i AS BIGINT) * {WAV_I_MULT})
+                 % {WAV_S_MOD} - 32768 AS s
+        FROM par, unnest(range(0, n)) t(i)),
+wins AS (SELECT asset_id, CAST(i // {AF_WIN} AS INT) AS win_idx,
+                CAST(SUM(s * s) AS BIGINT) AS energy
+         FROM smp GROUP BY asset_id, CAST(i // {AF_WIN} AS INT))
+SELECT asset_id,
+       CAST(COUNT(*) AS INT) AS n_windows,
+       CAST(MIN(CASE WHEN energy >= {AF_SILENCE_T} THEN win_idx END) AS INT)
+         AS first_loud,
+       CAST(MAX(CASE WHEN energy >= {AF_SILENCE_T} THEN win_idx END) AS INT)
+         AS last_loud,
+       CAST(SUM(CASE WHEN energy < {AF_SILENCE_T} THEN 1 ELSE 0 END) AS INT)
+         AS n_silent,
+       CAST(COALESCE(MAX(CASE WHEN energy >= {AF_SILENCE_T} THEN win_idx END)
+                     - MIN(CASE WHEN energy >= {AF_SILENCE_T} THEN win_idx END)
+                     + 1, 0) AS INT) AS kept_windows
+FROM wins GROUP BY asset_id
+"""
+
+QUERIES["multimodal_audio_trim"] = (
+    multimodal_audio_trim,
+    MULTIMODAL_AUDIO_TRIM_SQL,
+)

@@ -634,6 +634,7 @@ WHERE md5(text) NOT IN
 #: \b word boundaries only
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+1-\d{3}-\d{3}-\d{4}"  # NANP-shaped, Java/RE2-portable
 
 
 def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
@@ -746,6 +747,14 @@ def text_pii_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
                     F.lit(".1"),
                 ),
             ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    (F.col("doc_id") % 900 + 100).cast("string"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
         ),
     )
 
@@ -765,10 +774,15 @@ def text_pii_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
     ips = F.array_distinct(
         F.regexp_extract_all(step1, F.lit(PII_IPV4), F.lit(0))
     )
-    pseudo = F.aggregate(ips, step1, tok("IP"))
+    step2 = F.aggregate(ips, step1, tok("IP"))
+    phones = F.array_distinct(
+        F.regexp_extract_all(step2, F.lit(PII_PHONE), F.lit(0))
+    )
+    pseudo = F.aggregate(phones, step2, tok("PHONE"))
     return planted.select(
         "doc_id",
         F.size(emails).cast("int").alias("n_emails"),
+        F.size(phones).cast("int").alias("n_phones"),
         F.try_element_at(
             F.transform(
                 emails,
@@ -793,6 +807,9 @@ WITH planted AS (
                  ELSE '' END
          || CASE WHEN doc_id % 11 = 0
                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +1-555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-0199'
                  ELSE '' END AS t2
   FROM documents
 ),
@@ -815,14 +832,24 @@ s2 AS (
              (acc, m) -> replace(acc, m,
                  '<IP_' || substr(md5(m), 1, 8) || '>')) AS p2
   FROM s1
+),
+s3 AS (
+  SELECT doc_id, emails,
+         list_distinct(regexp_extract_all(p2, '{PII_PHONE}')) AS phones,
+         list_reduce(
+             list_prepend(p2, list_distinct(regexp_extract_all(p2, '{PII_PHONE}'))),
+             (acc, m) -> replace(acc, m,
+                 '<PHONE_' || substr(md5(m), 1, 8) || '>')) AS p2
+  FROM s2
 )
 SELECT doc_id,
        CAST(len(emails) AS INT) AS n_emails,
+       CAST(len(phones) AS INT) AS n_phones,
        CASE WHEN len(emails) >= 1
             THEN '<EMAIL_' || substr(md5(emails[1]), 1, 8) || '>' END AS email_token,
        CAST(length(p2) AS BIGINT) AS pseudo_len,
        md5(p2) AS pseudo_hash
-FROM s2
+FROM s3
 """
 
 
