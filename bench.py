@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_simhash_hamming",
     # r6 fold: brute/LSH/IVF as one tagged composite
     "knn_ann_suite",
+    "knn_filtered",
     "text_doc_profile",
     "pipeline_clean_corpus",
     "q13_order_count_distribution",

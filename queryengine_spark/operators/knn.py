@@ -695,6 +695,63 @@ def adc_score_udf(
     return _adc_resid
 
 
+def ivf_topk_filtered(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    key_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 256,
+    train_iters: int = 3,
+) -> DataFrame:
+    """METADATA-FILTERED IVF-Flat top-k (r6) — the production vector-
+    search shape (per-query attribute predicates): the filter key is
+    composed INTO the index key, so the probe equi-join is on
+    (cell, key) and excluded candidates are never scored — true
+    PRE-filtering, not score-then-discard post-filtering (which
+    starves k when the predicate is selective and wastes compute when
+    it is not). Here the predicate is key equality with the query's
+    own key (e.g. "nearest neighbors with MY label/lang/tenant");
+    at 100 TB (cell, key) is the partition key and the join remains
+    AQE-skew-splittable. Same trained quantizer as :func:`ivf_topk`.
+    Output: (query_id, neighbor_id, cosine, rn)."""
+    sample = _collect_vec_sample(candidates, id_col, vec_col, max(sample_n, n_cells))
+    cents = kmeans_centroids_int(sample, n_cells, train_iters)
+    assign1 = ivf_cells_int_udf(cents, 1)
+    assignp = ivf_cells_int_udf(cents, nprobe)
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(key_col).alias("fkey"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(key_col).alias("fkey"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(q, ["cell", "fkey"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+    )
+    top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    )
+    return top.select(
+        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     candidates: DataFrame,

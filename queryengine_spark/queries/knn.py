@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from queryengine_spark.operators.knn import (
     brute_force_topk,
     ivf_topk,
+    ivf_topk_filtered,
     sql_srp_bucket,
     srp_bucketed_topk,
     srp_planes,
@@ -339,8 +340,91 @@ FROM ({KNN_IVF_SQL})
 """
 
 
+def knn_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-FILTERED vector search (r6) — the production shape
+    every vector store leads with (per-query attribute predicates:
+    tenant / lang / category): top-k same-LABEL neighbors via
+    :func:`ivf_topk_filtered`, where the label is composed INTO the
+    (cell, key) index key so excluded candidates are never scored —
+    true pre-filtering. Per-query recall@k vs the label-filtered
+    brute force rides along (the folded-recall convention)."""
+    from queryengine_spark.functions.similarity import cosine_similarity
+    from queryengine_spark.operators.topk import grouped_topk
+
+    e = t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    ann = ivf_topk_filtered(
+        queries, e, "vec_id", "embedding", "label",
+        k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE,
+        sample_n=SAMPLE_N, train_iters=KMEANS_ITERS,
+    )
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("fkey"),
+    )
+    cs = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("fkey"),
+    )
+    bf = grouped_topk(
+        qs.join(cs, "fkey")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec")),
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        K_LSH,
+    )
+    return _with_recall(ann, bf)
+
+
+KNN_FILTERED_SQL = f"""{_ivf_cte()},
+lbl AS (SELECT vec_id, label FROM embeddings),
+fscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='qe.v', b='ce.v')} AS cos
+  FROM qcells q JOIN cells c ON q.cell = c.cell
+  JOIN lbl ql ON ql.vec_id = q.vec_id
+  JOIN lbl cl ON cl.vec_id = c.vec_id AND cl.label = ql.label
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+  WHERE c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id,
+         floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+  FROM fscored
+  QUALIFY rn <= {K_LSH}
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
+    FROM (SELECT ee.vec_id, ee.v, l.label FROM e ee
+          JOIN lbl l ON l.vec_id = ee.vec_id WHERE ee.vec_id % 50 = 0) q
+    JOIN (SELECT ee.vec_id, ee.v, l.label FROM e ee
+          JOIN lbl l ON l.vec_id = ee.vec_id) e2
+      ON e2.label = q.label AND e2.vec_id <> q.vec_id
+  ) WHERE rn <= {K_LSH}
+),
+hits AS (
+  SELECT bf.query_id, COUNT(*) AS n_found
+  FROM bf WHERE EXISTS (SELECT 1 FROM topk
+                        WHERE topk.query_id = bf.query_id
+                          AND topk.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.query_id
+)
+{_RECALL_TAIL}
+"""
+
+
 # r6 fold: knn_bruteforce / knn_lsh / knn_ivf merged into the tagged
 # composite above (one certification slot; every leg still executes).
 QUERIES = {
+    "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "knn_ann_suite": (knn_ann_suite, KNN_ANN_SUITE_SQL),
 }

@@ -65,3 +65,38 @@ def test_embedding_neardup_lsh_skips_bad_rows(spark, sf_dir):
     assert all(
         r["id_a"] < 10_000_001 and r["id_b"] < 10_000_001 for r in rows
     )
+
+
+def test_knn_filtered_prefilter_property(spark, sf_dir):
+    """Every returned neighbor must share the query's label (the
+    pre-filter is part of the join key, so a violation is
+    impossible-by-plan — this pins it behaviorally), and the folded
+    recall vs the label-filtered brute force must be positive."""
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.queries.knn import knn_filtered
+    from queryengine_spark.sources.tables import load_table
+
+    out = knn_filtered(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = (
+        out.join(e.withColumnRenamed("vec_id", "query_id")
+                  .withColumnRenamed("label", "q_label"), "query_id")
+        .join(e.withColumnRenamed("vec_id", "neighbor_id")
+               .withColumnRenamed("label", "n_label"), "neighbor_id")
+    )
+    assert j.count() > 0
+    assert j.filter(F.col("q_label") != F.col("n_label")).count() == 0
+    mean_recall = j.select("query_id", "recall").distinct().agg(
+        F.avg("recall")
+    ).collect()[0][0]
+    assert mean_recall > 0.2, mean_recall
+
+
+def test_knn_filtered_plan(spark, sf_dir):
+    from queryengine_spark.queries.knn import knn_filtered
+
+    plan = (
+        knn_filtered(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
