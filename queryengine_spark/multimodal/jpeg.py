@@ -15,13 +15,16 @@ Since round 5 the AC run/size grammar is decoded too
 (``decode_jpeg_coeffs``): ZRL 16-zero runs, EOB, implicit block end
 after a coefficient at zigzag 63, zigzag→natural placement, and
 exact integer dequantization — the full baseline sequential entropy
-surface for single-component scans. What remains RESTRICTED is only
-the PIXEL domain: the 8×8 IDCT collapses exactly just for DC-only
-scans (every pixel = round(dc·q/8) + 128, integer-exact when q ≡ 0
-mod 8), so ``decode_jpeg_dc`` still refuses any nonzero AC rather
-than approximate a float IDCT — AC-bearing scans get exact pre-IDCT
-COEFFICIENT statistics instead, which an integer formula oracle can
-certify. Since round 6 the MCU geometry is general: per-component
+surface for single-component scans. Since round 7 the PIXEL domain
+is general too: ``idct8_fixed`` is a pinned FIXED-POINT integer IDCT
+(spec in its section header — scaled-integer basis, int64
+accumulation, arithmetic-shift rounding, within ±1 of the exact real
+IDCT) whose arithmetic the DuckDB oracle replicates in BIGINT, so
+``decode_jpeg_pixels`` serves exact certified pixels for AC-bearing
+sequential AND single-component progressive streams; the legacy
+``decode_jpeg_dc`` collapse profile (every pixel = dc + 128 when
+q ≡ 0 mod 8) survives as a strict special case the fixed-point path
+reproduces bit-exactly. Since round 6 the MCU geometry is general: per-component
 sampling factors h, v ∈ 1..4 (4:4:4, 4:2:0 — the dominant
 real-world baseline profile — 4:2:2, 4:4:0, 4:1:1) with interleaved
 multi-block MCUs, DRI restart intervals are honored (scan split at
@@ -1677,6 +1680,80 @@ def decode_jpeg_coeffs_prog3(
     ]
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point integer IDCT — the exact pixel path for AC-bearing scans (r7)
+# ---------------------------------------------------------------------------
+#
+# The pixel profile historically refused nonzero AC because an
+# IEEE-float IDCT is not engine-portable: the DuckDB oracle could
+# never replicate its rounding bit-for-bit. The r7 path removes the
+# refusal by pinning the IDCT *specification* to pure integer
+# arithmetic that BOTH engines implement identically:
+#
+#   B[u][t]    = floor(2^15 · C(u) · cos((2t+1)·u·π/16) / 2 + 0.5)
+#                (C(0) = 1/√2, else 1 — the 1/2 folds the T.81 A.3.3
+#                leading 1/4 into the two separable passes)
+#   acc(x, y)  = Σ_u Σ_v F[v][u] · B[u][x] · B[v][y]      (int64)
+#   pixel(x,y) = clip(128 + ((acc + 2^29) >> 30), 0, 255)
+#
+# |F| ≤ 12300 (the 16-bit-DQT leg) bounds |acc| < 2^46, so the sum
+# never overflows int64 and — critically for the oracle — survives a
+# float64 round-trip exactly, letting DuckDB evaluate the shift as
+# floor((acc + 2^29) / 2^30.0) in BIGINT-exact arithmetic. The
+# arithmetic right shift IS floor division, matching numpy's `>>` on
+# negative int64. Quality: within ±1 of the exact real IDCT across
+# the full planted coefficient range (pinned by property test), and
+# bit-exact dc+128 on DC-only blocks for |dc| ≤ 12195, so the legacy
+# DC-collapse profile is a strict special case. The table below is a
+# LITERAL (not computed at import) so a platform libm can never skew
+# the decode; tests re-derive it from the formula.
+
+IDCT_SHIFT = 15
+IDCT_BIAS = 1 << (2 * IDCT_SHIFT - 1)
+IDCT_B = (
+    (11585, 11585, 11585, 11585, 11585, 11585, 11585, 11585),
+    (16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069),
+    (15137, 6270, -6270, -15137, -15137, -6270, 6270, 15137),
+    (13623, -3196, -16069, -9102, 9102, 16069, 3196, -13623),
+    (11585, -11585, -11585, 11585, 11585, -11585, -11585, 11585),
+    (9102, -16069, 3196, 13623, -13623, -3196, 16069, -9102),
+    (6270, -15137, 15137, -6270, -6270, 15137, -15137, 6270),
+    (3196, -9102, 13623, -16069, 16069, -13623, 9102, -3196),
+)
+_IDCT_B_NP = np.array(IDCT_B, dtype=np.int64)
+
+
+def idct8_fixed(coefs: np.ndarray) -> np.ndarray:
+    """(n, 64) natural-order DEQUANTIZED int64 coefficients →
+    (n, 8, 8) int64 pixels in [0, 255] via the pinned fixed-point
+    IDCT spec above. Natural index = 8·v + u (v vertical / row
+    frequency, u horizontal / column), so the einsum reads
+    F[v][u]·B[u][x]·B[v][y] exactly as specified."""
+    c = coefs.reshape(-1, 8, 8)
+    acc = np.einsum("nvu,ux,vy->nyx", c, _IDCT_B_NP, _IDCT_B_NP)
+    return np.clip(((acc + IDCT_BIAS) >> (2 * IDCT_SHIFT)) + 128, 0, 255)
+
+
+def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
+    """Full PIXEL decode for any single-component stream the exact
+    coefficient decoders accept — baseline sequential (incl. DRI
+    restarts and 16-bit DQTs) AND progressive SOF2 — through the
+    fixed-point integer IDCT. Returns an (h, w) uint8 image or None.
+    This closes the AC pixel refusal: only the 3-component
+    progressive profile still lacks a pixel path (its subsampled
+    chroma would need an upsampling filter we refuse to invent)."""
+    co = decode_jpeg_coeffs(b)
+    if co is None:
+        co = decode_jpeg_coeffs_prog(b)
+    if co is None:
+        return None
+    w_, h, coefs = co
+    bw, bh = (w_ + 7) // 8, (h + 7) // 8
+    px = idct8_fixed(coefs)
+    img = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return img[:h, :w_].astype(np.uint8)
+
+
 JPEG_ASSET_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -1850,15 +1927,19 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                 w, h, coefs = co
                 out["width"].append(w)
                 out["height"].append(h)
-                img = decode_jpeg_dc(b)
-                if img is None:  # AC-bearing: pixel profile refused
-                    for k in ("n_px", "sum_lum", "min_lum", "max_lum"):
-                        out[k].append(None)
-                else:
-                    out["n_px"].append(w * h)
-                    out["sum_lum"].append(int(img.astype(np.int64).sum()))
-                    out["min_lum"].append(int(img.min()))
-                    out["max_lum"].append(int(img.max()))
+                # r7: the pixel profile runs the pinned fixed-point
+                # integer IDCT on EVERY single-component payload —
+                # AC-bearing scans included. On DC-only blocks it
+                # reproduces dc + 128 bit-exactly, so the legacy
+                # collapse profile is a strict special case.
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                px = idct8_fixed(coefs)
+                img = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                img = img.reshape(bh * 8, bw * 8)[:h, :w]
+                out["n_px"].append(w * h)
+                out["sum_lum"].append(int(img.sum()))
+                out["min_lum"].append(int(img.min()))
+                out["max_lum"].append(int(img.max()))
                 ac = np.delete(coefs, 0, axis=1)
                 out["n_blocks"].append(int(coefs.shape[0]))
                 out["sum_dc_dq"].append(int(coefs[:, 0].sum()))

@@ -465,14 +465,30 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
     DC_MOD,
     DC_MULT,
     DC_OFF,
+    IDCT_B,
+    IDCT_BIAS,
+    IDCT_SHIFT,
     JPEG_BH_MOD,
     JPEG_BW_MOD,
     QUANT_AC,
     QUANT_AC16,
     QUANT_DC,
     YCC_C_MULT,
+    ZIGZAG_NAT,
     jpeg_full_stats,
     synthesize_jpeg_mixed,
+)
+
+#: the fixed-point IDCT basis as SQL VALUES rows (u, tt, bb) — single
+#: source of truth is the IDCT_B literal in multimodal/jpeg.py, so a
+#: decoder/oracle constant skew is impossible by construction
+_IDCT_B_ROWS = ", ".join(
+    f"({u}, {t}, {IDCT_B[u][t]})" for u in range(8) for t in range(8)
+)
+#: planted zigzag positions → (horizontal u, vertical v) natural
+#: frequencies, derived from the SAME zigzag table the decoder uses
+_ZZ_UV_ROWS = ", ".join(
+    f"({p}, {ZIGZAG_NAT[p] % 8}, {ZIGZAG_NAT[p] // 8})" for p in AC_POSITIONS
 )
 
 
@@ -492,16 +508,23 @@ def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     YCbCr 4:1:1 plain / with DRI (r6 — 4×1 luma sampling exercising
     sampling factor FOUR); odd asset_ids carry grayscale AC-BEARING
     scans (r5) — ZRL runs, EOB, implicit block ends — decoded to
-    exact integer pre-IDCT coefficient statistics, with the pixel
-    columns honestly NULL (a float IDCT is never approximated); of
+    exact integer pre-IDCT coefficient statistics AND (r7) exact
+    PIXEL statistics through the pinned fixed-point integer IDCT
+    (multimodal/jpeg.py::idct8_fixed — the oracle replicates the
+    identical BIGINT arithmetic via the inlined IDCT_B basis, so the
+    former float-IDCT pixel refusal is gone); of
     the odd legs, % 16 == 9 ships its quant table as a 16-BIT Pq=1
-    DQT whose AC quantizer (300) cannot fit an 8-bit table (r6),
+    DQT whose AC quantizer (300) cannot fit an 8-bit table (r6) and
+    clamps pixels at both rails,
     % 16 == 1 is PROGRESSIVE (SOF2: spectral selection + successive
     approximation + EOBn runs, decoding bit-identically to the
-    sequential leg — r6), and % 16 == 11 is 3-COMPONENT 4:2:0
+    sequential leg — r6; pixels included since r7), and % 16 == 11 is
+    3-COMPONENT 4:2:0
     PROGRESSIVE (interleaved DC scans, per-component AC band scans,
     chroma pure-EOB-run scans; coefficient stats summed across
-    components — r6). See multimodal/jpeg.py for the
+    components — r6; the ONE leg whose pixel columns stay NULL — its
+    subsampled chroma would need an upsampling filter we refuse to
+    invent). See multimodal/jpeg.py for the
     real-vs-restricted contract and the hand-assembled bitstreams
     that pin every decode path."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
@@ -550,6 +573,46 @@ acsums AS (SELECT asset_id,
                   CAST(SUM(q * abs(v)) AS BIGINT) AS sum_abs_ac_dq,
                   CAST(COUNT(*) AS BIGINT) AS n_nonzero_ac
            FROM acv GROUP BY asset_id),
+-- r7: exact pixel stats for EVERY single-component AC-bearing leg
+-- (sequential, 16-bit DQT, progressive — everything but %16=11) via
+-- the pinned fixed-point integer IDCT: acc = Σ F·B[u][x]·B[v][y]
+-- over the planted spectrum, pixel = clip(128 + ((acc+2^29) >> 30)).
+-- idctb inlines the decoder's IDCT_B literal; zzuv maps each planted
+-- zigzag position to its (horizontal u, vertical v) frequencies
+idctb AS (SELECT * FROM (VALUES {_IDCT_B_ROWS}) AS b(u, tt, bb)),
+zzuv AS (SELECT * FROM (VALUES {_ZZ_UV_ROWS}) AS z(p, uu, vv)),
+pxterm AS (
+  SELECT d.asset_id, xx.i AS bx, yy.i AS by, 0 AS uu, 0 AS vv,
+         CAST({QUANT_DC} * (((d.asset_id + 13 * CAST(xx.i AS BIGINT)
+                + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
+                + ({DC_OFF})) AS BIGINT) AS f
+  FROM dims d, unnest(range(0, d.bw)) xx(i), unnest(range(0, d.bh)) yy(i)
+  WHERE d.asset_id % 2 = 1 AND d.asset_id % 16 <> 11
+  UNION ALL
+  SELECT d.asset_id, xx.i AS bx, yy.i AS by, zz.uu, zz.vv,
+         CAST((CASE WHEN d.asset_id % 16 = 9 THEN {QUANT_AC16}
+                    ELSE {QUANT_AC} END)
+              * (CASE WHEN v0 >= 0 THEN v0 + 1 ELSE v0 END) AS BIGINT) AS f
+  FROM dims d, unnest(range(0, d.bw)) xx(i), unnest(range(0, d.bh)) yy(i),
+       zzuv zz,
+       LATERAL (SELECT (d.asset_id + 7 * CAST(xx.i AS BIGINT)
+                        + 11 * CAST(yy.i AS BIGINT)
+                        + 53 * CAST(zz.p AS BIGINT)) * {AC_MULT}
+                       % {AC_MOD} - {AC_SHIFT} AS v0) qq
+  WHERE d.asset_id % 2 = 1 AND d.asset_id % 16 <> 11),
+pxv AS (
+  SELECT t.asset_id,
+         GREATEST(0, LEAST(255, 128 + CAST(floor(
+             (SUM(t.f * bu.bb * bv.bb) + {IDCT_BIAS})
+             / {(1 << (2 * IDCT_SHIFT))}.0) AS BIGINT))) AS lum
+  FROM pxterm t
+  JOIN idctb bu ON bu.u = t.uu
+  JOIN idctb bv ON bv.u = t.vv
+  GROUP BY t.asset_id, t.bx, t.by, bu.tt, bv.tt),
+acpix AS (SELECT asset_id, CAST(SUM(lum) AS BIGINT) AS sum_lum,
+                 CAST(MIN(lum) AS INT) AS min_lum,
+                 CAST(MAX(lum) AS INT) AS max_lum
+          FROM pxv GROUP BY asset_id),
 blk3 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
                ((d.asset_id + 13 * CAST(xx.i AS BIGINT)
                  + 31 * CAST(yy.i AS BIGINT)
@@ -596,17 +659,20 @@ SELECT s.asset_id,
                         ELSE 8 END AS INT) AS width,
        CAST(s.bh * CASE WHEN s.asset_id % 16 IN (4, 6, 11) THEN 16 ELSE 8 END
             AS INT) AS height,
-       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+       CASE WHEN s.asset_id % 16 = 11 THEN NULL
             WHEN s.asset_id % 8 IN (4, 6)
             THEN CAST(s.bw * s.bh * 256 AS BIGINT)
             ELSE CAST(s.bw * s.bh * 64 AS BIGINT) END AS n_px,
-       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+       CASE WHEN s.asset_id % 16 = 11 THEN NULL
+            WHEN s.asset_id % 2 = 1 THEN p.sum_lum
             WHEN s.asset_id % 8 IN (4, 6) THEN z.sum_lum
             ELSE s.sum_lum END AS sum_lum,
-       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+       CASE WHEN s.asset_id % 16 = 11 THEN NULL
+            WHEN s.asset_id % 2 = 1 THEN p.min_lum
             WHEN s.asset_id % 8 IN (4, 6) THEN z.min_lum
             ELSE s.min_lum END AS min_lum,
-       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+       CASE WHEN s.asset_id % 16 = 11 THEN NULL
+            WHEN s.asset_id % 2 = 1 THEN p.max_lum
             WHEN s.asset_id % 8 IN (4, 6) THEN z.max_lum
             ELSE s.max_lum END AS max_lum,
        CAST(CASE WHEN s.asset_id % 8 = 2 THEN 3 * s.bw * s.bh
@@ -631,6 +697,7 @@ FROM dcsums s
 LEFT JOIN acsums a ON s.asset_id = a.asset_id
 LEFT JOIN ycc y ON s.asset_id = y.asset_id
 LEFT JOIN y420 z ON s.asset_id = z.asset_id
+LEFT JOIN acpix p ON s.asset_id = p.asset_id
 """
 
 

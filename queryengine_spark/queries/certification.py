@@ -76,8 +76,11 @@ VOID: dict[str, int] = {
     "fuzzy_edit_join": 4,
     # round 6: residue map %4 -> %8 — ids ≡ 4, 6 (mod 8) now carry
     # YCbCr 4:2:0 scans (≡ 6 with DRI restart markers); oracle gained
-    # the blk420/y420 legs:
-    "multimodal_jpeg_decode": 5,
+    # the blk420/y420 legs; round 7: the AC pixel refusal closed —
+    # every single-component leg now reports exact pixel stats via
+    # the pinned fixed-point integer IDCT (oracle gained the
+    # idctb/pxterm/pxv/acpix legs):
+    "multimodal_jpeg_decode": 6,
     # round 6: residue map %2 -> %4 — ids ≡ 2 (mod 4) now carry
     # paletted (PLTE) payloads, ≡ 3 Adam7-interlaced; schema gained
     # the position-weighted wsum column:
