@@ -92,13 +92,17 @@ def center_crop(arr: np.ndarray) -> np.ndarray:
 
 def image_ops_stats(assets: DataFrame) -> DataFrame:
     """(asset_id, payload) → per-asset resize + crop channel sums over
-    really-decoded pixels (magic-byte dispatch: BMP / PNG / GIF).
+    really-decoded pixels (magic-byte dispatch: BMP / PNG / GIF /
+    TIFF / JPEG — the latter two since r7, JPEG through the
+    fixed-point-IDCT pixel path, grayscale replicated to RGB).
     Undecodable payloads are dropped, mirroring dhash_relation."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from queryengine_spark.multimodal.bmp import decode_bmp
         from queryengine_spark.multimodal.gif import decode_gif
+        from queryengine_spark.multimodal.jpeg import decode_jpeg_pixels
         from queryengine_spark.multimodal.png import decode_png
+        from queryengine_spark.multimodal.tiff import decode_tiff
 
         for pdf in batches:
             rows = []
@@ -111,6 +115,12 @@ def image_ops_stats(assets: DataFrame) -> DataFrame:
                     arr = decode_png(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     arr = decode_gif(b)
+                elif b[:2] in (b"II", b"MM"):
+                    arr = decode_tiff(b)
+                elif b[:2] == b"\xff\xd8":
+                    gray = decode_jpeg_pixels(b)
+                    if gray is not None:
+                        arr = np.repeat(gray[:, :, None], 3, axis=2)
                 if arr is None or arr.ndim != 3 or arr.shape[2] < 3:
                     continue
                 rgb = arr[..., :3].astype(np.int64)

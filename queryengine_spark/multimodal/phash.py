@@ -9,8 +9,10 @@ right neighbour) → banded Hamming search for pairs within distance d.
 
 Everything here is EXACT integer arithmetic so the DuckDB oracle can
 recompute the fingerprints from the pixel FORMULA while Spark computes
-them from really-decoded container bytes (mixed BMP / PNG, routed by
-magic numbers through the in-repo decoders):
+them from really-decoded container bytes (mixed BMP / PNG / JPEG /
+TIFF since r7 — web image corpora are mostly JPEG — routed by magic
+numbers through the in-repo decoders; JPEG through the fixed-point
+integer IDCT pixel path):
 
 - luma      = 299*R + 587*G + 114*B         (Rec. 601 x1000, integer)
 - cell of x = x*9 // w   (cols, 0..8)        exact area partition
@@ -58,6 +60,27 @@ PH_G = (5, 13, 7)
 PH_B = (3, 17, 11)
 PH_DELTA_BASE, PH_DELTA_MOD = 40, 50  # delta = 40 + gid % 50
 
+#: JPEG leg (r7): grayscale DC-only, 9×8 blocks of 8×8 px (72×64) so
+#: every dHash grid cell is EXACTLY one JPEG block — the planted
+#: perturbation shifts one block's DC, hence one cell, hence ≤ 2
+#: difference bits, same pigeonhole bound as the RGB legs. The dc
+#: range and delta are chosen so dc + delta < 128: no pixel ever
+#: clamps, keeping the oracle's cell sums linear in the formula.
+PHJ_BW, PHJ_BH = 9, 8  # block grid == dHash grid
+PHJ_DC = (3, 5, 7)  # dc = (3·bx + 5·by + 7·gid) % 150 - 75
+PHJ_DC_MOD, PHJ_DC_OFF = 150, -75
+PHJ_DELTA_BASE, PHJ_DELTA_MOD = 20, 30  # delta_j = 20 + gid % 30
+
+
+def phj_dc(gid: int, variant: int, bx: int, by: int) -> int:
+    """JPEG-leg DC of block (bx, by); the odd variant shifts block
+    (i0, j0) by delta_j (no wrap — clamp-free by construction)."""
+    _, _, i0, j0, _ = phash_params(gid)
+    dc = (PHJ_DC[0] * bx + PHJ_DC[1] * by + PHJ_DC[2] * gid) % PHJ_DC_MOD + PHJ_DC_OFF
+    if variant == 1 and bx == i0 and by == j0:
+        dc += PHJ_DELTA_BASE + gid % PHJ_DELTA_MOD
+    return dc
+
 
 def phash_params(gid: int) -> tuple[int, int, int, int, int]:
     """(w, h, i0, j0, delta) for a pair group."""
@@ -81,11 +104,14 @@ def _pixel(gid: int, variant: int, x: int, y: int) -> tuple[int, int, int]:
 
 
 def make_phash_asset(asset_id: int) -> bytes:
-    """Container bytes for one asset: even gid → 24-bit BMP, odd gid →
-    RGBA PNG (alpha 255 — ignored by luma), both rendering the SAME
-    pixel formula so the oracle needs one arithmetic branch, not one
-    per container. Reuses the spec-valid writers the decode queries
-    already pin byte-by-byte."""
+    """Container bytes for one asset, routed by gid % 4 (r7 widened
+    the corpus from BMP/PNG to the full decoder matrix): 0 → 24-bit
+    BMP, 1 → RGBA PNG (alpha 255 — ignored by luma), 3 → uncompressed
+    RGB TIFF — all three rendering the SAME RGB pixel formula so the
+    oracle needs one arithmetic branch per FAMILY, not per container —
+    and 2 → grayscale DC-only JPEG (web corpora are mostly JPEG; the
+    dHash grid aligns block-exactly, see phj_dc). Reuses the
+    spec-valid writers the decode queries already pin byte-by-byte."""
     from queryengine_spark.multimodal import png as pngmod
 
     gid, variant = asset_id // 2, asset_id % 2
@@ -93,9 +119,15 @@ def make_phash_asset(asset_id: int) -> bytes:
 
     def px(x: int, y: int) -> tuple[int, int, int]:
         return _pixel(gid, variant, x, y)
-    if gid % 2 == 0:
+
+    leg = gid % 4
+    if leg == 0:
         return _bmp_container(w, h, px)
-    return _png_container(w, h, px, pngmod)
+    if leg == 1:
+        return _png_container(w, h, px, pngmod)
+    if leg == 2:
+        return _jpeg_container(gid, variant)
+    return _tiff_container(w, h, px)
 
 
 def _bmp_container(w: int, h: int, px) -> bytes:
@@ -138,6 +170,40 @@ def _png_container(w: int, h: int, px, pngmod) -> bytes:
         + pngmod._chunk(b"IHDR", ihdr)
         + pngmod._chunk(b"IDAT", comp)
         + pngmod._chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_container(gid: int, variant: int) -> bytes:
+    """Grayscale DC-only baseline JFIF, 9×8 blocks (72×64 px): every
+    dHash cell is exactly one block, pixels = phj_dc + 128."""
+    from queryengine_spark.multimodal.jpeg import _container, _encode_scan
+
+    blocks = []
+    for by in range(PHJ_BH):
+        for bx in range(PHJ_BW):
+            coefs = [0] * 64
+            coefs[0] = phj_dc(gid, variant, bx, by)
+            blocks.append(coefs)
+    return _container(PHJ_BW, PHJ_BH, _encode_scan(blocks))
+
+
+def _tiff_container(w: int, h: int, px) -> bytes:
+    """Uncompressed RGB TIFF (little-endian, multi-strip) rendering
+    the same pixel formula as the BMP/PNG legs."""
+    from queryengine_spark.multimodal.tiff import TIF_ROWS_PER_STRIP, _build_tiff
+
+    rps = TIF_ROWS_PER_STRIP  # _build_tiff writes this tag value
+    strips = [
+        b"".join(
+            bytes(px(x, y))
+            for y in range(y0, min(y0 + rps, h))
+            for x in range(w)
+        )
+        for y0 in range(0, h, rps)
+    ]
+    return _build_tiff(
+        big_endian=False, w=w, h=h, spp=3, photometric=2,
+        compression=1, strips=strips,
     )
 
 
@@ -201,7 +267,9 @@ def dhash_relation(assets: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from queryengine_spark.multimodal.bmp import decode_bmp
         from queryengine_spark.multimodal.gif import decode_gif
+        from queryengine_spark.multimodal.jpeg import decode_jpeg_pixels
         from queryengine_spark.multimodal.png import decode_png
+        from queryengine_spark.multimodal.tiff import decode_tiff
 
         for pdf in batches:
             ids, fps = [], []
@@ -214,6 +282,12 @@ def dhash_relation(assets: DataFrame) -> DataFrame:
                     arr = decode_png(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     arr = decode_gif(b)
+                elif b[:2] in (b"II", b"MM"):
+                    arr = decode_tiff(b)
+                elif b[:2] == b"\xff\xd8":
+                    gray = decode_jpeg_pixels(b)
+                    if gray is not None:  # luma of r=g=b replicates
+                        arr = np.repeat(gray[:, :, None], 3, axis=2)
                 if arr is None or arr.ndim != 3 or arr.shape[2] < 3:
                     continue
                 ids.append(int(aid))

@@ -111,6 +111,13 @@ VOID: dict[str, int] = {
     # round 6: dedup_incremental now runs from the persisted MinHash
     # band-bucket index artifact (identical rows, new code path):
     "dedup_incremental": 5,
+    # round 7: the phash corpus widened from gid%2 BMP/PNG to gid%4
+    # BMP/PNG/JPEG/TIFF (JPEG decoded through the new fixed-point
+    # IDCT pixel path; oracle gained the JPEG-leg luma branch); the
+    # image-ops query consumes the same corpus, so its oracle gained
+    # the same branch:
+    "dedup_image_phash": 6,
+    "multimodal_image_ops": 6,
 }
 
 

@@ -189,23 +189,33 @@ from queryengine_spark.multimodal.phash import (  # noqa: E402
     PH_H_MOD,
     PH_R,
     PH_W_MOD,
+    PHJ_DC,
+    PHJ_DC_MOD,
+    PHJ_DC_OFF,
+    PHJ_DELTA_BASE,
+    PHJ_DELTA_MOD,
     image_near_dup_pairs,
 )
 
 
 def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
-    """Perceptual-hash image dedup (r6) — the decoder matrix feeding
-    the dedup pillar: synthesize a mixed BMP/PNG corpus where each
-    even/odd asset pair renders the same image with one grid cell
-    brightness-shifted, REALLY decode every container (magic-byte
-    dispatch), fingerprint with an integer-exact 9×8 dHash, and find
+    """Perceptual-hash image dedup (r6; corpus widened r7) — the
+    decoder matrix feeding the dedup pillar: synthesize a mixed
+    BMP / PNG / JPEG / TIFF corpus (gid % 4 — web image corpora are
+    mostly JPEG, so the r7 routing closes the verdict's phash gap)
+    where each even/odd asset pair renders the same image with one
+    grid cell brightness-shifted, REALLY decode every container
+    (magic-byte dispatch; JPEG through the r7 fixed-point-IDCT pixel
+    path), fingerprint with an integer-exact 9×8 dHash, and find
     all pairs within Hamming distance 3 via the banded equi-join
     shared with text SimHash (exact by pigeonhole, no all-pairs).
-    The oracle recomputes fingerprints from the pixel FORMULA and
-    compares all pairs — a hash match certifies the BMP and PNG
-    decoders, the luma/downsample/difference arithmetic, the hex
-    encoding, and the banded search's exactness in one number.
-    Design doc: multimodal/phash.py."""
+    The JPEG leg is DC-only with its 9×8 block grid ALIGNED to the
+    dHash grid (one block = one cell), so the planted perturbation
+    stays a ≤ 2-bit flip. The oracle recomputes fingerprints from
+    the pixel FORMULA and compares all pairs — a hash match
+    certifies all four decoders, the luma/downsample/difference
+    arithmetic, the hex encoding, and the banded search's exactness
+    in one number. Design doc: multimodal/phash.py."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return image_near_dup_pairs(spread(ids), max_dist=3, n_bands=4)
 
@@ -214,20 +224,35 @@ DEDUP_IMAGE_PHASH_SQL = f"""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
 par AS (SELECT asset_id, asset_id // 2 AS gid, asset_id % 2 AS variant FROM ids),
 dims AS (SELECT asset_id, gid, variant,
-                CAST(16 + gid % {PH_W_MOD} AS BIGINT) AS w,
-                CAST(16 + gid % {PH_H_MOD} AS BIGINT) AS h,
+                CAST(CASE WHEN gid % 4 = 2 THEN 72
+                     ELSE 16 + gid % {PH_W_MOD} END AS BIGINT) AS w,
+                CAST(CASE WHEN gid % 4 = 2 THEN 64
+                     ELSE 16 + gid % {PH_H_MOD} END AS BIGINT) AS h,
                 1 + gid % 7 AS i0, gid % 8 AS j0,
-                {PH_DELTA_BASE} + gid % {PH_DELTA_MOD} AS delta
+                {PH_DELTA_BASE} + gid % {PH_DELTA_MOD} AS delta,
+                {PHJ_DELTA_BASE} + gid % {PHJ_DELTA_MOD} AS delta_j
          FROM par),
-px AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta,
+px AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta, delta_j,
               CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
+-- r7: the gid%4=2 leg is grayscale DC-only JPEG whose 9×8 block grid
+-- aligns with the dHash grid (w=72, h=64 → cell (cx,cy) = block
+-- (x//8, y//8)); pixel = dc + 128, luma = 1000·pixel; the variant
+-- shifts block (i0, j0)'s DC additively (no wrap — clamp-free by
+-- construction, see multimodal/phash.py::phj_dc)
 lum AS (SELECT asset_id, (x*9)//w AS cx, (y*8)//h AS cy,
+          CASE WHEN gid % 4 = 2 THEN
+            1000*(({PHJ_DC[0]}*(x//8) + {PHJ_DC[1]}*(y//8)
+                   + {PHJ_DC[2]}*gid) % {PHJ_DC_MOD} + ({PHJ_DC_OFF}) + 128
+                  + CASE WHEN variant = 1 AND x//8 = i0 AND y//8 = j0
+                         THEN delta_j ELSE 0 END)
+          ELSE
           299*(CASE WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
                THEN (({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 + delta) % 256
                ELSE ({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 END)
         + 587*(({PH_G[0]}*x + {PH_G[1]}*y + {PH_G[2]}*gid) % 256)
-        + 114*(({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256) AS l
+        + 114*(({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256)
+          END AS l
         FROM px),
 cells AS (SELECT asset_id, cx, cy, CAST(SUM(l) AS BIGINT) AS s, COUNT(*) AS n
           FROM lum GROUP BY 1, 2, 3),
@@ -263,9 +288,12 @@ from queryengine_spark.multimodal.mediaops import (  # noqa: E402
 
 
 def multimodal_image_ops(spark: SparkSession, sf: str) -> DataFrame:
-    """Resize + center-crop over really-decoded pixels (r6): the
-    phash corpus (mixed 24-bit BMP / RGBA PNG containers rendering one
-    pixel formula) → magic-byte decode → nearest-neighbor resize to
+    """Resize + center-crop over really-decoded pixels (r6; corpus
+    widened r7): the phash corpus (gid % 4 → 24-bit BMP / RGBA PNG /
+    grayscale DC-only JPEG / RGB TIFF — the RGB legs render one pixel
+    formula, the JPEG leg its block-DC formula through the
+    fixed-point-IDCT pixel path) → magic-byte decode →
+    nearest-neighbor resize to
     8×8 and center crop to (w//2, h//2) → exact integer channel sums
     of both outputs. The oracle recomputes every resized/cropped pixel
     from the formula via the same index maps, so the hash certifies
@@ -281,26 +309,47 @@ def multimodal_image_ops(spark: SparkSession, sf: str) -> DataFrame:
 MULTIMODAL_IMAGE_OPS_SQL = f"""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
 dims AS (SELECT asset_id, asset_id // 2 AS gid, asset_id % 2 AS variant,
-                CAST(16 + (asset_id // 2) % {PH_W_MOD} AS BIGINT) AS w,
-                CAST(16 + (asset_id // 2) % {PH_H_MOD} AS BIGINT) AS h,
+                CAST(CASE WHEN (asset_id // 2) % 4 = 2 THEN 72
+                     ELSE 16 + (asset_id // 2) % {PH_W_MOD} END AS BIGINT) AS w,
+                CAST(CASE WHEN (asset_id // 2) % 4 = 2 THEN 64
+                     ELSE 16 + (asset_id // 2) % {PH_H_MOD} END AS BIGINT) AS h,
                 1 + (asset_id // 2) % 7 AS i0, (asset_id // 2) % 8 AS j0,
-                {PH_DELTA_BASE} + (asset_id // 2) % {PH_DELTA_MOD} AS delta
+                {PH_DELTA_BASE} + (asset_id // 2) % {PH_DELTA_MOD} AS delta,
+                {PHJ_DELTA_BASE} + (asset_id // 2) % {PHJ_DELTA_MOD} AS delta_j
          FROM ids),
-pts AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta, 0 AS leg,
+pts AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta, delta_j, 0 AS leg,
                (CAST(dx.i AS BIGINT) * w) // {RZ_W} AS x,
                (CAST(dy.i AS BIGINT) * h) // {RZ_H} AS y
         FROM dims, unnest(range(0, {RZ_W})) dx(i), unnest(range(0, {RZ_H})) dy(i)
         UNION ALL
-        SELECT asset_id, gid, variant, w, h, i0, j0, delta, 1,
+        SELECT asset_id, gid, variant, w, h, i0, j0, delta, delta_j, 1,
                (w - w // 2) // 2 + CAST(xx.i AS BIGINT),
                (h - h // 2) // 2 + CAST(yy.i AS BIGINT)
         FROM dims, unnest(range(0, w // 2)) xx(i), unnest(range(0, h // 2)) yy(i)),
+-- r7: the gid%4=2 leg is the grayscale DC-only JPEG family — every
+-- channel reads the same dc + 128 value (block = (x//8, y//8), the
+-- variant shifts block (i0, j0) additively, clamp-free)
 ch AS (SELECT asset_id, w, h, leg,
-              CASE WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
+              CASE WHEN gid % 4 = 2 THEN
+                ({PHJ_DC[0]}*(x//8) + {PHJ_DC[1]}*(y//8)
+                 + {PHJ_DC[2]}*gid) % {PHJ_DC_MOD} + ({PHJ_DC_OFF}) + 128
+                + CASE WHEN variant = 1 AND x//8 = i0 AND y//8 = j0
+                       THEN delta_j ELSE 0 END
+              WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
                    THEN (({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 + delta) % 256
                    ELSE ({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 END AS r,
-              ({PH_G[0]}*x + {PH_G[1]}*y + {PH_G[2]}*gid) % 256 AS g,
-              ({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256 AS b
+              CASE WHEN gid % 4 = 2 THEN
+                ({PHJ_DC[0]}*(x//8) + {PHJ_DC[1]}*(y//8)
+                 + {PHJ_DC[2]}*gid) % {PHJ_DC_MOD} + ({PHJ_DC_OFF}) + 128
+                + CASE WHEN variant = 1 AND x//8 = i0 AND y//8 = j0
+                       THEN delta_j ELSE 0 END
+              ELSE ({PH_G[0]}*x + {PH_G[1]}*y + {PH_G[2]}*gid) % 256 END AS g,
+              CASE WHEN gid % 4 = 2 THEN
+                ({PHJ_DC[0]}*(x//8) + {PHJ_DC[1]}*(y//8)
+                 + {PHJ_DC[2]}*gid) % {PHJ_DC_MOD} + ({PHJ_DC_OFF}) + 128
+                + CASE WHEN variant = 1 AND x//8 = i0 AND y//8 = j0
+                       THEN delta_j ELSE 0 END
+              ELSE ({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256 END AS b
        FROM pts)
 SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(SUM(CASE WHEN leg = 0 THEN r ELSE 0 END) AS BIGINT) AS rz_sum_r,

@@ -70,22 +70,34 @@ def test_image_ops_stats_against_formula(spark):
     from queryengine_spark.multimodal.phash import (
         _pixel,
         phash_params,
+        phj_dc,
         synthesize_phash_assets,
     )
 
-    ids = spark.createDataFrame([(i,) for i in range(8)], "asset_id long")
+    ids = spark.createDataFrame([(i,) for i in range(16)], "asset_id long")
     got = {
         r["asset_id"]: r
         for r in image_ops_stats(synthesize_phash_assets(ids)).collect()
     }
-    assert len(got) == 8
-    for a in range(8):
+    assert len(got) == 16
+    for a in range(16):
         gid, variant = a // 2, a % 2
         w, h, _, _, _ = phash_params(gid)
+        if gid % 4 == 2:  # JPEG leg (r7): gray block-DC formula, 72×64
+            w, h = 72, 64
+
+            def _pix_jpeg(x, y, gid=gid, variant=variant):
+                v = phj_dc(gid, variant, x // 8, y // 8) + 128
+                return (v, v, v)
+
+            pixel = _pix_jpeg
+        else:
+            def pixel(x, y, gid=gid, variant=variant):
+                return _pixel(gid, variant, x, y)
         rz = [0, 0, 0]
         for dy in range(RZ_H):
             for dx in range(RZ_W):
-                p = _pixel(gid, variant, (dx * w) // RZ_W, (dy * h) // RZ_H)
+                p = pixel((dx * w) // RZ_W, (dy * h) // RZ_H)
                 for c in range(3):
                     rz[c] += p[c]
         cr = [0, 0, 0]
@@ -93,7 +105,7 @@ def test_image_ops_stats_against_formula(spark):
         y0, x0 = (h - ch_) // 2, (w - cw_) // 2
         for y in range(y0, y0 + ch_):
             for x in range(x0, x0 + cw_):
-                p = _pixel(gid, variant, x, y)
+                p = pixel(x, y)
                 for c in range(3):
                     cr[c] += p[c]
         r = got[a]

@@ -13,19 +13,30 @@ import pytest
 from pyspark.sql import functions as F
 
 from queryengine_spark.multimodal.bmp import decode_bmp
+from queryengine_spark.multimodal.jpeg import decode_jpeg_pixels
 from queryengine_spark.multimodal.phash import (
     dhash64,
     dhash_relation,
     image_near_dup_pairs,
     make_phash_asset,
     phash_params,
+    phj_dc,
     synthesize_phash_assets,
 )
 from queryengine_spark.multimodal.png import decode_png
+from queryengine_spark.multimodal.tiff import decode_tiff
 
 
 def _decode(b: bytes) -> np.ndarray:
-    arr = decode_bmp(b) if b[:2] == b"BM" else decode_png(b)
+    if b[:2] == b"BM":
+        arr = decode_bmp(b)
+    elif b[:2] in (b"II", b"MM"):
+        arr = decode_tiff(b)
+    elif b[:2] == b"\xff\xd8":
+        gray = decode_jpeg_pixels(b)
+        arr = None if gray is None else np.repeat(gray[:, :, None], 3, axis=2)
+    else:
+        arr = decode_png(b)
     assert arr is not None
     return arr
 
@@ -84,16 +95,40 @@ def test_dhash_vs_independent_simulator():
         assert dhash64(arr) == _sim_dhash(arr), aid
 
 
-def test_containers_alternate_and_decode():
-    for aid in range(8):
+def test_containers_rotate_and_decode():
+    """gid % 4 routes BMP / PNG / JPEG / TIFF (r7); all decode to the
+    expected dims (the JPEG leg is fixed 72×64, block == dHash cell)."""
+    for aid in range(16):
         b = make_phash_asset(aid)
         gid = aid // 2
-        if gid % 2 == 0:
+        leg = gid % 4
+        if leg == 0:
             assert b[:2] == b"BM"
-        else:
+        elif leg == 1:
             assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        elif leg == 2:
+            assert b[:2] == b"\xff\xd8"
+        else:
+            assert b[:2] == b"II"
         w, h, *_ = phash_params(gid)
+        if leg == 2:
+            w, h = 72, 64
         assert _decode(b).shape[:2] == (h, w)
+
+
+def test_jpeg_leg_pixels_match_dc_formula():
+    """The JPEG leg's decoded pixels are exactly phj_dc + 128 per
+    block — DC-only, clamp-free by construction."""
+    for aid in (4, 5, 20, 21):  # gid 2, 10 → gid % 4 == 2
+        gid, variant = aid // 2, aid % 2
+        img = decode_jpeg_pixels(make_phash_asset(aid))
+        assert img is not None and img.shape == (64, 72)
+        for by in range(8):
+            for bx in range(9):
+                blk = img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+                want = phj_dc(gid, variant, bx, by) + 128
+                assert 0 < want < 255  # never clamps
+                assert (blk == want).all(), (aid, bx, by)
 
 
 def test_planted_pairs_within_two_bits():
