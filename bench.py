@@ -169,17 +169,12 @@ HEADLINE = [
     "curation_sa_scrub",
     # round-6: WebDataset-style tar/zip shard ingestion
     "source_archive_shards",
-    # round-6: media transforms over really-decoded payloads
-    # (resize/crop, animation frame sampling, audio framing) and RAG
-    # token-window chunking
-    "multimodal_image_ops",
-    "multimodal_frame_sample",
-    "multimodal_audio_frames",
+    # round-6 media transforms (resize/crop, animation frame sampling,
+    # audio framing, AVI/MJPEG video frame sampling), folded r7 into
+    # one leg-tagged composite
+    "multimodal_media_suite",
     # round-6: baseline TIFF (II/MM, strips, PackBits, WhiteIsZero)
     "multimodal_tiff_decode",
-    # round-6: AVI/MJPEG video frame sampling (RIFF walk + idx1
-    # cross-check + real JPEG decode of sampled frames)
-    "multimodal_video_frames",
     "multimodal_scene_cuts",
     "multimodal_audio_trim",
     "text_chunk_rag",

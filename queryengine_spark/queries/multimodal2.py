@@ -361,7 +361,6 @@ SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
 FROM ch GROUP BY asset_id, w, h
 """
 
-QUERIES["multimodal_image_ops"] = (multimodal_image_ops, MULTIMODAL_IMAGE_OPS_SQL)
 
 
 from queryengine_spark.multimodal.gif import (  # noqa: E402
@@ -413,10 +412,6 @@ SELECT asset_id, CAST(f AS INT) AS frame_idx,
 FROM px GROUP BY asset_id, f, w, h
 """
 
-QUERIES["multimodal_frame_sample"] = (
-    multimodal_frame_sample,
-    MULTIMODAL_FRAME_SAMPLE_SQL,
-)
 
 
 def multimodal_audio_frames(spark: SparkSession, sf: str) -> DataFrame:
@@ -451,10 +446,6 @@ SELECT asset_id, win_idx, CAST(COUNT(*) AS INT) AS n,
 FROM wn GROUP BY asset_id, win_idx
 """
 
-QUERIES["multimodal_audio_frames"] = (
-    multimodal_audio_frames,
-    MULTIMODAL_AUDIO_FRAMES_SQL,
-)
 
 
 from queryengine_spark.multimodal.tiff import (  # noqa: E402
@@ -591,10 +582,6 @@ SELECT asset_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, fps,
 FROM blk GROUP BY asset_id, f, nf, fps, bw, bh
 """
 
-QUERIES["multimodal_video_frames"] = (
-    multimodal_video_frames,
-    MULTIMODAL_VIDEO_FRAMES_SQL,
-)
 
 
 def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
@@ -737,4 +724,111 @@ FROM wins GROUP BY asset_id
 QUERIES["multimodal_audio_trim"] = (
     multimodal_audio_trim,
     MULTIMODAL_AUDIO_TRIM_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# r7 fold: the media-transform quartet as ONE leg-tagged composite
+# ---------------------------------------------------------------------------
+
+#: shared padded schema of the media suite: (column, spark cast type)
+_MEDIA_SUITE_COLS = (
+    ("width", "int"),
+    ("height", "int"),
+    ("rz_sum_r", "bigint"),
+    ("rz_sum_g", "bigint"),
+    ("rz_sum_b", "bigint"),
+    ("cr_sum_r", "bigint"),
+    ("cr_sum_g", "bigint"),
+    ("cr_sum_b", "bigint"),
+    ("frame_idx", "int"),
+    ("delay_cs", "int"),
+    ("n_px", "bigint"),
+    ("sum_r", "bigint"),
+    ("sum_g", "bigint"),
+    ("sum_b", "bigint"),
+    ("win_idx", "int"),
+    ("n", "int"),
+    ("energy", "bigint"),
+    ("zc", "int"),
+    ("n_frames", "int"),
+    ("fps", "int"),
+    ("sum_lum", "bigint"),
+)
+
+
+def _media_pad(df: DataFrame, leg: str) -> DataFrame:
+    cols = [F.lit(leg).alias("leg"), F.col("asset_id")]
+    for name, typ in _MEDIA_SUITE_COLS:
+        if name in df.columns:
+            cols.append(F.col(name).cast(typ).alias(name))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(name))
+    return df.select(*cols)
+
+
+def multimodal_media_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """The media-transform quartet folded into one composite (r7 —
+    COVERAGE.md rotation note; registry 165 → 162 with zero coverage
+    loss, every leg still executes inside this one hash):
+
+    - leg 'image_ops': nearest-neighbor resize + center crop channel
+      sums over the really-decoded gid%4 BMP/PNG/JPEG/TIFF corpus;
+    - leg 'frame_sample': animated-GIF frame sampling (stride 2) with
+      per-frame GCE delays and channel sums;
+    - leg 'audio_frames': mono-PCM 32-sample windows with exact
+      energy and zero-crossing counts;
+    - leg 'video_frames': AVI/MJPEG sampled-frame luminance through
+      the real RIFF walk + JPEG decode.
+
+    Legs union on a shared padded schema, distinguished by ``leg``;
+    each leg's oracle is its pre-fold full statement wrapped as a
+    derived table (WITH is legal in subqueries — the r6 fold
+    pattern)."""
+    return (
+        _media_pad(multimodal_image_ops(spark, sf), "image_ops")
+        .unionByName(_media_pad(multimodal_frame_sample(spark, sf), "frame_sample"))
+        .unionByName(_media_pad(multimodal_audio_frames(spark, sf), "audio_frames"))
+        .unionByName(_media_pad(multimodal_video_frames(spark, sf), "video_frames"))
+    )
+
+
+def _media_suite_sql() -> str:
+    _SQL_T = {"int": "INTEGER", "bigint": "BIGINT"}
+    legs = (
+        ("image_ops", MULTIMODAL_IMAGE_OPS_SQL),
+        ("frame_sample", MULTIMODAL_FRAME_SAMPLE_SQL),
+        ("audio_frames", MULTIMODAL_AUDIO_FRAMES_SQL),
+        ("video_frames", MULTIMODAL_VIDEO_FRAMES_SQL),
+    )
+    # column presence per leg mirrors each leg's own SELECT list
+    present = {
+        "image_ops": {"width", "height", "rz_sum_r", "rz_sum_g", "rz_sum_b",
+                      "cr_sum_r", "cr_sum_g", "cr_sum_b"},
+        "frame_sample": {"frame_idx", "delay_cs", "n_px", "sum_r", "sum_g",
+                         "sum_b"},
+        "audio_frames": {"win_idx", "n", "energy", "zc"},
+        "video_frames": {"frame_idx", "n_frames", "fps", "width", "height",
+                         "sum_lum"},
+    }
+    parts = []
+    for leg, sql in legs:
+        cols = [f"'{leg}' AS leg", "asset_id"]
+        for name, typ in _MEDIA_SUITE_COLS:
+            st = _SQL_T[typ]
+            if name in present[leg]:
+                cols.append(f"CAST({name} AS {st}) AS {name}")
+            else:
+                cols.append(f"CAST(NULL AS {st}) AS {name}")
+        parts.append(
+            "SELECT " + ", ".join(cols) + f" FROM (\n{sql.strip()}\n)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+MULTIMODAL_MEDIA_SUITE_SQL = _media_suite_sql()
+
+QUERIES["multimodal_media_suite"] = (
+    multimodal_media_suite,
+    MULTIMODAL_MEDIA_SUITE_SQL,
 )
