@@ -118,6 +118,11 @@ VOID: dict[str, int] = {
     # the same branch:
     "dedup_image_phash": 6,
     "multimodal_image_ops": 6,
+    # round 7: the md5 weight table became the planted TEACHER and
+    # the served weights come from a distributed integer batch
+    # perceptron (schema gained confident/trained_margin/
+    # trained_label/agree; oracle unrolls the training iterations):
+    "text_quality_classifier": 6,
 }
 
 

@@ -326,41 +326,95 @@ QUERIES.update(
 )
 
 
-#: hashed-feature classifier: 2^16 buckets, weights uniform in ±1000
+#: hashed-feature classifier: 2^16 buckets, teacher weights in ±1000,
+#: confident-label dead zone |score| ≥ 100, 4 unrolled perceptron iters
 CLS_BUCKETS = 65536
 CLS_SPAN = 1000
+CLS_TAU = 100
+CLS_ITERS = 4
 
 
 def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
-    from queryengine_spark.operators.curation import hashed_feature_score
+    """Hashed-feature quality classifier with TRAINED weights (r7 —
+    the md5 weight table is now the planted TEACHER generating
+    ground-truth labels, and the served weights come from a real
+    distributed batch-perceptron fit on the confident labels;
+    operators/curation.py::trained_feature_classifier). The oracle
+    unrolls the integer training iterations like the k-means oracles,
+    so the hash certifies the feature hashing, the teacher labels,
+    every training update AND the final broadcast-join scoring."""
+    from queryengine_spark.operators.curation import trained_feature_classifier
 
     d = t(spark, sf, "documents")
-    return hashed_feature_score(
-        d, "doc_id", "text", n_buckets=CLS_BUCKETS, weight_span=CLS_SPAN
-    ).select(F.col("id").alias("doc_id"), "n_feats", "margin", "score", "label")
+    return trained_feature_classifier(
+        d, "doc_id", "text",
+        n_buckets=CLS_BUCKETS, weight_span=CLS_SPAN,
+        tau=CLS_TAU, iters=CLS_ITERS,
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_feats", "margin", "score", "label",
+        "confident", "trained_margin", "trained_label", "agree",
+    )
 
 
-TEXT_QUALITY_CLASSIFIER_SQL = (
-    _TOKS_CTE
-    + f""",
+def _quality_classifier_sql() -> str:
+    """Unrolled-iteration oracle: teacher CTEs (unchanged semantics),
+    then w1..wN / m1..mN replaying the batch-perceptron recurrence
+    w_{t+1} = w_t + Σ_{i : y_i·(w_t·x_i) ≤ 0, confident} y_i·x_i in
+    exact BIGINT."""
+    head = (
+        _TOKS_CTE
+        + f""",
 uni AS (SELECT id, unnest(toks) AS feat FROM d),
 bi AS (SELECT id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1] AS feat
        FROM d, unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2),
 feats AS (SELECT id, feat FROM uni UNION ALL SELECT id, feat FROM bi),
-wts AS (SELECT id,
-        (('0x' || substr(md5('w:' ||
-            ((('0x' || substr(md5(feat), 1, 4))::BIGINT) % {CLS_BUCKETS})::VARCHAR
-         ), 1, 4))::BIGINT % {2 * CLS_SPAN + 1}) - {CLS_SPAN} AS w
-        FROM feats),
-agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
-               CAST(sum(w) AS BIGINT) AS margin
-        FROM wts GROUP BY id)
-SELECT id AS doc_id, n_feats, margin,
-       margin / n_feats AS score,
-       CAST(CASE WHEN margin / n_feats >= 0 THEN 1 ELSE 0 END AS INT) AS label
-FROM agg
-"""
-)
+fb AS (SELECT id,
+              (('0x' || substr(md5(feat), 1, 4))::BIGINT) % {CLS_BUCKETS} AS bucket,
+              CAST(count(*) AS BIGINT) AS c
+       FROM feats GROUP BY 1, 2),
+doc AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_feats,
+               CAST(SUM(c * ((('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 4))::BIGINT
+                              % {2 * CLS_SPAN + 1}) - {CLS_SPAN})) AS BIGINT) AS margin
+        FROM fb GROUP BY id),
+lab AS (SELECT id, n_feats, margin,
+               CASE WHEN margin >= 0 THEN 1 ELSE -1 END AS y,
+               CASE WHEN abs(margin) >= {CLS_TAU} * n_feats THEN 1 ELSE 0 END AS confident
+        FROM doc),
+-- iteration 1: w0 = 0, every confident doc is misclassified
+w1 AS (SELECT f.bucket, CAST(SUM(l.y * f.c) AS BIGINT) AS w
+       FROM fb f JOIN lab l USING (id) WHERE l.confident = 1 GROUP BY f.bucket)"""
+    )
+    parts = [head]
+    prev = "w1"
+    for it in range(2, CLS_ITERS + 1):
+        parts.append(f""",
+m{it - 1} AS (SELECT f.id, CAST(SUM(f.c * w.w) AS BIGINT) AS m
+       FROM fb f JOIN {prev} w USING (bucket) GROUP BY f.id),
+u{it} AS (SELECT f.bucket, CAST(SUM(l.y * f.c) AS BIGINT) AS dw
+       FROM fb f JOIN lab l USING (id) LEFT JOIN m{it - 1} mm ON mm.id = f.id
+       WHERE l.confident = 1 AND l.y * COALESCE(mm.m, 0) <= 0
+       GROUP BY f.bucket),
+w{it} AS (SELECT COALESCE(w.bucket, u.bucket) AS bucket,
+               CAST(COALESCE(w.w, 0) + COALESCE(u.dw, 0) AS BIGINT) AS w
+       FROM {prev} w FULL JOIN u{it} u ON w.bucket = u.bucket)""")
+        prev = f"w{it}"
+    parts.append(f""",
+mf AS (SELECT f.id, CAST(SUM(f.c * w.w) AS BIGINT) AS m
+       FROM fb f JOIN {prev} w USING (bucket) GROUP BY f.id)
+SELECT l.id AS doc_id, l.n_feats, l.margin,
+       l.margin / l.n_feats AS score,
+       CAST(CASE WHEN l.margin / l.n_feats >= 0 THEN 1 ELSE 0 END AS INT) AS label,
+       CAST(l.confident AS INT) AS confident,
+       CAST(COALESCE(mf.m, 0) AS BIGINT) AS trained_margin,
+       CAST(CASE WHEN COALESCE(mf.m, 0) >= 0 THEN 1 ELSE 0 END AS INT) AS trained_label,
+       CAST(CASE WHEN (COALESCE(mf.m, 0) >= 0) = (l.margin >= 0)
+            THEN 1 ELSE 0 END AS INT) AS agree
+FROM lab l LEFT JOIN mf ON mf.id = l.id""")
+    return "".join(parts)
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
 
 QUERIES.update(
     {

@@ -707,3 +707,89 @@ class TestIntradocScrub:
             .collect()
         }
         assert got == expect
+
+
+class TestTrainedClassifier:
+    """r7: trained_feature_classifier vs a fully independent
+    pure-Python batch-perceptron fit (own tokenizer, own hashing, own
+    update loop) — exact integer parity on margins, labels and every
+    intermediate weight's effect."""
+
+    @staticmethod
+    def _independent_fit(texts, n_buckets, span, tau, iters):
+        import hashlib
+        from collections import defaultdict
+
+        def md5_4(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+        feats, teach, nf = {}, {}, {}
+        for did, text in enumerate(texts):
+            toks = text.lower().split()
+            fs = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            if not fs:
+                continue
+            c = defaultdict(int)
+            for f in fs:
+                c[md5_4(f) % n_buckets] += 1
+            feats[did] = c
+            teach[did] = sum(
+                cnt * (md5_4("w:" + str(b)) % (2 * span + 1) - span)
+                for b, cnt in c.items()
+            )
+            nf[did] = sum(c.values())
+        y = {i: (1 if teach[i] >= 0 else -1) for i in feats}
+        conf = {i for i in feats if abs(teach[i]) >= tau * nf[i]}
+        w = defaultdict(int)
+        for _t in range(iters):
+            mis = [
+                i
+                for i in conf
+                if y[i] * sum(c * w[b] for b, c in feats[i].items()) <= 0
+            ]
+            for i in mis:
+                for b, c in feats[i].items():
+                    w[b] += y[i] * c
+        out = {}
+        for i in feats:
+            tm = sum(c * w[b] for b, c in feats[i].items())
+            out[i] = (
+                nf[i],
+                teach[i],
+                1 if teach[i] >= 0 else 0,
+                1 if i in conf else 0,
+                tm,
+                1 if tm >= 0 else 0,
+            )
+        return out
+
+    def test_matches_independent_fit(self, spark):
+        from queryengine_spark.operators.curation import trained_feature_classifier
+
+        rng_words = [
+            "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+            "theta", "iota", "kappa", "graph", "spark", "query", "engine",
+        ]
+        texts = [
+            " ".join(rng_words[(i * 7 + j * 3) % len(rng_words)]
+                     for j in range(5 + i % 9))
+            for i in range(40)
+        ]
+        got = {
+            r["id"]: (
+                r["n_feats"], r["margin"], r["label"], r["confident"],
+                r["trained_margin"], r["trained_label"],
+            )
+            for r in trained_feature_classifier(
+                _docs(spark, texts), "doc_id", "text",
+                n_buckets=4096, weight_span=50, tau=10, iters=4,
+            ).collect()
+        }
+        want = self._independent_fit(texts, 4096, 50, 10, 4)
+        assert got == want
+        # the planted-teacher recovery property: on confident docs the
+        # student agrees with the teacher after training
+        conf_rows = [k for k, v in want.items() if v[3] == 1]
+        assert conf_rows  # the dead zone must not swallow the test set
+        agree = sum(1 for k in conf_rows if want[k][2] == want[k][5])
+        assert agree / len(conf_rows) >= 0.9
