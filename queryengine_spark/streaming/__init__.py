@@ -728,3 +728,33 @@ def stream_append_to_pq_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_append_to_minhash_index(
+    docs: DataFrame, id_col: str, text_col: str, path: str
+):
+    """Streaming ingestion into the persistent MinHash band-bucket
+    dedup index (r7 — the dedup twin of
+    :func:`stream_append_to_pq_index`, completing the ingest-time
+    dedup story): each micro-batch is hashed with the ARTIFACT's
+    frozen parameters (meta carries n_hashes/band_size/shingle_n —
+    changing them is a reindex decision, never an ingest side effect)
+    and its band-bucket rows are appended to the bucket-prefix-
+    partitioned relation. foreachBatch is the right shape because the
+    sink append is idempotent AT THE FLAG LEVEL by set semantics
+    (duplicate bucket rows cannot change any DISTINCT/semi-join
+    outcome in incremental_flags_from_index) and hashing is a bounded
+    map-side pass — no streaming state at all. Returns the started
+    query (availableNow trigger: drains what exists, then stops)."""
+    from queryengine_spark.operators.annindex import append_to_minhash_index
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_minhash_index(batch_df, id_col, text_col, path)
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )

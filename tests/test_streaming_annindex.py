@@ -75,3 +75,69 @@ def test_stream_append_equals_batch_append(spark, sf_dir, tmp_path):
 
     got, want = rows(st_path), rows(ref_path)
     assert got == want and len(got) > 0
+
+
+def test_minhash_stream_append_equals_batch_append(spark, sf_dir, tmp_path):
+    """r7: the MinHash band-bucket dedup index ingests micro-batches
+    through foreachBatch with the artifact's frozen hash parameters —
+    the streamed index must flag a probe batch IDENTICALLY to batch
+    append of the same documents (stream == batch, the dedup twin of
+    the IVF-PQ ingestion pin)."""
+    from queryengine_spark.operators.annindex import (
+        append_to_minhash_index,
+        incremental_flags_from_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from queryengine_spark.streaming import stream_append_to_minhash_index
+
+    d = load_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 4 == 0)
+    arriving = d.filter(F.col("doc_id") % 4 == 1)
+    probe = d.filter(F.col("doc_id") % 4 == 2)
+
+    # batch reference: build on history, append the arrivals in one call
+    ref_path = str(tmp_path / "mh_ref")
+    write_minhash_index(history, "doc_id", "text", ref_path)
+    append_to_minhash_index(arriving, "doc_id", "text", ref_path)
+
+    # streaming path: same build, arrivals as THREE parquet micro-batches
+    st_path = str(tmp_path / "mh_st")
+    write_minhash_index(history, "doc_id", "text", st_path)
+    watch = str(tmp_path / "mh_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        arriving.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    q = stream_append_to_minhash_index(stream, "doc_id", "text", st_path)
+    q.awaitTermination()
+
+    # the streamed index's DISTINCT bucket relation equals the batch one
+    def bucket_set(path):
+        return {
+            (r["id"], r["bucket"])
+            for r in spark.read.parquet(f"{path}/buckets").collect()
+        }
+
+    assert bucket_set(st_path) == bucket_set(ref_path)
+
+    # and the flags a probe batch gets are identical (stream == batch)
+    def flags(path):
+        idx = read_minhash_index(spark, path)
+        return sorted(
+            tuple(r)
+            for r in incremental_flags_from_index(
+                probe, idx, "doc_id", "text"
+            ).collect()
+        )
+
+    got, want = flags(st_path), flags(ref_path)
+    assert got == want and len(got) == probe.count()
+    # the planted near-dup structure guarantees some history hits
+    assert any(r[1] == 1 for r in got)
