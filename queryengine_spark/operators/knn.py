@@ -752,6 +752,84 @@ def ivf_topk_filtered(
     )
 
 
+def ivf_topk_range_filtered(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    attr_col: str,
+    radius: int,
+    bin_width: int,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 256,
+    train_iters: int = 3,
+) -> DataFrame:
+    """RANGE-predicate filtered IVF-Flat top-k (r7 — generalizes
+    :func:`ivf_topk_filtered` beyond key equality): nearest neighbors
+    among candidates with |attr_c − attr_q| ≤ radius (the "within ±R
+    of my timestamp / price / version" shape). The pre-filter
+    property is preserved through BIN COMPOSITION: the orderable
+    attribute is quantized into bins of ``bin_width`` (integer
+    division — the attribute contract is non-negative integers, where
+    truncating and floor division agree across engines), the
+    candidate index key is (cell, bin), and each query probes only
+    the ⌈2R/W⌉+1 bins its window covers — candidates outside those
+    bins are never joined (partition pruning on the attribute), and
+    the exact |Δ| ≤ R check runs on two integers BEFORE any cosine
+    arithmetic. Never score-then-discard. At 100 TB (cell, bin) is
+    the partition key; bin_width ≈ radius keeps probe fan-out ≤ 3
+    bins per (query, cell). Output: (query_id, neighbor_id, cosine,
+    rn)."""
+    sample = _collect_vec_sample(candidates, id_col, vec_col, max(sample_n, n_cells))
+    cents = kmeans_centroids_int(sample, n_cells, train_iters)
+    assign1 = ivf_cells_int_udf(cents, 1)
+    assignp = ivf_cells_int_udf(cents, nprobe)
+    w = int(bin_width)
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(attr_col).cast("bigint").alias("c_attr"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    ).withColumn("bin", F.expr(f"c_attr div {w}"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(attr_col).cast("bigint").alias("q_attr"),
+            F.explode(assignp(F.col(vec_col))).alias("cell"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"greatest(q_attr - {int(radius)}, 0) div {w}"),
+                    F.expr(f"(q_attr + {int(radius)}) div {w}"),
+                )
+            ),
+        )
+    )
+    scored = (
+        c.join(q, ["cell", "bin"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # the exact window check: two integers, BEFORE the cosine
+        .filter(F.abs(F.col("c_attr") - F.col("q_attr")) <= radius)
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+    )
+    top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    )
+    return top.select(
+        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     candidates: DataFrame,

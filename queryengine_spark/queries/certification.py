@@ -123,6 +123,10 @@ VOID: dict[str, int] = {
     # perceptron (schema gained confident/trained_margin/
     # trained_label/agree; oracle unrolls the training iterations):
     "text_quality_classifier": 6,
+    # round 7: knn_filtered folded in the RANGE-predicate leg (bin
+    # composition into the (cell, bin) probe key); schema gained the
+    # leg column, oracle became the two-leg UNION:
+    "knn_filtered": 6,
 }
 
 

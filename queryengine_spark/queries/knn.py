@@ -24,6 +24,7 @@ from queryengine_spark.operators.knn import (
     brute_force_topk,
     ivf_topk,
     ivf_topk_filtered,
+    ivf_topk_range_filtered,
     sql_srp_bucket,
     srp_bucketed_topk,
     srp_planes,
@@ -340,14 +341,32 @@ FROM ({KNN_IVF_SQL})
 """
 
 
+#: range leg (r7): neighbors with |vec_id_c − vec_id_q| ≤ R (vec_id
+#: doubles as an ingest-order surrogate — the "within ±R of my
+#: timestamp" production shape); bin width = R keeps the probe
+#: fan-out at ≤ 3 bins per (query, cell)
+KNN_RANGE_R = 200
+KNN_RANGE_W = 200
+
+
 def knn_filtered(spark: SparkSession, sf: str) -> DataFrame:
-    """Metadata-FILTERED vector search (r6) — the production shape
-    every vector store leads with (per-query attribute predicates:
-    tenant / lang / category): top-k same-LABEL neighbors via
-    :func:`ivf_topk_filtered`, where the label is composed INTO the
-    (cell, key) index key so excluded candidates are never scored —
-    true pre-filtering. Per-query recall@k vs the label-filtered
-    brute force rides along (the folded-recall convention)."""
+    """Metadata-FILTERED vector search, BOTH predicate shapes in one
+    composite (r6 equality; r7 adds the range leg):
+
+    - leg 'eq': top-k same-LABEL neighbors via
+      :func:`ivf_topk_filtered` — the label is composed INTO the
+      (cell, key) index key so excluded candidates are never scored;
+    - leg 'range': top-k neighbors with |attr_c − attr_q| ≤ R via
+      :func:`ivf_topk_range_filtered` — the orderable attribute
+      (vec_id as ingest-order surrogate) quantizes into width-W bins
+      composed into the (cell, bin) key; each query probes only its
+      window's ≤ ⌈2R/W⌉+1 bins and the exact integer window check
+      runs BEFORE any cosine. True pre-filtering in both shapes.
+
+    Per-query recall@k vs each leg's own predicate-filtered brute
+    force rides along (the folded-recall convention; the brute-force
+    side reuses the same bin composition, so even the ground truth
+    never goes all-pairs)."""
     from queryengine_spark.functions.similarity import cosine_similarity
     from queryengine_spark.operators.topk import grouped_topk
 
@@ -376,10 +395,50 @@ def knn_filtered(spark: SparkSession, sf: str) -> DataFrame:
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         K_LSH,
     )
-    return _with_recall(ann, bf)
+    eq_leg = _with_recall(ann, bf).withColumn("leg", F.lit("eq"))
+
+    ann_r = ivf_topk_range_filtered(
+        queries, e, "vec_id", "embedding", "vec_id",
+        radius=KNN_RANGE_R, bin_width=KNN_RANGE_W,
+        k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE,
+        sample_n=SAMPLE_N, train_iters=KMEANS_ITERS,
+    )
+    # range brute force through the SAME bin composition (exact over
+    # the window-eligible set — no cell restriction, no all-pairs)
+    w = KNN_RANGE_W
+    cr = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("vec_id").cast("bigint").alias("c_attr"),
+    ).withColumn("bin", F.expr(f"c_attr div {w}"))
+    qr = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("vec_id").cast("bigint").alias("q_attr"),
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"greatest(q_attr - {KNN_RANGE_R}, 0) div {w}"),
+                F.expr(f"(q_attr + {KNN_RANGE_R}) div {w}"),
+            )
+        ),
+    )
+    bf_r = grouped_topk(
+        cr.join(qr, "bin")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.abs(F.col("c_attr") - F.col("q_attr")) <= KNN_RANGE_R)
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec")),
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        K_LSH,
+    )
+    range_leg = _with_recall(ann_r, bf_r).withColumn("leg", F.lit("range"))
+    cols = ["leg", "query_id", "neighbor_id", "cosine", "rn", "recall"]
+    return eq_leg.select(*cols).unionByName(range_leg.select(*cols))
 
 
-KNN_FILTERED_SQL = f"""{_ivf_cte()},
+KNN_FILTERED_EQ_SQL = f"""{_ivf_cte()},
 lbl AS (SELECT vec_id, label FROM embeddings),
 fscored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -419,6 +478,59 @@ hits AS (
   GROUP BY bf.query_id
 )
 {_RECALL_TAIL}
+"""
+
+# r7 range leg: the ORACLE states the bare range predicate (no bin
+# arithmetic — the bin cover is lossless by monotonicity of integer
+# division on the non-negative attribute), so the driver hash
+# certifies that the (cell, bin) composition loses nothing beyond the
+# IVF probe itself — the PPJoin-oracle philosophy applied to vector
+# search
+KNN_FILTERED_RANGE_SQL = f"""{_ivf_cte()},
+rscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='qe.v', b='ce.v')} AS cos
+  FROM qcells q JOIN cells c ON q.cell = c.cell
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+  WHERE c.vec_id <> q.vec_id
+    AND abs(CAST(c.vec_id AS BIGINT) - CAST(q.vec_id AS BIGINT)) <= {KNN_RANGE_R}
+),
+topk AS (
+  SELECT query_id, neighbor_id,
+         floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+  FROM rscored
+  QUALIFY rn <= {K_LSH}
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q
+    JOIN e e2
+      ON abs(CAST(e2.vec_id AS BIGINT) - CAST(q.vec_id AS BIGINT)) <= {KNN_RANGE_R}
+     AND e2.vec_id <> q.vec_id
+  ) WHERE rn <= {K_LSH}
+),
+hits AS (
+  SELECT bf.query_id, COUNT(*) AS n_found
+  FROM bf WHERE EXISTS (SELECT 1 FROM topk
+                        WHERE topk.query_id = bf.query_id
+                          AND topk.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.query_id
+)
+{_RECALL_TAIL}
+"""
+
+KNN_FILTERED_SQL = f"""
+SELECT 'eq' AS leg, query_id, neighbor_id, cosine, rn, recall
+FROM ({KNN_FILTERED_EQ_SQL})
+UNION ALL
+SELECT 'range' AS leg, query_id, neighbor_id, cosine, rn, recall
+FROM ({KNN_FILTERED_RANGE_SQL})
 """
 
 

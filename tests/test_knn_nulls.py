@@ -68,20 +68,23 @@ def test_embedding_neardup_lsh_skips_bad_rows(spark, sf_dir):
 
 
 def test_knn_filtered_prefilter_property(spark, sf_dir):
-    """Every returned neighbor must share the query's label (the
-    pre-filter is part of the join key, so a violation is
-    impossible-by-plan — this pins it behaviorally), and the folded
-    recall vs the label-filtered brute force must be positive."""
+    """Leg 'eq': every returned neighbor must share the query's label
+    (the pre-filter is part of the join key, so a violation is
+    impossible-by-plan — this pins it behaviorally). Leg 'range'
+    (r7): every returned neighbor must sit within ±R of the query's
+    attribute. Both legs' folded recall vs their own predicate-
+    filtered brute force must be positive."""
     from pyspark.sql import functions as F
 
-    from queryengine_spark.queries.knn import knn_filtered
+    from queryengine_spark.queries.knn import KNN_RANGE_R, knn_filtered
     from queryengine_spark.sources.tables import load_table
 
     out = knn_filtered(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     j = (
-        out.join(e.withColumnRenamed("vec_id", "query_id")
-                  .withColumnRenamed("label", "q_label"), "query_id")
+        out.filter(F.col("leg") == "eq")
+        .join(e.withColumnRenamed("vec_id", "query_id")
+               .withColumnRenamed("label", "q_label"), "query_id")
         .join(e.withColumnRenamed("vec_id", "neighbor_id")
                .withColumnRenamed("label", "n_label"), "neighbor_id")
     )
@@ -91,6 +94,19 @@ def test_knn_filtered_prefilter_property(spark, sf_dir):
         F.avg("recall")
     ).collect()[0][0]
     assert mean_recall > 0.2, mean_recall
+
+    r = out.filter(F.col("leg") == "range")
+    assert r.count() > 0
+    assert (
+        r.filter(
+            F.abs(F.col("neighbor_id") - F.col("query_id")) > KNN_RANGE_R
+        ).count()
+        == 0
+    )
+    range_recall = r.select("query_id", "recall").distinct().agg(
+        F.avg("recall")
+    ).collect()[0][0]
+    assert range_recall > 0.2, range_recall
 
 
 def test_knn_filtered_plan(spark, sf_dir):
