@@ -89,6 +89,8 @@ HEADLINE = [
     "dedup_minhash_jaccard",
     "pipeline_token_budget_sample",
     "pipeline_llm_prep",
+    # round-7: concat-and-chunk sequence packing (two-phase prefix sum)
+    "pipeline_pack_sequences",
     # round-3 curation pack: span scrub, containment, semdedup,
     # sketch-verified heavy hitters
     "curation_span_scrub",

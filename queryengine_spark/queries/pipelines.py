@@ -1022,3 +1022,63 @@ QUERIES = {
     "pipeline_token_budget_sample": (pipeline_token_budget_sample, TOKEN_BUDGET_SQL),
     "pipeline_llm_prep": (pipeline_llm_prep, LLM_PREP_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk into fixed-length training rows (r7)
+# ---------------------------------------------------------------------------
+
+#: training sequence length (tokens)
+PACK_SEQ_LEN = 256
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (r7) — the step that turns a
+    cleaned corpus into fixed-length training sequences: documents in
+    ascending doc_id order form one token stream cut into
+    PACK_SEQ_LEN-token sequences; each doc reports its stream offset,
+    first/last sequence, straddle count and in-sequence start offset
+    (the attention-mask fragmentation quantities). The distributed
+    piece is the exclusive token prefix sum, computed scale-out with
+    the range-repartition + broadcast-partition-offsets pattern
+    (operators/packing.py — NEVER a global single-partition window);
+    the oracle replicates it with a plain SQL window, so the driver
+    hash certifies the two-phase prefix sum against the one-pass
+    definition."""
+    from queryengine_spark.operators.packing import pack_sequences
+
+    d = t(spark, sf, "documents")
+    return pack_sequences(d, "doc_id", "text", PACK_SEQ_LEN).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens", "start_tok", "first_seq", "last_seq",
+        "n_seqs", "offset_in_seq",
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKS.format(c="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+nz AS (SELECT doc_id, n_tokens FROM toks WHERE n_tokens > 0),
+pre AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM nz
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {PACK_SEQ_LEN} AS first_seq,
+       (start_tok + n_tokens - 1) // {PACK_SEQ_LEN} AS last_seq,
+       (start_tok + n_tokens - 1) // {PACK_SEQ_LEN}
+         - start_tok // {PACK_SEQ_LEN} + 1 AS n_seqs,
+       start_tok % {PACK_SEQ_LEN} AS offset_in_seq
+FROM pre
+"""
+
+QUERIES["pipeline_pack_sequences"] = (
+    pipeline_pack_sequences,
+    PACK_SEQUENCES_SQL,
+)
