@@ -74,7 +74,9 @@ PHJ_DELTA_BASE, PHJ_DELTA_MOD = 20, 30  # delta_j = 20 + gid % 30
 
 def phj_dc(gid: int, variant: int, bx: int, by: int) -> int:
     """JPEG-leg DC of block (bx, by); the odd variant shifts block
-    (i0, j0) by delta_j (no wrap — clamp-free by construction)."""
+    (i0, j0) by delta_j (no wrap — the DC-only sub-leg is clamp-free
+    by construction; the AC sub-leg clamps and the oracle replicates
+    the clamp through the shared fixed-point IDCT arithmetic)."""
     _, _, i0, j0, _ = phash_params(gid)
     dc = (PHJ_DC[0] * bx + PHJ_DC[1] * by + PHJ_DC[2] * gid) % PHJ_DC_MOD + PHJ_DC_OFF
     if variant == 1 and bx == i0 and by == j0:
@@ -109,8 +111,10 @@ def make_phash_asset(asset_id: int) -> bytes:
     BMP, 1 → RGBA PNG (alpha 255 — ignored by luma), 3 → uncompressed
     RGB TIFF — all three rendering the SAME RGB pixel formula so the
     oracle needs one arithmetic branch per FAMILY, not per container —
-    and 2 → grayscale DC-only JPEG (web corpora are mostly JPEG; the
-    dHash grid aligns block-exactly, see phj_dc). Reuses the
+    and 2 → grayscale JPEG (web corpora are mostly JPEG; the dHash
+    grid aligns block-exactly, see phj_dc) — gid % 8 == 2 DC-only,
+    gid % 8 == 6 AC-BEARING (r7: real spectra through the fixed-point
+    IDCT pixel path). Reuses the
     spec-valid writers the decode queries already pin byte-by-byte."""
     from queryengine_spark.multimodal import png as pngmod
 
@@ -126,7 +130,7 @@ def make_phash_asset(asset_id: int) -> bytes:
     if leg == 1:
         return _png_container(w, h, px, pngmod)
     if leg == 2:
-        return _jpeg_container(gid, variant)
+        return _jpeg_container(gid, variant, with_ac=(gid % 8 == 6))
     return _tiff_container(w, h, px)
 
 
@@ -173,16 +177,31 @@ def _png_container(w: int, h: int, px, pngmod) -> bytes:
     )
 
 
-def _jpeg_container(gid: int, variant: int) -> bytes:
-    """Grayscale DC-only baseline JFIF, 9×8 blocks (72×64 px): every
-    dHash cell is exactly one block, pixels = phj_dc + 128."""
-    from queryengine_spark.multimodal.jpeg import _container, _encode_scan
+def _jpeg_container(gid: int, variant: int, with_ac: bool) -> bytes:
+    """Grayscale baseline JFIF, 9×8 blocks (72×64 px): every dHash
+    cell is exactly one block. DC-only sub-leg: pixels = phj_dc + 128
+    (linear cell sums). AC sub-leg (r7): the shared block_ac formula
+    plants coefficients at the decode query's zigzag positions (keyed
+    on gid so BOTH variants carry identical spectra — the planted
+    perturbation stays DC-only, hence one cell, hence ≤ 2 difference
+    bits even through the IDCT and its clamp), and pixels decode
+    through the pinned fixed-point integer IDCT that the oracle
+    replicates."""
+    from queryengine_spark.multimodal.jpeg import (
+        AC_POSITIONS,
+        _container,
+        _encode_scan,
+        block_ac,
+    )
 
     blocks = []
     for by in range(PHJ_BH):
         for bx in range(PHJ_BW):
             coefs = [0] * 64
             coefs[0] = phj_dc(gid, variant, bx, by)
+            if with_ac:
+                for p in AC_POSITIONS:
+                    coefs[p] = block_ac(gid, bx, by, p)
             blocks.append(coefs)
     return _container(PHJ_BW, PHJ_BH, _encode_scan(blocks))
 

@@ -181,6 +181,18 @@ GROUP BY asset_id, sample_rate, n_frames
 QUERIES["multimodal_wav_decode"] = (multimodal_wav_decode, MULTIMODAL_WAV_DECODE_SQL)
 
 
+from queryengine_spark.multimodal.jpeg import (  # noqa: E402
+    AC_MOD,
+    AC_MULT,
+    AC_POSITIONS,
+    AC_SHIFT,
+    IDCT_B,
+    IDCT_BIAS,
+    IDCT_SHIFT,
+    QUANT_AC,
+    QUANT_DC,
+    ZIGZAG_NAT,
+)
 from queryengine_spark.multimodal.phash import (  # noqa: E402
     PH_B,
     PH_DELTA_BASE,
@@ -197,6 +209,48 @@ from queryengine_spark.multimodal.phash import (  # noqa: E402
     image_near_dup_pairs,
 )
 
+#: fixed-point IDCT basis + planted-position map as SQL VALUES rows —
+#: same single-source-of-truth pattern as the jpeg decode oracle
+_IDCTB_ROWS = ", ".join(
+    f"({u}, {t}, {IDCT_B[u][t]})" for u in range(8) for t in range(8)
+)
+_ZZUV_ROWS = ", ".join(
+    f"({p}, {ZIGZAG_NAT[p] % 8}, {ZIGZAG_NAT[p] // 8})" for p in AC_POSITIONS
+)
+
+
+def _phj_dc_sql(bx: str, by: str) -> str:
+    """Quantized-domain DC of the phash JPEG leg (incl. the variant's
+    single-block shift) as SQL over dims columns gid/variant/i0/j0/
+    delta_j."""
+    return (
+        f"(({PHJ_DC[0]})*({bx}) + ({PHJ_DC[1]})*({by}) + ({PHJ_DC[2]})*gid)"
+        f" % {PHJ_DC_MOD} + ({PHJ_DC_OFF})"
+        f" + CASE WHEN variant = 1 AND ({bx}) = i0 AND ({by}) = j0"
+        f" THEN delta_j ELSE 0 END"
+    )
+
+
+def _phj_ac_sql(bx: str, by: str) -> str:
+    """Dequantized planted AC coefficient (shared block_ac formula on
+    gid, position from the joined zzuv row zz.p)."""
+    return (
+        f"{QUANT_AC} * (CASE WHEN v0 >= 0 THEN v0 + 1 ELSE v0 END)"
+    )
+
+
+_PHJ_V0 = (
+    "(gid + 7 * ({bx}) + 11 * ({by}) + 53 * CAST(zz.p AS BIGINT))"
+    f" * {AC_MULT} % {AC_MOD} - {AC_SHIFT}"
+)
+
+#: the shared clamp/shift tail of the fixed-point IDCT in SQL
+_IDCT_PIX = (
+    "GREATEST(0, LEAST(255, 128 + CAST(floor("
+    f"(SUM(t.f * bu.bb * bv.bb) + {IDCT_BIAS}) / {1 << (2 * IDCT_SHIFT)}.0"
+    ") AS BIGINT)))"
+)
+
 
 def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash image dedup (r6; corpus widened r7) — the
@@ -209,9 +263,12 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
     path), fingerprint with an integer-exact 9×8 dHash, and find
     all pairs within Hamming distance 3 via the banded equi-join
     shared with text SimHash (exact by pigeonhole, no all-pairs).
-    The JPEG leg is DC-only with its 9×8 block grid ALIGNED to the
-    dHash grid (one block = one cell), so the planted perturbation
-    stays a ≤ 2-bit flip. The oracle recomputes fingerprints from
+    The JPEG leg's 9×8 block grid is ALIGNED to the dHash grid (one
+    block = one cell) and the planted perturbation is DC-only, so it
+    stays a ≤ 2-bit flip; the gid%8=6 sub-leg additionally carries
+    REAL AC spectra (r7) whose pixels — and therefore whose cell
+    sums — both engines compute through the same fixed-point integer
+    IDCT arithmetic. The oracle recomputes fingerprints from
     the pixel FORMULA and compares all pairs — a hash match
     certifies all four decoders, the luma/downsample/difference
     arithmetic, the hex encoding, and the banded search's exactness
@@ -235,17 +292,17 @@ dims AS (SELECT asset_id, gid, variant,
 px AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta, delta_j,
               CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
--- r7: the gid%4=2 leg is grayscale DC-only JPEG whose 9×8 block grid
--- aligns with the dHash grid (w=72, h=64 → cell (cx,cy) = block
--- (x//8, y//8)); pixel = dc + 128, luma = 1000·pixel; the variant
--- shifts block (i0, j0)'s DC additively (no wrap — clamp-free by
--- construction, see multimodal/phash.py::phj_dc)
-lum AS (SELECT asset_id, (x*9)//w AS cx, (y*8)//h AS cy,
+-- r7: the gid%4=2 leg is grayscale JPEG whose 9×8 block grid aligns
+-- with the dHash grid (w=72, h=64 → cell (cx,cy) = block (x//8,
+-- y//8)); the variant shifts block (i0, j0)'s DC additively. The
+-- gid%8=2 sub-leg is DC-only (pixel = dc + 128, clamp-free, linear
+-- cell sums); gid%8=6 carries the shared block_ac spectra and its
+-- pixels replay the fixed-point integer IDCT (idctb below)
+idctb AS (SELECT * FROM (VALUES {_IDCTB_ROWS}) AS b(u, tt, bb)),
+zzuv AS (SELECT * FROM (VALUES {_ZZUV_ROWS}) AS z(p, uu, vv)),
+lum0 AS (SELECT asset_id, (x*9)//w AS cx, (y*8)//h AS cy,
           CASE WHEN gid % 4 = 2 THEN
-            1000*(({PHJ_DC[0]}*(x//8) + {PHJ_DC[1]}*(y//8)
-                   + {PHJ_DC[2]}*gid) % {PHJ_DC_MOD} + ({PHJ_DC_OFF}) + 128
-                  + CASE WHEN variant = 1 AND x//8 = i0 AND y//8 = j0
-                         THEN delta_j ELSE 0 END)
+            1000*({_phj_dc_sql("x//8", "y//8")} + 128)
           ELSE
           299*(CASE WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
                THEN (({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 + delta) % 256
@@ -253,7 +310,25 @@ lum AS (SELECT asset_id, (x*9)//w AS cx, (y*8)//h AS cy,
         + 587*(({PH_G[0]}*x + {PH_G[1]}*y + {PH_G[2]}*gid) % 256)
         + 114*(({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256)
           END AS l
-        FROM px),
+        FROM px WHERE gid % 8 <> 6),
+jterm AS (
+  SELECT d.asset_id, CAST(bx.i AS BIGINT) AS bx, CAST(by.i AS BIGINT) AS by,
+         0 AS uu, 0 AS vv,
+         CAST({QUANT_DC} * ({_phj_dc_sql("CAST(bx.i AS BIGINT)", "CAST(by.i AS BIGINT)")}) AS BIGINT) AS f
+  FROM dims d, unnest(range(0, 9)) bx(i), unnest(range(0, 8)) by(i)
+  WHERE d.gid % 8 = 6
+  UNION ALL
+  SELECT d.asset_id, CAST(bx.i AS BIGINT), CAST(by.i AS BIGINT), zz.uu, zz.vv,
+         CAST({_phj_ac_sql("bx.i", "by.i")} AS BIGINT)
+  FROM dims d, unnest(range(0, 9)) bx(i), unnest(range(0, 8)) by(i), zzuv zz,
+       LATERAL (SELECT {_PHJ_V0.format(bx="CAST(bx.i AS BIGINT)", by="CAST(by.i AS BIGINT)")} AS v0) q0
+  WHERE d.gid % 8 = 6),
+jpx AS (
+  SELECT t.asset_id, t.bx, t.by, {_IDCT_PIX} AS pixv
+  FROM jterm t JOIN idctb bu ON bu.u = t.uu JOIN idctb bv ON bv.u = t.vv
+  GROUP BY t.asset_id, t.bx, t.by, bu.tt, bv.tt),
+lum1 AS (SELECT asset_id, bx AS cx, by AS cy, 1000 * pixv AS l FROM jpx),
+lum AS (SELECT * FROM lum0 UNION ALL SELECT * FROM lum1),
 cells AS (SELECT asset_id, cx, cy, CAST(SUM(l) AS BIGINT) AS s, COUNT(*) AS n
           FROM lum GROUP BY 1, 2, 3),
 bits AS (SELECT a.asset_id, a.cy*8 + a.cx AS k,
@@ -290,9 +365,9 @@ from queryengine_spark.multimodal.mediaops import (  # noqa: E402
 def multimodal_image_ops(spark: SparkSession, sf: str) -> DataFrame:
     """Resize + center-crop over really-decoded pixels (r6; corpus
     widened r7): the phash corpus (gid % 4 → 24-bit BMP / RGBA PNG /
-    grayscale DC-only JPEG / RGB TIFF — the RGB legs render one pixel
-    formula, the JPEG leg its block-DC formula through the
-    fixed-point-IDCT pixel path) → magic-byte decode →
+    grayscale JPEG (DC-only and, r7, AC-BEARING sub-legs) / RGB TIFF
+    — the RGB legs render one pixel formula, the JPEG legs their
+    block formulas through the fixed-point-IDCT pixel path) → magic-byte decode →
     nearest-neighbor resize to
     8×8 and center crop to (w//2, h//2) → exact integer channel sums
     of both outputs. The oracle recomputes every resized/cropped pixel
@@ -326,31 +401,51 @@ pts AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta, delta_j, 0 AS leg,
                (w - w // 2) // 2 + CAST(xx.i AS BIGINT),
                (h - h // 2) // 2 + CAST(yy.i AS BIGINT)
         FROM dims, unnest(range(0, w // 2)) xx(i), unnest(range(0, h // 2)) yy(i)),
--- r7: the gid%4=2 leg is the grayscale DC-only JPEG family — every
--- channel reads the same dc + 128 value (block = (x//8, y//8), the
--- variant shifts block (i0, j0) additively, clamp-free)
-ch AS (SELECT asset_id, w, h, leg,
+-- r7: the gid%4=2 leg is the grayscale JPEG family — every channel
+-- reads the same gray value (block = (x//8, y//8), the variant
+-- shifts block (i0, j0) additively). gid%8=2 is DC-only (clamp-free
+-- dc + 128); gid%8=6 carries the shared block_ac spectra, so its
+-- sampled pixels replay the fixed-point integer IDCT: pixel values
+-- are computed once per DISTINCT sampled source coordinate (jsrc)
+-- and joined back onto every dst sample, preserving NN duplicates
+idctb AS (SELECT * FROM (VALUES {_IDCTB_ROWS}) AS b(u, tt, bb)),
+zzuv AS (SELECT * FROM (VALUES {_ZZUV_ROWS}) AS z(p, uu, vv)),
+ch0 AS (SELECT asset_id, w, h, leg,
               CASE WHEN gid % 4 = 2 THEN
-                ({PHJ_DC[0]}*(x//8) + {PHJ_DC[1]}*(y//8)
-                 + {PHJ_DC[2]}*gid) % {PHJ_DC_MOD} + ({PHJ_DC_OFF}) + 128
-                + CASE WHEN variant = 1 AND x//8 = i0 AND y//8 = j0
-                       THEN delta_j ELSE 0 END
+                {_phj_dc_sql("x//8", "y//8")} + 128
               WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
                    THEN (({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 + delta) % 256
                    ELSE ({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 END AS r,
               CASE WHEN gid % 4 = 2 THEN
-                ({PHJ_DC[0]}*(x//8) + {PHJ_DC[1]}*(y//8)
-                 + {PHJ_DC[2]}*gid) % {PHJ_DC_MOD} + ({PHJ_DC_OFF}) + 128
-                + CASE WHEN variant = 1 AND x//8 = i0 AND y//8 = j0
-                       THEN delta_j ELSE 0 END
+                {_phj_dc_sql("x//8", "y//8")} + 128
               ELSE ({PH_G[0]}*x + {PH_G[1]}*y + {PH_G[2]}*gid) % 256 END AS g,
               CASE WHEN gid % 4 = 2 THEN
-                ({PHJ_DC[0]}*(x//8) + {PHJ_DC[1]}*(y//8)
-                 + {PHJ_DC[2]}*gid) % {PHJ_DC_MOD} + ({PHJ_DC_OFF}) + 128
-                + CASE WHEN variant = 1 AND x//8 = i0 AND y//8 = j0
-                       THEN delta_j ELSE 0 END
+                {_phj_dc_sql("x//8", "y//8")} + 128
               ELSE ({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256 END AS b
-       FROM pts)
+       FROM pts WHERE gid % 8 <> 6),
+jsrc AS (SELECT DISTINCT asset_id, gid, variant, i0, j0, delta_j, x, y
+         FROM pts WHERE gid % 8 = 6),
+jterm2 AS (
+  SELECT s.asset_id, s.x, s.y, 0 AS uu, 0 AS vv,
+         CAST({QUANT_DC} * ({_phj_dc_sql("s.x//8", "s.y//8")}) AS BIGINT) AS f
+  FROM jsrc s
+  UNION ALL
+  SELECT s.asset_id, s.x, s.y, zz.uu, zz.vv,
+         CAST({_phj_ac_sql("s.x//8", "s.y//8")} AS BIGINT)
+  FROM jsrc s, zzuv zz,
+       LATERAL (SELECT {_PHJ_V0.format(bx="s.x//8", by="s.y//8")} AS v0) q0),
+jpx2 AS (
+  SELECT t.asset_id, t.x, t.y, {_IDCT_PIX} AS pixv
+  FROM jterm2 t
+  JOIN idctb bu ON bu.u = t.uu AND bu.tt = t.x % 8
+  JOIN idctb bv ON bv.u = t.vv AND bv.tt = t.y % 8
+  GROUP BY t.asset_id, t.x, t.y),
+ch1 AS (SELECT p.asset_id, p.w, p.h, p.leg,
+               j.pixv AS r, j.pixv AS g, j.pixv AS b
+        FROM pts p JOIN jpx2 j
+          ON j.asset_id = p.asset_id AND j.x = p.x AND j.y = p.y
+        WHERE p.gid % 8 = 6),
+ch AS (SELECT * FROM ch0 UNION ALL SELECT * FROM ch1)
 SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(SUM(CASE WHEN leg = 0 THEN r ELSE 0 END) AS BIGINT) AS rz_sum_r,
        CAST(SUM(CASE WHEN leg = 0 THEN g ELSE 0 END) AS BIGINT) AS rz_sum_g,

@@ -83,11 +83,28 @@ def test_image_ops_stats_against_formula(spark):
     for a in range(16):
         gid, variant = a // 2, a % 2
         w, h, _, _, _ = phash_params(gid)
-        if gid % 4 == 2:  # JPEG leg (r7): gray block-DC formula, 72×64
+        if gid % 4 == 2:  # JPEG leg (r7): gray block formulas, 72×64
             w, h = 72, 64
+            from queryengine_spark.multimodal.jpeg import (
+                AC_POSITIONS,
+                QUANT_AC,
+                QUANT_DC,
+                ZIGZAG_NAT,
+                block_ac,
+            )
+            from tests.test_jpeg_idct import _idct_independent
 
             def _pix_jpeg(x, y, gid=gid, variant=variant):
-                v = phj_dc(gid, variant, x // 8, y // 8) + 128
+                bx, by = x // 8, y // 8
+                if gid % 8 == 2:  # DC-only sub-leg
+                    v = phj_dc(gid, variant, bx, by) + 128
+                    return (v, v, v)
+                # AC sub-leg: independent fixed-point IDCT replay
+                terms = {(0, 0): QUANT_DC * phj_dc(gid, variant, bx, by)}
+                for p in AC_POSITIONS:
+                    vv, uu = divmod(ZIGZAG_NAT[p], 8)
+                    terms[(vv, uu)] = QUANT_AC * block_ac(gid, bx, by, p)
+                v = _idct_independent(terms)[y % 8][x % 8]
                 return (v, v, v)
 
             pixel = _pix_jpeg
