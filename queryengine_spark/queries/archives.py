@@ -78,7 +78,8 @@ per AS (
                1, {NAME_HASH_HEX}))::BIGINT) AS BIGINT) AS name_hash
   FROM paysums GROUP BY shard_id)
 SELECT shard_id,
-       CASE WHEN shard_id % 2 = 0 THEN 'tar' ELSE 'zip' END AS fmt,
+       CASE WHEN shard_id % 4 = 0 THEN 'tgz'
+            WHEN shard_id % 2 = 0 THEN 'tar' ELSE 'zip' END AS fmt,
        n_members, n_samples, total_bytes, payload_sum, wsum, name_hash
 FROM per
 """

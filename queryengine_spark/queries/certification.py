@@ -127,6 +127,10 @@ VOID: dict[str, int] = {
     # composition into the (cell, bin) probe key); schema gained the
     # leg column, oracle became the two-leg UNION:
     "knn_filtered": 6,
+    # round 7: shard routing %2 -> %4 — shards ≡ 0 (mod 4) now ship
+    # as gzip-compressed tar (RFC 1952 reader with flag walk + CRC32/
+    # ISIZE verification); fmt CASE gained the tgz arm:
+    "source_archive_shards": 6,
 }
 
 

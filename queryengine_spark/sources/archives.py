@@ -139,6 +139,74 @@ def make_tar_shard(shard_id: int) -> bytes:
     return bytes(out)
 
 
+def make_tgz_shard(shard_id: int) -> bytes:
+    """gzip-compressed tar shard (WebDataset ``.tar.gz`` — the other
+    half of how shards actually ship). Hand-assembled RFC 1952
+    member: magic/CM=deflate, FNAME flag carrying the shard name (so
+    the reader's flag walk is exercised, not just the fast path),
+    deterministic MTIME, raw-deflate body, CRC32 + ISIZE trailer."""
+    raw = make_tar_shard(shard_id)
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(raw) + co.flush()
+    name = f"shard-{shard_id:06d}.tar".encode()
+    mtime = (1_700_000_000 + shard_id) & 0xFFFFFFFF
+    return (
+        b"\x1f\x8b\x08\x08"  # magic, CM=8, FLG=FNAME
+        + struct.pack("<I", mtime)
+        + b"\x00\xff"  # XFL, OS=unknown
+        + name + b"\x00"
+        + body
+        + struct.pack("<II", zlib.crc32(raw) & 0xFFFFFFFF, len(raw) & 0xFFFFFFFF)
+    )
+
+
+def _parse_gzip(b: bytes) -> bytes | None:
+    """RFC 1952 reader: validates magic/CM, walks the optional fields
+    (FEXTRA length-skip, FNAME/FCOMMENT zero-scan, FHCRC verified
+    against the header CRC), inflates the raw-deflate body, and
+    verifies the CRC32 + ISIZE trailer. Multi-member streams and
+    trailing garbage are refused (a shard is one member), as are
+    reserved flag bits — None, never a guess."""
+    if len(b) < 18 or b[:2] != b"\x1f\x8b" or b[2] != 8:
+        return None
+    flg = b[3]
+    if flg & 0xE0:  # reserved bits set
+        return None
+    p = 10
+    if flg & 0x04:  # FEXTRA
+        if p + 2 > len(b):
+            return None
+        (xlen,) = struct.unpack_from("<H", b, p)
+        p += 2 + xlen
+    for bit in (0x08, 0x10):  # FNAME, FCOMMENT: zero-terminated
+        if flg & bit:
+            q = b.find(b"\x00", p)
+            if q < 0:
+                return None
+            p = q + 1
+    if flg & 0x02:  # FHCRC: low 16 bits of the header CRC
+        if p + 2 > len(b):
+            return None
+        (hcrc,) = struct.unpack_from("<H", b, p)
+        if hcrc != (zlib.crc32(b[:p]) & 0xFFFF):
+            return None
+        p += 2
+    if p >= len(b):
+        return None
+    d = zlib.decompressobj(-15)
+    try:
+        raw = d.decompress(b[p:])
+        raw += d.flush()
+    except zlib.error:
+        return None
+    if not d.eof or len(d.unused_data) != 8:  # exactly the trailer
+        return None
+    crc, isize = struct.unpack("<II", d.unused_data)
+    if crc != (zlib.crc32(raw) & 0xFFFFFFFF) or isize != (len(raw) & 0xFFFFFFFF):
+        return None
+    return raw
+
+
 def _parse_tar(b: bytes) -> list[tuple[str, bytes]] | None:
     """USTAR walk: checksum-verified headers, prefix joining, pax
     ('x'/'g') and directory ('5') members skipped, GNU longname ('L'/
@@ -274,16 +342,25 @@ def _parse_zip(b: bytes) -> list[tuple[str, bytes]] | None:
 # dispatch + Spark plumbing
 # ---------------------------------------------------------------------------
 def make_archive(shard_id: int) -> tuple[str, bytes]:
-    """Even shards pack as tar, odd as zip — same member formula, so
-    the two container paths are directly equivalence-testable."""
+    """shard % 4 == 0 packs as gzip-compressed tar (r7), % 4 == 2 as
+    plain tar, odd as zip — same member formula, so all three
+    container paths are directly equivalence-testable."""
+    if shard_id % 4 == 0:
+        return "tgz", make_tgz_shard(shard_id)
     if shard_id % 2 == 0:
         return "tar", make_tar_shard(shard_id)
     return "zip", make_zip_shard(shard_id)
 
 
 def parse_archive(b: bytes) -> list[tuple[str, bytes]] | None:
-    """Magic-byte dispatch: ustar magic at offset 257, else the ZIP
+    """Magic-byte dispatch: gzip magic → RFC 1952 unwrap then the
+    ustar walk (r7), ustar magic at offset 257, else the ZIP
     local-header signature. None for unrecognized/invalid payloads."""
+    if b[:2] == b"\x1f\x8b":
+        inner = _parse_gzip(bytes(b))
+        if inner is None or len(inner) < 262 or inner[257:262] != b"ustar":
+            return None
+        return _parse_tar(inner)
     if len(b) >= 262 and b[257:262] == b"ustar":
         return _parse_tar(b)
     if b[:4] == struct.pack("<I", _ZIP_LOCAL):

@@ -223,7 +223,9 @@ def test_spark_stats_match_python_reference(spark):
     for sid in range(12):
         members = shard_members(sid)
         r = got[sid]
-        assert r.fmt == ("tar" if sid % 2 == 0 else "zip")
+        assert r.fmt == (
+                "tgz" if sid % 4 == 0 else "tar" if sid % 2 == 0 else "zip"
+            )
         assert r.n_members == len(members)
         assert r.n_samples == shard_samples(sid)
         assert r.total_bytes == sum(len(d) for _, d in members)
@@ -246,5 +248,92 @@ def test_stats_plan_no_shuffle(spark):
 
 
 def test_make_archive_parity_split():
-    assert make_archive(0)[0] == "tar"
+    assert make_archive(0)[0] == "tgz"  # r7: %4==0 ships compressed
     assert make_archive(1)[0] == "zip"
+    assert make_archive(2)[0] == "tar"
+    assert make_archive(3)[0] == "zip"
+
+
+# ------------------------------------------------- gzip tar shards (r7)
+
+
+def test_tgz_members_equal_tar_members():
+    """The gzip wrap is transparent: tgz members == the same shard
+    packed as plain tar == the member formula."""
+    from queryengine_spark.sources.archives import make_tgz_shard, shard_members
+
+    for sid in (0, 4, 8, 12):
+        tgz = parse_archive(make_tgz_shard(sid))
+        assert tgz == parse_archive(make_tar_shard(sid)) == shard_members(sid)
+
+
+def test_gzip_header_bytes_pinned():
+    """Hand-pin the RFC 1952 envelope: magic, CM, FNAME flag, the
+    zero-terminated name, and the CRC32/ISIZE trailer of a known
+    payload."""
+    import struct
+    import zlib
+
+    from queryengine_spark.sources.archives import make_tgz_shard
+
+    b = make_tgz_shard(4)
+    assert b[:4] == b"\x1f\x8b\x08\x08"
+    name_end = b.index(b"\x00", 10)
+    assert b[10:name_end] == b"shard-000004.tar"
+    raw = make_tar_shard(4)
+    crc, isize = struct.unpack("<II", b[-8:])
+    assert crc == (zlib.crc32(raw) & 0xFFFFFFFF)
+    assert isize == len(raw) & 0xFFFFFFFF
+
+
+def test_gzip_optional_fields_walked():
+    """A reader that only handles the writer's own header shape is
+    not a reader: hand-build FEXTRA + FNAME + FCOMMENT + FHCRC and
+    require the same member list."""
+    import struct
+    import zlib
+
+    from queryengine_spark.sources.archives import _parse_gzip, shard_members
+
+    raw = make_tar_shard(8)
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(raw) + co.flush()
+    hdr = bytearray(b"\x1f\x8b\x08" + bytes([0x02 | 0x04 | 0x08 | 0x10]))
+    hdr += struct.pack("<I", 123456) + b"\x00\xff"
+    hdr += struct.pack("<H", 6) + b"AB\x02\x00XY"  # FEXTRA subfield
+    hdr += b"a-name\x00"  # FNAME
+    hdr += b"a comment\x00"  # FCOMMENT
+    hdr += struct.pack("<H", zlib.crc32(bytes(hdr)) & 0xFFFF)  # FHCRC
+    g = bytes(hdr) + body + struct.pack(
+        "<II", zlib.crc32(raw) & 0xFFFFFFFF, len(raw) & 0xFFFFFFFF
+    )
+    assert _parse_gzip(g) == raw
+    assert parse_archive(g) == shard_members(8)
+    # corrupt the header CRC: refused
+    bad = g[: len(hdr) - 2] + b"\x00\x00" + g[len(hdr):]
+    assert _parse_gzip(bad) is None
+
+
+def test_gzip_refusals():
+    import struct
+    import zlib
+
+    from queryengine_spark.sources.archives import _parse_gzip, make_tgz_shard
+
+    good = make_tgz_shard(4)
+    raw = make_tar_shard(4)
+    assert _parse_gzip(b"\x1f\x8b\x07" + good[3:]) is None  # CM != deflate
+    assert _parse_gzip(good[:3] + b"\xe8" + good[4:]) is None  # reserved bits
+    assert _parse_gzip(good[:-1]) is None  # truncated trailer
+    assert _parse_gzip(good[:-8] + b"\x00" * 4 + good[-4:]) is None  # CRC
+    assert (
+        _parse_gzip(good[:-4] + struct.pack("<I", (len(raw) + 1) & 0xFFFFFFFF))
+        is None
+    )  # ISIZE
+    assert parse_archive(good + b"junk") is None  # trailing garbage
+    # gzip wrapping something that is not a tar: refused at dispatch
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    nb = co.compress(b"not a tar") + co.flush()
+    g = (b"\x1f\x8b\x08\x00" + struct.pack("<I", 0) + b"\x00\xff" + nb
+         + struct.pack("<II", zlib.crc32(b"not a tar") & 0xFFFFFFFF, 9))
+    assert parse_archive(g) is None
