@@ -49,6 +49,8 @@ HEADLINE = [
     # r6 fold: brute/LSH/IVF as one tagged composite
     "knn_ann_suite",
     "knn_filtered",
+    # round-7: IVF + 8-bit scalar-quantized codes (FAISS SQ8 semantics)
+    "knn_sq8",
     "text_doc_profile",
     "pipeline_clean_corpus",
     "q13_order_count_distribution",

@@ -752,6 +752,103 @@ def ivf_topk_filtered(
     )
 
 
+def ivf_sq8_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 256,
+    train_iters: int = 3,
+) -> DataFrame:
+    """IVF + SCALAR-quantized codes (r7 — FAISS
+    IndexIVFScalarQuantizer QT_8bit semantics): the trained IVF
+    coarse quantizer shortlists candidates, and scoring reads 8-BIT
+    per-dimension codes instead of raw vectors — the OTHER classic
+    compression layer next to PQ (SQ8 keeps per-dim fidelity and
+    needs no codebook training; PQ compresses harder).
+
+    Training: per-dimension [vmin, vmax] over the same bounded
+    smallest-id sample the coarse quantizer uses, in the module's
+    scaled-integer domain (floor(v·10^4)). Encoding and ADC
+    reconstruction are pure integer Column arithmetic —
+    code_d = clip(⌊(x_d − vmin_d)·255 / Δ_d⌋, 0, 255),
+    recon_d = vmin_d + ⌊code_d·Δ_d / 255⌋ — so the oracle replays
+    them exactly (⌊·⌋ is FLOOR division on both engines; the only
+    negative operand, an out-of-range candidate below vmin, clamps
+    to 0 either way). Scoring is asymmetric (full-precision query ×
+    reconstructed candidate), the FAISS ADC convention.
+
+    At 100 TB this is the memory lever in its simplest form: a
+    64-dim float64 vector is 512 bytes, its SQ8 code 64 bytes — the
+    scoring join shuffles 1/8th the bytes with no codebook at all;
+    the min/max table is 2·dim BIGINTs, broadcast-trivial. Output:
+    (query_id, neighbor_id, cosine, rn)."""
+    sample = _collect_vec_sample(candidates, id_col, vec_col, max(sample_n, n_cells))
+    cents = kmeans_centroids_int(sample, n_cells, train_iters)
+    assign1 = ivf_cells_int_udf(cents, 1)
+    assignp = ivf_cells_int_udf(cents, nprobe)
+    ints = [_int_vec(v) for _sid, v in sample[:sample_n]]
+    vmin = [min(col) for col in zip(*ints)]
+    vdiff = [max(col) - mn for col, mn in zip(zip(*ints), vmin)]
+    vminc = F.array(*[F.lit(int(m)) for m in vmin])
+    vdiffc = F.array(*[F.lit(int(d_)) for d_ in vdiff])
+
+    def _el(arr, i):
+        return F.element_at(arr, (i + 1).cast("int"))
+
+    def _code(x, i):
+        d_ = _el(vdiffc, i)
+        raw = F.floor(((x - _el(vminc, i)) * 255) / d_).cast("bigint")
+        return F.when(
+            d_ > 0, F.least(F.lit(255), F.greatest(F.lit(0), raw))
+        ).otherwise(F.lit(0))
+
+    def _recon(cd, i):
+        d_ = _el(vdiffc, i)
+        return (
+            _el(vminc, i) + F.floor((cd * d_) / 255).cast("bigint")
+        ) / F.lit(KMEANS_SCALE)
+
+    xi = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.floor(v * F.lit(KMEANS_SCALE)).cast("bigint"),
+    )
+    c = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+            xi.alias("xi"),
+        )
+        .withColumn("codes", F.transform("xi", _code))
+        .withColumn("rvec", F.transform("codes", _recon))
+        .drop("xi")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("q_vec", "rvec"))
+    )
+    top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    )
+    return top.select(
+        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    )
+
+
 def ivf_topk_range_filtered(
     queries: DataFrame,
     candidates: DataFrame,

@@ -534,9 +534,61 @@ FROM ({KNN_FILTERED_RANGE_SQL})
 """
 
 
+def knn_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF + 8-bit SCALAR-quantized codes (r7 — FAISS
+    IndexIVFScalarQuantizer semantics; operators/knn.py::ivf_sq8_topk
+    for the integer encode/reconstruct spec): the compression lever
+    in its simplest form — 1 byte per dimension, no codebooks, ADC
+    scoring against the full-precision query. Per-query recall@k vs
+    the raw brute force rides along (folded-recall convention); the
+    oracle replays the min/max training, encoding, reconstruction
+    and scoring in the shared integer domain."""
+    from queryengine_spark.operators.knn import ivf_sq8_topk
+
+    e = t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    ann = ivf_sq8_topk(
+        queries, e, "vec_id", "embedding",
+        k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE,
+        sample_n=SAMPLE_N, train_iters=KMEANS_ITERS,
+    )
+    bf = brute_force_topk(queries, e, "vec_id", "embedding", k=K_LSH)
+    return _with_recall(ann, bf)
+
+
+KNN_SQ8_SQL = f"""{_ivf_cte()},
+mm AS (SELECT d, MIN(x) AS vmin, MAX(x) - MIN(x) AS vd FROM sp GROUP BY d),
+sqc AS (SELECT p.vec_id, p.d,
+        CASE WHEN m.vd > 0
+             THEN LEAST(255, GREATEST(0, ((p.x - m.vmin) * 255) // m.vd))
+             ELSE 0 END AS code
+        FROM ep p JOIN mm m USING (d)),
+sqr AS (SELECT c.vec_id,
+        list((m.vmin + (c.code * m.vd) // 255) / 10000.0 ORDER BY c.d) AS rv
+        FROM sqc c JOIN mm m USING (d) GROUP BY c.vec_id),
+sqscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='qe.v', b='cr.rv')} AS cos
+  FROM qcells q JOIN cells c ON q.cell = c.cell
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN sqr cr ON cr.vec_id = c.vec_id
+  WHERE c.vec_id <> q.vec_id),
+topk AS (
+  SELECT query_id, neighbor_id,
+         floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+  FROM sqscored
+  QUALIFY rn <= {K_LSH}
+){_BF_HITS_CTE}
+{_RECALL_TAIL}
+"""
+
+
 # r6 fold: knn_bruteforce / knn_lsh / knn_ivf merged into the tagged
 # composite above (one certification slot; every leg still executes).
 QUERIES = {
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "knn_ann_suite": (knn_ann_suite, KNN_ANN_SUITE_SQL),
+    "knn_sq8": (knn_sq8, KNN_SQ8_SQL),
 }
