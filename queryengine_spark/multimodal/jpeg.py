@@ -1660,6 +1660,38 @@ def decode_jpeg_coeffs_prog(b: bytes) -> tuple[int, int, np.ndarray] | None:
     return w_, h, _dequant_grid(grids[0], comps[0][0], pw[0], wb[0], hb[0])
 
 
+def decode_jpeg_pixels_prog3(
+    b: bytes,
+) -> tuple[int, int, list[np.ndarray]] | None:
+    """PIXEL decode of a 3-component progressive stream (r7): each
+    component's real (non-padding) block grid runs through the pinned
+    fixed-point integer IDCT and is returned at its NATIVE sampled
+    resolution — (w, h, [per-component (ch, cw) uint8 planes]). No
+    chroma upsampling filter is invented, the same convention the
+    DC-only subsampled profiles report stats in. This closes the last
+    pixel refusal: every profile the coefficient decoders accept now
+    has an exact, oracle-replayable pixel path."""
+    res = _decode_progressive(b)
+    if res is None:
+        return None
+    comps, (w_, h), grids, pw, wb, hb = res
+    if len(comps) != 3:
+        return None
+    hmax = max(hc for _, hc, _ in comps)
+    vmax = max(vc for _, _, vc in comps)
+    planes = []
+    for c in range(3):
+        arr = _dequant_grid(grids[c], comps[c][0], pw[c], wb[c], hb[c])
+        px = idct8_fixed(arr)
+        img = px.reshape(hb[c], wb[c], 8, 8).transpose(0, 2, 1, 3)
+        img = img.reshape(hb[c] * 8, wb[c] * 8)
+        _, hc, vc = comps[c]
+        cw = -(-(w_ * hc) // hmax)
+        ch = -(-(h * vc) // vmax)
+        planes.append(img[:ch, :cw].astype(np.uint8))
+    return w_, h, planes
+
+
 def decode_jpeg_coeffs_prog3(
     b: bytes,
 ) -> tuple[int, int, list[np.ndarray]] | None:
@@ -1739,9 +1771,9 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
     coefficient decoders accept — baseline sequential (incl. DRI
     restarts and 16-bit DQTs) AND progressive SOF2 — through the
     fixed-point integer IDCT. Returns an (h, w) uint8 image or None.
-    This closes the AC pixel refusal: only the 3-component
-    progressive profile still lacks a pixel path (its subsampled
-    chroma would need an upsampling filter we refuse to invent)."""
+    This closes the AC pixel refusal; 3-component progressive
+    streams are served by :func:`decode_jpeg_pixels_prog3` (native
+    per-plane resolution)."""
     co = decode_jpeg_coeffs(b)
     if co is None:
         co = decode_jpeg_coeffs_prog(b)
@@ -1901,8 +1933,13 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                 if co is None:  # not sequential: try progressive (r6)
                     co = decode_jpeg_coeffs_prog(b)
                 if co is None:  # 3-component progressive (r6): exact
-                    # coefficient stats summed across components,
-                    # pixel columns honestly NULL (AC present)
+                    # coefficient stats summed across components;
+                    # since r7 the pixel columns are REAL too — each
+                    # plane through the fixed-point IDCT at its
+                    # native resolution (luma stats on the luma
+                    # plane, chroma sums per plane, no upsampling
+                    # filter invented — the same convention as the
+                    # DC-only subsampled profiles)
                     r3 = decode_jpeg_coeffs_prog3(b)
                     if r3 is not None:
                         w, h, arrs = r3
@@ -1910,15 +1947,19 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                         ac = np.delete(allc, 0, axis=1)
                         out["width"].append(w)
                         out["height"].append(h)
-                        for k in ("n_px", "sum_lum", "min_lum", "max_lum"):
-                            out[k].append(None)
+                        px3 = decode_jpeg_pixels_prog3(b)
+                        y, cb, cr = (p.astype(np.int64) for p in px3[2])
+                        out["n_px"].append(int(y.size))
+                        out["sum_lum"].append(int(y.sum()))
+                        out["min_lum"].append(int(y.min()))
+                        out["max_lum"].append(int(y.max()))
                         out["n_blocks"].append(int(allc.shape[0]))
                         out["sum_dc_dq"].append(int(allc[:, 0].sum()))
                         out["sum_ac_dq"].append(int(ac.sum()))
                         out["sum_abs_ac_dq"].append(int(np.abs(ac).sum()))
                         out["n_nonzero_ac"].append(int((ac != 0).sum()))
-                        out["sum_cb"].append(None)
-                        out["sum_cr"].append(None)
+                        out["sum_cb"].append(int(cb.sum()))
+                        out["sum_cr"].append(int(cr.sum()))
                         continue
                 if co is None:
                     for k in (*pix_cols, *co_cols, *ycc_cols):

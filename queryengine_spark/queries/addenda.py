@@ -581,25 +581,36 @@ acsums AS (SELECT asset_id,
 -- zigzag position to its (horizontal u, vertical v) frequencies
 idctb AS (SELECT * FROM (VALUES {_IDCT_B_ROWS}) AS b(u, tt, bb)),
 zzuv AS (SELECT * FROM (VALUES {_ZZ_UV_ROWS}) AS z(p, uu, vv)),
+-- the %16=11 3-component progressive leg plants the SAME dc/ac
+-- formulas on its LUMA grid (2bw×2bh — block_dc3 at c=0 IS block_dc),
+-- so since r7 its luma pixels ride the same IDCT replay
 pxterm AS (
   SELECT d.asset_id, xx.i AS bx, yy.i AS by, 0 AS uu, 0 AS vv,
          CAST({QUANT_DC} * (((d.asset_id + 13 * CAST(xx.i AS BIGINT)
                 + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
                 + ({DC_OFF})) AS BIGINT) AS f
-  FROM dims d, unnest(range(0, d.bw)) xx(i), unnest(range(0, d.bh)) yy(i)
-  WHERE d.asset_id % 2 = 1 AND d.asset_id % 16 <> 11
+  FROM dims d,
+       unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+                            THEN 2 * d.bw ELSE d.bw END)) xx(i),
+       unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+                            THEN 2 * d.bh ELSE d.bh END)) yy(i)
+  WHERE d.asset_id % 2 = 1
   UNION ALL
   SELECT d.asset_id, xx.i AS bx, yy.i AS by, zz.uu, zz.vv,
          CAST((CASE WHEN d.asset_id % 16 = 9 THEN {QUANT_AC16}
                     ELSE {QUANT_AC} END)
               * (CASE WHEN v0 >= 0 THEN v0 + 1 ELSE v0 END) AS BIGINT) AS f
-  FROM dims d, unnest(range(0, d.bw)) xx(i), unnest(range(0, d.bh)) yy(i),
+  FROM dims d,
+       unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+                            THEN 2 * d.bw ELSE d.bw END)) xx(i),
+       unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+                            THEN 2 * d.bh ELSE d.bh END)) yy(i),
        zzuv zz,
        LATERAL (SELECT (d.asset_id + 7 * CAST(xx.i AS BIGINT)
                         + 11 * CAST(yy.i AS BIGINT)
                         + 53 * CAST(zz.p AS BIGINT)) * {AC_MULT}
                        % {AC_MOD} - {AC_SHIFT} AS v0) qq
-  WHERE d.asset_id % 2 = 1 AND d.asset_id % 16 <> 11),
+  WHERE d.asset_id % 2 = 1),
 pxv AS (
   SELECT t.asset_id,
          GREATEST(0, LEAST(255, 128 + CAST(floor(
@@ -659,20 +670,18 @@ SELECT s.asset_id,
                         ELSE 8 END AS INT) AS width,
        CAST(s.bh * CASE WHEN s.asset_id % 16 IN (4, 6, 11) THEN 16 ELSE 8 END
             AS INT) AS height,
-       CASE WHEN s.asset_id % 16 = 11 THEN NULL
+       CASE WHEN s.asset_id % 16 = 11
+            THEN CAST(s.bw * s.bh * 256 AS BIGINT)
             WHEN s.asset_id % 8 IN (4, 6)
             THEN CAST(s.bw * s.bh * 256 AS BIGINT)
             ELSE CAST(s.bw * s.bh * 64 AS BIGINT) END AS n_px,
-       CASE WHEN s.asset_id % 16 = 11 THEN NULL
-            WHEN s.asset_id % 2 = 1 THEN p.sum_lum
+       CASE WHEN s.asset_id % 2 = 1 THEN p.sum_lum
             WHEN s.asset_id % 8 IN (4, 6) THEN z.sum_lum
             ELSE s.sum_lum END AS sum_lum,
-       CASE WHEN s.asset_id % 16 = 11 THEN NULL
-            WHEN s.asset_id % 2 = 1 THEN p.min_lum
+       CASE WHEN s.asset_id % 2 = 1 THEN p.min_lum
             WHEN s.asset_id % 8 IN (4, 6) THEN z.min_lum
             ELSE s.min_lum END AS min_lum,
-       CASE WHEN s.asset_id % 16 = 11 THEN NULL
-            WHEN s.asset_id % 2 = 1 THEN p.max_lum
+       CASE WHEN s.asset_id % 2 = 1 THEN p.max_lum
             WHEN s.asset_id % 8 IN (4, 6) THEN z.max_lum
             ELSE s.max_lum END AS max_lum,
        CAST(CASE WHEN s.asset_id % 8 = 2 THEN 3 * s.bw * s.bh
@@ -686,12 +695,13 @@ SELECT s.asset_id,
        CAST(COALESCE(a.sum_ac_dq, 0) AS BIGINT) AS sum_ac_dq,
        CAST(COALESCE(a.sum_abs_ac_dq, 0) AS BIGINT) AS sum_abs_ac_dq,
        CAST(COALESCE(a.n_nonzero_ac, 0) AS BIGINT) AS n_nonzero_ac,
-       -- pixel-domain chroma sums exist only on the DC-only legs;
-       -- the odd (AC-bearing) legs are honestly NULL even when a
-       -- blk420 row exists (the %16=11 progressive leg)
-       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+       -- chroma sums: the 3-component legs report each plane at its
+       -- NATIVE resolution (the %16=11 progressive leg's chroma is
+       -- DC-only, so the y420 formula serves it too — r7); grayscale
+       -- legs stay NULL
+       CASE WHEN s.asset_id % 2 = 1 AND s.asset_id % 16 <> 11 THEN NULL
             ELSE COALESCE(y.sum_cb, z.sum_cb) END AS sum_cb,
-       CASE WHEN s.asset_id % 2 = 1 THEN NULL
+       CASE WHEN s.asset_id % 2 = 1 AND s.asset_id % 16 <> 11 THEN NULL
             ELSE COALESCE(y.sum_cr, z.sum_cr) END AS sum_cr
 FROM dcsums s
 LEFT JOIN acsums a ON s.asset_id = a.asset_id

@@ -186,3 +186,40 @@ def test_decode_pixels_dc_only_agrees_with_legacy_profile(aid):
 def test_decode_pixels_refuses_garbage():
     assert decode_jpeg_pixels(b"") is None
     assert decode_jpeg_pixels(make_jpeg_ac(3)[:40]) is None
+
+
+@pytest.mark.parametrize("aid", [11, 27, 43])
+def test_decode_pixels_prog3_native_planes(aid):
+    """r7: the 3-component progressive PIXEL path — each plane at its
+    native resolution, luma through the full IDCT (AC spectra),
+    chroma DC-only → dc3 + 128 constant blocks. Independent
+    expectation via the pure-Python IDCT."""
+    from queryengine_spark.multimodal.jpeg import (
+        block_dc3,
+        decode_jpeg_pixels_prog3,
+        make_jpeg_prog_420,
+    )
+
+    res = decode_jpeg_pixels_prog3(make_jpeg_prog_420(aid))
+    assert res is not None
+    w, h, (y, cb, cr) = res
+    mw, mh = jpeg_params(aid)
+    assert (w, h) == (16 * mw, 16 * mh)
+    assert y.shape == (16 * mh, 16 * mw)
+    assert cb.shape == cr.shape == (8 * mh, 8 * mw)
+    # luma: AC-bearing blocks, independent fixed-point IDCT replay
+    for by in range(2 * mh):
+        for bx in range(2 * mw):
+            terms = {(0, 0): QUANT_DC * block_dc3(aid, 0, bx, by)}
+            for p in AC_POSITIONS:
+                v, u = divmod(ZIGZAG_NAT[p], 8)
+                terms[(v, u)] = QUANT_AC * block_ac(aid, bx, by, p)
+            want = _idct_independent(terms)
+            blk = y[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+            assert blk.tolist() == want, (aid, bx, by)
+    # chroma: DC-only constant blocks at native resolution
+    for c, plane in ((1, cb), (2, cr)):
+        for by in range(mh):
+            for bx in range(mw):
+                blk = plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+                assert (blk == block_dc3(aid, c, bx, by) + 128).all()
