@@ -1033,18 +1033,21 @@ PACK_SEQ_LEN = 256
 
 
 def pipeline_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
-    """Concat-and-chunk sequence packing (r7) — the step that turns a
-    cleaned corpus into fixed-length training sequences: documents in
-    ascending doc_id order form one token stream cut into
-    PACK_SEQ_LEN-token sequences; each doc reports its stream offset,
-    first/last sequence, straddle count and in-sequence start offset
-    (the attention-mask fragmentation quantities). The distributed
-    piece is the exclusive token prefix sum, computed scale-out with
-    the range-repartition + broadcast-partition-offsets pattern
-    (operators/packing.py — NEVER a global single-partition window);
-    the oracle replicates it with a plain SQL window, so the driver
-    hash certifies the two-phase prefix sum against the one-pass
-    definition."""
+    """GLOBAL-order sequence-packing layout (r7) — the per-DOCUMENT
+    twin of ``pipeline_sequence_packing`` (queries/curation2.py):
+    that query shards the stream by (source, md5-shard) and emits
+    per-PACK telemetry (fill, boundary fragmentation) using ordinary
+    per-partition windows; THIS one lays the corpus out as ONE
+    deterministic global token stream (ascending doc_id) and emits
+    each document's dataloader index entry — stream offset,
+    first/last sequence, straddle count, in-sequence start offset —
+    which requires a GLOBAL prefix sum no partitioned window can
+    provide. That sum is computed scale-out with the
+    range-repartition + broadcast-partition-offsets pattern
+    (operators/packing.py — NEVER a single-partition global window,
+    plan-gated); the oracle replicates it with a plain SQL window, so
+    the driver hash certifies the two-phase prefix sum against the
+    one-pass definition."""
     from queryengine_spark.operators.packing import pack_sequences
 
     d = t(spark, sf, "documents")
