@@ -173,6 +173,8 @@ HEADLINE = [
     "curation_sa_scrub",
     # round-6: WebDataset-style tar/zip shard ingestion
     "source_archive_shards",
+    # round-7: metadata-only footer profiling (stats faithfulness check)
+    "source_footer_profile",
     # round-6 media transforms (resize/crop, animation frame sampling,
     # audio framing, AVI/MJPEG video frame sampling), folded r7 into
     # one leg-tagged composite

@@ -595,6 +595,34 @@ FROM a
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Parquet footer profiling — metadata-only query answering (r7)
+# ---------------------------------------------------------------------------
+
+
+def source_footer_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Answer COUNT / null-count / MIN / MAX questions for every
+    profiled numeric column of every table FROM PARQUET FOOTERS ONLY
+    (sources/footers.py — pyarrow metadata fanned over executors, no
+    data page is ever read), while the oracle answers the same
+    questions from the data with plain aggregates. The driver hash
+    therefore certifies that row-group statistics are faithful to
+    the rows they summarize — the property stats-based row-group
+    SKIPPING (the scan planner's pruning input) relies on."""
+    from queryengine_spark.sources.footers import parquet_footer_profile
+
+    return parquet_footer_profile(spark, sf)
+
+
+def _footer_profile_sql() -> str:
+    from queryengine_spark.sources.footers import footer_profile_oracle_sql
+
+    return footer_profile_oracle_sql()
+
+
+SOURCE_FOOTER_PROFILE_SQL = _footer_profile_sql()
+
 QUERIES = {
     "text_bm25_search": (text_bm25_search, _bm25_sql()),
     "graph_triangles": (graph_triangles, _triangles_sql()),
@@ -606,4 +634,5 @@ QUERIES = {
     "profile_numeric_summary": (profile_numeric_summary, _profile_sql()),
     "fuzzy_edit_join": (fuzzy_edit_join, _edit_join_sql()),
     "source_partition_pruned": (source_partition_pruned, SOURCE_PARTITION_PRUNED_SQL),
+    "source_footer_profile": (source_footer_profile, SOURCE_FOOTER_PROFILE_SQL),
 }

@@ -120,3 +120,43 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     a = {r["doc_id"]: r["n_chars"] for r in back.collect()}
     b = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
     assert a == b
+
+
+class TestFooterProfile:
+    """r7: parquet footer introspection (sources/footers.py) — the
+    footer answers must equal data-scan answers, and the operator
+    must actually be metadata-only."""
+
+    def test_footer_answers_equal_data_answers(self, spark, sf_dir):
+        from queryengine_spark.sources.footers import (
+            PROFILE_COLS,
+            parquet_footer_profile,
+        )
+        from queryengine_spark.sources.tables import load_table
+
+        got = {
+            (r["tbl"], r["col"]): (r["n_rows"], r["n_nulls"], r["min_val"], r["max_val"])
+            for r in parquet_footer_profile(spark, sf_dir).collect()
+        }
+        assert len(got) == sum(len(v) for v in PROFILE_COLS.values())
+        import pyspark.sql.functions as F
+
+        for t, cols in PROFILE_COLS.items():
+            df = load_table(spark, sf_dir, t)
+            for c in cols:
+                row = df.agg(
+                    F.count(F.lit(1)), F.count(c), F.min(c), F.max(c)
+                ).collect()[0]
+                n, nn = row[0], row[0] - row[1]
+                mn, mx = float(row[2]) + 0.0, float(row[3]) + 0.0
+                assert got[(t, c)] == (n, nn, mn, mx), (t, c, got[(t, c)])
+
+    def test_footer_rowgroup_sums_match_file_meta(self, sf_dir):
+        import os
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata
+        assert sum(
+            md.row_group(i).num_rows for i in range(md.num_row_groups)
+        ) == md.num_rows
