@@ -175,6 +175,8 @@ HEADLINE = [
     "source_archive_shards",
     # round-7: metadata-only footer profiling (stats faithfulness check)
     "source_footer_profile",
+    # round-7: per-source distribution drift (integer TVD)
+    "profile_source_drift",
     # round-6 media transforms (resize/crop, animation frame sampling,
     # audio framing, AVI/MJPEG video frame sampling), folded r7 into
     # one leg-tagged composite

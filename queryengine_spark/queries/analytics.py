@@ -597,6 +597,91 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
+# Per-source distribution drift (total-variation distance) — r7
+# ---------------------------------------------------------------------------
+
+#: document-length histogram bins: bin = min(31, n_chars // DRIFT_BIN_W)
+DRIFT_BIN_W = 32
+DRIFT_BIN_CAP = 31
+
+
+def profile_source_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-QA drift monitor: per source, the TOTAL-VARIATION distance
+    between its document-length histogram and the corpus-wide
+    reference — "which ingest source no longer looks like the
+    corpus", the check a pipeline owner runs before a source poisons
+    a training mix. TVD instead of the usual PSI because PSI's ln()
+    is libm-dependent and therefore NOT engine-portable (the same
+    reason the dedup family avoids ln in certified columns); TVD is
+    pure rational arithmetic: TVD = Σ|c_b·N − C_b·n| / (2·n·N) stays
+    BIGINT until one final exactly-rounded division.
+
+    Absent bins matter (a source missing a hot bin IS drift), so the
+    per-source bin lattice is completed by crossing the per-source
+    totals with the observed-bin reference — both are AGGREGATED
+    relations bounded by |sources| × 32 bins, so the cross join is
+    broadcast-trivial at any corpus size. One (source, bin)
+    partial-agg shuffle reads the data; everything after runs on
+    aggregate-sized relations."""
+    d = t(spark, sf, "documents")
+    bin_col = F.least(
+        F.lit(DRIFT_BIN_CAP), F.expr(f"n_chars div {DRIFT_BIN_W}")
+    ).cast("bigint")
+    counts = (
+        d.select(F.col("source"), bin_col.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ref = counts.groupBy("bin").agg(F.sum("c").cast("bigint").alias("cb"))
+    per_src = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    total = per_src.agg(F.sum("n").cast("bigint").alias("nn"))
+    lattice = per_src.crossJoin(F.broadcast(ref)).crossJoin(F.broadcast(total))
+    dev = (
+        lattice.join(counts, ["source", "bin"], "left")
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)))
+        .groupBy("source", "n", "nn")
+        .agg(
+            F.sum(F.abs(F.col("c0") * F.col("nn") - F.col("cb") * F.col("n")))
+            .cast("bigint")
+            .alias("dev_num"),
+            F.sum((F.col("c0") > 0).cast("int")).cast("bigint").alias("n_bins"),
+        )
+    )
+    from queryengine_spark.queries.base import fround
+
+    tvd = F.col("dev_num") / (2.0 * F.col("n") * F.col("nn"))
+    return dev.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "n_bins",
+        "dev_num",
+        fround(tvd, 6).alias("tvd"),
+    )
+
+
+PROFILE_SOURCE_DRIFT_SQL = f"""
+WITH b AS (SELECT source,
+                  LEAST({DRIFT_BIN_CAP}, n_chars // {DRIFT_BIN_W}) AS bin
+           FROM documents),
+counts AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY source, bin),
+ref AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM counts GROUP BY bin),
+per_src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM per_src),
+lattice AS (SELECT p.source, p.n, r.bin, r.cb, t.nn FROM per_src p, ref r, total t),
+dev AS (SELECT l.source, l.n, l.nn,
+               CAST(SUM(abs(COALESCE(c.c, 0) * l.nn - l.cb * l.n)) AS BIGINT) AS dev_num,
+               CAST(SUM(CASE WHEN COALESCE(c.c, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins
+        FROM lattice l LEFT JOIN counts c
+          ON c.source = l.source AND c.bin = l.bin
+        GROUP BY l.source, l.n, l.nn)
+SELECT source, n AS n_docs, n_bins, dev_num,
+       floor(dev_num / (2.0 * n * nn) * 1000000.0 + 0.5) / 1000000.0 AS tvd
+FROM dev
+"""
+
+
+# ---------------------------------------------------------------------------
 # Parquet footer profiling — metadata-only query answering (r7)
 # ---------------------------------------------------------------------------
 
@@ -635,4 +720,5 @@ QUERIES = {
     "fuzzy_edit_join": (fuzzy_edit_join, _edit_join_sql()),
     "source_partition_pruned": (source_partition_pruned, SOURCE_PARTITION_PRUNED_SQL),
     "source_footer_profile": (source_footer_profile, SOURCE_FOOTER_PROFILE_SQL),
+    "profile_source_drift": (profile_source_drift, PROFILE_SOURCE_DRIFT_SQL),
 }

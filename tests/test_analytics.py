@@ -264,3 +264,38 @@ def test_edit_distance_join_rejects_d3(spark):
     df = spark.createDataFrame([(1, "a")], "id long, term string")
     with pytest.raises(NotImplementedError):
         edit_distance_join(df, df, "id", "term", "id", "term", max_dist=3)
+
+
+def test_source_drift_tvd_matches_independent(spark, sf_dir):
+    """r7: per-source TVD vs an independent pure-Python histogram
+    replay (counts from the raw table, absent bins included)."""
+    from collections import Counter, defaultdict
+
+    from queryengine_spark.queries.analytics import (
+        DRIFT_BIN_CAP,
+        DRIFT_BIN_W,
+        profile_source_drift,
+    )
+    from queryengine_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    per = defaultdict(Counter)
+    for r in rows:
+        per[r["source"]][min(DRIFT_BIN_CAP, r["n_chars"] // DRIFT_BIN_W)] += 1
+    ref = Counter()
+    for c in per.values():
+        ref.update(c)
+    nn = sum(ref.values())
+    got = {
+        r["source"]: (r["n_docs"], r["n_bins"], r["dev_num"], r["tvd"])
+        for r in profile_source_drift(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        n = sum(cnt.values())
+        dev = sum(abs(cnt.get(b, 0) * nn - cb * n) for b, cb in ref.items())
+        tvd = int(dev / (2.0 * n * nn) * 1e6 + 0.5) / 1e6
+        assert got[src] == (n, len(cnt), dev, tvd), src
+        assert 0.0 <= got[src][3] <= 1.0
