@@ -81,36 +81,52 @@ def parquet_footer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_df = spark.createDataFrame(reqs, "tbl string, path string, col string")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import glob as _glob
+
         import pyarrow.parquet as pq
+
+        def _files(path: str) -> list[str]:
+            # a "table" is one parquet file OR a directory of part
+            # files (how Spark writes) — footers merge across parts
+            if os.path.isdir(path):
+                return sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            return [path]
 
         for pdf in batches:
             out = []
             for path in pdf["path"].unique():
                 sub = pdf[pdf["path"] == path]
-                md = pq.ParquetFile(path).metadata
-                idx = {
-                    md.row_group(0).column(i).path_in_schema: i
-                    for i in range(md.num_columns)
-                } if md.num_row_groups else {}
+                mds = [pq.ParquetFile(f).metadata for f in _files(path)]
+                idx = {}
+                for md in mds:
+                    if md.num_row_groups:
+                        idx = {
+                            md.row_group(0).column(i).path_in_schema: i
+                            for i in range(md.num_columns)
+                        }
+                        break
+                n_rows = sum(md.num_rows for md in mds)
                 for tname, c in zip(sub["tbl"], sub["col"]):
                     nnull = 0
                     mn = mx = None
                     ok = c in idx
-                    for rg in range(md.num_row_groups):
-                        colmd = md.row_group(rg).column(idx[c]) if ok else None
-                        st = colmd.statistics if colmd is not None else None
-                        if st is None or not st.has_min_max:
-                            mn = mx = None
-                            ok = False
+                    for md in mds:
+                        if not ok:
                             break
-                        nnull += int(st.null_count or 0)
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx[c]).statistics
+                            if st is None or not st.has_min_max:
+                                mn = mx = None
+                                ok = False
+                                break
+                            nnull += int(st.null_count or 0)
+                            mn = st.min if mn is None else min(mn, st.min)
+                            mx = st.max if mx is None else max(mx, st.max)
                     out.append(
                         (
                             str(tname),
                             str(c),
-                            int(md.num_rows),
+                            int(n_rows),
                             int(nnull) if ok else None,
                             # + 0.0 canonicalizes IEEE -0.0 (parquet
                             # float stats legitimately store -0.0 as
