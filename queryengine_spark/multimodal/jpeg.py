@@ -397,6 +397,18 @@ def make_jpeg_420(asset_id: int, dri: bool) -> bytes:
     return _make_jpeg_sub(asset_id, 2, 2, dri)
 
 
+def make_jpeg_420_ac(asset_id: int, dri: bool) -> bytes:
+    """Baseline SEQUENTIAL YCbCr 4:2:0 WITH luma AC (r7) — the most
+    common JPEG on the web, at last in its full shape: interleaved
+    six-block MCUs where every luma block carries the shared block_ac
+    spectra (run/size + ZRL traffic INSIDE the MCU stream, restart
+    markers optionally slicing mid-AC), chroma DC-only. Carries the
+    SAME per-component formulas as :func:`make_jpeg_prog_420`, so the
+    sequential and progressive decoders must produce bit-identical
+    coefficients and pixels for the same asset — pinned in pytest."""
+    return _make_jpeg_sub(asset_id, 2, 2, dri, luma_ac=True)
+
+
 def make_jpeg_411(asset_id: int, dri: bool) -> bytes:
     """YCbCr 4:1:1 twin of :func:`make_jpeg_420` (r6): Y samples 4×1
     (the DV/camcorder chroma layout), so each MCU covers 32×8 pixels
@@ -407,9 +419,15 @@ def make_jpeg_411(asset_id: int, dri: bool) -> bytes:
     return _make_jpeg_sub(asset_id, 4, 1, dri)
 
 
-def _make_jpeg_sub(asset_id: int, hy: int, vy: int, dri: bool) -> bytes:
+def _make_jpeg_sub(
+    asset_id: int, hy: int, vy: int, dri: bool, luma_ac: bool = False
+) -> bytes:
     """Shared 3-component subsampled synthesizer: luma samples hy×vy,
-    chroma 1×1; MCU = hy·vy Y blocks (raster order) + Cb + Cr."""
+    chroma 1×1; MCU = hy·vy Y blocks (raster order) + Cb + Cr.
+    ``luma_ac=True`` (r7) plants the block_ac formula on every luma
+    block — the dominant real-world shape (baseline interleaved
+    subsampled scan WITH AC energy); chroma stays DC-only (its
+    minimal AC table has only EOB + one symbol by design)."""
     mw, mh = jpeg_params(asset_id)
     ri = jpeg420_ri(asset_id) if dri else 0
     dc_codes = [
@@ -448,8 +466,33 @@ def _make_jpeg_sub(asset_id: int, hy: int, vy: int, dri: bool) -> bytes:
             w.put(code, length)
             if cat:
                 w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            eob, eob_len = ac_codes[c][0x00]
-            w.put(eob, eob_len)
+            if luma_ac and c == 0:
+                coefs = [0] * 64
+                for p in AC_POSITIONS:
+                    coefs[p] = block_ac(asset_id, bx, by, p)
+                k = 1
+                while k < 64:  # the _encode_scan AC walk, per block
+                    j = k
+                    while j < 64 and coefs[j] == 0:
+                        j += 1
+                    if j == 64:
+                        eob, eob_len = ac_codes[0][0x00]
+                        w.put(eob, eob_len)
+                        break
+                    run = j - k
+                    while run >= 16:
+                        zrl, zrl_len = ac_codes[0][0xF0]
+                        w.put(zrl, zrl_len)
+                        run -= 16
+                    size = _category(coefs[j])
+                    code, length = ac_codes[0][(run << 4) | size]
+                    w.put(code, length)
+                    v = coefs[j]
+                    w.put(v if v >= 0 else v + (1 << size) - 1, size)
+                    k = j + 1
+            else:
+                eob, eob_len = ac_codes[c][0x00]
+                w.put(eob, eob_len)
     scan = w.flush()
     quant_l = bytes([QUANT_DC] + [QUANT_AC] * 63)
     quant_c = bytes([QUANT_DC] + [QUANT_AC_CHROMA] * 63)
@@ -837,6 +880,137 @@ def decode_jpeg_dc_planes(b: bytes) -> tuple[int, int, list[np.ndarray]] | None:
         wc = -(-(w_ * hc) // hmax)
         hcp = -(-(h * vc) // vmax)
         planes.append(arr[:hcp, :wc])
+    return w_, h, planes
+
+
+def _decode_sequential_multi(b: bytes):
+    """Full baseline SEQUENTIAL decode of a 1- or 3-component
+    interleaved scan with the COMPLETE AC grammar (r7 — until now the
+    multi-component sequential path was DC-only, leaving the single
+    most common real-world JPEG shape, AC-bearing 4:2:0 baseline,
+    undecodable): general sampling factors, DRI restart intervals,
+    per-component quant/Huffman tables. Returns (comps, (w, h),
+    grids, pw, wb, hb) with grids[c] an (pw·ph, 64) int64 array of
+    DEQUANTIZED natural-order coefficients over the PADDED grid —
+    the same contract as ``_decode_progressive``, so the dequant/
+    trim/IDCT machinery is shared."""
+    parsed = _parse_segments_multi(b)
+    if parsed is None:
+        return None
+    comps, (w_, h), segments, ri = parsed
+    hmax = max(hc for _, _, _, hc, _ in comps)
+    vmax = max(vc for _, _, _, _, vc in comps)
+    mcux = -(-w_ // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    total = mcux * mcuy
+    if len(segments) != (1 if ri == 0 else -(-total // ri)):
+        return None
+    pw = [mcux * hc for _, _, _, hc, _ in comps]
+    ph = [mcuy * vc for _, _, _, _, vc in comps]
+    wb = [-(-(-(-(w_ * hc) // hmax)) // 8) for _, _, _, hc, _ in comps]
+    hb = [-(-(-(-(h * vc) // vmax)) // 8) for _, _, _, _, vc in comps]
+    grids = [
+        np.zeros((pw[c] * ph[c], 64), dtype=np.int64) for c in range(len(comps))
+    ]
+    preds = [0] * len(comps)
+    r = _BitReader(segments[0])
+    seg = 0
+    for mcu in range(total):
+        if ri and mcu and mcu % ri == 0:
+            seg += 1
+            r = _BitReader(segments[seg])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for c, (quant, dc_tab, ac_tab, hc, vc) in enumerate(comps):
+            for dy in range(vc):
+                for dx in range(hc):
+                    diff = _read_dc_diff(r, dc_tab)
+                    if diff is None:
+                        return None
+                    preds[c] += diff
+                    row = grids[c][(my * vc + dy) * pw[c] + (mx * hc + dx)]
+                    row[0] = preds[c] * quant[0]
+                    k = 1
+                    while k < 64:  # the decode_jpeg_coeffs AC grammar
+                        rs = _read_huff(r, ac_tab)
+                        if rs is None:
+                            return None
+                        if rs == 0x00:
+                            break
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                return None
+                            k += 16
+                            if k >= 64:
+                                return None
+                            continue
+                        k += run
+                        if k > 63:
+                            return None
+                        bits_v = 0
+                        for _ in range(size):
+                            bit = r.bit()
+                            if bit is None:
+                                return None
+                            bits_v = (bits_v << 1) | bit
+                        val = (
+                            bits_v
+                            if bits_v >= (1 << (size - 1))
+                            else bits_v - (1 << size) + 1
+                        )
+                        row[ZIGZAG_NAT[k]] = val * quant[k]
+                        k += 1
+    return comps, (w_, h), grids, pw, wb, hb
+
+
+def _trim_real_blocks(grid: np.ndarray, pw_c: int, wb_c: int, hb_c: int) -> np.ndarray:
+    """Padded (pw·ph, 64) grid → (wb·hb, 64) over the REAL blocks."""
+    rows = [by * pw_c + bx for by in range(hb_c) for bx in range(wb_c)]
+    return grid[rows]
+
+
+def decode_jpeg_seq_coeffs_multi(
+    b: bytes,
+) -> tuple[int, int, list[np.ndarray]] | None:
+    """Sequential multi-component twin of
+    :func:`decode_jpeg_coeffs_prog3`: (w, h, [per-component
+    (n_real_blocks, 64) dequantized coefficient arrays])."""
+    res = _decode_sequential_multi(b)
+    if res is None:
+        return None
+    comps, (w_, h), grids, pw, wb, hb = res
+    if len(comps) != 3:
+        return None
+    return w_, h, [
+        _trim_real_blocks(grids[c], pw[c], wb[c], hb[c]) for c in range(3)
+    ]
+
+
+def decode_jpeg_pixels_seq_multi(
+    b: bytes,
+) -> tuple[int, int, list[np.ndarray]] | None:
+    """Sequential multi-component PIXEL decode (r7): each plane
+    through the fixed-point IDCT at its native sampled resolution —
+    the same contract as :func:`decode_jpeg_pixels_prog3`."""
+    res = _decode_sequential_multi(b)
+    if res is None:
+        return None
+    comps, (w_, h), grids, pw, wb, hb = res
+    if len(comps) != 3:
+        return None
+    hmax = max(hc for _, _, _, hc, _ in comps)
+    vmax = max(vc for _, _, _, _, vc in comps)
+    planes = []
+    for c in range(3):
+        arr = _trim_real_blocks(grids[c], pw[c], wb[c], hb[c])
+        px = idct8_fixed(arr)
+        img = px.reshape(hb[c], wb[c], 8, 8).transpose(0, 2, 1, 3)
+        img = img.reshape(hb[c] * 8, wb[c] * 8)
+        _, _, _, hc, vc = comps[c]
+        cw = -(-(w_ * hc) // hmax)
+        ch = -(-(h * vc) // vmax)
+        planes.append(img[:ch, :cw].astype(np.uint8))
     return w_, h, planes
 
 
@@ -1846,13 +2020,17 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
     % 8 == 2 → YCbCr 4:4:4 DC-only (r5); % 16 == 4 / 6 → YCbCr 4:2:0
     DC-only, plain / with DRI restart markers (r6); % 16 == 12 / 14 →
     YCbCr 4:1:1 DC-only (4×1 luma sampling — factor 4), plain / with
-    DRI (r6); odd → grayscale AC-bearing, of which % 16 == 9 ships
-    its quant table as a 16-bit Pq=1 DQT (r6), % 16 == 1 is
-    PROGRESSIVE (SOF2, six scans of spectral selection + successive
-    approximation encoding the same blocks — r6), and % 16 == 11 is
-    3-COMPONENT 4:2:0 PROGRESSIVE (interleaved DC scans +
-    per-component AC band scans, luma AC formula, chroma EOB-run
-    scans — r6)."""
+    DRI (r6); odd → AC-bearing, of which % 16 ∈ {3, 5, 7} are
+    grayscale sequential, % 16 == 9 ships its quant table as a
+    16-bit Pq=1 DQT (r6), % 16 == 1 is PROGRESSIVE (SOF2, six scans
+    of spectral selection + successive approximation encoding the
+    same blocks — r6), % 16 == 11 is 3-COMPONENT 4:2:0 PROGRESSIVE
+    (interleaved DC scans + per-component AC band scans, luma AC
+    formula, chroma EOB-run scans — r6), and % 16 ∈ {13, 15} are
+    3-COMPONENT 4:2:0 SEQUENTIAL with luma AC, plain / WITH DRI
+    restart markers slicing mid-AC (r7 — the dominant real-world
+    shape, decoding bit-identically to the % 16 == 11 progressive
+    twin)."""
 
     def _mk(a: int) -> bytes:
         if a % 2 == 1:
@@ -1860,6 +2038,8 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
                 return make_jpeg_progressive(a)
             if a % 16 == 11:
                 return make_jpeg_prog_420(a)
+            if a % 16 in (13, 15):  # r7: baseline 4:2:0 WITH luma AC
+                return make_jpeg_420_ac(a, dri=(a % 16 == 15))
             return make_jpeg_ac16(a) if a % 16 == 9 else make_jpeg_ac(a)
         r8 = a % 8
         if r8 == 0:
@@ -1932,22 +2112,31 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                 co = decode_jpeg_coeffs(b)
                 if co is None:  # not sequential: try progressive (r6)
                     co = decode_jpeg_coeffs_prog(b)
-                if co is None:  # 3-component progressive (r6): exact
-                    # coefficient stats summed across components;
-                    # since r7 the pixel columns are REAL too — each
-                    # plane through the fixed-point IDCT at its
-                    # native resolution (luma stats on the luma
-                    # plane, chroma sums per plane, no upsampling
-                    # filter invented — the same convention as the
-                    # DC-only subsampled profiles)
+                if co is None:  # 3-component AC-bearing profiles:
+                    # progressive (r6) or SEQUENTIAL interleaved (r7
+                    # — the dominant web shape). Exact coefficient
+                    # stats summed across components; pixel columns
+                    # REAL since r7 — each plane through the
+                    # fixed-point IDCT at its native resolution
+                    # (luma stats on the luma plane, chroma sums per
+                    # plane, no upsampling filter invented — the
+                    # same convention as the DC-only subsampled
+                    # profiles)
                     r3 = decode_jpeg_coeffs_prog3(b)
+                    px3 = decode_jpeg_pixels_prog3(b) if r3 is not None else None
+                    if r3 is None:
+                        r3 = decode_jpeg_seq_coeffs_multi(b)
+                        px3 = (
+                            decode_jpeg_pixels_seq_multi(b)
+                            if r3 is not None
+                            else None
+                        )
                     if r3 is not None:
                         w, h, arrs = r3
                         allc = np.concatenate(arrs, axis=0)
                         ac = np.delete(allc, 0, axis=1)
                         out["width"].append(w)
                         out["height"].append(h)
-                        px3 = decode_jpeg_pixels_prog3(b)
                         y, cb, cr = (p.astype(np.int64) for p in px3[2])
                         out["n_px"].append(int(y.size))
                         out["sum_lum"].append(int(y.sum()))

@@ -558,9 +558,9 @@ acv AS (SELECT d.asset_id,
              -- r6: the %16=11 3-component progressive leg plants its
              -- AC formula on the LUMA grid (2bw×2bh); all other odd
              -- legs are grayscale bw×bh
-             unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+             unnest(range(0, CASE WHEN d.asset_id % 16 IN (11, 13, 15)
                                   THEN 2 * d.bw ELSE d.bw END)) xx(i),
-             unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+             unnest(range(0, CASE WHEN d.asset_id % 16 IN (11, 13, 15)
                                   THEN 2 * d.bh ELSE d.bh END)) yy(i),
              unnest([{", ".join(str(p) for p in AC_POSITIONS)}]) pp(p),
              LATERAL (SELECT (d.asset_id + 7 * CAST(xx.i AS BIGINT)
@@ -590,9 +590,9 @@ pxterm AS (
                 + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
                 + ({DC_OFF})) AS BIGINT) AS f
   FROM dims d,
-       unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+       unnest(range(0, CASE WHEN d.asset_id % 16 IN (11, 13, 15)
                             THEN 2 * d.bw ELSE d.bw END)) xx(i),
-       unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+       unnest(range(0, CASE WHEN d.asset_id % 16 IN (11, 13, 15)
                             THEN 2 * d.bh ELSE d.bh END)) yy(i)
   WHERE d.asset_id % 2 = 1
   UNION ALL
@@ -601,9 +601,9 @@ pxterm AS (
                     ELSE {QUANT_AC} END)
               * (CASE WHEN v0 >= 0 THEN v0 + 1 ELSE v0 END) AS BIGINT) AS f
   FROM dims d,
-       unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+       unnest(range(0, CASE WHEN d.asset_id % 16 IN (11, 13, 15)
                             THEN 2 * d.bw ELSE d.bw END)) xx(i),
-       unnest(range(0, CASE WHEN d.asset_id % 16 = 11
+       unnest(range(0, CASE WHEN d.asset_id % 16 IN (11, 13, 15)
                             THEN 2 * d.bh ELSE d.bh END)) yy(i),
        zzuv zz,
        LATERAL (SELECT (d.asset_id + 7 * CAST(xx.i AS BIGINT)
@@ -650,12 +650,12 @@ blk420 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
                  + ({DC_OFF}) AS dc
         FROM dims d, unnest([0, 1, 2]) cc(c),
              unnest(range(0, CASE WHEN cc.c > 0 THEN d.bw
-                                  WHEN d.asset_id % 16 IN (4, 6, 11) THEN 2 * d.bw
+                                  WHEN d.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 2 * d.bw
                                   ELSE 4 * d.bw END)) xx(i),
              unnest(range(0, CASE WHEN cc.c > 0 THEN d.bh
-                                  WHEN d.asset_id % 16 IN (4, 6, 11) THEN 2 * d.bh
+                                  WHEN d.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 2 * d.bh
                                   ELSE d.bh END)) yy(i)
-        WHERE d.asset_id % 8 IN (4, 6) OR d.asset_id % 16 = 11),
+        WHERE d.asset_id % 8 IN (4, 6) OR d.asset_id % 16 IN (11, 13, 15)),
 y420 AS (SELECT asset_id,
                CAST(SUM(CASE WHEN comp = 0 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_lum,
                CAST(MIN(CASE WHEN comp = 0 THEN dc END) + 128 AS INT) AS min_lum,
@@ -665,12 +665,12 @@ y420 AS (SELECT asset_id,
                CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS dc420_dq
         FROM blk420 GROUP BY asset_id)
 SELECT s.asset_id,
-       CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6, 11) THEN 16
+       CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 16
                         WHEN s.asset_id % 16 IN (12, 14) THEN 32
                         ELSE 8 END AS INT) AS width,
-       CAST(s.bh * CASE WHEN s.asset_id % 16 IN (4, 6, 11) THEN 16 ELSE 8 END
-            AS INT) AS height,
-       CASE WHEN s.asset_id % 16 = 11
+       CAST(s.bh * CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 16
+                        ELSE 8 END AS INT) AS height,
+       CASE WHEN s.asset_id % 16 IN (11, 13, 15)
             THEN CAST(s.bw * s.bh * 256 AS BIGINT)
             WHEN s.asset_id % 8 IN (4, 6)
             THEN CAST(s.bw * s.bh * 256 AS BIGINT)
@@ -686,11 +686,11 @@ SELECT s.asset_id,
             ELSE s.max_lum END AS max_lum,
        CAST(CASE WHEN s.asset_id % 8 = 2 THEN 3 * s.bw * s.bh
                  WHEN s.asset_id % 8 IN (4, 6) THEN 6 * s.bw * s.bh
-                 WHEN s.asset_id % 16 = 11 THEN 6 * s.bw * s.bh
+                 WHEN s.asset_id % 16 IN (11, 13, 15) THEN 6 * s.bw * s.bh
                  ELSE s.bw * s.bh END AS BIGINT) AS n_blocks,
        CAST(CASE WHEN s.asset_id % 8 = 2 THEN y.dc3_dq
                  WHEN s.asset_id % 8 IN (4, 6) THEN z.dc420_dq
-                 WHEN s.asset_id % 16 = 11 THEN z.dc420_dq
+                 WHEN s.asset_id % 16 IN (11, 13, 15) THEN z.dc420_dq
                  ELSE s.sum_dc_dq END AS BIGINT) AS sum_dc_dq,
        CAST(COALESCE(a.sum_ac_dq, 0) AS BIGINT) AS sum_ac_dq,
        CAST(COALESCE(a.sum_abs_ac_dq, 0) AS BIGINT) AS sum_abs_ac_dq,
@@ -699,9 +699,11 @@ SELECT s.asset_id,
        -- NATIVE resolution (the %16=11 progressive leg's chroma is
        -- DC-only, so the y420 formula serves it too — r7); grayscale
        -- legs stay NULL
-       CASE WHEN s.asset_id % 2 = 1 AND s.asset_id % 16 <> 11 THEN NULL
+       CASE WHEN s.asset_id % 2 = 1
+                 AND s.asset_id % 16 NOT IN (11, 13, 15) THEN NULL
             ELSE COALESCE(y.sum_cb, z.sum_cb) END AS sum_cb,
-       CASE WHEN s.asset_id % 2 = 1 AND s.asset_id % 16 <> 11 THEN NULL
+       CASE WHEN s.asset_id % 2 = 1
+                 AND s.asset_id % 16 NOT IN (11, 13, 15) THEN NULL
             ELSE COALESCE(y.sum_cr, z.sum_cr) END AS sum_cr
 FROM dcsums s
 LEFT JOIN acsums a ON s.asset_id = a.asset_id

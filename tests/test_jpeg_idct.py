@@ -223,3 +223,66 @@ def test_decode_pixels_prog3_native_planes(aid):
             for bx in range(mw):
                 blk = plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
                 assert (blk == block_dc3(aid, c, bx, by) + 128).all()
+
+
+@pytest.mark.parametrize("aid", [13, 15, 29, 47])
+def test_sequential_420_ac_matches_progressive(aid):
+    """r7: baseline SEQUENTIAL 4:2:0 with luma AC — the dominant web
+    JPEG shape — must decode bit-identically (coefficients AND
+    pixels, DRI or not) to the progressive payload carrying the same
+    per-component formulas."""
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_coeffs_prog3,
+        decode_jpeg_pixels_prog3,
+        decode_jpeg_pixels_seq_multi,
+        decode_jpeg_seq_coeffs_multi,
+        make_jpeg_420_ac,
+        make_jpeg_prog_420,
+    )
+
+    seq = decode_jpeg_seq_coeffs_multi(make_jpeg_420_ac(aid, dri=False))
+    prog = decode_jpeg_coeffs_prog3(make_jpeg_prog_420(aid))
+    assert seq is not None and prog is not None
+    assert seq[:2] == prog[:2]
+    for a, b in zip(seq[2], prog[2]):
+        assert (a == b).all()
+    ps = decode_jpeg_pixels_seq_multi(make_jpeg_420_ac(aid, dri=False))
+    pd = decode_jpeg_pixels_seq_multi(make_jpeg_420_ac(aid, dri=True))
+    pp = decode_jpeg_pixels_prog3(make_jpeg_prog_420(aid))
+    for a, b, c in zip(ps[2], pd[2], pp[2]):
+        assert (a == b).all() and (a == c).all()
+
+
+def test_sequential_multi_dc_only_agrees_with_legacy_planes():
+    """On DC-only subsampled payloads the full sequential decoder and
+    the legacy DC-collapse planes path agree plane-for-plane."""
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_dc_planes,
+        decode_jpeg_pixels_seq_multi,
+        make_jpeg_411,
+        make_jpeg_420,
+    )
+
+    for aid, payload in (
+        (4, make_jpeg_420(4, dri=False)),
+        (6, make_jpeg_420(6, dri=True)),
+        (12, make_jpeg_411(12, dri=False)),
+    ):
+        legacy = decode_jpeg_dc_planes(payload)
+        full = decode_jpeg_pixels_seq_multi(payload)
+        assert legacy is not None and full is not None, aid
+        assert legacy[:2] == full[:2]
+        for a, b in zip(legacy[2], full[2]):
+            assert (a == b).all(), aid
+
+
+def test_sequential_multi_refusals():
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_seq_coeffs_multi,
+        make_jpeg_420_ac,
+    )
+
+    good = make_jpeg_420_ac(13, dri=False)
+    assert decode_jpeg_seq_coeffs_multi(b"") is None
+    assert decode_jpeg_seq_coeffs_multi(good[:60]) is None
+    assert decode_jpeg_seq_coeffs_multi(good[:-20]) is None  # truncated scan
