@@ -622,7 +622,14 @@ def profile_source_drift(spark: SparkSession, sf: str) -> DataFrame:
     relations bounded by |sources| × 32 bins, so the cross join is
     broadcast-trivial at any corpus size. One (source, bin)
     partial-agg shuffle reads the data; everything after runs on
-    aggregate-sized relations."""
+    aggregate-sized relations.
+
+    Overflow discipline (r8): the deviation products c_b·N − C_b·n
+    reach N² ≈ 10^20 at a 10^10-doc corpus — past 2^63 — so they are
+    accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), good to
+    10^38. Only the final ratio (a double division on identically
+    shaped expression trees) leaves the exact domain, so no BIGINT
+    column in the OUTPUT can overflow at any corpus size."""
     d = t(spark, sf, "documents")
     bin_col = F.least(
         F.lit(DRIFT_BIN_CAP), F.expr(f"n_chars div {DRIFT_BIN_W}")
@@ -636,25 +643,30 @@ def profile_source_drift(spark: SparkSession, sf: str) -> DataFrame:
     per_src = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     total = per_src.agg(F.sum("n").cast("bigint").alias("nn"))
     lattice = per_src.crossJoin(F.broadcast(ref)).crossJoin(F.broadcast(total))
+    dec = "decimal(38,0)"
     dev = (
         lattice.join(counts, ["source", "bin"], "left")
         .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)))
         .groupBy("source", "n", "nn")
         .agg(
-            F.sum(F.abs(F.col("c0") * F.col("nn") - F.col("cb") * F.col("n")))
-            .cast("bigint")
+            F.sum(
+                F.abs(
+                    F.col("c0").cast(dec) * F.col("nn").cast(dec)
+                    - F.col("cb").cast(dec) * F.col("n").cast(dec)
+                )
+            )
+            .cast(dec)
             .alias("dev_num"),
             F.sum((F.col("c0") > 0).cast("int")).cast("bigint").alias("n_bins"),
         )
     )
     from queryengine_spark.queries.base import fround
 
-    tvd = F.col("dev_num") / (2.0 * F.col("n") * F.col("nn"))
+    tvd = F.col("dev_num").cast("double") / (2.0 * F.col("n") * F.col("nn"))
     return dev.select(
         "source",
         F.col("n").alias("n_docs"),
         "n_bins",
-        "dev_num",
         fround(tvd, 6).alias("tvd"),
     )
 
@@ -670,13 +682,14 @@ per_src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY sour
 total AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM per_src),
 lattice AS (SELECT p.source, p.n, r.bin, r.cb, t.nn FROM per_src p, ref r, total t),
 dev AS (SELECT l.source, l.n, l.nn,
-               CAST(SUM(abs(COALESCE(c.c, 0) * l.nn - l.cb * l.n)) AS BIGINT) AS dev_num,
+               CAST(SUM(abs(CAST(COALESCE(c.c, 0) AS HUGEINT) * CAST(l.nn AS HUGEINT)
+                            - CAST(l.cb AS HUGEINT) * CAST(l.n AS HUGEINT))) AS HUGEINT) AS dev_num,
                CAST(SUM(CASE WHEN COALESCE(c.c, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins
         FROM lattice l LEFT JOIN counts c
           ON c.source = l.source AND c.bin = l.bin
         GROUP BY l.source, l.n, l.nn)
-SELECT source, n AS n_docs, n_bins, dev_num,
-       floor(dev_num / (2.0 * n * nn) * 1000000.0 + 0.5) / 1000000.0 AS tvd
+SELECT source, n AS n_docs, n_bins,
+       floor(CAST(dev_num AS DOUBLE) / (2.0 * n * nn) * 1000000.0 + 0.5) / 1000000.0 AS tvd
 FROM dev
 """
 

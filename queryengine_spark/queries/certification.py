@@ -131,6 +131,15 @@ VOID: dict[str, int] = {
     # as gzip-compressed tar (RFC 1952 reader with flag walk + CRC32/
     # ISIZE verification); fmt CASE gained the tgz arm:
     "source_archive_shards": 6,
+    # round 8 (r7 ADVICE): deviation products widened BIGINT ->
+    # DECIMAL(38,0)/HUGEINT (overflow past ~3e9 docs) and the
+    # overflowable dev_num output column dropped — schema changed:
+    "profile_source_drift": 7,
+    # round 8 (r7 ADVICE): stats-less parquet chunks now poison only
+    # the facts they withhold (all-null row groups keep contributing
+    # n_nulls; min/max unaffected by value-free chunks) instead of
+    # nulling the whole column:
+    "source_footer_profile": 7,
 }
 
 

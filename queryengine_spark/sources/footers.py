@@ -107,19 +107,35 @@ def parquet_footer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                         break
                 n_rows = sum(md.num_rows for md in mds)
                 for tname, c in zip(sub["tbl"], sub["col"]):
+                    # Per-chunk semantics (r8): a chunk MISSING stats
+                    # makes only the facts that chunk withheld
+                    # unknown, not the whole column. An all-null row
+                    # group (null_count == num_rows, has_min_max
+                    # False — a legitimate writer shape) contributes
+                    # its nulls and simply has no values to fold into
+                    # min/max; only a chunk that HAS values but no
+                    # min/max stats poisons min/max, and only a chunk
+                    # with no null_count poisons n_nulls.
                     nnull = 0
+                    nnull_ok = c in idx
                     mn = mx = None
-                    ok = c in idx
+                    mm_ok = c in idx
                     for md in mds:
-                        if not ok:
+                        if c not in idx:
                             break
                         for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(idx[c]).statistics
+                            rgm = md.row_group(rg)
+                            st = rgm.column(idx[c]).statistics
+                            nc = None if st is None else st.null_count
+                            if nc is None:
+                                nnull_ok = False
+                            else:
+                                nnull += int(nc)
+                            if nc is not None and int(nc) == rgm.num_rows:
+                                continue  # all-null chunk: no values
                             if st is None or not st.has_min_max:
-                                mn = mx = None
-                                ok = False
-                                break
-                            nnull += int(st.null_count or 0)
+                                mm_ok = False
+                                continue
                             mn = st.min if mn is None else min(mn, st.min)
                             mx = st.max if mx is None else max(mx, st.max)
                     out.append(
@@ -127,13 +143,13 @@ def parquet_footer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             str(tname),
                             str(c),
                             int(n_rows),
-                            int(nnull) if ok else None,
+                            int(nnull) if nnull_ok else None,
                             # + 0.0 canonicalizes IEEE -0.0 (parquet
                             # float stats legitimately store -0.0 as
                             # a min where the data aggregate says
                             # 0.0; they compare equal, so normalize)
-                            float(mn) + 0.0 if ok and mn is not None else None,
-                            float(mx) + 0.0 if ok and mx is not None else None,
+                            float(mn) + 0.0 if mm_ok and mn is not None else None,
+                            float(mx) + 0.0 if mm_ok and mx is not None else None,
                         )
                     )
             yield pd.DataFrame(
