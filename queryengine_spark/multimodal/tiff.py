@@ -16,10 +16,21 @@ Same discipline as the BMP/PNG/GIF/JPEG/WAV codecs:
   encoder/decoder bug pair can't cancel, plus a hypothesis PackBits
   round-trip property;
 - anything outside the implemented profile returns None (honest
-  refusal): tiled TIFFs, LZW/JPEG/deflate compression, planar
-  configuration 2, bit depths other than 8.
+  refusal): tiled TIFFs, JPEG/deflate compression, planar
+  configuration 2, bit depths other than 8, predictors other
+  than none/horizontal.
 
-Mixed synthesis profiles (by asset_id % 3, all small-strip so the
+r8: LZW decompression (TIFF 6.0 §13) — TIFF's most common
+historical codec, the top remaining gap on archival/scan corpora.
+Same table/reset machinery as the GIF engine (multimodal/gif.py)
+with the two spec deltas: MSB-first bit packing and the
+EarlyChange code-width bump at table size 2^w − 1 (one code
+EARLIER than GIF; codes 9→10 bits when entry 510 is added — the
+classic interop off-by-one). Paired with Predictor 2 (horizontal
+differencing, tag 317, TIFF 6.0 §14) — the real-world LZW
+combination — so smooth gradients genuinely compress.
+
+Mixed synthesis profiles (by asset_id % 4, all small-strip so the
 strip walk is really exercised):
 
   0 → uncompressed RGB8, little-endian (II), RowsPerStrip 4
@@ -28,11 +39,15 @@ strip walk is really exercised):
       compresses (and the decoder genuinely decompresses)
   2 → uncompressed grayscale WhiteIsZero (II): stored byte s is
       DISPLAYED as 255 - s — decode applies the inversion
+  3 → LZW grayscale BlackIsZero + Predictor 2, big-endian (MM):
+      the formula is linear in x so horizontal differencing
+      yields constant-per-row diffs and LZW genuinely compresses
 
 Formulas (w = 5 + a % TIF_W_MOD, h = 4 + a % TIF_H_MOD):
   RGB:   r=(3x+7y+a)%256  g=(5x+y+2a)%256  b=(x+11y+3a)%256
   gray1: v=((x//4)*13 + 9y + a) % 256        (BlackIsZero)
   gray0: stored=(2x+5y+7a)%256 → value 255 - stored
+  gray3: v=(11x + 3y + 5a) % 256             (LZW + predictor 2)
 """
 
 from __future__ import annotations
@@ -58,6 +73,7 @@ TIF_R = (3, 7, 1)
 TIF_G = (5, 1, 2)
 TIF_B = (1, 11, 3)
 TIF_GRAY1 = (13, 9, 1)  # v = (x//4 * 13 + 9y + a) % 256
+TIF_GRAY3 = (11, 3, 5)  # v = (11x + 3y + 5a) % 256 (LZW leg)
 TIF_GRAY0 = (2, 5, 7)  # stored = (2x + 5y + 7a) % 256
 
 
@@ -123,6 +139,150 @@ def packbits_decode(data: bytes) -> bytes | None:
     return bytes(out)
 
 
+# ------------------------------------------------------------ LZW
+#
+# TIFF 6.0 §13 variant of the LZW engine proven in multimodal/gif.py:
+# fixed 256-symbol alphabet (Clear=256, EOI=257, first table entry
+# 258), MSB-first bit packing, and the EarlyChange width rule — the
+# decoder widens when its TABLE SIZE reaches 2^w − 1 (GIF widens at
+# 2^w), so codes go 9→10 bits when entry index 510 lands (spec: "add
+# code 510, switch to 10 bits"). The encoder SIMULATES the decoder's
+# table growth for widths (the counter-drift trap the GIF engine's
+# hypothesis test found — see lzw_encode's docstring in gif.py).
+
+_TIF_CLEAR, _TIF_EOI = 256, 257
+#: spec cap: the encoder must emit Clear before code 4094 is used
+_TIF_MAX_TABLE = 4094
+
+
+def lzw_tiff_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    # simulated decoder state
+    dec_len = 258
+    dec_width = 9
+    first_after_clear = True
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits, dec_len, dec_width, first_after_clear
+        acc = (acc << dec_width) | code
+        nbits += dec_width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+        if code == _TIF_CLEAR:
+            dec_len = 258
+            dec_width = 9
+            first_after_clear = True
+        elif code != _TIF_EOI:
+            if first_after_clear:
+                first_after_clear = False
+            elif dec_len < _TIF_MAX_TABLE:
+                dec_len += 1
+                if dec_len >= (1 << dec_width) - 1 and dec_width < 12:
+                    dec_width += 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_TIF_CLEAR)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < _TIF_MAX_TABLE:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            emit(_TIF_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(_TIF_EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_tiff_decode(data: bytes) -> bytes | None:
+    """Inverse of :func:`lzw_tiff_encode` (KwKwK handled). None on a
+    truncated stream (no EOI) or an out-of-range code."""
+    pos = 0
+    total = len(data) * 8
+
+    def read(width: int) -> int | None:
+        nonlocal pos
+        if pos + width > total:
+            return None
+        val = 0
+        for i in range(width):
+            byte, bit = divmod(pos + i, 8)
+            val = (val << 1) | ((data[byte] >> (7 - bit)) & 1)
+        pos += width
+        return val
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code is None:
+            return None
+        if code == _TIF_CLEAR:
+            reset()
+            continue
+        if code == _TIF_EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < _TIF_MAX_TABLE:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def hdiff_encode(row: bytes, spp: int) -> bytes:
+    """Predictor 2 (TIFF 6.0 §14): per row, per channel, store the
+    difference from the previous sample mod 256; first sample kept."""
+    out = bytearray(row)
+    for i in range(len(row) - 1, spp - 1, -1):
+        out[i] = (row[i] - row[i - spp]) & 0xFF
+    return bytes(out)
+
+
+def hdiff_decode(row: bytes, spp: int) -> bytes:
+    out = bytearray(row)
+    for i in range(spp, len(row)):
+        out[i] = (out[i] + out[i - spp]) & 0xFF
+    return bytes(out)
+
+
 # ------------------------------------------------------------ encoder
 
 
@@ -142,6 +302,10 @@ def _pixel_gray0_stored(a: int, x: int, y: int) -> int:
     return (TIF_GRAY0[0] * x + TIF_GRAY0[1] * y + TIF_GRAY0[2] * a) % 256
 
 
+def _pixel_gray3(a: int, x: int, y: int) -> int:
+    return (TIF_GRAY3[0] * x + TIF_GRAY3[1] * y + TIF_GRAY3[2] * a) % 256
+
+
 def _build_tiff(
     *,
     big_endian: bool,
@@ -151,6 +315,7 @@ def _build_tiff(
     photometric: int,
     compression: int,
     strips: list[bytes],
+    predictor: int = 1,
 ) -> bytes:
     """Assemble header + strip data + one IFD. Strip data precedes the
     IFD (offsets are therefore known up front); BitsPerSample for
@@ -206,6 +371,9 @@ def _build_tiff(
             else entry(279, 4, 1, len(strips[0]))
         ),  # StripByteCounts
     ]
+    if predictor != 1:
+        entries.append(entry(317, 3, 1, predictor))  # Predictor
+        entries.sort(key=lambda en: struct.unpack(f"{e}H", en[:2])[0])
     out = bytearray()
     out += struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
     for s in strips:
@@ -227,12 +395,28 @@ def _build_tiff(
 
 
 def make_tiff(asset_id: int) -> bytes:
-    """Container bytes for one asset (profile by asset_id % 3)."""
+    """Container bytes for one asset (profile by asset_id % 4)."""
     a = asset_id
     w, h = tiff_params(a)
-    leg = a % 3
+    leg = a % 4
     rps = TIF_ROWS_PER_STRIP
     row_starts = range(0, h, rps)
+    if leg == 3:  # LZW grayscale BlackIsZero + Predictor 2, MM
+        strips = [
+            lzw_tiff_encode(
+                b"".join(
+                    hdiff_encode(
+                        bytes(_pixel_gray3(a, x, y) for x in range(w)), 1
+                    )
+                    for y in range(y0, min(y0 + rps, h))
+                )
+            )
+            for y0 in row_starts
+        ]
+        return _build_tiff(
+            big_endian=True, w=w, h=h, spp=1, photometric=1,
+            compression=5, strips=strips, predictor=2,
+        )
     if leg == 0:  # uncompressed RGB, II
         strips = [
             b"".join(
@@ -318,7 +502,8 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 3) uint8 RGB array (grayscale replicated to 3
     channels, WhiteIsZero inverted), or None for anything outside the
     baseline profile: tiled layout, planar config 2, compression
-    other than none/PackBits, bit depth ≠ 8, or malformed geometry."""
+    other than none/PackBits/LZW, predictor other than none/
+    horizontal, bit depth ≠ 8, or malformed geometry."""
     if len(b) < 8:
         return None
     if b[:2] == b"II":
@@ -348,9 +533,12 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     spp = one(277, 1)
     rps = one(278, 2**32 - 1)
     planar = one(284, 1)
+    predictor = one(317, 1)
     if not w or not h or photo is None or planar != 1:
         return None
-    if comp not in (1, 32773) or spp not in (1, 3):
+    if comp not in (1, 5, 32773) or spp not in (1, 3):
+        return None
+    if predictor not in (1, 2):
         return None
     if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
         return None
@@ -374,9 +562,20 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
             if dec is None:
                 return None
             strip = dec
+        elif comp == 5:
+            dec = lzw_tiff_decode(strip)
+            if dec is None:
+                return None
+            strip = dec
         rows_here = min(rps, h - i * rps)
         if len(strip) != rows_here * w * spp:
             return None  # strip must decode to exactly its rows
+        if predictor == 2:
+            stride = w * spp
+            strip = b"".join(
+                hdiff_decode(strip[r * stride : (r + 1) * stride], spp)
+                for r in range(rows_here)
+            )
         raw += strip
     arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
     if spp == 1:

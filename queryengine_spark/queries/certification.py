@@ -131,6 +131,10 @@ VOID: dict[str, int] = {
     # as gzip-compressed tar (RFC 1952 reader with flag walk + CRC32/
     # ISIZE verification); fmt CASE gained the tgz arm:
     "source_archive_shards": 6,
+    # round 8: TIFF profile map %3 -> %4 — ids ≡ 3 (mod 4) now carry
+    # LZW-compressed strips with Predictor 2 (TIFF 6.0 §13/§14,
+    # MSB-first EarlyChange); oracle gained the gray3 arm:
+    "multimodal_tiff_decode": 7,
     # round 8 (r7 ADVICE): deviation products widened BIGINT ->
     # DECIMAL(38,0)/HUGEINT (overflow past ~3e9 docs) and the
     # overflowable dev_num output column dropped — schema changed:

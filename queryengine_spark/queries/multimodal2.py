@@ -548,6 +548,7 @@ from queryengine_spark.multimodal.tiff import (  # noqa: E402
     TIF_G,
     TIF_GRAY0,
     TIF_GRAY1,
+    TIF_GRAY3,
     TIF_H_MOD,
     TIF_R,
     TIF_W_MOD,
@@ -557,18 +558,21 @@ from queryengine_spark.multimodal.tiff import (  # noqa: E402
 
 
 def multimodal_tiff_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Baseline TIFF 6.0 decode (r6) — mixed profiles by asset_id % 3:
-    uncompressed RGB little-endian / PACKBITS-compressed grayscale
-    BIG-endian / uncompressed WhiteIsZero grayscale (value-inverted
-    per the fax/scan convention). All profiles use RowsPerStrip 4 so
+    """Baseline TIFF 6.0 decode (r6; LZW r8) — mixed profiles by
+    asset_id % 4: uncompressed RGB little-endian / PACKBITS-compressed
+    grayscale BIG-endian / uncompressed WhiteIsZero grayscale
+    (value-inverted per the fax/scan convention) / LZW-compressed
+    grayscale with Predictor 2 horizontal differencing (TIFF 6.0
+    §13+§14, MSB-first EarlyChange codes — the format's most common
+    historical codec, big-endian). All profiles use RowsPerStrip 4 so
     the multi-strip walk (StripOffsets / StripByteCounts arrays,
     stored out-of-line) is really exercised, and the RGB leg's
     BitsPerSample is a 3-SHORT out-of-line array — the IFD
     value-vs-offset rule in both byte orders. The oracle recomputes
     channel sums from the pixel formulas, so the hash certifies the
     IFD walk, byte-order handling, strip assembly, the real PackBits
-    decompressor AND the photometric inversion. Design doc:
-    multimodal/tiff.py."""
+    AND LZW decompressors, the predictor accumulation AND the
+    photometric inversion. Design doc: multimodal/tiff.py."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return tiff_pixel_stats(synthesize_tiff(spread(ids)))
 
@@ -581,6 +585,10 @@ _TIF_GRAY0_EXPR = (
     f"255 - ({TIF_GRAY0[0]}*x + {TIF_GRAY0[1]}*y"
     f" + {TIF_GRAY0[2]}*asset_id) % 256"
 )
+_TIF_GRAY3_EXPR = (
+    f"({TIF_GRAY3[0]}*x + {TIF_GRAY3[1]}*y"
+    f" + {TIF_GRAY3[2]}*asset_id) % 256"
+)
 
 MULTIMODAL_TIFF_DECODE_SQL = f"""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
@@ -591,17 +599,20 @@ dims AS (SELECT asset_id,
 px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
 ch AS (SELECT asset_id, w, h,
-              CASE asset_id % 3
+              CASE asset_id % 4
                 WHEN 0 THEN ({TIF_R[0]}*x + {TIF_R[1]}*y + {TIF_R[2]}*asset_id) % 256
                 WHEN 1 THEN {_TIF_GRAY1_EXPR}
+                WHEN 3 THEN {_TIF_GRAY3_EXPR}
                 ELSE {_TIF_GRAY0_EXPR} END AS r,
-              CASE asset_id % 3
+              CASE asset_id % 4
                 WHEN 0 THEN ({TIF_G[0]}*x + {TIF_G[1]}*y + {TIF_G[2]}*asset_id) % 256
                 WHEN 1 THEN {_TIF_GRAY1_EXPR}
+                WHEN 3 THEN {_TIF_GRAY3_EXPR}
                 ELSE {_TIF_GRAY0_EXPR} END AS g,
-              CASE asset_id % 3
+              CASE asset_id % 4
                 WHEN 0 THEN ({TIF_B[0]}*x + {TIF_B[1]}*y + {TIF_B[2]}*asset_id) % 256
                 WHEN 1 THEN {_TIF_GRAY1_EXPR}
+                WHEN 3 THEN {_TIF_GRAY3_EXPR}
                 ELSE {_TIF_GRAY0_EXPR} END AS b
        FROM px)
 SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,

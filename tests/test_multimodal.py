@@ -106,8 +106,8 @@ def test_extract_features_magic_byte_routing_all_formats(spark):
         (2, "image/gif", make_gif(2), None),
         (3, "image/jpeg", make_jpeg_dc(3), None),
         (4, "text/plain", opaque, len(opaque)),
-        (5, "image/tiff", make_tiff(5), None),  # II, r6
-        (6, "image/tiff", make_tiff(7), None),  # MM + PackBits, r6
+        (5, "image/tiff", make_tiff(5), None),  # MM + PackBits (5%4==1)
+        (6, "image/tiff", make_tiff(7), None),  # MM + LZW/pred2 (7%4==3), r8
     ]
     df = spark.createDataFrame(
         rows, "asset_id long, media_type string, payload binary, n_bytes long"

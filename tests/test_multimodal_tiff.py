@@ -160,7 +160,11 @@ def _mutate(b: bytes, pos: int, fmt: str, value: int, e: str = "<") -> bytes:
 def test_refusals():
     base = _hand_tiff_1x1_gray(50)
     ifd = 10 + 2
-    # compression 5 (LZW): entry 4 (tag 259) value slot
+    # compression 8 (deflate): entry 4 (tag 259) value slot — still
+    # outside the profile (LZW is DECODED as of r8, probed below)
+    assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 8)) is None
+    # compression 5 over a NON-LZW strip byte: the LZW walk hits a
+    # truncated stream (no EOI) — None, never a short read
     assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 5)) is None
     # bit depth 16: entry 3 (tag 258)
     assert decode_tiff(_mutate(base, ifd + 12 * 2 + 8, "H", 16)) is None
@@ -191,6 +195,7 @@ def test_roundtrip_matches_formula(a):
     from queryengine_spark.multimodal.tiff import (
         _pixel_gray0_stored,
         _pixel_gray1,
+        _pixel_gray3,
         _pixel_rgb,
     )
 
@@ -199,10 +204,13 @@ def test_roundtrip_matches_formula(a):
     assert arr is not None and arr.shape == (h, w, 3)
     for y in range(h):
         for x in range(w):
-            if a % 3 == 0:
+            if a % 4 == 0:
                 exp = _pixel_rgb(a, x, y)
-            elif a % 3 == 1:
+            elif a % 4 == 1:
                 v = _pixel_gray1(a, x, y)
+                exp = (v, v, v)
+            elif a % 4 == 3:
+                v = _pixel_gray3(a, x, y)
                 exp = (v, v, v)
             else:
                 v = 255 - _pixel_gray0_stored(a, x, y)
@@ -217,9 +225,9 @@ def test_packbits_leg_actually_compresses():
     a = 1  # leg 1
     w, h = tiff_params(a)
     if w < 8:
-        a = 4  # pick a wider leg-1 asset
+        a = 5  # pick a wider leg-1 asset (5 % 4 == 1)
         w, h = tiff_params(a)
-    assert a % 3 == 1
+    assert a % 4 == 1
     b = make_tiff(a)
     raw_size = w * h
     assert len(b) < raw_size + 220  # container overhead is ~200 bytes
@@ -240,3 +248,195 @@ def test_tiff_query_plan_shuffle_free(spark, sf_dir):
     assert "ENSURE_REQUIREMENTS" not in plan
     assert "Join" not in plan
     assert "MapInPandas" in plan
+
+
+# ------------------------------------------------------------ LZW (r8)
+#
+# TIFF 6.0 §13: MSB-first bit packing, EarlyChange code widths (the
+# decoder widens when its table size reaches 2^w − 1 — ONE code
+# earlier than the GIF variant). Pinned by hand-computed bit vectors
+# and cross-checked against an INDEPENDENT spec decoder written here
+# with a different structure (parent-pointer table + big-int bit
+# reader instead of bytes concatenation), so an encoder/decoder bug
+# pair in the engine cannot cancel.
+
+from queryengine_spark.multimodal.tiff import (  # noqa: E402
+    hdiff_decode,
+    hdiff_encode,
+    lzw_tiff_decode,
+    lzw_tiff_encode,
+)
+
+
+def test_lzw_hand_pinned_vector():
+    """encode(07 07 07 08) emits codes 256,7,258,8,257 at 9 bits:
+    100000000|000000111|100000010|000001000|100000001 + 3 pad zeros
+    = 80 01 E0 40 88 08 (computed by hand, MSB-first)."""
+    enc = lzw_tiff_encode(b"\x07\x07\x07\x08")
+    assert enc == bytes.fromhex("8001E0408808")
+    assert lzw_tiff_decode(enc) == b"\x07\x07\x07\x08"
+
+
+def test_lzw_empty_and_single():
+    assert lzw_tiff_decode(lzw_tiff_encode(b"")) == b""
+    assert lzw_tiff_decode(lzw_tiff_encode(b"\x00")) == b"\x00"
+    assert lzw_tiff_decode(lzw_tiff_encode(b"\xff" * 9)) == b"\xff" * 9
+
+
+def test_lzw_truncation_refused():
+    enc = lzw_tiff_encode(b"abcabcabc")
+    assert lzw_tiff_decode(enc[:-2]) is None  # EOI cut off
+    assert lzw_tiff_decode(b"") is None
+
+
+def _independent_lzw_decode(data: bytes) -> bytes | None:
+    """Spec decoder, independent structure: parent-pointer table and
+    a big-int MSB bit reader. Widens when next_free == 2^w − 1
+    (TIFF 6.0 §13 EarlyChange)."""
+    total = len(data) * 8
+    bits = int.from_bytes(data, "big") if data else 0
+    pos = 0
+
+    def read(w):
+        nonlocal pos
+        if pos + w > total:
+            return None
+        v = (bits >> (total - pos - w)) & ((1 << w) - 1)
+        pos += w
+        return v
+
+    def string_of(code, parent, char):
+        out = []
+        while code >= 256:
+            out.append(char[code])
+            code = parent[code]
+        out.append(code)
+        return bytes(reversed(out))
+
+    out = bytearray()
+    code = read(9)
+    if code != 256:
+        return None  # spec: streams begin with Clear
+    parent: dict = {}
+    char: dict = {}
+    next_free = 258
+    width = 9
+    old = None
+    while True:
+        code = read(width)
+        if code is None:
+            return None
+        if code == 256:  # Clear: table re-init (start OR mid-stream)
+            parent = {}
+            char = {}
+            next_free = 258
+            width = 9
+            old = None
+            continue
+        if code == 257:
+            return bytes(out)
+        if old is None:
+            # first data code after a clear is a literal, no add
+            if code >= 256:
+                return None
+            out.append(code)
+            old = code
+            continue
+        if code < next_free:
+            s = string_of(code, parent, char)
+        elif code == next_free:
+            t = string_of(old, parent, char)
+            s = t + t[:1]
+        else:
+            return None
+        out += s
+        if next_free < 4094:
+            parent[next_free] = old
+            char[next_free] = s[0]
+            next_free += 1
+            if next_free == (1 << width) - 1 and width < 12:
+                width += 1
+        old = code
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"\x00",
+        b"aaaaabbbbbcccccaaaaabbbbb" * 4,
+        bytes(range(256)) * 3,
+        # crosses the 9→10 and 10→11 bit boundaries (≈2000 entries)
+        bytes((i * 37 + (i * i) % 251) % 256 for i in range(4000)),
+    ],
+)
+def test_lzw_independent_decoder_agrees(data):
+    enc = lzw_tiff_encode(data)
+    assert lzw_tiff_decode(enc) == data
+    assert _independent_lzw_decode(enc) == data
+
+
+def test_lzw_width12_and_table_reset():
+    """60 kB of low-repetition data drives the table through the
+    10/11/12-bit widths and past the 4094 cap (encoder must emit
+    Clear) — both decoders must track every transition."""
+    data = bytes((i * i + 7 * i) % 251 for i in range(60000))
+    enc = lzw_tiff_encode(data)
+    assert len(enc) < len(data) * 13 // 8  # ≤ 12 bits per byte emitted
+    assert lzw_tiff_decode(enc) == data
+    assert _independent_lzw_decode(enc) == data
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.binary(max_size=900))
+def test_lzw_roundtrip_property(data):
+    assert lzw_tiff_decode(lzw_tiff_encode(data)) == data
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.binary(max_size=900),
+    st.sampled_from([1, 3]),
+)
+def test_hdiff_roundtrip_property(data, spp):
+    if len(data) % spp:
+        data = data + b"\x00" * (spp - len(data) % spp)
+    assert hdiff_decode(hdiff_encode(data, spp), spp) == data
+
+
+def test_hdiff_pin():
+    # 5, 16, 27 stored as 5, 11, 11 (mod-256 diffs); RGB diffs per
+    # channel (spp lag), not per byte
+    assert hdiff_encode(bytes([5, 16, 27]), 1) == bytes([5, 11, 11])
+    assert hdiff_encode(bytes([10, 20, 30, 12, 25, 33]), 3) == bytes(
+        [10, 20, 30, 2, 5, 3]
+    )
+    assert hdiff_encode(bytes([200, 100]), 1) == bytes([200, 156])  # wraps
+
+
+def test_lzw_leg_actually_compresses():
+    """The gray3 formula is linear in x, so Predictor 2 makes rows
+    constant-diff and LZW must beat raw — the decoder demonstrably
+    decompresses real compressed strips."""
+    a = 23  # 23 % 4 == 3, w = 16, h = 9
+    w, h = tiff_params(a)
+    assert a % 4 == 3 and w * h >= 100
+    b = make_tiff(a)
+    assert len(b) < w * h + 200  # strictly smaller than raw + IFD
+    arr = decode_tiff(b)
+    assert arr is not None and arr.shape == (h, w, 3)
+
+
+def test_lzw_predictor_tag_is_honored():
+    """Same LZW strip bytes with Predictor 1 vs 2 must decode to
+    DIFFERENT pixels (the tag is read, not assumed)."""
+    from queryengine_spark.multimodal.tiff import _build_tiff
+
+    row = bytes([10, 13, 16, 19])  # stored bytes
+    strips = [lzw_tiff_encode(row)]
+    kw = dict(big_endian=False, w=4, h=1, spp=1, photometric=1,
+              compression=5, strips=strips)
+    plain = decode_tiff(_build_tiff(predictor=1, **kw))
+    accum = decode_tiff(_build_tiff(predictor=2, **kw))
+    assert plain[0, :, 0].tolist() == [10, 13, 16, 19]
+    assert accum[0, :, 0].tolist() == [10, 23, 39, 58]
