@@ -993,24 +993,10 @@ def decode_jpeg_pixels_seq_multi(
     """Sequential multi-component PIXEL decode (r7): each plane
     through the fixed-point IDCT at its native sampled resolution —
     the same contract as :func:`decode_jpeg_pixels_prog3`."""
-    res = _decode_sequential_multi(b)
-    if res is None:
+    m = _multi3_from_seq(_decode_sequential_multi(b))
+    if m is None:
         return None
-    comps, (w_, h), grids, pw, wb, hb = res
-    if len(comps) != 3:
-        return None
-    hmax = max(hc for _, _, _, hc, _ in comps)
-    vmax = max(vc for _, _, _, _, vc in comps)
-    planes = []
-    for c in range(3):
-        arr = _trim_real_blocks(grids[c], pw[c], wb[c], hb[c])
-        px = idct8_fixed(arr)
-        img = px.reshape(hb[c], wb[c], 8, 8).transpose(0, 2, 1, 3)
-        img = img.reshape(hb[c] * 8, wb[c] * 8)
-        _, _, _, hc, vc = comps[c]
-        cw = -(-(w_ * hc) // hmax)
-        ch = -(-(h * vc) // vmax)
-        planes.append(img[:ch, :cw].astype(np.uint8))
+    w_, h, _, planes = m
     return w_, h, planes
 
 
@@ -1834,35 +1820,80 @@ def decode_jpeg_coeffs_prog(b: bytes) -> tuple[int, int, np.ndarray] | None:
     return w_, h, _dequant_grid(grids[0], comps[0][0], pw[0], wb[0], hb[0])
 
 
+def _planes3_from_coeffs(
+    arrs: list[np.ndarray],
+    hv: list[tuple[int, int]],
+    w_: int,
+    h: int,
+    wb: list[int],
+    hb: list[int],
+) -> list[np.ndarray]:
+    """[per-component (n_real_blocks, 64) DEQUANTIZED coefficients] →
+    native-resolution uint8 planes through the fixed-point IDCT —
+    the one shared pixel assembly both the progressive and the
+    sequential multi-component paths ride (r8: also lets
+    jpeg_full_stats derive coefficients AND pixels from a single
+    entropy decode instead of re-running it)."""
+    hmax = max(hc for hc, _ in hv)
+    vmax = max(vc for _, vc in hv)
+    planes = []
+    for c in range(3):
+        px = idct8_fixed(arrs[c])
+        img = px.reshape(hb[c], wb[c], 8, 8).transpose(0, 2, 1, 3)
+        img = img.reshape(hb[c] * 8, wb[c] * 8)
+        hc, vc = hv[c]
+        cw = -(-(w_ * hc) // hmax)
+        ch = -(-(h * vc) // vmax)
+        planes.append(img[:ch, :cw].astype(np.uint8))
+    return planes
+
+
+def _multi3_from_prog(res) -> tuple[int, int, list[np.ndarray], list[np.ndarray]] | None:
+    """_decode_progressive result → (w, h, coeff arrays, pixel
+    planes), both views from the ONE decoded grid set."""
+    if res is None:
+        return None
+    comps, (w_, h), grids, pw, wb, hb = res
+    if len(comps) != 3:
+        return None
+    arrs = [
+        _dequant_grid(grids[c], comps[c][0], pw[c], wb[c], hb[c])
+        for c in range(3)
+    ]
+    hv = [(hc, vc) for _, hc, vc in comps]
+    return w_, h, arrs, _planes3_from_coeffs(arrs, hv, w_, h, wb, hb)
+
+
+def _multi3_from_seq(res) -> tuple[int, int, list[np.ndarray], list[np.ndarray]] | None:
+    """_decode_sequential_multi result → the same dual view."""
+    if res is None:
+        return None
+    comps, (w_, h), grids, pw, wb, hb = res
+    if len(comps) != 3:
+        return None
+    arrs = [
+        _trim_real_blocks(grids[c], pw[c], wb[c], hb[c]) for c in range(3)
+    ]
+    hv = [(hc, vc) for *_, hc, vc in comps]
+    return w_, h, arrs, _planes3_from_coeffs(arrs, hv, w_, h, wb, hb)
+
+
 def decode_jpeg_pixels_prog3(
     b: bytes,
 ) -> tuple[int, int, list[np.ndarray]] | None:
     """PIXEL decode of a 3-component progressive stream (r7): each
     component's real (non-padding) block grid runs through the pinned
     fixed-point integer IDCT and is returned at its NATIVE sampled
-    resolution — (w, h, [per-component (ch, cw) uint8 planes]). No
-    chroma upsampling filter is invented, the same convention the
-    DC-only subsampled profiles report stats in. This closes the last
+    resolution — (w, h, [per-component (ch, cw) uint8 planes]).
+    Full-resolution RGB is served separately by the pinned integer
+    nearest-neighbor upsample + Rec.601 path (:func:`planes3_to_rgb`,
+    r8). This closes the last
     pixel refusal: every profile the coefficient decoders accept now
     has an exact, oracle-replayable pixel path."""
-    res = _decode_progressive(b)
-    if res is None:
+    m = _multi3_from_prog(_decode_progressive(b))
+    if m is None:
         return None
-    comps, (w_, h), grids, pw, wb, hb = res
-    if len(comps) != 3:
-        return None
-    hmax = max(hc for _, hc, _ in comps)
-    vmax = max(vc for _, _, vc in comps)
-    planes = []
-    for c in range(3):
-        arr = _dequant_grid(grids[c], comps[c][0], pw[c], wb[c], hb[c])
-        px = idct8_fixed(arr)
-        img = px.reshape(hb[c], wb[c], 8, 8).transpose(0, 2, 1, 3)
-        img = img.reshape(hb[c] * 8, wb[c] * 8)
-        _, hc, vc = comps[c]
-        cw = -(-(w_ * hc) // hmax)
-        ch = -(-(h * vc) // vmax)
-        planes.append(img[:ch, :cw].astype(np.uint8))
+    w_, h, _, planes = m
     return w_, h, planes
 
 
@@ -1960,6 +1991,80 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
     return img[:h, :w_].astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Full-RGB pixel path: integer chroma upsample + Rec.601 inverse (r8)
+# ---------------------------------------------------------------------------
+#
+# Native-resolution YCbCr planes → full-resolution RGB, pinned to
+# pure integer arithmetic so the oracle replays it exactly:
+#
+#   upsample  : full-res (x, y) reads plane sample (x·hc div hmax,
+#               y·vc div vmax) — NEAREST NEIGHBOR by index floor.
+#               This deliberately DIVERGES from JFIF's centered
+#               (half-sample-offset) convention: the centered filter
+#               needs either fractional phases or a bilinear kernel,
+#               both of which drag rounding conventions libjpeg
+#               itself has changed across versions; the floor map is
+#               the one upsample every implementation agrees on
+#               bit-for-bit, and the divergence is documented here
+#               and in the oracle.
+#   Rec.601   : ×1000 fixed point (the same style the phash luma
+#               uses), truncated thousandths of the ITU-R BT.601
+#               inverse, round-half-up via +500 then FLOOR division
+#               (floor, not truncation — numerators go negative):
+#                 R = clip(Y + (1402·(Cr−128) + 500) fdiv 1000)
+#                 G = clip(Y − ((344·(Cb−128) + 714·(Cr−128) + 500)
+#                               fdiv 1000))
+#                 B = clip(Y + (1772·(Cb−128) + 500) fdiv 1000)
+
+RGB_CR_R = 1402
+RGB_CB_G = 344
+RGB_CR_G = 714
+RGB_CB_B = 1772
+
+
+def upsample_nn(plane: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor (index-floor) upsample of a native-resolution
+    plane to (h, w). The per-axis factor is recovered as
+    ceil(full/native) — exact for every sampling geometry the
+    encoder emits (hc | hmax), and the floor map x // f equals
+    x·hc div hmax whenever full = native·f."""
+    ph, pw = plane.shape
+    if (ph, pw) == (h, w):
+        return plane
+    fy = -(-h // ph)
+    fx = -(-w // pw)
+    yi = np.arange(h, dtype=np.int64) // fy
+    xi = np.arange(w, dtype=np.int64) // fx
+    return plane[np.ix_(yi, xi)]
+
+
+def ycc_to_rgb_int(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Same-shape uint8/int planes → int64 R, G, B in [0, 255] via
+    the pinned integer Rec.601 spec above (numpy // floors on
+    negatives, matching the oracle's floor-division idiom)."""
+    yv = y.astype(np.int64)
+    cb_ = cb.astype(np.int64) - 128
+    cr_ = cr.astype(np.int64) - 128
+    r = np.clip(yv + (RGB_CR_R * cr_ + 500) // 1000, 0, 255)
+    g = np.clip(yv - (RGB_CB_G * cb_ + RGB_CR_G * cr_ + 500) // 1000, 0, 255)
+    b = np.clip(yv + (RGB_CB_B * cb_ + 500) // 1000, 0, 255)
+    return r, g, b
+
+
+def planes3_to_rgb(
+    w: int, h: int, planes: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native-resolution (Y, Cb, Cr) planes → full-resolution integer
+    RGB channels."""
+    yp = upsample_nn(planes[0], w, h)
+    cbp = upsample_nn(planes[1], w, h)
+    crp = upsample_nn(planes[2], w, h)
+    return ycc_to_rgb_int(yp, cbp, crp)
+
+
 JPEG_ASSET_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -2010,6 +2115,9 @@ JPEG_FULL_SCHEMA = StructType(
         StructField("n_nonzero_ac", LongType(), True),
         StructField("sum_cb", LongType(), True),
         StructField("sum_cr", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
     ]
 )
 
@@ -2064,17 +2172,31 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
 
 
 def jpeg_full_stats(assets: DataFrame) -> DataFrame:
-    """Pixel stats where the exact-pixel profile applies (DC-only
-    scans; NULL for AC-bearing payloads — honest refusal, never an
-    approximate IDCT) PLUS exact integer pre-IDCT coefficient stats
-    for EVERY baseline payload, one decode pass each."""
+    """Exact pixel stats for every profile (fixed-point integer IDCT
+    since r7) PLUS exact integer pre-IDCT coefficient stats for every
+    baseline payload. 3-component payloads additionally report
+    full-resolution RGB channel sums (r8: pinned integer NN chroma
+    upsample + Rec.601 — see planes3_to_rgb). ONE entropy decode per
+    payload: the 3-component AC paths derive coefficient AND pixel
+    views from the same decoded grids (r7 ADVICE — the prog3/seq
+    pixel twins used to re-run the full entropy decode)."""
     pix_cols = ("width", "height", "n_px", "sum_lum", "min_lum", "max_lum")
     co_cols = ("n_blocks", "sum_dc_dq", "sum_ac_dq", "sum_abs_ac_dq", "n_nonzero_ac")
     ycc_cols = ("sum_cb", "sum_cr")
+    rgb_cols = ("sum_r", "sum_g", "sum_b")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def emit_rgb(out, w, h, planes):
+            r, g, bl = planes3_to_rgb(w, h, planes)
+            out["sum_r"].append(int(r.sum()))
+            out["sum_g"].append(int(g.sum()))
+            out["sum_b"].append(int(bl.sum()))
+
         for pdf in batches:
-            out = {k: [] for k in ("asset_id", *pix_cols, *co_cols, *ycc_cols)}
+            out = {
+                k: []
+                for k in ("asset_id", *pix_cols, *co_cols, *ycc_cols, *rgb_cols)
+            }
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 out["asset_id"].append(int(aid))
                 b = bytes(payload) if payload is not None else b""
@@ -2082,8 +2204,9 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                 if res is not None and len(res[2]) == 3:
                     # 3-component DC-only pixel path: 4:4:4 AND the
                     # subsampled profiles (r6) — chroma stats are
-                    # exact in each plane's NATIVE resolution, no
-                    # upsampling filter is invented
+                    # exact in each plane's NATIVE resolution; RGB
+                    # sums at FULL resolution via the r8 integer
+                    # upsample + Rec.601 path
                     w, h, comps3 = res
                     y, cb, cr = (p.astype(np.int64) for p in comps3)
                     out["width"].append(w)
@@ -2094,6 +2217,7 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                     out["max_lum"].append(int(y.max()))
                     out["sum_cb"].append(int(cb.sum()))
                     out["sum_cr"].append(int(cr.sum()))
+                    emit_rgb(out, w, h, comps3)
                     nblk = 0
                     dcsum = 0
                     for p in (y, cb, cr):
@@ -2110,48 +2234,54 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                     out["n_nonzero_ac"].append(0)
                     continue
                 co = decode_jpeg_coeffs(b)
-                if co is None:  # not sequential: try progressive (r6)
-                    co = decode_jpeg_coeffs_prog(b)
-                if co is None:  # 3-component AC-bearing profiles:
-                    # progressive (r6) or SEQUENTIAL interleaved (r7
-                    # — the dominant web shape). Exact coefficient
-                    # stats summed across components; pixel columns
-                    # REAL since r7 — each plane through the
-                    # fixed-point IDCT at its native resolution
-                    # (luma stats on the luma plane, chroma sums per
-                    # plane, no upsampling filter invented — the
-                    # same convention as the DC-only subsampled
-                    # profiles)
-                    r3 = decode_jpeg_coeffs_prog3(b)
-                    px3 = decode_jpeg_pixels_prog3(b) if r3 is not None else None
-                    if r3 is None:
-                        r3 = decode_jpeg_seq_coeffs_multi(b)
-                        px3 = (
-                            decode_jpeg_pixels_seq_multi(b)
-                            if r3 is not None
-                            else None
-                        )
-                    if r3 is not None:
-                        w, h, arrs = r3
-                        allc = np.concatenate(arrs, axis=0)
-                        ac = np.delete(allc, 0, axis=1)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        y, cb, cr = (p.astype(np.int64) for p in px3[2])
-                        out["n_px"].append(int(y.size))
-                        out["sum_lum"].append(int(y.sum()))
-                        out["min_lum"].append(int(y.min()))
-                        out["max_lum"].append(int(y.max()))
-                        out["n_blocks"].append(int(allc.shape[0]))
-                        out["sum_dc_dq"].append(int(allc[:, 0].sum()))
-                        out["sum_ac_dq"].append(int(ac.sum()))
-                        out["sum_abs_ac_dq"].append(int(np.abs(ac).sum()))
-                        out["n_nonzero_ac"].append(int((ac != 0).sum()))
-                        out["sum_cb"].append(int(cb.sum()))
-                        out["sum_cr"].append(int(cr.sum()))
-                        continue
+                multi = None
                 if co is None:
-                    for k in (*pix_cols, *co_cols, *ycc_cols):
+                    # ONE progressive parse serves the single- AND
+                    # 3-component shapes (decode_jpeg_coeffs_prog
+                    # used to parse fully just to learn the count)
+                    prog = _decode_progressive(b)
+                    if prog is not None:
+                        comps, (w_, h_), grids, pw, wb, hb = prog
+                        if len(comps) == 1:
+                            co = (
+                                w_,
+                                h_,
+                                _dequant_grid(
+                                    grids[0], comps[0][0], pw[0], wb[0], hb[0]
+                                ),
+                            )
+                        else:
+                            multi = _multi3_from_prog(prog)
+                    else:
+                        multi = _multi3_from_seq(_decode_sequential_multi(b))
+                if multi is not None:
+                    # 3-component AC-bearing profiles: progressive
+                    # (r6) or SEQUENTIAL interleaved (r7 — the
+                    # dominant web shape). Exact coefficient stats
+                    # summed across components; luma stats on the
+                    # luma plane, chroma sums per native plane, RGB
+                    # sums at full resolution (r8)
+                    w, h, arrs, planes = multi
+                    allc = np.concatenate(arrs, axis=0)
+                    ac = np.delete(allc, 0, axis=1)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    y, cb, cr = (p.astype(np.int64) for p in planes)
+                    out["n_px"].append(int(y.size))
+                    out["sum_lum"].append(int(y.sum()))
+                    out["min_lum"].append(int(y.min()))
+                    out["max_lum"].append(int(y.max()))
+                    out["n_blocks"].append(int(allc.shape[0]))
+                    out["sum_dc_dq"].append(int(allc[:, 0].sum()))
+                    out["sum_ac_dq"].append(int(ac.sum()))
+                    out["sum_abs_ac_dq"].append(int(np.abs(ac).sum()))
+                    out["n_nonzero_ac"].append(int((ac != 0).sum()))
+                    out["sum_cb"].append(int(cb.sum()))
+                    out["sum_cr"].append(int(cr.sum()))
+                    emit_rgb(out, w, h, planes)
+                    continue
+                if co is None:
+                    for k in (*pix_cols, *co_cols, *ycc_cols, *rgb_cols):
                         out[k].append(None)
                     continue
                 w, h, coefs = co
@@ -2178,6 +2308,9 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                 out["n_nonzero_ac"].append(int((ac != 0).sum()))
                 out["sum_cb"].append(None)
                 out["sum_cr"].append(None)
+                out["sum_r"].append(None)
+                out["sum_g"].append(None)
+                out["sum_b"].append(None)
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, JPEG_FULL_SCHEMA)

@@ -473,11 +473,21 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
     QUANT_AC,
     QUANT_AC16,
     QUANT_DC,
+    RGB_CB_B,
+    RGB_CB_G,
+    RGB_CR_G,
+    RGB_CR_R,
     YCC_C_MULT,
     ZIGZAG_NAT,
     jpeg_full_stats,
     synthesize_jpeg_mixed,
 )
+
+
+def _fdiv1000(num: str) -> str:
+    """FLOOR division by 1000 in DuckDB (// truncates toward zero;
+    RGB numerators go negative) — the repo's floor-mod idiom."""
+    return f"((({num}) - ((({num}) % 1000) + 1000) % 1000) // 1000)"
 
 #: the fixed-point IDCT basis as SQL VALUES rows (u, tt, bb) — single
 #: source of truth is the IDCT_B literal in multimodal/jpeg.py, so a
@@ -522,11 +532,18 @@ def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     3-COMPONENT 4:2:0
     PROGRESSIVE (interleaved DC scans, per-component AC band scans,
     chroma pure-EOB-run scans; coefficient stats summed across
-    components — r6; the ONE leg whose pixel columns stay NULL — its
-    subsampled chroma would need an upsampling filter we refuse to
-    invent). See multimodal/jpeg.py for the
-    real-vs-restricted contract and the hand-assembled bitstreams
-    that pin every decode path."""
+    components — r6; since r7 it reports REAL luma pixel stats
+    through the fixed-point IDCT plus chroma sums at native per-plane
+    resolution). r8: every 3-component leg additionally reports
+    FULL-RESOLUTION RGB channel sums — pinned integer nearest-
+    neighbor chroma upsample (index-floor map; documented divergence
+    from JFIF's centered convention) + the ×1000 fixed-point Rec.601
+    inverse with floor division and [0,255] clamps, replayed
+    arithmetic-for-arithmetic by the oracle's rgbdcpx/rgbpx/rgbsums
+    CTEs. Nothing about a JPEG pixel remains refused except
+    arithmetic/lossless/hierarchical coding. See multimodal/jpeg.py
+    for the real-vs-restricted contract and the hand-assembled
+    bitstreams that pin every decode path."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return jpeg_full_stats(synthesize_jpeg_mixed(spread(ids)))
 
@@ -612,7 +629,7 @@ pxterm AS (
                        % {AC_MOD} - {AC_SHIFT} AS v0) qq
   WHERE d.asset_id % 2 = 1),
 pxv AS (
-  SELECT t.asset_id,
+  SELECT t.asset_id, t.bx, t.by,
          GREATEST(0, LEAST(255, 128 + CAST(floor(
              (SUM(t.f * bu.bb * bv.bb) + {IDCT_BIAS})
              / {(1 << (2 * IDCT_SHIFT))}.0) AS BIGINT))) AS lum
@@ -663,7 +680,60 @@ y420 AS (SELECT asset_id,
                CAST(SUM(CASE WHEN comp = 1 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cb,
                CAST(SUM(CASE WHEN comp = 2 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cr,
                CAST(SUM(dc * {QUANT_DC}) AS BIGINT) AS dc420_dq
-        FROM blk420 GROUP BY asset_id)
+        FROM blk420 GROUP BY asset_id),
+-- r8: full-resolution RGB sums for every 3-component leg — integer
+-- NEAREST-NEIGHBOR chroma upsample (full-res pixel (x,y) reads
+-- chroma sample (x·hc div hmax, y·vc div vmax); deliberate,
+-- documented divergence from JFIF's centered convention — see
+-- multimodal/jpeg.py::upsample_nn) + the pinned ×1000 fixed-point
+-- Rec.601 inverse with floor division and [0,255] clamps. For the
+-- DC-only legs every full-res 8×8 luma block sees exactly ONE
+-- chroma block (bx div hy, by div vy), so RGB aggregates per luma
+-- block ×64; the AC legs (%16 ∈ 11,13,15 — all 4:2:0) ride the
+-- per-pixel IDCT replay (pxv) joined to their chroma block DCs
+rgbdcpx AS (
+  SELECT d.asset_id,
+         ((d.asset_id + 13 * CAST(xx.i AS BIGINT)
+           + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
+           + ({DC_OFF}) + 128 AS yv,
+         ((d.asset_id + 13 * (CAST(xx.i AS BIGINT) // s.hy)
+           + 31 * (CAST(yy.i AS BIGINT) // s.vy)
+           + {YCC_C_MULT}) * {DC_MULT}) % {DC_MOD}
+           + ({DC_OFF}) + 128 AS cbv,
+         ((d.asset_id + 13 * (CAST(xx.i AS BIGINT) // s.hy)
+           + 31 * (CAST(yy.i AS BIGINT) // s.vy)
+           + 2 * {YCC_C_MULT}) * {DC_MULT}) % {DC_MOD}
+           + ({DC_OFF}) + 128 AS crv
+  FROM dims d,
+       LATERAL (SELECT CASE WHEN d.asset_id % 8 = 2 THEN 1
+                            WHEN d.asset_id % 16 IN (12, 14) THEN 4
+                            ELSE 2 END AS hy,
+                       CASE WHEN d.asset_id % 8 = 2 THEN 1
+                            WHEN d.asset_id % 16 IN (12, 14) THEN 1
+                            ELSE 2 END AS vy) s,
+       unnest(range(0, s.hy * d.bw)) xx(i),
+       unnest(range(0, s.vy * d.bh)) yy(i)
+  WHERE d.asset_id % 8 IN (2, 4, 6)),
+rgbpx AS (
+  SELECT asset_id, CAST(64 AS BIGINT) AS wt, yv, cbv, crv FROM rgbdcpx
+  UNION ALL
+  SELECT v.asset_id, CAST(1 AS BIGINT) AS wt, v.lum AS yv,
+         ((v.asset_id + 13 * (v.bx // 2) + 31 * (v.by // 2)
+           + {YCC_C_MULT}) * {DC_MULT}) % {DC_MOD}
+           + ({DC_OFF}) + 128 AS cbv,
+         ((v.asset_id + 13 * (v.bx // 2) + 31 * (v.by // 2)
+           + 2 * {YCC_C_MULT}) * {DC_MULT}) % {DC_MOD}
+           + ({DC_OFF}) + 128 AS crv
+  FROM pxv v WHERE v.asset_id % 16 IN (11, 13, 15)),
+rgbsums AS (
+  SELECT asset_id,
+         CAST(SUM(wt * GREATEST(0, LEAST(255, yv
+              + {_fdiv1000(f"{RGB_CR_R} * (crv - 128) + 500")}))) AS BIGINT) AS sum_r,
+         CAST(SUM(wt * GREATEST(0, LEAST(255, yv
+              - {_fdiv1000(f"{RGB_CB_G} * (cbv - 128) + {RGB_CR_G} * (crv - 128) + 500")}))) AS BIGINT) AS sum_g,
+         CAST(SUM(wt * GREATEST(0, LEAST(255, yv
+              + {_fdiv1000(f"{RGB_CB_B} * (cbv - 128) + 500")}))) AS BIGINT) AS sum_b
+  FROM rgbpx GROUP BY asset_id)
 SELECT s.asset_id,
        CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 16
                         WHEN s.asset_id % 16 IN (12, 14) THEN 32
@@ -704,12 +774,15 @@ SELECT s.asset_id,
             ELSE COALESCE(y.sum_cb, z.sum_cb) END AS sum_cb,
        CASE WHEN s.asset_id % 2 = 1
                  AND s.asset_id % 16 NOT IN (11, 13, 15) THEN NULL
-            ELSE COALESCE(y.sum_cr, z.sum_cr) END AS sum_cr
+            ELSE COALESCE(y.sum_cr, z.sum_cr) END AS sum_cr,
+       -- r8: full-res RGB for the 3-component legs (NULL elsewhere)
+       rg.sum_r AS sum_r, rg.sum_g AS sum_g, rg.sum_b AS sum_b
 FROM dcsums s
 LEFT JOIN acsums a ON s.asset_id = a.asset_id
 LEFT JOIN ycc y ON s.asset_id = y.asset_id
 LEFT JOIN y420 z ON s.asset_id = z.asset_id
 LEFT JOIN acpix p ON s.asset_id = p.asset_id
+LEFT JOIN rgbsums rg ON s.asset_id = rg.asset_id
 """
 
 

@@ -131,6 +131,11 @@ VOID: dict[str, int] = {
     # as gzip-compressed tar (RFC 1952 reader with flag walk + CRC32/
     # ISIZE verification); fmt CASE gained the tgz arm:
     "source_archive_shards": 6,
+    # round 8: every 3-component leg gained full-resolution RGB sums
+    # (pinned integer NN chroma upsample + ×1000 Rec.601 inverse);
+    # schema gained sum_r/sum_g/sum_b, oracle gained the rgbdcpx/
+    # rgbpx/rgbsums CTEs; the 3-component AC paths now decode ONCE:
+    "multimodal_jpeg_decode": 7,
     # round 8: TIFF profile map %3 -> %4 — ids ≡ 3 (mod 4) now carry
     # LZW-compressed strips with Predictor 2 (TIFF 6.0 §13/§14,
     # MSB-first EarlyChange); oracle gained the gray3 arm:

@@ -9,6 +9,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pytest
 
 from queryengine_spark.multimodal.jpeg import (
     _AC_BITS,
@@ -1100,3 +1101,140 @@ def test_prog3_interleaved_ac_scan_refused():
         + good[i + 10 :]
     )
     assert decode_jpeg_coeffs_prog3(bad) is None
+
+
+# --------------------------------------------------- full-RGB path (r8)
+
+
+def test_ycc_to_rgb_hand_pins():
+    """Hand-computed vectors for the pinned ×1000 Rec.601 inverse
+    (floor division — NOT truncation — on negative numerators)."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import ycc_to_rgb_int
+
+    def one(y, cb, cr):
+        r, g, b = ycc_to_rgb_int(
+            np.array([[y]]), np.array([[cb]]), np.array([[cr]])
+        )
+        return int(r[0, 0]), int(g[0, 0]), int(b[0, 0])
+
+    assert one(128, 128, 128) == (128, 128, 128)  # neutral chroma
+    # Cr=200: R = 100 + floor((1402·72+500)/1000) = 100+101 = 201
+    #         G = 100 − floor((714·72+500)/1000) = 100−51 = 49
+    assert one(100, 128, 200) == (201, 49, 100)
+    # Cr=50 (cr_=−78): numerator 1402·(−78)+500 = −108856 →
+    # floor(−108.856) = −109 → R = max(0, 100−109) = 0;
+    # G = 100 − floor((714·(−78)+500)/1000) = 100 − (−56) = 156
+    assert one(100, 128, 50) == (0, 156, 100)
+    # Cb=228: B = 50 + floor((1772·100+500)/1000) = 50+177 = 227;
+    # G = 50 − floor((344·100+500)/1000) = 50−34 = 16; R unchanged
+    assert one(50, 228, 128) == (50, 16, 227)
+    # clamps at the top rail: R = 250+101 → 255, B = 250+177 → 255,
+    # G = 250 − floor((34400+51408+500)/1000) = 250−86 = 164
+    assert one(250, 228, 200) == (255, 164, 255)
+
+
+def test_upsample_nn_index_floor():
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import upsample_nn
+
+    p = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = upsample_nn(p, 4, 4)
+    assert up.tolist() == [
+        [1, 1, 2, 2],
+        [1, 1, 2, 2],
+        [3, 3, 4, 4],
+        [3, 3, 4, 4],
+    ]
+    # 4:1:1 shape: 4× horizontal only
+    up2 = upsample_nn(np.array([[5, 9]], dtype=np.uint8), 8, 1)
+    assert up2.tolist() == [[5, 5, 5, 5, 9, 9, 9, 9]]
+    # identity when shapes already match
+    assert upsample_nn(p, 2, 2) is p
+
+
+@pytest.mark.parametrize("a", [2, 4, 6, 11, 12, 13, 14, 15])
+def test_rgb_sums_match_bruteforce(a):
+    """planes3_to_rgb against a per-pixel pure-Python recomputation
+    (explicit x·hc//hmax chroma map + the Rec.601 integer formulas)
+    for one asset of every 3-component leg shape."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_dc_planes,
+        decode_jpeg_pixels_prog3,
+        decode_jpeg_pixels_seq_multi,
+        make_jpeg_420,
+        make_jpeg_420_ac,
+        make_jpeg_411,
+        make_jpeg_prog_420,
+        make_jpeg_ycc,
+        planes3_to_rgb,
+    )
+
+    if a % 16 == 11:
+        b = make_jpeg_prog_420(a)
+        res = decode_jpeg_pixels_prog3(b)
+    elif a % 16 in (13, 15):
+        b = make_jpeg_420_ac(a, dri=(a % 16 == 15))
+        res = decode_jpeg_pixels_seq_multi(b)
+    elif a % 8 == 2:
+        b = make_jpeg_ycc(a)
+        res = decode_jpeg_dc_planes(b)
+    elif a % 16 in (4, 6):
+        b = make_jpeg_420(a, dri=(a % 16 == 6))
+        res = decode_jpeg_dc_planes(b)
+    else:
+        b = make_jpeg_411(a, dri=(a % 16 == 14))
+        res = decode_jpeg_dc_planes(b)
+    assert res is not None
+    w, h, planes = res
+    r, g, bl = planes3_to_rgb(w, h, planes)
+    Y, Cb, Cr = (p.astype(int) for p in planes)
+    fy = -(-h // Cb.shape[0])
+    fx = -(-w // Cb.shape[1])
+    for y in range(h):
+        for x in range(w):
+            yy = int(Y[y, x])
+            cb = int(Cb[y // fy, x // fx]) - 128
+            cr = int(Cr[y // fy, x // fx]) - 128
+            rr = min(255, max(0, yy + (1402 * cr + 500) // 1000))
+            gg = min(255, max(0, yy - (344 * cb + 714 * cr + 500) // 1000))
+            bb = min(255, max(0, yy + (1772 * cb + 500) // 1000))
+            assert (int(r[y, x]), int(g[y, x]), int(bl[y, x])) == (rr, gg, bb), (a, x, y)
+
+
+def test_multi3_single_decode_views_agree():
+    """The r8 shared-decode views must equal the public two-pass
+    functions (coefficients AND pixels) — the de-duplicated decode
+    path changes cost, never values."""
+    from queryengine_spark.multimodal.jpeg import (
+        _decode_progressive,
+        _decode_sequential_multi,
+        _multi3_from_prog,
+        _multi3_from_seq,
+        decode_jpeg_coeffs_prog3,
+        decode_jpeg_pixels_prog3,
+        decode_jpeg_pixels_seq_multi,
+        decode_jpeg_seq_coeffs_multi,
+        make_jpeg_420_ac,
+        make_jpeg_prog_420,
+    )
+
+    b = make_jpeg_prog_420(11)
+    w, h, arrs, planes = _multi3_from_prog(_decode_progressive(b))
+    w2, h2, arrs2 = decode_jpeg_coeffs_prog3(b)
+    _, _, planes2 = decode_jpeg_pixels_prog3(b)
+    assert (w, h) == (w2, h2)
+    assert all((x == y).all() for x, y in zip(arrs, arrs2))
+    assert all((x == y).all() for x, y in zip(planes, planes2))
+
+    b = make_jpeg_420_ac(13, dri=False)
+    w, h, arrs, planes = _multi3_from_seq(_decode_sequential_multi(b))
+    w2, h2, arrs2 = decode_jpeg_seq_coeffs_multi(b)
+    _, _, planes2 = decode_jpeg_pixels_seq_multi(b)
+    assert (w, h) == (w2, h2)
+    assert all((x == y).all() for x, y in zip(arrs, arrs2))
+    assert all((x == y).all() for x, y in zip(planes, planes2))
