@@ -324,6 +324,16 @@ def make_jpeg_ycc(asset_id: int) -> bytes:
     tables in ONE DHT segment — exercising the multi-table-per-
     segment parsing real encoders emit."""
     bw, bh = jpeg_params(asset_id)
+    return build_jpeg_ycc_dc(
+        bw, bh, lambda c, bx, by: block_dc3(asset_id, c, bx, by)
+    )
+
+
+def build_jpeg_ycc_dc(bw: int, bh: int, dcfn) -> bytes:
+    """The parameterized 4:4:4 DC-only builder behind make_jpeg_ycc
+    (r8: also serves the phash color leg, which plants its own DC
+    formulas on a dHash-aligned 9×8 grid): dcfn(c, bx, by) → DC of
+    component c at block (bx, by)."""
     dc_codes = [
         _canonical_codes(_DC_BITS, _DC_VALS),
         _canonical_codes(_DC2_BITS, _DC2_VALS),
@@ -339,7 +349,7 @@ def make_jpeg_ycc(asset_id: int) -> bytes:
     for by in range(bh):
         for bx in range(bw):
             for c in range(3):
-                dc = block_dc3(asset_id, c, bx, by)
+                dc = dcfn(c, bx, by)
                 diff = dc - preds[c]
                 preds[c] = dc
                 cat = _category(diff)
@@ -2063,6 +2073,29 @@ def planes3_to_rgb(
     cbp = upsample_nn(planes[1], w, h)
     crp = upsample_nn(planes[2], w, h)
     return ycc_to_rgb_int(yp, cbp, crp)
+
+
+def decode_jpeg_rgb(b: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB for ANY profile the decoders accept:
+    single-component streams replicate gray to three channels;
+    3-component streams (DC-only or AC, any sampling) go through the
+    pinned integer upsample + Rec.601 path. The one-call entry the
+    image ops (phash, resize/crop) dispatch JPEG payloads to (r8)."""
+    gray = decode_jpeg_pixels(b)
+    if gray is not None:
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    res = decode_jpeg_dc_planes(b)
+    if res is not None and len(res[2]) == 3:
+        w_, h, planes = res
+    else:
+        m = _multi3_from_prog(_decode_progressive(b))
+        if m is None:
+            m = _multi3_from_seq(_decode_sequential_multi(b))
+        if m is None:
+            return None
+        w_, h, _, planes = m
+    r, g, bl = planes3_to_rgb(w_, h, planes)
+    return np.stack([r, g, bl], axis=-1).astype(np.uint8)
 
 
 JPEG_ASSET_SCHEMA = StructType(

@@ -100,7 +100,7 @@ def image_ops_stats(assets: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from queryengine_spark.multimodal.bmp import decode_bmp
         from queryengine_spark.multimodal.gif import decode_gif
-        from queryengine_spark.multimodal.jpeg import decode_jpeg_pixels
+        from queryengine_spark.multimodal.jpeg import decode_jpeg_rgb
         from queryengine_spark.multimodal.png import decode_png
         from queryengine_spark.multimodal.tiff import decode_tiff
 
@@ -118,9 +118,9 @@ def image_ops_stats(assets: DataFrame) -> DataFrame:
                 elif b[:2] in (b"II", b"MM"):
                     arr = decode_tiff(b)
                 elif b[:2] == b"\xff\xd8":
-                    gray = decode_jpeg_pixels(b)
-                    if gray is not None:
-                        arr = np.repeat(gray[:, :, None], 3, axis=2)
+                    # r8: color for 3-component payloads (integer
+                    # upsample + Rec.601), replicated gray otherwise
+                    arr = decode_jpeg_rgb(b)
                 if arr is None or arr.ndim != 3 or arr.shape[2] < 3:
                     continue
                 rgb = arr[..., :3].astype(np.int64)

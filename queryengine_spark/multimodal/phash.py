@@ -70,6 +70,12 @@ PHJ_BW, PHJ_BH = 9, 8  # block grid == dHash grid
 PHJ_DC = (3, 5, 7)  # dc = (3·bx + 5·by + 7·gid) % 150 - 75
 PHJ_DC_MOD, PHJ_DC_OFF = 150, -75
 PHJ_DELTA_BASE, PHJ_DELTA_MOD = 20, 30  # delta_j = 20 + gid % 30
+#: r8 COLOR sub-leg (gid % 8 == 2): chroma DC formula offset per
+#: component — cb/cr dc = (3·bx + 5·by + 7·gid + 53·c) % 150 − 75.
+#: The perturbation stays LUMA-only, so through the integer Rec.601
+#: conversion each of R/G/B shifts by (at most, pre-clamp exactly)
+#: delta_j in the one perturbed cell — still a ≤ 2-bit flip.
+PHJ_C_MULT = 53
 
 
 def phj_dc(gid: int, variant: int, bx: int, by: int) -> int:
@@ -82,6 +88,15 @@ def phj_dc(gid: int, variant: int, bx: int, by: int) -> int:
     if variant == 1 and bx == i0 and by == j0:
         dc += PHJ_DELTA_BASE + gid % PHJ_DELTA_MOD
     return dc
+
+
+def phj_dc_chroma(gid: int, c: int, bx: int, by: int) -> int:
+    """Chroma DC (c ∈ {1, 2}) of the r8 COLOR sub-leg — same formula
+    family as phj_dc shifted by PHJ_C_MULT·c, identical across both
+    variants (the planted perturbation is luma-only)."""
+    return (
+        PHJ_DC[0] * bx + PHJ_DC[1] * by + PHJ_DC[2] * gid + PHJ_C_MULT * c
+    ) % PHJ_DC_MOD + PHJ_DC_OFF
 
 
 def phash_params(gid: int) -> tuple[int, int, int, int, int]:
@@ -178,11 +193,15 @@ def _png_container(w: int, h: int, px, pngmod) -> bytes:
 
 
 def _jpeg_container(gid: int, variant: int, with_ac: bool) -> bytes:
-    """Grayscale baseline JFIF, 9×8 blocks (72×64 px): every dHash
-    cell is exactly one block. DC-only sub-leg: pixels = phj_dc + 128
-    (linear cell sums). AC sub-leg (r7): the shared block_ac formula
-    plants coefficients at the decode query's zigzag positions (keyed
-    on gid so BOTH variants carry identical spectra — the planted
+    """Baseline JFIF, 9×8 blocks (72×64 px): every dHash cell is
+    exactly one block. DC-only sub-leg (gid%8==2): since r8 a
+    3-component YCbCr 4:4:4 COLOR container — luma DC = phj_dc
+    (variant perturbation included), chroma DCs = phj_dc_chroma —
+    decoded to RGB through the pinned integer Rec.601 path, so the
+    phash JPEG family hashes COLOR, not replicated luma. AC sub-leg
+    (gid%8==6, r7, grayscale): the shared block_ac formula plants
+    coefficients at the decode query's zigzag positions (keyed on
+    gid so BOTH variants carry identical spectra — the planted
     perturbation stays DC-only, hence one cell, hence ≤ 2 difference
     bits even through the IDCT and its clamp), and pixels decode
     through the pinned fixed-point integer IDCT that the oracle
@@ -192,16 +211,24 @@ def _jpeg_container(gid: int, variant: int, with_ac: bool) -> bytes:
         _container,
         _encode_scan,
         block_ac,
+        build_jpeg_ycc_dc,
     )
+
+    if not with_ac:  # r8: color 4:4:4 DC-only
+        def dcfn(c: int, bx: int, by: int) -> int:
+            if c == 0:
+                return phj_dc(gid, variant, bx, by)
+            return phj_dc_chroma(gid, c, bx, by)
+
+        return build_jpeg_ycc_dc(PHJ_BW, PHJ_BH, dcfn)
 
     blocks = []
     for by in range(PHJ_BH):
         for bx in range(PHJ_BW):
             coefs = [0] * 64
             coefs[0] = phj_dc(gid, variant, bx, by)
-            if with_ac:
-                for p in AC_POSITIONS:
-                    coefs[p] = block_ac(gid, bx, by, p)
+            for p in AC_POSITIONS:
+                coefs[p] = block_ac(gid, bx, by, p)
             blocks.append(coefs)
     return _container(PHJ_BW, PHJ_BH, _encode_scan(blocks))
 
@@ -286,7 +313,7 @@ def dhash_relation(assets: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from queryengine_spark.multimodal.bmp import decode_bmp
         from queryengine_spark.multimodal.gif import decode_gif
-        from queryengine_spark.multimodal.jpeg import decode_jpeg_pixels
+        from queryengine_spark.multimodal.jpeg import decode_jpeg_rgb
         from queryengine_spark.multimodal.png import decode_png
         from queryengine_spark.multimodal.tiff import decode_tiff
 
@@ -304,9 +331,10 @@ def dhash_relation(assets: DataFrame) -> DataFrame:
                 elif b[:2] in (b"II", b"MM"):
                     arr = decode_tiff(b)
                 elif b[:2] == b"\xff\xd8":
-                    gray = decode_jpeg_pixels(b)
-                    if gray is not None:  # luma of r=g=b replicates
-                        arr = np.repeat(gray[:, :, None], 3, axis=2)
+                    # r8: 3-component payloads come back as REAL RGB
+                    # (integer upsample + Rec.601); grayscale
+                    # replicates — the phash JPEG family hashes color
+                    arr = decode_jpeg_rgb(b)
                 if arr is None or arr.ndim != 3 or arr.shape[2] < 3:
                     continue
                 ids.append(int(aid))

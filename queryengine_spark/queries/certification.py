@@ -131,6 +131,13 @@ VOID: dict[str, int] = {
     # as gzip-compressed tar (RFC 1952 reader with flag walk + CRC32/
     # ISIZE verification); fmt CASE gained the tgz arm:
     "source_archive_shards": 6,
+    # round 8: the phash JPEG DC sub-leg (gid%8==2) became a
+    # 3-component 4:4:4 COLOR container decoded through the integer
+    # Rec.601 path — the JPEG family hashes color, not replicated
+    # luma; both oracles gained the _phj_rgb_sql branches (the
+    # image-ops leg rides inside the media suite):
+    "dedup_image_phash": 7,
+    "multimodal_media_suite": 7,
     # round 8: every 3-component leg gained full-resolution RGB sums
     # (pinned integer NN chroma upsample + ×1000 Rec.601 inverse);
     # schema gained sum_r/sum_g/sum_b, oracle gained the rgbdcpx/

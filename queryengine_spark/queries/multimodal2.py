@@ -191,6 +191,10 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
     IDCT_SHIFT,
     QUANT_AC,
     QUANT_DC,
+    RGB_CB_B,
+    RGB_CB_G,
+    RGB_CR_G,
+    RGB_CR_R,
     ZIGZAG_NAT,
 )
 from queryengine_spark.multimodal.phash import (  # noqa: E402
@@ -201,6 +205,7 @@ from queryengine_spark.multimodal.phash import (  # noqa: E402
     PH_H_MOD,
     PH_R,
     PH_W_MOD,
+    PHJ_C_MULT,
     PHJ_DC,
     PHJ_DC_MOD,
     PHJ_DC_OFF,
@@ -239,6 +244,39 @@ def _phj_ac_sql(bx: str, by: str) -> str:
     )
 
 
+def _phj_fdiv1000(num: str) -> str:
+    """FLOOR division by 1000 (DuckDB // truncates; RGB numerators go
+    negative) — the repo's floor-mod idiom."""
+    return f"((({num}) - ((({num}) % 1000) + 1000) % 1000) // 1000)"
+
+
+def _phj_chroma_sql(c: int, bx: str, by: str) -> str:
+    """Chroma DC (= Cb/Cr − 128) of the r8 color sub-leg as SQL —
+    phj_dc_chroma mirrored (no variant shift; luma-only plant)."""
+    return (
+        f"(({PHJ_DC[0]})*({bx}) + ({PHJ_DC[1]})*({by})"
+        f" + ({PHJ_DC[2]})*gid + {PHJ_C_MULT * c})"
+        f" % {PHJ_DC_MOD} + ({PHJ_DC_OFF})"
+    )
+
+
+def _phj_rgb_sql(bx: str, by: str) -> tuple[str, str, str]:
+    """(R, G, B) of the color DC sub-leg (gid % 8 == 2): Y = phj_dc
+    + 128 (variant shift included), chroma from _phj_chroma_sql,
+    pinned ×1000 integer Rec.601 with floor division and clamps —
+    exactly multimodal/jpeg.py::ycc_to_rgb_int."""
+    yv = f"({_phj_dc_sql(bx, by)} + 128)"
+    cb = f"({_phj_chroma_sql(1, bx, by)})"
+    cr = f"({_phj_chroma_sql(2, bx, by)})"
+    r = (f"GREATEST(0, LEAST(255, {yv}"
+         f" + {_phj_fdiv1000(f'{RGB_CR_R} * {cr} + 500')}))")
+    g = (f"GREATEST(0, LEAST(255, {yv}"
+         f" - {_phj_fdiv1000(f'{RGB_CB_G} * {cb} + {RGB_CR_G} * {cr} + 500')}))")
+    b = (f"GREATEST(0, LEAST(255, {yv}"
+         f" + {_phj_fdiv1000(f'{RGB_CB_B} * {cb} + 500')}))")
+    return r, g, b
+
+
 _PHJ_V0 = (
     "(gid + 7 * ({bx}) + 11 * ({by}) + 53 * CAST(zz.p AS BIGINT))"
     f" * {AC_MULT} % {AC_MOD} - {AC_SHIFT}"
@@ -264,11 +302,13 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
     all pairs within Hamming distance 3 via the banded equi-join
     shared with text SimHash (exact by pigeonhole, no all-pairs).
     The JPEG leg's 9×8 block grid is ALIGNED to the dHash grid (one
-    block = one cell) and the planted perturbation is DC-only, so it
-    stays a ≤ 2-bit flip; the gid%8=6 sub-leg additionally carries
-    REAL AC spectra (r7) whose pixels — and therefore whose cell
-    sums — both engines compute through the same fixed-point integer
-    IDCT arithmetic. The oracle recomputes fingerprints from
+    block = one cell) and the planted perturbation is luma-DC-only,
+    so it stays a ≤ 2-bit flip; the gid%8=2 sub-leg is a 3-component
+    4:4:4 COLOR container since r8 — decoded to real RGB through the
+    pinned integer Rec.601 path, so the hash covers color, not
+    replicated luma — and the gid%8=6 sub-leg carries REAL AC spectra
+    (r7) whose pixels — and therefore whose cell sums — both engines
+    compute through the same fixed-point integer IDCT arithmetic. The oracle recomputes fingerprints from
     the pixel FORMULA and compares all pairs — a hash match
     certifies all four decoders, the luma/downsample/difference
     arithmetic, the hex encoding, and the banded search's exactness
@@ -276,6 +316,11 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return image_near_dup_pairs(spread(ids), max_dist=3, n_bands=4)
 
+
+#: rendered (R, G, B) of the color JPEG DC sub-leg at source pixel
+#: (x, y) — block (x//8, y//8); shared by the phash and image-ops
+#: oracles
+_PHJ_RGB = _phj_rgb_sql("x//8", "y//8")
 
 DEDUP_IMAGE_PHASH_SQL = f"""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
@@ -302,7 +347,8 @@ idctb AS (SELECT * FROM (VALUES {_IDCTB_ROWS}) AS b(u, tt, bb)),
 zzuv AS (SELECT * FROM (VALUES {_ZZUV_ROWS}) AS z(p, uu, vv)),
 lum0 AS (SELECT asset_id, (x*9)//w AS cx, (y*8)//h AS cy,
           CASE WHEN gid % 4 = 2 THEN
-            1000*({_phj_dc_sql("x//8", "y//8")} + 128)
+            -- r8: the DC sub-leg is COLOR 4:4:4 — real Rec.601 luma
+            299*({_PHJ_RGB[0]}) + 587*({_PHJ_RGB[1]}) + 114*({_PHJ_RGB[2]})
           ELSE
           299*(CASE WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
                THEN (({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 + delta) % 256
@@ -365,7 +411,8 @@ from queryengine_spark.multimodal.mediaops import (  # noqa: E402
 def multimodal_image_ops(spark: SparkSession, sf: str) -> DataFrame:
     """Resize + center-crop over really-decoded pixels (r6; corpus
     widened r7): the phash corpus (gid % 4 → 24-bit BMP / RGBA PNG /
-    grayscale JPEG (DC-only and, r7, AC-BEARING sub-legs) / RGB TIFF
+    JPEG (COLOR 4:4:4 DC-only since r8, and the r7 grayscale
+    AC-BEARING sub-leg) / RGB TIFF
     — the RGB legs render one pixel formula, the JPEG legs their
     block formulas through the fixed-point-IDCT pixel path) → magic-byte decode →
     nearest-neighbor resize to
@@ -411,16 +458,18 @@ pts AS (SELECT asset_id, gid, variant, w, h, i0, j0, delta, delta_j, 0 AS leg,
 idctb AS (SELECT * FROM (VALUES {_IDCTB_ROWS}) AS b(u, tt, bb)),
 zzuv AS (SELECT * FROM (VALUES {_ZZUV_ROWS}) AS z(p, uu, vv)),
 ch0 AS (SELECT asset_id, w, h, leg,
+              -- r8: the gid%8=2 JPEG sub-leg is COLOR 4:4:4 (integer
+              -- Rec.601 from the planted Y/Cb/Cr block DCs)
               CASE WHEN gid % 4 = 2 THEN
-                {_phj_dc_sql("x//8", "y//8")} + 128
+                {_PHJ_RGB[0]}
               WHEN variant = 1 AND (x*9)//w = i0 AND (y*8)//h = j0
                    THEN (({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 + delta) % 256
                    ELSE ({PH_R[0]}*x + {PH_R[1]}*y + {PH_R[2]}*gid) % 256 END AS r,
               CASE WHEN gid % 4 = 2 THEN
-                {_phj_dc_sql("x//8", "y//8")} + 128
+                {_PHJ_RGB[1]}
               ELSE ({PH_G[0]}*x + {PH_G[1]}*y + {PH_G[2]}*gid) % 256 END AS g,
               CASE WHEN gid % 4 = 2 THEN
-                {_phj_dc_sql("x//8", "y//8")} + 128
+                {_PHJ_RGB[2]}
               ELSE ({PH_B[0]}*x + {PH_B[1]}*y + {PH_B[2]}*gid) % 256 END AS b
        FROM pts WHERE gid % 8 <> 6),
 jsrc AS (SELECT DISTINCT asset_id, gid, variant, i0, j0, delta_j, x, y

@@ -95,10 +95,18 @@ def test_image_ops_stats_against_formula(spark):
             from tests.test_jpeg_idct import _idct_independent
 
             def _pix_jpeg(x, y, gid=gid, variant=variant):
+                from queryengine_spark.multimodal.phash import phj_dc_chroma
+
                 bx, by = x // 8, y // 8
-                if gid % 8 == 2:  # DC-only sub-leg
-                    v = phj_dc(gid, variant, bx, by) + 128
-                    return (v, v, v)
+                if gid % 8 == 2:  # DC-only sub-leg — COLOR since r8
+                    yv = phj_dc(gid, variant, bx, by) + 128
+                    cb = phj_dc_chroma(gid, 1, bx, by)
+                    cr = phj_dc_chroma(gid, 2, bx, by)
+                    return (
+                        min(255, max(0, yv + (1402 * cr + 500) // 1000)),
+                        min(255, max(0, yv - (344 * cb + 714 * cr + 500) // 1000)),
+                        min(255, max(0, yv + (1772 * cb + 500) // 1000)),
+                    )
                 # AC sub-leg: independent fixed-point IDCT replay
                 terms = {(0, 0): QUANT_DC * phj_dc(gid, variant, bx, by)}
                 for p in AC_POSITIONS:

@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from queryengine_spark.multimodal.bmp import decode_bmp
-from queryengine_spark.multimodal.jpeg import decode_jpeg_pixels
+from queryengine_spark.multimodal.jpeg import decode_jpeg_rgb
 from queryengine_spark.multimodal.phash import (
     dhash64,
     dhash_relation,
@@ -33,8 +33,7 @@ def _decode(b: bytes) -> np.ndarray:
     elif b[:2] in (b"II", b"MM"):
         arr = decode_tiff(b)
     elif b[:2] == b"\xff\xd8":
-        gray = decode_jpeg_pixels(b)
-        arr = None if gray is None else np.repeat(gray[:, :, None], 3, axis=2)
+        arr = decode_jpeg_rgb(b)  # r8: color for the 4:4:4 DC sub-leg
     else:
         arr = decode_png(b)
     assert arr is not None
@@ -117,18 +116,28 @@ def test_containers_rotate_and_decode():
 
 
 def test_jpeg_leg_pixels_match_dc_formula():
-    """The JPEG leg's decoded pixels are exactly phj_dc + 128 per
-    block — DC-only, clamp-free by construction."""
-    for aid in (4, 5, 20, 21):  # gid 2, 10 → gid % 4 == 2
+    """The color DC sub-leg (r8): decoded RGB is exactly the pinned
+    integer Rec.601 of the planted per-block Y/Cb/Cr DCs — computed
+    here with scalar arithmetic independent of the module."""
+    from queryengine_spark.multimodal.phash import phj_dc_chroma
+
+    for aid in (4, 5, 20, 21):  # gid 2, 10 → gid % 8 == 2
         gid, variant = aid // 2, aid % 2
-        img = decode_jpeg_pixels(make_phash_asset(aid))
-        assert img is not None and img.shape == (64, 72)
+        img = decode_jpeg_rgb(make_phash_asset(aid))
+        assert img is not None and img.shape == (64, 72, 3)
         for by in range(8):
             for bx in range(9):
                 blk = img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
-                want = phj_dc(gid, variant, bx, by) + 128
-                assert 0 < want < 255  # never clamps
-                assert (blk == want).all(), (aid, bx, by)
+                yv = phj_dc(gid, variant, bx, by) + 128
+                cb = phj_dc_chroma(gid, 1, bx, by)
+                cr = phj_dc_chroma(gid, 2, bx, by)
+                want = (
+                    min(255, max(0, yv + (1402 * cr + 500) // 1000)),
+                    min(255, max(0, yv - (344 * cb + 714 * cr + 500) // 1000)),
+                    min(255, max(0, yv + (1772 * cb + 500) // 1000)),
+                )
+                for c in range(3):
+                    assert (blk[..., c] == want[c]).all(), (aid, bx, by, c)
 
 
 def test_planted_pairs_within_two_bits():
