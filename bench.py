@@ -42,10 +42,9 @@ HEADLINE = [
     "fuzzy_match_full",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_minhash_suite",
     "dedup_embedding",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
+    "dedup_simhash_suite",
     # r6 fold: brute/LSH/IVF as one tagged composite
     "knn_ann_suite",
     "knn_filtered",
@@ -69,10 +68,9 @@ HEADLINE = [
     # training-pipeline pack
     "text_gopher_quality",
     "text_repetition_stats",
-    "dedup_decontaminate",
+    "dedup_decontaminate_suite",
     "pipeline_weighted_mix",
-    "events_funnel",
-    "events_retention",
+    "events_funnel_retention",
     "events_gap_fill",
     # second relational pack
     "pivot_returnflag_revenue",
@@ -80,15 +78,13 @@ HEADLINE = [
     # round-2 additions: native windowing, melt, bloom, binary headers
     "events_sliding_window",
     "unpivot_lineitem_metrics",
-    "dedup_decontaminate_bloom",
-    "multimodal_header_parse",
+    "multimodal_inventory",
     "agg_histogram_quantiles",
     "text_pii_scrub",
     "text_pii_pseudonymize",
     "events_json_extract",
     "udtf_token_windows",
     # round-3 additions: sketch-scored pairs, budget sampling, e2e prep
-    "dedup_minhash_jaccard",
     "pipeline_token_budget_sample",
     "pipeline_llm_prep",
     # round-7: concat-and-chunk sequence packing (two-phase prefix sum)
@@ -111,8 +107,8 @@ HEADLINE = [
     # real BMP pixel decode
     "text_bpe_tokenize",
     "pipeline_temperature_mix",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
+    "multimodal_image_decode",
+    "multimodal_audio_suite",
     "pipeline_leakage_safe_split",
     "curation_intradoc_scrub",
     # round-4 analytics pack: BM25 retrieval, CMS/HLL sketches,
@@ -149,12 +145,9 @@ HEADLINE = [
     "dedup_cross_source_overlap",
     # round-4 addenda: real PNG decode, rolling anomaly detection,
     # bigram-LM surprise scoring
-    "multimodal_png_decode",
     "events_anomaly_window",
     "text_lm_surprise",
-    "multimodal_gif_decode",
     "graph_bfs_hops",
-    "multimodal_jpeg_decode",
     "dedup_jaccard_prefix",
     "profile_regression_slope",
     "events_pattern_match",
@@ -182,9 +175,7 @@ HEADLINE = [
     # one leg-tagged composite
     "multimodal_media_suite",
     # round-6: baseline TIFF (II/MM, strips, PackBits, WhiteIsZero)
-    "multimodal_tiff_decode",
     "multimodal_scene_cuts",
-    "multimodal_audio_trim",
     "text_chunk_rag",
     "text_html_extract",
     # round-6: perceptual-hash image dedup (decode -> dHash -> banded Hamming)

@@ -908,14 +908,101 @@ LEFT JOIN perdoc p ON t.doc_id = p.doc_id
 curation_sa_scrub.__doc__ = curation_sa_scrub.__doc__.format(W=SA_SCRUB_WINDOW)
 
 
+# --------------------------------------------------------------- r8 fold
+#
+# Image modality suite (verdict item 4): the five per-codec decode
+# queries — BMP / PNG / GIF / TIFF / JPEG — as one leg-tagged
+# composite. Every codec's full mixed-profile matrix (incl. the r8
+# TIFF LZW leg and the r8 JPEG full-RGB columns) still executes
+# inside this one driver hash; each leg's oracle is its pre-fold
+# full statement.
+
+from queryengine_spark.queries.base import fold_legs, fold_sql  # noqa: E402
+from queryengine_spark.queries.multimodal2 import (  # noqa: E402
+    MULTIMODAL_BMP_DECODE_SQL,
+    MULTIMODAL_TIFF_DECODE_SQL,
+    multimodal_bmp_decode,
+    multimodal_tiff_decode,
+)
+
+_IMAGE_DECODE_COLS = [
+    ("asset_id", "bigint"),
+    ("width", "int"),
+    ("height", "int"),
+    ("n_px", "bigint"),
+    ("sum_r", "bigint"),
+    ("sum_g", "bigint"),
+    ("sum_b", "bigint"),
+    ("sum_a", "bigint"),
+    ("sum_gray", "bigint"),
+    ("wsum", "bigint"),
+    ("n_frames", "bigint"),
+    ("total_delay_cs", "bigint"),
+    ("sum_lum", "bigint"),
+    ("min_lum", "int"),
+    ("max_lum", "int"),
+    ("n_blocks", "bigint"),
+    ("sum_dc_dq", "bigint"),
+    ("sum_ac_dq", "bigint"),
+    ("sum_abs_ac_dq", "bigint"),
+    ("n_nonzero_ac", "bigint"),
+    ("sum_cb", "bigint"),
+    ("sum_cr", "bigint"),
+]
+
+
+def multimodal_image_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-decode fold (r8): one leg per from-scratch codec, each
+    leg's pre-fold mixed-profile semantics unchanged —
+
+    - 'bmp': 24-bit / paletted / BI_RLE8 (r6);
+    - 'png': RGBA, paletted, grayscale, 16-bit, Adam7 (r5/r6);
+    - 'gif': GCT / LCT / interlaced / animated LZW (r5/r6);
+    - 'tiff': uncompressed / PackBits / WhiteIsZero / LZW+Predictor2
+      in both byte orders (r6; LZW r8);
+    - 'jpeg': the full Huffman-DCT matrix — DC-only, AC, 16-bit DQT,
+      progressive, sequential 4:2:0/4:1:1 with DRI, fixed-point IDCT
+      pixels, and the r8 full-RGB columns."""
+    return fold_legs(
+        [
+            ("bmp", multimodal_bmp_decode(spark, sf)),
+            ("png", multimodal_png_decode(spark, sf)),
+            ("gif", multimodal_gif_decode(spark, sf)),
+            ("tiff", multimodal_tiff_decode(spark, sf)),
+            ("jpeg", multimodal_jpeg_decode(spark, sf)),
+        ],
+        _IMAGE_DECODE_COLS,
+    )
+
+
+_IMG_BASE = {"asset_id", "width", "height", "n_px"}
+MULTIMODAL_IMAGE_DECODE_SQL = fold_sql(
+    [
+        ("bmp", MULTIMODAL_BMP_DECODE_SQL,
+         _IMG_BASE | {"sum_r", "sum_g", "sum_b"}),
+        ("png", MULTIMODAL_PNG_DECODE_SQL,
+         _IMG_BASE | {"sum_r", "sum_g", "sum_b", "sum_a", "sum_gray", "wsum"}),
+        ("gif", MULTIMODAL_GIF_DECODE_SQL,
+         _IMG_BASE | {"sum_r", "sum_g", "sum_b", "n_frames",
+                      "total_delay_cs"}),
+        ("tiff", MULTIMODAL_TIFF_DECODE_SQL,
+         _IMG_BASE | {"sum_r", "sum_g", "sum_b"}),
+        ("jpeg", MULTIMODAL_JPEG_DECODE_SQL,
+         _IMG_BASE | {"sum_lum", "min_lum", "max_lum", "n_blocks",
+                      "sum_dc_dq", "sum_ac_dq", "sum_abs_ac_dq",
+                      "n_nonzero_ac", "sum_cb", "sum_cr", "sum_r", "sum_g",
+                      "sum_b"}),
+    ],
+    _IMAGE_DECODE_COLS,
+)
+
+
 QUERIES = {
     "curation_sa_scrub": (curation_sa_scrub, SA_SCRUB_SQL),
-    "multimodal_png_decode": (multimodal_png_decode, MULTIMODAL_PNG_DECODE_SQL),
+    "multimodal_image_decode": (multimodal_image_decode, MULTIMODAL_IMAGE_DECODE_SQL),
     "events_anomaly_window": (events_anomaly_window, EVENTS_ANOMALY_SQL),
     "text_lm_surprise": (text_lm_surprise, TEXT_LM_SURPRISE_SQL),
-    "multimodal_gif_decode": (multimodal_gif_decode, MULTIMODAL_GIF_DECODE_SQL),
     "graph_bfs_hops": (graph_bfs_hops, _bfs_sql),
-    "multimodal_jpeg_decode": (multimodal_jpeg_decode, MULTIMODAL_JPEG_DECODE_SQL),
     "dedup_jaccard_prefix": (dedup_jaccard_prefix, PPJOIN_SQL),
 }
 

@@ -462,15 +462,105 @@ WHERE {cos} >= {COSINE_THRESHOLD}
 DEDUP_EMBEDDING_SQL = _embedding_sql()
 
 
+# --------------------------------------------------------------- r8 folds
+#
+# Registry-size discipline (COVERAGE.md rotation note): the minhash,
+# simhash, and connected-components pairs fold into leg-tagged
+# composites — every pre-fold leg still executes inside the
+# composite's driver hash; each leg's oracle is its pre-fold full
+# statement (queries/base.py::fold_legs/fold_sql).
+
+from queryengine_spark.queries.base import fold_legs, fold_sql  # noqa: E402
+
+_MINHASH_SUITE_COLS = [
+    ("id_a", "bigint"),
+    ("id_b", "bigint"),
+    ("est_jaccard", "double"),
+]
+_SIMHASH_SUITE_COLS = [
+    ("doc_id", "bigint"),
+    ("simhash", "bigint"),
+    ("id_a", "bigint"),
+    ("id_b", "bigint"),
+    ("hamming", "int"),
+]
+_COMPONENTS_SUITE_COLS = [
+    ("doc_id", "bigint"),
+    ("component", "bigint"),
+]
+
+
+def dedup_minhash_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash fold (r8): leg 'lsh' = band-bucket candidate pairs;
+    leg 'jaccard' = the same pairs with their signature-estimated
+    Jaccard. Pre-fold semantics of dedup_minhash_lsh /
+    dedup_minhash_jaccard, unchanged."""
+    return fold_legs(
+        [
+            ("lsh", dedup_minhash_lsh(spark, sf)),
+            ("jaccard", dedup_minhash_jaccard(spark, sf)),
+        ],
+        _MINHASH_SUITE_COLS,
+    )
+
+
+def dedup_simhash_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fold (r8): leg 'fingerprints' = per-doc 64-bit
+    simhash; leg 'pairs' = banded Hamming near-dup pairs. Pre-fold
+    semantics of dedup_simhash / dedup_simhash_hamming, unchanged."""
+    return fold_legs(
+        [
+            ("fingerprints", dedup_simhash(spark, sf)),
+            ("pairs", dedup_simhash_hamming(spark, sf)),
+        ],
+        _SIMHASH_SUITE_COLS,
+    )
+
+
+def dedup_components_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected-components fold (r8): leg 'labelprop' = distributed
+    label propagation, leg 'star' = the alternating star-contraction
+    backend — both must produce IDENTICAL components (they share one
+    oracle statement, so the composite hash pins backend agreement
+    twice over)."""
+    return fold_legs(
+        [
+            ("labelprop", dedup_components(spark, sf)),
+            ("star", dedup_components_star(spark, sf)),
+        ],
+        _COMPONENTS_SUITE_COLS,
+    )
+
+
+DEDUP_MINHASH_SUITE_SQL = fold_sql(
+    [
+        ("lsh", DEDUP_MINHASH_SQL, {"id_a", "id_b"}),
+        ("jaccard", DEDUP_MINHASH_JACCARD_SQL, {"id_a", "id_b", "est_jaccard"}),
+    ],
+    _MINHASH_SUITE_COLS,
+)
+DEDUP_SIMHASH_SUITE_SQL = fold_sql(
+    [
+        ("fingerprints", DEDUP_SIMHASH_SQL, {"doc_id", "simhash"}),
+        ("pairs", DEDUP_SIMHASH_HAMMING_SQL, {"id_a", "id_b", "hamming"}),
+    ],
+    _SIMHASH_SUITE_COLS,
+)
+DEDUP_COMPONENTS_SUITE_SQL = fold_sql(
+    [
+        ("labelprop", DEDUP_COMPONENTS_SQL, {"doc_id", "component"}),
+        ("star", DEDUP_COMPONENTS_SQL, {"doc_id", "component"}),
+    ],
+    _COMPONENTS_SUITE_COLS,
+)
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
-    "dedup_minhash_jaccard": (dedup_minhash_jaccard, DEDUP_MINHASH_JACCARD_SQL),
-    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "dedup_simhash_hamming": (dedup_simhash_hamming, DEDUP_SIMHASH_HAMMING_SQL),
-    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
-    "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
+    "dedup_minhash_suite": (dedup_minhash_suite, DEDUP_MINHASH_SUITE_SQL),
+    "dedup_simhash_suite": (dedup_simhash_suite, DEDUP_SIMHASH_SUITE_SQL),
+    "dedup_components_suite": (dedup_components_suite, DEDUP_COMPONENTS_SUITE_SQL),
     "dedup_keep_canonical": (dedup_keep_canonical, DEDUP_KEEP_CANONICAL_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
 }

@@ -223,8 +223,55 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------- r8 fold
+
+from queryengine_spark.queries.base import fold_legs, fold_sql  # noqa: E402
+
+_INVENTORY_COLS = [
+    ("media_type", "string"),
+    ("n_assets", "bigint"),
+    ("total_bytes", "bigint"),
+    ("min_hash", "string"),
+    ("max_hash", "string"),
+    ("asset_id", "bigint"),
+    ("fmt", "string"),
+    ("width", "int"),
+    ("height", "int"),
+    ("sample_rate", "int"),
+    ("channels", "int"),
+    ("duration_ms", "bigint"),
+    ("n_bytes", "bigint"),
+]
+
+
+def multimodal_inventory(spark: SparkSession, sf: str) -> DataFrame:
+    """Asset-inventory fold (r8): leg 'binary_stats' = per-media-type
+    byte/hash aggregates over the opaque payload relation; leg
+    'header_parse' = per-asset container-header fields. Pre-fold
+    semantics of multimodal_binary_stats / multimodal_header_parse,
+    unchanged."""
+    return fold_legs(
+        [
+            ("binary_stats", multimodal_binary_stats(spark, sf)),
+            ("header_parse", multimodal_header_parse(spark, sf)),
+        ],
+        _INVENTORY_COLS,
+    )
+
+
+MULTIMODAL_INVENTORY_SQL = fold_sql(
+    [
+        ("binary_stats", BINARY_STATS_SQL,
+         {"media_type", "n_assets", "total_bytes", "min_hash", "max_hash"}),
+        ("header_parse", HEADER_PARSE_SQL,
+         {"asset_id", "fmt", "width", "height", "sample_rate", "channels",
+          "duration_ms", "n_bytes"}),
+    ],
+    _INVENTORY_COLS,
+)
+
+
 QUERIES = {
-    "multimodal_binary_stats": (multimodal_binary_stats, BINARY_STATS_SQL),
+    "multimodal_inventory": (multimodal_inventory, MULTIMODAL_INVENTORY_SQL),
     "multimodal_features": (multimodal_features, FEATURES_SQL),
-    "multimodal_header_parse": (multimodal_header_parse, HEADER_PARSE_SQL),
 }

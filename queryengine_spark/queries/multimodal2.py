@@ -81,9 +81,9 @@ FROM sums
 """
 
 
-QUERIES = {
-    "multimodal_bmp_decode": (multimodal_bmp_decode, MULTIMODAL_BMP_DECODE_SQL),
-}
+# r8: the BMP leg is registered through the multimodal_image_decode
+# composite (queries/addenda.py); this dict seeds the module registry
+QUERIES = {}
 
 
 def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
@@ -178,7 +178,7 @@ FROM smp
 GROUP BY asset_id, sample_rate, n_frames
 """
 
-QUERIES["multimodal_wav_decode"] = (multimodal_wav_decode, MULTIMODAL_WAV_DECODE_SQL)
+# r8: registered through the multimodal_audio_suite composite below
 
 
 from queryengine_spark.multimodal.jpeg import (  # noqa: E402
@@ -672,10 +672,8 @@ SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
 FROM ch GROUP BY asset_id, w, h
 """
 
-QUERIES["multimodal_tiff_decode"] = (
-    multimodal_tiff_decode,
-    MULTIMODAL_TIFF_DECODE_SQL,
-)
+# r8: registered through the multimodal_image_decode composite
+# (queries/addenda.py)
 
 
 from queryengine_spark.multimodal.avi import (  # noqa: E402
@@ -876,9 +874,58 @@ SELECT asset_id,
 FROM wins GROUP BY asset_id
 """
 
-QUERIES["multimodal_audio_trim"] = (
-    multimodal_audio_trim,
-    MULTIMODAL_AUDIO_TRIM_SQL,
+# --------------------------------------------------------------- r8 fold
+#
+# Audio modality suite (verdict item 4): the WAV codec matrix and the
+# silence-trim analysis as one leg-tagged composite.
+
+from queryengine_spark.queries.base import fold_legs, fold_sql  # noqa: E402
+
+_AUDIO_SUITE_COLS = [
+    ("asset_id", "bigint"),
+    ("sample_rate", "int"),
+    ("n_samples", "bigint"),
+    ("sum_amp", "bigint"),
+    ("sum_sq", "bigint"),
+    ("max_amp", "int"),
+    ("n_windows", "int"),
+    ("first_loud", "int"),
+    ("last_loud", "int"),
+    ("n_silent", "int"),
+    ("kept_windows", "int"),
+]
+
+
+def multimodal_audio_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio fold (r8): leg 'wav_decode' = the full mixed-profile WAV
+    codec matrix (mono/stereo/5.1 16-bit, 24-bit, µ-law, float32
+    through the real RIFF walk); leg 'audio_trim' = windowed-energy
+    silence trimming. Pre-fold semantics of multimodal_wav_decode /
+    multimodal_audio_trim, unchanged."""
+    return fold_legs(
+        [
+            ("wav_decode", multimodal_wav_decode(spark, sf)),
+            ("audio_trim", multimodal_audio_trim(spark, sf)),
+        ],
+        _AUDIO_SUITE_COLS,
+    )
+
+
+MULTIMODAL_AUDIO_SUITE_SQL = fold_sql(
+    [
+        ("wav_decode", MULTIMODAL_WAV_DECODE_SQL,
+         {"asset_id", "sample_rate", "n_samples", "sum_amp", "sum_sq",
+          "max_amp"}),
+        ("audio_trim", MULTIMODAL_AUDIO_TRIM_SQL,
+         {"asset_id", "n_windows", "first_loud", "last_loud", "n_silent",
+          "kept_windows"}),
+    ],
+    _AUDIO_SUITE_COLS,
+)
+
+QUERIES["multimodal_audio_suite"] = (
+    multimodal_audio_suite,
+    MULTIMODAL_AUDIO_SUITE_SQL,
 )
 
 

@@ -1006,18 +1006,85 @@ GROUP BY q.lang, q.source
 LLM_PREP_SQL = _llm_prep_sql()
 
 
+# --------------------------------------------------------------- r8 folds
+
+from queryengine_spark.queries.base import fold_legs, fold_sql  # noqa: E402
+
+_DECON_SUITE_COLS = [
+    ("train_id", "bigint"),
+    ("bench_id", "bigint"),
+    ("n_shared", "bigint"),
+    ("overlap", "double"),
+    ("doc_id", "bigint"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+]
+_FUNNEL_RETENTION_COLS = [
+    ("n_signup", "bigint"),
+    ("n_click_after_signup", "bigint"),
+    ("n_purchase_after_click", "bigint"),
+    ("cohort_week", "string"),
+    ("week_offset", "int"),
+    ("n_users", "bigint"),
+]
+
+
+def dedup_decontaminate_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination fold (r8): leg 'overlap' = the train-vs-bench
+    shingle-overlap report; leg 'bloom' = the Bloom-prefiltered clean
+    corpus. Pre-fold semantics of dedup_decontaminate /
+    dedup_decontaminate_bloom, unchanged."""
+    return fold_legs(
+        [
+            ("overlap", dedup_decontaminate(spark, sf)),
+            ("bloom", dedup_decontaminate_bloom(spark, sf)),
+        ],
+        _DECON_SUITE_COLS,
+    )
+
+
+def events_funnel_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Events-analytics fold (r8, verdict item 4): leg 'funnel' =
+    the ordered signup→click→purchase funnel counts; leg 'retention'
+    = weekly cohort retention. Pre-fold semantics of events_funnel /
+    events_retention, unchanged."""
+    return fold_legs(
+        [
+            ("funnel", events_funnel(spark, sf)),
+            ("retention", events_retention(spark, sf)),
+        ],
+        _FUNNEL_RETENTION_COLS,
+    )
+
+
+DECON_SUITE_SQL = fold_sql(
+    [
+        ("overlap", DECON_SQL, {"train_id", "bench_id", "n_shared", "overlap"}),
+        ("bloom", DECON_BLOOM_SQL, {"doc_id", "lang", "source", "n_chars"}),
+    ],
+    _DECON_SUITE_COLS,
+)
+FUNNEL_RETENTION_SQL = fold_sql(
+    [
+        ("funnel", FUNNEL_SQL,
+         {"n_signup", "n_click_after_signup", "n_purchase_after_click"}),
+        ("retention", RETENTION_SQL, {"cohort_week", "week_offset", "n_users"}),
+    ],
+    _FUNNEL_RETENTION_COLS,
+)
+
+
 QUERIES = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
     "text_pii_scrub": (text_pii_scrub, PII_SCRUB_SQL),
     "text_pii_pseudonymize": (text_pii_pseudonymize, PII_PSEUDONYMIZE_SQL),
     "text_repetition_stats": (text_repetition_stats, REPETITION_SQL),
-    "dedup_decontaminate": (dedup_decontaminate, DECON_SQL),
-    "dedup_decontaminate_bloom": (dedup_decontaminate_bloom, DECON_BLOOM_SQL),
+    "dedup_decontaminate_suite": (dedup_decontaminate_suite, DECON_SUITE_SQL),
     "pipeline_weighted_mix": (pipeline_weighted_mix, MIX_SQL),
     "pipeline_stratified_sample": (pipeline_stratified_sample, STRATIFIED_SQL),
     "text_length_histogram": (text_length_histogram, LENGTH_HIST_SQL),
-    "events_funnel": (events_funnel, FUNNEL_SQL),
-    "events_retention": (events_retention, RETENTION_SQL),
+    "events_funnel_retention": (events_funnel_retention, FUNNEL_RETENTION_SQL),
     "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),
     "pipeline_token_budget_sample": (pipeline_token_budget_sample, TOKEN_BUDGET_SQL),
     "pipeline_llm_prep": (pipeline_llm_prep, LLM_PREP_SQL),

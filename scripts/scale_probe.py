@@ -23,12 +23,11 @@ from queryengine_spark.session import get_spark
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_QUERIES = [
-    "dedup_minhash_lsh",
+    "dedup_minhash_suite",
     "dedup_ngram_jaccard",
-    "dedup_simhash_hamming",
+    "dedup_simhash_suite",
     "dedup_keep_canonical",
-    "dedup_decontaminate",
-    "dedup_decontaminate_bloom",
+    "dedup_decontaminate_suite",
     "dedup_embedding",
     "knn_ann_suite",
     "fuzzy_candidates_coverage",

@@ -10,7 +10,34 @@ import pytest
 
 from queryengine_spark.queries import all_queries
 
-Q = all_queries()
+Q = dict(all_queries())
+# r8 folds: the plan gates keep auditing individual LEGS (the
+# composites union them, which would blur which leg tripped a gate)
+from queryengine_spark.queries.addenda import (  # noqa: E402
+    multimodal_gif_decode as _gif_leg,
+    multimodal_jpeg_decode,
+    multimodal_png_decode as _png_leg,
+)
+from queryengine_spark.queries.dedup import (  # noqa: E402
+    dedup_minhash_lsh,
+    dedup_simhash_hamming,
+)
+from queryengine_spark.queries.pipelines import (  # noqa: E402
+    dedup_decontaminate,
+    dedup_decontaminate_bloom,
+)
+
+Q.update(
+    {
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash_hamming": dedup_simhash_hamming,
+        "dedup_decontaminate": dedup_decontaminate,
+        "dedup_decontaminate_bloom": dedup_decontaminate_bloom,
+        "multimodal_png_decode": _png_leg,
+        "multimodal_gif_decode": _gif_leg,
+        "multimodal_jpeg_decode": multimodal_jpeg_decode,
+    }
+)
 
 
 def _plan(spark, sf_dir, name: str) -> str:
