@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from queryengine_spark.functions.text import tokenize_ws
@@ -474,6 +474,145 @@ def _hashed_bucket(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint")
 
 
+def _hashed_feature_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket, c): hashed unigram+bigram feature counts — the
+    shared front of training AND serving (r8 extraction; the relation
+    is localCheckpointed because training reuses it 2·iters + 2
+    times)."""
+    base = _token_relation(df, id_col, text_col)
+    feats = base.select(
+        "id",
+        F.explode(
+            F.concat(F.col("toks"), token_ngrams(F.col("toks"), 2))
+        ).alias("feat"),
+    )
+    return (
+        feats.select(
+            "id", (_hashed_bucket(F.col("feat")) % n_buckets).alias("bucket")
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _weights_df(spark: SparkSession, weights: dict[int, int]) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(b), int(w)) for b, w in weights.items()] or [(0, 0)],
+        "bucket long, w long",
+    )
+
+
+def _perceptron_fit(
+    spark: SparkSession, fb: DataFrame, train: DataFrame, iters: int
+) -> dict[int, int]:
+    """The distributed integer batch-perceptron loop (r7; extracted
+    r8): per iteration one broadcast-weights join + two integer
+    aggregations over the cached (id, bucket, c) relation; weight
+    state bounded by n_buckets (≤ 2^16 rows collected/re-broadcast —
+    the k-means-centroid pattern)."""
+    weights: dict[int, int] = {}
+    for _t in range(iters):
+        if not weights:
+            mis = train  # w = 0: every training doc is misclassified
+        else:
+            margins = (
+                fb.join(F.broadcast(_weights_df(spark, weights)), "bucket")
+                .groupBy("id")
+                .agg(F.sum(F.col("c") * F.col("w")).alias("m"))
+            )
+            mis = (
+                train.join(margins, "id", "left")
+                .filter(F.col("y") * F.coalesce(F.col("m"), F.lit(0)) <= 0)
+                .select("id", "y")
+            )
+        upd = (
+            fb.join(mis, "id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("c")).alias("dw"))
+            .collect()  # bounded by n_buckets (≤ 2^16 rows)
+        )
+        for row in upd:
+            weights[row["bucket"]] = weights.get(row["bucket"], 0) + int(row["dw"])
+    return weights
+
+
+def fit_feature_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 65536,
+    weight_span: int = 1000,
+    tau: int = 100,
+    iters: int = 4,
+) -> list[tuple[int, int]]:
+    """Train the quality classifier and return its FROZEN weights as
+    sorted (bucket, w) rows — the artifact the streaming quality gate
+    serves at ingest (r8). Training semantics are exactly
+    :func:`trained_feature_classifier`'s (same teacher, same dead
+    zone, same integer batch-perceptron loop)."""
+    fb = _hashed_feature_buckets(df, id_col, text_col, n_buckets)
+    teacher_w = (
+        _hashed_bucket(F.concat(F.lit("w:"), F.col("bucket").cast("string")))
+        % (2 * weight_span + 1)
+    ) - weight_span
+    doc = (
+        fb.withColumn("wt", teacher_w)
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("wt")).cast("bigint").alias("margin"),
+        )
+        .withColumn("y", F.when(F.col("margin") >= 0, 1).otherwise(-1))
+        .filter(F.abs(F.col("margin")) >= tau * F.col("n_feats"))
+        .select("id", "y")
+    )
+    weights = _perceptron_fit(df.sparkSession, fb, doc, iters)
+    return sorted((int(b), int(w)) for b, w in weights.items())
+
+
+def serve_feature_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[tuple[int, int]],
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """The SERVING half alone (r8): score documents against frozen
+    trained weights — one broadcast join over the hashed feature
+    relation, no training iterations, no teacher. (id, n_feats,
+    trained_margin, trained_label); docs whose features hit no
+    trained bucket score margin 0 → label 1, matching
+    trained_feature_classifier's coalesce convention."""
+    spark = df.sparkSession
+    fb = _hashed_feature_buckets(df, id_col, text_col, n_buckets)
+    wdf = _weights_df(spark, dict(weights))
+    scored = (
+        fb.groupBy("id")
+        .agg(F.sum("c").cast("bigint").alias("n_feats"))
+        .join(
+            fb.join(F.broadcast(wdf), "bucket")
+            .groupBy("id")
+            .agg(
+                F.sum(F.col("c") * F.col("w"))
+                .cast("bigint")
+                .alias("trained_margin")
+            ),
+            "id",
+            "left",
+        )
+    )
+    m = F.coalesce(F.col("trained_margin"), F.lit(0)).cast("bigint")
+    return scored.select(
+        "id",
+        "n_feats",
+        m.alias("trained_margin"),
+        (m >= 0).cast("int").alias("trained_label"),
+    )
+
+
 def trained_feature_classifier(
     df: DataFrame,
     id_col: str,
@@ -513,19 +652,7 @@ def trained_feature_classifier(
     trained_margin, trained_label, agree) — teacher columns first
     (unchanged semantics), then the student's verdicts.
     """
-    base = _token_relation(df, id_col, text_col)
-    feats = base.select(
-        "id",
-        F.explode(
-            F.concat(F.col("toks"), token_ngrams(F.col("toks"), 2))
-        ).alias("feat"),
-    )
-    fb = (
-        feats.select("id", (_hashed_bucket(F.col("feat")) % n_buckets).alias("bucket"))
-        .groupBy("id", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)  # reused 2·iters + 2 times
-    )
+    fb = _hashed_feature_buckets(df, id_col, text_col, n_buckets)
     teacher_w = (
         _hashed_bucket(F.concat(F.lit("w:"), F.col("bucket").cast("string")))
         % (2 * weight_span + 1)
@@ -546,37 +673,9 @@ def trained_feature_classifier(
     )
     spark = df.sparkSession
     train = doc.filter(F.col("confident") == 1).select("id", "y")
-    weights: dict[int, int] = {}
-
-    def _wdf():
-        return spark.createDataFrame(
-            [(int(b), int(w)) for b, w in weights.items()], "bucket long, w long"
-        )
-
-    for _t in range(iters):
-        if not weights:
-            mis = train  # w = 0: every training doc is misclassified
-        else:
-            margins = (
-                fb.join(F.broadcast(_wdf()), "bucket")
-                .groupBy("id")
-                .agg(F.sum(F.col("c") * F.col("w")).alias("m"))
-            )
-            mis = (
-                train.join(margins, "id", "left")
-                .filter(F.col("y") * F.coalesce(F.col("m"), F.lit(0)) <= 0)
-                .select("id", "y")
-            )
-        upd = (
-            fb.join(mis, "id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("c")).alias("dw"))
-            .collect()  # bounded by n_buckets (≤ 2^16 rows)
-        )
-        for row in upd:
-            weights[row["bucket"]] = weights.get(row["bucket"], 0) + int(row["dw"])
+    weights = _perceptron_fit(spark, fb, train, iters)
     final = (
-        fb.join(F.broadcast(_wdf()), "bucket")
+        fb.join(F.broadcast(_weights_df(spark, weights)), "bucket")
         .groupBy("id")
         .agg(F.sum(F.col("c") * F.col("w")).cast("bigint").alias("trained_margin"))
     )

@@ -121,8 +121,8 @@ VOID: dict[str, int] = {
     # round 7: the md5 weight table became the planted TEACHER and
     # the served weights come from a distributed integer batch
     # perceptron (schema gained confident/trained_margin/
-    # trained_label/agree; oracle unrolls the training iterations):
-    "text_quality_classifier": 6,
+    # trained_label/agree; oracle unrolls the training iterations) —
+    # superseded by the round-8 bump below.
     # round 7: knn_filtered folded in the RANGE-predicate leg (bin
     # composition into the (cell, bin) probe key); schema gained the
     # leg column, oracle became the two-leg UNION:
@@ -131,6 +131,12 @@ VOID: dict[str, int] = {
     # as gzip-compressed tar (RFC 1952 reader with flag walk + CRC32/
     # ISIZE verification); fmt CASE gained the tgz arm:
     "source_archive_shards": 6,
+    # round 8: the perceptron loop + feature relation were extracted
+    # into _perceptron_fit/_hashed_feature_buckets so the streaming
+    # quality gate can fit/serve frozen weights (identical results,
+    # pinned by test_stream_quality_gate_equals_batch_scores; the
+    # re-certification is the VOID discipline on a touched kernel):
+    "text_quality_classifier": 7,
     # round 8: the phash JPEG DC sub-leg (gid%8==2) became a
     # 3-component 4:4:4 COLOR container decoded through the integer
     # Rec.601 path — the JPEG family hashes color, not replicated

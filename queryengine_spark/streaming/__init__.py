@@ -758,3 +758,39 @@ def stream_append_to_minhash_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_gate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list,
+    path: str,
+    n_buckets: int = 65536,
+):
+    """Streaming quality gate (r8 — verdict item 7): score each
+    micro-batch of documents against the FROZEN trained classifier
+    weights (operators/curation.py::serve_feature_classifier — one
+    broadcast-weights join over the hashed feature relation) and
+    append (id, n_feats, trained_margin, trained_label) to the
+    parquet gate log, so quality filtering runs at ingest exactly
+    like the dedup and ANN index twins. foreachBatch is the right
+    shape because scoring is a stateless per-document map+broadcast
+    pass with frozen weights (retraining is a refit decision, never
+    an ingest side effect) and the sink append is idempotent by id.
+    Returns the started query (availableNow trigger: drains what
+    exists, then stops)."""
+    from queryengine_spark.operators.curation import serve_feature_classifier
+
+    def _score(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        serve_feature_classifier(
+            batch_df, id_col, text_col, weights, n_buckets
+        ).write.mode("append").parquet(path)
+
+    return (
+        docs.writeStream.foreachBatch(_score)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -141,3 +141,66 @@ def test_minhash_stream_append_equals_batch_append(spark, sf_dir, tmp_path):
     assert got == want and len(got) == probe.count()
     # the planted near-dup structure guarantees some history hits
     assert any(r[1] == 1 for r in got)
+
+
+def test_stream_quality_gate_equals_batch_scores(spark, sf_dir, tmp_path):
+    """r8: the trained quality classifier's serving half as a
+    streaming ingest gate — micro-batch scores with frozen weights
+    must equal batch serving of the same documents (stream == batch),
+    and the frozen-weight serve must agree with the in-query
+    trained_feature_classifier columns on the same corpus."""
+    from queryengine_spark.operators.curation import (
+        fit_feature_classifier,
+        serve_feature_classifier,
+        trained_feature_classifier,
+    )
+    from queryengine_spark.streaming import stream_quality_gate
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    arriving = d.filter(F.col("doc_id") % 2 == 1)
+
+    weights = fit_feature_classifier(train, "doc_id", "text")
+    assert len(weights) > 100  # the perceptron really updated
+
+    # the frozen weights are the SAME model trained_feature_classifier
+    # serves in-query: its trained_margin must match serve() on the
+    # training corpus itself
+    want_inline = {
+        r["id"]: (r["trained_margin"], r["trained_label"])
+        for r in trained_feature_classifier(train, "doc_id", "text").collect()
+    }
+    got_inline = {
+        r["id"]: (r["trained_margin"], r["trained_label"])
+        for r in serve_feature_classifier(
+            train, "doc_id", "text", weights
+        ).collect()
+    }
+    assert got_inline == want_inline and len(got_inline) > 0
+
+    # batch reference on the arriving half
+    ref = sorted(
+        tuple(r)
+        for r in serve_feature_classifier(
+            arriving, "doc_id", "text", weights
+        ).collect()
+    )
+
+    # streaming path: arrivals as THREE parquet micro-batches
+    watch = str(tmp_path / "qg_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        arriving.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    gate = str(tmp_path / "qg_log")
+    q = stream_quality_gate(stream, "doc_id", "text", weights, gate)
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(gate).collect())
+    assert got == ref and len(got) == arriving.count()
