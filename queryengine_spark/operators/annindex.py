@@ -515,3 +515,120 @@ def incremental_flags_from_index(
             F.coalesce("db", F.lit(0)).cast("int").alias("dup_in_batch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF-SQ8 index artifact (r8 — parity with IVF-PQ and SRP-LSH:
+# all three compression layers are now build-once/query-many)
+# ---------------------------------------------------------------------------
+#
+# Layout under ``<path>/``:
+#
+# - ``meta/``      one row: (n_cells, dim) — reader compatibility;
+# - ``centroids/`` (cid, c array<bigint>) — the coarse quantizer;
+# - ``minmax/``    one row: (vmin array<bigint>, vdiff array<bigint>)
+#   — the per-dimension scalar quantizer IS the artifact (2·dim
+#   BIGINTs; a reader never re-derives ranges from a sample);
+# - ``codes/``     (neighbor_id, codes) hive-PARTITIONED BY CELL —
+#   probing nprobe cells prunes to those directories.
+#
+# Query results are BIT-IDENTICAL to the in-session
+# operators.knn.ivf_sq8_topk with the same training state: encode and
+# ADC scoring are the same Column expressions (sq8_encode/sq8_score),
+# and append uses the FROZEN centroids + ranges (FAISS add()
+# semantics — quantizer drift is a reindex decision, never an ingest
+# side effect).
+
+
+def write_sq8_index(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    sample_n: int = 256,
+    train_iters: int = 3,
+) -> None:
+    """Train (bounded smallest-id sample, identical to the in-session
+    path) and persist the full SQ8 artifact."""
+    from queryengine_spark.operators.knn import sq8_encode, sq8_train
+
+    spark = candidates.sparkSession
+    cents, vmin, vdiff = sq8_train(
+        candidates, id_col, vec_col, n_cells, sample_n, train_iters
+    )
+    enc = sq8_encode(candidates, id_col, vec_col, cents, vmin, vdiff)
+    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(list(map(int, vmin)), list(map(int, vdiff)))],
+        "vmin array<bigint>, vdiff array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/minmax")
+    spark.createDataFrame(
+        [(n_cells, dim)], "n_cells int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_sq8_index(
+    new_batch: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Incremental ingest: encode a NEW batch with the artifact's
+    frozen centroids and scalar ranges and append its codes to the
+    cell-partitioned relation."""
+    spark = new_batch.sparkSession
+    idx = read_sq8_index(spark, path)
+    from queryengine_spark.operators.knn import sq8_encode
+
+    enc = sq8_encode(
+        new_batch, id_col, vec_col, idx["cents"], idx["vmin"], idx["vdiff"]
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
+def read_sq8_index(spark: SparkSession, path: str) -> dict:
+    """Load the artifact: centroids + scalar ranges into driver state
+    (k·dim + 2·dim ints — broadcast-sized by construction), codes
+    stay a DataFrame."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    cents_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [list(r["c"]) for r in sorted(cents_rows, key=lambda r: r["cid"])]
+    mm = spark.read.parquet(f"{path}/minmax").collect()[0]
+    codes = spark.read.parquet(f"{path}/codes").select(
+        "neighbor_id", F.col("cell").cast("int").alias("cell"), "codes"
+    )
+    return {
+        "meta": {k: int(meta[k]) for k in ("n_cells", "dim")},
+        "cents": cents,
+        "vmin": [int(v) for v in mm["vmin"]],
+        "vdiff": [int(v) for v in mm["vdiff"]],
+        "codes": codes,
+    }
+
+
+def ivf_sq8_topk_from_index(
+    queries: DataFrame,
+    index: dict,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Answer top-k from the persisted artifact — zero retraining,
+    zero sample collects; the same ADC scoring tail (and therefore
+    the same bits) as the in-session path."""
+    from queryengine_spark.operators.knn import sq8_score
+
+    return sq8_score(
+        queries,
+        index["codes"],
+        index["cents"],
+        index["vmin"],
+        index["vdiff"],
+        id_col,
+        vec_col,
+        k=k,
+        nprobe=nprobe,
+    )

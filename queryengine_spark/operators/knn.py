@@ -785,47 +785,105 @@ def ivf_sq8_topk(
     64-dim float64 vector is 512 bytes, its SQ8 code 64 bytes — the
     scoring join shuffles 1/8th the bytes with no codebook at all;
     the min/max table is 2·dim BIGINTs, broadcast-trivial. Output:
-    (query_id, neighbor_id, cosine, rn)."""
+    (query_id, neighbor_id, cosine, rn).
+
+    r8: split into :func:`sq8_train` / :func:`sq8_encode` /
+    :func:`sq8_score` so the persistent artifact path
+    (operators/annindex.py::write_sq8_index) shares the identical
+    integer encode/reconstruct/score expressions — bit-parity between
+    the in-session and from-index answers is by construction."""
+    cents, vmin, vdiff = sq8_train(
+        candidates, id_col, vec_col, n_cells, sample_n, train_iters
+    )
+    coded = sq8_encode(candidates, id_col, vec_col, cents, vmin, vdiff)
+    return sq8_score(
+        queries, coded, cents, vmin, vdiff, id_col, vec_col, k=k, nprobe=nprobe
+    )
+
+
+def sq8_train(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    sample_n: int,
+    train_iters: int,
+) -> tuple[list, list[int], list[int]]:
+    """(centroids, vmin, vdiff): the full SQ8 training state — the
+    coarse quantizer plus the per-dimension scalar ranges, both from
+    the same bounded smallest-id sample."""
     sample = _collect_vec_sample(candidates, id_col, vec_col, max(sample_n, n_cells))
     cents = kmeans_centroids_int(sample, n_cells, train_iters)
-    assign1 = ivf_cells_int_udf(cents, 1)
-    assignp = ivf_cells_int_udf(cents, nprobe)
     ints = [_int_vec(v) for _sid, v in sample[:sample_n]]
     vmin = [min(col) for col in zip(*ints)]
     vdiff = [max(col) - mn for col, mn in zip(zip(*ints), vmin)]
+    return cents, vmin, vdiff
+
+
+def _sq8_el(arr, i):
+    return F.element_at(arr, (i + 1).cast("int"))
+
+
+def sq8_encode(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list,
+    vmin: list[int],
+    vdiff: list[int],
+) -> DataFrame:
+    """(neighbor_id, cell, codes): 8-bit per-dimension codes in pure
+    Column arithmetic — code_d = clip(⌊(x_d − vmin_d)·255 / Δ_d⌋,
+    0, 255)."""
+    assign1 = ivf_cells_int_udf(cents, 1)
     vminc = F.array(*[F.lit(int(m)) for m in vmin])
     vdiffc = F.array(*[F.lit(int(d_)) for d_ in vdiff])
 
-    def _el(arr, i):
-        return F.element_at(arr, (i + 1).cast("int"))
-
     def _code(x, i):
-        d_ = _el(vdiffc, i)
-        raw = F.floor(((x - _el(vminc, i)) * 255) / d_).cast("bigint")
+        d_ = _sq8_el(vdiffc, i)
+        raw = F.floor(((x - _sq8_el(vminc, i)) * 255) / d_).cast("bigint")
         return F.when(
             d_ > 0, F.least(F.lit(255), F.greatest(F.lit(0), raw))
         ).otherwise(F.lit(0))
-
-    def _recon(cd, i):
-        d_ = _el(vdiffc, i)
-        return (
-            _el(vminc, i) + F.floor((cd * d_) / 255).cast("bigint")
-        ) / F.lit(KMEANS_SCALE)
 
     xi = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda v: F.floor(v * F.lit(KMEANS_SCALE)).cast("bigint"),
     )
-    c = (
-        candidates.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
-            xi.alias("xi"),
-        )
-        .withColumn("codes", F.transform("xi", _code))
-        .withColumn("rvec", F.transform("codes", _recon))
-        .drop("xi")
+    return candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+        xi.alias("xi"),
+    ).select(
+        "neighbor_id", "cell", F.transform("xi", _code).alias("codes")
     )
+
+
+def sq8_score(
+    queries: DataFrame,
+    coded: DataFrame,
+    cents: list,
+    vmin: list[int],
+    vdiff: list[int],
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC scoring tail over an (neighbor_id, cell, codes) relation —
+    recon_d = vmin_d + ⌊code_d·Δ_d / 255⌋, asymmetric cosine against
+    the full-precision query, WindowGroupLimit top-k."""
+    assignp = ivf_cells_int_udf(cents, nprobe)
+    vminc = F.array(*[F.lit(int(m)) for m in vmin])
+    vdiffc = F.array(*[F.lit(int(d_)) for d_ in vdiff])
+
+    def _recon(cd, i):
+        d_ = _sq8_el(vdiffc, i)
+        return (
+            _sq8_el(vminc, i) + F.floor((cd * d_) / 255).cast("bigint")
+        ) / F.lit(KMEANS_SCALE)
+
+    c = coded.withColumn("rvec", F.transform("codes", _recon))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

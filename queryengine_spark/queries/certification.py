@@ -131,6 +131,11 @@ VOID: dict[str, int] = {
     # as gzip-compressed tar (RFC 1952 reader with flag walk + CRC32/
     # ISIZE verification); fmt CASE gained the tgz arm:
     "source_archive_shards": 6,
+    # round 8: knn_sq8 gained the 'index' leg (persistent SQ8
+    # artifact roundtrip — write/read/query must be bit-identical to
+    # the in-session path, which IS the leg's oracle); schema gained
+    # the leg column and the index leg's NULL recall:
+    "knn_sq8": 7,
     # round 8: the perceptron loop + feature relation were extracted
     # into _perceptron_fit/_hashed_feature_buckets so the streaming
     # quality gate can fit/serve frozen weights (identical results,

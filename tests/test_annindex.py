@@ -309,3 +309,80 @@ def test_minhash_index_partitioned_by_prefix(spark, sf_dir, tmp_path):
     assert parts, "bucket relation must be partitioned by bucket prefix"
     # prefix values are 2 hex chars -> bounded directory count
     assert all(len(p) == len("bp=") + 2 for p in parts)
+
+
+# ----------------------------------------------------------- SQ8 (r8)
+
+
+def test_sq8_roundtrip_matches_in_session(spark, sf_dir, tmp_path):
+    """write → read → query from the SQ8 artifact must be
+    BIT-IDENTICAL to in-session ivf_sq8_topk with the same params
+    (the same claim the driver hash certifies on knn_sq8's index
+    leg, pinned here at unit scale)."""
+    from queryengine_spark.operators.annindex import (
+        ivf_sq8_topk_from_index,
+        read_sq8_index,
+        write_sq8_index,
+    )
+    from queryengine_spark.operators.knn import ivf_sq8_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "sq8")
+    write_sq8_index(e, "vec_id", "embedding", path, n_cells=8, sample_n=64,
+                    train_iters=2)
+    idx = read_sq8_index(spark, path)
+    got = sorted(
+        tuple(r)
+        for r in ivf_sq8_topk_from_index(
+            queries, idx, "vec_id", "embedding", k=3, nprobe=2
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_sq8_topk(
+            queries, e, "vec_id", "embedding", k=3, n_cells=8, nprobe=2,
+            sample_n=64, train_iters=2,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_sq8_append_uses_frozen_state(spark, sf_dir, tmp_path):
+    """append encodes with the ARTIFACT's centroids + scalar ranges
+    (FAISS add() semantics): write(first) + append(second) must equal
+    encoding the union with the artifact's frozen training state —
+    and the codes relation stays cell-partitioned."""
+    from queryengine_spark.operators.annindex import (
+        append_to_sq8_index,
+        read_sq8_index,
+        write_sq8_index,
+    )
+    from queryengine_spark.operators.knn import sq8_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    second = e.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "sq8a")
+    write_sq8_index(first, "vec_id", "embedding", path, n_cells=8,
+                    sample_n=64, train_iters=2)
+    idx0 = read_sq8_index(spark, path)
+    append_to_sq8_index(second, "vec_id", "embedding", path)
+
+    got = sorted(
+        (r["neighbor_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    want = sorted(
+        (r["neighbor_id"], r["cell"], tuple(r["codes"]))
+        for r in sq8_encode(
+            e, "vec_id", "embedding", idx0["cents"], idx0["vmin"],
+            idx0["vdiff"],
+        ).collect()
+    )
+    assert got == want and len(got) == e.count()
+    parts = [
+        p for p in os.listdir(os.path.join(path, "codes"))
+        if p.startswith("cell=")
+    ]
+    assert parts, "codes relation must be partitioned by cell"
