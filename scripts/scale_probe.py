@@ -51,7 +51,10 @@ ID_COLS = {
 
 
 def stage(spark, n: int) -> str:
-    dst = f"/tmp/queryengine-scale-probe-{n}x"
+    # r8: the staging dir is keyed by SOURCE too — a 10x staging of
+    # sf0.01 must never be silently reused as a 10x of sf0.1
+    base = os.path.basename(os.path.normpath(SRC))
+    dst = f"/tmp/queryengine-scale-probe-{base}-{n}x"
     # a sentinel written only after ALL tables staged — a crashed
     # partial staging must re-run, not be silently reused
     sentinel = os.path.join(dst, "_STAGED")

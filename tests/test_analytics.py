@@ -289,13 +289,16 @@ def test_source_drift_tvd_matches_independent(spark, sf_dir):
         ref.update(c)
     nn = sum(ref.values())
     got = {
-        r["source"]: (r["n_docs"], r["n_bins"], r["dev_num"], r["tvd"])
+        r["source"]: (r["n_docs"], r["n_bins"], r["tvd"])
         for r in profile_source_drift(spark, sf_dir).collect()
     }
     assert set(got) == set(per)
     for src, cnt in per.items():
         n = sum(cnt.values())
+        # r8: dev accumulates in unbounded Python int — the exact
+        # twin of the DECIMAL(38,0)/HUGEINT widening (the dev_num
+        # output column was dropped as BIGINT-overflowable at scale)
         dev = sum(abs(cnt.get(b, 0) * nn - cb * n) for b, cb in ref.items())
         tvd = int(dev / (2.0 * n * nn) * 1e6 + 0.5) / 1e6
-        assert got[src] == (n, len(cnt), dev, tvd), src
-        assert 0.0 <= got[src][3] <= 1.0
+        assert got[src] == (n, len(cnt), tvd), src
+        assert 0.0 <= got[src][2] <= 1.0
