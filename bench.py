@@ -291,6 +291,7 @@ def main() -> None:
     recall = _mean_recall("knn_ann_suite", leg="lsh")
     ivf_recall = _mean_recall("knn_ann_suite", leg="ivf")
     pq_recall = _mean_recall("knn_pq_suite", leg="rerank")
+    sq8_recall = _mean_recall("knn_sq8", leg="session")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -305,6 +306,7 @@ def main() -> None:
                 "knn_lsh_recall_at_3": round(recall, 4),
                 "knn_ivf_recall_at_3": round(ivf_recall, 4),
                 "knn_pq_rerank_recall_at_3": round(pq_recall, 4),
+                "knn_sq8_recall_at_3": round(sq8_recall, 4),
             }
         )
     )

@@ -16,9 +16,8 @@ Same discipline as the BMP/PNG/GIF/JPEG/WAV codecs:
   encoder/decoder bug pair can't cancel, plus a hypothesis PackBits
   round-trip property;
 - anything outside the implemented profile returns None (honest
-  refusal): tiled TIFFs, JPEG/deflate compression, planar
-  configuration 2, bit depths other than 8, predictors other
-  than none/horizontal.
+  refusal): tiled TIFFs, JPEG-in-TIFF, planar configuration 2, bit
+  depths other than 8, predictors other than none/horizontal.
 
 r8: LZW decompression (TIFF 6.0 §13) — TIFF's most common
 historical codec, the top remaining gap on archival/scan corpora.
@@ -30,24 +29,28 @@ classic interop off-by-one). Paired with Predictor 2 (horizontal
 differencing, tag 317, TIFF 6.0 §14) — the real-world LZW
 combination — so smooth gradients genuinely compress.
 
-Mixed synthesis profiles (by asset_id % 4, all small-strip so the
-strip walk is really exercised):
+Mixed synthesis profiles (by asset_id % 4, the %4==2 slot split
+%8, all small-strip so the strip walk is really exercised):
 
-  0 → uncompressed RGB8, little-endian (II), RowsPerStrip 4
-  1 → PackBits GRAYSCALE (BlackIsZero), big-endian (MM) — the
-      pixel formula repeats values 4× along x so RLE genuinely
-      compresses (and the decoder genuinely decompresses)
-  2 → uncompressed grayscale WhiteIsZero (II): stored byte s is
-      DISPLAYED as 255 - s — decode applies the inversion
-  3 → LZW grayscale BlackIsZero + Predictor 2, big-endian (MM):
-      the formula is linear in x so horizontal differencing
-      yields constant-per-row diffs and LZW genuinely compresses
+  0     → uncompressed RGB8, little-endian (II), RowsPerStrip 4
+  1     → PackBits GRAYSCALE (BlackIsZero), big-endian (MM) — the
+          pixel formula repeats values 4× along x so RLE genuinely
+          compresses (and the decoder genuinely decompresses)
+  %8==2 → uncompressed grayscale WhiteIsZero (II): stored byte s is
+          DISPLAYED as 255 - s — decode applies the inversion
+  %8==6 → DEFLATE grayscale BlackIsZero (II, compression 8 — the
+          Adobe/TIFFTN2 zlib codec; r8): real zlib inflation, with
+          the legacy code 32946 accepted as an alias
+  3     → LZW grayscale BlackIsZero + Predictor 2, big-endian (MM):
+          the formula is linear in x so horizontal differencing
+          yields constant-per-row diffs and LZW genuinely compresses
 
 Formulas (w = 5 + a % TIF_W_MOD, h = 4 + a % TIF_H_MOD):
   RGB:   r=(3x+7y+a)%256  g=(5x+y+2a)%256  b=(x+11y+3a)%256
   gray1: v=((x//4)*13 + 9y + a) % 256        (BlackIsZero)
   gray0: stored=(2x+5y+7a)%256 → value 255 - stored
   gray3: v=(11x + 3y + 5a) % 256             (LZW + predictor 2)
+  gray6: v=(7x + 9y + 3a) % 256              (deflate)
 """
 
 from __future__ import annotations
@@ -74,6 +77,7 @@ TIF_G = (5, 1, 2)
 TIF_B = (1, 11, 3)
 TIF_GRAY1 = (13, 9, 1)  # v = (x//4 * 13 + 9y + a) % 256
 TIF_GRAY3 = (11, 3, 5)  # v = (11x + 3y + 5a) % 256 (LZW leg)
+TIF_GRAY6 = (7, 9, 3)   # v = (7x + 9y + 3a) % 256 (deflate leg, r8)
 TIF_GRAY0 = (2, 5, 7)  # stored = (2x + 5y + 7a) % 256
 
 
@@ -306,6 +310,10 @@ def _pixel_gray3(a: int, x: int, y: int) -> int:
     return (TIF_GRAY3[0] * x + TIF_GRAY3[1] * y + TIF_GRAY3[2] * a) % 256
 
 
+def _pixel_gray6(a: int, x: int, y: int) -> int:
+    return (TIF_GRAY6[0] * x + TIF_GRAY6[1] * y + TIF_GRAY6[2] * a) % 256
+
+
 def _build_tiff(
     *,
     big_endian: bool,
@@ -445,7 +453,25 @@ def make_tiff(asset_id: int) -> bytes:
             big_endian=True, w=w, h=h, spp=1, photometric=1,
             compression=32773, strips=strips,
         )
-    # leg 2: uncompressed grayscale WhiteIsZero, II
+    if a % 8 == 6:  # r8: DEFLATE grayscale BlackIsZero, II
+        import zlib
+
+        strips = [
+            zlib.compress(
+                bytes(
+                    _pixel_gray6(a, x, y)
+                    for y in range(y0, min(y0 + rps, h))
+                    for x in range(w)
+                ),
+                6,
+            )
+            for y0 in row_starts
+        ]
+        return _build_tiff(
+            big_endian=False, w=w, h=h, spp=1, photometric=1,
+            compression=8, strips=strips,
+        )
+    # %8 == 2: uncompressed grayscale WhiteIsZero, II
     strips = [
         bytes(
             _pixel_gray0_stored(a, x, y)
@@ -502,8 +528,8 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 3) uint8 RGB array (grayscale replicated to 3
     channels, WhiteIsZero inverted), or None for anything outside the
     baseline profile: tiled layout, planar config 2, compression
-    other than none/PackBits/LZW, predictor other than none/
-    horizontal, bit depth ≠ 8, or malformed geometry."""
+    other than none/PackBits/LZW/deflate, predictor other than
+    none/horizontal, bit depth ≠ 8, or malformed geometry."""
     if len(b) < 8:
         return None
     if b[:2] == b"II":
@@ -536,7 +562,7 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     predictor = one(317, 1)
     if not w or not h or photo is None or planar != 1:
         return None
-    if comp not in (1, 5, 32773) or spp not in (1, 3):
+    if comp not in (1, 5, 8, 32773, 32946) or spp not in (1, 3):
         return None
     if predictor not in (1, 2):
         return None
@@ -567,6 +593,13 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
             if dec is None:
                 return None
             strip = dec
+        elif comp in (8, 32946):  # Adobe deflate (+ legacy alias)
+            import zlib
+
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error:
+                return None
         rows_here = min(rps, h - i * rps)
         if len(strip) != rows_here * w * spp:
             return None  # strip must decode to exactly its rows

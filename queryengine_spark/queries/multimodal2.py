@@ -598,6 +598,7 @@ from queryengine_spark.multimodal.tiff import (  # noqa: E402
     TIF_GRAY0,
     TIF_GRAY1,
     TIF_GRAY3,
+    TIF_GRAY6,
     TIF_H_MOD,
     TIF_R,
     TIF_W_MOD,
@@ -607,21 +608,24 @@ from queryengine_spark.multimodal.tiff import (  # noqa: E402
 
 
 def multimodal_tiff_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Baseline TIFF 6.0 decode (r6; LZW r8) — mixed profiles by
-    asset_id % 4: uncompressed RGB little-endian / PACKBITS-compressed
-    grayscale BIG-endian / uncompressed WhiteIsZero grayscale
-    (value-inverted per the fax/scan convention) / LZW-compressed
-    grayscale with Predictor 2 horizontal differencing (TIFF 6.0
-    §13+§14, MSB-first EarlyChange codes — the format's most common
-    historical codec, big-endian). All profiles use RowsPerStrip 4 so
+    """Baseline TIFF 6.0 decode (r6; LZW + deflate r8) — mixed
+    profiles by asset_id % 4 (the %4==2 slot split %8): uncompressed
+    RGB little-endian / PACKBITS-compressed grayscale BIG-endian /
+    uncompressed WhiteIsZero grayscale (value-inverted per the
+    fax/scan convention, %8==2) / DEFLATE-compressed grayscale
+    (compression 8, real zlib inflation, legacy 32946 alias — %8==6,
+    r8) / LZW-compressed grayscale with Predictor 2 horizontal
+    differencing (TIFF 6.0 §13+§14, MSB-first EarlyChange codes —
+    the format's most common historical codec, big-endian). All profiles use RowsPerStrip 4 so
     the multi-strip walk (StripOffsets / StripByteCounts arrays,
     stored out-of-line) is really exercised, and the RGB leg's
     BitsPerSample is a 3-SHORT out-of-line array — the IFD
     value-vs-offset rule in both byte orders. The oracle recomputes
     channel sums from the pixel formulas, so the hash certifies the
-    IFD walk, byte-order handling, strip assembly, the real PackBits
-    AND LZW decompressors, the predictor accumulation AND the
-    photometric inversion. Design doc: multimodal/tiff.py."""
+    IFD walk, byte-order handling, strip assembly, the real PackBits,
+    LZW AND deflate decompressors, the predictor accumulation AND the
+    photometric inversion. TIFF compression refusals are now only
+    tiles/JPEG-in-TIFF/planar-2. Design doc: multimodal/tiff.py."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return tiff_pixel_stats(synthesize_tiff(spread(ids)))
 
@@ -638,6 +642,15 @@ _TIF_GRAY3_EXPR = (
     f"({TIF_GRAY3[0]}*x + {TIF_GRAY3[1]}*y"
     f" + {TIF_GRAY3[2]}*asset_id) % 256"
 )
+_TIF_GRAY6_EXPR = (
+    f"({TIF_GRAY6[0]}*x + {TIF_GRAY6[1]}*y"
+    f" + {TIF_GRAY6[2]}*asset_id) % 256"
+)
+# the %4==2 slot is split %8: ≡2 WhiteIsZero uncompressed, ≡6 DEFLATE
+_TIF_LEG2_EXPR = (
+    f"CASE WHEN asset_id % 8 = 6 THEN {_TIF_GRAY6_EXPR}"
+    f" ELSE {_TIF_GRAY0_EXPR} END"
+)
 
 MULTIMODAL_TIFF_DECODE_SQL = f"""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
@@ -652,17 +665,17 @@ ch AS (SELECT asset_id, w, h,
                 WHEN 0 THEN ({TIF_R[0]}*x + {TIF_R[1]}*y + {TIF_R[2]}*asset_id) % 256
                 WHEN 1 THEN {_TIF_GRAY1_EXPR}
                 WHEN 3 THEN {_TIF_GRAY3_EXPR}
-                ELSE {_TIF_GRAY0_EXPR} END AS r,
+                ELSE {_TIF_LEG2_EXPR} END AS r,
               CASE asset_id % 4
                 WHEN 0 THEN ({TIF_G[0]}*x + {TIF_G[1]}*y + {TIF_G[2]}*asset_id) % 256
                 WHEN 1 THEN {_TIF_GRAY1_EXPR}
                 WHEN 3 THEN {_TIF_GRAY3_EXPR}
-                ELSE {_TIF_GRAY0_EXPR} END AS g,
+                ELSE {_TIF_LEG2_EXPR} END AS g,
               CASE asset_id % 4
                 WHEN 0 THEN ({TIF_B[0]}*x + {TIF_B[1]}*y + {TIF_B[2]}*asset_id) % 256
                 WHEN 1 THEN {_TIF_GRAY1_EXPR}
                 WHEN 3 THEN {_TIF_GRAY3_EXPR}
-                ELSE {_TIF_GRAY0_EXPR} END AS b
+                ELSE {_TIF_LEG2_EXPR} END AS b
        FROM px)
 SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(w * h AS BIGINT) AS n_px,

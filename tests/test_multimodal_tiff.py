@@ -160,9 +160,13 @@ def _mutate(b: bytes, pos: int, fmt: str, value: int, e: str = "<") -> bytes:
 def test_refusals():
     base = _hand_tiff_1x1_gray(50)
     ifd = 10 + 2
-    # compression 8 (deflate): entry 4 (tag 259) value slot — still
-    # outside the profile (LZW is DECODED as of r8, probed below)
+    # compression 8 over a NON-zlib strip byte (r8: deflate is
+    # DECODED; a garbage stream refuses via zlib.error)
     assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 8)) is None
+    # compression 32946 (legacy deflate alias) same refusal path
+    assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 32946)) is None
+    # compression 7 (JPEG-in-TIFF): genuinely outside the profile
+    assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 7)) is None
     # compression 5 over a NON-LZW strip byte: the LZW walk hits a
     # truncated stream (no EOI) — None, never a short read
     assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 5)) is None
@@ -196,6 +200,7 @@ def test_roundtrip_matches_formula(a):
         _pixel_gray0_stored,
         _pixel_gray1,
         _pixel_gray3,
+        _pixel_gray6,
         _pixel_rgb,
     )
 
@@ -211,6 +216,9 @@ def test_roundtrip_matches_formula(a):
                 exp = (v, v, v)
             elif a % 4 == 3:
                 v = _pixel_gray3(a, x, y)
+                exp = (v, v, v)
+            elif a % 8 == 6:  # r8 deflate leg
+                v = _pixel_gray6(a, x, y)
                 exp = (v, v, v)
             else:
                 v = 255 - _pixel_gray0_stored(a, x, y)
@@ -440,3 +448,27 @@ def test_lzw_predictor_tag_is_honored():
     accum = decode_tiff(_build_tiff(predictor=2, **kw))
     assert plain[0, :, 0].tolist() == [10, 13, 16, 19]
     assert accum[0, :, 0].tolist() == [10, 23, 39, 58]
+
+
+def test_deflate_leg_real_zlib_and_alias():
+    """The %8==6 leg ships compression 8 strips that really inflate;
+    the legacy 32946 code is accepted as an alias on the SAME bytes;
+    truncated zlib refuses."""
+    import struct as _struct
+    import zlib
+
+    a = 6
+    b = make_tiff(a)
+    w, h = tiff_params(a)
+    assert decode_tiff(b).shape == (h, w, 3)
+    # flip the compression tag 259 value 8 -> 32946 in place
+    pos = b.find(_struct.pack("<HHI", 259, 3, 1))
+    assert pos > 0
+    alias = b[: pos + 8] + _struct.pack("<H", 32946) + b[pos + 10 :]
+    assert (decode_tiff(alias) == decode_tiff(b)).all()
+    # corrupt the first strip's zlib header (strip area starts at
+    # offset 8) -> refusal
+    assert zlib  # imported for documentation of the refusal path
+    bad = bytearray(b)
+    bad[8] ^= 0xFF
+    assert decode_tiff(bytes(bad)) is None
