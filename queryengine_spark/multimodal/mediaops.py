@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -260,3 +261,97 @@ def audio_frame_features(ids: DataFrame, win: int = AF_WIN) -> DataFrame:
             )
 
     return ids.select("asset_id").mapInPandas(run, AUDIO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------- augment (r8)
+
+#: the four lossless augmentations, in output order
+AUG_TRANSFORMS = ("rot90", "rot180", "rot270", "fliplr")
+
+AUGMENT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("transform", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("wsum_r", LongType()),
+        StructField("wsum_g", LongType()),
+        StructField("wsum_b", LongType()),
+    ]
+)
+
+
+def image_augment_stats(assets: DataFrame) -> DataFrame:
+    """Lossless image augmentation (r8) — the flip/rotate family a
+    training pipeline applies between decode and packing: rot90
+    (clockwise), rot180, rot270, horizontal flip over really-decoded
+    pixels (here the TIFF corpus, so the augmentations run on top of
+    the PackBits / LZW+Predictor2 / deflate codecs). One row per
+    (asset, transform) with OUTPUT dims (rot90/rot270 swap w↔h) and
+    two checksum families:
+
+    - sum_c: plain channel sums — rotation-INVARIANT (a sanity rail);
+    - wsum_c = Σ (1 + x' + 2·y')·c over OUTPUT coordinates —
+      position-weighted, so a wrong rotation direction, a flipped
+      axis, or an off-by-one in the index map breaks the oracle hash
+      even though the pixel multiset is identical.
+
+    Index maps (input (x, y), dims (w, h) → output (x', y')), pinned
+    against numpy in pytest:
+      rot90  : x' = h−1−y, y' = x        (output w×h = h×w)
+      rot180 : x' = w−1−x, y' = h−1−y
+      rot270 : x' = y,     y' = w−1−x    (output h×w)
+      fliplr : x' = w−1−x, y' = y
+
+    Row-linear mapInPandas, zero shuffle — the same scale shape as
+    every media transform."""
+    from queryengine_spark.multimodal.tiff import decode_tiff
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(arr: np.ndarray, t: str) -> np.ndarray:
+            if t == "rot90":
+                return np.rot90(arr, k=-1)
+            if t == "rot180":
+                return np.rot90(arr, k=2)
+            if t == "rot270":
+                return np.rot90(arr, k=1)
+            return arr[:, ::-1]
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_tiff(bytes(payload))
+                if arr is None:
+                    continue
+                for t in AUG_TRANSFORMS:
+                    out = one(arr, t).astype(np.int64)
+                    oh, ow = out.shape[0], out.shape[1]
+                    wgt = (
+                        1
+                        + np.arange(ow, dtype=np.int64)[None, :]
+                        + 2 * np.arange(oh, dtype=np.int64)[:, None]
+                    )
+                    rows.append(
+                        (
+                            int(aid),
+                            t,
+                            ow,
+                            oh,
+                            int(oh * ow),
+                            int(out[..., 0].sum()),
+                            int(out[..., 1].sum()),
+                            int(out[..., 2].sum()),
+                            int((wgt * out[..., 0]).sum()),
+                            int((wgt * out[..., 1]).sum()),
+                            int((wgt * out[..., 2]).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUGMENT_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(run, AUGMENT_SCHEMA)

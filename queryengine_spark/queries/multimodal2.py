@@ -652,15 +652,9 @@ _TIF_LEG2_EXPR = (
     f" ELSE {_TIF_GRAY0_EXPR} END"
 )
 
-MULTIMODAL_TIFF_DECODE_SQL = f"""
-WITH ids AS (SELECT doc_id AS asset_id FROM documents),
-dims AS (SELECT asset_id,
-                CAST(5 + asset_id % {TIF_W_MOD} AS BIGINT) AS w,
-                CAST(4 + asset_id % {TIF_H_MOD} AS BIGINT) AS h
-         FROM ids),
-px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
-       FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
-ch AS (SELECT asset_id, w, h,
+#: the full per-pixel channel CASE of the TIFF corpus — shared by the
+#: decode-leg oracle and the r8 augmentation-leg oracle
+_TIF_CH_SQL = f"""
               CASE asset_id % 4
                 WHEN 0 THEN ({TIF_R[0]}*x + {TIF_R[1]}*y + {TIF_R[2]}*asset_id) % 256
                 WHEN 1 THEN {_TIF_GRAY1_EXPR}
@@ -675,7 +669,21 @@ ch AS (SELECT asset_id, w, h,
                 WHEN 0 THEN ({TIF_B[0]}*x + {TIF_B[1]}*y + {TIF_B[2]}*asset_id) % 256
                 WHEN 1 THEN {_TIF_GRAY1_EXPR}
                 WHEN 3 THEN {_TIF_GRAY3_EXPR}
-                ELSE {_TIF_LEG2_EXPR} END AS b
+                ELSE {_TIF_LEG2_EXPR} END AS b"""
+
+#: shared dims/pixel lattice of the TIFF corpus
+_TIF_PX_CTE = f"""
+dims AS (SELECT asset_id,
+                CAST(5 + asset_id % {TIF_W_MOD} AS BIGINT) AS w,
+                CAST(4 + asset_id % {TIF_H_MOD} AS BIGINT) AS h
+         FROM ids),
+px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
+       FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i))"""
+
+MULTIMODAL_TIFF_DECODE_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+{_TIF_PX_CTE},
+ch AS (SELECT asset_id, w, h,{_TIF_CH_SQL}
        FROM px)
 SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(w * h AS BIGINT) AS n_px,
@@ -942,6 +950,48 @@ QUERIES["multimodal_audio_suite"] = (
 )
 
 
+def multimodal_image_augment(spark: SparkSession, sf: str) -> DataFrame:
+    """Lossless image augmentation (r8): rot90/rot180/rot270/fliplr
+    over the really-decoded TIFF corpus — the augmentations run on
+    top of the PackBits / LZW+Predictor2 / deflate codecs. Output
+    dims certify the w↔h swap; the position-weighted wsum_c columns
+    certify the INDEX MAPS (plain channel sums are rotation-invariant
+    and ride along as a sanity rail). Design doc:
+    multimodal/mediaops.py::image_augment_stats."""
+    from queryengine_spark.multimodal.mediaops import image_augment_stats
+
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return image_augment_stats(synthesize_tiff(spread(ids)))
+
+
+# weight over OUTPUT coordinates (1 + x' + 2·y') rewritten onto the
+# input lattice per transform — the oracle twin of the numpy maps
+MULTIMODAL_IMAGE_AUGMENT_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+{_TIF_PX_CTE},
+ch AS (SELECT asset_id, w, h, x, y,{_TIF_CH_SQL}
+       FROM px),
+tr AS (SELECT ch.*, t.tr,
+              CASE t.tr
+                WHEN 'rot90'  THEN 1 + (h - 1 - y) + 2 * x
+                WHEN 'rot180' THEN 1 + (w - 1 - x) + 2 * (h - 1 - y)
+                WHEN 'rot270' THEN 1 + y + 2 * (w - 1 - x)
+                ELSE               1 + (w - 1 - x) + 2 * y END AS wgt
+       FROM ch, unnest(['rot90', 'rot180', 'rot270', 'fliplr']) t(tr))
+SELECT asset_id, tr AS transform,
+       CAST(CASE WHEN tr IN ('rot90', 'rot270') THEN h ELSE w END AS INT) AS width,
+       CAST(CASE WHEN tr IN ('rot90', 'rot270') THEN w ELSE h END AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(wgt * r) AS BIGINT) AS wsum_r,
+       CAST(SUM(wgt * g) AS BIGINT) AS wsum_g,
+       CAST(SUM(wgt * b) AS BIGINT) AS wsum_b
+FROM tr GROUP BY asset_id, tr, w, h
+"""
+
+
 # ---------------------------------------------------------------------------
 # r7 fold: the media-transform quartet as ONE leg-tagged composite
 # ---------------------------------------------------------------------------
@@ -969,6 +1019,11 @@ _MEDIA_SUITE_COLS = (
     ("n_frames", "int"),
     ("fps", "int"),
     ("sum_lum", "bigint"),
+    # r8 augment leg
+    ("transform", "string"),
+    ("wsum_r", "bigint"),
+    ("wsum_g", "bigint"),
+    ("wsum_b", "bigint"),
 )
 
 
@@ -994,7 +1049,10 @@ def multimodal_media_suite(spark: SparkSession, sf: str) -> DataFrame:
     - leg 'audio_frames': mono-PCM 32-sample windows with exact
       energy and zero-crossing counts;
     - leg 'video_frames': AVI/MJPEG sampled-frame luminance through
-      the real RIFF walk + JPEG decode.
+      the real RIFF walk + JPEG decode;
+    - leg 'augment' (r8): rot90/180/270 + horizontal flip over the
+      really-decoded TIFF corpus with position-weighted checksums
+      (a wrong rotation direction breaks the hash).
 
     Legs union on a shared padded schema, distinguished by ``leg``;
     each leg's oracle is its pre-fold full statement wrapped as a
@@ -1005,16 +1063,18 @@ def multimodal_media_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(_media_pad(multimodal_frame_sample(spark, sf), "frame_sample"))
         .unionByName(_media_pad(multimodal_audio_frames(spark, sf), "audio_frames"))
         .unionByName(_media_pad(multimodal_video_frames(spark, sf), "video_frames"))
+        .unionByName(_media_pad(multimodal_image_augment(spark, sf), "augment"))
     )
 
 
 def _media_suite_sql() -> str:
-    _SQL_T = {"int": "INTEGER", "bigint": "BIGINT"}
+    _SQL_T = {"int": "INTEGER", "bigint": "BIGINT", "string": "VARCHAR"}
     legs = (
         ("image_ops", MULTIMODAL_IMAGE_OPS_SQL),
         ("frame_sample", MULTIMODAL_FRAME_SAMPLE_SQL),
         ("audio_frames", MULTIMODAL_AUDIO_FRAMES_SQL),
         ("video_frames", MULTIMODAL_VIDEO_FRAMES_SQL),
+        ("augment", MULTIMODAL_IMAGE_AUGMENT_SQL),
     )
     # column presence per leg mirrors each leg's own SELECT list
     present = {
@@ -1025,6 +1085,8 @@ def _media_suite_sql() -> str:
         "audio_frames": {"win_idx", "n", "energy", "zc"},
         "video_frames": {"frame_idx", "n_frames", "fps", "width", "height",
                          "sum_lum"},
+        "augment": {"transform", "width", "height", "n_px", "sum_r",
+                    "sum_g", "sum_b", "wsum_r", "wsum_g", "wsum_b"},
     }
     parts = []
     for leg, sql in legs:

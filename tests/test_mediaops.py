@@ -230,3 +230,122 @@ def test_mediaops_plans_are_single_map_chains(spark, sf_dir):
         assert "ENSURE_REQUIREMENTS" not in plan, fn.__name__
         assert "Join" not in plan, fn.__name__
         assert "MapInPandas" in plan, fn.__name__
+
+
+# ----------------------------------------------------------- augment (r8)
+
+
+def test_augment_index_maps_hand_vector():
+    """2×3 RGB hand vector: every output pixel of all four transforms
+    pinned positionally (value encodes its source (y, x))."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.mediaops import AUG_TRANSFORMS
+
+    base = np.zeros((2, 3, 3), dtype=np.uint8)
+    for y in range(2):
+        for x in range(3):
+            base[y, x] = 10 * y + x
+
+    def apply(t):
+        if t == "rot90":
+            return np.rot90(base, k=-1)
+        if t == "rot180":
+            return np.rot90(base, k=2)
+        if t == "rot270":
+            return np.rot90(base, k=1)
+        return base[:, ::-1]
+
+    want = {
+        "rot90": [[10, 0], [11, 1], [12, 2]],
+        "rot180": [[12, 11, 10], [2, 1, 0]],
+        "rot270": [[2, 12], [1, 11], [0, 10]],
+        "fliplr": [[2, 1, 0], [12, 11, 10]],
+    }
+    assert set(want) == set(AUG_TRANSFORMS)
+    for t in AUG_TRANSFORMS:
+        assert apply(t)[..., 0].tolist() == want[t], t
+    # and the ORACLE's inverse index maps place every pixel there
+    w, h = 3, 2
+    for t in AUG_TRANSFORMS:
+        got = {}
+        for y in range(h):
+            for x in range(w):
+                if t == "rot90":
+                    xp, yp = h - 1 - y, x
+                elif t == "rot180":
+                    xp, yp = w - 1 - x, h - 1 - y
+                elif t == "rot270":
+                    xp, yp = y, w - 1 - x
+                else:
+                    xp, yp = w - 1 - x, y
+                got[(yp, xp)] = 10 * y + x
+        out = apply(t)[..., 0]
+        for (yp, xp), v in got.items():
+            assert out[yp, xp] == v, (t, yp, xp)
+
+
+def test_augment_stats_against_formula(spark):
+    """End-to-end (synthesize TIFF → decode → augment) vs a scalar
+    recomputation from the pixel formulas and the inverse index
+    maps — covers all four codec legs (uncompressed / PackBits /
+    deflate / LZW+pred2) times all four transforms."""
+    from queryengine_spark.multimodal.mediaops import (
+        AUG_TRANSFORMS,
+        image_augment_stats,
+    )
+    from queryengine_spark.multimodal.tiff import (
+        _pixel_gray0_stored,
+        _pixel_gray1,
+        _pixel_gray3,
+        _pixel_gray6,
+        _pixel_rgb,
+        synthesize_tiff,
+        tiff_params,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(16)], "asset_id long")
+    got = {
+        (r["asset_id"], r["transform"]): r
+        for r in image_augment_stats(synthesize_tiff(ids)).collect()
+    }
+    assert len(got) == 16 * 4
+
+    def px(a, x, y):
+        if a % 4 == 0:
+            return _pixel_rgb(a, x, y)
+        if a % 4 == 1:
+            v = _pixel_gray1(a, x, y)
+        elif a % 4 == 3:
+            v = _pixel_gray3(a, x, y)
+        elif a % 8 == 6:
+            v = _pixel_gray6(a, x, y)
+        else:
+            v = 255 - _pixel_gray0_stored(a, x, y)
+        return (v, v, v)
+
+    for a in range(16):
+        w, h = tiff_params(a)
+        for t in AUG_TRANSFORMS:
+            sums = [0, 0, 0]
+            wsums = [0, 0, 0]
+            for y in range(h):
+                for x in range(w):
+                    if t == "rot90":
+                        xp, yp = h - 1 - y, x
+                    elif t == "rot180":
+                        xp, yp = w - 1 - x, h - 1 - y
+                    elif t == "rot270":
+                        xp, yp = y, w - 1 - x
+                    else:
+                        xp, yp = w - 1 - x, y
+                    wgt = 1 + xp + 2 * yp
+                    p = px(a, x, y)
+                    for c in range(3):
+                        sums[c] += p[c]
+                        wsums[c] += wgt * p[c]
+            r = got[(a, t)]
+            ow, oh = (h, w) if t in ("rot90", "rot270") else (w, h)
+            assert (r["width"], r["height"], r["n_px"]) == (ow, oh, w * h), (a, t)
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(sums), (a, t)
+            assert (r["wsum_r"], r["wsum_g"], r["wsum_b"]) == tuple(wsums), (a, t)
