@@ -166,6 +166,7 @@ HEADLINE = [
     "curation_sa_scrub",
     # round-6: WebDataset-style tar/zip shard ingestion
     "source_archive_shards",
+    "source_warc_records",
     # round-7: metadata-only footer profiling (stats faithfulness check)
     "source_footer_profile",
     # round-7: per-source distribution drift (integer TVD)

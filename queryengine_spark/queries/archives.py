@@ -85,6 +85,67 @@ FROM per
 """
 
 
+from queryengine_spark.sources.warc import (  # noqa: E402
+    URI_HASH_HEX,
+    WARC_LEN_BASE,
+    WARC_LEN_MOD,
+    WARC_N_MOD,
+    WARC_PAY,
+    WARC_SITE_MOD,
+    synthesize_warc,
+    warc_record_stats,
+)
+
+
+def source_warc_records(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC/1.0 ingestion (r8 — sources/warc.py): the CommonCrawl
+    container. Even doc_ids ship plain ``.warc`` shards, odd ship
+    ``.warc.gz`` with ONE GZIP MEMBER PER RECORD (the record-at-time
+    compression convention that makes crawl records independently
+    seekable — parsed by a multi-member RFC 1952 walk whose member
+    boundaries must coincide with record boundaries). Spark
+    synthesizes shards worker-side, parses them back for REAL
+    (version line, case-insensitive header walk, mandatory-field
+    enforcement, Content-Length slicing, per-member CRC32/ISIZE) and
+    emits one row per record; the oracle recomputes record types,
+    lengths, exact payload byte-sums and md5 URI hashes FROM THE
+    FORMULAS, so a hash match certifies the whole record walk in
+    both containers. Zero shuffle (two chained mapInPandas)."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
+    return warc_record_stats(synthesize_warc(ids))
+
+
+SOURCE_WARC_RECORDS_SQL = f"""
+WITH ids AS (SELECT doc_id AS shard_id FROM documents),
+cfg AS (SELECT shard_id, 3 + shard_id % {WARC_N_MOD} AS n FROM ids),
+base AS (SELECT shard_id, CAST(rr.i AS INT) AS rec_idx,
+                CASE WHEN rr.i = 0 THEN 'warcinfo'
+                     WHEN rr.i % 3 = 1 THEN 'request'
+                     ELSE 'response' END AS rec_type,
+                CAST({WARC_LEN_BASE}
+                     + (13 * shard_id + 7 * rr.i) % {WARC_LEN_MOD}
+                     AS BIGINT) AS content_length
+         FROM cfg, unnest(range(0, n)) rr(i)),
+pay AS (SELECT shard_id, rec_idx,
+               CAST(SUM(({WARC_PAY[0]} * shard_id + {WARC_PAY[1]} * rec_idx
+                         + {WARC_PAY[2]} * CAST(jj.i AS BIGINT)) % 256)
+                    AS BIGINT) AS payload_sum
+        FROM base, unnest(range(0, content_length)) jj(i)
+        GROUP BY shard_id, rec_idx)
+SELECT b.shard_id, b.rec_idx,
+       CASE WHEN b.shard_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END AS fmt,
+       b.rec_type, b.content_length, p.payload_sum,
+       CASE WHEN b.rec_type = 'warcinfo' THEN NULL
+            ELSE ('0x' || substr(md5(
+                  'https://site'
+                  || CAST((7 * b.shard_id + b.rec_idx) % {WARC_SITE_MOD} AS VARCHAR)
+                  || '.example/p' || CAST(b.rec_idx AS VARCHAR)),
+                  1, {URI_HASH_HEX}))::BIGINT END AS uri_hash
+FROM base b JOIN pay p USING (shard_id, rec_idx)
+"""
+
+
 QUERIES = {
     "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
+    "source_warc_records": (source_warc_records, SOURCE_WARC_RECORDS_SQL),
 }

@@ -1,0 +1,349 @@
+"""From-scratch WARC/1.0 source (r8) — the CommonCrawl container, THE
+ingestion format of web-scale LLM training pipelines (ISO 28500;
+public spec at iipc.github.io/warc-specifications).
+
+What is implemented, from the public spec:
+
+- record grammar: ``WARC/1.0 CRLF`` version line, named-field header
+  block (case-INSENSITIVE field names, one ``name: value`` per line)
+  terminated by an empty line, ``Content-Length`` octets of payload,
+  then the mandatory two-CRLF record separator;
+- mandatory-field enforcement: WARC-Type, WARC-Record-ID, WARC-Date
+  and Content-Length must all be present (spec §5) — a record
+  missing any of them refuses the whole shard (None, never a guess);
+- ``.warc``: records concatenated;
+- ``.warc.gz``: ONE GZIP MEMBER PER RECORD, members concatenated —
+  the CommonCrawl convention that makes records independently
+  seekable (spec annex on record-at-time compression). This needs a
+  MULTI-member RFC 1952 walk (member boundaries must align with
+  record boundaries — a member holding two records is refused); the
+  tar.gz path's single-member reader deliberately keeps its
+  multi-member refusal (a tar shard is one stream by convention).
+
+Same discipline as every source/codec in the repo: the writer
+synthesizes spec-valid bytes from arithmetic formulas (below,
+mirrored in the oracle SQL); the reader REALLY parses (header walk,
+content-length slicing, per-member CRC32/ISIZE verification); pytest
+pins the reader against hand-built byte vectors the writer never
+emits (LF-only separators, lowercase field names, padded
+Content-Length) plus refusal probes.
+
+Synthesis formulas (mirrored in queries/archives.py oracle):
+
+  n_rec          = 3 + shard % WARC_N_MOD          (records/shard)
+  type(i)        = warcinfo (i=0) / request (i%3==1) / response
+  uri(shard, i)  = https://site{(7*shard + i) % WARC_SITE_MOD}.example/p{i}
+                   (warcinfo records carry no URI)
+  len(shard, i)  = WARC_LEN_BASE + (13*shard + 7*i) % WARC_LEN_MOD
+  payload[j]     = (11*shard + 5*i + 3*j) % 256
+  container      = shard % 2 == 0 → .warc, odd → .warc.gz
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: synthesis formula constants (mirrored in the oracle SQL)
+WARC_N_MOD = 6  # n_rec = 3 + shard % 6
+WARC_SITE_MOD = 50
+WARC_LEN_BASE, WARC_LEN_MOD = 40, 160
+WARC_PAY = (11, 5, 3)  # payload[j] = (11*shard + 5*i + 3*j) % 256
+WARC_DATE = "2026-01-01T00:00:00Z"
+URI_HASH_HEX = 12  # md5 prefix hex chars for the URI hash
+
+CRLF = b"\r\n"
+
+
+def warc_n_records(shard_id: int) -> int:
+    return 3 + shard_id % WARC_N_MOD
+
+
+def warc_rec_type(i: int) -> str:
+    if i == 0:
+        return "warcinfo"
+    return "request" if i % 3 == 1 else "response"
+
+
+def warc_uri(shard_id: int, i: int) -> str | None:
+    if warc_rec_type(i) == "warcinfo":
+        return None
+    return f"https://site{(7 * shard_id + i) % WARC_SITE_MOD}.example/p{i}"
+
+
+def warc_payload_len(shard_id: int, i: int) -> int:
+    return WARC_LEN_BASE + (13 * shard_id + 7 * i) % WARC_LEN_MOD
+
+
+def warc_payload(shard_id: int, i: int) -> bytes:
+    a, b_, c = WARC_PAY
+    return bytes(
+        (a * shard_id + b_ * i + c * j) % 256
+        for j in range(warc_payload_len(shard_id, i))
+    )
+
+
+def _record_id(shard_id: int, i: int) -> str:
+    h = hashlib.md5(f"warc:{shard_id}:{i}".encode()).hexdigest()
+    return (
+        f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def make_warc_record(shard_id: int, i: int) -> bytes:
+    """One spec-valid WARC/1.0 record."""
+    payload = warc_payload(shard_id, i)
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_rec_type(i).encode(),
+        b"WARC-Record-ID: " + _record_id(shard_id, i).encode(),
+        b"WARC-Date: " + WARC_DATE.encode(),
+    ]
+    uri = warc_uri(shard_id, i)
+    if uri is not None:
+        lines.append(b"WARC-Target-URI: " + uri.encode())
+    lines.append(b"Content-Length: " + str(len(payload)).encode())
+    return CRLF.join(lines) + CRLF + CRLF + payload + CRLF + CRLF
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One minimal RFC 1952 member (no optional fields)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(data) + co.flush()
+    return (
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+        + body
+        + struct.pack(
+            "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF
+        )
+    )
+
+
+def make_warc_shard(shard_id: int) -> bytes:
+    """shard % 2 == 0 → plain ``.warc`` (records concatenated);
+    odd → ``.warc.gz`` (one gzip member PER RECORD, concatenated —
+    the CommonCrawl record-at-time convention)."""
+    recs = [make_warc_record(shard_id, i) for i in range(warc_n_records(shard_id))]
+    if shard_id % 2 == 0:
+        return b"".join(recs)
+    return b"".join(_gzip_member(r) for r in recs)
+
+
+# ------------------------------------------------------------------ reader
+
+
+def gzip_members(b: bytes) -> list[bytes] | None:
+    """Concatenated RFC 1952 members → [decompressed member, ...].
+    Each member's CRC32 + ISIZE trailer is verified; reserved flag
+    bits, truncation, or ANY trailing non-gzip bytes refuse the whole
+    stream (None, never a short read)."""
+    out: list[bytes] = []
+    p = 0
+    n = len(b)
+    while p < n:
+        if p + 18 > n or b[p : p + 2] != b"\x1f\x8b" or b[p + 2] != 8:
+            return None
+        flg = b[p + 3]
+        if flg & 0xE0:
+            return None
+        q = p + 10
+        if flg & 0x04:  # FEXTRA
+            if q + 2 > n:
+                return None
+            (xlen,) = struct.unpack_from("<H", b, q)
+            q += 2 + xlen
+        for bit in (0x08, 0x10):  # FNAME, FCOMMENT
+            if flg & bit:
+                z = b.find(b"\x00", q)
+                if z < 0:
+                    return None
+                q = z + 1
+        if flg & 0x02:  # FHCRC
+            if q + 2 > n:
+                return None
+            (hcrc,) = struct.unpack_from("<H", b, q)
+            if hcrc != (zlib.crc32(b[p:q]) & 0xFFFF):
+                return None
+            q += 2
+        if q >= n:
+            return None
+        d = zlib.decompressobj(-15)
+        try:
+            raw = d.decompress(b[q:])
+            raw += d.flush()
+        except zlib.error:
+            return None
+        if not d.eof or len(d.unused_data) < 8:
+            return None
+        crc, isize = struct.unpack_from("<II", d.unused_data, 0)
+        if crc != (zlib.crc32(raw) & 0xFFFFFFFF) or isize != (
+            len(raw) & 0xFFFFFFFF
+        ):
+            return None
+        out.append(raw)
+        # advance to the byte after this member's trailer
+        consumed = (n - q) - len(d.unused_data) + 8
+        p = q + consumed
+    return out
+
+
+def _parse_one_record(b: bytes, p: int) -> tuple[dict, bytes, int] | None:
+    """Parse the record starting at offset p → (headers, payload,
+    next offset). Header names lowercased; LF-only line endings are
+    tolerated on input (robustness the spec's CRLF grammar allows a
+    reader to extend); the payload is sliced by Content-Length."""
+    end = b.find(b"\r\n\r\n", p)
+    lf_end = b.find(b"\n\n", p)
+    if end < 0 or (0 <= lf_end < end):
+        end, sep = lf_end, 2
+        if end < 0:
+            return None
+    else:
+        sep = 4
+    head = b[p:end].decode("latin-1").splitlines()
+    if not head or not head[0].startswith("WARC/1.0"):
+        return None
+    headers: dict[str, str] = {}
+    for line in head[1:]:
+        if ":" not in line:
+            return None
+        k, v = line.split(":", 1)
+        headers[k.strip().lower()] = v.strip()
+    for req in ("warc-type", "warc-record-id", "warc-date", "content-length"):
+        if req not in headers:
+            return None
+    try:
+        cl = int(headers["content-length"])
+    except ValueError:
+        return None
+    if cl < 0:
+        return None
+    q = end + sep
+    if q + cl > len(b):
+        return None
+    payload = b[q : q + cl]
+    q += cl
+    # the mandatory two-newline record separator (CRLF or LF form)
+    if b[q : q + 4] == b"\r\n\r\n":
+        q += 4
+    elif b[q : q + 2] == b"\n\n":
+        q += 2
+    else:
+        return None
+    return headers, payload, q
+
+
+def parse_warc(b: bytes) -> list[tuple[dict, bytes]] | None:
+    """Full shard parse: gzip shards split into members first (ONE
+    record per member enforced); plain shards walk records back to
+    back. None on any structural violation."""
+    if b[:2] == b"\x1f\x8b":
+        members = gzip_members(b)
+        if members is None:
+            return None
+        out = []
+        for m in members:
+            rec = _parse_one_record(m, 0)
+            if rec is None or rec[2] != len(m):
+                return None  # short member / >1 record per member
+            out.append((rec[0], rec[1]))
+        return out
+    out = []
+    p = 0
+    while p < len(b):
+        rec = _parse_one_record(b, p)
+        if rec is None:
+            return None
+        out.append((rec[0], rec[1]))
+        p = rec[2]
+    return out
+
+
+# ------------------------------------------------------------------ Spark ops
+
+WARC_SHARD_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("rec_idx", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("rec_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("payload_sum", LongType()),
+        StructField("uri_hash", LongType()),
+    ]
+)
+
+
+def synthesize_warc(ids: DataFrame, id_col: str = "shard_id") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "shard_id": a,
+                    "payload": [make_warc_shard(int(v)) for v in a],
+                }
+            )
+
+    return ids.mapInPandas(run, WARC_SHARD_SCHEMA)
+
+
+def warc_record_stats(shards: DataFrame) -> DataFrame:
+    """One row per parsed record: type, content length, exact payload
+    byte-sum, and an engine-portable md5 URI hash (NULL where the
+    record carries no WARC-Target-URI). A shard that fails the parse
+    contributes no rows — mirroring the archive reader's refusal
+    convention."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                b = bytes(payload)
+                fmt = "warc.gz" if b[:2] == b"\x1f\x8b" else "warc"
+                recs = parse_warc(b)
+                if recs is None:
+                    continue
+                for i, (headers, body) in enumerate(recs):
+                    uri = headers.get("warc-target-uri")
+                    uh = (
+                        int(hashlib.md5(uri.encode()).hexdigest()[:URI_HASH_HEX], 16)
+                        if uri is not None
+                        else None
+                    )
+                    rows.append(
+                        (
+                            int(sid),
+                            i,
+                            fmt,
+                            headers["warc-type"],
+                            len(body),
+                            int(sum(body)),
+                            uh,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            )
+
+    return shards.mapInPandas(run, WARC_RECORD_SCHEMA)
