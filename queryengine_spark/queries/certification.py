@@ -131,6 +131,9 @@ VOID: dict[str, int] = {
     # as gzip-compressed tar (RFC 1952 reader with flag walk + CRC32/
     # ISIZE verification); fmt CASE gained the tgz arm:
     "source_archive_shards": 6,
+    # round 8: text_html_extract gained the WARC→WET roundtrip leg
+    # (schema gained leg/fmt; oracle became the two-leg UNION):
+    "text_html_extract": 6,
     # round 8: knn_sq8 gained the 'index' leg (persistent SQ8
     # artifact roundtrip — write/read/query must be bit-identical to
     # the in-session path, which IS the leg's oracle); schema gained

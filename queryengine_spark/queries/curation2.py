@@ -470,24 +470,10 @@ _HTML_ENTITIES = [
 ]
 
 
-def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """HTML main-content extraction (r6) — THE CommonCrawl ingestion
-    step (WARC/WET production is exactly this: markup → clean text):
-    each document is wrapped in a deterministic but realistic HTML
-    page (doctype, head with <style> and <script> payloads that MUST
-    NOT leak into the text, nav/footer boilerplate, entity-encoded
-    punctuation in the body), then extracted back with the standard
-    pure-regex pipeline — (?s) non-greedy script/style block removal,
-    tag stripping, HTML-entity decoding with &amp; decoded LAST, and
-    whitespace collapse. Everything is a Column expression (zero UDF,
-    zero shuffle — whole-stage codegen) with byte-identical RE2/Java
-    regex semantics, so the oracle runs the same extraction and the
-    hash certifies every stage: a script leak, a missed entity or a
-    greedy tag match all change extracted_hash. boilerplate_ratio_ppm
-    = share of the raw page the extractor discarded — the field
-    real pipelines threshold on."""
-    d = t(spark, sf, "documents")
-    html = F.concat(
+def _html_page_col(d: DataFrame):
+    """The deterministic page template (r6; extracted r8 so the WARC
+    leg builds the SAME bytes)."""
+    return F.concat(
         F.lit("<!DOCTYPE html><html><head><title>Doc "),
         F.col("doc_id").cast("string"),
         F.lit("</title><style>body { color: #111; }</style>"),
@@ -507,7 +493,13 @@ def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".example</footer></body></html>"),
     )
-    base = d.select("doc_id", html.alias("html"))
+
+
+def _html_extract_cols(base: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, html) → the extraction output columns — the standard
+    pure-regex pipeline: (?s) non-greedy script/style block removal,
+    tag stripping, HTML-entity decoding with &amp; decoded LAST,
+    whitespace collapse. All Column expressions (zero UDF)."""
     # two separate block patterns, not one with a backreference —
     # RE2 (the oracle's engine) has no backrefs, and the split form
     # parses identically under Java regex
@@ -521,8 +513,9 @@ def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     for ent, ch in _HTML_ENTITIES:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
     clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
-    withc = base.select("doc_id", "html", clean.alias("clean"))
+    withc = base.withColumn("clean", clean)
     return withc.select(
+        *extra,
         "doc_id",
         F.regexp_count(F.col("html"), F.lit(r"<[^>]*>")).cast("int").alias("n_tags"),
         F.regexp_count(F.col("html"), F.lit(r"&[a-z#0-9]+;"))
@@ -534,6 +527,93 @@ def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
             "(1000000 * (length(html) - length(clean))) div length(html)"
         ).alias("boilerplate_ratio_ppm"),
     )
+
+
+def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML main-content extraction (r6) — THE CommonCrawl ingestion
+    step (WARC/WET production is exactly this: markup → clean text):
+    each document is wrapped in a deterministic but realistic HTML
+    page (doctype, head with <style> and <script> payloads that MUST
+    NOT leak into the text, nav/footer boilerplate, entity-encoded
+    punctuation in the body), then extracted back with the standard
+    pure-regex pipeline. The oracle runs the same extraction and the
+    hash certifies every stage: a script leak, a missed entity or a
+    greedy tag match all change extracted_hash. boilerplate_ratio_ppm
+    = share of the raw page the extractor discarded — the field
+    real pipelines threshold on.
+
+    r8: leg 'warc' runs the ACTUAL WARC→WET chain — each page is
+    wrapped in a one-record WARC response (plain .warc for even
+    doc_ids, record-per-gzip-member .warc.gz for odd — sources/
+    warc.py), parsed back through the real record walk, and the
+    RECOVERED markup goes through the identical extraction. Both
+    legs share one oracle statement (the direct extraction), so the
+    driver hash certifies the WARC wrap/unwrap is byte-lossless —
+    that is the leg's entire claim. fmt (NULL / warc / warc.gz) is
+    DETECTED from the container bytes, certifying the routing too."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents")
+    base = d.select("doc_id", _html_page_col(d).alias("html"))
+    direct = _html_extract_cols(base).select(
+        F.lit("direct").alias("leg"),
+        F.lit(None).cast("string").alias("fmt"),
+        "*",
+    )
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rec_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("html", StringType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        from queryengine_spark.sources.warc import (
+            _gzip_member,
+            make_wet_record,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            ids, fmts, htmls = [], [], []
+            for did, page in zip(pdf["doc_id"], pdf["html"]):
+                did = int(did)
+                rec = make_wet_record(did, page.encode("utf-8"))
+                shard = rec if did % 2 == 0 else _gzip_member(rec)
+                parsed = parse_warc(shard)
+                if parsed is None or len(parsed) != 1:
+                    continue  # refusal: contribute no row
+                headers, body = parsed[0]
+                if headers.get("warc-type") != "response":
+                    continue
+                ids.append(did)
+                fmts.append(
+                    "warc.gz" if shard[:2] == b"\x1f\x8b" else "warc"
+                )
+                htmls.append(body.decode("utf-8"))
+            yield pd.DataFrame({"doc_id": ids, "fmt": fmts, "html": htmls})
+
+    recovered = base.mapInPandas(roundtrip, rec_schema)
+    warc_leg = _html_extract_cols(recovered, "fmt").select(
+        F.lit("warc").alias("leg"),
+        "fmt",
+        "doc_id",
+        "n_tags",
+        "n_entities",
+        "extracted_len",
+        "extracted_hash",
+        "boilerplate_ratio_ppm",
+    )
+    return direct.unionByName(warc_leg)
 
 
 
@@ -567,13 +647,23 @@ cleaned AS (
            '\\s+', ' ', 'g')) AS clean
   FROM base
 )
-SELECT doc_id,
+SELECT 'direct' AS leg, CAST(NULL AS VARCHAR) AS fmt, doc_id,
        CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
        CAST(len(regexp_extract_all(html, '&[a-z#0-9]+;')) AS INT) AS n_entities,
        CAST(length(clean) AS BIGINT) AS extracted_len,
        md5(clean) AS extracted_hash,
        (1000000 * (length(html) - length(clean))) // length(html)
          AS boilerplate_ratio_ppm
+FROM cleaned
+UNION ALL
+-- r8 WARC leg: the oracle states the DIRECT extraction — identical
+-- values certify the WARC wrap/unwrap is byte-lossless
+SELECT 'warc', CASE WHEN doc_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END, doc_id,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT),
+       CAST(len(regexp_extract_all(html, '&[a-z#0-9]+;')) AS INT),
+       CAST(length(clean) AS BIGINT),
+       md5(clean),
+       (1000000 * (length(html) - length(clean))) // length(html)
 FROM cleaned
 """
 

@@ -119,6 +119,22 @@ def make_warc_record(shard_id: int, i: int) -> bytes:
     return CRLF.join(lines) + CRLF + CRLF + payload + CRLF + CRLF
 
 
+def make_wet_record(doc_id: int, payload: bytes) -> bytes:
+    """A one-off response record around an explicit payload — the
+    WARC→WET pipeline leg's wrapper (queries/curation2.py). Same
+    grammar as make_warc_record, URI keyed on the document id."""
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Record-ID: " + _record_id(doc_id, -1).encode(),
+        b"WARC-Date: " + WARC_DATE.encode(),
+        b"WARC-Target-URI: "
+        + f"https://site{doc_id % WARC_SITE_MOD}.example/d{doc_id}".encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    return CRLF.join(lines) + CRLF + CRLF + payload + CRLF + CRLF
+
+
 def _gzip_member(data: bytes) -> bytes:
     """One minimal RFC 1952 member (no optional fields)."""
     co = zlib.compressobj(6, zlib.DEFLATED, -15)

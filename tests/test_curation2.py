@@ -235,3 +235,24 @@ def test_html_extract_hand_cases(spark, sf_dir):
         assert '"quoted"' in s and "'s'" in s
         assert "  " not in s  # whitespace collapsed
         assert r["n_tags"] > 10 and r["n_entities"] >= 8
+
+
+def test_html_extract_warc_leg_lossless(spark, sf_dir):
+    """r8: the WARC→WET leg must produce IDENTICAL extraction values
+    to the direct leg for every document (the wrap/unwrap is
+    byte-lossless), with fmt routed by doc parity."""
+    from queryengine_spark.queries.curation2 import text_html_extract
+
+    rows = text_html_extract(spark, sf_dir).collect()
+    direct = {r["doc_id"]: r for r in rows if r["leg"] == "direct"}
+    warc = {r["doc_id"]: r for r in rows if r["leg"] == "warc"}
+    assert set(direct) == set(warc) and len(direct) > 0
+    for did, dr in direct.items():
+        wr = warc[did]
+        assert dr["fmt"] is None
+        assert wr["fmt"] == ("warc" if did % 2 == 0 else "warc.gz")
+        for c in (
+            "n_tags", "n_entities", "extracted_len", "extracted_hash",
+            "boilerplate_ratio_ppm",
+        ):
+            assert dr[c] == wr[c], (did, c)
