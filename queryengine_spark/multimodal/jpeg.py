@@ -830,7 +830,21 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray | None:
 
 
 def decode_jpeg_dc_planes(b: bytes) -> tuple[int, int, list[np.ndarray]] | None:
-    """bytes → (w, h, planes) for a 1- or 3-component baseline JFIF
+    """Back-compat wrapper over :func:`decode_jpeg_dc_planes_hv`
+    dropping the sampling-factor list (r9)."""
+    res = decode_jpeg_dc_planes_hv(b)
+    if res is None:
+        return None
+    return res[0], res[1], res[2]
+
+
+def decode_jpeg_dc_planes_hv(
+    b: bytes,
+) -> tuple[int, int, list[np.ndarray], list[tuple[int, int]]] | None:
+    """bytes → (w, h, planes, hv) — hv is the per-component
+    (h_c, v_c) sampling-factor list (r9, threaded to the RGB
+    upsample so the index map never guesses the factor) — for a
+    1- or 3-component baseline JFIF
     whose scan is DC-only, with GENERAL per-component sampling
     factors h, v ∈ 1..4 (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1) and DRI
     restart intervals (r6). MCU geometry per JPEG A.2.3: an MCU covers
@@ -890,7 +904,7 @@ def decode_jpeg_dc_planes(b: bytes) -> tuple[int, int, list[np.ndarray]] | None:
         wc = -(-(w_ * hc) // hmax)
         hcp = -(-(h * vc) // vmax)
         planes.append(arr[:hcp, :wc])
-    return w_, h, planes
+    return w_, h, planes, [(hc, vc) for _, _, _, hc, vc in comps]
 
 
 def _decode_sequential_multi(b: bytes):
@@ -1006,7 +1020,7 @@ def decode_jpeg_pixels_seq_multi(
     m = _multi3_from_seq(_decode_sequential_multi(b))
     if m is None:
         return None
-    w_, h, _, planes = m
+    w_, h, _, planes, _hv = m
     return w_, h, planes
 
 
@@ -1858,9 +1872,11 @@ def _planes3_from_coeffs(
     return planes
 
 
-def _multi3_from_prog(res) -> tuple[int, int, list[np.ndarray], list[np.ndarray]] | None:
+def _multi3_from_prog(res) -> tuple | None:
     """_decode_progressive result → (w, h, coeff arrays, pixel
-    planes), both views from the ONE decoded grid set."""
+    planes, hv sampling factors), all views from the ONE decoded
+    grid set (hv added r9 so the RGB upsample uses the true
+    factors, not a recovered ceil)."""
     if res is None:
         return None
     comps, (w_, h), grids, pw, wb, hb = res
@@ -1871,11 +1887,11 @@ def _multi3_from_prog(res) -> tuple[int, int, list[np.ndarray], list[np.ndarray]
         for c in range(3)
     ]
     hv = [(hc, vc) for _, hc, vc in comps]
-    return w_, h, arrs, _planes3_from_coeffs(arrs, hv, w_, h, wb, hb)
+    return w_, h, arrs, _planes3_from_coeffs(arrs, hv, w_, h, wb, hb), hv
 
 
-def _multi3_from_seq(res) -> tuple[int, int, list[np.ndarray], list[np.ndarray]] | None:
-    """_decode_sequential_multi result → the same dual view."""
+def _multi3_from_seq(res) -> tuple | None:
+    """_decode_sequential_multi result → the same dual view + hv."""
     if res is None:
         return None
     comps, (w_, h), grids, pw, wb, hb = res
@@ -1885,7 +1901,7 @@ def _multi3_from_seq(res) -> tuple[int, int, list[np.ndarray], list[np.ndarray]]
         _trim_real_blocks(grids[c], pw[c], wb[c], hb[c]) for c in range(3)
     ]
     hv = [(hc, vc) for *_, hc, vc in comps]
-    return w_, h, arrs, _planes3_from_coeffs(arrs, hv, w_, h, wb, hb)
+    return w_, h, arrs, _planes3_from_coeffs(arrs, hv, w_, h, wb, hb), hv
 
 
 def decode_jpeg_pixels_prog3(
@@ -1903,7 +1919,7 @@ def decode_jpeg_pixels_prog3(
     m = _multi3_from_prog(_decode_progressive(b))
     if m is None:
         return None
-    w_, h, _, planes = m
+    w_, h, _, planes, _hv = m
     return w_, h, planes
 
 
@@ -2033,19 +2049,39 @@ RGB_CR_G = 714
 RGB_CB_B = 1772
 
 
-def upsample_nn(plane: np.ndarray, w: int, h: int) -> np.ndarray:
+def upsample_nn(
+    plane: np.ndarray,
+    w: int,
+    h: int,
+    hv: tuple[int, int] | None = None,
+    hvmax: tuple[int, int] | None = None,
+) -> np.ndarray | None:
     """Nearest-neighbor (index-floor) upsample of a native-resolution
-    plane to (h, w). The per-axis factor is recovered as
-    ceil(full/native) — exact for every sampling geometry the
-    encoder emits (hc | hmax), and the floor map x // f equals
-    x·hc div hmax whenever full = native·f."""
+    plane to (h, w). When the component's true sampling factors are
+    supplied (``hv`` = (h_c, v_c), ``hvmax`` = (h_max, v_max)) the
+    index map is the exact documented floor map
+    ``xi = (x * h_c) // h_max`` — always in-bounds because the native
+    width is ceil(w·h_c/h_max) (JPEG A.1.1). Without factors the
+    per-axis factor is recovered as ceil(full/native), which is only
+    provably equal to h_max/h_c when full == native·factor; any other
+    geometry now REFUSES (returns None) instead of silently using a
+    possibly-wrong factor (r9 — e.g. 4:1:1 at width 9 recovers 3
+    where the true factor is 4)."""
     ph, pw = plane.shape
     if (ph, pw) == (h, w):
         return plane
-    fy = -(-h // ph)
-    fx = -(-w // pw)
-    yi = np.arange(h, dtype=np.int64) // fy
-    xi = np.arange(w, dtype=np.int64) // fx
+    if hv is not None and hvmax is not None:
+        hc, vc = hv
+        hmax, vmax = hvmax
+        yi = (np.arange(h, dtype=np.int64) * vc) // vmax
+        xi = (np.arange(w, dtype=np.int64) * hc) // hmax
+    else:
+        fy = -(-h // ph)
+        fx = -(-w // pw)
+        if ph * fy != h or pw * fx != w:
+            return None
+        yi = np.arange(h, dtype=np.int64) // fy
+        xi = np.arange(w, dtype=np.int64) // fx
     return plane[np.ix_(yi, xi)]
 
 
@@ -2065,14 +2101,27 @@ def ycc_to_rgb_int(
 
 
 def planes3_to_rgb(
-    w: int, h: int, planes: list[np.ndarray]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    w: int,
+    h: int,
+    planes: list[np.ndarray],
+    hv: list[tuple[int, int]] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Native-resolution (Y, Cb, Cr) planes → full-resolution integer
-    RGB channels."""
-    yp = upsample_nn(planes[0], w, h)
-    cbp = upsample_nn(planes[1], w, h)
-    crp = upsample_nn(planes[2], w, h)
-    return ycc_to_rgb_int(yp, cbp, crp)
+    RGB channels, or None when an upsample geometry is refused.
+    ``hv`` is the per-component (h_c, v_c) sampling-factor list from
+    the frame header; passing it makes the index map exact for every
+    JPEG geometry (r9 — without it non-block-aligned subsampled
+    frames refuse, see :func:`upsample_nn`)."""
+    hvmax = (
+        (max(hc for hc, _ in hv), max(vc for _, vc in hv)) if hv else None
+    )
+    ups = [
+        upsample_nn(p, w, h, hv[c] if hv else None, hvmax)
+        for c, p in enumerate(planes)
+    ]
+    if any(u is None for u in ups):
+        return None
+    return ycc_to_rgb_int(ups[0], ups[1], ups[2])
 
 
 def decode_jpeg_rgb(b: bytes) -> np.ndarray | None:
@@ -2084,17 +2133,20 @@ def decode_jpeg_rgb(b: bytes) -> np.ndarray | None:
     gray = decode_jpeg_pixels(b)
     if gray is not None:
         return np.repeat(gray[:, :, None], 3, axis=2)
-    res = decode_jpeg_dc_planes(b)
+    res = decode_jpeg_dc_planes_hv(b)
     if res is not None and len(res[2]) == 3:
-        w_, h, planes = res
+        w_, h, planes, hv = res
     else:
         m = _multi3_from_prog(_decode_progressive(b))
         if m is None:
             m = _multi3_from_seq(_decode_sequential_multi(b))
         if m is None:
             return None
-        w_, h, _, planes = m
-    r, g, bl = planes3_to_rgb(w_, h, planes)
+        w_, h, _, planes, hv = m
+    rgb = planes3_to_rgb(w_, h, planes, hv)
+    if rgb is None:
+        return None
+    r, g, bl = rgb
     return np.stack([r, g, bl], axis=-1).astype(np.uint8)
 
 
@@ -2219,8 +2271,13 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
     rgb_cols = ("sum_r", "sum_g", "sum_b")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def emit_rgb(out, w, h, planes):
-            r, g, bl = planes3_to_rgb(w, h, planes)
+        def emit_rgb(out, w, h, planes, hv):
+            rgb = planes3_to_rgb(w, h, planes, hv)
+            if rgb is None:
+                for k in rgb_cols:
+                    out[k].append(None)
+                return
+            r, g, bl = rgb
             out["sum_r"].append(int(r.sum()))
             out["sum_g"].append(int(g.sum()))
             out["sum_b"].append(int(bl.sum()))
@@ -2233,14 +2290,14 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 out["asset_id"].append(int(aid))
                 b = bytes(payload) if payload is not None else b""
-                res = decode_jpeg_dc_planes(b)
+                res = decode_jpeg_dc_planes_hv(b)
                 if res is not None and len(res[2]) == 3:
                     # 3-component DC-only pixel path: 4:4:4 AND the
                     # subsampled profiles (r6) — chroma stats are
                     # exact in each plane's NATIVE resolution; RGB
                     # sums at FULL resolution via the r8 integer
                     # upsample + Rec.601 path
-                    w, h, comps3 = res
+                    w, h, comps3, hv3 = res
                     y, cb, cr = (p.astype(np.int64) for p in comps3)
                     out["width"].append(w)
                     out["height"].append(h)
@@ -2250,7 +2307,7 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                     out["max_lum"].append(int(y.max()))
                     out["sum_cb"].append(int(cb.sum()))
                     out["sum_cr"].append(int(cr.sum()))
-                    emit_rgb(out, w, h, comps3)
+                    emit_rgb(out, w, h, comps3, hv3)
                     nblk = 0
                     dcsum = 0
                     for p in (y, cb, cr):
@@ -2294,7 +2351,7 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                     # summed across components; luma stats on the
                     # luma plane, chroma sums per native plane, RGB
                     # sums at full resolution (r8)
-                    w, h, arrs, planes = multi
+                    w, h, arrs, planes, hvm = multi
                     allc = np.concatenate(arrs, axis=0)
                     ac = np.delete(allc, 0, axis=1)
                     out["width"].append(w)
@@ -2311,7 +2368,7 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                     out["n_nonzero_ac"].append(int((ac != 0).sum()))
                     out["sum_cb"].append(int(cb.sum()))
                     out["sum_cr"].append(int(cr.sum()))
-                    emit_rgb(out, w, h, planes)
+                    emit_rgb(out, w, h, planes, hvm)
                     continue
                 if co is None:
                     for k in (*pix_cols, *co_cols, *ycc_cols, *rgb_cols):

@@ -324,7 +324,7 @@ def image_augment_stats(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                arr = decode_tiff(bytes(payload))
+                arr = decode_tiff(bytes(payload) if payload is not None else b"")
                 if arr is None:
                     continue
                 for t in AUG_TRANSFORMS:

@@ -576,25 +576,46 @@ def knn_sq8(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine", "rn", "recall",
     )
 
-    path = f"/tmp/qe-sq8index-{os.path.basename(os.path.normpath(sf))}"
+    # r9 ADVICE: the artifact path is keyed on the CORPUS FINGERPRINT
+    # and the uid (not just basename(sf)) so concurrent runs against
+    # different data — or two users on one machine — never share a
+    # directory; the marker is written atomically (temp + os.replace)
+    # and the build itself holds an flock so a reader can't observe a
+    # half-written index.
+    fp = corpus_fingerprint(os.path.join(sf, "embeddings.parquet"))
+    path = (
+        f"/tmp/qe-sq8index-u{os.getuid()}-"
+        f"{os.path.basename(os.path.normpath(sf))}-{fp[:16]}"
+    )
     params = dict(
         version=1, n_cells=N_CELLS, nprobe=NPROBE, sample_n=SAMPLE_N,
-        iters=KMEANS_ITERS,
-        corpus=corpus_fingerprint(os.path.join(sf, "embeddings.parquet")),
+        iters=KMEANS_ITERS, corpus=fp,
     )
     marker = os.path.join(path, "BUILT.json")
-    try:
-        with open(marker) as f:
-            need_build = json.load(f) != params
-    except (OSError, ValueError):
-        need_build = True
-    if need_build:
-        write_sq8_index(
-            e, "vec_id", "embedding", path,
-            n_cells=N_CELLS, sample_n=SAMPLE_N, train_iters=KMEANS_ITERS,
-        )
-        with open(marker, "w") as f:
-            json.dump(params, f)
+
+    def _built() -> bool:
+        try:
+            with open(marker) as f:
+                return json.load(f) == params
+        except (OSError, ValueError):
+            return False
+
+    if not _built():
+        import fcntl
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not _built():  # a concurrent holder may have built it
+                write_sq8_index(
+                    e, "vec_id", "embedding", path,
+                    n_cells=N_CELLS, sample_n=SAMPLE_N,
+                    train_iters=KMEANS_ITERS,
+                )
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(params, f)
+                os.replace(tmp, marker)
     idx = read_sq8_index(spark, path)
     from_index = ivf_sq8_topk_from_index(
         queries, idx, "vec_id", "embedding", k=K_LSH, nprobe=NPROBE

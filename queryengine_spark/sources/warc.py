@@ -241,12 +241,13 @@ def _parse_one_record(b: bytes, p: int) -> tuple[dict, bytes, int] | None:
     for req in ("warc-type", "warc-record-id", "warc-date", "content-length"):
         if req not in headers:
             return None
-    try:
-        cl = int(headers["content-length"])
-    except ValueError:
+    # strict RFC-digit check: Python int() would also accept '+1'
+    # and '1_2' (underscore separators) — spec-invalid forms that
+    # must refuse the record, not silently parse (r9 ADVICE)
+    cl_text = headers["content-length"].strip()
+    if not (cl_text.isascii() and cl_text.isdigit()):
         return None
-    if cl < 0:
-        return None
+    cl = int(cl_text)
     q = end + sep
     if q + cl > len(b):
         return None
