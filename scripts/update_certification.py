@@ -23,6 +23,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from queryengine_spark.queries import all_queries
 from queryengine_spark.queries.certification import LAST_CERTIFIED, VOID
 
+#: a deferred query's certification age, measured at the NEXT round's
+#: window, must never exceed this many rounds (r9 — the r8 window's 16
+#: tier-0 insertions silently pushed six r4 TPC-H shapes to age 5).
+MAX_STALENESS = 4
+
+
+def projected_staleness(
+    names: list[str], cert: dict[str, int]
+) -> tuple[int, list[tuple[str, int]]]:
+    """Assume the current 50-row window certifies this round; return
+    (projected max certification age of the DEFERRED tail at the next
+    round's window, the offending (name, age) list). An uncertified
+    query in the tail (window overflow) projects as age ``next_round
+    + 1`` — always a violation."""
+    this_round = max(cert.values(), default=0) + 1
+    offenders = []
+    worst = 0
+    for n in names[50:]:
+        age = this_round + 1 - cert.get(n, 0)
+        worst = max(worst, age)
+        if age > MAX_STALENESS:
+            offenders.append((n, age))
+    return worst, offenders
+
 
 def main() -> None:
     names = list(all_queries())
@@ -33,6 +57,18 @@ def main() -> None:
     print("\n-- deferred (51+) --")
     for i, n in enumerate(names[50:], start=50):
         print(f"{i:3d}  r{LAST_CERTIFIED.get(n, 0)}  {n}")
+    worst, offenders = projected_staleness(names, LAST_CERTIFIED)
+    print(
+        f"\nprojected post-window max staleness: {worst} rounds "
+        f"(limit {MAX_STALENESS})"
+    )
+    if offenders:
+        print("STALENESS GUARD FAILED — these deferred queries would be "
+              f"certified more than {MAX_STALENESS} rounds ago at the next "
+              "window (shrink this round's tier-0 insertions):")
+        for n, age in offenders:
+            print(f"  age {age}  {n}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
