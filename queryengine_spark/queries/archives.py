@@ -110,10 +110,25 @@ def source_warc_records(spark: SparkSession, sf: str) -> DataFrame:
     emits one row per record; the oracle recomputes record types,
     lengths, exact payload byte-sums and md5 URI hashes FROM THE
     FORMULAS, so a hash match certifies the whole record walk in
-    both containers. Zero shuffle (two chained mapInPandas)."""
+    both containers. Zero shuffle (two chained mapInPandas).
+
+    r9 (verdict item 3): record payloads are the REAL CommonCrawl
+    shapes — full HTTP messages for request/response (status line +
+    formula-generated headers + body, declared by the WARC
+    ``Content-Type: application/http; msgtype=…`` header per ISO
+    28500 §6.3) and warc-fields for warcinfo. The reader parses the
+    HTTP header block for real (sources/warc.py::parse_http_payload)
+    and the output gains the http_status / http_n_headers /
+    http_body_len / http_body_sum columns; the oracle reconstructs
+    the exact serialized header text per record and sums its ASCII
+    bytes, so the whole-payload sum vs body-only sum pair certifies
+    the header strip discards exactly the header bytes — the WET
+    producer's core operation."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
     return warc_record_stats(synthesize_warc(ids))
 
+
+_CRLF_SQL = "chr(13) || chr(10)"
 
 SOURCE_WARC_RECORDS_SQL = f"""
 WITH ids AS (SELECT doc_id AS shard_id FROM documents),
@@ -124,24 +139,73 @@ base AS (SELECT shard_id, CAST(rr.i AS INT) AS rec_idx,
                      ELSE 'response' END AS rec_type,
                 CAST({WARC_LEN_BASE}
                      + (13 * shard_id + 7 * rr.i) % {WARC_LEN_MOD}
-                     AS BIGINT) AS content_length
+                     AS BIGINT) AS body_len,
+                CASE WHEN (3 * shard_id + rr.i) % 5 = 0
+                     THEN 404 ELSE 200 END AS status,
+                (17 * shard_id + 3 * rr.i) % 1000 AS seq,
+                (7 * shard_id + rr.i) % {WARC_SITE_MOD} AS site
          FROM cfg, unnest(range(0, n)) rr(i)),
-pay AS (SELECT shard_id, rec_idx,
+-- the exact serialized HTTP-header / warc-fields text per record
+-- (mirrors sources/warc.py::warc_*_payload byte for byte)
+txt AS (SELECT shard_id, rec_idx,
+          CASE rec_type
+            WHEN 'response' THEN
+              'HTTP/1.1 ' || CAST(status AS VARCHAR)
+              || CASE WHEN status = 200 THEN ' OK' ELSE ' Not Found' END
+              || {_CRLF_SQL} || 'Content-Type: text/html; charset=UTF-8'
+              || {_CRLF_SQL} || 'Content-Length: ' || CAST(body_len AS VARCHAR)
+              || {_CRLF_SQL} || 'X-Crawl-Seq: ' || CAST(seq AS VARCHAR)
+              || {_CRLF_SQL} || {_CRLF_SQL}
+            WHEN 'request' THEN
+              'GET /p' || CAST(rec_idx AS VARCHAR) || ' HTTP/1.1'
+              || {_CRLF_SQL} || 'Host: site' || CAST(site AS VARCHAR)
+              || '.example'
+              || {_CRLF_SQL} || 'User-Agent: qe-crawler/1.0'
+              || {_CRLF_SQL} || 'Accept: text/html'
+              || {_CRLF_SQL} || {_CRLF_SQL}
+            ELSE
+              'software: qe-crawler/1.0' || {_CRLF_SQL}
+              || 'hostname: host' || CAST(shard_id % 20 AS VARCHAR)
+              || '.example' || {_CRLF_SQL}
+          END AS htext
+        FROM base),
+hsum AS (SELECT shard_id, rec_idx,
+                CAST(length(htext) AS BIGINT) AS hlen,
+                CAST(SUM(ord(substr(htext, CAST(k.i AS INT) + 1, 1)))
+                     AS BIGINT) AS hsum
+         FROM txt, unnest(range(0, length(htext))) k(i)
+         GROUP BY shard_id, rec_idx, length(htext)),
+bodysum AS (SELECT shard_id, rec_idx,
                CAST(SUM(({WARC_PAY[0]} * shard_id + {WARC_PAY[1]} * rec_idx
                          + {WARC_PAY[2]} * CAST(jj.i AS BIGINT)) % 256)
-                    AS BIGINT) AS payload_sum
-        FROM base, unnest(range(0, content_length)) jj(i)
+                    AS BIGINT) AS bsum
+        FROM base, unnest(range(0, body_len)) jj(i)
+        WHERE rec_type = 'response'
         GROUP BY shard_id, rec_idx)
 SELECT b.shard_id, b.rec_idx,
        CASE WHEN b.shard_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END AS fmt,
-       b.rec_type, b.content_length, p.payload_sum,
+       b.rec_type,
+       CASE WHEN b.rec_type = 'response' THEN h.hlen + b.body_len
+            ELSE h.hlen END AS content_length,
+       CASE WHEN b.rec_type = 'response' THEN h.hsum + s.bsum
+            ELSE h.hsum END AS payload_sum,
        CASE WHEN b.rec_type = 'warcinfo' THEN NULL
             ELSE ('0x' || substr(md5(
                   'https://site'
                   || CAST((7 * b.shard_id + b.rec_idx) % {WARC_SITE_MOD} AS VARCHAR)
                   || '.example/p' || CAST(b.rec_idx AS VARCHAR)),
-                  1, {URI_HASH_HEX}))::BIGINT END AS uri_hash
-FROM base b JOIN pay p USING (shard_id, rec_idx)
+                  1, {URI_HASH_HEX}))::BIGINT END AS uri_hash,
+       CAST(CASE WHEN b.rec_type = 'response' THEN b.status END
+            AS INT) AS http_status,
+       CAST(CASE WHEN b.rec_type IN ('response', 'request') THEN 3 END
+            AS INT) AS http_n_headers,
+       CASE b.rec_type WHEN 'response' THEN b.body_len
+                       WHEN 'request' THEN 0 END AS http_body_len,
+       CASE b.rec_type WHEN 'response' THEN s.bsum
+                       WHEN 'request' THEN 0 END AS http_body_sum
+FROM base b
+JOIN hsum h USING (shard_id, rec_idx)
+LEFT JOIN bodysum s USING (shard_id, rec_idx)
 """
 
 

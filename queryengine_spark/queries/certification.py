@@ -170,6 +170,23 @@ VOID: dict[str, int] = {
     # n_nulls; min/max unaffected by value-free chunks) instead of
     # nulling the whole column:
     "source_footer_profile": 7,
+    # round 9 (verdict item 2): every ANN eval/query sample became a
+    # fixed ABSOLUTE count (vec_id % stride = 0 AND vec_id < stride ×
+    # 64) instead of a corpus fraction — eval cost is now O(corpus);
+    # the cap is not binding at sf0.01 (1,000 vectors) but the query-
+    # set definition changed in both engines, so every suite whose
+    # oracle embeds the sample predicate re-certifies:
+    "knn_ann_suite": 8,
+    "knn_pq_suite": 8,
+    "knn_lsh_index": 8,
+    "knn_filtered": 8,
+    "knn_sq8": 8,
+    # round 9 (verdict item 3): WARC record payloads became full HTTP
+    # messages / warc-fields (the real CommonCrawl anatomy); the
+    # record-stats schema gained the http_* columns and the WET leg
+    # now strips the HTTP header block before extraction:
+    "source_warc_records": 8,
+    "text_html_extract": 8,
 }
 
 

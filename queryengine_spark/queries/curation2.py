@@ -550,7 +550,15 @@ def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     legs share one oracle statement (the direct extraction), so the
     driver hash certifies the WARC wrap/unwrap is byte-lossless —
     that is the leg's entire claim. fmt (NULL / warc / warc.gz) is
-    DETECTED from the container bytes, certifying the routing too."""
+    DETECTED from the container bytes, certifying the routing too.
+
+    r9 (verdict item 3): the wrapped record now carries a REAL HTTP
+    response message (status line + Content-Type/Content-Length
+    headers + body — the CommonCrawl record shape, ISO 28500 §6.3),
+    and the WET side parses the header block for real and extracts
+    from the body only. The oracle is unchanged — identical hashes
+    now certify that the HTTP wrap + header strip is byte-lossless
+    end to end."""
     import pandas as pd
 
     d = t(spark, sf, "documents")
@@ -579,7 +587,9 @@ def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     def roundtrip(batches):
         from queryengine_spark.sources.warc import (
             _gzip_member,
+            http_msgtype,
             make_wet_record,
+            parse_http_payload,
             parse_warc,
         )
 
@@ -592,9 +602,21 @@ def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
                 parsed = parse_warc(shard)
                 if parsed is None or len(parsed) != 1:
                     continue  # refusal: contribute no row
-                headers, body = parsed[0]
+                headers, payload = parsed[0]
                 if headers.get("warc-type") != "response":
                     continue
+                # r9: response payloads are full HTTP messages now —
+                # the WET producer must parse the header block for
+                # real and extract text from the BODY only (a header
+                # byte leaking into the markup breaks the shared
+                # direct-extraction oracle hash)
+                mt = http_msgtype(headers)
+                if mt != "response":
+                    continue
+                http = parse_http_payload(payload, mt)
+                if http is None or http[0] != 200:
+                    continue
+                _, _, body = http
                 ids.append(did)
                 fmts.append(
                     "warc.gz" if shard[:2] == b"\x1f\x8b" else "warc"

@@ -45,6 +45,32 @@ NPROBE = 4
 #: mirrored by the oracle's unrolled CTE chain
 SAMPLE_N = 256
 KMEANS_ITERS = 3
+#: r9 (verdict item 2): every eval/query sample is a fixed ABSOLUTE
+#: count — ``vec_id % stride == 0 AND vec_id < stride * Q_ABS_MAX``
+#: — never a corpus fraction. The r8 100×-base probe measured the
+#: fraction-sampled brute recall twin going quadratic (queries ∝
+#: corpus, each an exact pass over the corpus: 126.3 s + a 32 GiB
+#: driver heap at 100×, docs/SCALE.md); the absolute cap makes eval
+#: cost O(corpus) at any scale while keeping the query set
+#: deterministic and oracle-expressible. At the driver's sf0.01
+#: gate (1,000 vectors) the cap is not binding, so the query sets
+#: are unchanged there; the affected suites are VOID+re-certified
+#: anyway (semantics changed).
+Q_ABS_MAX = 64
+QSTRIDE = 50
+Q_ID_CAP = QSTRIDE * Q_ABS_MAX            # 3,200
+QSTRIDE_BRUTE = 100
+Q_ID_CAP_BRUTE = QSTRIDE_BRUTE * Q_ABS_MAX  # 6,400
+
+
+def _query_sample(e: DataFrame, stride: int = QSTRIDE) -> DataFrame:
+    """The shared eval query set: every stride-th vector, capped at
+    an absolute Q_ABS_MAX queries (id-deterministic at every
+    corpus size)."""
+    return e.filter(
+        (F.col("vec_id") % stride == 0)
+        & (F.col("vec_id") < stride * Q_ABS_MAX)
+    )
 
 _COS = (
     "list_dot_product({a}, {b}) / "
@@ -54,13 +80,14 @@ _COS = (
 
 def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0)
+    queries = _query_sample(e, QSTRIDE_BRUTE)
     return brute_force_topk(queries, e, "vec_id", "embedding", k=K_BRUTE)
 
 
 KNN_BRUTE_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % 100 = 0 AND vec_id < {Q_ID_CAP_BRUTE}),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,
          {_COS.format(a='qv', b='v')} AS cos
@@ -101,7 +128,7 @@ def _with_recall(ann: DataFrame, bf: DataFrame) -> DataFrame:
 
 def knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    queries = _query_sample(e)
     ann = srp_bucketed_topk(
         queries, e, "vec_id", "embedding",
         k=K_LSH, n_bits=N_BITS, n_tables=N_TABLES, nnz=NNZ, probe=PROBE, dim=DIM,
@@ -129,7 +156,7 @@ cb AS (
 qb AS (
   SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, m.mask) AS bucket
   FROM cb b, (VALUES {masks}) m(mask)
-  WHERE b.vec_id % 50 = 0
+  WHERE b.vec_id % 50 = 0 AND b.vec_id < {Q_ID_CAP}
 ),
 pairs AS (
   SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
@@ -153,7 +180,8 @@ bf AS (
     SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.vec_id
                ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
-    FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q
+    FROM (SELECT vec_id, v FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < {Q_ID_CAP}) q
     JOIN e e2 ON e2.vec_id <> q.vec_id
   ) WHERE rn <= {K_LSH}
 ),
@@ -191,7 +219,7 @@ def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     4-probe queries. Per-query recall@3 vs brute force rides along
     as a column (r5 fold of knn_ivf_recall)."""
     e = t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    queries = _query_sample(e)
     ann = ivf_topk(
         queries, e, "vec_id", "embedding", k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE,
         sample_n=SAMPLE_N, train_iters=KMEANS_ITERS,
@@ -271,7 +299,7 @@ cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)"""
     if include_qcells:
         tail += f""",
 qcells AS (SELECT vec_id, cid AS cell FROM ranked
-           WHERE rn <= {NPROBE} AND vec_id % 50 = 0),
+           WHERE rn <= {NPROBE} AND vec_id % 50 = 0 AND vec_id < {Q_ID_CAP}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COS.format(a='qe.v', b='ce.v')} AS cos
@@ -371,7 +399,7 @@ def knn_filtered(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.operators.topk import grouped_topk
 
     e = t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    queries = _query_sample(e)
     ann = ivf_topk_filtered(
         queries, e, "vec_id", "embedding", "label",
         k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE,
@@ -464,7 +492,8 @@ bf AS (
            row_number() OVER (PARTITION BY q.vec_id
                ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
     FROM (SELECT ee.vec_id, ee.v, l.label FROM e ee
-          JOIN lbl l ON l.vec_id = ee.vec_id WHERE ee.vec_id % 50 = 0) q
+          JOIN lbl l ON l.vec_id = ee.vec_id
+          WHERE ee.vec_id % 50 = 0 AND ee.vec_id < {Q_ID_CAP}) q
     JOIN (SELECT ee.vec_id, ee.v, l.label FROM e ee
           JOIN lbl l ON l.vec_id = ee.vec_id) e2
       ON e2.label = q.label AND e2.vec_id <> q.vec_id
@@ -509,7 +538,8 @@ bf AS (
     SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.vec_id
                ORDER BY {_COS.format(a='q.v', b='e2.v')} DESC, e2.vec_id ASC) AS rn
-    FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) q
+    FROM (SELECT vec_id, v FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < {Q_ID_CAP}) q
     JOIN e e2
       ON abs(CAST(e2.vec_id AS BIGINT) - CAST(q.vec_id AS BIGINT)) <= {KNN_RANGE_R}
      AND e2.vec_id <> q.vec_id
@@ -564,7 +594,7 @@ def knn_sq8(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.operators.knn import ivf_sq8_topk
 
     e = t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    queries = _query_sample(e)
     ann = ivf_sq8_topk(
         queries, e, "vec_id", "embedding",
         k=K_LSH, n_cells=N_CELLS, nprobe=NPROBE,

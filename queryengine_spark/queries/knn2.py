@@ -30,6 +30,8 @@ from queryengine_spark.operators.knn import brute_force_topk, ivf_pq_topk
 from queryengine_spark.queries.base import t
 from queryengine_spark.queries.knn import (
     DIM,
+    Q_ID_CAP,
+    _query_sample,
     K_LSH,
     KMEANS_ITERS,
     N_CELLS,
@@ -62,7 +64,7 @@ def knn_pq(spark: SparkSession, sf: str) -> DataFrame:
     travel. Ranking noise at 8-bit resolution is inherent; the
     re-rank twin below is the quality path."""
     e = t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    queries = _query_sample(e)
     return ivf_pq_topk(queries, e, "vec_id", "embedding", **_KW)
 
 
@@ -74,7 +76,7 @@ def knn_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.queries.knn import _with_recall
 
     e = t(spark, sf, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    queries = _query_sample(e)
     ann = ivf_pq_topk(
         queries, e, "vec_id", "embedding", rerank_r=RERANK_R, **_KW
     )
@@ -142,7 +144,8 @@ rsel AS MATERIALIZED (SELECT co.vec_id, c.d, c.c + cc.c AS c
          JOIN cells ce ON ce.vec_id = co.vec_id
          JOIN c{KMEANS_ITERS} cc ON cc.cid = ce.cell AND cc.d = c.d),
 rnorm AS (SELECT vec_id, SUM(c * c) AS rn2 FROM rsel GROUP BY vec_id),
-qp AS (SELECT vec_id, d, x FROM ep WHERE vec_id % 50 = 0),
+qp AS (SELECT vec_id, d, x FROM ep
+       WHERE vec_id % 50 = 0 AND vec_id < {Q_ID_CAP}),
 qnorm AS (SELECT vec_id, SUM(x * x) AS qn2 FROM qp GROUP BY vec_id),
 cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
          FROM qcells q JOIN cells c ON q.cell = c.cell
@@ -257,7 +260,7 @@ def knn_pq_index(spark: SparkSession, sf: str) -> DataFrame:
         with open(marker, "w") as f:
             json.dump(params, f)
     idx = read_pq_index(spark, path)
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    queries = _query_sample(e)
     return ivf_pq_topk_from_index(
         queries, idx, "vec_id", "embedding",
         k=K_LSH, nprobe=NPROBE, rerank_r=RERANK_R, candidates=e,
@@ -318,7 +321,7 @@ def knn_lsh_index(spark: SparkSession, sf: str) -> DataFrame:
         with open(marker, "w") as f:
             json.dump(params, f)
     idx = read_lsh_index(spark, path)
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    queries = _query_sample(e)
     return srp_topk_from_index(
         queries, idx, "vec_id", "embedding", k=K_LSH, probe=PROBE
     )

@@ -34,9 +34,38 @@ Synthesis formulas (mirrored in queries/archives.py oracle):
   type(i)        = warcinfo (i=0) / request (i%3==1) / response
   uri(shard, i)  = https://site{(7*shard + i) % WARC_SITE_MOD}.example/p{i}
                    (warcinfo records carry no URI)
-  len(shard, i)  = WARC_LEN_BASE + (13*shard + 7*i) % WARC_LEN_MOD
-  payload[j]     = (11*shard + 5*i + 3*j) % 256
+  blen(shard, i) = WARC_LEN_BASE + (13*shard + 7*i) % WARC_LEN_MOD
+                   (the HTTP BODY length for responses)
+  body[j]        = (11*shard + 5*i + 3*j) % 256
   container      = shard % 2 == 0 → .warc, odd → .warc.gz
+
+r9 (verdict item 3) — records carry REAL payload shapes, the actual
+CommonCrawl record anatomy (ISO 28500 §6.3: the payload of a
+request/response record is the full HTTP message, and the WARC
+header says so via ``Content-Type: application/http;
+msgtype=...``):
+
+  response payload = status line + HTTP headers + CRLF CRLF + body:
+      HTTP/1.1 {status} {reason}\r\n
+      Content-Type: text/html; charset=UTF-8\r\n
+      Content-Length: {blen}\r\n
+      X-Crawl-Seq: {(17*shard + 3*i) % 1000}\r\n\r\n{body}
+      status = 200 unless (3*shard + i) % 5 == 0 → 404
+  request payload  = request line + headers, no body:
+      GET /p{i} HTTP/1.1\r\n
+      Host: site{(7*shard + i) % WARC_SITE_MOD}.example\r\n
+      User-Agent: qe-crawler/1.0\r\n
+      Accept: text/html\r\n\r\n
+  warcinfo payload = warc-fields (spec §10.1):
+      software: qe-crawler/1.0\r\n
+      hostname: host{shard % 20}.example\r\n
+
+The WARC Content-Length covers the WHOLE HTTP message (headers +
+body); a WET producer must parse the HTTP header block and strip it
+before text extraction — :func:`parse_http_payload` does that for
+real (status-line grammar, header walk, CRLF CRLF split), and the
+record-stats op certifies it with separate whole-payload vs
+body-only sums.
 """
 
 from __future__ import annotations
@@ -84,16 +113,78 @@ def warc_uri(shard_id: int, i: int) -> str | None:
     return f"https://site{(7 * shard_id + i) % WARC_SITE_MOD}.example/p{i}"
 
 
-def warc_payload_len(shard_id: int, i: int) -> int:
+def warc_body_len(shard_id: int, i: int) -> int:
+    """HTTP body length for response records (the pre-r9 whole-payload
+    length formula, unchanged)."""
     return WARC_LEN_BASE + (13 * shard_id + 7 * i) % WARC_LEN_MOD
 
 
-def warc_payload(shard_id: int, i: int) -> bytes:
+def warc_body(shard_id: int, i: int) -> bytes:
     a, b_, c = WARC_PAY
     return bytes(
         (a * shard_id + b_ * i + c * j) % 256
-        for j in range(warc_payload_len(shard_id, i))
+        for j in range(warc_body_len(shard_id, i))
     )
+
+
+def warc_http_status(shard_id: int, i: int) -> int:
+    return 404 if (3 * shard_id + i) % 5 == 0 else 200
+
+
+def warc_crawl_seq(shard_id: int, i: int) -> int:
+    return (17 * shard_id + 3 * i) % 1000
+
+
+def warc_response_payload(shard_id: int, i: int) -> bytes:
+    """Full HTTP response message — status line + headers + body
+    (ISO 28500 §6.3 / the CommonCrawl response-record payload)."""
+    body = warc_body(shard_id, i)
+    status = warc_http_status(shard_id, i)
+    reason = "OK" if status == 200 else "Not Found"
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        "Content-Type: text/html; charset=UTF-8\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"X-Crawl-Seq: {warc_crawl_seq(shard_id, i)}\r\n\r\n"
+    )
+    return head.encode("ascii") + body
+
+
+def warc_request_payload(shard_id: int, i: int) -> bytes:
+    """Full HTTP request message — request line + headers, no body."""
+    host = f"site{(7 * shard_id + i) % WARC_SITE_MOD}.example"
+    return (
+        f"GET /p{i} HTTP/1.1\r\n"
+        f"Host: {host}\r\n"
+        "User-Agent: qe-crawler/1.0\r\n"
+        "Accept: text/html\r\n\r\n"
+    ).encode("ascii")
+
+
+def warc_warcinfo_payload(shard_id: int) -> bytes:
+    """warc-fields payload (spec §10.1)."""
+    return (
+        "software: qe-crawler/1.0\r\n"
+        f"hostname: host{shard_id % 20}.example\r\n"
+    ).encode("ascii")
+
+
+def warc_payload(shard_id: int, i: int) -> bytes:
+    """The record's WHOLE payload (Content-Length octets)."""
+    rt = warc_rec_type(i)
+    if rt == "response":
+        return warc_response_payload(shard_id, i)
+    if rt == "request":
+        return warc_request_payload(shard_id, i)
+    return warc_warcinfo_payload(shard_id)
+
+
+#: WARC Content-Type header value per record type (spec §6)
+WARC_CT = {
+    "response": "application/http; msgtype=response",
+    "request": "application/http; msgtype=request",
+    "warcinfo": "application/warc-fields",
+}
 
 
 def _record_id(shard_id: int, i: int) -> str:
@@ -104,25 +195,41 @@ def _record_id(shard_id: int, i: int) -> str:
 
 
 def make_warc_record(shard_id: int, i: int) -> bytes:
-    """One spec-valid WARC/1.0 record."""
+    """One spec-valid WARC/1.0 record (r9: the payload is the full
+    HTTP message / warc-fields block and the WARC Content-Type header
+    declares it — the CommonCrawl record anatomy)."""
     payload = warc_payload(shard_id, i)
+    rt = warc_rec_type(i)
     lines = [
         b"WARC/1.0",
-        b"WARC-Type: " + warc_rec_type(i).encode(),
+        b"WARC-Type: " + rt.encode(),
         b"WARC-Record-ID: " + _record_id(shard_id, i).encode(),
         b"WARC-Date: " + WARC_DATE.encode(),
     ]
     uri = warc_uri(shard_id, i)
     if uri is not None:
         lines.append(b"WARC-Target-URI: " + uri.encode())
+    lines.append(b"Content-Type: " + WARC_CT[rt].encode())
     lines.append(b"Content-Length: " + str(len(payload)).encode())
     return CRLF.join(lines) + CRLF + CRLF + payload + CRLF + CRLF
 
 
-def make_wet_record(doc_id: int, payload: bytes) -> bytes:
-    """A one-off response record around an explicit payload — the
-    WARC→WET pipeline leg's wrapper (queries/curation2.py). Same
-    grammar as make_warc_record, URI keyed on the document id."""
+def make_wet_record(doc_id: int, body: bytes) -> bytes:
+    """A one-off response record around an explicit document body —
+    the WARC→WET pipeline leg's wrapper (queries/curation2.py). Same
+    grammar as make_warc_record, URI keyed on the document id.
+    r9: the body ships inside a real HTTP response message (status
+    200 + Content-Type/Content-Length headers), so the WET consumer
+    must strip the header block — exactly what a CommonCrawl WET
+    producer does."""
+    payload = (
+        (
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=UTF-8\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("ascii")
+        + body
+    )
     lines = [
         b"WARC/1.0",
         b"WARC-Type: response",
@@ -130,6 +237,7 @@ def make_wet_record(doc_id: int, payload: bytes) -> bytes:
         b"WARC-Date: " + WARC_DATE.encode(),
         b"WARC-Target-URI: "
         + f"https://site{doc_id % WARC_SITE_MOD}.example/d{doc_id}".encode(),
+        b"Content-Type: " + WARC_CT["response"].encode(),
         b"Content-Length: " + str(len(payload)).encode(),
     ]
     return CRLF.join(lines) + CRLF + CRLF + payload + CRLF + CRLF
@@ -289,6 +397,60 @@ def parse_warc(b: bytes) -> list[tuple[dict, bytes]] | None:
     return out
 
 
+def http_msgtype(warc_headers: dict) -> str | None:
+    """The HTTP message type the record's WARC Content-Type declares
+    (ISO 28500 §6.3), or None for non-HTTP records."""
+    ct = warc_headers.get("content-type", "")
+    if not ct.startswith("application/http"):
+        return None
+    if "msgtype=response" in ct:
+        return "response"
+    if "msgtype=request" in ct:
+        return "request"
+    return None
+
+
+def parse_http_payload(
+    payload: bytes, msgtype: str
+) -> tuple[int | None, dict[str, str], bytes] | None:
+    """REAL HTTP/1.x message parse of a record payload → (status |
+    None for requests, headers dict, body bytes). The header block is
+    split at the first CRLF CRLF; the start line must be a valid
+    status line (``HTTP/1.x <3-digit> <reason>``) for responses or a
+    request line (``<METHOD> <target> HTTP/1.x``) for requests; every
+    header line must be ``Name: value``. Malformed → None (the record
+    claimed ``application/http`` and lied — a WET producer must skip
+    it, never guess at a header/body boundary)."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    head = payload[:sep].decode("latin-1").split("\r\n")
+    body = payload[sep + 4 :]
+    start = head[0]
+    status: int | None = None
+    if msgtype == "response":
+        parts = start.split(" ", 2)
+        if (
+            len(parts) < 3
+            or not parts[0].startswith("HTTP/1.")
+            or len(parts[1]) != 3
+            or not parts[1].isdigit()
+        ):
+            return None
+        status = int(parts[1])
+    else:
+        parts = start.split(" ")
+        if len(parts) != 3 or not parts[2].startswith("HTTP/1."):
+            return None
+    hdrs: dict[str, str] = {}
+    for line in head[1:]:
+        if ":" not in line:
+            return None
+        k, v = line.split(":", 1)
+        hdrs[k.strip().lower()] = v.strip()
+    return status, hdrs, body
+
+
 # ------------------------------------------------------------------ Spark ops
 
 WARC_SHARD_SCHEMA = StructType(
@@ -307,6 +469,12 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("content_length", LongType()),
         StructField("payload_sum", LongType()),
         StructField("uri_hash", LongType()),
+        # r9: the HTTP view — parsed for REAL out of application/http
+        # payloads (NULLs for warcinfo; status NULL for requests)
+        StructField("http_status", IntegerType()),
+        StructField("http_n_headers", IntegerType()),
+        StructField("http_body_len", LongType()),
+        StructField("http_body_sum", LongType()),
     ]
 )
 
@@ -328,9 +496,19 @@ def synthesize_warc(ids: DataFrame, id_col: str = "shard_id") -> DataFrame:
 def warc_record_stats(shards: DataFrame) -> DataFrame:
     """One row per parsed record: type, content length, exact payload
     byte-sum, and an engine-portable md5 URI hash (NULL where the
-    record carries no WARC-Target-URI). A shard that fails the parse
-    contributes no rows — mirroring the archive reader's refusal
-    convention."""
+    record carries no WARC-Target-URI). A shard that fails the
+    CONTAINER parse contributes no rows — mirroring the archive
+    reader's refusal convention.
+
+    r9: records whose WARC Content-Type declares ``application/http``
+    additionally get the parsed HTTP view — status code (responses),
+    header count, and the body length/byte-sum AFTER the header block
+    is stripped (the WET-producer operation; the separate
+    whole-payload vs body-only sums certify the strip discards
+    exactly the serialized header bytes). A record that claims HTTP
+    but carries a malformed message is refused record-level
+    (contributes no row; the rest of the shard still parses — a
+    crawler's bad capture must not poison its neighbors)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -348,6 +526,16 @@ def warc_record_stats(shards: DataFrame) -> DataFrame:
                         if uri is not None
                         else None
                     )
+                    status = nhdr = blen = bsum = None
+                    mt = http_msgtype(headers)
+                    if mt is not None:
+                        parsed = parse_http_payload(body, mt)
+                        if parsed is None:
+                            continue  # claimed HTTP, malformed: no row
+                        status, hdrs, hbody = parsed
+                        nhdr = len(hdrs)
+                        blen = len(hbody)
+                        bsum = int(sum(hbody))
                     rows.append(
                         (
                             int(sid),
@@ -357,6 +545,10 @@ def warc_record_stats(shards: DataFrame) -> DataFrame:
                             len(body),
                             int(sum(body)),
                             uh,
+                            status,
+                            nhdr,
+                            blen,
+                            bsum,
                         )
                     )
             yield pd.DataFrame(
