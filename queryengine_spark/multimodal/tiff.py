@@ -16,8 +16,9 @@ Same discipline as the BMP/PNG/GIF/JPEG/WAV codecs:
   encoder/decoder bug pair can't cancel, plus a hypothesis PackBits
   round-trip property;
 - anything outside the implemented profile returns None (honest
-  refusal): tiled TIFFs, JPEG-in-TIFF, planar configuration 2, bit
-  depths other than 8, predictors other than none/horizontal.
+  refusal): JPEG-in-TIFF, bit depths other than 8, predictors other
+  than none/horizontal (tiles and planar configuration 2 decode for
+  real since r9).
 
 r8: LZW decompression (TIFF 6.0 §13) — TIFF's most common
 historical codec, the top remaining gap on archival/scan corpora.
@@ -45,12 +46,26 @@ Mixed synthesis profiles (by asset_id % 4, the %4==2 slot split
           the formula is linear in x so horizontal differencing
           yields constant-per-row diffs and LZW genuinely compresses
 
-Formulas (w = 5 + a % TIF_W_MOD, h = 4 + a % TIF_H_MOD):
-  RGB:   r=(3x+7y+a)%256  g=(5x+y+2a)%256  b=(x+11y+3a)%256
-  gray1: v=((x//4)*13 + 9y + a) % 256        (BlackIsZero)
-  gray0: stored=(2x+5y+7a)%256 → value 255 - stored
-  gray3: v=(11x + 3y + 5a) % 256             (LZW + predictor 2)
-  gray6: v=(7x + 9y + 3a) % 256              (deflate)
+r9 (§15 tiles + planar 2 — the refusal list is now JPEG-in-TIFF
+only): the %4==2 slot splits further —
+  %16==10 → TILED LZW grayscale + Predictor 2 (MM): 16×16 tiles
+            (the spec minimum) over dims enlarged by one full tile
+            (w+16 × h+16 → a 2×2 grid), edge tiles padded with 0xAB
+            so a padding blit or tile-row mis-stride breaks the sums
+  %32==14 → TILED deflate RGB (II), same tile geometry
+  %32==30 → PLANAR-CONFIGURATION-2 PackBits RGB (MM, tag 284=2):
+            all of plane R's strips, then G's, then B's, recombined
+            per pixel — predictor/differencing per PLANE row
+
+Formulas (w = 5 + a % TIF_W_MOD, h = 4 + a % TIF_H_MOD; tiled legs
+use w+16, h+16):
+  RGB:    r=(3x+7y+a)%256  g=(5x+y+2a)%256  b=(x+11y+3a)%256
+          (also the tiled-RGB %32==14 and planar-2 %32==30 legs)
+  gray1:  v=((x//4)*13 + 9y + a) % 256        (BlackIsZero)
+  gray0:  stored=(2x+5y+7a)%256 → value 255 - stored
+  gray3:  v=(11x + 3y + 5a) % 256             (LZW + predictor 2)
+  gray6:  v=(7x + 9y + 3a) % 256              (deflate)
+  gray10: v=(5x + 13y + 7a) % 256             (tiled LZW + pred 2)
 """
 
 from __future__ import annotations
@@ -324,11 +339,14 @@ def _build_tiff(
     compression: int,
     strips: list[bytes],
     predictor: int = 1,
+    planar: int = 1,
 ) -> bytes:
     """Assemble header + strip data + one IFD. Strip data precedes the
     IFD (offsets are therefore known up front); BitsPerSample for
     spp=3 is a 3-SHORT array stored out-of-line, exercising the
-    value-vs-offset rule (3×2 bytes > 4)."""
+    value-vs-offset rule (3×2 bytes > 4). planar=2 (r9) writes tag
+    284: ``strips`` must then hold all of plane 0's strips, then
+    plane 1's, … (TIFF 6.0 PlanarConfiguration ordering)."""
     e = ">" if big_endian else "<"
     rows_per_strip = TIF_ROWS_PER_STRIP
     n_strips = len(strips)
@@ -379,9 +397,11 @@ def _build_tiff(
             else entry(279, 4, 1, len(strips[0]))
         ),  # StripByteCounts
     ]
+    if planar != 1:
+        entries.append(entry(284, 3, 1, planar))  # PlanarConfiguration
     if predictor != 1:
         entries.append(entry(317, 3, 1, predictor))  # Predictor
-        entries.sort(key=lambda en: struct.unpack(f"{e}H", en[:2])[0])
+    entries.sort(key=lambda en: struct.unpack(f"{e}H", en[:2])[0])
     out = bytearray()
     out += struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
     for s in strips:
@@ -399,6 +419,120 @@ def _build_tiff(
     for en in entries:
         out += en
     out += struct.pack(f"{e}I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _build_tiff_tiled(
+    *,
+    big_endian: bool,
+    w: int,
+    h: int,
+    spp: int,
+    photometric: int,
+    compression: int,
+    tiles: list[bytes],
+    tile_w: int,
+    tile_h: int,
+    predictor: int = 1,
+) -> bytes:
+    """Assemble a TILED container (TIFF 6.0 §15): TileWidth /
+    TileLength (tags 322/323, both multiples of 16 per spec) +
+    TileOffsets / TileByteCounts (324/325) replace the strip tags.
+    Tiles are row-major over a ceil(w/tw) × ceil(h/tl) grid; edge
+    tiles are FULL-SIZE with padding (the decoder must crop)."""
+    e = ">" if big_endian else "<"
+    n_tiles = len(tiles)
+    pos = 8
+    tile_offsets = []
+    for s in tiles:
+        tile_offsets.append(pos)
+        pos += len(s)
+    if pos % 2:
+        pos += 1
+    bps_off = pos
+    if spp == 3:
+        pos += 6
+    to_off = pos
+    pos += 4 * n_tiles
+    tc_off = pos
+    pos += 4 * n_tiles
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:
+            return struct.pack(f"{e}HHIHH", tag, typ, count, value, 0)
+        return struct.pack(f"{e}HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, w),
+        entry(257, 3, 1, h),
+        entry(258, 3, 3, bps_off) if spp == 3 else entry(258, 3, 1, 8),
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, photometric),
+        entry(277, 3, 1, spp),
+        entry(322, 3, 1, tile_w),
+        entry(323, 3, 1, tile_h),
+        entry(324, 4, n_tiles, to_off),
+        entry(325, 4, n_tiles, tc_off),
+    ]
+    if predictor != 1:
+        entries.append(entry(317, 3, 1, predictor))
+        entries.sort(key=lambda en: struct.unpack(f"{e}H", en[:2])[0])
+    out = bytearray()
+    out += struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
+    for s in tiles:
+        out += s
+    if len(out) % 2:
+        out += b"\x00"
+    assert len(out) == bps_off
+    if spp == 3:
+        out += struct.pack(f"{e}3H", 8, 8, 8)
+    out += struct.pack(f"{e}{n_tiles}I", *tile_offsets)
+    out += struct.pack(f"{e}{n_tiles}I", *(len(s) for s in tiles))
+    assert len(out) == ifd_off
+    out += struct.pack(f"{e}H", len(entries))
+    for en in entries:
+        out += en
+    out += struct.pack(f"{e}I", 0)
+    return bytes(out)
+
+
+#: tile geometry for the tiled legs — the spec minimum (16 is the
+#: smallest legal TileWidth/TileLength), giving a 2×2 grid with
+#: padded right/bottom edge tiles at the legs' enlarged dims
+TIF_TILE = 16
+#: edge-tile padding byte — NOT zero, so a decoder that blits padding
+#: into the image (or mis-strides a tile row) always breaks the sums
+TIF_PAD = 0xAB
+TIF_GRAY10 = (5, 13, 7)  # v = (5x + 13y + 7a) % 256 (tiled LZW leg)
+
+
+def tiff_tiled_params(asset_id: int) -> tuple[int, int]:
+    """Tiled legs enlarge the base dims by one full tile so the walk
+    really crosses tile boundaries (2×2 grid, padded edges)."""
+    w, h = tiff_params(asset_id)
+    return w + TIF_TILE, h + TIF_TILE
+
+
+def _pixel_gray10(a: int, x: int, y: int) -> int:
+    return (TIF_GRAY10[0] * x + TIF_GRAY10[1] * y + TIF_GRAY10[2] * a) % 256
+
+
+def _tile_bytes(
+    a: int, w: int, h: int, tx: int, ty: int, px, spp: int
+) -> bytes:
+    """One FULL tile's raw bytes (TIF_TILE × TIF_TILE), out-of-image
+    positions padded with TIF_PAD."""
+    out = bytearray()
+    for dy in range(TIF_TILE):
+        y = ty * TIF_TILE + dy
+        for dx in range(TIF_TILE):
+            x = tx * TIF_TILE + dx
+            if x < w and y < h:
+                v = px(a, x, y)
+                out.extend(v if spp == 3 else (v,))
+            else:
+                out.extend((TIF_PAD,) * spp)
     return bytes(out)
 
 
@@ -453,6 +587,59 @@ def make_tiff(asset_id: int) -> bytes:
             big_endian=True, w=w, h=h, spp=1, photometric=1,
             compression=32773, strips=strips,
         )
+    if a % 16 == 10:  # r9: TILED LZW grayscale + Predictor 2, MM
+        w2, h2 = tiff_tiled_params(a)
+        tpr, tpc = -(-w2 // TIF_TILE), -(-h2 // TIF_TILE)
+        tiles = []
+        for ty in range(tpc):
+            for tx in range(tpr):
+                raw = _tile_bytes(a, w2, h2, tx, ty, _pixel_gray10, 1)
+                tiles.append(
+                    lzw_tiff_encode(
+                        b"".join(
+                            hdiff_encode(
+                                raw[r * TIF_TILE : (r + 1) * TIF_TILE], 1
+                            )
+                            for r in range(TIF_TILE)
+                        )
+                    )
+                )
+        return _build_tiff_tiled(
+            big_endian=True, w=w2, h=h2, spp=1, photometric=1,
+            compression=5, tiles=tiles,
+            tile_w=TIF_TILE, tile_h=TIF_TILE, predictor=2,
+        )
+    if a % 32 == 14:  # r9: TILED DEFLATE RGB, II
+        import zlib
+
+        w2, h2 = tiff_tiled_params(a)
+        tpr, tpc = -(-w2 // TIF_TILE), -(-h2 // TIF_TILE)
+        tiles = [
+            zlib.compress(_tile_bytes(a, w2, h2, tx, ty, _pixel_rgb, 3), 6)
+            for ty in range(tpc)
+            for tx in range(tpr)
+        ]
+        return _build_tiff_tiled(
+            big_endian=False, w=w2, h=h2, spp=3, photometric=2,
+            compression=8, tiles=tiles,
+            tile_w=TIF_TILE, tile_h=TIF_TILE,
+        )
+    if a % 32 == 30:  # r9: PLANAR-CONFIGURATION-2 PackBits RGB, MM
+        strips = [
+            packbits_encode(
+                bytes(
+                    _pixel_rgb(a, x, y)[p]
+                    for y in range(y0, min(y0 + rps, h))
+                    for x in range(w)
+                )
+            )
+            for p in range(3)
+            for y0 in row_starts
+        ]
+        return _build_tiff(
+            big_endian=True, w=w, h=h, spp=3, photometric=2,
+            compression=32773, strips=strips, planar=2,
+        )
     if a % 8 == 6:  # r8: DEFLATE grayscale BlackIsZero, II
         import zlib
 
@@ -471,7 +658,7 @@ def make_tiff(asset_id: int) -> bytes:
             big_endian=False, w=w, h=h, spp=1, photometric=1,
             compression=8, strips=strips,
         )
-    # %8 == 2: uncompressed grayscale WhiteIsZero, II
+    # %16 == 2: uncompressed grayscale WhiteIsZero, II
     strips = [
         bytes(
             _pixel_gray0_stored(a, x, y)
@@ -527,9 +714,16 @@ def _values(b: bytes, e: str, ent) -> list[int] | None:
 def decode_tiff(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 3) uint8 RGB array (grayscale replicated to 3
     channels, WhiteIsZero inverted), or None for anything outside the
-    baseline profile: tiled layout, planar config 2, compression
-    other than none/PackBits/LZW/deflate, predictor other than
-    none/horizontal, bit depth ≠ 8, or malformed geometry."""
+    implemented profile: compression other than
+    none/PackBits/LZW/deflate, predictor other than none/horizontal,
+    bit depth ≠ 8, or malformed geometry.
+
+    r9: TILED layout (TIFF 6.0 §15 — TileWidth/TileLength multiples
+    of 16, row-major full-size tiles with padded edges, the dominant
+    GeoTIFF/large-scan layout) and PLANAR CONFIGURATION 2 (separate
+    per-sample strip planes, recombined per pixel) both decode
+    through the same decompressors. The refusal list is now
+    JPEG-in-TIFF only."""
     if len(b) < 8:
         return None
     if b[:2] == b"II":
@@ -551,8 +745,6 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
         v = _values(b, e, ents[tag])
         return v[0] if v else None
 
-    if 322 in ents or 323 in ents:  # TileWidth/TileLength: not ours
-        return None
     w, h = one(256), one(257)
     comp = one(259, 1)
     photo = one(262)
@@ -560,7 +752,8 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     rps = one(278, 2**32 - 1)
     planar = one(284, 1)
     predictor = one(317, 1)
-    if not w or not h or photo is None or planar != 1:
+    tiled = 322 in ents or 323 in ents
+    if not w or not h or photo is None or planar not in (1, 2):
         return None
     if comp not in (1, 5, 8, 32773, 32946) or spp not in (1, 3):
         return None
@@ -571,46 +764,100 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     bps = _values(b, e, ents[258]) if 258 in ents else [8] * spp
     if bps is None or len(bps) != spp or any(v != 8 for v in bps):
         return None
-    offs = _values(b, e, ents[273]) if 273 in ents else None
-    cnts = _values(b, e, ents[279]) if 279 in ents else None
-    if not offs or not cnts or len(offs) != len(cnts):
-        return None
-    n_strips = -(-h // rps) if rps else 0
-    if len(offs) != n_strips:
-        return None
-    raw = bytearray()
-    for i, (off, cnt) in enumerate(zip(offs, cnts)):
-        if off + cnt > len(b):
-            return None
-        strip = bytes(b[off : off + cnt])
+
+    def dechunk(chunk: bytes, n_rows: int, stride: int) -> bytes | None:
+        """Decompress one strip/tile and undo the predictor; the
+        result must be EXACTLY n_rows × stride bytes."""
         if comp == 32773:
-            dec = packbits_decode(strip)
-            if dec is None:
+            chunk = packbits_decode(chunk)
+            if chunk is None:
                 return None
-            strip = dec
         elif comp == 5:
-            dec = lzw_tiff_decode(strip)
-            if dec is None:
+            chunk = lzw_tiff_decode(chunk)
+            if chunk is None:
                 return None
-            strip = dec
         elif comp in (8, 32946):  # Adobe deflate (+ legacy alias)
             import zlib
 
             try:
-                strip = zlib.decompress(strip)
+                chunk = zlib.decompress(chunk)
             except zlib.error:
                 return None
-        rows_here = min(rps, h - i * rps)
-        if len(strip) != rows_here * w * spp:
-            return None  # strip must decode to exactly its rows
+        if len(chunk) != n_rows * stride:
+            return None
         if predictor == 2:
-            stride = w * spp
-            strip = b"".join(
-                hdiff_decode(strip[r * stride : (r + 1) * stride], spp)
-                for r in range(rows_here)
+            # stride // n_rows... differencing resets per ROW; the
+            # per-sample interleave within a row follows spp for
+            # chunky data and 1 for planar/tile-gray data — callers
+            # pass the right samples-per-pixel via dspp
+            chunk = b"".join(
+                hdiff_decode(chunk[r * stride : (r + 1) * stride], dspp)
+                for r in range(n_rows)
             )
-        raw += strip
-    arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+        return chunk
+
+    if tiled:
+        # TIFF 6.0 §15: tiles replace strips entirely — mixed
+        # strip/tile tags or planar-2 tiles are outside the profile
+        if planar != 1 or 273 in ents or 279 in ents:
+            return None
+        tw, tl = one(322), one(323)
+        if (
+            not tw or not tl
+            or tw % 16 or tl % 16  # §15: must be multiples of 16
+        ):
+            return None
+        offs = _values(b, e, ents[324]) if 324 in ents else None
+        cnts = _values(b, e, ents[325]) if 325 in ents else None
+        if not offs or not cnts or len(offs) != len(cnts):
+            return None
+        tpr = -(-w // tw)
+        tpc = -(-h // tl)
+        if len(offs) != tpr * tpc:
+            return None
+        dspp = spp
+        img = np.empty((h, w, spp), dtype=np.uint8)
+        for k, (off, cnt) in enumerate(zip(offs, cnts)):
+            if off + cnt > len(b):
+                return None
+            dec = dechunk(bytes(b[off : off + cnt]), tl, tw * spp)
+            if dec is None:
+                return None
+            tile = np.frombuffer(dec, np.uint8).reshape(tl, tw, spp)
+            ty, tx = divmod(k, tpr)
+            y0, x0 = ty * tl, tx * tw
+            vh, vw = min(tl, h - y0), min(tw, w - x0)
+            img[y0 : y0 + vh, x0 : x0 + vw] = tile[:vh, :vw]
+        arr = img
+    else:
+        offs = _values(b, e, ents[273]) if 273 in ents else None
+        cnts = _values(b, e, ents[279]) if 279 in ents else None
+        if not offs or not cnts or len(offs) != len(cnts):
+            return None
+        n_per_plane = -(-h // rps) if rps else 0
+        n_planes = spp if planar == 2 else 1
+        dspp = spp if planar == 1 else 1
+        if len(offs) != n_per_plane * n_planes:
+            return None
+        row_bytes = w * (spp if planar == 1 else 1)
+        planes = []
+        for p in range(n_planes):
+            raw = bytearray()
+            for i in range(n_per_plane):
+                off, cnt = offs[p * n_per_plane + i], cnts[p * n_per_plane + i]
+                if off + cnt > len(b):
+                    return None
+                rows_here = min(rps, h - i * rps)
+                dec = dechunk(bytes(b[off : off + cnt]), rows_here, row_bytes)
+                if dec is None:
+                    return None
+                raw += dec
+            planes.append(
+                np.frombuffer(bytes(raw), np.uint8).reshape(
+                    h, w, spp if planar == 1 else 1
+                )
+            )
+        arr = planes[0] if planar == 1 else np.concatenate(planes, axis=2)
     if spp == 1:
         v = arr[..., 0]
         if photo == 0:  # WhiteIsZero: invert for display

@@ -187,6 +187,17 @@ VOID: dict[str, int] = {
     # now strips the HTTP header block before extraction:
     "source_warc_records": 8,
     "text_html_extract": 8,
+    # round 9 (verdict items 4 + 8): the TIFF profile map gained the
+    # tiled-LZW (%16==10), tiled-deflate-RGB (%32==14) and planar-2
+    # (%32==30) slots — the image-decode fold's tiff leg and the
+    # media suite's augment leg (both consume synthesize_tiff) emit
+    # new rows; the image-decode fold's jpeg leg also gains the r9
+    # centered-upsample sub-columns:
+    "multimodal_image_decode": 8,
+    "multimodal_media_suite": 8,
+    # (the standalone pre-fold entries certify through the composites
+    # but keep VOID parity for the direct-import test harness)
+    "multimodal_tiff_decode": 8,
 }
 
 

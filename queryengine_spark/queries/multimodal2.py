@@ -599,8 +599,10 @@ from queryengine_spark.multimodal.tiff import (  # noqa: E402
     TIF_GRAY1,
     TIF_GRAY3,
     TIF_GRAY6,
+    TIF_GRAY10,
     TIF_H_MOD,
     TIF_R,
+    TIF_TILE,
     TIF_W_MOD,
     synthesize_tiff,
     tiff_pixel_stats,
@@ -624,8 +626,18 @@ def multimodal_tiff_decode(spark: SparkSession, sf: str) -> DataFrame:
     channel sums from the pixel formulas, so the hash certifies the
     IFD walk, byte-order handling, strip assembly, the real PackBits,
     LZW AND deflate decompressors, the predictor accumulation AND the
-    photometric inversion. TIFF compression refusals are now only
-    tiles/JPEG-in-TIFF/planar-2. Design doc: multimodal/tiff.py."""
+    photometric inversion.
+
+    r9 (verdict items 4 + 8): three new profile slots close the last
+    layout gaps — ≡10 (mod 16) TILED LZW+Predictor-2 grayscale and
+    ≡14 (mod 32) TILED deflate RGB (TIFF 6.0 §15: 16×16 tiles over
+    dims enlarged by one full tile, so the walk really crosses tile
+    boundaries; edge tiles padded with 0xAB, which the formula oracle
+    turns into a tripwire — a decoder that blits padding or
+    mis-strides a tile row breaks the sums), and ≡30 (mod 32)
+    PLANAR-CONFIGURATION-2 PackBits RGB (separate per-sample strip
+    planes recombined per pixel). The refusal list is now
+    JPEG-in-TIFF only. Design doc: multimodal/tiff.py."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
     return tiff_pixel_stats(synthesize_tiff(spread(ids)))
 
@@ -646,36 +658,49 @@ _TIF_GRAY6_EXPR = (
     f"({TIF_GRAY6[0]}*x + {TIF_GRAY6[1]}*y"
     f" + {TIF_GRAY6[2]}*asset_id) % 256"
 )
-# the %4==2 slot is split %8: ≡2 WhiteIsZero uncompressed, ≡6 DEFLATE
-_TIF_LEG2_EXPR = (
-    f"CASE WHEN asset_id % 8 = 6 THEN {_TIF_GRAY6_EXPR}"
-    f" ELSE {_TIF_GRAY0_EXPR} END"
+_TIF_GRAY10_EXPR = (
+    f"({TIF_GRAY10[0]}*x + {TIF_GRAY10[1]}*y"
+    f" + {TIF_GRAY10[2]}*asset_id) % 256"
 )
+
+
+def _tif_ch_expr(coef: tuple[int, int, int]) -> str:
+    """Per-channel pixel CASE over the FULL r9 profile map: %4 ∈
+    {0,1,3} legs, then the %4==2 slot split %8/%16/%32 — ≡10 (mod 16)
+    tiled LZW gray, ≡14 (mod 32) tiled deflate RGB, ≡30 (mod 32)
+    planar-2 PackBits RGB, ≡6 (mod 8) deflate gray, else WhiteIsZero.
+    The tiled/planar RGB legs reuse the leg-0 channel formulas (the
+    dims CTE distinguishes them)."""
+    rgb = f"({coef[0]}*x + {coef[1]}*y + {coef[2]}*asset_id) % 256"
+    return f"""
+              CASE
+                WHEN asset_id % 4 = 0 THEN {rgb}
+                WHEN asset_id % 4 = 1 THEN {_TIF_GRAY1_EXPR}
+                WHEN asset_id % 4 = 3 THEN {_TIF_GRAY3_EXPR}
+                WHEN asset_id % 16 = 10 THEN {_TIF_GRAY10_EXPR}
+                WHEN asset_id % 32 = 14 OR asset_id % 32 = 30 THEN {rgb}
+                WHEN asset_id % 8 = 6 THEN {_TIF_GRAY6_EXPR}
+                ELSE {_TIF_GRAY0_EXPR} END"""
+
 
 #: the full per-pixel channel CASE of the TIFF corpus — shared by the
 #: decode-leg oracle and the r8 augmentation-leg oracle
-_TIF_CH_SQL = f"""
-              CASE asset_id % 4
-                WHEN 0 THEN ({TIF_R[0]}*x + {TIF_R[1]}*y + {TIF_R[2]}*asset_id) % 256
-                WHEN 1 THEN {_TIF_GRAY1_EXPR}
-                WHEN 3 THEN {_TIF_GRAY3_EXPR}
-                ELSE {_TIF_LEG2_EXPR} END AS r,
-              CASE asset_id % 4
-                WHEN 0 THEN ({TIF_G[0]}*x + {TIF_G[1]}*y + {TIF_G[2]}*asset_id) % 256
-                WHEN 1 THEN {_TIF_GRAY1_EXPR}
-                WHEN 3 THEN {_TIF_GRAY3_EXPR}
-                ELSE {_TIF_LEG2_EXPR} END AS g,
-              CASE asset_id % 4
-                WHEN 0 THEN ({TIF_B[0]}*x + {TIF_B[1]}*y + {TIF_B[2]}*asset_id) % 256
-                WHEN 1 THEN {_TIF_GRAY1_EXPR}
-                WHEN 3 THEN {_TIF_GRAY3_EXPR}
-                ELSE {_TIF_LEG2_EXPR} END AS b"""
+_TIF_CH_SQL = (
+    f"{_tif_ch_expr(TIF_R)} AS r,"
+    f"{_tif_ch_expr(TIF_G)} AS g,"
+    f"{_tif_ch_expr(TIF_B)} AS b"
+)
 
-#: shared dims/pixel lattice of the TIFF corpus
+#: shared dims/pixel lattice of the TIFF corpus (r9: the tiled legs —
+#: ≡10 mod 16, ≡14 mod 32 — enlarge both dims by one full 16-px tile)
 _TIF_PX_CTE = f"""
 dims AS (SELECT asset_id,
-                CAST(5 + asset_id % {TIF_W_MOD} AS BIGINT) AS w,
-                CAST(4 + asset_id % {TIF_H_MOD} AS BIGINT) AS h
+                CAST(5 + asset_id % {TIF_W_MOD}
+                     + CASE WHEN asset_id % 16 = 10 OR asset_id % 32 = 14
+                            THEN {TIF_TILE} ELSE 0 END AS BIGINT) AS w,
+                CAST(4 + asset_id % {TIF_H_MOD}
+                     + CASE WHEN asset_id % 16 = 10 OR asset_id % 32 = 14
+                            THEN {TIF_TILE} ELSE 0 END AS BIGINT) AS h
          FROM ids),
 px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i))"""

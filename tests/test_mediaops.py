@@ -299,9 +299,11 @@ def test_augment_stats_against_formula(spark):
         _pixel_gray1,
         _pixel_gray3,
         _pixel_gray6,
+        _pixel_gray10,
         _pixel_rgb,
         synthesize_tiff,
         tiff_params,
+        tiff_tiled_params,
     )
 
     ids = spark.createDataFrame([(i,) for i in range(16)], "asset_id long")
@@ -318,6 +320,10 @@ def test_augment_stats_against_formula(spark):
             v = _pixel_gray1(a, x, y)
         elif a % 4 == 3:
             v = _pixel_gray3(a, x, y)
+        elif a % 16 == 10:  # r9 tiled LZW leg
+            v = _pixel_gray10(a, x, y)
+        elif a % 32 in (14, 30):  # r9 tiled-RGB / planar-2 legs
+            return _pixel_rgb(a, x, y)
         elif a % 8 == 6:
             v = _pixel_gray6(a, x, y)
         else:
@@ -325,7 +331,8 @@ def test_augment_stats_against_formula(spark):
         return (v, v, v)
 
     for a in range(16):
-        w, h = tiff_params(a)
+        tiled = a % 16 == 10 or a % 32 == 14
+        w, h = tiff_tiled_params(a) if tiled else tiff_params(a)
         for t in AUG_TRANSFORMS:
             sums = [0, 0, 0]
             wsums = [0, 0, 0]

@@ -194,17 +194,20 @@ def test_refusals():
 # ----------------------------------------------- encoder/decoder sweep
 
 
-@pytest.mark.parametrize("a", list(range(24)))
+@pytest.mark.parametrize("a", list(range(48)))
 def test_roundtrip_matches_formula(a):
     from queryengine_spark.multimodal.tiff import (
         _pixel_gray0_stored,
         _pixel_gray1,
         _pixel_gray3,
         _pixel_gray6,
+        _pixel_gray10,
         _pixel_rgb,
+        tiff_tiled_params,
     )
 
-    w, h = tiff_params(a)
+    tiled = a % 16 == 10 or a % 32 == 14
+    w, h = tiff_tiled_params(a) if tiled else tiff_params(a)
     arr = decode_tiff(make_tiff(a))
     assert arr is not None and arr.shape == (h, w, 3)
     for y in range(h):
@@ -217,6 +220,11 @@ def test_roundtrip_matches_formula(a):
             elif a % 4 == 3:
                 v = _pixel_gray3(a, x, y)
                 exp = (v, v, v)
+            elif a % 16 == 10:  # r9 tiled LZW + predictor-2 leg
+                v = _pixel_gray10(a, x, y)
+                exp = (v, v, v)
+            elif a % 32 in (14, 30):  # r9 tiled-RGB / planar-2 legs
+                exp = _pixel_rgb(a, x, y)
             elif a % 8 == 6:  # r8 deflate leg
                 v = _pixel_gray6(a, x, y)
                 exp = (v, v, v)
@@ -472,3 +480,181 @@ def test_deflate_leg_real_zlib_and_alias():
     bad = bytearray(b)
     bad[8] ^= 0xFF
     assert decode_tiff(bytes(bad)) is None
+
+
+# ------------------------------------------- r9: tiles + planar 2
+
+
+def _hand_tiled_tiff(
+    *, tw: int = 16, tl: int = 16, w: int = 18, h: int = 17,
+    n_tiles: int = None, drop_counts: bool = False,
+    keep_strip_tag: bool = False,
+) -> bytes:
+    """Hand-built UNCOMPRESSED tiled grayscale container (II): a
+    2×2 tile grid over an 18×17 image — a layout make_tiff never
+    emits (it always compresses its tiled legs). Pixel (x, y) stores
+    (x + 16*y) % 251; out-of-image tile positions store 0xEE so a
+    padding blit is observable."""
+    tpr, tpc = -(-w // tw), -(-h // tl)
+    want = tpr * tpc if n_tiles is None else n_tiles
+    tiles = []
+    for ty in range(tpc):
+        for tx in range(tpr):
+            t = bytearray()
+            for dy in range(tl):
+                for dx in range(tw):
+                    x, y = tx * tw + dx, ty * tl + dy
+                    t.append((x + 16 * y) % 251 if x < w and y < h else 0xEE)
+            tiles.append(bytes(t))
+    tiles = tiles[:want]
+    out = bytearray()
+    pos = 8
+    offs = []
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    to_off, tc_off = pos, pos + 4 * len(tiles)
+    ifd = tc_off + 4 * len(tiles)
+    out += struct.pack("<2sHI", b"II", 42, ifd)
+    for t in tiles:
+        out += t
+    out += struct.pack(f"<{len(tiles)}I", *offs)
+    out += struct.pack(f"<{len(tiles)}I", *(len(t) for t in tiles))
+
+    def ent(tag, typ, count, val):
+        if typ == 3:
+            return struct.pack("<HHIHH", tag, typ, count, val, 0)
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    entries = [
+        ent(256, 3, 1, w),
+        ent(257, 3, 1, h),
+        ent(258, 3, 1, 8),
+        ent(259, 3, 1, 1),
+        ent(262, 3, 1, 1),
+        ent(277, 3, 1, 1),
+        ent(322, 3, 1, tw),
+        ent(323, 3, 1, tl),
+        ent(324, 4, len(tiles), to_off),
+    ]
+    if keep_strip_tag:
+        entries.insert(6, ent(273, 4, 1, 8))
+    if not drop_counts:
+        entries.append(ent(325, 4, len(tiles), tc_off))
+    out += struct.pack("<H", len(entries))
+    for x in entries:
+        out += x
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def test_hand_tiled_uncompressed_pin():
+    arr = decode_tiff(_hand_tiled_tiff())
+    assert arr is not None and arr.shape == (17, 18, 3)
+    for y in range(17):
+        for x in range(18):
+            v = (x + 16 * y) % 251
+            assert tuple(arr[y, x]) == (v, v, v), (x, y)
+    # 0xEE padding never leaks
+    assert not (arr == 0xEE).any() or any(
+        (x + 16 * y) % 251 == 0xEE for y in range(17) for x in range(18)
+    )
+
+
+def test_hand_tiled_refusals():
+    # tile dims not multiples of 16 (TIFF 6.0 §15)
+    assert decode_tiff(_hand_tiled_tiff(tw=12, tl=16, w=18)) is None
+    # wrong tile count
+    assert decode_tiff(_hand_tiled_tiff(n_tiles=3)) is None
+    # missing TileByteCounts
+    assert decode_tiff(_hand_tiled_tiff(drop_counts=True)) is None
+    # mixed strip + tile tags
+    assert decode_tiff(_hand_tiled_tiff(keep_strip_tag=True)) is None
+
+
+def _hand_planar2_tiff(*, bad_strip_count: bool = False) -> bytes:
+    """Hand-built 3×2 uncompressed PLANAR-2 RGB (II, RowsPerStrip 1):
+    6 strips — R rows, then G rows, then B rows. Pixel (x,y) channel
+    c stores 10*c + 3*y + x."""
+    w, h = 3, 2
+    strips = [
+        bytes(10 * p + 3 * y + x for x in range(w))
+        for p in range(3)
+        for y in range(h)
+    ]
+    if bad_strip_count:
+        strips = strips[:-1]
+    out = bytearray()
+    pos = 8
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if pos % 2:
+        pos += 1
+    bps_off = pos
+    pos += 6
+    so_off, sc_off = pos, pos + 4 * len(strips)
+    ifd = sc_off + 4 * len(strips)
+    out += struct.pack("<2sHI", b"II", 42, ifd)
+    for s in strips:
+        out += s
+    if len(out) % 2:
+        out += b"\x00"
+    out += struct.pack("<3H", 8, 8, 8)
+    out += struct.pack(f"<{len(strips)}I", *offs)
+    out += struct.pack(f"<{len(strips)}I", *(len(s) for s in strips))
+
+    def ent(tag, typ, count, val):
+        if typ == 3 and count == 1:
+            return struct.pack("<HHIHH", tag, typ, count, val, 0)
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    entries = [
+        ent(256, 3, 1, w),
+        ent(257, 3, 1, h),
+        ent(258, 3, 3, bps_off),
+        ent(259, 3, 1, 1),
+        ent(262, 3, 1, 2),
+        ent(273, 4, len(strips), so_off),
+        ent(277, 3, 1, 3),
+        ent(278, 3, 1, 1),
+        ent(279, 4, len(strips), sc_off),
+        ent(284, 3, 1, 2),
+    ]
+    out += struct.pack("<H", len(entries))
+    for x in entries:
+        out += x
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def test_hand_planar2_pin():
+    arr = decode_tiff(_hand_planar2_tiff())
+    assert arr is not None and arr.shape == (2, 3, 3)
+    for y in range(2):
+        for x in range(3):
+            assert tuple(arr[y, x]) == tuple(
+                10 * p + 3 * y + x for p in range(3)
+            ), (x, y)
+
+
+def test_hand_planar2_wrong_strip_count_refuses():
+    assert decode_tiff(_hand_planar2_tiff(bad_strip_count=True)) is None
+
+
+def test_tiled_legs_actually_compress():
+    """The tiled LZW leg's formula is linear in x (constant diffs
+    after Predictor 2) and the tiled deflate RGB leg is zlib — both
+    must beat raw size, i.e. the decoder demonstrably decompresses."""
+    from queryengine_spark.multimodal.tiff import tiff_tiled_params
+
+    a10 = 10
+    w, h = tiff_tiled_params(a10)
+    assert len(make_tiff(a10)) < w * h + 300
+    # the RGB formula is high-entropy mod-256, so deflate's win is on
+    # the PADDED tile stream (4 full 16×16×3 tiles), not raw w·h·3
+    a14 = 14
+    w, h = tiff_tiled_params(a14)
+    padded = (-(-w // 16) * 16) * (-(-h // 16) * 16) * 3
+    assert len(make_tiff(a14)) < padded
