@@ -2085,6 +2085,69 @@ def upsample_nn(
     return plane[np.ix_(yi, xi)]
 
 
+def upsample_centered(
+    plane: np.ndarray,
+    w: int,
+    h: int,
+    hv: tuple[int, int],
+    hvmax: tuple[int, int],
+) -> np.ndarray | None:
+    """CENTERED chroma upsample (r9, verdict item 5) — the JFIF
+    convention, pinned as the libjpeg triangle filter re-derived from
+    the public algorithm (jdsample.c h2v2_fancy_upsample: vertical
+    3:1 column sums toward the nearer row, then horizontal 3:1 with
+    alternating bias 8/7, >> 4 — all integer, so the oracle replays
+    it exactly):
+
+        out(x, y) = (9·C(xi,yi) + 3·C(xi,yf) + 3·C(xf,yi) + C(xf,yf)
+                     + (8 if x even else 7)) >> 4
+        xi = x//2;  xf = clamp(xi − 1) if x even else clamp(xi + 1)
+        (yi/yf likewise; edge clamp duplicates the boundary sample,
+        matching libjpeg's first/last-column special cases)
+
+    Scope matches libjpeg: the triangle filter exists only for
+    factor-2 axes, and this pinned variant applies it when BOTH axes
+    are factor 2 (the 4:2:0 case); every other geometry (4:4:4
+    identity, 4:1:1's factor-4 axis, mixed 4:2:2) falls back to the
+    nearest-neighbor index-floor map — the documented divergence from
+    libjpeg is then only 4:2:2, which the synthesizer never emits."""
+    ph, pw = plane.shape
+    if (ph, pw) == (h, w):
+        return plane
+    hc, vc = hv
+    hmax, vmax = hvmax
+    if not (hc * 2 == hmax and vc * 2 == vmax):
+        return upsample_nn(plane, w, h, hv, hvmax)
+    p = plane.astype(np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    yi = ys // 2
+    yf = np.where(ys % 2 == 0, np.maximum(yi - 1, 0), np.minimum(yi + 1, ph - 1))
+    colsum_i = 3 * p[yi, :] + p[yf, :]  # (h, pw), scaled ×4
+    xs = np.arange(w, dtype=np.int64)
+    xi = xs // 2
+    xf = np.where(xs % 2 == 0, np.maximum(xi - 1, 0), np.minimum(xi + 1, pw - 1))
+    bias = np.where(xs % 2 == 0, 8, 7)
+    return (3 * colsum_i[:, xi] + colsum_i[:, xf] + bias[None, :]) >> 4
+
+
+def planes3_to_rgb_centered(
+    w: int,
+    h: int,
+    planes: list[np.ndarray],
+    hv: list[tuple[int, int]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """The centered-upsample twin of :func:`planes3_to_rgb` (same
+    Rec.601 integer inverse, triangle-filtered chroma on 4:2:0)."""
+    hvmax = (max(hc for hc, _ in hv), max(vc for _, vc in hv))
+    ups = [
+        upsample_centered(p, w, h, hv[c], hvmax)
+        for c, p in enumerate(planes)
+    ]
+    if any(u is None for u in ups):
+        return None
+    return ycc_to_rgb_int(ups[0], ups[1], ups[2])
+
+
 def ycc_to_rgb_int(
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -2203,6 +2266,11 @@ JPEG_FULL_SCHEMA = StructType(
         StructField("sum_r", LongType(), True),
         StructField("sum_g", LongType(), True),
         StructField("sum_b", LongType(), True),
+        # r9: the CENTERED-upsample (JFIF/libjpeg triangle filter)
+        # twin of the NN RGB sums — differs only on 4:2:0 payloads
+        StructField("sum_r_c", LongType(), True),
+        StructField("sum_g_c", LongType(), True),
+        StructField("sum_b_c", LongType(), True),
     ]
 )
 
@@ -2268,19 +2336,23 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
     pix_cols = ("width", "height", "n_px", "sum_lum", "min_lum", "max_lum")
     co_cols = ("n_blocks", "sum_dc_dq", "sum_ac_dq", "sum_abs_ac_dq", "n_nonzero_ac")
     ycc_cols = ("sum_cb", "sum_cr")
-    rgb_cols = ("sum_r", "sum_g", "sum_b")
+    rgb_cols = ("sum_r", "sum_g", "sum_b", "sum_r_c", "sum_g_c", "sum_b_c")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def emit_rgb(out, w, h, planes, hv):
             rgb = planes3_to_rgb(w, h, planes, hv)
-            if rgb is None:
+            rgb_c = planes3_to_rgb_centered(w, h, planes, hv)
+            if rgb is None or rgb_c is None:
                 for k in rgb_cols:
                     out[k].append(None)
                 return
-            r, g, bl = rgb
-            out["sum_r"].append(int(r.sum()))
-            out["sum_g"].append(int(g.sum()))
-            out["sum_b"].append(int(bl.sum()))
+            for cols, (r, g, bl) in (
+                (("sum_r", "sum_g", "sum_b"), rgb),
+                (("sum_r_c", "sum_g_c", "sum_b_c"), rgb_c),
+            ):
+                out[cols[0]].append(int(r.sum()))
+                out[cols[1]].append(int(g.sum()))
+                out[cols[2]].append(int(bl.sum()))
 
         for pdf in batches:
             out = {
@@ -2398,9 +2470,8 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
                 out["n_nonzero_ac"].append(int((ac != 0).sum()))
                 out["sum_cb"].append(None)
                 out["sum_cr"].append(None)
-                out["sum_r"].append(None)
-                out["sum_g"].append(None)
-                out["sum_b"].append(None)
+                for k in rgb_cols:
+                    out[k].append(None)
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, JPEG_FULL_SCHEMA)

@@ -484,6 +484,20 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
 )
 
 
+#: chroma block-DC value template at native chroma pixel ({i}, {j})
+#: for component k (1=Cb, 2=Cr) — the r9 centered-upsample taps
+def _cdc_tpl(k: int) -> str:
+    return (
+        f"((asset_id + 13 * ({{i}} // 8) + 31 * ({{j}} // 8)"
+        f" + {k} * {YCC_C_MULT}) * {DC_MULT}) % {DC_MOD}"
+        f" + ({DC_OFF}) + 128"
+    )
+
+
+_CDC1 = _cdc_tpl(1)
+_CDC2 = _cdc_tpl(2)
+
+
 def _fdiv1000(num: str) -> str:
     """FLOOR division by 1000 in DuckDB (// truncates toward zero;
     RGB numerators go negative) — the repo's floor-mod idiom."""
@@ -630,6 +644,8 @@ pxterm AS (
   WHERE d.asset_id % 2 = 1),
 pxv AS (
   SELECT t.asset_id, t.bx, t.by,
+         CAST(t.bx * 8 + bu.tt AS BIGINT) AS px,
+         CAST(t.by * 8 + bv.tt AS BIGINT) AS py,
          GREATEST(0, LEAST(255, 128 + CAST(floor(
              (SUM(t.f * bu.bb * bv.bb) + {IDCT_BIAS})
              / {(1 << (2 * IDCT_SHIFT))}.0) AS BIGINT))) AS lum
@@ -733,7 +749,59 @@ rgbsums AS (
               - {_fdiv1000(f"{RGB_CB_G} * (cbv - 128) + {RGB_CR_G} * (crv - 128) + 500")}))) AS BIGINT) AS sum_g,
          CAST(SUM(wt * GREATEST(0, LEAST(255, yv
               + {_fdiv1000(f"{RGB_CB_B} * (cbv - 128) + 500")}))) AS BIGINT) AS sum_b
-  FROM rgbpx GROUP BY asset_id)
+  FROM rgbpx GROUP BY asset_id),
+-- r9 (verdict item 5): the CENTERED-upsample twin — the libjpeg
+-- triangle filter (9/3/3/1 taps, alternating bias 8/7, >> 4; edge
+-- clamp duplicates the boundary sample) replayed per FULL-RES pixel
+-- for the 4:2:0 legs; 4:4:4 / 4:1:1 keep the NN values by spec (the
+-- filter exists only for factor-2 axes — multimodal/jpeg.py::
+-- upsample_centered). Native chroma planes are 8bw × 8bh pixels.
+ctap AS MATERIALIZED (
+  SELECT d.asset_id, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y,
+         CAST(xx.i AS BIGINT) // 2 AS xi,
+         CASE WHEN xx.i % 2 = 0 THEN GREATEST(CAST(xx.i AS BIGINT) // 2 - 1, 0)
+              ELSE LEAST(CAST(xx.i AS BIGINT) // 2 + 1, 8 * d.bw - 1) END AS xf,
+         CAST(yy.i AS BIGINT) // 2 AS yi,
+         CASE WHEN yy.i % 2 = 0 THEN GREATEST(CAST(yy.i AS BIGINT) // 2 - 1, 0)
+              ELSE LEAST(CAST(yy.i AS BIGINT) // 2 + 1, 8 * d.bh - 1) END AS yf,
+         CASE WHEN xx.i % 2 = 0 THEN 8 ELSE 7 END AS bias
+  FROM dims d,
+       unnest(range(0, 16 * d.bw)) xx(i),
+       unnest(range(0, 16 * d.bh)) yy(i)
+  WHERE d.asset_id % 16 IN (4, 6, 11, 13, 15)),
+cc AS MATERIALIZED (
+  SELECT asset_id, x, y,
+         (9 * ({_CDC1.format(i='xi', j='yi')})
+          + 3 * ({_CDC1.format(i='xi', j='yf')})
+          + 3 * ({_CDC1.format(i='xf', j='yi')})
+          + ({_CDC1.format(i='xf', j='yf')}) + bias) // 16 AS cbv,
+         (9 * ({_CDC2.format(i='xi', j='yi')})
+          + 3 * ({_CDC2.format(i='xi', j='yf')})
+          + 3 * ({_CDC2.format(i='xf', j='yi')})
+          + ({_CDC2.format(i='xf', j='yf')}) + bias) // 16 AS crv
+  FROM ctap),
+crgbpx AS (
+  -- 4:2:0 DC legs: per-pixel luma from the block-DC formula
+  SELECT c.asset_id,
+         ((c.asset_id + 13 * (c.x // 8) + 31 * (c.y // 8))
+          * {DC_MULT}) % {DC_MOD} + ({DC_OFF}) + 128 AS yv,
+         c.cbv, c.crv
+  FROM cc c WHERE c.asset_id % 16 IN (4, 6)
+  UNION ALL
+  -- 4:2:0 AC legs: per-pixel luma from the IDCT replay
+  SELECT v.asset_id, v.lum AS yv, c.cbv, c.crv
+  FROM pxv v JOIN cc c
+    ON c.asset_id = v.asset_id AND c.x = v.px AND c.y = v.py
+  WHERE v.asset_id % 16 IN (11, 13, 15)),
+crgbsums AS (
+  SELECT asset_id,
+         CAST(SUM(GREATEST(0, LEAST(255, yv
+              + {_fdiv1000(f"{RGB_CR_R} * (crv - 128) + 500")}))) AS BIGINT) AS sum_r_c,
+         CAST(SUM(GREATEST(0, LEAST(255, yv
+              - {_fdiv1000(f"{RGB_CB_G} * (cbv - 128) + {RGB_CR_G} * (crv - 128) + 500")}))) AS BIGINT) AS sum_g_c,
+         CAST(SUM(GREATEST(0, LEAST(255, yv
+              + {_fdiv1000(f"{RGB_CB_B} * (cbv - 128) + 500")}))) AS BIGINT) AS sum_b_c
+  FROM crgbpx GROUP BY asset_id)
 SELECT s.asset_id,
        CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 16
                         WHEN s.asset_id % 16 IN (12, 14) THEN 32
@@ -776,13 +844,21 @@ SELECT s.asset_id,
                  AND s.asset_id % 16 NOT IN (11, 13, 15) THEN NULL
             ELSE COALESCE(y.sum_cr, z.sum_cr) END AS sum_cr,
        -- r8: full-res RGB for the 3-component legs (NULL elsewhere)
-       rg.sum_r AS sum_r, rg.sum_g AS sum_g, rg.sum_b AS sum_b
+       rg.sum_r AS sum_r, rg.sum_g AS sum_g, rg.sum_b AS sum_b,
+       -- r9: the centered-upsample twin (== NN outside 4:2:0)
+       CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15)
+            THEN cg.sum_r_c ELSE rg.sum_r END AS sum_r_c,
+       CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15)
+            THEN cg.sum_g_c ELSE rg.sum_g END AS sum_g_c,
+       CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15)
+            THEN cg.sum_b_c ELSE rg.sum_b END AS sum_b_c
 FROM dcsums s
 LEFT JOIN acsums a ON s.asset_id = a.asset_id
 LEFT JOIN ycc y ON s.asset_id = y.asset_id
 LEFT JOIN y420 z ON s.asset_id = z.asset_id
 LEFT JOIN acpix p ON s.asset_id = p.asset_id
 LEFT JOIN rgbsums rg ON s.asset_id = rg.asset_id
+LEFT JOIN crgbsums cg ON s.asset_id = cg.asset_id
 """
 
 
@@ -948,6 +1024,9 @@ _IMAGE_DECODE_COLS = [
     ("n_nonzero_ac", "bigint"),
     ("sum_cb", "bigint"),
     ("sum_cr", "bigint"),
+    ("sum_r_c", "bigint"),
+    ("sum_g_c", "bigint"),
+    ("sum_b_c", "bigint"),
 ]
 
 
@@ -991,7 +1070,7 @@ MULTIMODAL_IMAGE_DECODE_SQL = fold_sql(
          _IMG_BASE | {"sum_lum", "min_lum", "max_lum", "n_blocks",
                       "sum_dc_dq", "sum_ac_dq", "sum_abs_ac_dq",
                       "n_nonzero_ac", "sum_cb", "sum_cr", "sum_r", "sum_g",
-                      "sum_b"}),
+                      "sum_b", "sum_r_c", "sum_g_c", "sum_b_c"}),
     ],
     _IMAGE_DECODE_COLS,
 )

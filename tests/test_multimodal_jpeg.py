@@ -1224,7 +1224,7 @@ def test_multi3_single_decode_views_agree():
     )
 
     b = make_jpeg_prog_420(11)
-    w, h, arrs, planes = _multi3_from_prog(_decode_progressive(b))
+    w, h, arrs, planes, _hv = _multi3_from_prog(_decode_progressive(b))
     w2, h2, arrs2 = decode_jpeg_coeffs_prog3(b)
     _, _, planes2 = decode_jpeg_pixels_prog3(b)
     assert (w, h) == (w2, h2)
@@ -1232,9 +1232,101 @@ def test_multi3_single_decode_views_agree():
     assert all((x == y).all() for x, y in zip(planes, planes2))
 
     b = make_jpeg_420_ac(13, dri=False)
-    w, h, arrs, planes = _multi3_from_seq(_decode_sequential_multi(b))
+    w, h, arrs, planes, _hv2 = _multi3_from_seq(_decode_sequential_multi(b))
     w2, h2, arrs2 = decode_jpeg_seq_coeffs_multi(b)
     _, _, planes2 = decode_jpeg_pixels_seq_multi(b)
     assert (w, h) == (w2, h2)
     assert all((x == y).all() for x, y in zip(arrs, arrs2))
     assert all((x == y).all() for x, y in zip(planes, planes2))
+
+
+class TestCenteredUpsample:
+    """r9 (verdict item 5): the centered (JFIF/libjpeg triangle
+    filter) chroma upsample, pinned against an independent scalar
+    re-derivation and hand-computed values."""
+
+    def test_hand_vector_2x2(self):
+        import numpy as np
+
+        from queryengine_spark.multimodal.jpeg import upsample_centered
+
+        plane = np.array([[10, 50], [90, 130]], dtype=np.uint8)
+        out = upsample_centered(plane, 4, 4, (1, 1), (2, 2))
+        # hand-computed: corner (0,0) = full-weight duplicate = 10;
+        # (1,0): taps xi=0 xf=1 yi=0 yf=0 → (9*10+3*10+3*50+50+7)>>4
+        assert out[0, 0] == 10
+        assert out[0, 1] == (9 * 10 + 3 * 10 + 3 * 50 + 50 + 7) >> 4
+        assert out[1, 0] == (9 * 10 + 3 * 90 + 3 * 10 + 90 + 8) >> 4
+        assert out[1, 1] == (9 * 10 + 3 * 90 + 3 * 50 + 130 + 7) >> 4
+        # interior symmetry: (2,2) leans toward sample (1,1)
+        assert out[2, 2] == (9 * 130 + 3 * 50 + 3 * 90 + 10 + 8) >> 4
+        assert out.shape == (4, 4)
+
+    def test_matches_independent_scalar_loop(self):
+        import numpy as np
+
+        from queryengine_spark.multimodal.jpeg import upsample_centered
+
+        rng = [(3, 5), (4, 4), (2, 7)]
+        for ph, pw in rng:
+            plane = np.array(
+                [[(7 * i + 13 * j) % 256 for i in range(pw)] for j in range(ph)],
+                dtype=np.uint8,
+            )
+            h, w = 2 * ph, 2 * pw
+            got = upsample_centered(plane, w, h, (1, 1), (2, 2))
+            p = plane.astype(int)
+            for y in range(h):
+                yi = y // 2
+                yf = max(yi - 1, 0) if y % 2 == 0 else min(yi + 1, ph - 1)
+                for x in range(w):
+                    xi = x // 2
+                    xf = max(xi - 1, 0) if x % 2 == 0 else min(xi + 1, pw - 1)
+                    bias = 8 if x % 2 == 0 else 7
+                    want = (
+                        9 * p[yi][xi] + 3 * p[yf][xi] + 3 * p[yi][xf]
+                        + p[yf][xf] + bias
+                    ) >> 4
+                    assert got[y, x] == want, (ph, pw, x, y)
+
+    def test_non_420_falls_back_to_nn(self):
+        import numpy as np
+
+        from queryengine_spark.multimodal.jpeg import (
+            upsample_centered,
+            upsample_nn,
+        )
+
+        plane = np.arange(12, dtype=np.uint8).reshape(1, 12)
+        # 4:1:1 horizontal factor 4: centered == NN by spec
+        a = upsample_centered(plane, 48, 1, (1, 1), (4, 1))
+        b = upsample_nn(plane, 48, 1, (1, 1), (4, 1))
+        assert (a == b).all()
+
+    def test_full_stats_centered_equals_nn_outside_420(self, spark):
+        from queryengine_spark.multimodal.jpeg import (
+            jpeg_full_stats,
+            synthesize_jpeg_mixed,
+        )
+
+        ids = spark.createDataFrame(
+            [(i,) for i in range(64)], "asset_id long"
+        )
+        rows = jpeg_full_stats(synthesize_jpeg_mixed(ids)).collect()
+        saw_diff = saw_eq = 0
+        for r in rows:
+            if r["sum_r"] is None:
+                assert r["sum_r_c"] is None
+                continue
+            a = r["asset_id"]
+            if a % 16 in (4, 6, 11, 13, 15):  # 4:2:0: filter differs
+                if (r["sum_r"], r["sum_g"], r["sum_b"]) != (
+                    r["sum_r_c"], r["sum_g_c"], r["sum_b_c"]
+                ):
+                    saw_diff += 1
+            else:  # 4:4:4 / 4:1:1: centered == NN by spec
+                assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+                    r["sum_r_c"], r["sum_g_c"], r["sum_b_c"]
+                ), a
+                saw_eq += 1
+        assert saw_diff > 0 and saw_eq > 0
