@@ -495,16 +495,15 @@ def _html_page_col(d: DataFrame):
     )
 
 
-def _html_extract_cols(base: DataFrame, *extra: str) -> DataFrame:
-    """(doc_id, html) → the extraction output columns — the standard
-    pure-regex pipeline: (?s) non-greedy script/style block removal,
-    tag stripping, HTML-entity decoding with &amp; decoded LAST,
-    whitespace collapse. All Column expressions (zero UDF)."""
-    # two separate block patterns, not one with a backreference —
-    # RE2 (the oracle's engine) has no backrefs, and the split form
-    # parses identically under Java regex
+def html_clean_text(col: "F.Column") -> "F.Column":
+    """The standard extraction chain as ONE reusable Column (r9 —
+    shared by the batch query and the streaming WARC→WET gate): two
+    separate block patterns, not one with a backreference — RE2 (the
+    oracle's engine) has no backrefs, and the split form parses
+    identically under Java regex; entity decode with &amp; LAST;
+    whitespace collapse."""
     no_blocks = F.regexp_replace(
-        F.regexp_replace(F.col("html"), r"(?s)<script[^>]*>.*?</script>", " "),
+        F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " "),
         r"(?s)<style[^>]*>.*?</style>",
         " ",
     )
@@ -512,8 +511,15 @@ def _html_extract_cols(base: DataFrame, *extra: str) -> DataFrame:
     decoded = no_tags
     for ent, ch in _HTML_ENTITIES:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
-    withc = base.withColumn("clean", clean)
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+
+def _html_extract_cols(base: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, html) → the extraction output columns — the standard
+    pure-regex pipeline: (?s) non-greedy script/style block removal,
+    tag stripping, HTML-entity decoding with &amp; decoded LAST,
+    whitespace collapse. All Column expressions (zero UDF)."""
+    withc = base.withColumn("clean", html_clean_text(F.col("html")))
     return withc.select(
         *extra,
         "doc_id",

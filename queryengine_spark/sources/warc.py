@@ -556,3 +556,68 @@ def warc_record_stats(shards: DataFrame) -> DataFrame:
             )
 
     return shards.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+WARC_WET_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("rec_idx", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("uri_hash", LongType()),
+        StructField("html", StringType()),
+    ]
+)
+
+
+def warc_wet_payloads(shards: DataFrame) -> DataFrame:
+    """The WET-producer step as a batch op (r9, verdict item 7): walk
+    each shard's records for real and emit one row per usable page —
+    a ``response`` record whose ``application/http`` payload parses,
+    answered 200 with a ``text/html`` Content-Type, and whose body
+    decodes as UTF-8 (anything else is skipped record-level, exactly
+    the calls a CommonCrawl WET producer makes). The emitted ``html``
+    column is the HTTP body AFTER the header block is stripped; text
+    extraction composes downstream (queries/curation2.py's regex
+    chain / the streaming gate). Zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt = "warc.gz" if b[:2] == b"\x1f\x8b" else "warc"
+                recs = parse_warc(b)
+                if recs is None:
+                    continue
+                for i, (headers, body) in enumerate(recs):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    if http_msgtype(headers) != "response":
+                        continue
+                    parsed = parse_http_payload(body, "response")
+                    if parsed is None:
+                        continue
+                    status, hdrs, hbody = parsed
+                    if status != 200:
+                        continue
+                    if not hdrs.get("content-type", "").startswith("text/html"):
+                        continue
+                    try:
+                        html = hbody.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                    uri = headers.get("warc-target-uri")
+                    uh = (
+                        int(
+                            hashlib.md5(uri.encode()).hexdigest()[:URI_HASH_HEX],
+                            16,
+                        )
+                        if uri is not None
+                        else None
+                    )
+                    rows.append((int(sid), i, fmt, uh, html))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_WET_SCHEMA.fields]
+            )
+
+    return shards.mapInPandas(run, WARC_WET_SCHEMA)

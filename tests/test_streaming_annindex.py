@@ -204,3 +204,89 @@ def test_stream_quality_gate_equals_batch_scores(spark, sf_dir, tmp_path):
 
     got = sorted(tuple(r) for r in spark.read.parquet(gate).collect())
     assert got == ref and len(got) == arriving.count()
+
+
+def test_stream_warc_wet_gate_equals_batch(spark, sf_dir, tmp_path):
+    """r9 (verdict item 7): the full CommonCrawl ingest path —
+    container → record walk → HTTP header strip → text extraction →
+    frozen-weight quality gate — streamed in micro-batches must equal
+    the batch run of the same shards. The corpus mixes plain .warc
+    and record-per-gzip-member .warc.gz single-page shards, a
+    multi-record binary-body shard (its non-HTML records must be
+    skipped, not crash the batch), and one malformed shard (refused
+    whole, contributing nothing on either path)."""
+    from queryengine_spark.operators.curation import fit_feature_classifier
+    from queryengine_spark.queries.curation2 import html_clean_text
+    from queryengine_spark.sources.warc import (
+        _gzip_member,
+        make_warc_shard,
+        make_wet_record,
+        warc_wet_payloads,
+    )
+    from queryengine_spark.streaming import stream_warc_wet_gate
+    from queryengine_spark.operators.curation import serve_feature_classifier
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = fit_feature_classifier(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    assert len(weights) > 100
+
+    pages = docs.filter(F.col("doc_id") % 2 == 1).limit(60).collect()
+    shards = []
+    for r in pages:
+        did = int(r["doc_id"])
+        html = (
+            f"<html><head><style>b {{x}}</style></head><body><h1>D{did}"
+            f"</h1><p>{r['text']} &amp; tail</p></body></html>"
+        )
+        rec = make_wet_record(did, html.encode("utf-8"))
+        shards.append((did, bytearray(rec if did % 4 == 1 else _gzip_member(rec))))
+    # a multi-record shard with binary HTTP bodies (skipped per record)
+    shards.append((10_001, bytearray(make_warc_shard(4))))
+    # a malformed shard (refused whole)
+    shards.append((10_002, bytearray(b"WARC/9.9 garbage")))
+    sdf = spark.createDataFrame(shards, "shard_id long, payload binary")
+
+    def gate_batch(df):
+        wet = warc_wet_payloads(df).withColumn(
+            "text", html_clean_text(F.col("html"))
+        ).withColumn("rid", F.col("shard_id") * 1_000_000 + F.col("rec_idx"))
+        scored = serve_feature_classifier(wet, "rid", "text", weights)
+        return (
+            wet.select("rid", "shard_id", "rec_idx", "fmt", "uri_hash", "text")
+            .join(scored.withColumnRenamed("id", "rid"), "rid")
+            .drop("rid")
+        )
+
+    ref_rows = gate_batch(sdf).collect()
+    ref = sorted(tuple(r) for r in ref_rows)
+    assert len(ref) >= 55  # the single-page shards all pass the gate
+    # header bytes never leak into the extracted text
+    assert all(
+        "HTTP/1.1" not in r["text"] and "Content-Type" not in r["text"]
+        for r in ref_rows
+    )
+
+    watch = str(tmp_path / "warc_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        sdf.filter(F.col("shard_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    log = str(tmp_path / "warc_gate_log")
+    q = stream_warc_wet_gate(stream, weights, log)
+    q.awaitTermination()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(log)
+        .select(*gate_batch(sdf).columns)
+        .collect()
+    )
+    assert got == ref
