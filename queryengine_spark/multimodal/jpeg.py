@@ -290,6 +290,72 @@ def make_jpeg_dc(asset_id: int) -> bytes:
     return _container(bw, bh, _encode_scan(blocks))
 
 
+#: the shared-tables blob for ABBREVIATED streams (r9 — TIFF
+#: JPEGTables tag 347, TIFF TechNote 2): a JPEG stream holding only
+#: the table segments between SOI and EOI
+def jpeg_tables_blob() -> bytes:
+    quant = bytes([QUANT_DC] + [QUANT_AC] * 63)
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + quant)
+        + _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + b"\xff\xd9"
+    )
+
+
+def merge_jpeg_tables(tables: bytes, stream: bytes) -> bytes | None:
+    """Compose an ABBREVIATED JPEG stream with its shared-tables blob
+    (TIFF TechNote 2): the blob's segments (between its SOI and EOI)
+    are inserted right after the stream's SOI, yielding a complete
+    interchange stream for the ordinary decoders. Malformed blob or
+    stream → None."""
+    if (
+        len(tables) < 4
+        or tables[:2] != b"\xff\xd8"
+        or tables[-2:] != b"\xff\xd9"
+        or stream[:2] != b"\xff\xd8"
+    ):
+        return None
+    return stream[:2] + tables[2:-2] + stream[2:]
+
+
+def make_jpeg_gray_dc_grid(
+    w: int, h: int, dcs: list[list[int]], abbreviated: bool = False
+) -> bytes:
+    """Grayscale DC-only baseline JFIF with EXPLICIT dims (SOF states
+    w × h; decoders trim the block padding) and an explicit per-block
+    DC grid — the JPEG-in-TIFF strip/tile encoder (r9). With
+    ``abbreviated`` the stream omits DQT/DHT (the tables ship in the
+    TIFF JPEGTables tag instead)."""
+    bw, bh = -(-w // 8), -(-h // 8)
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = [0] * 64
+            coefs[0] = dcs[by][bx]
+            blocks.append(coefs)
+    scan = _encode_scan(blocks)
+    quant = bytes([QUANT_DC] + [QUANT_AC] * 63)
+    tables = (
+        b""
+        if abbreviated
+        else (
+            _seg(0xDB, b"\x00" + quant)
+            + _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+            + _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        )
+    )
+    return (
+        b"\xff\xd8"
+        + tables
+        + _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 #: chroma Huffman tables for the 3-component profile (r5): Annex K
 #: chroma DC; the AC table is a deliberately MINIMAL valid canonical
 #: table (two length-2 codes: EOB and run0/size1) — the decoder reads

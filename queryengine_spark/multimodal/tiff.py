@@ -16,9 +16,11 @@ Same discipline as the BMP/PNG/GIF/JPEG/WAV codecs:
   encoder/decoder bug pair can't cancel, plus a hypothesis PackBits
   round-trip property;
 - anything outside the implemented profile returns None (honest
-  refusal): JPEG-in-TIFF, bit depths other than 8, predictors other
-  than none/horizontal (tiles and planar configuration 2 decode for
-  real since r9).
+  refusal): bit depths other than 8, predictors other than
+  none/horizontal (tiles, planar configuration 2 AND JPEG-in-TIFF
+  all decode for real since r9 — no layout or codec refusals
+  remain; inside a JPEG strip the JPEG decoder's own gates apply,
+  e.g. arithmetic-coded scans refuse there).
 
 r8: LZW decompression (TIFF 6.0 §13) — TIFF's most common
 historical codec, the top remaining gap on archival/scan corpora.
@@ -56,6 +58,12 @@ only): the %4==2 slot splits further —
   %32==30 → PLANAR-CONFIGURATION-2 PackBits RGB (MM, tag 284=2):
             all of plane R's strips, then G's, then B's, recombined
             per pixel — predictor/differencing per PLANE row
+  %32==18 → JPEG-IN-TIFF (compression 7, TIFF TechNote 2): each
+            8-row strip is a REAL baseline JPEG stream decoded by
+            the in-repo JPEG engine; %64==50 ships ABBREVIATED
+            streams with the shared DQT/DHT in the JPEGTables tag
+            (347) merged back at decode. Pixel = block_dc formula
+            + 128 on the global (x//8, y//8) grid
 
 Formulas (w = 5 + a % TIF_W_MOD, h = 4 + a % TIF_H_MOD; tiled legs
 use w+16, h+16):
@@ -340,6 +348,8 @@ def _build_tiff(
     strips: list[bytes],
     predictor: int = 1,
     planar: int = 1,
+    jpegtables: bytes | None = None,
+    rows_per_strip: int = TIF_ROWS_PER_STRIP,
 ) -> bytes:
     """Assemble header + strip data + one IFD. Strip data precedes the
     IFD (offsets are therefore known up front); BitsPerSample for
@@ -348,7 +358,6 @@ def _build_tiff(
     284: ``strips`` must then hold all of plane 0's strips, then
     plane 1's, … (TIFF 6.0 PlanarConfiguration ordering)."""
     e = ">" if big_endian else "<"
-    rows_per_strip = TIF_ROWS_PER_STRIP
     n_strips = len(strips)
     pos = 8  # after header
     strip_offsets = []
@@ -367,6 +376,11 @@ def _build_tiff(
         pos += 4 * n_strips
         sc_off = pos
         pos += 4 * n_strips
+    jt_off = pos
+    if jpegtables is not None:
+        pos += len(jpegtables)
+        if pos % 2:
+            pos += 1
     ifd_off = pos
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -401,6 +415,9 @@ def _build_tiff(
         entries.append(entry(284, 3, 1, planar))  # PlanarConfiguration
     if predictor != 1:
         entries.append(entry(317, 3, 1, predictor))  # Predictor
+    if jpegtables is not None:
+        # JPEGTables (TIFF TechNote 2): type 7 UNDEFINED, out-of-line
+        entries.append(entry(347, 7, len(jpegtables), jt_off))
     entries.sort(key=lambda en: struct.unpack(f"{e}H", en[:2])[0])
     out = bytearray()
     out += struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
@@ -414,6 +431,11 @@ def _build_tiff(
     if n_strips > 1:
         out += struct.pack(f"{e}{n_strips}I", *strip_offsets)
         out += struct.pack(f"{e}{n_strips}I", *(len(s) for s in strips))
+    if jpegtables is not None:
+        assert len(out) == jt_off
+        out += jpegtables
+        if len(out) % 2:
+            out += b"\x00"
     assert len(out) == ifd_off
     out += struct.pack(f"{e}H", len(entries))
     for en in entries:
@@ -587,6 +609,37 @@ def make_tiff(asset_id: int) -> bytes:
             big_endian=True, w=w, h=h, spp=1, photometric=1,
             compression=32773, strips=strips,
         )
+    if a % 32 == 18:  # r9: JPEG-in-TIFF (compression 7), II
+        # strips are REAL baseline JPEG streams, one 8-row strip
+        # each; a % 64 == 50 ships ABBREVIATED streams with the
+        # shared tables in the JPEGTables tag (TIFF TechNote 2)
+        from queryengine_spark.multimodal.jpeg import (
+            DC_MOD,
+            DC_MULT,
+            DC_OFF,
+            jpeg_tables_blob,
+            make_jpeg_gray_dc_grid,
+        )
+
+        abbreviated = a % 64 == 50
+        bw = -(-w // 8)
+        strips = []
+        for k in range(-(-h // 8)):
+            rows_here = min(8, h - 8 * k)
+            dcs = [[
+                ((a + 13 * bx + 31 * k) * DC_MULT) % DC_MOD + DC_OFF
+                for bx in range(bw)
+            ]]
+            strips.append(
+                make_jpeg_gray_dc_grid(
+                    w, rows_here, dcs, abbreviated=abbreviated
+                )
+            )
+        return _build_tiff(
+            big_endian=False, w=w, h=h, spp=1, photometric=1,
+            compression=7, strips=strips, rows_per_strip=8,
+            jpegtables=jpeg_tables_blob() if abbreviated else None,
+        )
     if a % 16 == 10:  # r9: TILED LZW grayscale + Predictor 2, MM
         w2, h2 = tiff_tiled_params(a)
         tpr, tpc = -(-w2 // TIF_TILE), -(-h2 // TIF_TILE)
@@ -755,11 +808,32 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     tiled = 322 in ents or 323 in ents
     if not w or not h or photo is None or planar not in (1, 2):
         return None
-    if comp not in (1, 5, 8, 32773, 32946) or spp not in (1, 3):
+    if comp not in (1, 5, 7, 8, 32773, 32946) or spp not in (1, 3):
         return None
     if predictor not in (1, 2):
         return None
-    if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
+    if comp == 7:
+        # r9: JPEG-in-TIFF (TIFF TechNote 2 'new-style', tag 259=7):
+        # each strip/tile is a baseline JPEG stream — complete, or
+        # ABBREVIATED with the shared tables in JPEGTables (tag 347).
+        # Predictors and planar separation do not compose with JPEG.
+        if predictor != 1 or planar != 1:
+            return None
+        if photo not in (1, 6) or (photo == 6) != (spp == 3):
+            return None
+        jpegtables = None
+        if 347 in ents:
+            typ, count, raw = ents[347]
+            if typ not in (1, 7) or count < 4:
+                return None
+            if count <= 4:
+                jpegtables = bytes(raw[:count])
+            else:
+                (off,) = struct.unpack(f"{e}I", raw)
+                if off + count > len(b):
+                    return None
+                jpegtables = bytes(b[off : off + count])
+    elif photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
         return None
     bps = _values(b, e, ents[258]) if 258 in ents else [8] * spp
     if bps is None or len(bps) != spp or any(v != 8 for v in bps):
@@ -768,6 +842,29 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     def dechunk(chunk: bytes, n_rows: int, stride: int) -> bytes | None:
         """Decompress one strip/tile and undo the predictor; the
         result must be EXACTLY n_rows × stride bytes."""
+        if comp == 7:
+            from queryengine_spark.multimodal.jpeg import (
+                decode_jpeg_pixels,
+                decode_jpeg_rgb,
+                merge_jpeg_tables,
+            )
+
+            if jpegtables is not None:
+                chunk = merge_jpeg_tables(jpegtables, chunk)
+                if chunk is None:
+                    return None
+            if spp == 1:
+                arr = decode_jpeg_pixels(chunk)
+            else:
+                arr = decode_jpeg_rgb(chunk)
+            if arr is None:
+                return None
+            if arr.shape[0] != n_rows or arr.shape[1] * spp != stride:
+                return None
+            chunk = arr.astype(np.uint8).tobytes()
+            if len(chunk) != n_rows * stride:
+                return None
+            return chunk
         if comp == 32773:
             chunk = packbits_decode(chunk)
             if chunk is None:

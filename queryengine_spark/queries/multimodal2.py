@@ -664,6 +664,21 @@ _TIF_GRAY10_EXPR = (
 )
 
 
+from queryengine_spark.multimodal.jpeg import (  # noqa: E402
+    DC_MOD as _JDC_MOD,
+    DC_MULT as _JDC_MULT,
+    DC_OFF as _JDC_OFF,
+)
+
+#: the JPEG-in-TIFF leg's pixel formula (r9): each 8-row strip is a
+#: real baseline JPEG whose block DCs carry the block_dc formula —
+#: pixel = dc + 128, block-constant on the global (x//8, y//8) grid
+_TIF_JPEG_EXPR = (
+    f"((asset_id + 13*(x // 8) + 31*(y // 8)) * {_JDC_MULT})"
+    f" % {_JDC_MOD} + ({_JDC_OFF}) + 128"
+)
+
+
 def _tif_ch_expr(coef: tuple[int, int, int]) -> str:
     """Per-channel pixel CASE over the FULL r9 profile map: %4 ∈
     {0,1,3} legs, then the %4==2 slot split %8/%16/%32 — ≡10 (mod 16)
@@ -677,6 +692,7 @@ def _tif_ch_expr(coef: tuple[int, int, int]) -> str:
                 WHEN asset_id % 4 = 0 THEN {rgb}
                 WHEN asset_id % 4 = 1 THEN {_TIF_GRAY1_EXPR}
                 WHEN asset_id % 4 = 3 THEN {_TIF_GRAY3_EXPR}
+                WHEN asset_id % 32 = 18 THEN {_TIF_JPEG_EXPR}
                 WHEN asset_id % 16 = 10 THEN {_TIF_GRAY10_EXPR}
                 WHEN asset_id % 32 = 14 OR asset_id % 32 = 30 THEN {rgb}
                 WHEN asset_id % 8 = 6 THEN {_TIF_GRAY6_EXPR}

@@ -165,7 +165,8 @@ def test_refusals():
     assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 8)) is None
     # compression 32946 (legacy deflate alias) same refusal path
     assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 32946)) is None
-    # compression 7 (JPEG-in-TIFF): genuinely outside the profile
+    # compression 7 (JPEG-in-TIFF, decoded since r9) over a raw
+    # non-JPEG strip byte: refuses via the JPEG marker walk
     assert decode_tiff(_mutate(base, ifd + 12 * 3 + 8, "H", 7)) is None
     # compression 5 over a NON-LZW strip byte: the LZW walk hits a
     # truncated stream (no EOI) — None, never a short read
@@ -194,7 +195,7 @@ def test_refusals():
 # ----------------------------------------------- encoder/decoder sweep
 
 
-@pytest.mark.parametrize("a", list(range(48)))
+@pytest.mark.parametrize("a", list(range(64)))
 def test_roundtrip_matches_formula(a):
     from queryengine_spark.multimodal.tiff import (
         _pixel_gray0_stored,
@@ -219,6 +220,14 @@ def test_roundtrip_matches_formula(a):
                 exp = (v, v, v)
             elif a % 4 == 3:
                 v = _pixel_gray3(a, x, y)
+                exp = (v, v, v)
+            elif a % 32 == 18:  # r9 JPEG-in-TIFF leg
+                from queryengine_spark.multimodal.jpeg import (
+                    DC_MOD, DC_MULT, DC_OFF,
+                )
+
+                v = ((a + 13 * (x // 8) + 31 * (y // 8)) * DC_MULT) \
+                    % DC_MOD + DC_OFF + 128
                 exp = (v, v, v)
             elif a % 16 == 10:  # r9 tiled LZW + predictor-2 leg
                 v = _pixel_gray10(a, x, y)
@@ -658,3 +667,84 @@ def test_tiled_legs_actually_compress():
     w, h = tiff_tiled_params(a14)
     padded = (-(-w // 16) * 16) * (-(-h // 16) * 16) * 3
     assert len(make_tiff(a14)) < padded
+
+
+# --------------------------------------------- r9: JPEG-in-TIFF
+
+
+def test_jpeg_in_tiff_color_photometric6():
+    """Hand-assembled COLOR JPEG-in-TIFF (photometric 6 = YCbCr,
+    spp 3): a single strip holding a complete 3-component 4:4:4
+    DC-only JFIF stream the ordinary JPEG decoder serves as RGB —
+    a shape make_tiff never emits."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import (
+        decode_jpeg_rgb,
+        jpeg_params,
+        make_jpeg_ycc,
+    )
+    from queryengine_spark.multimodal.tiff import _build_tiff
+
+    a = 2  # any id: make_jpeg_ycc dims are block-aligned
+    bw, bh = jpeg_params(a)
+    w, h = bw * 8, bh * 8
+    stream = make_jpeg_ycc(a)
+    tif = _build_tiff(
+        big_endian=False, w=w, h=h, spp=3, photometric=6,
+        compression=7, strips=[stream], rows_per_strip=h,
+    )
+    arr = decode_tiff(tif)
+    want = decode_jpeg_rgb(stream)
+    assert arr is not None and arr.shape == (h, w, 3)
+    assert (arr == want).all()
+
+
+def test_jpeg_in_tiff_refusals():
+    from queryengine_spark.multimodal.jpeg import (
+        jpeg_tables_blob,
+        make_jpeg_gray_dc_grid,
+    )
+    from queryengine_spark.multimodal.tiff import _build_tiff
+
+    stream = make_jpeg_gray_dc_grid(8, 8, [[5]])
+    ok = _build_tiff(
+        big_endian=False, w=8, h=8, spp=1, photometric=1,
+        compression=7, strips=[stream], rows_per_strip=8,
+    )
+    assert decode_tiff(ok) is not None
+    # predictor 2 does not compose with JPEG compression
+    assert decode_tiff(_build_tiff(
+        big_endian=False, w=8, h=8, spp=1, photometric=1,
+        compression=7, strips=[stream], rows_per_strip=8, predictor=2,
+    )) is None
+    # photometric 2 (plain RGB) is not a JPEG-in-TIFF shape
+    assert decode_tiff(_build_tiff(
+        big_endian=False, w=8, h=8, spp=3, photometric=2,
+        compression=7, strips=[stream], rows_per_strip=8,
+    )) is None
+    # garbage strip bytes refuse via the JPEG parser
+    assert decode_tiff(_build_tiff(
+        big_endian=False, w=8, h=8, spp=1, photometric=1,
+        compression=7, strips=[b"\x00" * 40], rows_per_strip=8,
+    )) is None
+    # abbreviated stream WITHOUT the JPEGTables tag refuses
+    ab = make_jpeg_gray_dc_grid(8, 8, [[5]], abbreviated=True)
+    assert decode_tiff(_build_tiff(
+        big_endian=False, w=8, h=8, spp=1, photometric=1,
+        compression=7, strips=[ab], rows_per_strip=8,
+    )) is None
+    # wrong-dims stream (claims 16 wide in an 8-wide strip) refuses
+    wide = make_jpeg_gray_dc_grid(16, 8, [[5, 6]])
+    assert decode_tiff(_build_tiff(
+        big_endian=False, w=8, h=8, spp=1, photometric=1,
+        compression=7, strips=[wide], rows_per_strip=8,
+    )) is None
+    # and the abbreviated + tables pair decodes equal to inline
+    abt = _build_tiff(
+        big_endian=False, w=8, h=8, spp=1, photometric=1,
+        compression=7, strips=[ab], rows_per_strip=8,
+        jpegtables=jpeg_tables_blob(),
+    )
+    got = decode_tiff(abt)
+    assert got is not None and (got == decode_tiff(ok)).all()
