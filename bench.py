@@ -167,6 +167,7 @@ HEADLINE = [
     # round-6: WebDataset-style tar/zip shard ingestion
     "source_archive_shards",
     "source_warc_records",
+    "source_warc_cdx",
     # round-7: metadata-only footer profiling (stats faithfulness check)
     "source_footer_profile",
     # round-7: per-source distribution drift (integer TVD)

@@ -130,7 +130,11 @@ def source_warc_records(spark: SparkSession, sf: str) -> DataFrame:
 
 _CRLF_SQL = "chr(13) || chr(10)"
 
-SOURCE_WARC_RECORDS_SQL = f"""
+#: shared CTE prefix of the WARC oracles (r9): per-record type/
+#: status/site formulas, the exact serialized payload header text
+#: with its length / ASCII sum / hex encoding, and the response-body
+#: sum + hex
+_WARC_BASE_CTES = f"""
 WITH ids AS (SELECT doc_id AS shard_id FROM documents),
 cfg AS (SELECT shard_id, 3 + shard_id % {WARC_N_MOD} AS n FROM ids),
 base AS (SELECT shard_id, CAST(rr.i AS INT) AS rec_idx,
@@ -172,16 +176,25 @@ txt AS (SELECT shard_id, rec_idx,
 hsum AS (SELECT shard_id, rec_idx,
                 CAST(length(htext) AS BIGINT) AS hlen,
                 CAST(SUM(ord(substr(htext, CAST(k.i AS INT) + 1, 1)))
-                     AS BIGINT) AS hsum
+                     AS BIGINT) AS hsum,
+                string_agg(printf('%02x',
+                    ord(substr(htext, CAST(k.i AS INT) + 1, 1))),
+                    '' ORDER BY k.i) AS hhex
          FROM txt, unnest(range(0, length(htext))) k(i)
          GROUP BY shard_id, rec_idx, length(htext)),
 bodysum AS (SELECT shard_id, rec_idx,
                CAST(SUM(({WARC_PAY[0]} * shard_id + {WARC_PAY[1]} * rec_idx
                          + {WARC_PAY[2]} * CAST(jj.i AS BIGINT)) % 256)
-                    AS BIGINT) AS bsum
+                    AS BIGINT) AS bsum,
+               string_agg(printf('%02x',
+                   ({WARC_PAY[0]} * shard_id + {WARC_PAY[1]} * rec_idx
+                    + {WARC_PAY[2]} * CAST(jj.i AS BIGINT)) % 256),
+                   '' ORDER BY jj.i) AS bhex
         FROM base, unnest(range(0, body_len)) jj(i)
         WHERE rec_type = 'response'
-        GROUP BY shard_id, rec_idx)
+        GROUP BY shard_id, rec_idx)"""
+
+SOURCE_WARC_RECORDS_SQL = f"""{_WARC_BASE_CTES}
 SELECT b.shard_id, b.rec_idx,
        CASE WHEN b.shard_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END AS fmt,
        b.rec_type,
@@ -209,7 +222,86 @@ LEFT JOIN bodysum s USING (shard_id, rec_idx)
 """
 
 
+def source_warc_cdx(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX capture-index generation over the plain-container shards
+    (r9 — sources/warc.py::warc_cdx_records): the index CommonCrawl
+    publishes next to its WARCs. One row per response record with the
+    SURT key (host labels REALLY reversed from the parsed URI), the
+    14-digit timestamp reparsed from WARC-Date, HTTP status + media
+    type out of the application/http payload, the record's exact BYTE
+    SPAN within the shard, and the sha256-over-hex payload digest.
+
+    The oracle reconstructs the ENTIRE serialized record — the WARC
+    header text character for character (md5-derived record id, URI,
+    Content-Type, Content-Length digits) — so offset and rlength
+    certify the reader's byte accounting against the writer's
+    serialization with no shared code; the digest is recomputed from
+    the payload hex built out of the same formulas. Only even
+    shard_ids (the ``.warc`` flavor) are indexed here: a gzip
+    member's COMPRESSED span is not SQL-derivable, so the ``.warc.gz``
+    spans are certified by pytest instead (slice → standalone parse
+    == record, the actual ranged-read contract). Zero shuffle."""
+    from queryengine_spark.sources.warc import warc_cdx_records
+
+    ids = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("shard_id"))
+    )
+    return warc_cdx_records(synthesize_warc(ids))
+
+
+SOURCE_WARC_CDX_SQL = f"""{_WARC_BASE_CTES},
+wtxt AS (SELECT b.shard_id, b.rec_idx, b.rec_type, b.status, b.site,
+                h.hhex,
+                CASE WHEN b.rec_type = 'response' THEN h.hlen + b.body_len
+                     ELSE h.hlen END AS cl,
+                md5('warc:' || CAST(b.shard_id AS VARCHAR)
+                    || ':' || CAST(b.rec_idx AS VARCHAR)) AS rid
+         FROM base b JOIN hsum h USING (shard_id, rec_idx)
+         WHERE b.shard_id % 2 = 0),
+wlen AS (SELECT shard_id, rec_idx, rec_type, status, site, cl, hhex,
+    CAST(length(
+      'WARC/1.0' || {_CRLF_SQL}
+      || 'WARC-Type: ' || rec_type || {_CRLF_SQL}
+      || 'WARC-Record-ID: <urn:uuid:' || substr(rid, 1, 8) || '-'
+         || substr(rid, 9, 4) || '-' || substr(rid, 13, 4) || '-'
+         || substr(rid, 17, 4) || '-' || substr(rid, 21, 12) || '>'
+         || {_CRLF_SQL}
+      || 'WARC-Date: 2026-01-01T00:00:00Z' || {_CRLF_SQL}
+      || CASE WHEN rec_type = 'warcinfo' THEN ''
+              ELSE 'WARC-Target-URI: https://site'
+                   || CAST(site AS VARCHAR) || '.example/p'
+                   || CAST(rec_idx AS VARCHAR) || {_CRLF_SQL} END
+      || 'Content-Type: '
+      || CASE rec_type
+           WHEN 'response' THEN 'application/http; msgtype=response'
+           WHEN 'request' THEN 'application/http; msgtype=request'
+           ELSE 'application/warc-fields' END || {_CRLF_SQL}
+      || 'Content-Length: ' || CAST(cl AS VARCHAR)
+      || {_CRLF_SQL} || {_CRLF_SQL}
+    ) AS BIGINT) + cl + 4 AS reclen
+  FROM wtxt),
+offs AS (SELECT *,
+    COALESCE(SUM(reclen) OVER (PARTITION BY shard_id ORDER BY rec_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS roff
+  FROM wlen)
+SELECT o.shard_id, CAST(o.rec_idx AS INT) AS rec_idx, 'warc' AS fmt,
+       'example,site' || CAST(o.site AS VARCHAR) || ')/p'
+         || CAST(o.rec_idx AS VARCHAR) AS surt,
+       '20260101000000' AS ts,
+       'text/html' AS mime,
+       CAST(o.status AS INT) AS http_status,
+       CAST(o.roff AS BIGINT) AS "offset",
+       CAST(o.reclen AS BIGINT) AS rlength,
+       sha256(o.hhex || COALESCE(s.bhex, '')) AS digest
+FROM offs o LEFT JOIN bodysum s USING (shard_id, rec_idx)
+WHERE o.rec_type = 'response'
+"""
+
+
 QUERIES = {
     "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
     "source_warc_records": (source_warc_records, SOURCE_WARC_RECORDS_SQL),
+    "source_warc_cdx": (source_warc_cdx, SOURCE_WARC_CDX_SQL),
 }

@@ -274,7 +274,18 @@ def gzip_members(b: bytes) -> list[bytes] | None:
     Each member's CRC32 + ISIZE trailer is verified; reserved flag
     bits, truncation, or ANY trailing non-gzip bytes refuse the whole
     stream (None, never a short read)."""
-    out: list[bytes] = []
+    spans = gzip_member_spans(b)
+    if spans is None:
+        return None
+    return [raw for _, _, raw in spans]
+
+
+def gzip_member_spans(b: bytes) -> list[tuple[int, int, bytes]] | None:
+    """Like :func:`gzip_members` but each member also carries its
+    (offset, compressed length) span within the stream — the spans a
+    CDX index records so a reader can fetch ONE record's member with
+    a ranged read (r9)."""
+    out: list[tuple[int, int, bytes]] = []
     p = 0
     n = len(b)
     while p < n:
@@ -317,9 +328,9 @@ def gzip_members(b: bytes) -> list[bytes] | None:
             len(raw) & 0xFFFFFFFF
         ):
             return None
-        out.append(raw)
         # advance to the byte after this member's trailer
         consumed = (n - q) - len(d.unused_data) + 8
+        out.append((p, q + consumed - p, raw))
         p = q + consumed
     return out
 
@@ -395,6 +406,55 @@ def parse_warc(b: bytes) -> list[tuple[dict, bytes]] | None:
         out.append((rec[0], rec[1]))
         p = rec[2]
     return out
+
+
+def parse_warc_spans(
+    b: bytes,
+) -> list[tuple[int, int, dict, bytes]] | None:
+    """Like :func:`parse_warc` but each record carries its (offset,
+    length) BYTE SPAN within the shard — the CDX convention (r9): for
+    plain ``.warc`` the serialized record's span; for ``.warc.gz``
+    the record's gzip MEMBER span in the compressed stream, so a
+    ranged read of exactly those bytes yields one independently
+    decompressable record (the point of record-at-time compression)."""
+    if b[:2] == b"\x1f\x8b":
+        spans = gzip_member_spans(b)
+        if spans is None:
+            return None
+        out = []
+        for off, ln, m in spans:
+            rec = _parse_one_record(m, 0)
+            if rec is None or rec[2] != len(m):
+                return None
+            out.append((off, ln, rec[0], rec[1]))
+        return out
+    out = []
+    p = 0
+    while p < len(b):
+        rec = _parse_one_record(b, p)
+        if rec is None:
+            return None
+        out.append((p, rec[2] - p, rec[0], rec[1]))
+        p = rec[2]
+    return out
+
+
+def surt(uri: str) -> str | None:
+    """Sort-friendly URI Reordering Transform — the CDX key
+    convention (public spec: github.com/internetarchive/surt): strip
+    the scheme, reverse the host labels comma-joined, close with
+    ``)`` and append the path. ``https://news.site7.example/p3`` →
+    ``example,site7,news)/p3``. Userinfo/ports/queries are not part
+    of the synthesized corpus; a URI without a ``://`` refuses."""
+    if "://" not in uri:
+        return None
+    rest = uri.split("://", 1)[1]
+    host, slash, path = rest.partition("/")
+    if not host:
+        return None
+    return ",".join(reversed(host.lower().split("."))) + ")" + (
+        "/" + path if slash else "/"
+    )
 
 
 def http_msgtype(warc_headers: dict) -> str | None:
@@ -556,6 +616,88 @@ def warc_record_stats(shards: DataFrame) -> DataFrame:
             )
 
     return shards.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+WARC_CDX_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("rec_idx", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("surt", StringType()),
+        StructField("ts", StringType()),
+        StructField("mime", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("rlength", LongType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def warc_cdx_records(shards: DataFrame) -> DataFrame:
+    """CDX capture-index generation (r9) — the index CommonCrawl
+    publishes next to its WARCs so captures are randomly accessible:
+    one row per RESPONSE record with the SURT key, the 14-digit
+    capture timestamp (really reparsed from WARC-Date), the HTTP
+    status and media type parsed out of the ``application/http``
+    payload, the record's byte span within the shard (plain: the
+    serialized record; .gz: the gzip MEMBER — a ranged read of
+    exactly those bytes replays the record), and a payload digest.
+
+    Digest convention: sha256 over the payload's LOWERCASE HEX
+    encoding — hex-injective, so dedup semantics match CommonCrawl's
+    sha1-base32 while staying replayable in engines whose hash
+    functions take strings (the repo's engine-portable-hash
+    discipline). Zero shuffle."""
+    import datetime
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt = "warc.gz" if b[:2] == b"\x1f\x8b" else "warc"
+                recs = parse_warc_spans(b)
+                if recs is None:
+                    continue
+                for i, (off, ln, headers, body) in enumerate(recs):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    if http_msgtype(headers) != "response":
+                        continue
+                    parsed = parse_http_payload(body, "response")
+                    if parsed is None:
+                        continue
+                    status, hdrs, _ = parsed
+                    uri = headers.get("warc-target-uri")
+                    key = surt(uri) if uri is not None else None
+                    if key is None:
+                        continue
+                    try:
+                        ts = datetime.datetime.strptime(
+                            headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
+                        ).strftime("%Y%m%d%H%M%S")
+                    except ValueError:
+                        continue
+                    rows.append(
+                        (
+                            int(sid),
+                            i,
+                            fmt,
+                            key,
+                            ts,
+                            hdrs.get("content-type", "").split(";")[0],
+                            status,
+                            off,
+                            ln,
+                            hashlib.sha256(body.hex().encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_CDX_SCHEMA.fields]
+            )
+
+    return shards.mapInPandas(run, WARC_CDX_SCHEMA)
 
 
 WARC_WET_SCHEMA = StructType(

@@ -619,3 +619,100 @@ class TestWarcHttpPayloads:
         assert set(warc_record_stats(sdf).columns) == {
             f.name for f in WARC_RECORD_SCHEMA.fields
         }
+
+
+class TestWarcCdx:
+    """r9: CDX capture-index generation — byte spans must honor the
+    RANGED-READ contract (slice exactly [offset, offset+length) out
+    of the shard and get one independently parseable record), for
+    both container flavors."""
+
+    def test_plain_spans_slice_to_exact_records(self):
+        from queryengine_spark.sources.warc import (
+            make_warc_shard,
+            parse_warc,
+            parse_warc_spans,
+            warc_n_records,
+        )
+
+        for sid in (0, 4, 10):  # even → plain
+            shard = make_warc_shard(sid)
+            spans = parse_warc_spans(shard)
+            assert len(spans) == warc_n_records(sid)
+            pos = 0
+            for off, ln, headers, payload in spans:
+                assert off == pos  # records are back to back
+                piece = shard[off : off + ln]
+                [(h2, p2)] = parse_warc(piece)  # standalone parse
+                assert h2 == headers and p2 == payload
+                pos = off + ln
+            assert pos == len(shard)  # spans tile the shard exactly
+
+    def test_gz_member_spans_slice_to_exact_records(self):
+        from queryengine_spark.sources.warc import (
+            make_warc_shard,
+            parse_warc,
+            parse_warc_spans,
+            warc_n_records,
+        )
+
+        for sid in (1, 5, 11):  # odd → record-per-member .warc.gz
+            shard = make_warc_shard(sid)
+            spans = parse_warc_spans(shard)
+            assert len(spans) == warc_n_records(sid)
+            pos = 0
+            for off, ln, headers, payload in spans:
+                assert off == pos
+                piece = shard[off : off + ln]
+                # the sliced member is a complete .gz shard of ONE
+                # record — the CommonCrawl ranged-read contract
+                [(h2, p2)] = parse_warc(piece)
+                assert h2 == headers and p2 == payload
+                pos = off + ln
+            assert pos == len(shard)
+
+    def test_surt(self):
+        from queryengine_spark.sources.warc import surt
+
+        assert surt("https://news.site7.example/p3") == "example,site7,news)/p3"
+        assert surt("https://site0.example/p1") == "example,site0)/p1"
+        assert surt("http://Host.Example") == "example,host)/"
+        assert surt("no-scheme") is None
+
+    def test_cdx_rows_match_python_reference(self, spark):
+        import hashlib
+
+        from queryengine_spark.sources.warc import (
+            http_msgtype,
+            parse_http_payload,
+            parse_warc_spans,
+            make_warc_shard,
+            synthesize_warc,
+            warc_cdx_records,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(12)], "shard_id long")
+        got = {
+            (r["shard_id"], r["rec_idx"]): r
+            for r in warc_cdx_records(synthesize_warc(ids)).collect()
+        }
+        n = 0
+        for sid in range(12):
+            shard = make_warc_shard(sid)
+            for i, (off, ln, headers, payload) in enumerate(
+                parse_warc_spans(shard)
+            ):
+                if headers.get("warc-type") != "response":
+                    continue
+                n += 1
+                r = got[(sid, i)]
+                status, hdrs, _ = parse_http_payload(payload, "response")
+                assert r["offset"] == off and r["rlength"] == ln
+                assert r["http_status"] == status
+                assert r["ts"] == "20260101000000"
+                assert r["mime"] == "text/html"
+                assert r["digest"] == hashlib.sha256(
+                    payload.hex().encode()
+                ).hexdigest()
+                assert r["fmt"] == ("warc" if sid % 2 == 0 else "warc.gz")
+        assert len(got) == n and n > 10
