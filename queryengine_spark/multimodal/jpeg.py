@@ -495,6 +495,16 @@ def make_jpeg_411(asset_id: int, dri: bool) -> bytes:
     return _make_jpeg_sub(asset_id, 4, 1, dri)
 
 
+def make_jpeg_422(asset_id: int, dri: bool) -> bytes:
+    """YCbCr 4:2:2 twin of :func:`make_jpeg_420` (r9): Y samples 2×1
+    (the broadcast/interchange chroma layout — the last common
+    sampling the mixed corpus lacked), so each MCU covers 16×8 pixels
+    and interleaves TWO horizontally-adjacent Y blocks + one Cb + one
+    Cr. Dimensions 16·mw × 8·mh; luma grid 2mw×mh blocks, chroma
+    mw×mh."""
+    return _make_jpeg_sub(asset_id, 2, 1, dri)
+
+
 def _make_jpeg_sub(
     asset_id: int, hy: int, vy: int, dri: bool, luma_ac: bool = False
 ) -> bytes:
@@ -2172,28 +2182,43 @@ def upsample_centered(
         matching libjpeg's first/last-column special cases)
 
     Scope matches libjpeg: the triangle filter exists only for
-    factor-2 axes, and this pinned variant applies it when BOTH axes
-    are factor 2 (the 4:2:0 case); every other geometry (4:4:4
-    identity, 4:1:1's factor-4 axis, mixed 4:2:2) falls back to the
-    nearest-neighbor index-floor map — the documented divergence from
-    libjpeg is then only 4:2:2, which the synthesizer never emits."""
+    factor-2 axes — BOTH axes factor 2 uses the two-pass h2v2 form
+    above; exactly ONE factor-2 axis (4:2:2 / 4:4:0, r9) uses the
+    single-axis h2v1 form ((3·near + far + bias) >> 2, bias 1/2
+    alternating, edge duplicates); every other factor (4:4:4
+    identity, 4:1:1's factor-4 axis) keeps the nearest-neighbor
+    index-floor map, as libjpeg does."""
     ph, pw = plane.shape
     if (ph, pw) == (h, w):
         return plane
     hc, vc = hv
     hmax, vmax = hvmax
-    if not (hc * 2 == hmax and vc * 2 == vmax):
-        return upsample_nn(plane, w, h, hv, hvmax)
+    fx2 = hc * 2 == hmax and pw * 2 == w
+    fy2 = vc * 2 == vmax and ph * 2 == h
     p = plane.astype(np.int64)
-    ys = np.arange(h, dtype=np.int64)
-    yi = ys // 2
-    yf = np.where(ys % 2 == 0, np.maximum(yi - 1, 0), np.minimum(yi + 1, ph - 1))
-    colsum_i = 3 * p[yi, :] + p[yf, :]  # (h, pw), scaled ×4
-    xs = np.arange(w, dtype=np.int64)
-    xi = xs // 2
-    xf = np.where(xs % 2 == 0, np.maximum(xi - 1, 0), np.minimum(xi + 1, pw - 1))
-    bias = np.where(xs % 2 == 0, 8, 7)
-    return (3 * colsum_i[:, xi] + colsum_i[:, xf] + bias[None, :]) >> 4
+    if fx2 and fy2:
+        ys = np.arange(h, dtype=np.int64)
+        yi = ys // 2
+        yf = np.where(ys % 2 == 0, np.maximum(yi - 1, 0), np.minimum(yi + 1, ph - 1))
+        colsum_i = 3 * p[yi, :] + p[yf, :]  # (h, pw), scaled ×4
+        xs = np.arange(w, dtype=np.int64)
+        xi = xs // 2
+        xf = np.where(xs % 2 == 0, np.maximum(xi - 1, 0), np.minimum(xi + 1, pw - 1))
+        bias = np.where(xs % 2 == 0, 8, 7)
+        return (3 * colsum_i[:, xi] + colsum_i[:, xf] + bias[None, :]) >> 4
+    if fx2 and ph == h:  # h2v1: horizontal triangle only (4:2:2)
+        xs = np.arange(w, dtype=np.int64)
+        xi = xs // 2
+        xf = np.where(xs % 2 == 0, np.maximum(xi - 1, 0), np.minimum(xi + 1, pw - 1))
+        bias = np.where(xs % 2 == 0, 1, 2)
+        return (3 * p[:, xi] + p[:, xf] + bias[None, :]) >> 2
+    if fy2 and pw == w:  # h1v2: vertical triangle only (4:4:0)
+        ys = np.arange(h, dtype=np.int64)
+        yi = ys // 2
+        yf = np.where(ys % 2 == 0, np.maximum(yi - 1, 0), np.minimum(yi + 1, ph - 1))
+        bias = np.where(ys % 2 == 0, 1, 2)
+        return (3 * p[yi, :] + p[yf, :] + bias[:, None]) >> 2
+    return upsample_nn(plane, w, h, hv, hvmax)
 
 
 def planes3_to_rgb_centered(
@@ -2371,6 +2396,8 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
         r8 = a % 8
         if r8 == 0:
             return make_jpeg_dc(a)
+        if a % 16 == 10:  # r9: YCbCr 4:2:2 (luma 2x1)
+            return make_jpeg_422(a, dri=False)
         if r8 == 2:
             return make_jpeg_ycc(a)
         if a % 16 in (4, 6):

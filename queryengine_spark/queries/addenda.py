@@ -664,7 +664,7 @@ blk3 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
                  + ({DC_OFF}) AS dc
         FROM dims d, unnest(range(0, d.bw)) xx(i),
              unnest(range(0, d.bh)) yy(i), unnest([0, 1, 2]) cc(c)
-        WHERE d.asset_id % 8 = 2),
+        WHERE d.asset_id % 16 = 2),
 ycc AS (SELECT asset_id,
                CAST(SUM(CASE WHEN comp = 1 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cb,
                CAST(SUM(CASE WHEN comp = 2 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_cr,
@@ -683,12 +683,12 @@ blk420 AS (SELECT d.asset_id, d.bw, d.bh, CAST(cc.c AS BIGINT) AS comp,
                  + ({DC_OFF}) AS dc
         FROM dims d, unnest([0, 1, 2]) cc(c),
              unnest(range(0, CASE WHEN cc.c > 0 THEN d.bw
-                                  WHEN d.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 2 * d.bw
+                                  WHEN d.asset_id % 16 IN (4, 6, 10, 11, 13, 15) THEN 2 * d.bw
                                   ELSE 4 * d.bw END)) xx(i),
              unnest(range(0, CASE WHEN cc.c > 0 THEN d.bh
                                   WHEN d.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 2 * d.bh
                                   ELSE d.bh END)) yy(i)
-        WHERE d.asset_id % 8 IN (4, 6) OR d.asset_id % 16 IN (11, 13, 15)),
+        WHERE d.asset_id % 8 IN (4, 6) OR d.asset_id % 16 IN (10, 11, 13, 15)),
 y420 AS (SELECT asset_id,
                CAST(SUM(CASE WHEN comp = 0 THEN 64 * (dc + 128) END) AS BIGINT) AS sum_lum,
                CAST(MIN(CASE WHEN comp = 0 THEN dc END) + 128 AS INT) AS min_lum,
@@ -721,10 +721,12 @@ rgbdcpx AS (
            + 2 * {YCC_C_MULT}) * {DC_MULT}) % {DC_MOD}
            + ({DC_OFF}) + 128 AS crv
   FROM dims d,
-       LATERAL (SELECT CASE WHEN d.asset_id % 8 = 2 THEN 1
+       LATERAL (SELECT CASE WHEN d.asset_id % 16 = 10 THEN 2
+                            WHEN d.asset_id % 8 = 2 THEN 1
                             WHEN d.asset_id % 16 IN (12, 14) THEN 4
                             ELSE 2 END AS hy,
-                       CASE WHEN d.asset_id % 8 = 2 THEN 1
+                       CASE WHEN d.asset_id % 16 = 10 THEN 1
+                            WHEN d.asset_id % 8 = 2 THEN 1
                             WHEN d.asset_id % 16 IN (12, 14) THEN 1
                             ELSE 2 END AS vy) s,
        unnest(range(0, s.hy * d.bw)) xx(i),
@@ -780,6 +782,27 @@ cc AS MATERIALIZED (
           + 3 * ({_CDC2.format(i='xf', j='yi')})
           + ({_CDC2.format(i='xf', j='yf')}) + bias) // 16 AS crv
   FROM ctap),
+-- r9: the 4:2:2 leg's centered chroma is the SINGLE-AXIS (h2v1)
+-- triangle: (3·near + far + bias) >> 2, bias 1/2 alternating on x,
+-- vertical identity (native chroma rows == full rows)
+cc22 AS MATERIALIZED (
+  SELECT d.asset_id, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y,
+         (3 * ({_CDC1.format(i='xi', j='CAST(yy.i AS BIGINT)')})
+          + ({_CDC1.format(i='xf', j='CAST(yy.i AS BIGINT)')})
+          + bias) // 4 AS cbv,
+         (3 * ({_CDC2.format(i='xi', j='CAST(yy.i AS BIGINT)')})
+          + ({_CDC2.format(i='xf', j='CAST(yy.i AS BIGINT)')})
+          + bias) // 4 AS crv
+  FROM dims d,
+       unnest(range(0, 16 * d.bw)) xx(i),
+       unnest(range(0, 8 * d.bh)) yy(i),
+       LATERAL (SELECT CAST(xx.i AS BIGINT) // 2 AS xi,
+                       CASE WHEN xx.i % 2 = 0
+                            THEN GREATEST(CAST(xx.i AS BIGINT) // 2 - 1, 0)
+                            ELSE LEAST(CAST(xx.i AS BIGINT) // 2 + 1,
+                                       8 * d.bw - 1) END AS xf,
+                       CASE WHEN xx.i % 2 = 0 THEN 1 ELSE 2 END AS bias) t
+  WHERE d.asset_id % 16 = 10),
 crgbpx AS (
   -- 4:2:0 DC legs: per-pixel luma from the block-DC formula
   SELECT c.asset_id,
@@ -787,6 +810,13 @@ crgbpx AS (
           * {DC_MULT}) % {DC_MOD} + ({DC_OFF}) + 128 AS yv,
          c.cbv, c.crv
   FROM cc c WHERE c.asset_id % 16 IN (4, 6)
+  UNION ALL
+  -- 4:2:2 DC leg (r9): same per-pixel luma formula, h2v1 chroma
+  SELECT c.asset_id,
+         ((c.asset_id + 13 * (c.x // 8) + 31 * (c.y // 8))
+          * {DC_MULT}) % {DC_MOD} + ({DC_OFF}) + 128 AS yv,
+         c.cbv, c.crv
+  FROM cc22 c
   UNION ALL
   -- 4:2:0 AC legs: per-pixel luma from the IDCT replay
   SELECT v.asset_id, v.lum AS yv, c.cbv, c.crv
@@ -803,30 +833,37 @@ crgbsums AS (
               + {_fdiv1000(f"{RGB_CB_B} * (cbv - 128) + 500")}))) AS BIGINT) AS sum_b_c
   FROM crgbpx GROUP BY asset_id)
 SELECT s.asset_id,
-       CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 16
+       CAST(s.bw * CASE WHEN s.asset_id % 16 IN (4, 6, 10, 11, 13, 15) THEN 16
                         WHEN s.asset_id % 16 IN (12, 14) THEN 32
                         ELSE 8 END AS INT) AS width,
        CAST(s.bh * CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15) THEN 16
                         ELSE 8 END AS INT) AS height,
        CASE WHEN s.asset_id % 16 IN (11, 13, 15)
             THEN CAST(s.bw * s.bh * 256 AS BIGINT)
+            WHEN s.asset_id % 16 = 10
+            THEN CAST(s.bw * s.bh * 128 AS BIGINT)
             WHEN s.asset_id % 8 IN (4, 6)
             THEN CAST(s.bw * s.bh * 256 AS BIGINT)
             ELSE CAST(s.bw * s.bh * 64 AS BIGINT) END AS n_px,
        CASE WHEN s.asset_id % 2 = 1 THEN p.sum_lum
-            WHEN s.asset_id % 8 IN (4, 6) THEN z.sum_lum
+            WHEN s.asset_id % 8 IN (4, 6) OR s.asset_id % 16 = 10
+            THEN z.sum_lum
             ELSE s.sum_lum END AS sum_lum,
        CASE WHEN s.asset_id % 2 = 1 THEN p.min_lum
-            WHEN s.asset_id % 8 IN (4, 6) THEN z.min_lum
+            WHEN s.asset_id % 8 IN (4, 6) OR s.asset_id % 16 = 10
+            THEN z.min_lum
             ELSE s.min_lum END AS min_lum,
        CASE WHEN s.asset_id % 2 = 1 THEN p.max_lum
-            WHEN s.asset_id % 8 IN (4, 6) THEN z.max_lum
+            WHEN s.asset_id % 8 IN (4, 6) OR s.asset_id % 16 = 10
+            THEN z.max_lum
             ELSE s.max_lum END AS max_lum,
-       CAST(CASE WHEN s.asset_id % 8 = 2 THEN 3 * s.bw * s.bh
+       CAST(CASE WHEN s.asset_id % 16 = 10 THEN 4 * s.bw * s.bh
+                 WHEN s.asset_id % 8 = 2 THEN 3 * s.bw * s.bh
                  WHEN s.asset_id % 8 IN (4, 6) THEN 6 * s.bw * s.bh
                  WHEN s.asset_id % 16 IN (11, 13, 15) THEN 6 * s.bw * s.bh
                  ELSE s.bw * s.bh END AS BIGINT) AS n_blocks,
-       CAST(CASE WHEN s.asset_id % 8 = 2 THEN y.dc3_dq
+       CAST(CASE WHEN s.asset_id % 16 = 10 THEN z.dc420_dq
+                 WHEN s.asset_id % 8 = 2 THEN y.dc3_dq
                  WHEN s.asset_id % 8 IN (4, 6) THEN z.dc420_dq
                  WHEN s.asset_id % 16 IN (11, 13, 15) THEN z.dc420_dq
                  ELSE s.sum_dc_dq END AS BIGINT) AS sum_dc_dq,
@@ -846,11 +883,11 @@ SELECT s.asset_id,
        -- r8: full-res RGB for the 3-component legs (NULL elsewhere)
        rg.sum_r AS sum_r, rg.sum_g AS sum_g, rg.sum_b AS sum_b,
        -- r9: the centered-upsample twin (== NN outside 4:2:0)
-       CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15)
+       CASE WHEN s.asset_id % 16 IN (4, 6, 10, 11, 13, 15)
             THEN cg.sum_r_c ELSE rg.sum_r END AS sum_r_c,
-       CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15)
+       CASE WHEN s.asset_id % 16 IN (4, 6, 10, 11, 13, 15)
             THEN cg.sum_g_c ELSE rg.sum_g END AS sum_g_c,
-       CASE WHEN s.asset_id % 16 IN (4, 6, 11, 13, 15)
+       CASE WHEN s.asset_id % 16 IN (4, 6, 10, 11, 13, 15)
             THEN cg.sum_b_c ELSE rg.sum_b END AS sum_b_c
 FROM dcsums s
 LEFT JOIN acsums a ON s.asset_id = a.asset_id

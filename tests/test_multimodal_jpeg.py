@@ -1319,7 +1319,7 @@ class TestCenteredUpsample:
                 assert r["sum_r_c"] is None
                 continue
             a = r["asset_id"]
-            if a % 16 in (4, 6, 11, 13, 15):  # 4:2:0: filter differs
+            if a % 16 in (4, 6, 10, 11, 13, 15):  # 4:2:0 / 4:2:2 differ
                 if (r["sum_r"], r["sum_g"], r["sum_b"]) != (
                     r["sum_r_c"], r["sum_g_c"], r["sum_b_c"]
                 ):
@@ -1330,3 +1330,46 @@ class TestCenteredUpsample:
                 ), a
                 saw_eq += 1
         assert saw_diff > 0 and saw_eq > 0
+
+
+def test_422_leg_decodes_to_formula():
+    """r9: the 4:2:2 (luma 2×1) profile — per-component planes match
+    block_dc3 at each plane's native resolution, and the h2v1
+    centered chroma matches an independent scalar loop."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import (
+        block_dc3,
+        decode_jpeg_dc_planes_hv,
+        jpeg_params,
+        make_jpeg_422,
+        planes3_to_rgb_centered,
+        upsample_centered,
+    )
+
+    for aid in (10, 26, 42):
+        bw, bh = jpeg_params(aid)
+        w, h, planes, hv = decode_jpeg_dc_planes_hv(make_jpeg_422(aid, False))
+        assert (w, h) == (16 * bw, 8 * bh)
+        assert hv == [(2, 1), (1, 1), (1, 1)]
+        assert planes[0].shape == (8 * bh, 16 * bw)
+        assert planes[1].shape == (8 * bh, 8 * bw)
+        for c in range(3):
+            p = planes[c]
+            for by in range(p.shape[0] // 8):
+                for bx in range(p.shape[1] // 8):
+                    assert (
+                        p[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+                        == block_dc3(aid, c, bx, by) + 128
+                    ).all(), (aid, c, bx, by)
+        # h2v1 centered == scalar re-derivation on the Cb plane
+        got = upsample_centered(planes[1], w, h, (1, 1), (2, 1))
+        pl = planes[1].astype(int)
+        pw = pl.shape[1]
+        for y in (0, h - 1):
+            for x in range(w):
+                xi = x // 2
+                xf = max(xi - 1, 0) if x % 2 == 0 else min(xi + 1, pw - 1)
+                bias = 1 if x % 2 == 0 else 2
+                assert got[y, x] == (3 * pl[y][xi] + pl[y][xf] + bias) >> 2
+        assert planes3_to_rgb_centered(w, h, planes, hv) is not None
