@@ -850,3 +850,26 @@ def stream_warc_wet_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+def stream_warc_cdx(shards: DataFrame, path: str):
+    """Incremental CDX indexing at ingest (r9): each micro-batch of
+    raw WARC shards runs the span-tracking record walk
+    (sources/warc.py::warc_cdx_records) and appends its CDX rows to
+    the parquet index — how a crawler keeps its capture index current
+    as segments land, without re-reading old shards. foreachBatch
+    because indexing is a stateless per-shard map; the sink append is
+    idempotent by (shard_id, rec_idx). Returns the started query
+    (availableNow trigger)."""
+    from queryengine_spark.sources.warc import warc_cdx_records
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warc_cdx_records(batch_df).write.mode("append").parquet(path)
+
+    return (
+        shards.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+

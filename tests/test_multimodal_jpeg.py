@@ -1373,3 +1373,23 @@ def test_422_leg_decodes_to_formula():
                 bias = 1 if x % 2 == 0 else 2
                 assert got[y, x] == (3 * pl[y][xi] + pl[y][xf] + bias) >> 2
         assert planes3_to_rgb_centered(w, h, planes, hv) is not None
+
+
+def test_h1v2_centered_vertical_triangle():
+    """The 4:4:0 (vertical-only factor 2) centered path, pinned by a
+    scalar re-derivation — no synthesized leg emits it, so the unit
+    vector is its only guard."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.jpeg import upsample_centered
+
+    pl = np.array([[(11 * i + 5 * j) % 256 for i in range(6)] for j in range(3)],
+                  dtype=np.uint8)
+    got = upsample_centered(pl, 6, 6, (1, 1), (1, 2))
+    p = pl.astype(int)
+    for y in range(6):
+        yi = y // 2
+        yf = max(yi - 1, 0) if y % 2 == 0 else min(yi + 1, 2)
+        bias = 1 if y % 2 == 0 else 2
+        for x in range(6):
+            assert got[y, x] == (3 * p[yi][x] + p[yf][x] + bias) >> 2, (x, y)

@@ -290,3 +290,40 @@ def test_stream_warc_wet_gate_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == ref
+
+
+def test_stream_warc_cdx_equals_batch(spark, sf_dir, tmp_path):
+    """r9: incremental CDX indexing — micro-batch appends must leave
+    an index identical to one batch pass over the same shards."""
+    from queryengine_spark.sources.warc import (
+        synthesize_warc,
+        warc_cdx_records,
+    )
+    from queryengine_spark.streaming import stream_warc_cdx
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "shard_id long")
+    shards = synthesize_warc(ids)
+    ref = sorted(tuple(r) for r in warc_cdx_records(shards).collect())
+    assert len(ref) > 40
+
+    watch = str(tmp_path / "cdx_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        shards.filter(F.col("shard_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(shards.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    idx = str(tmp_path / "cdx_index")
+    q = stream_warc_cdx(stream, idx)
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(idx)
+        .select(*warc_cdx_records(shards).columns)
+        .collect()
+    )
+    assert got == ref
