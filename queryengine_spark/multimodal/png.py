@@ -304,6 +304,81 @@ def make_png_palette(asset_id: int) -> bytes:
     )
 
 
+def make_png_rgb8(asset_id: int) -> bytes:
+    """Complete spec-valid 8-bit TRUECOLOR PNG (color type 2, r9 —
+    the most common web PNG profile after palette): the SAME r/g/b
+    formulas as the RGBA leg with no alpha plane, per-row filter type
+    y % 5 with bpp=3 (the Sub/Average/Paeth left neighbor is THREE
+    bytes back — a distinct arithmetic path from both RGBA's 4 and
+    gray's 1), deflate stream split across two IDAT chunks."""
+    w, h = png_rgba_params(asset_id)
+    prev = bytes(w * 3)
+    stream = bytearray()
+    for y in range(h):
+        raw = bytes(
+            v for x in range(w) for v in _pixel(asset_id, x, y)[:3]
+        )
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, bpp=3)
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
+#: 16-bit truecolor synthesis constants (r9; mirrored in the oracle).
+#: Each channel's hi and lo bytes differ (the multipliers are not
+#: ×257 replication), so a byte-swapped decode breaks the sums.
+RGB16_R = (331, 227, 1)
+RGB16_G = (3, 509, 257)
+RGB16_B = (769, 131, 5)
+
+
+def _rgb16_pixel(asset_id: int, x: int, y: int) -> tuple[int, int, int]:
+    return tuple(
+        (mx * x + my * y + ma * asset_id) % 65536
+        for mx, my, ma in (RGB16_R, RGB16_G, RGB16_B)
+    )
+
+
+def make_png_rgb16(asset_id: int) -> bytes:
+    """Complete spec-valid 16-BIT TRUECOLOR PNG (color type 2, bit
+    depth 16 — the photography/print export profile, r9): big-endian
+    sample pairs, three channels, per-row filter type y % 5 with
+    bpp=6 (PNG filters stay BYTEWISE: a sample's low byte filters
+    against the previous PIXEL's same-channel low byte six bytes
+    back), deflate stream split across two IDAT chunks."""
+    w, h = png_rgba_params(asset_id)
+    prev = bytes(w * 6)
+    stream = bytearray()
+    for y in range(h):
+        raw = b"".join(
+            struct.pack(">3H", *_rgb16_pixel(asset_id, x, y)) for x in range(w)
+        )
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, bpp=6)
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 16, 2, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
 def make_png_gray_adam7(asset_id: int) -> bytes:
     """8-bit grayscale PNG with Adam7 INTERLACE (r6): the SAME
     _gray_pixel image as make_png_gray, stored in 7-pass order —
@@ -376,12 +451,13 @@ def decode_png(b: bytes) -> np.ndarray | None:
     if ihdr is None or len(ihdr) != 13 or not idat:
         return None
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">II5B", ihdr)
-    if ctype_ not in (0, 3, 6) or (comp, filt) != (0, 0):
+    if ctype_ not in (0, 2, 3, 6) or (comp, filt) != (0, 0):
         return None
     if depth == 16:
-        # r6: 16-bit grayscale, sequential only (16-bit color and
-        # interlaced 16-bit stay honest refusals)
-        if ctype_ != 0 or interlace != 0:
+        # r6: 16-bit grayscale; r9 adds 16-bit TRUECOLOR (48 bpp, the
+        # photography export profile). Sequential only — interlaced
+        # 16-bit stays an honest refusal.
+        if ctype_ not in (0, 2) or interlace != 0:
             return None
     elif depth != 8:
         return None
@@ -397,9 +473,11 @@ def decode_png(b: bytes) -> np.ndarray | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    # bytewise filter offset = bytes per pixel (PNG 6.2): RGBA8 → 4,
-    # gray16 → 2, gray8/paletted → 1
-    bpp = 4 if ctype_ == 6 else (2 if depth == 16 else 1)
+    # bytewise filter offset = bytes per pixel (PNG 6.2): channel
+    # count per color type × bytes per sample — RGBA8 → 4, RGB8 → 3,
+    # RGB16 → 6, gray16 → 2, gray8/paletted → 1
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype_]
+    bpp = channels * (2 if depth == 16 else 1)
     if interlace == 0:
         stride = w * bpp
         if len(raw) != h * (1 + stride):
@@ -434,6 +512,11 @@ def decode_png(b: bytes) -> np.ndarray | None:
                 prev = rec
                 off += 1 + stride
     if ctype_ == 6:
+        return img
+    if ctype_ == 2:  # truecolor RGB (r9): 8-bit direct, 16-bit paired
+        if depth == 16:
+            pairs = img.reshape(h, w, 3, 2).astype(np.uint16)
+            return (pairs[..., 0] << 8) | pairs[..., 1]
         return img
     if ctype_ == 0:
         if depth == 16:  # big-endian sample pairs → uint16 values
@@ -487,18 +570,22 @@ def synthesize_png(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 
 def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """asset_id % 4 == 0 → 8-bit RGBA, % 4 == 2 → 8-bit PALETTED
-    (color type 3, r6), % 8 == 1 → 8-bit grayscale sequential,
-    % 8 == 5 → 16-BIT grayscale sequential (r6 — the gray-8 slot
-    split in two), % 4 == 3 → 8-bit grayscale Adam7-INTERLACED (r6;
-    same pixel formula as the sequential leg — the weighted checksum
-    column is what makes a misplaced pass visible to the oracle)."""
+    """asset_id % 4 == 0 → 8-bit RGBA, % 8 == 2 → 8-bit PALETTED
+    (color type 3, r6), % 16 == 6 → 8-bit TRUECOLOR (color type 2,
+    r9 — carved from the palette slot), % 16 == 14 → 16-BIT TRUECOLOR
+    (r9), % 8 == 1 → 8-bit grayscale sequential, % 8 == 5 → 16-BIT
+    grayscale sequential (r6 — the gray-8 slot split in two),
+    % 4 == 3 → 8-bit grayscale Adam7-INTERLACED (r6; same pixel
+    formula as the sequential leg — the weighted checksum column is
+    what makes a misplaced pass visible to the oracle)."""
 
     def _mk(a: int) -> bytes:
         r4 = a % 4
         if r4 == 0:
             return make_png_rgba(a)
         if r4 == 2:
+            if a % 8 == 6:
+                return make_png_rgb16(a) if a % 16 == 14 else make_png_rgb8(a)
             return make_png_palette(a)
         if r4 == 3:
             return make_png_gray_adam7(a)
@@ -520,7 +607,8 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 def png_pixel_stats(assets: DataFrame) -> DataFrame:
     """Decode every payload and aggregate exact integer channel sums
     (order-invariant, engine-portable). RGBA payloads fill
-    sum_r/g/b/a with sum_gray NULL; RGB (paletted, r6) payloads fill
+    sum_r/g/b/a with sum_gray NULL; RGB (paletted r6, truecolor
+    8/16-bit r9) payloads fill
     sum_r/g/b with sum_a and sum_gray NULL; grayscale payloads fill
     sum_gray with the channels NULL. ``wsum`` (r6) is the
     position-WEIGHTED checksum Σ (y·w + x + 1) · first_channel(x, y)

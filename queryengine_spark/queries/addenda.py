@@ -55,6 +55,9 @@ from queryengine_spark.multimodal.png import (  # noqa: E402
     PAL3_IDX_XM,
     PAL3_IDX_YM,
     PAL3_RM,
+    RGB16_B,
+    RGB16_G,
+    RGB16_R,
     png_pixel_stats,
     synthesize_png_mixed,
     synthesize_png,
@@ -65,8 +68,12 @@ def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → decode → aggregate, entirely worker-side (two
     chained mapInPandas stages, zero shuffles before the final
     projection). Mixed color types: asset_id % 4 == 0 is 8-bit RGBA;
-    % 4 == 2 is 8-bit PALETTED (r6 — 256-entry PLTE, the oracle
-    recomputes palette[index] composition symbolically); % 8 == 1 is
+    % 8 == 2 is 8-bit PALETTED (r6 — 256-entry PLTE, the oracle
+    recomputes palette[index] composition symbolically); % 16 == 6 is
+    8-bit TRUECOLOR (color type 2, r9 — bpp=3 filter arithmetic, the
+    dominant non-palette web profile); % 16 == 14 is 16-BIT TRUECOLOR
+    (r9 — bpp=6 bytewise filters, hi/lo bytes of each channel differ
+    so a byte-swapped decode breaks the sums); % 8 == 1 is
     8-bit grayscale (color type 0, bpp=1 filter arithmetic); % 8 == 5
     is 16-BIT grayscale (r6 — big-endian sample pairs, bpp=2 BYTEWISE
     filters: low bytes filter against low bytes two back); % 4 == 3
@@ -93,24 +100,34 @@ ch AS (SELECT asset_id, w, h, x, y,
               CASE WHEN asset_id % 8 = 5
                    THEN ({GRAY16_X} * x + {GRAY16_Y} * y
                          + {GRAY16_A} * asset_id) % 65536
-                   WHEN asset_id % 4 = 0 THEN (x * y + asset_id) % 256
-                   WHEN asset_id % 4 = 2 THEN ({PAL3_RM} * pidx + asset_id) % 256
+                   WHEN asset_id % 16 = 14
+                   THEN ({RGB16_R[0]} * x + {RGB16_R[1]} * y
+                         + {RGB16_R[2]} * asset_id) % 65536
+                   WHEN asset_id % 4 = 0 OR asset_id % 16 = 6
+                   THEN (x * y + asset_id) % 256
+                   WHEN asset_id % 8 = 2 THEN ({PAL3_RM} * pidx + asset_id) % 256
                    ELSE ({GRAY_X_MULT} * x + {GRAY_Y_MULT} * y + asset_id) % 256
               END AS first_ch,
               pidx
        FROM px),
 sums AS (SELECT asset_id, w, h,
-                CAST(SUM(CASE WHEN asset_id % 4 = 0 THEN first_ch
-                              WHEN asset_id % 4 = 2 THEN first_ch
+                CAST(SUM(CASE WHEN asset_id % 2 = 0 THEN first_ch
                          END) AS BIGINT) AS sum_r,
-                CAST(SUM(CASE WHEN asset_id % 4 = 0
+                CAST(SUM(CASE WHEN asset_id % 4 = 0 OR asset_id % 16 = 6
                      THEN (asset_id + 2 * y) % 256
-                     WHEN asset_id % 4 = 2
-                     THEN ({PAL3_GM} * pidx + 7) % 256 END) AS BIGINT) AS sum_g,
-                CAST(SUM(CASE WHEN asset_id % 4 = 0
+                     WHEN asset_id % 8 = 2
+                     THEN ({PAL3_GM} * pidx + 7) % 256
+                     WHEN asset_id % 16 = 14
+                     THEN ({RGB16_G[0]} * x + {RGB16_G[1]} * y
+                           + {RGB16_G[2]} * asset_id) % 65536
+                     END) AS BIGINT) AS sum_g,
+                CAST(SUM(CASE WHEN asset_id % 4 = 0 OR asset_id % 16 = 6
                      THEN (asset_id + 3 * x) % 256
-                     WHEN asset_id % 4 = 2
+                     WHEN asset_id % 8 = 2
                      THEN ({PAL3_BM} * pidx + 2 * asset_id) % 256
+                     WHEN asset_id % 16 = 14
+                     THEN ({RGB16_B[0]} * x + {RGB16_B[1]} * y
+                           + {RGB16_B[2]} * asset_id) % 65536
                      END) AS BIGINT) AS sum_b,
                 CAST(SUM(CASE WHEN asset_id % 4 = 0
                      THEN (x + y + asset_id) % 256 END) AS BIGINT) AS sum_a,

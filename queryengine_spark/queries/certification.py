@@ -192,7 +192,9 @@ VOID: dict[str, int] = {
     # (%32==30) slots — the image-decode fold's tiff leg and the
     # media suite's augment leg (both consume synthesize_tiff) emit
     # new rows; the image-decode fold's jpeg leg also gains the r9
-    # centered-upsample sub-columns:
+    # centered-upsample sub-columns; the png leg's palette slot split
+    # %4 -> %8 — ids ≡ 6 (mod 16) now carry 8-bit TRUECOLOR (color
+    # type 2) and ids ≡ 14 (mod 16) 16-BIT truecolor payloads:
     "multimodal_image_decode": 8,
     "multimodal_media_suite": 8,
     # (the standalone pre-fold entries certify through the composites

@@ -122,7 +122,10 @@ def test_malformed_inputs_return_none():
         + _chunk(b"IEND", b"")
     )
     assert decode_png(notz) is None
-    # wrong color type (RGB, 2) must be rejected, not misdecoded
+    # color type 2 (truecolor) is SUPPORTED since r9: this all-zero
+    # 2x2 RGB vector decodes (it used to be the wrong-color-type
+    # refusal probe); a still-unsupported color type (4, gray+alpha)
+    # keeps the refusal path pinned
     ihdr = struct.pack(">II5B", 2, 2, 8, 2, 0, 0, 0)
     rgb = (
         b"\x89PNG\r\n\x1a\n"
@@ -130,7 +133,16 @@ def test_malformed_inputs_return_none():
         + _chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 6))))
         + _chunk(b"IEND", b"")
     )
-    assert decode_png(rgb) is None
+    out = decode_png(rgb)
+    assert out is not None and out.shape == (2, 2, 3) and not out.any()
+    ihdr_ga = struct.pack(">II5B", 2, 2, 8, 4, 0, 0, 0)
+    ga = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr_ga)
+        + _chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 4))))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(ga) is None
     # declared size mismatch: stream shorter than h*(1+4w)
     assert decode_png(_png(3, 3, bytes(5))) is None
 
@@ -470,3 +482,80 @@ def test_gray16_refusals():
     assert P.decode_png(rebuild(16, 6, 0)) is None
     assert P.decode_png(rebuild(16, 0, 1)) is None
     assert P.decode_png(rebuild(4, 0, 0)) is None  # sub-byte depths too
+
+
+def test_truecolor_rgb8_roundtrip_and_handvector():
+    """Color type 2 (r9): synthesized round-trip at every filter type
+    plus a HAND-FILTERED vector so a matched encoder/decoder bug pair
+    cannot cancel. bpp=3 — the Sub filter's left neighbor is three
+    bytes back."""
+    import queryengine_spark.multimodal.png as P
+
+    for a in range(24):
+        w, h = P.png_rgba_params(a)
+        img = P.decode_png(P.make_png_rgb8(a))
+        assert img is not None and img.shape == (h, w, 3)
+        exp = np.array(
+            [[P._pixel(a, x, y)[:3] for x in range(w)] for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (img == exp).all(), a
+
+    # hand vector: 2×1 RGB, Sub filter (type 1). Raw pixels
+    # (10,20,30) (13,24,35) → deltas (3,4,5) for the second pixel.
+    stream = bytes([1, 10, 20, 30, 3, 4, 5])
+    ihdr = struct.pack(">II5B", 2, 1, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(stream))
+        + _chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert img is not None
+    assert img.tolist() == [[[10, 20, 30], [13, 24, 35]]]
+
+
+def test_truecolor_rgb16_roundtrip_and_byteswap_sensitivity():
+    """16-bit truecolor (r9): round-trip equals the formula, and the
+    synthesis constants produce hi != lo bytes somewhere, so a
+    byte-swapped decode CANNOT equal the correct one (the pin a
+    v*257 replication formula would miss)."""
+    import queryengine_spark.multimodal.png as P
+
+    swapped_differs = False
+    for a in range(24):
+        w, h = P.png_rgba_params(a)
+        img = P.decode_png(P.make_png_rgb16(a))
+        assert img is not None and img.shape == (h, w, 3)
+        assert img.dtype == np.uint16
+        exp = np.array(
+            [[P._rgb16_pixel(a, x, y) for x in range(w)] for y in range(h)],
+            dtype=np.uint16,
+        )
+        assert (img == exp).all(), a
+        swap = ((img & 0xFF) << 8) | (img >> 8)
+        if (swap != img).any():
+            swapped_differs = True
+    assert swapped_differs
+
+
+def test_truecolor_refusals_unchanged():
+    """Adding color type 2 must not loosen the neighbors: 16-bit RGBA
+    and interlaced 16-bit truecolor stay refusals."""
+    import queryengine_spark.multimodal.png as P
+
+    def rebuild(depth, ctype, interlace, npix_bytes):
+        stream = bytes([0]) + bytes(npix_bytes)
+        ihdr = struct.pack(">II5B", 1, 1, depth, ctype, 0, 0, interlace)
+        return (
+            P._SIG
+            + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(stream))
+            + P._chunk(b"IEND", b"")
+        )
+
+    assert P.decode_png(rebuild(16, 2, 0, 6)) is not None
+    assert P.decode_png(rebuild(16, 2, 1, 6)) is None
+    assert P.decode_png(rebuild(16, 6, 0, 8)) is None
+    assert P.decode_png(rebuild(8, 2, 0, 3)) is not None
