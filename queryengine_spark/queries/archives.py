@@ -239,16 +239,55 @@ def source_warc_cdx(spark: SparkSession, sf: str) -> DataFrame:
     the payload hex built out of the same formulas. Only even
     shard_ids (the ``.warc`` flavor) are indexed here: a gzip
     member's COMPRESSED span is not SQL-derivable, so the ``.warc.gz``
-    spans are certified by pytest instead (slice → standalone parse
-    == record, the actual ranged-read contract). Zero shuffle."""
-    from queryengine_spark.sources.warc import warc_cdx_records
+    spans are certified by the ``lookup`` leg below (and by pytest's
+    slice → standalone parse == record pin).
 
-    ids = (
-        t(spark, sf, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
-        .select(F.col("doc_id").alias("shard_id"))
+    Second leg ``lookup`` (r9) — the ranged-read REPLAY the index
+    exists for (sources/warc.py::warc_cdx_lookup), run over the ODD
+    (``.warc.gz``) shards the cdx leg's symbolic oracle cannot reach:
+    slice exactly [offset, offset+rlength) out of the shard, gunzip
+    the single member, re-parse the record and its HTTP payload from
+    the slice ALONE, and emit status / URI hash / body stats derived
+    only from the sliced bytes. The oracle recomputes those values
+    from the formulas — a wrong member span kills the slice's parse
+    and therefore the row, so row-count + value hash certify the
+    compressed-span accounting plain SQL cannot express. Both legs
+    stay zero-shuffle."""
+    from queryengine_spark.queries.base import fold_legs
+    from queryengine_spark.sources.warc import warc_cdx_lookup, warc_cdx_records
+
+    docs = t(spark, sf, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("shard_id")
     )
-    return warc_cdx_records(synthesize_warc(ids))
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("shard_id")
+    )
+    cdx = (
+        warc_cdx_records(synthesize_warc(even))
+        .withColumnRenamed("offset", "span_off")
+        .withColumnRenamed("rlength", "span_len")
+    )
+    lk = warc_cdx_lookup(synthesize_warc(odd))
+    return fold_legs([("cdx", cdx), ("lookup", lk)], _CDX_FOLD_COLS)
+
+
+#: shared padded schema of the two source_warc_cdx legs
+_CDX_FOLD_COLS = [
+    ("shard_id", "bigint"),
+    ("rec_idx", "int"),
+    ("fmt", "string"),
+    ("surt", "string"),
+    ("ts", "string"),
+    ("mime", "string"),
+    ("http_status", "int"),
+    ("span_off", "bigint"),
+    ("span_len", "bigint"),
+    ("digest", "string"),
+    ("uri_hash", "bigint"),
+    ("body_len", "bigint"),
+    ("body_sum", "bigint"),
+]
 
 
 SOURCE_WARC_CDX_SQL = f"""{_WARC_BASE_CTES},
@@ -286,17 +325,39 @@ offs AS (SELECT *,
     COALESCE(SUM(reclen) OVER (PARTITION BY shard_id ORDER BY rec_idx
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS roff
   FROM wlen)
-SELECT o.shard_id, CAST(o.rec_idx AS INT) AS rec_idx, 'warc' AS fmt,
+SELECT 'cdx' AS leg,
+       o.shard_id, CAST(o.rec_idx AS INT) AS rec_idx, 'warc' AS fmt,
        'example,site' || CAST(o.site AS VARCHAR) || ')/p'
          || CAST(o.rec_idx AS VARCHAR) AS surt,
        '20260101000000' AS ts,
        'text/html' AS mime,
        CAST(o.status AS INT) AS http_status,
-       CAST(o.roff AS BIGINT) AS "offset",
-       CAST(o.reclen AS BIGINT) AS rlength,
-       sha256(o.hhex || COALESCE(s.bhex, '')) AS digest
+       CAST(o.roff AS BIGINT) AS span_off,
+       CAST(o.reclen AS BIGINT) AS span_len,
+       sha256(o.hhex || COALESCE(s.bhex, '')) AS digest,
+       CAST(NULL AS BIGINT) AS uri_hash,
+       CAST(NULL AS BIGINT) AS body_len,
+       CAST(NULL AS BIGINT) AS body_sum
 FROM offs o LEFT JOIN bodysum s USING (shard_id, rec_idx)
 WHERE o.rec_type = 'response'
+UNION ALL
+SELECT 'lookup' AS leg,
+       b.shard_id, CAST(b.rec_idx AS INT) AS rec_idx, 'warc.gz' AS fmt,
+       CAST(NULL AS VARCHAR) AS surt,
+       CAST(NULL AS VARCHAR) AS ts,
+       CAST(NULL AS VARCHAR) AS mime,
+       CAST(b.status AS INT) AS http_status,
+       CAST(NULL AS BIGINT) AS span_off,
+       CAST(NULL AS BIGINT) AS span_len,
+       CAST(NULL AS VARCHAR) AS digest,
+       ('0x' || substr(md5('https://site'
+           || CAST(b.site AS VARCHAR) || '.example/p'
+           || CAST(b.rec_idx AS VARCHAR)), 1, {URI_HASH_HEX}))::BIGINT
+         AS uri_hash,
+       CAST(b.body_len AS BIGINT) AS body_len,
+       CAST(s.bsum AS BIGINT) AS body_sum
+FROM base b JOIN bodysum s USING (shard_id, rec_idx)
+WHERE b.rec_type = 'response' AND b.shard_id % 2 = 1
 """
 
 

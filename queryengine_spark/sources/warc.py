@@ -700,6 +700,85 @@ def warc_cdx_records(shards: DataFrame) -> DataFrame:
     return shards.mapInPandas(run, WARC_CDX_SCHEMA)
 
 
+WARC_LOOKUP_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("rec_idx", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("uri_hash", LongType()),
+        StructField("body_len", LongType()),
+        StructField("body_sum", LongType()),
+    ]
+)
+
+
+def warc_cdx_lookup(shards: DataFrame) -> DataFrame:
+    """Ranged-read capture replay (r9) — the operation CDX indexes
+    exist FOR: for every indexed response capture, fetch ONLY bytes
+    [offset, offset+rlength) of the shard and rebuild the record from
+    the slice ALONE — gunzip the single member for ``.warc.gz``
+    (record-at-time compression makes each member independently
+    decompressable), parse the one record standalone, re-parse its
+    ``application/http`` payload — and emit values derived
+    exclusively from the sliced bytes. A wrong offset or length (the
+    failure a replay consumer actually hits) breaks the slice's parse
+    and the row disappears, so the oracle's row-count + value hash
+    certify the span arithmetic end to end. At cluster scale the
+    slice is a ranged GET against the object store instead of a
+    full-shard read. Zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                gz = b[:2] == b"\x1f\x8b"
+                fmt = "warc.gz" if gz else "warc"
+                spans = parse_warc_spans(b)
+                if spans is None:
+                    continue
+                for i, (off, ln, hdrs0, _) in enumerate(spans):
+                    if hdrs0.get("warc-type") != "response":
+                        continue
+                    # the ranged read: nothing below touches b again
+                    sl = b[off : off + ln]
+                    if gz:
+                        members = gzip_members(sl)
+                        if members is None or len(members) != 1:
+                            continue
+                        raw = members[0]
+                    else:
+                        raw = sl
+                    rec = _parse_one_record(raw, 0)
+                    if rec is None or rec[2] != len(raw):
+                        continue
+                    headers, body, _ = rec
+                    if http_msgtype(headers) != "response":
+                        continue
+                    parsed = parse_http_payload(body, "response")
+                    if parsed is None:
+                        continue
+                    status, _, hbody = parsed
+                    uri = headers.get("warc-target-uri")
+                    uh = (
+                        int(
+                            hashlib.md5(uri.encode()).hexdigest()[:URI_HASH_HEX],
+                            16,
+                        )
+                        if uri is not None
+                        else None
+                    )
+                    rows.append(
+                        (int(sid), i, fmt, status, uh, len(hbody), sum(hbody))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_LOOKUP_SCHEMA.fields]
+            )
+
+    return shards.mapInPandas(run, WARC_LOOKUP_SCHEMA)
+
+
 WARC_WET_SCHEMA = StructType(
     [
         StructField("shard_id", LongType()),

@@ -716,3 +716,86 @@ class TestWarcCdx:
                 ).hexdigest()
                 assert r["fmt"] == ("warc" if sid % 2 == 0 else "warc.gz")
         assert len(got) == n and n > 10
+
+
+class TestWarcCdxLookup:
+    """r9: ranged-read capture replay — values must be derived from
+    the slice alone, and a corrupted span must kill the row, never
+    return wrong data."""
+
+    def test_lookup_matches_python_reference(self, spark):
+        import hashlib
+
+        from queryengine_spark.sources.warc import (
+            URI_HASH_HEX,
+            make_warc_shard,
+            parse_http_payload,
+            parse_warc,
+            synthesize_warc,
+            warc_body,
+            warc_cdx_lookup,
+            warc_http_status,
+            warc_n_records,
+            warc_rec_type,
+            warc_uri,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(12)], "shard_id long")
+        got = {
+            (r["shard_id"], r["rec_idx"]): r
+            for r in warc_cdx_lookup(synthesize_warc(ids)).collect()
+        }
+        n = 0
+        for sid in range(12):
+            for i in range(warc_n_records(sid)):
+                if warc_rec_type(i) != "response":
+                    continue
+                n += 1
+                r = got[(sid, i)]
+                assert r["fmt"] == ("warc" if sid % 2 == 0 else "warc.gz")
+                assert r["http_status"] == warc_http_status(sid, i)
+                body = warc_body(sid, i)
+                assert r["body_len"] == len(body)
+                assert r["body_sum"] == sum(body)
+                uri = warc_uri(sid, i)
+                assert r["uri_hash"] == int(
+                    hashlib.md5(uri.encode()).hexdigest()[:URI_HASH_HEX], 16
+                )
+        assert len(got) == n
+
+    def test_wrong_span_yields_no_row_not_wrong_data(self):
+        """Shift every response span by one byte: the slice no longer
+        parses, so the record must VANISH from the lookup output —
+        the property the oracle's row count converts into a failure."""
+        from queryengine_spark.sources.warc import (
+            _parse_one_record,
+            gzip_members,
+            http_msgtype,
+            make_warc_shard,
+            parse_warc_spans,
+        )
+
+        for sid in (2, 3):  # one plain, one gz
+            shard = make_warc_shard(sid)
+            spans = parse_warc_spans(shard)
+            for off, ln, hdrs, _ in spans:
+                if hdrs.get("warc-type") != "response":
+                    continue
+                # correct slice replays
+                sl = shard[off : off + ln]
+                if sid % 2 == 1:
+                    [raw] = gzip_members(sl)
+                else:
+                    raw = sl
+                rec = _parse_one_record(raw, 0)
+                assert rec is not None and rec[2] == len(raw)
+                assert http_msgtype(rec[0]) == "response"
+                # shifted slice refuses (start no longer a member /
+                # version line; a short tail is caught by the
+                # rec[2] == len(raw) whole-slice check)
+                bad = shard[off + 1 : off + 1 + ln]
+                if sid % 2 == 1:
+                    assert gzip_members(bad) is None
+                else:
+                    rec2 = _parse_one_record(bad, 0)
+                    assert rec2 is None or rec2[2] != len(bad)
