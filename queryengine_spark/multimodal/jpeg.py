@@ -36,10 +36,12 @@ scans — decode exactly in the coefficient domain: spectral
 selection, successive approximation (arithmetic-shift DC vs
 magnitude-shift AC point transforms), EOBn end-of-band runs, and
 refinement correction bits (``decode_jpeg_coeffs_prog`` /
-``decode_jpeg_coeffs_prog3``). Huffman-DCT JPEG is COMPLETE; the
-refusals left are the genuinely different codecs — arithmetic-coded
-(SOF9+), lossless (SOF3), hierarchical (SOF5+) — plus undefined DQT
-precisions, all validated, never guessed at.
+``decode_jpeg_coeffs_prog3``). Huffman-DCT JPEG is COMPLETE, and r9
+adds LOSSLESS (SOF3, Annex H — the DNG/DICOM process: seven spatial
+predictors, modulo-2^16 differences, the SSSS=16 escape, 8- and
+16-bit precisions). The refusals left are the genuinely different
+codecs — arithmetic-coded (SOF9+), hierarchical (SOF5+) — plus
+undefined DQT precisions, all validated, never guessed at.
 
 Correctness: the DuckDB oracle recomputes pixel sums from the DC
 formula and coefficient sums from the AC formula while Spark decodes
@@ -2287,6 +2289,14 @@ def decode_jpeg_rgb(b: bytes) -> np.ndarray | None:
     gray = decode_jpeg_pixels(b)
     if gray is not None:
         return np.repeat(gray[:, :, None], 3, axis=2)
+    ll = decode_jpeg_lossless(b)
+    if ll is not None:
+        # r9: 8-bit SOF3 renders like any gray stream; deeper
+        # precisions have no defined 8-bit rendering here — refuse
+        w_, h, img, prec = ll
+        if prec != 8:
+            return None
+        return np.repeat(img.astype(np.uint8)[:, :, None], 3, axis=2)
     res = decode_jpeg_dc_planes_hv(b)
     if res is not None and len(res[2]) == 3:
         w_, h, planes, hv = res
@@ -2302,6 +2312,229 @@ def decode_jpeg_rgb(b: bytes) -> np.ndarray | None:
         return None
     r, g, bl = rgb
     return np.stack([r, g, bl], axis=-1).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3) — ITU T.81 Annex H (r9)
+# ---------------------------------------------------------------------------
+# The predictive Huffman process DNG and DICOM ship: no DCT, no
+# quantization — each sample codes the DIFFERENCE from one of seven
+# spatial predictors (scan header Ss selects), with DC-style
+# category + magnitude-bit entropy coding extended to SSSS=16 (which
+# codes a difference of exactly 32768 with no magnitude bits, H.2),
+# all difference arithmetic modulo 2^16 (H.1.2.2). Single-component
+# 8- and 16-bit precisions are decoded; DRI in a lossless scan and
+# multi-component scans are validated refusals, not guesses.
+
+#: lossless pixel-formula constants (mirrored in the oracle SQL)
+LL8_XM, LL8_YM = 3, 5
+LL16_XYM, LL16_XM, LL16_YM = 257, 389, 101
+
+#: canonical Huffman table for the lossless difference categories:
+#: seventeen length-5 codes for SSSS 0..16 (codes 17..31 unused, so
+#: the all-ones byte-alignment padding is never a valid code).
+#: Deliberately NOT Annex K — the decoder reads whatever DHT declares.
+LL_DC_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+LL_DC_VALS = list(range(17))
+
+
+def ll_pixel(asset_id: int, x: int, y: int, prec: int) -> int:
+    if prec == 8:
+        return (x * y + LL8_XM * x + LL8_YM * y + asset_id) % 256
+    return (
+        LL16_XYM * x * y + LL16_XM * x + LL16_YM * y + asset_id
+    ) % 65536
+
+
+def _ll_predict(
+    img: np.ndarray, x: int, y: int, psel: int, prec: int, pt: int
+) -> int:
+    """Prediction for sample (x, y) per H.1.2.1: 2^(P-1-Pt) for the
+    scan's first sample, Ra across the rest of the first line, Rb at
+    the start of every later line, else the selected predictor
+    (divisions are arithmetic shifts, per the spec text)."""
+    if y == 0:
+        if x == 0:
+            return 1 << (prec - 1 - pt)
+        return int(img[0, x - 1])
+    if x == 0:
+        return int(img[y - 1, 0])
+    ra = int(img[y, x - 1])
+    rb = int(img[y - 1, x])
+    rc = int(img[y - 1, x - 1])
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
+def make_jpeg_lossless(asset_id: int, prec: int = 8) -> bytes:
+    """Complete spec-valid single-component LOSSLESS JPEG (SOF3):
+    pixels from :func:`ll_pixel`, predictor 1 + asset_id % 7 (every
+    asset stream exercises one of the seven), point transform 0,
+    differences reduced modulo 2^16 into [-32767, 32768] with the
+    SSSS=16 no-bits escape for exactly 32768."""
+    bw, bh = jpeg_params(asset_id)
+    w, h = 8 * bw, 8 * bh
+    psel = 1 + asset_id % 7
+    img = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = ll_pixel(asset_id, x, y, prec)
+    codes = _canonical_codes(LL_DC_BITS, LL_DC_VALS)
+    wtr = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            pred = _ll_predict(img, x, y, psel, prec, 0)
+            d = (int(img[y, x]) - pred) & 0xFFFF
+            if d > 32768:
+                d -= 65536
+            if d == 32768:
+                wtr.put(*codes[16])
+                continue
+            cat = _category(d)
+            wtr.put(*codes[cat])
+            if cat:
+                base = d if d > 0 else d + (1 << cat) - 1
+                wtr.put(base, cat)
+    scan = wtr.flush()
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(LL_DC_BITS) + bytes(LL_DC_VALS)
+    )
+    sof = _seg(
+        0xC3, struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    sos = _seg(0xDA, bytes([1, 1, 0x00, psel, 0, 0]))
+    return (
+        b"\xff\xd8" + dht + sof + sos + scan + b"\xff\xd9"
+    )
+
+
+def _parse_segments_lossless(b: bytes):
+    """Marker walk for SOF3 streams → (prec, w, h, psel, pt,
+    dc_table, entropy_bytes) or None. Accepts precisions 2..16 per
+    H.1; single component; refuses DRI (restart geometry in a
+    lossless scan is unimplemented — refusal, never a guess), DCT
+    SOFs (those belong to the other parsers), and a scan header
+    whose Ss is not a valid predictor 1..7 or Se != 0."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    huff: dict[int, dict] = {}
+    sof = None
+    prec = 0
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        body = b[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xC3:
+            if len(body) < 9:
+                return None
+            prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
+            if not (2 <= prec <= 16) or ncomp != 1:
+                return None
+            sof = (w_, h)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xDD):
+            return None  # DCT frames / DRI: not this parser's contract
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tclass, tid = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                if len(bits) != 16:
+                    return None
+                n = sum(bits)
+                if p + 17 + n > len(body):
+                    return None
+                if tclass == 0:
+                    huff[tid] = _build_decode_table(
+                        bits, list(body[p + 17 : p + 17 + n])
+                    )
+                p += 17 + n
+        elif marker == 0xDA:
+            if len(body) != 6 or body[0] != 1:
+                return None
+            dc_id = body[2] >> 4
+            psel, se, ahal = body[3], body[4], body[5]
+            pt = ahal & 0x0F
+            if not (1 <= psel <= 7) or se != 0 or (ahal >> 4) != 0:
+                return None
+            if pt >= prec or dc_id not in huff:
+                return None
+            scan = (psel, pt, huff[dc_id], pos + 2 + seglen)
+            break
+        pos += 2 + seglen
+    if sof is None or scan is None:
+        return None
+    psel, pt, table, scan_start = scan
+    segments = _split_entropy(b, scan_start)
+    if segments is None or len(segments) != 1:
+        return None  # no DRI → a RSTn in the scan is corruption
+    return prec, sof[0], sof[1], psel, pt, table, segments[0]
+
+
+def _read_ll_diff(r: _BitReader, tab: dict) -> int | None:
+    """One lossless difference: category then magnitude bits, with
+    the SSSS=16 → 32768 no-bits escape (H.2)."""
+    cat = _read_huff(r, tab)
+    if cat is None or cat > 16:
+        return None
+    if cat == 0:
+        return 0
+    if cat == 16:
+        return 32768
+    v = 0
+    for _ in range(cat):
+        bit = r.bit()
+        if bit is None:
+            return None
+        v = (v << 1) | bit
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg_lossless(
+    b: bytes,
+) -> tuple[int, int, np.ndarray, int] | None:
+    """SOF3 stream → (w, h, int64 (h, w) sample array, precision) or
+    None. The decoder mirrors nothing from the encoder but the spec:
+    predictions re-derived per H.1.2.1, reconstruction
+    (pred + diff) mod 2^16 per H.1.2.2, then range-checked against
+    the declared precision (an out-of-range sample means a corrupt
+    stream — refuse, don't clamp)."""
+    parsed = _parse_segments_lossless(b)
+    if parsed is None:
+        return None
+    prec, w, h, psel, pt, tab, entropy = parsed
+    if w <= 0 or h <= 0 or w > 1 << 14 or h > 1 << 14:
+        return None
+    r = _BitReader(entropy)
+    img = np.zeros((h, w), np.int64)
+    maxv = (1 << prec) - 1
+    for y in range(h):
+        for x in range(w):
+            d = _read_ll_diff(r, tab)
+            if d is None:
+                return None
+            pred = _ll_predict(img, x, y, psel, prec, pt)
+            v = (pred + d) & 0xFFFF
+            if v > maxv:
+                return None
+            img[y, x] = v
+    return w, h, img, prec
 
 
 JPEG_ASSET_SCHEMA = StructType(
@@ -2378,11 +2611,12 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
     of spectral selection + successive approximation encoding the
     same blocks — r6), % 16 == 11 is 3-COMPONENT 4:2:0 PROGRESSIVE
     (interleaved DC scans + per-component AC band scans, luma AC
-    formula, chroma EOB-run scans — r6), and % 16 ∈ {13, 15} are
+    formula, chroma EOB-run scans — r6), % 16 ∈ {13, 15} are
     3-COMPONENT 4:2:0 SEQUENTIAL with luma AC, plain / WITH DRI
     restart markers slicing mid-AC (r7 — the dominant real-world
     shape, decoding bit-identically to the % 16 == 11 progressive
-    twin)."""
+    twin), and % 32 == 19 / 21 are LOSSLESS (SOF3, Annex H) at 8- /
+    16-bit precision (r9 — carved from the grayscale-AC slots)."""
 
     def _mk(a: int) -> bytes:
         if a % 2 == 1:
@@ -2392,6 +2626,10 @@ def synthesize_jpeg_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
                 return make_jpeg_prog_420(a)
             if a % 16 in (13, 15):  # r7: baseline 4:2:0 WITH luma AC
                 return make_jpeg_420_ac(a, dri=(a % 16 == 15))
+            if a % 32 == 19:  # r9: LOSSLESS (SOF3) 8-bit, Annex H
+                return make_jpeg_lossless(a, 8)
+            if a % 32 == 21:  # r9: LOSSLESS 16-bit (the DNG precision)
+                return make_jpeg_lossless(a, 16)
             return make_jpeg_ac16(a) if a % 16 == 9 else make_jpeg_ac(a)
         r8 = a % 8
         if r8 == 0:
@@ -2455,6 +2693,22 @@ def jpeg_full_stats(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 out["asset_id"].append(int(aid))
                 b = bytes(payload) if payload is not None else b""
+                ll = decode_jpeg_lossless(b)
+                if ll is not None:
+                    # r9: SOF3 lossless — exact samples, no blocks/
+                    # coefficients/chroma to report (the NULLs are the
+                    # honest answer, not a refusal: the stream has no
+                    # DCT domain)
+                    w, h, img, _prec = ll
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_px"].append(w * h)
+                    out["sum_lum"].append(int(img.sum()))
+                    out["min_lum"].append(int(img.min()))
+                    out["max_lum"].append(int(img.max()))
+                    for k in (*co_cols, *ycc_cols, *rgb_cols):
+                        out[k].append(None)
+                    continue
                 res = decode_jpeg_dc_planes_hv(b)
                 if res is not None and len(res[2]) == 3:
                     # 3-component DC-only pixel path: 4:4:4 AND the

@@ -487,6 +487,11 @@ from queryengine_spark.multimodal.jpeg import (  # noqa: E402
     IDCT_SHIFT,
     JPEG_BH_MOD,
     JPEG_BW_MOD,
+    LL16_XM,
+    LL16_XYM,
+    LL16_YM,
+    LL8_XM,
+    LL8_YM,
     QUANT_AC,
     QUANT_AC16,
     QUANT_DC,
@@ -554,7 +559,12 @@ def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     (multimodal/jpeg.py::idct8_fixed — the oracle replicates the
     identical BIGINT arithmetic via the inlined IDCT_B basis, so the
     former float-IDCT pixel refusal is gone); of
-    the odd legs, % 16 == 9 ships its quant table as a 16-BIT Pq=1
+    the odd legs, % 32 == 19 / 21 are LOSSLESS (SOF3, T.81 Annex H —
+    r9: predictive Huffman coding, no DCT; predictor 1 + asset % 7,
+    modulo-2^16 differences with the SSSS=16 escape, at 8-bit and
+    16-bit precision; exact sample stats, with the coefficient
+    columns honestly NULL because no DCT domain exists),
+    % 16 == 9 ships its quant table as a 16-BIT Pq=1
     DQT whose AC quantizer (300) cannot fit an 8-bit table (r6) and
     clamps pixels at both rails,
     % 16 == 1 is PROGRESSIVE (SOF2: spectral selection + successive
@@ -572,7 +582,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     inverse with floor division and [0,255] clamps, replayed
     arithmetic-for-arithmetic by the oracle's rgbdcpx/rgbpx/rgbsums
     CTEs. Nothing about a JPEG pixel remains refused except
-    arithmetic/lossless/hierarchical coding. See multimodal/jpeg.py
+    arithmetic/hierarchical coding. See multimodal/jpeg.py
     for the real-vs-restricted contract and the hand-assembled
     bitstreams that pin every decode path."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
@@ -615,7 +625,8 @@ acv AS (SELECT d.asset_id,
                               + 11 * CAST(yy.i AS BIGINT)
                               + 53 * CAST(pp.p AS BIGINT)) * {AC_MULT}
                              % {AC_MOD} - {AC_SHIFT} AS v0) qq
-        WHERE d.asset_id % 2 = 1),
+        -- r9: %32 in (19, 21) are LOSSLESS — no DCT domain at all
+        WHERE d.asset_id % 2 = 1 AND d.asset_id % 32 NOT IN (19, 21)),
 acsums AS (SELECT asset_id,
                   CAST(SUM(q * v) AS BIGINT) AS sum_ac_dq,
                   CAST(SUM(q * abs(v)) AS BIGINT) AS sum_abs_ac_dq,
@@ -642,7 +653,7 @@ pxterm AS (
                             THEN 2 * d.bw ELSE d.bw END)) xx(i),
        unnest(range(0, CASE WHEN d.asset_id % 16 IN (11, 13, 15)
                             THEN 2 * d.bh ELSE d.bh END)) yy(i)
-  WHERE d.asset_id % 2 = 1
+  WHERE d.asset_id % 2 = 1 AND d.asset_id % 32 NOT IN (19, 21)
   UNION ALL
   SELECT d.asset_id, xx.i AS bx, yy.i AS by, zz.uu, zz.vv,
          CAST((CASE WHEN d.asset_id % 16 = 9 THEN {QUANT_AC16}
@@ -658,7 +669,26 @@ pxterm AS (
                         + 11 * CAST(yy.i AS BIGINT)
                         + 53 * CAST(zz.p AS BIGINT)) * {AC_MULT}
                        % {AC_MOD} - {AC_SHIFT} AS v0) qq
-  WHERE d.asset_id % 2 = 1),
+  WHERE d.asset_id % 2 = 1 AND d.asset_id % 32 NOT IN (19, 21)),
+-- r9: LOSSLESS (SOF3) legs — exact sample stats straight from the
+-- pixel formulas (8-bit at %32=19, 16-bit at %32=21); no blocks,
+-- coefficients, or chroma exist for these streams
+llpix AS (
+  SELECT d.asset_id,
+         CAST(SUM(pv) AS BIGINT) AS sum_lum,
+         CAST(MIN(pv) AS INT) AS min_lum,
+         CAST(MAX(pv) AS INT) AS max_lum
+  FROM dims d,
+       unnest(range(0, 8 * d.bw)) xx(i),
+       unnest(range(0, 8 * d.bh)) yy(i),
+       LATERAL (SELECT CASE WHEN d.asset_id % 32 = 19
+                  THEN (CAST(xx.i AS BIGINT) * yy.i + {LL8_XM} * xx.i
+                        + {LL8_YM} * yy.i + d.asset_id) % 256
+                  ELSE ({LL16_XYM} * CAST(xx.i AS BIGINT) * yy.i
+                        + {LL16_XM} * xx.i + {LL16_YM} * yy.i
+                        + d.asset_id) % 65536 END AS pv) q
+  WHERE d.asset_id % 32 IN (19, 21)
+  GROUP BY d.asset_id),
 pxv AS (
   SELECT t.asset_id, t.bx, t.by,
          CAST(t.bx * 8 + bu.tt AS BIGINT) AS px,
@@ -862,31 +892,41 @@ SELECT s.asset_id,
             WHEN s.asset_id % 8 IN (4, 6)
             THEN CAST(s.bw * s.bh * 256 AS BIGINT)
             ELSE CAST(s.bw * s.bh * 64 AS BIGINT) END AS n_px,
-       CASE WHEN s.asset_id % 2 = 1 THEN p.sum_lum
+       CASE WHEN s.asset_id % 32 IN (19, 21) THEN ll.sum_lum
+            WHEN s.asset_id % 2 = 1 THEN p.sum_lum
             WHEN s.asset_id % 8 IN (4, 6) OR s.asset_id % 16 = 10
             THEN z.sum_lum
             ELSE s.sum_lum END AS sum_lum,
-       CASE WHEN s.asset_id % 2 = 1 THEN p.min_lum
+       CASE WHEN s.asset_id % 32 IN (19, 21) THEN ll.min_lum
+            WHEN s.asset_id % 2 = 1 THEN p.min_lum
             WHEN s.asset_id % 8 IN (4, 6) OR s.asset_id % 16 = 10
             THEN z.min_lum
             ELSE s.min_lum END AS min_lum,
-       CASE WHEN s.asset_id % 2 = 1 THEN p.max_lum
+       CASE WHEN s.asset_id % 32 IN (19, 21) THEN ll.max_lum
+            WHEN s.asset_id % 2 = 1 THEN p.max_lum
             WHEN s.asset_id % 8 IN (4, 6) OR s.asset_id % 16 = 10
             THEN z.max_lum
             ELSE s.max_lum END AS max_lum,
-       CAST(CASE WHEN s.asset_id % 16 = 10 THEN 4 * s.bw * s.bh
+       CAST(CASE WHEN s.asset_id % 32 IN (19, 21) THEN NULL
+                 WHEN s.asset_id % 16 = 10 THEN 4 * s.bw * s.bh
                  WHEN s.asset_id % 8 = 2 THEN 3 * s.bw * s.bh
                  WHEN s.asset_id % 8 IN (4, 6) THEN 6 * s.bw * s.bh
                  WHEN s.asset_id % 16 IN (11, 13, 15) THEN 6 * s.bw * s.bh
                  ELSE s.bw * s.bh END AS BIGINT) AS n_blocks,
-       CAST(CASE WHEN s.asset_id % 16 = 10 THEN z.dc420_dq
+       CAST(CASE WHEN s.asset_id % 32 IN (19, 21) THEN NULL
+                 WHEN s.asset_id % 16 = 10 THEN z.dc420_dq
                  WHEN s.asset_id % 8 = 2 THEN y.dc3_dq
                  WHEN s.asset_id % 8 IN (4, 6) THEN z.dc420_dq
                  WHEN s.asset_id % 16 IN (11, 13, 15) THEN z.dc420_dq
                  ELSE s.sum_dc_dq END AS BIGINT) AS sum_dc_dq,
-       CAST(COALESCE(a.sum_ac_dq, 0) AS BIGINT) AS sum_ac_dq,
-       CAST(COALESCE(a.sum_abs_ac_dq, 0) AS BIGINT) AS sum_abs_ac_dq,
-       CAST(COALESCE(a.n_nonzero_ac, 0) AS BIGINT) AS n_nonzero_ac,
+       CAST(CASE WHEN s.asset_id % 32 IN (19, 21) THEN NULL
+                 ELSE COALESCE(a.sum_ac_dq, 0) END AS BIGINT) AS sum_ac_dq,
+       CAST(CASE WHEN s.asset_id % 32 IN (19, 21) THEN NULL
+                 ELSE COALESCE(a.sum_abs_ac_dq, 0) END AS BIGINT)
+         AS sum_abs_ac_dq,
+       CAST(CASE WHEN s.asset_id % 32 IN (19, 21) THEN NULL
+                 ELSE COALESCE(a.n_nonzero_ac, 0) END AS BIGINT)
+         AS n_nonzero_ac,
        -- chroma sums: the 3-component legs report each plane at its
        -- NATIVE resolution (the %16=11 progressive leg's chroma is
        -- DC-only, so the y420 formula serves it too — r7); grayscale
@@ -911,6 +951,7 @@ LEFT JOIN acsums a ON s.asset_id = a.asset_id
 LEFT JOIN ycc y ON s.asset_id = y.asset_id
 LEFT JOIN y420 z ON s.asset_id = z.asset_id
 LEFT JOIN acpix p ON s.asset_id = p.asset_id
+LEFT JOIN llpix ll ON s.asset_id = ll.asset_id
 LEFT JOIN rgbsums rg ON s.asset_id = rg.asset_id
 LEFT JOIN crgbsums cg ON s.asset_id = cg.asset_id
 """

@@ -1393,3 +1393,166 @@ def test_h1v2_centered_vertical_triangle():
         bias = 1 if y % 2 == 0 else 2
         for x in range(6):
             assert got[y, x] == (3 * p[yi][x] + p[yf][x] + bias) >> 2, (x, y)
+
+
+# --- r9: lossless (SOF3, Annex H) -------------------------------------------
+
+
+class TestLosslessJpeg:
+    def _container(self, prec, w, h, psel, entropy, pt=0, dri=None, ncomp=1):
+        import queryengine_spark.multimodal.jpeg as J
+
+        dht = J._seg(
+            0xC4, bytes([0x00]) + bytes(J.LL_DC_BITS) + bytes(J.LL_DC_VALS)
+        )
+        comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp))
+        sof = J._seg(0xC3, struct.pack(">BHHB", prec, h, w, ncomp) + comps)
+        scomps = b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
+        sos = J._seg(0xDA, bytes([ncomp]) + scomps + bytes([psel, 0, pt]))
+        mid = J._seg(0xDD, struct.pack(">H", dri)) if dri else b""
+        return b"\xff\xd8" + dht + mid + sof + sos + entropy + b"\xff\xd9"
+
+    def test_hand_assembled_vector(self):
+        """2x2, predictor 1, hand-computed codes (17 length-5
+        canonical codes => code(cat) == cat): pixels
+        [[100,103],[90,95]] from diffs -28, +3, -10, +5 — the
+        decoder is pinned with no encoder in the loop."""
+        import queryengine_spark.multimodal.jpeg as J
+
+        bits = (
+            "00101" "00011"      # cat 5, -28 (base 3)
+            "00010" "11"         # cat 2, +3
+            "00100" "0101"       # cat 4, -10 (base 5)
+            "00011" "101"        # cat 3, +5
+        )
+        bits += "1" * (-len(bits) % 8)
+        entropy = int(bits, 2).to_bytes(len(bits) // 8, "big")
+        res = J.decode_jpeg_lossless(self._container(8, 2, 2, 1, entropy))
+        assert res is not None
+        w, h, img, prec = res
+        assert (w, h, prec) == (2, 2, 8)
+        assert img.tolist() == [[100, 103], [90, 95]]
+
+    def test_ssss16_escape_and_mod_wrap(self):
+        """16-bit, first sample 0: diff = (0 - 32768) mod 2^16 =
+        32768 -> the SSSS=16 no-bits escape; reconstruction wraps
+        back to 0 (H.1.2.2)."""
+        import queryengine_spark.multimodal.jpeg as J
+
+        bits = "10000" + "00000"  # cat 16 (escape), then cat 0 (same)
+        bits += "1" * (-len(bits) % 8)
+        entropy = int(bits, 2).to_bytes(len(bits) // 8, "big")
+        res = J.decode_jpeg_lossless(self._container(16, 2, 1, 1, entropy))
+        assert res is not None
+        _, _, img, prec = res
+        assert prec == 16
+        assert img.tolist() == [[0, 0]]  # second sample: Ra + 0
+
+    def test_all_predictors_roundtrip_both_precisions(self):
+        import queryengine_spark.multimodal.jpeg as J
+
+        for a in range(14):  # psel = 1 + a % 7 covers all seven twice
+            for prec in (8, 16):
+                res = J.decode_jpeg_lossless(J.make_jpeg_lossless(a, prec))
+                assert res is not None, (a, prec)
+                w, h, img, p2 = res
+                assert p2 == prec
+                exp = np.array(
+                    [
+                        [J.ll_pixel(a, x, y, prec) for x in range(w)]
+                        for y in range(h)
+                    ]
+                )
+                assert (img == exp).all(), (a, prec)
+
+    def test_property_random_images_roundtrip(self):
+        """Encoder-independent inverse: random images, every
+        predictor, both precisions, through a local encoder that
+        reuses only the PUBLIC helpers."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import queryengine_spark.multimodal.jpeg as J
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.integers(1, 6),
+            st.integers(1, 6),
+            st.integers(1, 7),
+            st.sampled_from([8, 16]),
+            st.randoms(use_true_random=False),
+        )
+        def run(w, h, psel, prec, rng):
+            img = np.array(
+                [
+                    [rng.randrange(1 << prec) for _ in range(w)]
+                    for _ in range(h)
+                ],
+                dtype=np.int64,
+            )
+            codes = J._canonical_codes(J.LL_DC_BITS, J.LL_DC_VALS)
+            wtr = J._BitWriter()
+            for y in range(h):
+                for x in range(w):
+                    pred = J._ll_predict(img, x, y, psel, prec, 0)
+                    d = (int(img[y, x]) - pred) & 0xFFFF
+                    if d > 32768:
+                        d -= 65536
+                    if d == 32768:
+                        wtr.put(*codes[16])
+                        continue
+                    cat = J._category(d)
+                    wtr.put(*codes[cat])
+                    if cat:
+                        wtr.put(d if d > 0 else d + (1 << cat) - 1, cat)
+            res = J.decode_jpeg_lossless(
+                self._container(prec, w, h, psel, wtr.flush())
+            )
+            assert res is not None
+            assert (res[2] == img).all()
+
+        run()
+
+    def test_refusals(self):
+        import queryengine_spark.multimodal.jpeg as J
+
+        good = J.make_jpeg_lossless(3, 8)
+        assert J.decode_jpeg_lossless(good) is not None
+        # out-of-range reconstruction: cat 8 diff +200 from pred 128
+        bits = "01000" + "11001000"
+        bits += "1" * (-len(bits) % 8)
+        entropy = int(bits, 2).to_bytes(len(bits) // 8, "big")
+        assert (
+            J.decode_jpeg_lossless(self._container(8, 1, 1, 1, entropy))
+            is None
+        )
+        # DRI, multi-component, bad predictor, Se != 0, Pt >= prec
+        e = b"\xff"  # irrelevant once headers refuse
+        assert J.decode_jpeg_lossless(
+            self._container(8, 1, 1, 1, e, dri=2)
+        ) is None
+        assert J.decode_jpeg_lossless(
+            self._container(8, 1, 1, 1, e, ncomp=3)
+        ) is None
+        assert J.decode_jpeg_lossless(
+            self._container(8, 1, 1, 0, e)
+        ) is None
+        assert J.decode_jpeg_lossless(
+            self._container(8, 1, 1, 8, e)
+        ) is None
+        assert J.decode_jpeg_lossless(
+            self._container(8, 1, 1, 1, e, pt=8)
+        ) is None
+        # truncated entropy
+        assert J.decode_jpeg_lossless(good[: len(good) // 2]) is None
+        # DCT paths refuse SOF3 and vice versa
+        assert J.decode_jpeg_coeffs(good) is None
+        assert J.decode_jpeg_lossless(J.make_jpeg_ac(5)) is None
+
+    def test_rgb_entry_serves_8bit_refuses_16bit(self):
+        import queryengine_spark.multimodal.jpeg as J
+
+        rgb = J.decode_jpeg_rgb(J.make_jpeg_lossless(4, 8))
+        assert rgb is not None and rgb.ndim == 3 and rgb.shape[2] == 3
+        assert (rgb[..., 0] == rgb[..., 1]).all()
+        assert J.decode_jpeg_rgb(J.make_jpeg_lossless(4, 16)) is None
