@@ -194,13 +194,24 @@ bodysum AS (SELECT shard_id, rec_idx,
         WHERE rec_type = 'response'
         GROUP BY shard_id, rec_idx)"""
 
-SOURCE_WARC_RECORDS_SQL = f"""{_WARC_BASE_CTES}
+SOURCE_WARC_RECORDS_SQL = f"""{_WARC_BASE_CTES},
+-- r9: odd-shard responses rotate identity/chunked/gzip transfer on
+-- (shard_id + 2·rec_idx) % 3; raw-layer byte accounting is reported
+-- (and SQL-derivable) only for identity transfers
+encflag AS (SELECT shard_id, rec_idx,
+                   (shard_id % 2 = 1 AND rec_type = 'response'
+                    AND (shard_id + 2 * rec_idx) % 3 <> 0) AS encoded,
+                   (shard_id % 2 = 1 AND rec_type = 'response'
+                    AND (shard_id + 2 * rec_idx) % 3 = 2) AS gzipped
+            FROM base)
 SELECT b.shard_id, b.rec_idx,
        CASE WHEN b.shard_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END AS fmt,
        b.rec_type,
-       CASE WHEN b.rec_type = 'response' THEN h.hlen + b.body_len
+       CASE WHEN e.encoded THEN NULL
+            WHEN b.rec_type = 'response' THEN h.hlen + b.body_len
             ELSE h.hlen END AS content_length,
-       CASE WHEN b.rec_type = 'response' THEN h.hsum + s.bsum
+       CASE WHEN e.encoded THEN NULL
+            WHEN b.rec_type = 'response' THEN h.hsum + s.bsum
             ELSE h.hsum END AS payload_sum,
        CASE WHEN b.rec_type = 'warcinfo' THEN NULL
             ELSE ('0x' || substr(md5(
@@ -210,7 +221,8 @@ SELECT b.shard_id, b.rec_idx,
                   1, {URI_HASH_HEX}))::BIGINT END AS uri_hash,
        CAST(CASE WHEN b.rec_type = 'response' THEN b.status END
             AS INT) AS http_status,
-       CAST(CASE WHEN b.rec_type IN ('response', 'request') THEN 3 END
+       CAST(CASE WHEN e.gzipped THEN 4
+                 WHEN b.rec_type IN ('response', 'request') THEN 3 END
             AS INT) AS http_n_headers,
        CASE b.rec_type WHEN 'response' THEN b.body_len
                        WHEN 'request' THEN 0 END AS http_body_len,
@@ -218,6 +230,7 @@ SELECT b.shard_id, b.rec_idx,
                        WHEN 'request' THEN 0 END AS http_body_sum
 FROM base b
 JOIN hsum h USING (shard_id, rec_idx)
+JOIN encflag e USING (shard_id, rec_idx)
 LEFT JOIN bodysum s USING (shard_id, rec_idx)
 """
 

@@ -135,19 +135,60 @@ def warc_crawl_seq(shard_id: int, i: int) -> int:
     return (17 * shard_id + 3 * i) % 1000
 
 
+#: chunk size of the Transfer-Encoding: chunked legs (r9)
+HTTP_CHUNK_SZ = 61
+
+
+def warc_body_encoding(shard_id: int, i: int) -> str:
+    """Transfer shape of a response body (r9 — mirrored in the
+    oracle): ODD shards rotate identity / chunked / gzip on
+    (shard_id + 2·i) % 3; EVEN shards stay identity so the CDX leg's
+    symbolic byte-span and digest oracle remain SQL-derivable."""
+    if shard_id % 2 == 0 or warc_rec_type(i) != "response":
+        return "identity"
+    return ("identity", "chunked", "gzip")[(shard_id + 2 * i) % 3]
+
+
+def _chunk_frame(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked framing: hex size line, chunk, CRLF per
+    chunk; zero-size terminator; no extensions, no trailers."""
+    out = bytearray()
+    for p in range(0, len(body), HTTP_CHUNK_SZ):
+        piece = body[p : p + HTTP_CHUNK_SZ]
+        out += f"{len(piece):x}".encode("ascii") + CRLF + piece + CRLF
+    out += b"0" + CRLF + CRLF
+    return bytes(out)
+
+
 def warc_response_payload(shard_id: int, i: int) -> bytes:
     """Full HTTP response message — status line + headers + body
-    (ISO 28500 §6.3 / the CommonCrawl response-record payload)."""
+    (ISO 28500 §6.3 / the CommonCrawl response-record payload).
+
+    r9: odd shards rotate the three real transfer shapes a WET
+    producer meets — identity (Content-Length), CHUNKED
+    (Transfer-Encoding framing, no Content-Length per RFC 9112
+    §6.1), and GZIP (Content-Encoding + the Content-Length of the
+    COMPRESSED representation)."""
     body = warc_body(shard_id, i)
     status = warc_http_status(shard_id, i)
     reason = "OK" if status == 200 else "Not Found"
+    enc = warc_body_encoding(shard_id, i)
+    if enc == "chunked":
+        wire = _chunk_frame(body)
+        framing = "Transfer-Encoding: chunked\r\n"
+    elif enc == "gzip":
+        wire = _gzip_member(body)
+        framing = f"Content-Encoding: gzip\r\nContent-Length: {len(wire)}\r\n"
+    else:
+        wire = body
+        framing = f"Content-Length: {len(body)}\r\n"
     head = (
         f"HTTP/1.1 {status} {reason}\r\n"
         "Content-Type: text/html; charset=UTF-8\r\n"
-        f"Content-Length: {len(body)}\r\n"
+        f"{framing}"
         f"X-Crawl-Seq: {warc_crawl_seq(shard_id, i)}\r\n\r\n"
     )
-    return head.encode("ascii") + body
+    return head.encode("ascii") + wire
 
 
 def warc_request_payload(shard_id: int, i: int) -> bytes:
@@ -508,7 +549,58 @@ def parse_http_payload(
             return None
         k, v = line.split(":", 1)
         hdrs[k.strip().lower()] = v.strip()
+    # r9: undo the transfer/content codings a WET producer meets.
+    # Framing first (RFC 9110 §6.4.1): Transfer-Encoding, then the
+    # representation coding. Anything but the shapes we can really
+    # decode refuses — never a guessed body boundary.
+    te = hdrs.get("transfer-encoding")
+    if te is not None:
+        if te.lower() != "chunked" or "content-length" in hdrs:
+            return None  # unknown framing / CL+TE conflict (RFC 9112 §6.1)
+        body = _dechunk(body)
+        if body is None:
+            return None
+    else:
+        cl = hdrs.get("content-length")
+        if cl is not None:
+            if not cl.isdigit() or int(cl) != len(body):
+                return None  # lying or malformed length: refuse
+    ce = hdrs.get("content-encoding")
+    if ce is not None:
+        if ce.lower() != "gzip":
+            return None
+        members = gzip_members(body)
+        if members is None or len(members) != 1:
+            return None
+        body = members[0]
     return status, hdrs, body
+
+
+def _dechunk(b: bytes) -> bytes | None:
+    """STRICT chunked-body decode (RFC 9112 §7.1): hex size line +
+    CRLF + exactly size octets + CRLF per chunk, a zero-size
+    terminator, a bare final CRLF, nothing trailing. Extensions and
+    trailer fields are refusals (none are synthesized; accepting
+    unparsed ones would un-pin the framing walk)."""
+    out = bytearray()
+    p = 0
+    while True:
+        nl = b.find(b"\r\n", p)
+        if nl < 0:
+            return None
+        size_s = b[p:nl].decode("latin-1")
+        if not size_s or any(c not in "0123456789abcdefABCDEF" for c in size_s):
+            return None
+        n = int(size_s, 16)
+        p = nl + 2
+        if n == 0:
+            return bytes(out) if b[p:] == b"\r\n" else None
+        if p + n + 2 > len(b):
+            return None
+        out += b[p : p + n]
+        if b[p + n : p + n + 2] != b"\r\n":
+            return None
+        p += n + 2
 
 
 # ------------------------------------------------------------------ Spark ops
@@ -587,6 +679,8 @@ def warc_record_stats(shards: DataFrame) -> DataFrame:
                         else None
                     )
                     status = nhdr = blen = bsum = None
+                    clen: int | None = len(body)
+                    psum: int | None = int(sum(body))
                     mt = http_msgtype(headers)
                     if mt is not None:
                         parsed = parse_http_payload(body, mt)
@@ -596,14 +690,25 @@ def warc_record_stats(shards: DataFrame) -> DataFrame:
                         nhdr = len(hdrs)
                         blen = len(hbody)
                         bsum = int(sum(hbody))
+                        if (
+                            "transfer-encoding" in hdrs
+                            or "content-encoding" in hdrs
+                        ):
+                            # r9: raw-layer byte accounting is only
+                            # reported for identity transfers — the
+                            # wire bytes of chunked/gzip bodies are a
+                            # transport artifact (and deliberately not
+                            # SQL-derivable); the DECODED view below
+                            # is the certified one
+                            clen = psum = None
                     rows.append(
                         (
                             int(sid),
                             i,
                             fmt,
                             headers["warc-type"],
-                            len(body),
-                            int(sum(body)),
+                            clen,
+                            psum,
                             uh,
                             status,
                             nhdr,

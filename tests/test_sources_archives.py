@@ -446,6 +446,7 @@ class TestWarc:
     def test_spark_records_match_python_reference(self, spark, sf_dir):
         from queryengine_spark.queries.archives import source_warc_records
         from queryengine_spark.sources.warc import (
+            warc_body_encoding,
             warc_n_records,
             warc_payload,
             warc_rec_type,
@@ -463,9 +464,16 @@ class TestWarc:
         for s in sids[:20]:
             for i in range(warc_n_records(s)):
                 body = warc_payload(s, i)
+                # r9: raw-layer accounting is NULL for encoded
+                # (chunked/gzip) transfers — the decoded http_* view
+                # is the certified one there
+                if warc_body_encoding(s, i) != "identity":
+                    exp_cl, exp_ps = None, None
+                else:
+                    exp_cl, exp_ps = len(body), sum(body)
                 assert got[(s, i)] == (
                     "warc" if s % 2 == 0 else "warc.gz",
-                    warc_rec_type(i), len(body), sum(body),
+                    warc_rec_type(i), exp_cl, exp_ps,
                 ), (s, i)
 
     def test_plan_shuffle_free(self, spark, sf_dir):
@@ -560,6 +568,8 @@ class TestWarcHttpPayloads:
             warc_rec_type,
         )
 
+        from queryengine_spark.sources.warc import warc_body_encoding
+
         for sid in (0, 3, 7, 12):
             rec = make_warc_record(sid, 2)  # i=2 -> response
             assert warc_rec_type(2) == "response"
@@ -568,10 +578,22 @@ class TestWarcHttpPayloads:
             status, hh, body = parse_http_payload(payload, "response")
             assert status == warc_http_status(sid, 2)
             assert body == warc_body(sid, 2)
-            head_bytes = payload[: len(payload) - len(body)]
-            assert sum(payload) - sum(body) == sum(head_bytes)
-            assert head_bytes.decode("ascii").isprintable() is False  # CRLFs
-            assert int(hh["content-length"]) == len(body)
+            enc = warc_body_encoding(sid, 2)
+            if enc == "identity":
+                head_bytes = payload[: len(payload) - len(body)]
+                assert sum(payload) - sum(body) == sum(head_bytes)
+                assert head_bytes.decode("ascii").isprintable() is False
+                assert int(hh["content-length"]) == len(body)
+            elif enc == "chunked":
+                # r9: framing undone — no Content-Length on the wire
+                assert "content-length" not in hh
+                assert hh["transfer-encoding"] == "chunked"
+            else:
+                from queryengine_spark.sources.warc import _gzip_member
+
+                assert hh["content-encoding"] == "gzip"
+                # the wire CL is the COMPRESSED member's length
+                assert int(hh["content-length"]) == len(_gzip_member(body))
 
     def test_wet_record_round_trips_body_through_http(self):
         from queryengine_spark.sources.warc import (
@@ -799,3 +821,88 @@ class TestWarcCdxLookup:
                 else:
                     rec2 = _parse_one_record(bad, 0)
                     assert rec2 is None or rec2[2] != len(bad)
+
+
+class TestHttpTransferCodings:
+    """r9: chunked and gzip response bodies — the real CommonCrawl
+    transfer shapes a WET producer must undo."""
+
+    def test_chunked_roundtrip_and_framing_strictness(self):
+        from queryengine_spark.sources.warc import _chunk_frame, _dechunk
+
+        for body in (b"", b"x", b"a" * 61, b"b" * 62, b"c" * 200):
+            assert _dechunk(_chunk_frame(body)) == body
+        good = _chunk_frame(b"hello world" * 10)
+        # size line corrupted -> refuse
+        assert _dechunk(b"zz" + good[2:]) is None
+        # missing terminator CRLF -> refuse
+        assert _dechunk(good[:-2]) is None
+        # trailing garbage -> refuse
+        assert _dechunk(good + b"x") is None
+        # chunk data CRLF replaced -> refuse
+        bad = bytearray(good)
+        nl = good.find(b"\r\n") + 2
+        sz = int(good[: nl - 2], 16)
+        bad[nl + sz] = ord("X")
+        assert _dechunk(bytes(bad)) is None
+
+    def test_parse_http_undoes_codings(self):
+        from queryengine_spark.sources.warc import (
+            parse_http_payload,
+            warc_body,
+            warc_body_encoding,
+            warc_response_payload,
+        )
+
+        seen = set()
+        for sid in (1, 3, 5, 7, 9, 11):
+            for i in (2, 3, 5, 6):
+                if i % 3 == 1:
+                    continue  # request slots
+                enc = warc_body_encoding(sid, i)
+                seen.add(enc)
+                parsed = parse_http_payload(
+                    warc_response_payload(sid, i), "response"
+                )
+                assert parsed is not None, (sid, i, enc)
+                _, hdrs, body = parsed
+                assert body == warc_body(sid, i), (sid, i, enc)
+        assert seen == {"identity", "chunked", "gzip"}
+
+    def test_coding_refusals(self):
+        from queryengine_spark.sources.warc import parse_http_payload
+
+        def msg(headers, body):
+            return (
+                ("HTTP/1.1 200 OK\r\n" + headers + "\r\n").encode("ascii")
+                + body
+            )
+
+        # unknown transfer coding
+        assert parse_http_payload(
+            msg("Transfer-Encoding: brotli\r\n", b"x"), "response"
+        ) is None
+        # TE + CL conflict (RFC 9112 6.1 smuggling shape)
+        assert parse_http_payload(
+            msg("Transfer-Encoding: chunked\r\nContent-Length: 1\r\n",
+                b"1\r\nx\r\n0\r\n\r\n"),
+            "response",
+        ) is None
+        # lying Content-Length
+        assert parse_http_payload(
+            msg("Content-Length: 5\r\n", b"abc"), "response"
+        ) is None
+        # malformed Content-Length digits
+        assert parse_http_payload(
+            msg("Content-Length: +3\r\n", b"abc"), "response"
+        ) is None
+        # unknown content coding
+        assert parse_http_payload(
+            msg("Content-Encoding: br\r\nContent-Length: 1\r\n", b"x"),
+            "response",
+        ) is None
+        # gzip body that is not a gzip stream
+        assert parse_http_payload(
+            msg("Content-Encoding: gzip\r\nContent-Length: 3\r\n", b"abc"),
+            "response",
+        ) is None
