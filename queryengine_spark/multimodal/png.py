@@ -412,18 +412,86 @@ def make_png_gray_adam7(asset_id: int) -> bytes:
     )
 
 
+def make_png_rgba_adam7(asset_id: int) -> bytes:
+    """8-bit RGBA with Adam7 INTERLACE (r9): the SAME _pixel image as
+    make_png_rgba in 7-pass order at bpp=4 — the COLOR deinterlace
+    twin of make_png_gray_adam7. The plain channel sums cannot see a
+    misplaced pass (they are permutation-invariant), so the oracle's
+    position-weighted wsum is what certifies the scatter."""
+    w, h = png_rgba_params(asset_id)
+    stream = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+        prev = bytes(pw * 4)
+        for ry in range(ph):
+            raw = bytes(
+                v
+                for rx in range(pw)
+                for v in _pixel(asset_id, x0 + rx * dx, y0 + ry * dy)
+            )
+            f = ry % 5
+            stream.append(f)
+            stream += _filter_row(f, raw, prev, bpp=4)
+            prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
+def make_png_ga_adam7(asset_id: int) -> bytes:
+    """8-bit GRAY+ALPHA PNG (color type 4, r9 — the last undecoded
+    color type) stored Adam7-INTERLACED: gray from the grayscale
+    formula, alpha from the RGBA leg's alpha formula, 7 independently
+    filtered passes at bpp=2."""
+    w, h = png_rgba_params(asset_id)
+    stream = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+        prev = bytes(pw * 2)
+        for ry in range(ph):
+            raw = bytes(
+                v
+                for rx in range(pw)
+                for v in (
+                    _gray_pixel(asset_id, x0 + rx * dx, y0 + ry * dy),
+                    (x0 + rx * dx + y0 + ry * dy + asset_id) % 256,
+                )
+            )
+            f = ry % 5
+            stream.append(f)
+            stream += _filter_row(f, raw, prev, bpp=2)
+            prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 8, 4, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_png(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 4) uint8 RGBA for color type 6, (h, w)
-    grayscale for color type 0 (r5), or (h, w, 3) RGB for PALETTED
+    grayscale for color type 0 (r5), (h, w, 3) RGB for PALETTED
     color type 3 (r6 — indices mapped through the PLTE chunk, an
     index beyond the palette is REFUSED like BMP's out-of-range
-    path). Sequential and Adam7-INTERLACED (r6) datastreams both
+    path) or TRUECOLOR color type 2 at 8-/16-bit (r9), and (h, w, 2)
+    GRAY+ALPHA for color type 4 (r9 — every PNG color type now
+    decodes). Sequential and Adam7-INTERLACED (r6) datastreams both
     decode: each Adam7 pass is reconstructed as an independent
     sub-image (own filter context) and scattered to (x0 + i·dx,
     y0 + j·dy). Walks chunks with CRC verification, reassembles
     multi-chunk IDAT, inflates, and runs the full scanline
     reconstruction (all 5 filter types, correct bytes-per-pixel
-    offset per color type). None for other color types / depths."""
+    offset per color type). None for unsupported depths."""
     if not b.startswith(_SIG):
         return None
     pos = len(_SIG)
@@ -451,7 +519,7 @@ def decode_png(b: bytes) -> np.ndarray | None:
     if ihdr is None or len(ihdr) != 13 or not idat:
         return None
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">II5B", ihdr)
-    if ctype_ not in (0, 2, 3, 6) or (comp, filt) != (0, 0):
+    if ctype_ not in (0, 2, 3, 4, 6) or (comp, filt) != (0, 0):
         return None
     if depth == 16:
         # r6: 16-bit grayscale; r9 adds 16-bit TRUECOLOR (48 bpp, the
@@ -476,7 +544,7 @@ def decode_png(b: bytes) -> np.ndarray | None:
     # bytewise filter offset = bytes per pixel (PNG 6.2): channel
     # count per color type × bytes per sample — RGBA8 → 4, RGB8 → 3,
     # RGB16 → 6, gray16 → 2, gray8/paletted → 1
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype_]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_]
     bpp = channels * (2 if depth == 16 else 1)
     if interlace == 0:
         stride = w * bpp
@@ -511,7 +579,7 @@ def decode_png(b: bytes) -> np.ndarray | None:
                 img[y0 + ry * dy, x0 : x0 + (pw - 1) * dx + 1 : dx, :] = samples
                 prev = rec
                 off += 1 + stride
-    if ctype_ == 6:
+    if ctype_ in (4, 6):  # gray+alpha (r9) / RGBA: channels direct
         return img
     if ctype_ == 2:  # truecolor RGB (r9): 8-bit direct, 16-bit paired
         if depth == 16:
@@ -582,12 +650,16 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     def _mk(a: int) -> bytes:
         r4 = a % 4
         if r4 == 0:
-            return make_png_rgba(a)
+            # r9: one RGBA slot stores the SAME image interlaced
+            return make_png_rgba_adam7(a) if a % 32 == 28 else make_png_rgba(a)
         if r4 == 2:
             if a % 8 == 6:
                 return make_png_rgb16(a) if a % 16 == 14 else make_png_rgb8(a)
             return make_png_palette(a)
         if r4 == 3:
+            # r9: gray+alpha (color type 4), itself interlaced
+            if a % 32 == 23:
+                return make_png_ga_adam7(a)
             return make_png_gray_adam7(a)
         return make_png_gray16(a) if a % 8 == 5 else make_png_gray(a)
 
@@ -646,6 +718,12 @@ def png_pixel_stats(assets: DataFrame) -> DataFrame:
                     continue
                 nchan = img.shape[2]
                 s = img.reshape(-1, nchan).astype(np.int64).sum(axis=0)
+                if nchan == 2:  # r9: gray+alpha
+                    for k in ("sum_r", "sum_g", "sum_b"):
+                        out[k].append(None)
+                    out["sum_gray"].append(int(s[0]))
+                    out["sum_a"].append(int(s[1]))
+                    continue
                 for k, v in zip(("sum_r", "sum_g", "sum_b"), s[:3]):
                     out[k].append(int(v))
                 out["sum_a"].append(int(s[3]) if nchan == 4 else None)

@@ -67,7 +67,12 @@ from queryengine_spark.multimodal.png import (  # noqa: E402
 def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize → decode → aggregate, entirely worker-side (two
     chained mapInPandas stages, zero shuffles before the final
-    projection). Mixed color types: asset_id % 4 == 0 is 8-bit RGBA;
+    projection). Mixed color types: asset_id % 4 == 0 is 8-bit RGBA
+    (of which % 32 == 28 stores the SAME image Adam7-INTERLACED at
+    bpp=4 — identical sums, so only the position-weighted wsum can
+    catch a misplaced color pass); % 32 == 23 is GRAY+ALPHA (color
+    type 4, r9 — the last PNG color type — itself interlaced at
+    bpp=2, alpha on the RGBA leg's alpha formula);
     % 8 == 2 is 8-bit PALETTED (r6 — 256-entry PLTE, the oracle
     recomputes palette[index] composition symbolically); % 16 == 6 is
     8-bit TRUECOLOR (color type 2, r9 — bpp=3 filter arithmetic, the
@@ -129,7 +134,7 @@ sums AS (SELECT asset_id, w, h,
                      THEN ({RGB16_B[0]} * x + {RGB16_B[1]} * y
                            + {RGB16_B[2]} * asset_id) % 65536
                      END) AS BIGINT) AS sum_b,
-                CAST(SUM(CASE WHEN asset_id % 4 = 0
+                CAST(SUM(CASE WHEN asset_id % 4 = 0 OR asset_id % 32 = 23
                      THEN (x + y + asset_id) % 256 END) AS BIGINT) AS sum_a,
                 CAST(SUM(CASE WHEN asset_id % 2 = 1
                      THEN first_ch END) AS BIGINT) AS sum_gray,

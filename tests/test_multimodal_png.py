@@ -122,10 +122,10 @@ def test_malformed_inputs_return_none():
         + _chunk(b"IEND", b"")
     )
     assert decode_png(notz) is None
-    # color type 2 (truecolor) is SUPPORTED since r9: this all-zero
-    # 2x2 RGB vector decodes (it used to be the wrong-color-type
-    # refusal probe); a still-unsupported color type (4, gray+alpha)
-    # keeps the refusal path pinned
+    # color types 2 (truecolor, r9) and 4 (gray+alpha, r9) are
+    # SUPPORTED: these all-zero 2x2 vectors decode (type 2 used to be
+    # the wrong-color-type refusal probe); an UNDEFINED color type
+    # (5) keeps the refusal path pinned
     ihdr = struct.pack(">II5B", 2, 2, 8, 2, 0, 0, 0)
     rgb = (
         b"\x89PNG\r\n\x1a\n"
@@ -142,7 +142,16 @@ def test_malformed_inputs_return_none():
         + _chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 4))))
         + _chunk(b"IEND", b"")
     )
-    assert decode_png(ga) is None
+    out_ga = decode_png(ga)
+    assert out_ga is not None and out_ga.shape == (2, 2, 2) and not out_ga.any()
+    ihdr_bad = struct.pack(">II5B", 2, 2, 8, 5, 0, 0, 0)
+    bad_ct = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr_bad)
+        + _chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 4))))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(bad_ct) is None
     # declared size mismatch: stream shorter than h*(1+4w)
     assert decode_png(_png(3, 3, bytes(5))) is None
 
@@ -559,3 +568,34 @@ def test_truecolor_refusals_unchanged():
     assert P.decode_png(rebuild(16, 2, 1, 6)) is None
     assert P.decode_png(rebuild(16, 6, 0, 8)) is None
     assert P.decode_png(rebuild(8, 2, 0, 3)) is not None
+
+
+def test_gray_alpha_interlaced_decodes_to_formulas():
+    """Color type 4 (r9), Adam7-stored: both channels equal their
+    formulas at every position — a swapped channel order or a
+    misplaced pass breaks this exhaustive check."""
+    import queryengine_spark.multimodal.png as P
+
+    for a in (23, 55, 87, 119, 151):
+        w, h = P.png_rgba_params(a)
+        img = P.decode_png(P.make_png_ga_adam7(a))
+        assert img is not None and img.shape == (h, w, 2)
+        exp = np.stack(
+            [
+                np.array([[P._gray_pixel(a, x, y) for x in range(w)]
+                          for y in range(h)]),
+                np.array([[(x + y + a) % 256 for x in range(w)]
+                          for y in range(h)]),
+            ],
+            axis=-1,
+        )
+        assert (img == exp).all(), a
+
+
+def test_interlaced_rgba_equals_sequential_twin():
+    import queryengine_spark.multimodal.png as P
+
+    for a in (28, 60, 92, 124):
+        il = P.decode_png(P.make_png_rgba_adam7(a))
+        sq = P.decode_png(P.make_png_rgba(a))
+        assert il is not None and sq is not None and (il == sq).all(), a
