@@ -506,6 +506,172 @@ def make_pcm_wav24(asset_id: int) -> bytes:
     return _wav_container(rate, 24, pack_int24([_sample24(asset_id, i) for i in range(n)]))
 
 
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11) — r9
+# ---------------------------------------------------------------------------
+# The classic 4-bit compressed-PCM codec (IMA "Recommended Practices
+# for Enhancing Digital Audio Compatibility", the DVI ADPCM of
+# RFC 3551 §4.5.1): each block is independently decodable — a 4-byte
+# header carrying the initial predictor (an int16 PCM sample) and
+# step-table index, then two 4-bit nibbles per byte (low first),
+# each expanding through the 89-entry step table with predictor
+# clamping. The corpus leg flips in round 10 (rotation budget); the
+# codec + pins land here.
+
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+#: block size of the synthesized ADPCM legs (bytes; mono)
+ADPCM_BLOCK_ALIGN = 256
+
+
+def _ima_step(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    """Expand one 4-bit code: (new predictor, new step index). The
+    diff reconstruction uses the shift ladder (step/8 + optional
+    step, step/2, step/4), predictor clamps to int16, index to
+    [0, 88]."""
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[nibble & 7]))
+    return pred, idx
+
+
+def _ima_encode(samples: list[int]) -> tuple[bytes, int]:
+    """Encode int16 samples into ADPCM blocks of ADPCM_BLOCK_ALIGN
+    bytes (mono). The first sample of each block rides verbatim in
+    the block header; the encoder tracks the DECODER's reconstruction
+    so drift cannot accumulate. Returns (blocks, samples_per_block)."""
+    spb = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+    out = bytearray()
+    idx = 0
+    for b0 in range(0, len(samples), spb):
+        block = samples[b0 : b0 + spb]
+        pred = block[0]
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in block[1:]:
+            step = IMA_STEP_TABLE[idx]
+            delta = s - pred
+            code = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            nibbles.append(code)
+            pred, idx = _ima_step(code, pred, idx)
+        while len(nibbles) < spb - 1:  # pad the final partial block
+            nibbles.append(0 if pred <= 0 else 8)  # step toward 0
+            pred, idx = _ima_step(nibbles[-1], pred, idx)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out), spb
+
+
+def make_wav_adpcm(asset_id: int) -> bytes:
+    """Complete mono IMA-ADPCM WAV (format tag 0x11): the mono-16
+    sample formula encoded block-at-a-time, the extended fmt chunk
+    (cbSize=2, wSamplesPerBlock), and the MANDATORY ``fact`` chunk
+    carrying the true sample count (how a decoder truncates the final
+    block's padding)."""
+    rate, n = wav_audio_params(asset_id)
+    samples = [_sample(asset_id, i) for i in range(n)]
+    blocks, spb = _ima_encode(samples)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate,
+        (rate * ADPCM_BLOCK_ALIGN + spb - 1) // spb,  # avg byte rate
+        ADPCM_BLOCK_ALIGN, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_adpcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
+    """IMA-ADPCM (format 0x11) → (rate, int64 PCM16 samples), or
+    None. MONO only (multi-channel IMA interleaves 4-byte channel
+    groups — an honest refusal, never a guessed de-interleave); the
+    fmt chunk must carry wSamplesPerBlock consistent with the block
+    align, every block header's reserved byte must be 0 and its step
+    index ≤ 88, and the ``fact`` count bounds the decoded stream
+    (the final block's padding is truncated away, anything beyond
+    the data's capacity refuses)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_body = data = fact = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        try:
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        except struct.error:
+            return None
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and len(body) >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
+        pos += 8 + size + (size & 1)
+    if fmt_body is None or data is None or fact is None or len(fmt_body) < 20:
+        return None
+    tag, channels, rate, _br, balign, bits, cb, spb = struct.unpack(
+        "<HHIIHHHH", fmt_body[:20]
+    )
+    if tag != 0x11 or channels != 1 or bits != 4 or cb < 2:
+        return None
+    if balign < 5 or spb != (balign - 4) * 2 + 1:
+        return None
+    if len(data) % balign:
+        return None
+    n_blocks = len(data) // balign
+    if not n_blocks or fact > n_blocks * spb or fact <= (n_blocks - 1) * spb:
+        return None  # fact must land inside the FINAL block
+    out = np.empty(n_blocks * spb, dtype=np.int64)
+    w = 0
+    for blk in range(n_blocks):
+        off = blk * balign
+        pred, idx, reserved = struct.unpack_from("<hBB", data, off)
+        if reserved != 0 or idx > 88:
+            return None
+        out[w] = pred
+        w += 1
+        for byte in data[off + 4 : off + balign]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_step(nib, pred, idx)
+                out[w] = pred
+                w += 1
+    return int(rate), out[:fact]
+
+
 def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
     """bytes → (sample_rate, int64 sample array) for integer PCM
     (format 1: 16- or 24-bit, mono/multi-channel — the interleaved

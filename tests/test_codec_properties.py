@@ -378,3 +378,131 @@ def test_wav_format_bits_gates():
     assert decode_pcm_wav(_wav_container(8000, 32, b"\0" * 4, fmt_tag=1)) is None
     assert decode_pcm_wav(_wav_container(8000, 16, b"\0\0", fmt_tag=2)) is None
     assert decode_pcm_wav(_wav_container(8000, 8, b"\0", fmt_tag=7)) is not None
+
+
+# --- r9: IMA/DVI ADPCM (WAV format tag 0x11) --------------------------------
+
+
+def test_adpcm_hand_vector():
+    """Single hand-built block decoded against a BY-HAND expansion of
+    the IMA shift ladder — no encoder in the loop. Header: pred=100,
+    index=4 (step 11). Nibbles 0x3 then 0x9 packed as one byte
+    0x93: n1=3 -> diff = 11/8 + 11/2 + 11/4 = 1+5+2 = 8, pred 108,
+    idx 4-1=3 (step 10); n2=9 -> diff = 10/8 + 10/4 = 1+2 = 3,
+    pred 105, idx 3-1=2."""
+    import struct
+
+    import numpy as np
+
+    from queryengine_spark.multimodal.bmp import decode_adpcm_wav
+
+    balign = 5  # 4-byte header + 1 nibble byte -> spb = 3
+    block = struct.pack("<hBB", 100, 4, 0) + bytes([0x93])
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, balign, 4, 2, 3)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + struct.pack("<I", 3)
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    res = decode_adpcm_wav(wav)
+    assert res is not None
+    rate, dec = res
+    assert rate == 8000
+    assert dec.tolist() == [100, 108, 105]
+
+
+def test_adpcm_clamping_hand_vector():
+    """Predictor clamps to int16 and the index to [0, 88]: start at
+    pred=32000, idx=88 (step 32767), nibble 0x7 -> diff = 32767/8 +
+    32767/2 + 32767/4 = 4095+16383+8191 = 28669 -> 60669 clamps at
+    32767; idx 88+8 clamps to 88. Second nibble 0xF adds the full
+    step too (bit 4): diff = 28669 + 32767 = 61436, subtracted ->
+    32767 - 61436 = -28669 (in range); idx stays 88."""
+    import struct
+
+    from queryengine_spark.multimodal.bmp import decode_adpcm_wav
+
+    block = struct.pack("<hBB", 32000, 88, 0) + bytes([0xF7])
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 5, 4, 2, 3)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + struct.pack("<I", 3)
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    res = decode_adpcm_wav(wav)
+    assert res is not None
+    assert res[1].tolist() == [32000, 32767, -28669]
+
+
+def test_adpcm_synthesis_roundtrip_tracks_source():
+    import numpy as np
+
+    from queryengine_spark.multimodal.bmp import (
+        ADPCM_BLOCK_ALIGN,
+        _sample,
+        decode_adpcm_wav,
+        make_wav_adpcm,
+        wav_audio_params,
+    )
+
+    spb = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+    for a in range(24):
+        rate, n = wav_audio_params(a)
+        res = decode_adpcm_wav(make_wav_adpcm(a))
+        assert res is not None
+        r2, dec = res
+        assert (r2, len(dec)) == (rate, n)
+        src = np.array([_sample(a, i) for i in range(n)])
+        for b0 in range(0, n, spb):  # block-leading samples verbatim
+            assert dec[b0] == src[b0]
+        # the encoder tracks the decoder's reconstruction, so error
+        # stays within one quantization ladder of the running step
+        assert int(np.abs(dec - src).max()) <= 16
+
+
+def test_adpcm_refusals():
+    import struct
+
+    from queryengine_spark.multimodal.bmp import (
+        decode_adpcm_wav,
+        decode_pcm_wav,
+        make_wav_adpcm,
+    )
+
+    good = make_wav_adpcm(7)
+    assert decode_adpcm_wav(good) is not None
+    # the plain-PCM decoder refuses format 0x11 rather than misread
+    assert decode_pcm_wav(good) is None
+
+    def wav(fmt_fields, fact, data):
+        fmt = struct.pack("<HHIIHHHH", *fmt_fields)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", 4) + struct.pack("<I", fact)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    blk = struct.pack("<hBB", 0, 0, 0) + bytes([0x00])
+    ok = (0x11, 1, 8000, 8000, 5, 4, 2, 3)
+    assert decode_adpcm_wav(wav(ok, 3, blk)) is not None
+    # stereo refused (no guessed de-interleave)
+    assert decode_adpcm_wav(wav((0x11, 2, 8000, 8000, 5, 4, 2, 3), 3, blk)) is None
+    # samples-per-block inconsistent with block align
+    assert decode_adpcm_wav(wav((0x11, 1, 8000, 8000, 5, 4, 2, 7), 3, blk)) is None
+    # step index beyond the table
+    bad_idx = struct.pack("<hBB", 0, 89, 0) + bytes([0x00])
+    assert decode_adpcm_wav(wav(ok, 3, bad_idx)) is None
+    # nonzero reserved header byte
+    bad_res = struct.pack("<hBB", 0, 0, 1) + bytes([0x00])
+    assert decode_adpcm_wav(wav(ok, 3, bad_res)) is None
+    # fact outside the final block (too small / too large)
+    assert decode_adpcm_wav(wav(ok, 0, blk)) is None
+    assert decode_adpcm_wav(wav(ok, 4, blk)) is None
+    # data not a whole number of blocks
+    assert decode_adpcm_wav(wav(ok, 3, blk + b"\x00")) is None
