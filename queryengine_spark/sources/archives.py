@@ -30,7 +30,9 @@ the LLM-data-pipeline surface this repo adds beyond the reference
 
 from __future__ import annotations
 
+import bz2
 import hashlib
+import lzma
 import struct
 import zlib
 from collections.abc import Iterator
@@ -341,6 +343,37 @@ def _parse_zip(b: bytes) -> list[tuple[str, bytes]] | None:
 # ---------------------------------------------------------------------------
 # dispatch + Spark plumbing
 # ---------------------------------------------------------------------------
+def make_tbz_shard(shard_id: int) -> bytes:
+    """bzip2-compressed tar shard (``.tar.bz2`` — the other classic
+    WebDataset/archive.org flavor, r9): the SAME tar bytes under the
+    stdlib bzip2 stream. Container walk stays the from-scratch ustar
+    parser; the entropy layer, like zlib elsewhere, is the stdlib's.
+    Corpus slot flips into source_archive_shards in round 10 (this
+    round's tier-0 window is at its insertion cap)."""
+    return bz2.compress(make_tar_shard(shard_id), 9)
+
+
+def make_txz_shard(shard_id: int) -> bytes:
+    """xz-compressed tar shard (``.tar.xz``, r9): the same tar bytes
+    as a single-stream xz container (stdlib LZMA2)."""
+    return lzma.compress(
+        make_tar_shard(shard_id), format=lzma.FORMAT_XZ, preset=6
+    )
+
+
+def _decompress_whole(b: bytes, decomp) -> bytes | None:
+    """Run a stdlib one-shot decompressor object strictly: the stream
+    must end exactly at the end of input (truncation and trailing
+    garbage both refuse — a shard is ONE stream)."""
+    try:
+        out = decomp.decompress(bytes(b))
+    except Exception:
+        return None
+    if not decomp.eof or decomp.unused_data:
+        return None
+    return out
+
+
 def make_archive(shard_id: int) -> tuple[str, bytes]:
     """shard % 4 == 0 packs as gzip-compressed tar (r7), % 4 == 2 as
     plain tar, odd as zip — same member formula, so all three
@@ -354,10 +387,18 @@ def make_archive(shard_id: int) -> tuple[str, bytes]:
 
 def parse_archive(b: bytes) -> list[tuple[str, bytes]] | None:
     """Magic-byte dispatch: gzip magic → RFC 1952 unwrap then the
-    ustar walk (r7), ustar magic at offset 257, else the ZIP
-    local-header signature. None for unrecognized/invalid payloads."""
+    ustar walk (r7); bzip2 ``BZh`` / xz magics → strict stdlib
+    decompression (whole-stream, no trailing bytes — r9) then the
+    same walk; ustar magic at offset 257; else the ZIP local-header
+    signature. None for unrecognized/invalid payloads."""
+    inner: bytes | None = None
     if b[:2] == b"\x1f\x8b":
         inner = _parse_gzip(bytes(b))
+    elif b[:3] == b"BZh":
+        inner = _decompress_whole(b, bz2.BZ2Decompressor())
+    elif b[:6] == b"\xfd7zXZ\x00":
+        inner = _decompress_whole(b, lzma.LZMADecompressor(lzma.FORMAT_XZ))
+    if b[:2] == b"\x1f\x8b" or b[:3] == b"BZh" or b[:6] == b"\xfd7zXZ\x00":
         if inner is None or len(inner) < 262 or inner[257:262] != b"ustar":
             return None
         return _parse_tar(inner)

@@ -906,3 +906,43 @@ class TestHttpTransferCodings:
             msg("Content-Encoding: gzip\r\nContent-Length: 3\r\n", b"abc"),
             "response",
         ) is None
+
+
+class TestBz2XzShards:
+    """r9: .tar.bz2 / .tar.xz flavors — strict whole-stream
+    decompression (stdlib entropy layer, from-scratch ustar walk),
+    corpus slot deferred to round 10."""
+
+    def test_roundtrip_both(self):
+        from queryengine_spark.sources.archives import (
+            make_tbz_shard,
+            make_txz_shard,
+            parse_archive,
+            shard_members,
+        )
+
+        for sid in (0, 3, 11):
+            want = shard_members(sid)
+            assert parse_archive(make_tbz_shard(sid)) == want
+            assert parse_archive(make_txz_shard(sid)) == want
+
+    def test_strictness(self):
+        import bz2
+        import lzma
+
+        from queryengine_spark.sources.archives import (
+            make_tbz_shard,
+            make_txz_shard,
+            parse_archive,
+        )
+
+        tbz, txz = make_tbz_shard(4), make_txz_shard(4)
+        # truncation refused
+        assert parse_archive(tbz[:-3]) is None
+        assert parse_archive(txz[:-3]) is None
+        # trailing garbage refused (a shard is ONE stream)
+        assert parse_archive(tbz + b"x") is None
+        assert parse_archive(txz + b"x") is None
+        # valid stream but inner bytes are not a tar
+        assert parse_archive(bz2.compress(b"not a tar" * 40)) is None
+        assert parse_archive(lzma.compress(b"not a tar" * 40)) is None
