@@ -412,6 +412,78 @@ def make_png_gray_adam7(asset_id: int) -> bytes:
     )
 
 
+def make_png_gray1(asset_id: int) -> bytes:
+    """1-BIT grayscale PNG (depth 1, r9 — the fax/mask shape): the
+    gray formula mod 2, eight samples packed MSB-first per byte with
+    the final byte zero-padded (PNG 7.2), per-row filter y % 5 at the
+    BYTE granularity (bpp=1 for all sub-byte depths)."""
+    w, h = png_rgba_params(asset_id)
+    row_bytes = (w + 7) // 8
+    prev = bytes(row_bytes)
+    stream = bytearray()
+    for y in range(h):
+        bits = [_gray_pixel(asset_id, x, y) % 2 for x in range(w)]
+        bits += [0] * (-len(bits) % 8)
+        raw = bytes(
+            sum(bit << (7 - k) for k, bit in enumerate(bits[i : i + 8]))
+            for i in range(0, len(bits), 8)
+        )
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, bpp=1)
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 1, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
+def make_png_palette4(asset_id: int) -> bytes:
+    """4-BIT PALETTED PNG (depth 4, r9 — the small-palette web
+    shape): a 16-entry PLTE from the same palette formulas, the index
+    formula mod 16, two indices per byte high-nibble-first, filters
+    at byte granularity."""
+    w, h = png_rgba_params(asset_id)
+    plte = bytes(
+        v
+        for i in range(16)
+        for v in (
+            (PAL3_RM * i + asset_id) % 256,
+            (PAL3_GM * i + 7) % 256,
+            (PAL3_BM * i + 2 * asset_id) % 256,
+        )
+    )
+    prev = bytes((w + 1) // 2)
+    stream = bytearray()
+    for y in range(h):
+        idxs = [_pal3_index(asset_id, x, y) % 16 for x in range(w)]
+        idxs += [0] * (len(idxs) % 2)
+        raw = bytes(
+            (idxs[i] << 4) | idxs[i + 1] for i in range(0, len(idxs), 2)
+        )
+        f = y % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev, bpp=1)
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 4, 3, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
 def make_png_rgba_adam7(asset_id: int) -> bytes:
     """8-bit RGBA with Adam7 INTERLACE (r9): the SAME _pixel image as
     make_png_rgba in 7-pass order at bpp=4 — the COLOR deinterlace
@@ -527,6 +599,12 @@ def decode_png(b: bytes) -> np.ndarray | None:
         # 16-bit stays an honest refusal.
         if ctype_ not in (0, 2) or interlace != 0:
             return None
+    elif depth in (1, 2, 4):
+        # r9: SUB-BYTE depths (the fax-mask and small-palette
+        # shapes) for gray/paletted, sequential only; filters stay
+        # byte-granular (bpp=1) per PNG 7.2/9
+        if ctype_ not in (0, 3) or interlace != 0:
+            return None
     elif depth != 8:
         return None
     if interlace not in (0, 1):
@@ -546,6 +624,34 @@ def decode_png(b: bytes) -> np.ndarray | None:
     # RGB16 → 6, gray16 → 2, gray8/paletted → 1
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_]
     bpp = channels * (2 if depth == 16 else 1)
+    if depth in (1, 2, 4):
+        # sub-byte rows: 1 filter byte + ceil(w·depth/8) data bytes;
+        # unfilter at byte granularity, then unpack MSB-first and
+        # drop the final byte's zero padding
+        row_bytes = (w * depth + 7) // 8
+        if len(raw) != h * (1 + row_bytes):
+            return None
+        prev = bytes(row_bytes)
+        rows = []
+        for y in range(h):
+            off = y * (1 + row_bytes)
+            rec = _unfilter_row(
+                raw[off], raw[off + 1 : off + 1 + row_bytes], prev, bpp=1
+            )
+            if rec is None:
+                return None
+            bits = np.unpackbits(np.frombuffer(rec, dtype=np.uint8))
+            vals = bits[: w * depth].reshape(w, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            rows.append((vals * weights).sum(axis=1).astype(np.uint8))
+            prev = rec
+        img = np.stack(rows)
+        if ctype_ == 0:
+            return img  # raw sample values 0..2^depth-1, not scaled
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(img.max()) >= pal.shape[0]:
+            return None
+        return pal[img]
     if interlace == 0:
         stride = w * bpp
         if len(raw) != h * (1 + stride):
@@ -655,13 +761,17 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
         if r4 == 2:
             if a % 8 == 6:
                 return make_png_rgb16(a) if a % 16 == 14 else make_png_rgb8(a)
-            return make_png_palette(a)
+            # r9: the %16==10 palette slot drops to 4-BIT indices
+            return make_png_palette4(a) if a % 16 == 10 else make_png_palette(a)
         if r4 == 3:
             # r9: gray+alpha (color type 4), itself interlaced
             if a % 32 == 23:
                 return make_png_ga_adam7(a)
             return make_png_gray_adam7(a)
-        return make_png_gray16(a) if a % 8 == 5 else make_png_gray(a)
+        if a % 8 == 5:
+            return make_png_gray16(a)
+        # r9: the %16==9 gray slot drops to 1-BIT samples
+        return make_png_gray1(a) if a % 16 == 9 else make_png_gray(a)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

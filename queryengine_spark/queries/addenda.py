@@ -72,7 +72,10 @@ def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     bpp=4 — identical sums, so only the position-weighted wsum can
     catch a misplaced color pass); % 32 == 23 is GRAY+ALPHA (color
     type 4, r9 — the last PNG color type — itself interlaced at
-    bpp=2, alpha on the RGBA leg's alpha formula);
+    bpp=2, alpha on the RGBA leg's alpha formula); % 16 == 9 is 1-BIT
+    grayscale and % 16 == 10 is 4-BIT PALETTED (r9 — SUB-BYTE depths:
+    MSB-first bit unpacking, zero-padded final bytes, filters at byte
+    granularity per PNG 7.2/9);
     % 8 == 2 is 8-bit PALETTED (r6 — 256-entry PLTE, the oracle
     recomputes palette[index] composition symbolically); % 16 == 6 is
     8-bit TRUECOLOR (color type 2, r9 — bpp=3 filter arithmetic, the
@@ -110,7 +113,13 @@ ch AS (SELECT asset_id, w, h, x, y,
                          + {RGB16_R[2]} * asset_id) % 65536
                    WHEN asset_id % 4 = 0 OR asset_id % 16 = 6
                    THEN (x * y + asset_id) % 256
+                   -- r9: the %16=10 palette slot is 4-bit (indices mod 16)
+                   WHEN asset_id % 16 = 10
+                   THEN ({PAL3_RM} * (pidx % 16) + asset_id) % 256
                    WHEN asset_id % 8 = 2 THEN ({PAL3_RM} * pidx + asset_id) % 256
+                   -- r9: the %16=9 gray slot is 1-bit (samples mod 2)
+                   WHEN asset_id % 16 = 9
+                   THEN ({GRAY_X_MULT} * x + {GRAY_Y_MULT} * y + asset_id) % 2
                    ELSE ({GRAY_X_MULT} * x + {GRAY_Y_MULT} * y + asset_id) % 256
               END AS first_ch,
               pidx
@@ -120,6 +129,8 @@ sums AS (SELECT asset_id, w, h,
                          END) AS BIGINT) AS sum_r,
                 CAST(SUM(CASE WHEN asset_id % 4 = 0 OR asset_id % 16 = 6
                      THEN (asset_id + 2 * y) % 256
+                     WHEN asset_id % 16 = 10
+                     THEN ({PAL3_GM} * (pidx % 16) + 7) % 256
                      WHEN asset_id % 8 = 2
                      THEN ({PAL3_GM} * pidx + 7) % 256
                      WHEN asset_id % 16 = 14
@@ -128,6 +139,8 @@ sums AS (SELECT asset_id, w, h,
                      END) AS BIGINT) AS sum_g,
                 CAST(SUM(CASE WHEN asset_id % 4 = 0 OR asset_id % 16 = 6
                      THEN (asset_id + 3 * x) % 256
+                     WHEN asset_id % 16 = 10
+                     THEN ({PAL3_BM} * (pidx % 16) + 2 * asset_id) % 256
                      WHEN asset_id % 8 = 2
                      THEN ({PAL3_BM} * pidx + 2 * asset_id) % 256
                      WHEN asset_id % 16 = 14

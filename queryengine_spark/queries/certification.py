@@ -194,7 +194,10 @@ VOID: dict[str, int] = {
     # new rows; the image-decode fold's jpeg leg also gains the r9
     # centered-upsample sub-columns; the png leg's palette slot split
     # %4 -> %8 — ids ≡ 6 (mod 16) now carry 8-bit TRUECOLOR (color
-    # type 2) and ids ≡ 14 (mod 16) 16-BIT truecolor payloads:
+    # type 2) and ids ≡ 14 (mod 16) 16-BIT truecolor payloads; late
+    # r9 additions on the same leg: SOF3 lossless jpeg (%32 ≡ 19/21),
+    # gray+alpha (%32 ≡ 23), interlaced RGBA (%32 ≡ 28), 1-bit gray
+    # (%16 ≡ 9), 4-bit palette (%16 ≡ 10):
     "multimodal_image_decode": 8,
     "multimodal_media_suite": 8,
     # (the standalone pre-fold entries certify through the composites

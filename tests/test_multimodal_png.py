@@ -490,7 +490,10 @@ def test_gray16_refusals():
     assert P.decode_png(rebuild(16, 0, 0)) is not None
     assert P.decode_png(rebuild(16, 6, 0)) is None
     assert P.decode_png(rebuild(16, 0, 1)) is None
-    assert P.decode_png(rebuild(4, 0, 0)) is None  # sub-byte depths too
+    # depth 4 gray is SUPPORTED since r9 (sub-byte unpack); depth 3
+    # is not a legal PNG depth and stays refused
+    assert P.decode_png(rebuild(4, 0, 0)) is not None
+    assert P.decode_png(rebuild(3, 0, 0)) is None
 
 
 def test_truecolor_rgb8_roundtrip_and_handvector():
@@ -599,3 +602,77 @@ def test_interlaced_rgba_equals_sequential_twin():
         il = P.decode_png(P.make_png_rgba_adam7(a))
         sq = P.decode_png(P.make_png_rgba(a))
         assert il is not None and sq is not None and (il == sq).all(), a
+
+
+def test_gray1_hand_vector_and_padding():
+    """1-bit hand vector: 10-px row [1,0,1,1,0,0,1,0,1,1] packs
+    MSB-first as 0b10110010 0b11000000 (zero padding); filter 0. Pins
+    the unpack order and padding drop with no encoder in the loop."""
+    import queryengine_spark.multimodal.png as P
+
+    stream = bytes([0, 0b10110010, 0b11000000])
+    ihdr = struct.pack(">II5B", 10, 1, 1, 0, 0, 0, 0)
+    png = (
+        P._SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(stream))
+        + _chunk(b"IEND", b"")
+    )
+    img = P.decode_png(png)
+    assert img is not None
+    assert img.tolist() == [[1, 0, 1, 1, 0, 0, 1, 0, 1, 1]]
+
+
+def test_palette4_hand_vector():
+    """4-bit palette hand vector: 3-px row, indices 5, 0, 15 pack as
+    0x50 0xF0; Sub filter at BYTE granularity (second data byte
+    filters against the first: 0xF0 - 0x50 = 0xA0)."""
+    import queryengine_spark.multimodal.png as P
+
+    plte = bytes(v for i in range(16) for v in (i, 2 * i, 3 * i))
+    stream = bytes([1, 0x50, 0xA0])
+    ihdr = struct.pack(">II5B", 3, 1, 4, 3, 0, 0, 0)
+    png = (
+        P._SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(stream))
+        + _chunk(b"IEND", b"")
+    )
+    img = P.decode_png(png)
+    assert img is not None
+    assert img.tolist() == [[[5, 10, 15], [0, 0, 0], [15, 30, 45]]]
+
+
+def test_subbyte_refusals():
+    import queryengine_spark.multimodal.png as P
+
+    ok = P.make_png_gray1(9)
+    assert P.decode_png(ok) is not None
+    # sub-byte truecolor / interlaced sub-byte / out-of-palette index
+    ihdr = struct.pack(">II5B", 2, 1, 4, 2, 0, 0, 0)
+    bad = (
+        P._SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + _chunk(b"IEND", b"")
+    )
+    assert P.decode_png(bad) is None
+    ihdr_i = struct.pack(">II5B", 2, 1, 1, 0, 0, 0, 1)
+    bad_i = (
+        P._SIG
+        + _chunk(b"IHDR", ihdr_i)
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + _chunk(b"IEND", b"")
+    )
+    assert P.decode_png(bad_i) is None
+    plte1 = bytes((1, 2, 3))  # one entry; index 5 is out of range
+    ihdr_p = struct.pack(">II5B", 1, 1, 4, 3, 0, 0, 0)
+    bad_p = (
+        P._SIG
+        + _chunk(b"IHDR", ihdr_p)
+        + _chunk(b"PLTE", plte1)
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 0x50])))
+        + _chunk(b"IEND", b"")
+    )
+    assert P.decode_png(bad_p) is None
