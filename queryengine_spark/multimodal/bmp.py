@@ -88,13 +88,16 @@ def decode_bmp(b: bytes) -> np.ndarray | None:
         clr_used = struct.unpack("<I", b[46:50])[0]
     except struct.error:
         return None
-    if hdr_size < 40 or planes != 1 or bpp not in (8, 24):
+    if hdr_size < 40 or planes != 1 or bpp not in (4, 8, 24):
         return None
-    # BI_RGB everywhere; BI_RLE8 (compression 1) only with bpp 8 (r6)
-    if compression != 0 and not (compression == 1 and bpp == 8):
+    # BI_RGB everywhere; BI_RLE8 (compression 1) only with bpp 8
+    # (r6); BI_RLE4 (compression 2) only with bpp 4 (r9)
+    if compression != 0 and not (
+        (compression == 1 and bpp == 8) or (compression == 2 and bpp == 4)
+    ):
         return None
     top_down = h_signed < 0
-    if top_down and compression == 1:
+    if top_down and compression in (1, 2):
         return None  # the spec forbids top-down RLE bitmaps
     h = -h_signed if top_down else h_signed
     if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
@@ -108,11 +111,11 @@ def decode_bmp(b: bytes) -> np.ndarray | None:
         if not top_down:
             rows = rows[::-1]
         return rows[:, :, ::-1]  # BGR → RGB
-    # bpp == 8: color table (BGRX entries) sits right after the info
-    # header; indices look colors up
-    n_colors = clr_used or 256
+    # paletted (bpp 8 or 4 — r9): color table (BGRX entries) sits
+    # right after the info header; indices look colors up
+    n_colors = clr_used or (16 if bpp == 4 else 256)
     pal_off = 14 + hdr_size
-    if n_colors > 256 or pal_off + 4 * n_colors > len(b):
+    if n_colors > (16 if bpp == 4 else 256) or pal_off + 4 * n_colors > len(b):
         return None
     pal = np.frombuffer(b, dtype=np.uint8, count=4 * n_colors, offset=pal_off)
     pal = pal.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX → RGB
@@ -121,6 +124,25 @@ def decode_bmp(b: bytes) -> np.ndarray | None:
         if idx is None or idx.max() >= n_colors:
             return None
         return pal[idx][::-1]  # RLE is always bottom-up
+    if compression == 2:  # BI_RLE4 (r9): nibble runs
+        idx = _decode_rle4(b[off:], w, h)
+        if idx is None or idx.max() >= n_colors:
+            return None
+        return pal[idx][::-1]
+    if bpp == 4:  # uncompressed 4-bit: packed nibbles, padded rows
+        stride = ((w + 1) // 2 + 3) & ~3
+        if off + stride * h > len(b):
+            return None
+        raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        rows = raw.reshape(h, stride)[:, : (w + 1) // 2]
+        nibs = np.empty((h, 2 * ((w + 1) // 2)), dtype=np.uint8)
+        nibs[:, 0::2] = rows >> 4
+        nibs[:, 1::2] = rows & 0x0F
+        idx = nibs[:, :w]
+        if int(idx.max()) >= n_colors:
+            return None
+        out = pal[idx]
+        return out if top_down else out[::-1]
     stride = (w + 3) & ~3
     if off + stride * h > len(b):
         return None
@@ -295,6 +317,127 @@ def _decode_rle8(data: bytes, w: int, h: int) -> np.ndarray | None:
             out[y, x : x + v] = np.frombuffer(data, np.uint8, v, i)
             x += v
             i += v + (v & 1)  # word-aligned
+
+
+def bmp4_index(asset_id: int, x: int, y: int) -> int:
+    """Index formula of the BI_RLE4 leg (r9), mirrored in the oracle:
+    y % 4 == 3 rows ALTERNATE two indices (one encoded run per row —
+    the two-nibble pattern BI_RLE4 has and RLE8 lacks), other odd
+    rows repeat indices 3× (solid encoded runs), even rows are the
+    run-free formula (absolute-mode nibble segments)."""
+    base = (IDX_Y_MULT * y + asset_id) % 16
+    if y % 4 == 3:
+        return base if x % 2 == 0 else (base + 7) % 16
+    xe = x // 3 if y % 2 == 1 else x
+    return (xe + IDX_Y_MULT * y + asset_id) % 16
+
+
+def _rle4_encode_row(row: list[int]) -> bytes:
+    """One stored row → RLE4 bytes (no EOL): maximal ALTERNATING-PAIR
+    runs ≥ 3 become encoded mode [count, hi<<4|lo]; literal stretches
+    of ≥ 3 become absolute mode [0, n, packed nibbles, word pad];
+    1–2 leftovers become short encoded pairs."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i + (run % 2)] and run < 255:
+            run += 1
+        if run >= 3:
+            out += bytes([run, (row[i] << 4) | row[i + 1]])
+            i += run
+            continue
+        j = i
+        while j < n:
+            r2 = 1
+            while j + r2 < n and row[j + r2] == row[j + (r2 % 2)] and r2 < 255:
+                r2 += 1
+            if r2 >= 3:
+                break
+            j += r2
+        lit = row[i:j]
+        for s in range(0, len(lit), 254):
+            chunk = lit[s : s + 254]
+            if len(chunk) >= 3:
+                packed = bytearray()
+                for k in range(0, len(chunk), 2):
+                    hi = chunk[k]
+                    lo = chunk[k + 1] if k + 1 < len(chunk) else 0
+                    packed.append((hi << 4) | lo)
+                if len(packed) & 1:
+                    packed.append(0)  # absolute runs are word-aligned
+                out += bytes([0, len(chunk)]) + packed
+            elif len(chunk) == 2:
+                out += bytes([2, (chunk[0] << 4) | chunk[1]])
+            else:
+                out += bytes([1, chunk[0] << 4])
+        i = j
+    return bytes(out)
+
+
+def make_bmp4_rle(asset_id: int) -> bytes:
+    """BI_RLE4-compressed 4-bit paletted BMP (r9): a 16-entry palette
+    from the bmp8_palette formulas, bmp4_index indices, bottom-up
+    rows, [0,0] EOL per row, [0,1] EOB."""
+    w, h = bmp_params(asset_id)
+    palette = [bmp8_palette(asset_id, j) for j in range(16)]
+    data = bytearray()
+    for y in range(h - 1, -1, -1):
+        data += _rle4_encode_row([bmp4_index(asset_id, x, y) for x in range(w)])
+        data += b"\x00\x00" if y else b"\x00\x01"
+    off = 14 + 40 + 4 * 16
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(data), 2835, 2835, 16, 0
+    )
+    pal = b"".join(bytes((bb, gg, rr, 0)) for rr, gg, bb in palette)
+    return file_hdr + info_hdr + pal + bytes(data)
+
+
+def _decode_rle4(data: bytes, w: int, h: int) -> np.ndarray | None:
+    """RLE4 stream → (h, w) uint8 index array in STORED (bottom-up)
+    order, or None. Same escapes as RLE8; encoded mode ALTERNATES the
+    byte's two nibbles (hi first), absolute mode packs nibbles
+    hi-first and pads its BYTE count to word alignment."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            return None
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run: alternate hi/lo nibbles
+            if y >= h or x + c > w:
+                return None
+            hi, lo = v >> 4, v & 0x0F
+            for k in range(c):
+                out[y, x + k] = hi if k % 2 == 0 else lo
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                return None
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 2 > n:
+                return None
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x += dx
+            y += dy
+            if x > w or y > h:
+                return None
+        else:  # absolute: v literal nibbles, word-aligned byte count
+            nb = (v + 1) // 2
+            if i + nb > n or y >= h or x + v > w:
+                return None
+            for k in range(v):
+                byte = data[i + k // 2]
+                out[y, x + k] = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+            x += v
+            i += nb + (nb & 1)
 
 
 BMP_ASSET_SCHEMA = StructType(
@@ -766,13 +909,17 @@ def synthesize_pcm_wav(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 
 def synthesize_bmp_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """Even asset_ids → 24-bit BI_RGB, % 4 == 1 → plain 8-bit
-    paletted (r5), % 4 == 3 → BI_RLE8-compressed 8-bit paletted
-    (r6)."""
+    paletted (r5), % 8 == 3 → BI_RLE8-compressed 8-bit paletted
+    (r6), % 8 == 7 → BI_RLE4-compressed 4-BIT paletted (r9 — the
+    nibble-run codec: alternating-pair encoded runs, nibble-packed
+    absolute segments)."""
 
     def _mk(a: int) -> bytes:
         if a % 2 == 0:
             return make_bmp(a)
-        return make_bmp8(a) if a % 4 == 1 else make_bmp8_rle(a)
+        if a % 4 == 1:
+            return make_bmp8(a)
+        return make_bmp4_rle(a) if a % 8 == 7 else make_bmp8_rle(a)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

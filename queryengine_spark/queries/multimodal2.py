@@ -57,12 +57,22 @@ dims AS (SELECT asset_id,
 px AS (SELECT asset_id, w, h, CAST(xx.i AS BIGINT) AS x, CAST(yy.i AS BIGINT) AS y
        FROM dims, unnest(range(0, w)) xx(i), unnest(range(0, h)) yy(i)),
 idx AS (SELECT asset_id, w, h, x, y,
-               -- r6: the %4=3 BI_RLE8 leg repeats indices 3× along x
+               -- r6: the %8=3 BI_RLE8 leg repeats indices 3× along x
                -- on odd rows (encoded-mode runs); even rows keep the
-               -- run-free formula (absolute-mode segments)
-               (CASE WHEN asset_id % 4 = 3 AND y % 2 = 1
-                     THEN x // 3 ELSE x END
-                + {IDX_Y_MULT} * y + asset_id) % 256 AS j
+               -- run-free formula (absolute-mode segments).
+               -- r9: the %8=7 BI_RLE4 leg is 4-bit — y%4=3 rows
+               -- ALTERNATE two indices (the two-nibble encoded run),
+               -- other odd rows run 3×, even rows are absolute
+               CASE WHEN asset_id % 8 = 7 THEN
+                      CASE WHEN y % 4 = 3
+                           THEN (({IDX_Y_MULT} * y + asset_id) % 16
+                                 + CASE WHEN x % 2 = 0 THEN 0 ELSE 7 END) % 16
+                           WHEN y % 2 = 1
+                           THEN (x // 3 + {IDX_Y_MULT} * y + asset_id) % 16
+                           ELSE (x + {IDX_Y_MULT} * y + asset_id) % 16 END
+                    ELSE (CASE WHEN asset_id % 4 = 3 AND y % 2 = 1
+                               THEN x // 3 ELSE x END
+                          + {IDX_Y_MULT} * y + asset_id) % 256 END AS j
         FROM px),
 sums AS (SELECT asset_id, w, h,
                 CAST(SUM(CASE WHEN asset_id % 2 = 0

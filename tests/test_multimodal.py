@@ -195,3 +195,99 @@ def test_sample_frames_real_media(spark):
         assert (arr == gif_decoded[src_idx][2]).all(), (out_idx, src_idx)
     # still image: exactly one frame, the payload itself
     assert by[3] == {0: bmp}
+
+
+# --- r9: BI_RLE4 (4-bit nibble-run BMP) --------------------------------------
+
+
+class TestBmpRle4:
+    def test_hand_vector_all_modes(self):
+        """Hand-built RLE4 stream over a 6x2 bitmap exercising every
+        payload shape with no encoder in the loop. Stored (bottom-up)
+        row 0: encoded run [5, 0x3A] -> 3,10,3,10,3 then [1, 0x70] ->
+        7; row 1: absolute [0,4, 0x12 0x34 pad] -> 1,2,3,4 then
+        delta [0,2,1,0] skips one pixel (stays 0) and [1, 0x90]
+        writes 9 at x=5."""
+        import struct
+
+        import numpy as np
+
+        from queryengine_spark.multimodal.bmp import decode_bmp
+
+        data = bytes(
+            [5, 0x3A, 1, 0x70, 0, 0]          # row 0 (stored) + EOL
+            + [0, 4, 0x12, 0x34, 0, 2, 1, 0, 1, 0x90, 0, 1]  # row 1 + EOB
+        )
+        off = 14 + 40 + 4 * 16
+        fh = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, 6, 2, 1, 4, 2, len(data), 2835, 2835, 16, 0
+        )
+        pal = b"".join(bytes((j, j, j, 0)) for j in range(16))  # gray ramp
+        img = decode_bmp(fh + ih + pal + data)
+        assert img is not None and img.shape == (2, 6, 3)
+        gray = img[:, :, 0].tolist()  # identity palette -> index
+        # display order: stored row 1 is the TOP row after the flip
+        assert gray[0] == [1, 2, 3, 4, 0, 9]
+        assert gray[1] == [3, 10, 3, 10, 3, 7]
+
+    def test_synthesized_roundtrip(self):
+        import numpy as np
+
+        from queryengine_spark.multimodal.bmp import (
+            bmp4_index,
+            bmp8_palette,
+            bmp_params,
+            decode_bmp,
+            make_bmp4_rle,
+        )
+
+        for a in (7, 15, 23, 31, 39, 103):
+            w, h = bmp_params(a)
+            img = decode_bmp(make_bmp4_rle(a))
+            assert img is not None and img.shape == (h, w, 3)
+            exp = np.array(
+                [
+                    [bmp8_palette(a, bmp4_index(a, x, y)) for x in range(w)]
+                    for y in range(h)
+                ],
+                dtype=np.uint8,
+            )
+            assert (img == exp).all(), a
+
+    def test_refusals(self):
+        import struct
+
+        from queryengine_spark.multimodal.bmp import decode_bmp, make_bmp4_rle
+
+        good = make_bmp4_rle(7)
+        assert decode_bmp(good) is not None
+        # RLE4 with bpp 8 (and vice versa) refused
+        bad = bytearray(good)
+        struct.pack_into("<H", bad, 28, 8)
+        assert decode_bmp(bytes(bad)) is None
+        # top-down RLE refused
+        bad2 = bytearray(good)
+        struct.pack_into("<i", bad2, 22, -struct.unpack_from("<i", good, 22)[0])
+        assert decode_bmp(bytes(bad2)) is None
+        # truncated stream (no EOB) refused
+        assert decode_bmp(good[:-2]) is None
+
+    def test_uncompressed_4bit(self):
+        """Plain (BI_RGB) 4-bit BMP: packed nibbles, padded rows."""
+        import struct
+
+        from queryengine_spark.multimodal.bmp import decode_bmp
+
+        # 3x1, indices 5, 0, 15 -> bytes 0x50 0xF0, stride pads to 4
+        row = bytes([0x50, 0xF0, 0, 0])
+        off = 14 + 40 + 4 * 16
+        fh = struct.pack("<2sIHHI", b"BM", off + len(row), 0, 0, off)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, 3, 1, 1, 4, 0, len(row), 2835, 2835, 16, 0
+        )
+        pal = b"".join(bytes((3 * j, 2 * j, j, 0)) for j in range(16))
+        img = decode_bmp(fh + ih + pal + row)
+        assert img is not None
+        # palette entries are (B,G,R,X) on disk -> RGB out
+        assert img.tolist() == [[[5, 10, 15], [0, 0, 0], [15, 30, 45]]]
