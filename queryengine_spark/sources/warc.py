@@ -262,14 +262,27 @@ def make_wet_record(doc_id: int, body: bytes) -> bytes:
     r9: the body ships inside a real HTTP response message (status
     200 + Content-Type/Content-Length headers), so the WET consumer
     must strip the header block — exactly what a CommonCrawl WET
-    producer does."""
+    producer does. Late r9: the transfer shape rotates on doc_id % 3
+    (identity / chunked / gzip), so the WET leg's shared
+    direct-extraction oracle hash also certifies that undoing each
+    coding is byte-lossless."""
+    enc = doc_id % 3
+    if enc == 1:
+        wire = _chunk_frame(body)
+        framing = "Transfer-Encoding: chunked\r\n"
+    elif enc == 2:
+        wire = _gzip_member(body)
+        framing = f"Content-Encoding: gzip\r\nContent-Length: {len(wire)}\r\n"
+    else:
+        wire = body
+        framing = f"Content-Length: {len(body)}\r\n"
     payload = (
         (
             "HTTP/1.1 200 OK\r\n"
             "Content-Type: text/html; charset=UTF-8\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
+            f"{framing}\r\n"
         ).encode("ascii")
-        + body
+        + wire
     )
     lines = [
         b"WARC/1.0",

@@ -604,11 +604,20 @@ class TestWarcHttpPayloads:
         )
 
         doc = "café <b>&amp;</b> body".encode("utf-8")
-        [(hdrs, payload)] = parse_warc(make_wet_record(11, doc))
-        assert http_msgtype(hdrs) == "response"
-        status, hh, body = parse_http_payload(payload, "response")
-        assert status == 200 and body == doc
-        assert int(hh["content-length"]) == len(doc)
+        # late r9: the transfer shape rotates on doc_id % 3 — all
+        # three codings must round-trip the body byte-for-byte
+        for did, enc in ((9, "identity"), (10, "chunked"), (11, "gzip")):
+            [(hdrs, payload)] = parse_warc(make_wet_record(did, doc))
+            assert http_msgtype(hdrs) == "response"
+            status, hh, body = parse_http_payload(payload, "response")
+            assert status == 200 and body == doc, (did, enc)
+            if enc == "identity":
+                assert int(hh["content-length"]) == len(doc)
+            elif enc == "chunked":
+                assert hh["transfer-encoding"] == "chunked"
+                assert "content-length" not in hh
+            else:
+                assert hh["content-encoding"] == "gzip"
 
     def test_malformed_http_record_refused_record_level(self, spark):
         """A record claiming application/http with a broken message
