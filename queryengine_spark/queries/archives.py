@@ -1,8 +1,9 @@
 """Round-6 archive-shard source queries (sources/archives.py).
 
 ``source_archive_shards``: WebDataset-style shard ingestion — even
-doc_ids become TAR shards, odd become ZIP shards, all members from
-the same arithmetic formulas. Spark synthesizes the container bytes
+doc_ids rotate the four tar flavors (plain / .tar.gz / .tar.bz2 /
+.tar.xz on doc_id % 8 — r10 flipped the bz2/xz codec slots in), odd
+become ZIP shards, all members from the same arithmetic formulas. Spark synthesizes the container bytes
 worker-side, parses them back for REAL (ustar checksum walk / ZIP
 central-directory walk with CRC-32 + deflate inflation), and
 aggregates per-shard member statistics inside the same mapInPandas
@@ -78,8 +79,11 @@ per AS (
                1, {NAME_HASH_HEX}))::BIGINT) AS BIGINT) AS name_hash
   FROM paysums GROUP BY shard_id)
 SELECT shard_id,
-       CASE WHEN shard_id % 4 = 0 THEN 'tgz'
-            WHEN shard_id % 2 = 0 THEN 'tar' ELSE 'zip' END AS fmt,
+       CASE WHEN shard_id % 2 = 1 THEN 'zip'
+            WHEN shard_id % 8 = 0 THEN 'tgz'
+            WHEN shard_id % 8 = 4 THEN 'tbz'
+            WHEN shard_id % 8 = 6 THEN 'txz'
+            ELSE 'tar' END AS fmt,
        n_members, n_samples, total_bytes, payload_sum, wsum, name_hash
 FROM per
 """

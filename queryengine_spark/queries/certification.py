@@ -203,6 +203,10 @@ VOID: dict[str, int] = {
     # (the standalone pre-fold entries certify through the composites
     # but keep VOID parity for the direct-import test harness)
     "multimodal_tiff_decode": 8,
+    # round 10 (verdict item 2): even-shard routing %4 -> %8 — shards
+    # ≡ 4 (mod 8) now ship as .tar.bz2 and ≡ 6 (mod 8) as .tar.xz
+    # (the r9 codecs' corpus slots); fmt CASE gained the tbz/txz arms:
+    "source_archive_shards": 9,
 }
 
 

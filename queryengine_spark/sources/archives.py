@@ -348,8 +348,7 @@ def make_tbz_shard(shard_id: int) -> bytes:
     WebDataset/archive.org flavor, r9): the SAME tar bytes under the
     stdlib bzip2 stream. Container walk stays the from-scratch ustar
     parser; the entropy layer, like zlib elsewhere, is the stdlib's.
-    Corpus slot flips into source_archive_shards in round 10 (this
-    round's tier-0 window is at its insertion cap)."""
+    Corpus slot flipped into source_archive_shards in round 10."""
     return bz2.compress(make_tar_shard(shard_id), 9)
 
 
@@ -375,14 +374,21 @@ def _decompress_whole(b: bytes, decomp) -> bytes | None:
 
 
 def make_archive(shard_id: int) -> tuple[str, bytes]:
-    """shard % 4 == 0 packs as gzip-compressed tar (r7), % 4 == 2 as
-    plain tar, odd as zip — same member formula, so all three
+    """Even shards split four ways on ``shard % 8`` — 0 → gzip tar
+    (r7), 2 → plain tar, 4 → bzip2 tar, 6 → xz tar (the r9 codecs'
+    corpus slots, flipped in r10 per the rotation budget) — odd
+    shards pack as zip. Same member formula throughout, so all five
     container paths are directly equivalence-testable."""
-    if shard_id % 4 == 0:
+    if shard_id % 2 == 1:
+        return "zip", make_zip_shard(shard_id)
+    r = shard_id % 8
+    if r == 0:
         return "tgz", make_tgz_shard(shard_id)
-    if shard_id % 2 == 0:
-        return "tar", make_tar_shard(shard_id)
-    return "zip", make_zip_shard(shard_id)
+    if r == 4:
+        return "tbz", make_tbz_shard(shard_id)
+    if r == 6:
+        return "txz", make_txz_shard(shard_id)
+    return "tar", make_tar_shard(shard_id)
 
 
 def parse_archive(b: bytes) -> list[tuple[str, bytes]] | None:

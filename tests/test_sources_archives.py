@@ -224,7 +224,8 @@ def test_spark_stats_match_python_reference(spark):
         members = shard_members(sid)
         r = got[sid]
         assert r.fmt == (
-                "tgz" if sid % 4 == 0 else "tar" if sid % 2 == 0 else "zip"
+                "zip" if sid % 2 else
+                {0: "tgz", 4: "tbz", 6: "txz"}.get(sid % 8, "tar")
             )
         assert r.n_members == len(members)
         assert r.n_samples == shard_samples(sid)
@@ -248,10 +249,14 @@ def test_stats_plan_no_shuffle(spark):
 
 
 def test_make_archive_parity_split():
-    assert make_archive(0)[0] == "tgz"  # r7: %4==0 ships compressed
+    # r10: even shards rotate the four tar flavors on shard % 8
+    assert make_archive(0)[0] == "tgz"
     assert make_archive(1)[0] == "zip"
     assert make_archive(2)[0] == "tar"
     assert make_archive(3)[0] == "zip"
+    assert make_archive(4)[0] == "tbz"
+    assert make_archive(6)[0] == "txz"
+    assert make_archive(8)[0] == "tgz"
 
 
 # ------------------------------------------------- gzip tar shards (r7)
