@@ -733,6 +733,12 @@ def _parse_segments_multi(b: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them (r10, r9 ADVICE: DNG-embedded SOF3 and
+        # some hardware encoders pad with fills; refusing them lost
+        # spec-valid files)
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         body = b[pos + 4 : pos + 2 + seglen]
@@ -1577,6 +1583,12 @@ def _parse_progressive(b: bytes):
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them (r10, r9 ADVICE: DNG-embedded SOF3 and
+        # some hardware encoders pad with fills; refusing them lost
+        # spec-valid files)
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             if sof is None or not scans:
@@ -2436,6 +2448,12 @@ def _parse_segments_lossless(b: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them (r10, r9 ADVICE: DNG-embedded SOF3 and
+        # some hardware encoders pad with fills; refusing them lost
+        # spec-valid files)
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         body = b[pos + 4 : pos + 2 + seglen]

@@ -550,6 +550,42 @@ def make_png_ga_adam7(asset_id: int) -> bytes:
     )
 
 
+def make_png_gray16_adam7(asset_id: int) -> bytes:
+    """16-BIT grayscale PNG stored Adam7-INTERLACED (r10 — the last
+    PNG refusal closed): the SAME _gray16_pixel image as the
+    sequential leg in 7-pass order, each pass independently filtered
+    at bpp=2 (a sample's low byte filters against the previous
+    SAMPLE's low byte — the bytewise rule of make_png_gray16 — while
+    the pass scatter is the geometry of make_png_gray_adam7).
+    Identical sums to the sequential leg by construction; the
+    position-weighted wsum is what catches a misplaced pass."""
+    w, h = png_rgba_params(asset_id)
+    stream = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+        prev = bytes(pw * 2)
+        for ry in range(ph):
+            raw = b"".join(
+                struct.pack(
+                    ">H", _gray16_pixel(asset_id, x0 + rx * dx, y0 + ry * dy)
+                )
+                for rx in range(pw)
+            )
+            f = ry % 5
+            stream.append(f)
+            stream += _filter_row(f, raw, prev, bpp=2)
+            prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 16, 0, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_png(b: bytes) -> np.ndarray | None:
     """bytes → (h, w, 4) uint8 RGBA for color type 6, (h, w)
     grayscale for color type 0 (r5), (h, w, 3) RGB for PALETTED
@@ -560,10 +596,21 @@ def decode_png(b: bytes) -> np.ndarray | None:
     decodes). Sequential and Adam7-INTERLACED (r6) datastreams both
     decode: each Adam7 pass is reconstructed as an independent
     sub-image (own filter context) and scattered to (x0 + i·dx,
-    y0 + j·dy). Walks chunks with CRC verification, reassembles
-    multi-chunk IDAT, inflates, and runs the full scanline
-    reconstruction (all 5 filter types, correct bytes-per-pixel
-    offset per color type). None for unsupported depths."""
+    y0 + j·dy); r10 composes the byte-granular pass machinery with
+    16-bit sample pairing, so interlaced 16-bit decodes too and the
+    refusal list is empty (depth-16 type 3 refuses by SPEC — palette
+    indices are ≤ 8 bits). Walks chunks with CRC verification,
+    reassembles multi-chunk IDAT, inflates, and runs the full
+    scanline reconstruction (all 5 filter types, correct
+    bytes-per-pixel offset per color type).
+
+    Sample-scale CONTRACT (r9 ADVICE): values are returned at their
+    STORED precision, never rescaled — 8-bit legs yield 0..255,
+    16-bit legs 0..65535, and SUB-BYTE grayscale (depth 1/2/4) the
+    raw 0..2^depth−1 codes. A consumer comparing gray statistics
+    across depth legs must normalize itself (the oracles recompute
+    each leg's formula at the same stored scale, which is why the
+    hashes match without any scaling here)."""
     if not b.startswith(_SIG):
         return None
     pos = len(_SIG)
@@ -595,9 +642,12 @@ def decode_png(b: bytes) -> np.ndarray | None:
         return None
     if depth == 16:
         # r6: 16-bit grayscale; r9 adds 16-bit TRUECOLOR (48 bpp, the
-        # photography export profile). Sequential only — interlaced
-        # 16-bit stays an honest refusal.
-        if ctype_ not in (0, 2) or interlace != 0:
+        # photography export profile); r10 composes the byte-granular
+        # Adam7 pass machinery with the sample pairing, so EVERY
+        # 16-bit color type decodes, sequential or interlaced — the
+        # PNG refusal list is empty. Only type 3 refuses: palette
+        # indices are at most 8 bits by spec (PNG 11.2.2).
+        if ctype_ == 3:
             return None
     elif depth in (1, 2, 4):
         # r9: SUB-BYTE depths (the fax-mask and small-palette
@@ -685,17 +735,13 @@ def decode_png(b: bytes) -> np.ndarray | None:
                 img[y0 + ry * dy, x0 : x0 + (pw - 1) * dx + 1 : dx, :] = samples
                 prev = rec
                 off += 1 + stride
-    if ctype_ in (4, 6):  # gray+alpha (r9) / RGBA: channels direct
-        return img
-    if ctype_ == 2:  # truecolor RGB (r9): 8-bit direct, 16-bit paired
-        if depth == 16:
-            pairs = img.reshape(h, w, 3, 2).astype(np.uint16)
-            return (pairs[..., 0] << 8) | pairs[..., 1]
+    if depth == 16:  # big-endian sample pairs → uint16, any channels
+        pairs = img.reshape(h, w, channels, 2).astype(np.uint16)
+        img16 = (pairs[..., 0] << 8) | pairs[..., 1]
+        return img16[..., 0] if ctype_ == 0 else img16
+    if ctype_ in (2, 4, 6):  # truecolor / gray+alpha / RGBA: direct
         return img
     if ctype_ == 0:
-        if depth == 16:  # big-endian sample pairs → uint16 values
-            pairs = img.reshape(h, w, 2).astype(np.uint16)
-            return (pairs[..., 0] << 8) | pairs[..., 1]
         return img.reshape(h, w)
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     idx = img.reshape(h, w)
@@ -748,7 +794,9 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     (color type 3, r6), % 16 == 6 → 8-bit TRUECOLOR (color type 2,
     r9 — carved from the palette slot), % 16 == 14 → 16-BIT TRUECOLOR
     (r9), % 8 == 1 → 8-bit grayscale sequential, % 8 == 5 → 16-BIT
-    grayscale sequential (r6 — the gray-8 slot split in two),
+    grayscale (r6 — the gray-8 slot split in two; r10: % 32 == 21
+    stores the SAME gray-16 image Adam7-INTERLACED — the last PNG
+    refusal closed),
     % 4 == 3 → 8-bit grayscale Adam7-INTERLACED (r6; same pixel
     formula as the sequential leg — the weighted checksum column is
     what makes a misplaced pass visible to the oracle)."""
@@ -769,7 +817,9 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 return make_png_ga_adam7(a)
             return make_png_gray_adam7(a)
         if a % 8 == 5:
-            return make_png_gray16(a)
+            # r10: one gray-16 slot stores the SAME image interlaced
+            # (the last PNG refusal, closed)
+            return make_png_gray16_adam7(a) if a % 32 == 21 else make_png_gray16(a)
         # r9: the %16==9 gray slot drops to 1-BIT samples
         return make_png_gray1(a) if a % 16 == 9 else make_png_gray(a)
 

@@ -25,13 +25,21 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
     StructType,
 )
 
-from queryengine_spark.multimodal.bmp import BMP_ASSET_SCHEMA
+# identical to bmp.BMP_ASSET_SCHEMA; defined locally (not imported)
+# so bmp's compatibility re-export of this module can never cycle
+BMP_ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
 
 # ---------------------------------------------------------------- WAV (audio)
 

@@ -207,6 +207,12 @@ VOID: dict[str, int] = {
     # ≡ 4 (mod 8) now ship as .tar.bz2 and ≡ 6 (mod 8) as .tar.xz
     # (the r9 codecs' corpus slots); fmt CASE gained the tbz/txz arms:
     "source_archive_shards": 9,
+    # round 10 (verdict item 7): the gray-16 slot splits — ids ≡ 21
+    # (mod 32) now store the SAME gray-16 image Adam7-INTERLACED
+    # (identical oracle rows by construction; the re-cert proves the
+    # new interlaced-16-bit decode path reproduces them):
+    "multimodal_png_decode": 9,
+    "multimodal_image_decode": 9,
 }
 
 

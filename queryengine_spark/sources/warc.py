@@ -576,8 +576,18 @@ def parse_http_payload(
     else:
         cl = hdrs.get("content-length")
         if cl is not None:
-            if not cl.isdigit() or int(cl) != len(body):
-                return None  # lying or malformed length: refuse
+            if not cl.isdigit():
+                return None  # malformed length: refuse
+            # r10 (r9 ADVICE): real captures are often truncated
+            # (WARC-Truncated) or carry trailing junk past the
+            # declared length — a hard CL==len(body) refusal would
+            # silently drop those records and shrink downstream
+            # stats. Do what real WET producers do: keep
+            # min(CL, len(body)) octets — trailing bytes beyond CL
+            # are discarded, a short capture keeps what arrived.
+            # (The synthesized corpus always matches exactly, so
+            # certified hashes are unaffected.)
+            body = body[: int(cl)]
     ce = hdrs.get("content-encoding")
     if ce is not None:
         if ce.lower() != "gzip":

@@ -1549,6 +1549,46 @@ class TestLosslessJpeg:
         assert J.decode_jpeg_coeffs(good) is None
         assert J.decode_jpeg_lossless(J.make_jpeg_ac(5)) is None
 
+    def test_fill_bytes_before_markers_tolerated(self):
+        """T.81 B.1.1.2 (r10, r9 ADVICE): any number of 0xFF fill
+        bytes may precede a marker — DNG-embedded SOF3 streams pad
+        with them. Inject fills before every header marker of a good
+        stream and require an IDENTICAL decode, in the lossless AND
+        baseline walks."""
+        import numpy as np
+
+        import queryengine_spark.multimodal.jpeg as J
+
+        def pad_markers(b: bytes, nfill: int) -> bytes:
+            # rewrite only the HEADER marker walk (stop at SOS: the
+            # entropy segment's own 0xFF bytes must stay untouched)
+            out = bytearray(b[:2])
+            pos = 2
+            while pos + 4 <= len(b):
+                assert b[pos] == 0xFF
+                out += b"\xff" * nfill
+                marker = b[pos + 1]
+                seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+                out += b[pos : pos + 2 + seglen]
+                pos += 2 + seglen
+                if marker == 0xDA:
+                    out += b[pos:]  # entropy bytes + EOI verbatim
+                    return bytes(out)
+            raise AssertionError("no SOS found")
+
+        good = J.make_jpeg_lossless(3, 8)
+        want = J.decode_jpeg_lossless(good)
+        assert want is not None
+        for nfill in (1, 3):
+            got = J.decode_jpeg_lossless(pad_markers(good, nfill))
+            assert got is not None
+            assert np.array_equal(got[1], want[1])
+        base = J.make_jpeg_ac(5)
+        want_b = J.decode_jpeg_pixels(base)
+        got_b = J.decode_jpeg_pixels(pad_markers(base, 2))
+        assert want_b is not None and got_b is not None
+        assert np.array_equal(got_b, want_b)
+
     def test_rgb_entry_serves_8bit_refuses_16bit(self):
         import queryengine_spark.multimodal.jpeg as J
 

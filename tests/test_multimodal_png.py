@@ -470,15 +470,19 @@ def test_gray16_roundtrip_formula():
 
 
 def test_gray16_refusals():
-    """16-bit color and interlaced 16-bit are honest refusals."""
+    """r10: every 16-bit color type decodes, sequential or Adam7 —
+    only depth-16 type 3 refuses (palette indices are ≤ 8 bits by
+    spec, PNG 11.2.2). Illegal depths stay refused."""
     import struct
     import zlib
 
+    import numpy as np
+
     import queryengine_spark.multimodal.png as P
 
-    def rebuild(depth, ctype, interlace):
+    def rebuild(depth, ctype, interlace, bpp):
         # one 1×1 row: filter byte + w * bytes-per-pixel of data
-        stream = bytes([0]) + bytes(2 if depth == 16 else 1)
+        stream = bytes([0]) + bytes(bpp)
         ihdr = struct.pack(">II5B", 1, 1, depth, ctype, 0, 0, interlace)
         return (
             P._SIG
@@ -487,13 +491,43 @@ def test_gray16_refusals():
             + P._chunk(b"IEND", b"")
         )
 
-    assert P.decode_png(rebuild(16, 0, 0)) is not None
-    assert P.decode_png(rebuild(16, 6, 0)) is None
-    assert P.decode_png(rebuild(16, 0, 1)) is None
+    assert P.decode_png(rebuild(16, 0, 0, 2)) is not None
+    # 16-bit RGBA / gray+alpha decode since r10 (any channel count)
+    rgba16 = P.decode_png(rebuild(16, 6, 0, 8))
+    assert rgba16 is not None and rgba16.shape == (1, 1, 4)
+    assert rgba16.dtype == np.uint16
+    ga16 = P.decode_png(rebuild(16, 4, 0, 4))
+    assert ga16 is not None and ga16.shape == (1, 1, 2)
+    # interlaced 16-bit decodes since r10 (a 1×1 image is one pass)
+    i16 = P.decode_png(rebuild(16, 0, 1, 2))
+    assert i16 is not None and i16.shape == (1, 1)
+    # depth-16 palette refuses BY SPEC (indices are ≤ 8 bits)
+    assert P.decode_png(rebuild(16, 3, 0, 2)) is None
     # depth 4 gray is SUPPORTED since r9 (sub-byte unpack); depth 3
     # is not a legal PNG depth and stays refused
-    assert P.decode_png(rebuild(4, 0, 0)) is not None
-    assert P.decode_png(rebuild(3, 0, 0)) is None
+    assert P.decode_png(rebuild(4, 0, 0, 1)) is not None
+    assert P.decode_png(rebuild(3, 0, 0, 1)) is None
+
+
+def test_gray16_adam7_matches_sequential():
+    """r10 (the last PNG refusal): the interlaced gray-16 maker and
+    the sequential one decode to the SAME uint16 matrix, and both
+    match the pixel formula — including sizes that exercise empty
+    and partial Adam7 passes."""
+    import numpy as np
+
+    import queryengine_spark.multimodal.png as P
+
+    for a in (5, 13, 21, 45, 53, 213):
+        w, h = P.png_rgba_params(a)
+        seq = P.decode_png(P.make_png_gray16(a))
+        il = P.decode_png(P.make_png_gray16_adam7(a))
+        assert il is not None and il.shape == (h, w) and il.dtype == np.uint16
+        exp = np.array(
+            [[P._gray16_pixel(a, x, y) for x in range(w)] for y in range(h)]
+        )
+        assert np.array_equal(il, exp), a
+        assert np.array_equal(seq, il), a
 
 
 def test_truecolor_rgb8_roundtrip_and_handvector():
@@ -553,8 +587,11 @@ def test_truecolor_rgb16_roundtrip_and_byteswap_sensitivity():
 
 
 def test_truecolor_refusals_unchanged():
-    """Adding color type 2 must not loosen the neighbors: 16-bit RGBA
-    and interlaced 16-bit truecolor stay refusals."""
+    """r10: 16-bit truecolor decodes interlaced too (shape/dtype as
+    sequential), and 16-bit RGBA decodes; only structurally illegal
+    shapes refuse."""
+    import numpy as np
+
     import queryengine_spark.multimodal.png as P
 
     def rebuild(depth, ctype, interlace, npix_bytes):
@@ -568,9 +605,13 @@ def test_truecolor_refusals_unchanged():
         )
 
     assert P.decode_png(rebuild(16, 2, 0, 6)) is not None
-    assert P.decode_png(rebuild(16, 2, 1, 6)) is None
-    assert P.decode_png(rebuild(16, 6, 0, 8)) is None
+    i16 = P.decode_png(rebuild(16, 2, 1, 6))
+    assert i16 is not None and i16.shape == (1, 1, 3)
+    assert i16.dtype == np.uint16
+    assert P.decode_png(rebuild(16, 6, 0, 8)) is not None
     assert P.decode_png(rebuild(8, 2, 0, 3)) is not None
+    # wrong datastream length for the declared geometry still refuses
+    assert P.decode_png(rebuild(16, 2, 0, 5)) is None
 
 
 def test_gray_alpha_interlaced_decodes_to_formulas():

@@ -902,10 +902,17 @@ class TestHttpTransferCodings:
                 b"1\r\nx\r\n0\r\n\r\n"),
             "response",
         ) is None
-        # lying Content-Length
-        assert parse_http_payload(
+        # Content-Length divergence is NOT a refusal (r10, r9
+        # ADVICE): real captures truncate (WARC-Truncated) or carry
+        # trailing junk — keep min(CL, len(body)) like WET producers.
+        status, _, body = parse_http_payload(
             msg("Content-Length: 5\r\n", b"abc"), "response"
-        ) is None
+        )
+        assert (status, body) == (200, b"abc")  # short capture kept
+        status, _, body = parse_http_payload(
+            msg("Content-Length: 3\r\n", b"abcJUNK"), "response"
+        )
+        assert (status, body) == (200, b"abc")  # trailing junk cut
         # malformed Content-Length digits
         assert parse_http_payload(
             msg("Content-Length: +3\r\n", b"abc"), "response"
