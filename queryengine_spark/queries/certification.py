@@ -213,6 +213,11 @@ VOID: dict[str, int] = {
     # new interlaced-16-bit decode path reproduces them):
     "multimodal_png_decode": 9,
     "multimodal_image_decode": 9,
+    # round 10 (verdict item 4): the media suite gained the
+    # 'video_mp4' leg — MP4/ISO-BMFF frame sampling through the real
+    # stsc/stco/stsz sample-table walk (schema unchanged; the fold
+    # emits new rows and the oracle gained the leg's UNION arm):
+    "multimodal_media_suite": 9,
 }
 
 

@@ -808,6 +808,59 @@ FROM blk GROUP BY asset_id, f, nf, fps, bw, bh
 """
 
 
+from queryengine_spark.multimodal.mp4 import (  # noqa: E402
+    MP4_FM,
+    MP4_FPS_BASE,
+    MP4_FPS_MOD,
+    MP4_NF_BASE,
+    MP4_NF_MOD,
+    mp4_frame_stats,
+    synthesize_mp4,
+)
+
+
+def multimodal_video_mp4(spark: SparkSession, sf: str) -> DataFrame:
+    """MP4/ISO-BMFF frame sampling (r10) — the mainstream-container
+    twin of multimodal_video_frames: synthesize a progressive MP4
+    per asset (ftyp, mdat with samples chunked TWO PER CHUNK, moov
+    with the full stbl sample tables, moov after mdat), resolve each
+    sample's byte span through the real stsc/stco/stsz arithmetic,
+    keep frames f % 2 == 0, and entropy-decode each sampled frame
+    through the in-repo baseline-JPEG decoder — one row per sampled
+    frame. The oracle recomputes everything from the synthesis
+    formulas (frame f's blocks = the shared JPEG DC formula at the
+    derived id a + MP4_FM·f, fps = the mdhd-timescale formula), so
+    the hash certifies the box walk, the three-way sample-table
+    resolution, mdat containment AND the JPEG decode of every
+    sampled frame. Design doc: multimodal/mp4.py."""
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return mp4_frame_stats(synthesize_mp4(spread(ids)), stride=2)
+
+
+MULTIMODAL_VIDEO_MP4_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id,
+               CAST(1 + asset_id % {JPEG_BW_MOD} AS BIGINT) AS bw,
+               CAST(1 + asset_id % {JPEG_BH_MOD} AS BIGINT) AS bh,
+               {MP4_NF_BASE} + asset_id % {MP4_NF_MOD} AS nf,
+               CAST({MP4_FPS_BASE} + asset_id % {MP4_FPS_MOD} AS INT) AS fps
+        FROM ids),
+fr AS (SELECT asset_id, bw, bh, nf, fps, CAST(ff.i AS BIGINT) AS f
+       FROM par, unnest(range(0, nf)) ff(i)
+       WHERE ff.i % 2 = 0),
+blk AS (SELECT asset_id, f, bw, bh, nf, fps,
+               ((asset_id + {MP4_FM} * f
+                 + 13 * CAST(xx.i AS BIGINT)
+                 + 31 * CAST(yy.i AS BIGINT)) * {DC_MULT}) % {DC_MOD}
+                 + ({DC_OFF}) AS dc
+        FROM fr, unnest(range(0, bw)) xx(i), unnest(range(0, bh)) yy(i))
+SELECT asset_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, fps,
+       CAST(8 * bw AS INT) AS width, CAST(8 * bh AS INT) AS height,
+       CAST(SUM(64 * (dc + 128)) AS BIGINT) AS sum_lum
+FROM blk GROUP BY asset_id, f, nf, fps, bw, bh
+"""
+
+
 
 def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
     """Scene-cut detection (r6) — the keyframe-selection pass a video
@@ -1101,6 +1154,9 @@ def multimodal_media_suite(spark: SparkSession, sf: str) -> DataFrame:
       energy and zero-crossing counts;
     - leg 'video_frames': AVI/MJPEG sampled-frame luminance through
       the real RIFF walk + JPEG decode;
+    - leg 'video_mp4' (r10): the same sampling over MP4/ISO-BMFF —
+      box walk, stsc/stco/stsz sample-table resolution, mdat spans,
+      real JPEG decode (distinct per-frame formula constant);
     - leg 'augment' (r8): rot90/180/270 + horizontal flip over the
       really-decoded TIFF corpus with position-weighted checksums
       (a wrong rotation direction breaks the hash).
@@ -1114,6 +1170,7 @@ def multimodal_media_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(_media_pad(multimodal_frame_sample(spark, sf), "frame_sample"))
         .unionByName(_media_pad(multimodal_audio_frames(spark, sf), "audio_frames"))
         .unionByName(_media_pad(multimodal_video_frames(spark, sf), "video_frames"))
+        .unionByName(_media_pad(multimodal_video_mp4(spark, sf), "video_mp4"))
         .unionByName(_media_pad(multimodal_image_augment(spark, sf), "augment"))
     )
 
@@ -1125,6 +1182,7 @@ def _media_suite_sql() -> str:
         ("frame_sample", MULTIMODAL_FRAME_SAMPLE_SQL),
         ("audio_frames", MULTIMODAL_AUDIO_FRAMES_SQL),
         ("video_frames", MULTIMODAL_VIDEO_FRAMES_SQL),
+        ("video_mp4", MULTIMODAL_VIDEO_MP4_SQL),
         ("augment", MULTIMODAL_IMAGE_AUGMENT_SQL),
     )
     # column presence per leg mirrors each leg's own SELECT list
@@ -1136,6 +1194,8 @@ def _media_suite_sql() -> str:
         "audio_frames": {"win_idx", "n", "energy", "zc"},
         "video_frames": {"frame_idx", "n_frames", "fps", "width", "height",
                          "sum_lum"},
+        "video_mp4": {"frame_idx", "n_frames", "fps", "width", "height",
+                      "sum_lum"},
         "augment": {"transform", "width", "height", "n_px", "sum_r",
                     "sum_g", "sum_b", "wsum_r", "wsum_g", "wsum_b"},
     }

@@ -1,0 +1,182 @@
+"""MP4/ISO-BMFF container (multimodal/mp4.py): parser pinned against
+the writer's layout plus hand-mutated byte probes — the lying-offset,
+fragmentation, and foreign-codec cases a real corpus contains."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from queryengine_spark.multimodal.jpeg import block_dc, decode_jpeg_dc
+from queryengine_spark.multimodal.mp4 import (
+    MP4_FM,
+    make_mp4,
+    mp4_frame_jpeg,
+    mp4_video_params,
+    parse_mp4,
+)
+
+
+@pytest.mark.parametrize("a", list(range(12)))
+def test_roundtrip_matches_formula(a):
+    bw, bh, nf, fps = mp4_video_params(a)
+    parsed = parse_mp4(make_mp4(a))
+    assert parsed is not None
+    w, h, nf2, fps2, frames = parsed
+    assert (w, h, nf2, fps2) == (8 * bw, 8 * bh, nf, fps)
+    assert len(frames) == nf
+    for f, fb in enumerate(frames):
+        assert fb == mp4_frame_jpeg(a, f)
+        img = decode_jpeg_dc(fb)
+        assert img is not None and img.shape == (h, w), (a, f)
+        exp = sum(
+            64 * (block_dc(a + MP4_FM * f, bx, by) + 128)
+            for by in range(bh)
+            for bx in range(bw)
+        )
+        assert int(img.astype(np.int64).sum()) == exp, (a, f)
+
+
+def test_two_per_chunk_layout_forces_stsc_walk():
+    """nf values 2..6 must include both all-full-chunk layouts (one
+    stsc run) and a short final chunk (two runs) — a parser that
+    assumes one sample per chunk cannot pass the roundtrip above."""
+    odd = even = False
+    for a in range(10):
+        nf = mp4_video_params(a)[2]
+        odd |= bool(nf % 2)
+        even |= not nf % 2
+    assert odd and even
+
+
+def _find(b: bytes, tag: bytes) -> int:
+    i = b.find(tag)
+    assert i > 0, tag
+    return i
+
+
+def test_lying_stco_offset_refused():
+    b = bytearray(make_mp4(5))
+    i = _find(b, b"stco")
+    # first chunk offset lives 8 bytes after the fourcc (verflags +
+    # entry_count); point it past the mdat payload
+    (off,) = struct.unpack_from(">I", b, i + 12)
+    struct.pack_into(">I", b, i + 12, off + 1 << 20)
+    assert parse_mp4(bytes(b)) is None
+
+
+def test_foreign_codec_refused():
+    b = bytearray(make_mp4(3))
+    i = _find(b, b"jpeg")  # the stsd sample-entry fourcc
+    b[i : i + 4] = b"avc1"
+    assert parse_mp4(bytes(b)) is None
+
+
+def test_fragmented_signals_refused():
+    good = make_mp4(4)
+    # an mvex inside moov (empty body is structurally fine for the
+    # walk — the parser must refuse on sight)
+    i = _find(good, b"moov")
+    moov_start = i - 4
+    (msize,) = struct.unpack_from(">I", good, moov_start)
+    mvex = struct.pack(">I", 8) + b"mvex"
+    patched = bytearray(good[: moov_start + msize] + mvex)
+    struct.pack_into(">I", patched, moov_start, msize + 8)
+    assert parse_mp4(bytes(patched)) is None
+    # a top-level moof
+    assert parse_mp4(good + struct.pack(">I", 8) + b"moof") is None
+
+
+def test_stts_stsz_disagreement_refused():
+    b = bytearray(make_mp4(6))
+    i = _find(b, b"stts")
+    # sample count of the single run lives at +8 after the fourcc
+    (cnt,) = struct.unpack_from(">I", b, i + 8)
+    struct.pack_into(">I", b, i + 8, cnt + 1)
+    assert parse_mp4(bytes(b)) is None
+
+
+def test_dims_disagreement_refused():
+    b = bytearray(make_mp4(7))
+    i = _find(b, b"tkhd")
+    # tkhd width is 8 bytes from the box end; halve it
+    th_end = i - 4 + struct.unpack_from(">I", b, i - 4)[0]
+    (tw,) = struct.unpack_from(">I", b, th_end - 8)
+    struct.pack_into(">I", b, th_end - 8, tw // 2)
+    assert parse_mp4(bytes(b)) is None
+
+
+def test_truncation_and_garbage_refused():
+    good = make_mp4(2)
+    assert parse_mp4(good[: len(good) // 2]) is None
+    assert parse_mp4(b"") is None
+    assert parse_mp4(b"\x00" * 64) is None
+    # RIFF/AVI bytes are not an MP4
+    from queryengine_spark.multimodal.avi import make_avi
+
+    assert parse_mp4(make_avi(2)) is None
+
+
+def test_largesize_box_accepted():
+    """Rewrite the mdat as a size-1 (64-bit largesize) box — spec
+    form §4.2 — and require an identical parse. stco offsets shift
+    by the 8 extra header bytes."""
+    a = 9
+    good = make_mp4(a)
+    i = _find(good, b"mdat")
+    mdat_start = i - 4
+    (msize,) = struct.unpack_from(">I", good, mdat_start)
+    payload = good[mdat_start + 8 : mdat_start + msize]
+    big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    patched = bytearray(good[:mdat_start] + big + good[mdat_start + msize :])
+    # every stco offset moves +8
+    j = _find(patched, b"stco")
+    (n,) = struct.unpack_from(">I", patched, j + 8)
+    for k in range(n):
+        (off,) = struct.unpack_from(">I", patched, j + 12 + 4 * k)
+        struct.pack_into(">I", patched, j + 12 + 4 * k, off + 8)
+    want = parse_mp4(good)
+    got = parse_mp4(bytes(patched))
+    assert got is not None
+    assert got == want
+
+
+def test_spark_frame_stats_match_formula(spark):
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.multimodal.mp4 import mp4_frame_stats, synthesize_mp4
+
+    ids = spark.range(0, 10).select(F.col("id").alias("asset_id"))
+    rows = mp4_frame_stats(synthesize_mp4(ids), stride=2).collect()
+    want = []
+    for a in range(10):
+        bw, bh, nf, fps = mp4_video_params(a)
+        for f in range(0, nf, 2):
+            s = sum(
+                64 * (block_dc(a + MP4_FM * f, bx, by) + 128)
+                for by in range(bh)
+                for bx in range(bw)
+            )
+            want.append((a, f, nf, fps, 8 * bw, 8 * bh, s))
+    got = sorted(
+        (r.asset_id, r.frame_idx, r.n_frames, r.fps, r.width, r.height, r.sum_lum)
+        for r in rows
+    )
+    assert got == sorted(want)
+
+
+def test_stats_plan_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.multimodal.mp4 import mp4_frame_stats, synthesize_mp4
+
+    ids = spark.range(0, 4).select(F.col("id").alias("asset_id"))
+    plan = (
+        mp4_frame_stats(synthesize_mp4(ids))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
