@@ -182,6 +182,9 @@ HEADLINE = [
     "text_html_extract",
     # round-6: perceptual-hash image dedup (decode -> dHash -> banded Hamming)
     "dedup_image_phash",
+    # round-10: end-to-end CommonCrawl composite (WARC shards -> CDX
+    # spans -> HTTP undo -> WET -> gate -> near-dup dedup -> packing)
+    "pipeline_cc_ingest",
 ]
 
 

@@ -29,6 +29,7 @@ from queryengine_spark.queries import (
     addenda,
     analytics,
     archives,
+    ccingest,
     curation,
     curation2,
     dedup,
@@ -87,6 +88,9 @@ _MODULES = (
     urlsq,
     # round-6 archive-shard source (WebDataset tar/zip ingestion)
     archives,
+    # round-10 end-to-end CommonCrawl composite (WARC -> CDX -> WET
+    # -> gate -> dedup -> packing)
+    ccingest,
     # ALWAYS LAST: late additions that must not displace queries
     # still waiting for their first driver row (see addenda.py)
     addenda,

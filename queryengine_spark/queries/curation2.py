@@ -645,7 +645,11 @@ def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
-HTML_EXTRACT_SQL = """
+#: shared base/cleaned CTE prefix of the HTML-extraction oracles —
+#: ALSO the first two stages of the r10 pipeline_cc_ingest composite
+#: oracle (queries/ccingest.py), so the extraction chain is stated
+#: once
+HTML_BASE_CLEANED_CTES = """
 WITH base AS (
   SELECT doc_id,
          '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
@@ -674,7 +678,9 @@ cleaned AS (
              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
            '\\s+', ' ', 'g')) AS clean
   FROM base
-)
+)"""
+
+HTML_EXTRACT_SQL = HTML_BASE_CLEANED_CTES + """
 SELECT 'direct' AS leg, CAST(NULL AS VARCHAR) AS fmt, doc_id,
        CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
        CAST(len(regexp_extract_all(html, '&[a-z#0-9]+;')) AS INT) AS n_entities,

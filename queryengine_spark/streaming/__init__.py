@@ -873,3 +873,29 @@ def stream_warc_cdx(shards: DataFrame, path: str):
         .start()
     )
 
+
+
+def stream_archive_members(shards: DataFrame, path: str):
+    """Incremental WebDataset-shard ingestion (r10 — the archive
+    twin of :func:`stream_warc_cdx`): each micro-batch of raw
+    tar/tgz/tbz/txz/zip shards runs the real container walk
+    (sources/archives.py::archive_members — ustar checksum walk /
+    central-directory walk, all five codec paths) and appends the
+    member relation to parquet — how a training pipeline ingests
+    shard drops as they land, without re-reading old shards.
+    foreachBatch because member fan-out is a stateless per-shard
+    map; the sink append is idempotent by (shard_id, ordinal).
+    Returns the started query (availableNow trigger: drains what
+    exists, then stops)."""
+    from queryengine_spark.sources.archives import archive_members
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        archive_members(batch_df).write.mode("append").parquet(path)
+
+    return (
+        shards.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )

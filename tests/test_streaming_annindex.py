@@ -327,3 +327,44 @@ def test_stream_warc_cdx_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == ref
+
+
+def test_stream_archive_members_equals_batch(spark, sf_dir, tmp_path):
+    """r10: incremental archive-shard ingestion — micro-batch member
+    fan-out must leave a relation identical to one batch pass over
+    the same shards (all five container flavors present: ids 0..39
+    cover tgz/tar/tbz/txz/zip on the % 8 routing)."""
+    from queryengine_spark.sources.archives import (
+        archive_members,
+        synthesize_archives,
+    )
+    from queryengine_spark.streaming import stream_archive_members
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "shard_id long")
+    shards = synthesize_archives(ids)
+    batch = archive_members(shards)
+    ref = sorted(
+        tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+        for r in batch.collect()
+    )
+    assert len({r[1] for r in ref}) == 5  # all five fmts walked
+
+    watch = str(tmp_path / "arch_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        shards.filter(F.col("shard_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(shards.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    out = str(tmp_path / "arch_members")
+    q = stream_archive_members(stream, out)
+    q.awaitTermination()
+    got = sorted(
+        tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+        for r in spark.read.parquet(out).select(*batch.columns).collect()
+    )
+    assert got == ref
