@@ -378,8 +378,79 @@ WHERE b.rec_type = 'response' AND b.shard_id % 2 = 1
 """
 
 
+def source_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
+    """Revisit-record resolution (r10 — ISO 28500 §6.7.2): the
+    revisit corpus repeats response URIs (site fixed per shard, path
+    p{i % 4}, body keyed on the PATH so re-captures really are
+    payload-identical); the first capture of each path is a full
+    response, every later one a spec-valid ``revisit`` record
+    (identical-payload-digest profile, WARC-Refers-To, truncated
+    payload). The reader REALLY resolves: WARC-Refers-To is matched
+    against the shard's record ids, and the claimed
+    WARC-Payload-Digest is verified against a digest recomputed from
+    the ORIGINAL'S BYTES (sha256 over the hex encoding — the CDX
+    digest convention). The oracle recomputes indices, first-capture
+    assignment, digests and byte savings FROM THE FORMULAS, so the
+    hash certifies the role split, the reference resolution and both
+    engines' digest arithmetic. Zero shuffle (within-shard
+    resolution inside one mapInPandas pass). Design notes:
+    sources/warc.py (revisit section)."""
+    from queryengine_spark.sources.warc import (
+        synthesize_warc_revisit,
+        warc_revisit_stats,
+    )
+
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
+    return warc_revisit_stats(synthesize_warc_revisit(ids))
+
+
+from queryengine_spark.sources.warc import REVISIT_PATH_MOD  # noqa: E402
+
+SOURCE_WARC_REVISIT_SQL = f"""
+WITH ids AS (SELECT doc_id AS shard_id FROM documents),
+cfg AS (SELECT shard_id, 3 + shard_id % {WARC_N_MOD} AS n FROM ids),
+resp AS (SELECT shard_id, CAST(rr.i AS INT) AS rec_idx,
+                CAST(rr.i % {REVISIT_PATH_MOD} AS INT) AS path
+         FROM cfg, unnest(range(0, n)) rr(i)
+         WHERE rr.i > 0 AND rr.i % 3 <> 1),
+firstcap AS (SELECT shard_id, path, MIN(rec_idx) AS first_idx
+             FROM resp GROUP BY shard_id, path),
+-- path-keyed body: blen + hex bytes from the shared formulas at i = path
+plen AS (SELECT DISTINCT shard_id, path,
+                CAST({WARC_LEN_BASE}
+                     + (13 * shard_id + 7 * path) % {WARC_LEN_MOD}
+                     AS BIGINT) AS blen
+         FROM resp),
+phex AS (SELECT shard_id, path, blen,
+                string_agg(printf('%02x',
+                    ({WARC_PAY[0]} * shard_id + {WARC_PAY[1]} * path
+                     + {WARC_PAY[2]} * CAST(jj.i AS BIGINT)) % 256),
+                    '' ORDER BY jj.i) AS bhex
+         FROM plen, unnest(range(0, blen)) jj(i)
+         GROUP BY shard_id, path, blen)
+SELECT r.shard_id, r.rec_idx,
+       CASE WHEN r.shard_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END AS fmt,
+       CASE WHEN r.rec_idx = f.first_idx THEN 'response'
+            ELSE 'revisit' END AS rec_type,
+       ('0x' || substr(md5('https://site'
+           || CAST((7 * r.shard_id) % {WARC_SITE_MOD} AS VARCHAR)
+           || '.example/p' || CAST(r.path AS VARCHAR)),
+           1, {URI_HASH_HEX}))::BIGINT AS uri_hash,
+       CAST(CASE WHEN r.rec_idx <> f.first_idx THEN f.first_idx END
+            AS INT) AS ref_idx,
+       sha256(p.bhex) AS digest,
+       CASE WHEN r.rec_idx <> f.first_idx THEN TRUE END AS digest_ok,
+       CASE WHEN r.rec_idx = f.first_idx THEN p.blen END AS body_len,
+       CASE WHEN r.rec_idx <> f.first_idx THEN p.blen END AS saved_bytes
+FROM resp r
+JOIN firstcap f ON r.shard_id = f.shard_id AND r.path = f.path
+JOIN phex p ON r.shard_id = p.shard_id AND r.path = p.path
+"""
+
+
 QUERIES = {
     "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
     "source_warc_records": (source_warc_records, SOURCE_WARC_RECORDS_SQL),
     "source_warc_cdx": (source_warc_cdx, SOURCE_WARC_CDX_SQL),
+    "source_warc_revisit": (source_warc_revisit, SOURCE_WARC_REVISIT_SQL),
 }

@@ -217,11 +217,16 @@ def pipeline_cc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     # -- stage 5: quality gate ------------------------------------------
+    # localCheckpoint: the gated relation feeds THREE consumers (the
+    # dedup signature chain, the packing input, and the final join's
+    # left side) — without it Spark re-executes the whole shard
+    # assembly + replay + extraction per consumer (the repo-standard
+    # self-join guard, operators/dedup.py:236)
     gated = stats.withColumn(
         "gate_pass",
         (F.col("n_words") >= CC_GATE_MIN_WORDS)
         & (F.col("n_words") <= CC_GATE_MAX_WORDS),
-    )
+    ).localCheckpoint(eager=False)
 
     # -- stage 6: near-dup dedup (min-of-bucket rule) -------------------
     from queryengine_spark.operators.dedup import (

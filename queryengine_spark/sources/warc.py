@@ -79,6 +79,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -970,3 +971,248 @@ def warc_wet_payloads(shards: DataFrame) -> DataFrame:
             )
 
     return shards.mapInPandas(run, WARC_WET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Revisit records — crawl-time dedup (ISO 28500 §6.7.2, r10)
+# ---------------------------------------------------------------------------
+# Web archives deduplicate at CRAWL time: when a re-fetched page's
+# payload digest matches an earlier capture, the writer emits a
+# ``revisit`` record — WARC-Profile identical-payload-digest,
+# WARC-Refers-To naming the original record, WARC-Payload-Digest
+# carrying the shared digest, and a payload TRUNCATED to the HTTP
+# header block (WARC-Truncated: length). A reader that cannot resolve
+# revisits silently loses every deduplicated page of a real archive.
+#
+# Synthesis formulas (mirrored in the oracle SQL,
+# queries/archives.py::SOURCE_WARC_REVISIT_SQL): the revisit corpus
+# reuses the record-count / role formulas of the main corpus, but its
+# response URIs repeat — site fixed per shard, path p{i % 4} — and a
+# path's BODY is keyed on the PATH (warc_body at i = path), so every
+# re-capture really is payload-identical. The FIRST response index of
+# each path is the full capture; later ones are revisits of it. The
+# digest convention is sha256 over the hex encoding of the body (the
+# same digest-over-hex convention as the CDX leg).
+
+REVISIT_PATH_MOD = 4
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def revisit_uri(shard_id: int, i: int) -> str:
+    return (
+        f"https://site{(7 * shard_id) % WARC_SITE_MOD}.example/"
+        f"p{i % REVISIT_PATH_MOD}"
+    )
+
+
+def revisit_body(shard_id: int, i: int) -> bytes:
+    """The path-keyed body: identical for every capture of the path."""
+    return warc_body(shard_id, i % REVISIT_PATH_MOD)
+
+
+def revisit_digest(shard_id: int, i: int) -> str:
+    return hashlib.sha256(
+        revisit_body(shard_id, i).hex().encode("ascii")
+    ).hexdigest()
+
+
+def revisit_original_idx(shard_id: int, i: int) -> int | None:
+    """The FIRST response index sharing record i's path, or None if
+    record i is itself the first capture (or not a response)."""
+    if warc_rec_type(i) != "response":
+        return None
+    for j in range(1, i):
+        if warc_rec_type(j) == "response" and j % REVISIT_PATH_MOD == i % REVISIT_PATH_MOD:
+            return j
+    return None
+
+
+def _revisit_http_head(shard_id: int, i: int) -> bytes:
+    body = revisit_body(shard_id, i)
+    return (
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html; charset=UTF-8\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii")
+
+
+def make_warc_record_revisit(shard_id: int, i: int) -> bytes:
+    """One record of the revisit corpus: warcinfo / request as in the
+    main corpus; the first capture of a path is a full response
+    (identity coding); every later capture is a spec-valid revisit
+    whose payload is the HTTP header block ONLY."""
+    rt = warc_rec_type(i)
+    if rt == "warcinfo":
+        return make_warc_record(shard_id, 0)
+    if rt == "request":
+        payload = (
+            f"GET /p{i % REVISIT_PATH_MOD} HTTP/1.1\r\n"
+            f"Host: site{(7 * shard_id) % WARC_SITE_MOD}.example\r\n"
+            "User-Agent: qe-crawler/1.0\r\n"
+            "Accept: text/html\r\n\r\n"
+        ).encode("ascii")
+        lines = [
+            b"WARC/1.0",
+            b"WARC-Type: request",
+            b"WARC-Record-ID: " + _record_id(shard_id, i).encode(),
+            b"WARC-Date: " + WARC_DATE.encode(),
+            b"WARC-Target-URI: " + revisit_uri(shard_id, i).encode(),
+            b"Content-Type: " + WARC_CT["request"].encode(),
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+        return CRLF.join(lines) + CRLF + CRLF + payload + CRLF + CRLF
+    orig = revisit_original_idx(shard_id, i)
+    head = _revisit_http_head(shard_id, i)
+    if orig is None:  # first capture: full response
+        payload = head + revisit_body(shard_id, i)
+        lines = [
+            b"WARC/1.0",
+            b"WARC-Type: response",
+            b"WARC-Record-ID: " + _record_id(shard_id, i).encode(),
+            b"WARC-Date: " + WARC_DATE.encode(),
+            b"WARC-Target-URI: " + revisit_uri(shard_id, i).encode(),
+            b"WARC-Payload-Digest: sha256:"
+            + revisit_digest(shard_id, i).encode(),
+            b"Content-Type: " + WARC_CT["response"].encode(),
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+        return CRLF.join(lines) + CRLF + CRLF + payload + CRLF + CRLF
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: revisit",
+        b"WARC-Record-ID: " + _record_id(shard_id, i).encode(),
+        b"WARC-Date: " + WARC_DATE.encode(),
+        b"WARC-Target-URI: " + revisit_uri(shard_id, i).encode(),
+        b"WARC-Profile: " + REVISIT_PROFILE.encode(),
+        b"WARC-Refers-To: " + _record_id(shard_id, orig).encode(),
+        b"WARC-Refers-To-Target-URI: " + revisit_uri(shard_id, orig).encode(),
+        b"WARC-Refers-To-Date: " + WARC_DATE.encode(),
+        b"WARC-Payload-Digest: sha256:" + revisit_digest(shard_id, i).encode(),
+        b"WARC-Truncated: length",
+        b"Content-Type: " + WARC_CT["response"].encode(),
+        b"Content-Length: " + str(len(head)).encode(),
+    ]
+    return CRLF.join(lines) + CRLF + CRLF + head + CRLF + CRLF
+
+
+def make_warc_shard_revisit(shard_id: int) -> bytes:
+    """Revisit-corpus shard: same container routing as the main
+    corpus (even → plain ``.warc``, odd → record-per-gzip-member)."""
+    recs = [
+        make_warc_record_revisit(shard_id, i)
+        for i in range(warc_n_records(shard_id))
+    ]
+    if shard_id % 2 == 0:
+        return b"".join(recs)
+    return b"".join(_gzip_member(r) for r in recs)
+
+
+def synthesize_warc_revisit(
+    ids: DataFrame, id_col: str = "shard_id"
+) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid in pdf[id_col].astype("int64"):
+                rows.append((int(sid), make_warc_shard_revisit(int(sid))))
+            yield pd.DataFrame(rows, columns=["shard_id", "payload"])
+
+    return ids.mapInPandas(run, WARC_SHARD_SCHEMA)
+
+
+WARC_REVISIT_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("rec_idx", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("rec_type", StringType()),
+        StructField("uri_hash", LongType()),
+        StructField("ref_idx", IntegerType()),
+        StructField("digest", StringType()),
+        StructField("digest_ok", BooleanType()),
+        StructField("body_len", LongType()),
+        StructField("saved_bytes", LongType()),
+    ]
+)
+
+
+def warc_revisit_stats(shards: DataFrame) -> DataFrame:
+    """Walk each shard and RESOLVE its revisit records (r10): build
+    the shard's WARC-Record-ID → (index, recomputed payload digest,
+    body length) map from its full responses, then for each revisit
+    resolve WARC-Refers-To against that map and verify the claimed
+    WARC-Payload-Digest against the digest recomputed FROM THE
+    ORIGINAL'S BYTES — the integrity check a deduplicated archive's
+    reader owes its consumers. Emits one row per response (its own
+    digest) and per revisit (ref_idx, digest_ok, and saved_bytes =
+    the original body the archive did not re-store). A revisit whose
+    reference does not resolve contributes no row (structural loss —
+    caught by the oracle's row count). Zero shuffle: resolution is
+    within-shard, inside the same mapInPandas pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt = "warc.gz" if b[:2] == b"\x1f\x8b" else "warc"
+                recs = parse_warc(b)
+                if recs is None:
+                    continue
+                originals: dict[str, tuple[int, str, int]] = {}
+                for i, (headers, body) in enumerate(recs):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    parsed = parse_http_payload(body, "response")
+                    if parsed is None:
+                        continue
+                    _, _, hbody = parsed
+                    dig = hashlib.sha256(
+                        hbody.hex().encode("ascii")
+                    ).hexdigest()
+                    originals[headers.get("warc-record-id", "")] = (
+                        i, dig, len(hbody),
+                    )
+                for i, (headers, body) in enumerate(recs):
+                    rt = headers.get("warc-type")
+                    uri = headers.get("warc-target-uri")
+                    uh = (
+                        int(
+                            hashlib.md5(uri.encode()).hexdigest()[:URI_HASH_HEX],
+                            16,
+                        )
+                        if uri
+                        else None
+                    )
+                    if rt == "response":
+                        rid = headers.get("warc-record-id", "")
+                        if rid not in originals:
+                            continue
+                        _, dig, blen = originals[rid]
+                        rows.append(
+                            (int(sid), i, fmt, "response", uh, None,
+                             dig, None, blen, None)
+                        )
+                    elif rt == "revisit":
+                        if (
+                            headers.get("warc-profile") != REVISIT_PROFILE
+                            or "warc-refers-to" not in headers
+                        ):
+                            continue
+                        ref = originals.get(headers["warc-refers-to"])
+                        if ref is None:
+                            continue  # unresolvable reference
+                        ref_i, ref_dig, ref_len = ref
+                        claimed = headers.get("warc-payload-digest", "")
+                        claimed = claimed.split(":", 1)[-1]
+                        rows.append(
+                            (int(sid), i, fmt, "revisit", uh, ref_i,
+                             claimed, claimed == ref_dig, None, ref_len)
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_REVISIT_SCHEMA.fields]
+            )
+
+    return shards.mapInPandas(run, WARC_REVISIT_SCHEMA)

@@ -967,3 +967,113 @@ class TestBz2XzShards:
         # valid stream but inner bytes are not a tar
         assert parse_archive(bz2.compress(b"not a tar" * 40)) is None
         assert parse_archive(lzma.compress(b"not a tar" * 40)) is None
+
+
+class TestWarcRevisit:
+    """r10: revisit records (ISO 28500 §6.7.2) — resolution pins plus
+    the hand-mutated probes a deduplicated archive's reader meets."""
+
+    def _stats(self, sid=4):
+        from queryengine_spark.sources.warc import (
+            make_warc_shard_revisit,
+        )
+
+        return make_warc_shard_revisit(sid)
+
+    def test_roles_and_resolution_match_formulas(self):
+        from queryengine_spark.sources.warc import (
+            make_warc_shard_revisit,
+            parse_warc,
+            revisit_digest,
+            revisit_original_idx,
+            warc_n_records,
+            warc_rec_type,
+        )
+
+        saw_revisit = False
+        for sid in range(24):
+            recs = parse_warc(make_warc_shard_revisit(sid))
+            assert recs is not None and len(recs) == warc_n_records(sid)
+            for i, (h, _pay) in enumerate(recs):
+                if h["warc-type"] != "revisit":
+                    continue
+                saw_revisit = True
+                orig = revisit_original_idx(sid, i)
+                assert orig is not None
+                assert h["warc-refers-to"] == recs[orig][0]["warc-record-id"]
+                assert h["warc-payload-digest"].endswith(revisit_digest(sid, i))
+                assert h["warc-truncated"] == "length"
+        assert saw_revisit
+
+    def test_revisit_payload_is_headers_only(self):
+        from queryengine_spark.sources.warc import (
+            make_warc_shard_revisit,
+            parse_http_payload,
+            parse_warc,
+        )
+
+        recs = parse_warc(make_warc_shard_revisit(10))  # n=9 -> revisits
+        revs = [(h, p) for h, p in recs if h["warc-type"] == "revisit"]
+        assert revs
+        for h, p in revs:
+            assert p.endswith(b"\r\n\r\n")  # truncated after the headers
+            parsed = parse_http_payload(p, "response")
+            # r10 CL leniency: the truncated capture parses with an
+            # EMPTY body (Content-Length names the missing octets)
+            assert parsed is not None and parsed[2] == b""
+
+    def test_corrupted_digest_reported_not_dropped(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from queryengine_spark.sources.warc import (
+            WARC_SHARD_SCHEMA,
+            make_warc_shard_revisit,
+            warc_revisit_stats,
+        )
+
+        sid = 10
+        b = make_warc_shard_revisit(sid)
+        mutated = b.replace(
+            b"WARC-Payload-Digest: sha256:", b"WARC-Payload-Digest: sha256:0"
+        )
+        # EVERY digest header corrupted — only a revisit's CLAIMED
+        # digest is checked (the reader recomputes originals' digests
+        # from their bytes), so the revisit rows must report
+        # digest_ok=False while response rows are unaffected
+        pdf = pd.DataFrame({"shard_id": [sid], "payload": [mutated]})
+        rows = warc_revisit_stats(
+            spark.createDataFrame(pdf, WARC_SHARD_SCHEMA)
+        ).collect()
+        revs = [r for r in rows if r.rec_type == "revisit"]
+        assert revs and any(r.digest_ok is False for r in revs)
+
+    def test_unresolvable_reference_contributes_no_row(self, spark):
+        import pandas as pd
+
+        from queryengine_spark.sources.warc import (
+            WARC_SHARD_SCHEMA,
+            make_warc_shard_revisit,
+            parse_warc,
+            warc_revisit_stats,
+        )
+
+        sid = 10
+        b = make_warc_shard_revisit(sid)
+        recs = parse_warc(b)
+        n_rev = sum(1 for h, _ in recs if h["warc-type"] == "revisit")
+        assert n_rev >= 1
+        # point every WARC-Refers-To at a record id that exists in no
+        # record: the reader must drop those rows, not guess
+        import re
+        mutated = re.sub(
+            rb"WARC-Refers-To: <urn:uuid:[0-9a-f-]+>",
+            b"WARC-Refers-To: <urn:uuid:00000000-0000-0000-0000-000000000000>",
+            b,
+        )
+        pdf = pd.DataFrame({"shard_id": [sid], "payload": [mutated]})
+        rows = warc_revisit_stats(
+            spark.createDataFrame(pdf, WARC_SHARD_SCHEMA)
+        ).collect()
+        assert sum(1 for r in rows if r.rec_type == "revisit") == 0
+        assert sum(1 for r in rows if r.rec_type == "response") > 0
