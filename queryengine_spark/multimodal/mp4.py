@@ -323,9 +323,11 @@ def parse_mp4(
     if not timescale:
         return None
 
-    for need in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+    for need in (b"stsd", b"stts", b"stsc", b"stsz"):
         if need not in boxes:
             return None
+    if (b"stco" in boxes) == (b"co64" in boxes):
+        return None  # exactly one chunk-offset table (14496-12 §8.7.5)
 
     # stsd: exactly one sample entry, and it must be MJPEG
     sd_s, sd_e = boxes[b"stsd"]
@@ -373,12 +375,19 @@ def parse_mp4(
             return None
         sizes = list(struct.unpack_from(f">{n_samples}I", b, sz_s + 12))
 
-    # stco chunk offsets
-    co_s, co_e = boxes[b"stco"]
+    # chunk offsets: 32-bit stco or 64-bit co64 (the >4 GB form real
+    # crawl-scale MP4s carry — a reader lacking co64 refuses every
+    # large file)
+    if b"stco" in boxes:
+        co_s, co_e = boxes[b"stco"]
+        width, fmt_ch = 4, "I"
+    else:
+        co_s, co_e = boxes[b"co64"]
+        width, fmt_ch = 8, "Q"
     (n_chunks,) = struct.unpack_from(">I", b, co_s + 4)
-    if co_s + 8 + 4 * n_chunks > co_e or not n_chunks:
+    if co_s + 8 + width * n_chunks > co_e or not n_chunks:
         return None
-    offsets = list(struct.unpack_from(f">{n_chunks}I", b, co_s + 8))
+    offsets = list(struct.unpack_from(f">{n_chunks}{fmt_ch}", b, co_s + 8))
 
     # stsc: expand (first_chunk, samples_per_chunk) runs over the
     # real chunk count

@@ -180,3 +180,52 @@ def test_stats_plan_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_co64_offset_table_accepted():
+    """Rewrite the stco as a co64 (64-bit offsets — the >4 GB form,
+    14496-12 §8.7.5) and require an identical parse."""
+    good = make_mp4(8)
+    i = _find(good, b"stco")
+    box_start = i - 4
+    (bsize,) = struct.unpack_from(">I", good, box_start)
+    (n,) = struct.unpack_from(">I", good, i + 8)
+    offs = struct.unpack_from(f">{n}I", good, i + 12)
+    co64 = (
+        struct.pack(">I", 16 + 8 * n)
+        + b"co64"
+        + struct.pack(">I", 0)
+        + struct.pack(">I", n)
+        + b"".join(struct.pack(">Q", o) for o in offs)
+    )
+    patched = bytearray(good[:box_start] + co64 + good[box_start + bsize :])
+    # fix enclosing box sizes (stbl/minf/mdia/trak/moov each grow by
+    # the co64/stco size delta)
+    delta = len(co64) - bsize
+    for tag in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = _find(patched, tag)
+        (sz,) = struct.unpack_from(">I", patched, j - 4)
+        struct.pack_into(">I", patched, j - 4, sz + delta)
+    want = parse_mp4(good)
+    got = parse_mp4(bytes(patched))
+    assert got == want and got is not None
+
+
+def test_both_offset_tables_refused():
+    """A file carrying BOTH stco and co64 is structurally ambiguous —
+    refuse, never pick one."""
+    good = make_mp4(8)
+    i = _find(good, b"stco")
+    box_start = i - 4
+    (bsize,) = struct.unpack_from(">I", good, box_start)
+    dup = bytearray(good[box_start : box_start + bsize])
+    dup[4:8] = b"co64"  # same size: 32-bit entries reinterpreted —
+    # content nonsense is fine, the dual-table refusal fires first
+    patched = bytearray(
+        good[: box_start + bsize] + bytes(dup) + good[box_start + bsize :]
+    )
+    for tag in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = _find(patched, tag)
+        (sz,) = struct.unpack_from(">I", patched, j - 4)
+        struct.pack_into(">I", patched, j - 4, sz + bsize)
+    assert parse_mp4(bytes(patched)) is None
