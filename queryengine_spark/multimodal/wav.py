@@ -233,12 +233,14 @@ def _ima_step(nibble: int, pred: int, idx: int) -> tuple[int, int]:
     return pred, idx
 
 
-def _ima_encode(samples: list[int]) -> tuple[bytes, int]:
-    """Encode int16 samples into ADPCM blocks of ADPCM_BLOCK_ALIGN
+def _ima_encode(
+    samples: list[int], block_align: int = ADPCM_BLOCK_ALIGN
+) -> tuple[bytes, int]:
+    """Encode int16 samples into ADPCM blocks of ``block_align``
     bytes (mono). The first sample of each block rides verbatim in
     the block header; the encoder tracks the DECODER's reconstruction
     so drift cannot accumulate. Returns (blocks, samples_per_block)."""
-    spb = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+    spb = (block_align - 4) * 2 + 1
     out = bytearray()
     idx = 0
     for b0 in range(0, len(samples), spb):
@@ -269,20 +271,24 @@ def _ima_encode(samples: list[int]) -> tuple[bytes, int]:
     return bytes(out), spb
 
 
-def make_wav_adpcm(asset_id: int) -> bytes:
+def make_wav_adpcm(
+    asset_id: int, block_align: int = ADPCM_BLOCK_ALIGN
+) -> bytes:
     """Complete mono IMA-ADPCM WAV (format tag 0x11): the mono-16
     sample formula encoded block-at-a-time, the extended fmt chunk
     (cbSize=2, wSamplesPerBlock), and the MANDATORY ``fact`` chunk
     carrying the true sample count (how a decoder truncates the final
-    block's padding)."""
+    block's padding). ``block_align`` parameterized in r10 so the
+    corpus leg (queries/addenda.py::multimodal_wav_adpcm, align 64)
+    exercises MULTI-block streams at the synthetic sample counts."""
     rate, n = wav_audio_params(asset_id)
     samples = [_sample(asset_id, i) for i in range(n)]
-    blocks, spb = _ima_encode(samples)
+    blocks, spb = _ima_encode(samples, block_align)
     fmt = struct.pack(
         "<HHIIHHHH",
         0x11, 1, rate,
-        (rate * ADPCM_BLOCK_ALIGN + spb - 1) // spb,  # avg byte rate
-        ADPCM_BLOCK_ALIGN, 4, 2, spb,
+        (rate * block_align + spb - 1) // spb,  # avg byte rate
+        block_align, 4, 2, spb,
     )
     fact = struct.pack("<I", n)
     body = (

@@ -1586,3 +1586,132 @@ FROM agg
 """
 
 QUERIES["text_novelty_hapax"] = (text_novelty_hapax, NOVELTY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM corpus slot (r10 — the r9 codec's promised driver row)
+# ---------------------------------------------------------------------------
+
+#: block align of the ADPCM corpus leg: 64 bytes → 121 samples/block,
+#: so the synthetic sample counts (64..363) span 1-3 blocks and the
+#: block walk is really exercised (the default 256-byte align would
+#: leave every asset single-block)
+ADPCM_CORPUS_ALIGN = 64
+
+
+def multimodal_wav_adpcm(spark: SparkSession, sf: str) -> DataFrame:
+    """IMA-ADPCM decode over a MULTI-BLOCK corpus (r10): synthesize a
+    format-0x11 WAV per asset (64-byte blocks, extended fmt chunk,
+    mandatory fact chunk), run the real block-structured decode
+    (multimodal/wav.py::decode_adpcm_wav — header predictor/index,
+    step-table nibble expansion, clamps, fact truncation), and emit
+    container facts plus ``lead_sum`` = Σ of the BLOCK-LEADING
+    decoded samples.
+
+    REDUCED oracle (the repo's pattern for decoder internals SQL
+    cannot express): rate / n_samples / n_blocks come from the
+    synthesis formulas, and every block-leading sample rides VERBATIM
+    in its block header (the IMA encoder stores it uncompressed), so
+    lead_sum is formula-derivable too — certifying the RIFF walk,
+    fmt/fact validation, block geometry and header placement
+    cross-engine. The step-ladder reconstruction between leads is
+    pinned by pytest hand-expanded vectors and the ≤16-per-sample
+    round-trip bound (tests/test_curation.py, test_codec_properties)."""
+    import pandas as pd
+
+    from queryengine_spark.multimodal.wav import (
+        BMP_ASSET_SCHEMA,
+        decode_adpcm_wav,
+        make_wav_adpcm,
+    )
+
+    spb = (ADPCM_CORPUS_ALIGN - 4) * 2 + 1
+
+    def synth(batches):
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf["asset_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids_, dtype="int64"),
+                    "payload": [
+                        make_wav_adpcm(a, ADPCM_CORPUS_ALIGN) for a in ids_
+                    ],
+                }
+            )
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("n_blocks", LongType(), True),
+            StructField("lead_sum", LongType(), True),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = (
+                    decode_adpcm_wav(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if dec is None:
+                    rows.append((int(aid), None, None, None, None))
+                    continue
+                rate, s = dec
+                n = len(s)
+                leads = s[::spb]
+                rows.append(
+                    (int(aid), rate, n, len(leads), int(leads.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_samples", "n_blocks",
+                    "lead_sum",
+                ],
+            )
+
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    assets = spread(ids).mapInPandas(synth, BMP_ASSET_SCHEMA)
+    return assets.mapInPandas(stats, out_schema)
+
+
+from queryengine_spark.multimodal.wav import (  # noqa: E402
+    WAV_A_MULT,
+    WAV_I_MULT,
+    WAV_N_MOD,
+    WAV_S_MOD,
+)
+
+_ADPCM_SPB = (ADPCM_CORPUS_ALIGN - 4) * 2 + 1
+
+WAV_ADPCM_SQL = f"""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+par AS (SELECT asset_id,
+               CAST(8000 + 1000 * (asset_id % 4) AS INT) AS sample_rate,
+               CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n_samples
+        FROM ids),
+leads AS (SELECT asset_id, sample_rate, n_samples,
+                 CAST(kk.i AS BIGINT) * {_ADPCM_SPB} AS lead_i
+          FROM par,
+               unnest(range(0, (n_samples + {_ADPCM_SPB} - 1) // {_ADPCM_SPB}))
+                 kk(i))
+SELECT asset_id, sample_rate, n_samples,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM((asset_id * {WAV_A_MULT} + lead_i * {WAV_I_MULT})
+                % {WAV_S_MOD} - 32768) AS BIGINT) AS lead_sum
+FROM leads GROUP BY asset_id, sample_rate, n_samples
+"""
+
+QUERIES["multimodal_wav_adpcm"] = (multimodal_wav_adpcm, WAV_ADPCM_SQL)
