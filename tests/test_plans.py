@@ -569,3 +569,15 @@ def test_lsh_index_reads_partitioned_buckets(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PartitionFilters: [" in plan
     assert "BatchEvalPython" not in plan  # Arrow UDF, never row-at-a-time
+
+
+def test_cc_ingest_no_cartesian_and_single_warc_chain(spark, sf_dir):
+    """r10 composite: no cartesian anywhere, and the expensive WARC
+    assembly/replay chain executes ONCE — the gated relation is
+    localCheckpointed, so its three consumers (dedup signatures,
+    packing, final join) must NOT each re-run the FlatMapGroupsInPandas
+    shard-assembly stage."""
+    plan = _plan(spark, sf_dir, "pipeline_cc_ingest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FlatMapGroupsInPandas") <= 1
