@@ -11,11 +11,14 @@ exercised end-to-end: box walk → sample-table resolution (the
 stsc/stco/stsz three-way join done by arithmetic) → byte-span slice
 out of mdat → real Huffman decode of the sampled frames.
 
-Same discipline as the other codecs: spec-valid writer from
-arithmetic formulas (mirrored in the oracle SQL), real struct-level
-parser with honest refusals (fragmented MP4 — moof/mvex — and
-non-MJPEG sample entries like avc1 refuse, never a guessed decode),
-hand-built byte pins in pytest.
+Same discipline as the other codecs: spec-valid writers from
+arithmetic formulas (mirrored in the oracle SQL) for BOTH layout
+families — progressive (stbl sample tables) and, since r10,
+FRAGMENTED (moof/traf/trun with trex defaults, the DASH/live form) —
+a real struct-level parser with honest refusals (non-MJPEG sample
+entries like avc1, hybrid moov+moof files, legacy implicit traf
+base addressing — never a guessed decode), hand-built byte pins in
+pytest.
 
 Synthesis formulas (mirrored in the oracle):
 - dims are constant across a video's frames: bw = 1 + a %
@@ -237,19 +240,243 @@ def _find(b: bytes, pos: int, end: int, typ: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _parse_fragments(
+    b: bytes,
+    top: list,
+    mdats: list[tuple[int, int]],
+    mvex_span: tuple[int, int] | None,
+    track_id: int,
+    timescale: int,
+) -> tuple[int, int, list[bytes]] | None:
+    """Movie-fragment walk (14496-12 §8.8): trex defaults out of the
+    moov's mvex, then every top-level moof in file order — ascending
+    mfhd sequence numbers, ONE traf (single-track writer), tfhd with
+    default-base-is-moof or an explicit base-data-offset (the legacy
+    implicit base refuses), trun(s) with mandatory data offsets and
+    per-sample or defaulted sizes/durations. Every sample span must
+    lie inside an mdat. Returns (n_samples, fps, frames) or None."""
+    if mvex_span is None:
+        return None  # moofs without an mvex announcement: malformed
+    trex = _find(b, mvex_span[0], mvex_span[1], b"trex")
+    if trex is None or trex[1] - trex[0] < 24:
+        return None
+    _vf, tx_tid, _sdi, tx_dur, tx_size, _fl = struct.unpack_from(
+        ">6I", b, trex[0]
+    )
+    if tx_tid != track_id:
+        return None
+    moofs = [(s, e) for t, s, e in top if t == b"moof"]
+    if not moofs:
+        return None
+    frames: list[bytes] = []
+    delta = None
+    expected_seq = 1
+    for mf_s, mf_e in moofs:
+        moof_start = mf_s - 8  # box header (moofs are never largesize)
+        try:
+            kids = list(_walk_boxes(b, mf_s, mf_e))
+        except ValueError:
+            return None
+        mfhd = [(s, e) for t, s, e in kids if t == b"mfhd"]
+        trafs = [(s, e) for t, s, e in kids if t == b"traf"]
+        if len(mfhd) != 1 or len(trafs) != 1:
+            return None
+        (seq,) = struct.unpack_from(">I", b, mfhd[0][0] + 4)
+        if seq != expected_seq:
+            return None  # out-of-order / duplicated fragment
+        expected_seq += 1
+        try:
+            tkids = list(_walk_boxes(b, trafs[0][0], trafs[0][1]))
+        except ValueError:
+            return None
+        tfhds = [(s, e) for t, s, e in tkids if t == b"tfhd"]
+        truns = [(s, e) for t, s, e in tkids if t == b"trun"]
+        if len(tfhds) != 1 or not truns:
+            return None
+        th_s, th_e = tfhds[0]
+        (vf,) = struct.unpack_from(">I", b, th_s)
+        tf_flags = vf & 0xFFFFFF
+        (tf_tid,) = struct.unpack_from(">I", b, th_s + 4)
+        if tf_tid != track_id:
+            return None
+        p = th_s + 8
+        base = None
+        if tf_flags & 0x000001:  # base-data-offset-present
+            (base,) = struct.unpack_from(">Q", b, p)
+            p += 8
+        if tf_flags & 0x000002:  # sample-description-index
+            p += 4
+        def_dur = tx_dur or None
+        if tf_flags & 0x000008:
+            (def_dur,) = struct.unpack_from(">I", b, p)
+            p += 4
+        def_size = tx_size or None
+        if tf_flags & 0x000010:
+            (def_size,) = struct.unpack_from(">I", b, p)
+            p += 4
+        if tf_flags & 0x000020:  # default-sample-flags
+            p += 4
+        if p > th_e:
+            return None
+        if tf_flags & 0x020000:  # default-base-is-moof
+            if base is not None:
+                return None  # both addressing modes at once
+            base = moof_start
+        if base is None:
+            return None  # legacy implicit base addressing: refuse
+        for tr_s, tr_e in truns:
+            (tvf,) = struct.unpack_from(">I", b, tr_s)
+            tr_ver, tr_flags = tvf >> 24, tvf & 0xFFFFFF
+            if tr_ver != 0 or tr_flags & 0x000800:
+                return None  # composition offsets: MJPEG has none
+            if not tr_flags & 0x000001:
+                return None  # data offset required for byte-exact spans
+            (n_s,) = struct.unpack_from(">I", b, tr_s + 4)
+            (doff,) = struct.unpack_from(">i", b, tr_s + 8)
+            q = tr_s + 12
+            if tr_flags & 0x000004:  # first-sample-flags
+                q += 4
+            pos = base + doff
+            for _ in range(n_s):
+                dur = def_dur
+                if tr_flags & 0x000100:
+                    (dur,) = struct.unpack_from(">I", b, q)
+                    q += 4
+                size = def_size
+                if tr_flags & 0x000200:
+                    (size,) = struct.unpack_from(">I", b, q)
+                    q += 4
+                if tr_flags & 0x000400:  # sample-flags
+                    q += 4
+                if q > tr_e or not size or not dur:
+                    return None
+                if delta is None:
+                    delta = dur
+                elif dur != delta:
+                    return None  # variable frame durations: refuse
+                end = pos + size
+                if not any(ms <= pos and end <= me for ms, me in mdats):
+                    return None
+                frames.append(b[pos:end])
+                pos = end
+    if delta is None or timescale % delta:
+        return None
+    return len(frames), timescale // delta, frames
+
+
+def make_mp4_fragmented(asset_id: int) -> bytes:
+    """Spec-valid FRAGMENTED MP4 (r10 — the DASH/live form): ftyp,
+    a sample-less moov (empty stbl tables + mvex/trex defaults:
+    duration MP4_TS_MULT, size 0 → trun carries sizes), then one
+    [moof + mdat] pair per TWO frames — mfhd sequence numbers from
+    1, tfhd with default-base-is-moof, a single trun with
+    data-offset + sample-size flags whose offset points past the
+    following mdat header. Same frames as make_mp4, so the media
+    suite's formula oracle is container-agnostic."""
+    bw, bh, nf, fps = mp4_video_params(asset_id)
+    w, h = 8 * bw, 8 * bh
+    frames = [mp4_frame_jpeg(asset_id, f) for f in range(nf)]
+    timescale = MP4_TS_MULT * fps
+    duration = MP4_TS_MULT * nf
+
+    ftyp = _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2iso5mp41"
+    )
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 3,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    stsd_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    # empty sample tables: samples live in the fragments
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, MP4_TS_MULT, 0, 0)
+    )
+    mvex = _box(b"mvex", trex)
+    moov = _box(b"moov", mvhd + mvex + trak)
+
+    out = bytearray(ftyp + moov)
+    seq = 1
+    for i in range(0, nf, _SAMPLES_PER_CHUNK):
+        chunk = frames[i : i + _SAMPLES_PER_CHUNK]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        seq += 1
+        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        trun = _full(
+            b"trun", 0, 0x000201,
+            struct.pack(">Ii", len(chunk), 0)  # offset patched below
+            + b"".join(struct.pack(">I", len(fb)) for fb in chunk),
+        )
+        traf = _box(b"traf", tfhd + trun)
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        # trun data_offset field: moof hdr(8) + mfhd + traf hdr(8) +
+        # tfhd + trun hdr(8) + verflags(4) + count(4)
+        doff_at = 8 + len(mfhd) + 8 + len(tfhd) + 8 + 4 + 4
+        struct.pack_into(">i", moof, doff_at, len(moof) + 8)
+        out += moof + _box(b"mdat", b"".join(chunk))
+    return bytes(out)
+
+
 def parse_mp4(
     b: bytes,
 ) -> tuple[int, int, int, int, list[bytes]] | None:
     """bytes → (width, height, n_frames, fps, mjpeg_frames) or None.
     Validates the ftyp brand, walks moov → trak → mdia → minf →
-    stbl, resolves every sample's byte span through the REAL
-    stsc/stco/stsz arithmetic (two-per-chunk layouts force the
-    walk), cross-checks stts sample counts, mdat containment of
-    every span, and the stsd/tkhd dimension agreement. Honest
-    refusals: fragmented files (moof present, or an mvex inside
-    moov), non-MJPEG sample entries (avc1/hev1/mp4v/…), multiple
-    video tracks, variable frame durations, and any structural
-    violation — None, never a guess."""
+    stbl, and resolves every sample's byte span — for PROGRESSIVE
+    files through the REAL stsc/stco(co64)/stsz arithmetic
+    (two-per-chunk layouts force the walk), for FRAGMENTED files
+    (r10 — the DASH/live form: moof present, or an mvex announcing
+    one) through the moof/traf/trun walk with trex defaults,
+    ascending mfhd sequence numbers, and default-base-is-moof or
+    explicit base-data-offset addressing. Cross-checks stts/trun
+    sample counts, mdat containment of every span, and the
+    stsd/tkhd dimension agreement. Honest refusals: non-MJPEG
+    sample entries (avc1/hev1/mp4v/…), multiple video tracks or
+    trafs, variable frame durations, hybrid files carrying BOTH
+    moov samples and moofs, legacy implicit traf base addressing,
+    composition-time offsets, and any structural violation — None,
+    never a guess."""
     if len(b) < 16:
         return None
     try:
@@ -261,8 +488,6 @@ def parse_mp4(
     ft_s, ft_e = top[0][1], top[0][2]
     if ft_e - ft_s < 8 or b[ft_s : ft_s + 4] not in (b"isom", b"mp41", b"mp42"):
         return None
-    if any(t == b"moof" for t, _, _ in top):
-        return None  # fragmented MP4: sample tables live in moofs
     moov = [(s, e) for t, s, e in top if t == b"moov"]
     mdats = [(s, e) for t, s, e in top if t == b"mdat"]
     if len(moov) != 1 or not mdats:
@@ -270,8 +495,8 @@ def parse_mp4(
     mv_s, mv_e = moov[0]
     try:
         moov_children = list(_walk_boxes(b, mv_s, mv_e))
-        if any(t == b"mvex" for t, _, _ in moov_children):
-            return None  # fragmented-movie signal
+        mvex = [(s, e) for t, s, e in moov_children if t == b"mvex"]
+        fragmented = bool(mvex) or any(t == b"moof" for t, _, _ in top)
         traks = [(s, e) for t, s, e in moov_children if t == b"trak"]
         video = None
         for tk_s, tk_e in traks:
@@ -323,11 +548,8 @@ def parse_mp4(
     if not timescale:
         return None
 
-    for need in (b"stsd", b"stts", b"stsc", b"stsz"):
-        if need not in boxes:
-            return None
-    if (b"stco" in boxes) == (b"co64" in boxes):
-        return None  # exactly one chunk-offset table (14496-12 §8.7.5)
+    if b"stsd" not in boxes:
+        return None
 
     # stsd: exactly one sample entry, and it must be MJPEG
     sd_s, sd_e = boxes[b"stsd"]
@@ -343,6 +565,34 @@ def parse_mp4(
         sw, sh = struct.unpack_from(">HH", b, sd_s + 8 + 8 + 24)
         if (sw, sh) != (w, h):
             return None
+
+    if fragmented:
+        # hybrid files carrying moov-resident samples AND movie
+        # fragments refuse (a reader honoring only one side would
+        # silently drop the other's frames)
+        for tag, cnt_at in ((b"stts", 4), (b"stsz", 8), (b"stco", 4)):
+            if tag in boxes:
+                x_s, x_e = boxes[tag]
+                if x_s + cnt_at + 4 > x_e:
+                    return None
+                (cnt,) = struct.unpack_from(">I", b, x_s + cnt_at)
+                if cnt:
+                    return None
+        # track id: tkhd v0 at +8 past verflags, v1 at +16
+        tid_off = th_s + 4 + (16 if tver == 1 else 8)
+        (track_id,) = struct.unpack_from(">I", b, tid_off)
+        frag = _parse_fragments(b, top, mdats, mvex[0] if mvex else None,
+                                track_id, timescale)
+        if frag is None:
+            return None
+        n_samples, fps, frames = frag
+        return int(w), int(h), int(n_samples), int(fps), frames
+
+    for need in (b"stts", b"stsc", b"stsz"):
+        if need not in boxes:
+            return None
+    if (b"stco" in boxes) == (b"co64" in boxes):
+        return None  # exactly one chunk-offset table (14496-12 §8.7.5)
 
     # stts: total sample count + the constant delta (variable frame
     # durations refuse — MJPEG writers emit one run)
@@ -427,13 +677,23 @@ def parse_mp4(
 
 # ------------------------------------------------------------------ Spark ops
 def synthesize_mp4(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """asset_id % 4 == 3 ships FRAGMENTED (moof/traf/trun — the
+    DASH/live form), the rest progressive. Same frames either way,
+    so the formula oracle is container-agnostic and the driver hash
+    certifies both sample-addressing paths."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             a = pdf[id_col].astype("int64")
             yield pd.DataFrame(
                 {
                     "asset_id": a,
-                    "payload": [make_mp4(int(v)) for v in a],
+                    "payload": [
+                        make_mp4_fragmented(int(v))
+                        if int(v) % 4 == 3
+                        else make_mp4(int(v))
+                        for v in a
+                    ],
                 }
             )
 

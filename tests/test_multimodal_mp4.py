@@ -74,10 +74,12 @@ def test_foreign_codec_refused():
     assert parse_mp4(bytes(b)) is None
 
 
-def test_fragmented_signals_refused():
+def test_hybrid_moov_plus_fragment_signals_refused():
+    """r10: fragmentation no longer refuses wholesale — but a HYBRID
+    file (moov-resident samples AND fragment signals) still must:
+    honoring only one side would silently drop the other's frames."""
     good = make_mp4(4)
-    # an mvex inside moov (empty body is structurally fine for the
-    # walk — the parser must refuse on sight)
+    # an mvex inside a moov whose stbl already carries samples
     i = _find(good, b"moov")
     moov_start = i - 4
     (msize,) = struct.unpack_from(">I", good, moov_start)
@@ -85,7 +87,7 @@ def test_fragmented_signals_refused():
     patched = bytearray(good[: moov_start + msize] + mvex)
     struct.pack_into(">I", patched, moov_start, msize + 8)
     assert parse_mp4(bytes(patched)) is None
-    # a top-level moof
+    # a top-level moof appended to a progressive file
     assert parse_mp4(good + struct.pack(">I", 8) + b"moof") is None
 
 
@@ -229,3 +231,68 @@ def test_both_offset_tables_refused():
         (sz,) = struct.unpack_from(">I", patched, j - 4)
         struct.pack_into(">I", patched, j - 4, sz + bsize)
     assert parse_mp4(bytes(patched)) is None
+
+
+@pytest.mark.parametrize("a", list(range(8)))
+def test_fragmented_roundtrip_equals_progressive(a):
+    from queryengine_spark.multimodal.mp4 import make_mp4_fragmented
+
+    assert parse_mp4(make_mp4_fragmented(a)) == parse_mp4(make_mp4(a))
+
+
+def test_fragment_sequence_gap_refused():
+    from queryengine_spark.multimodal.mp4 import make_mp4_fragmented
+
+    a = 6  # nf=4 -> two fragments
+    b = bytearray(make_mp4_fragmented(a))
+    i = _find(b, b"mfhd")  # first fragment's sequence number
+    struct.pack_into(">I", b, i + 8, 2)  # duplicate/do-over sequence
+    assert parse_mp4(bytes(b)) is None
+
+
+def test_fragment_lying_trun_offset_refused():
+    from queryengine_spark.multimodal.mp4 import make_mp4_fragmented
+
+    a = 6
+    b = bytearray(make_mp4_fragmented(a))
+    i = _find(b, b"trun")
+    # data_offset at +12 past the fourcc (verflags + count)
+    (doff,) = struct.unpack_from(">i", b, i + 12)
+    struct.pack_into(">i", b, i + 12, doff + (1 << 20))
+    assert parse_mp4(bytes(b)) is None
+
+
+def test_fragment_without_mvex_refused():
+    """moofs in a file whose moov never announced fragmentation are
+    malformed — refuse, don't guess trex defaults."""
+    from queryengine_spark.multimodal.mp4 import make_mp4_fragmented
+
+    good = make_mp4_fragmented(5)
+    i = _find(good, b"mvex")
+    box_start = i - 4
+    (bsize,) = struct.unpack_from(">I", good, box_start)
+    # excise the mvex and shrink moov's size
+    patched = bytearray(good[:box_start] + good[box_start + bsize :])
+    j = _find(patched, b"moov")
+    (msz,) = struct.unpack_from(">I", patched, j - 4)
+    struct.pack_into(">I", patched, j - 4, msz - bsize)
+    assert parse_mp4(bytes(patched)) is None
+
+
+def test_fragment_variable_duration_refused():
+    """A per-sample duration differing from the constant delta must
+    refuse (MJPEG writers emit constant frame timing)."""
+    from queryengine_spark.multimodal.mp4 import make_mp4_fragmented
+
+    a = 6
+    good = make_mp4_fragmented(a)
+    i = _find(good, b"trun")
+    (vf,) = struct.unpack_from(">I", good, i + 4)
+    assert vf & 0x000100 == 0  # writer uses trex default durations
+    # flip the trex default duration so timescale % delta != 0
+    # (trex body: verflags, track_ID, default_sdi, default_duration —
+    # the duration sits 16 bytes past the fourcc)
+    j = _find(good, b"trex")
+    b = bytearray(good)
+    struct.pack_into(">I", b, j + 16, 101)  # default_sample_duration
+    assert parse_mp4(bytes(b)) is None
