@@ -185,6 +185,9 @@ HEADLINE = [
     # round-10: end-to-end CommonCrawl composite (WARC shards -> CDX
     # spans -> HTTP undo -> WET -> gate -> near-dup dedup -> packing)
     "pipeline_cc_ingest",
+    # round-10: revisit-record resolution + the ADPCM corpus slot
+    "source_warc_revisit",
+    "multimodal_wav_adpcm",
 ]
 
 
