@@ -348,15 +348,20 @@ def make_tbz_shard(shard_id: int) -> bytes:
     WebDataset/archive.org flavor, r9): the SAME tar bytes under the
     stdlib bzip2 stream. Container walk stays the from-scratch ustar
     parser; the entropy layer, like zlib elsewhere, is the stdlib's.
-    Corpus slot flipped into source_archive_shards in round 10."""
-    return bz2.compress(make_tar_shard(shard_id), 9)
+    Corpus slot flipped into source_archive_shards in round 10.
+    Compression level 1: the level is not load-bearing (the decoder
+    accepts any; the oracle certifies member stats, not bytes) and
+    level 9 dominated the synthesis leg's wall clock at sf0.1."""
+    return bz2.compress(make_tar_shard(shard_id), 1)
 
 
 def make_txz_shard(shard_id: int) -> bytes:
     """xz-compressed tar shard (``.tar.xz``, r9): the same tar bytes
-    as a single-stream xz container (stdlib LZMA2)."""
+    as a single-stream xz container (stdlib LZMA2). Preset 0 — see
+    make_tbz_shard on why the level is not load-bearing (xz's
+    per-call dictionary setup at preset 6 was the whole cost)."""
     return lzma.compress(
-        make_tar_shard(shard_id), format=lzma.FORMAT_XZ, preset=6
+        make_tar_shard(shard_id), format=lzma.FORMAT_XZ, preset=0
     )
 
 
