@@ -444,6 +444,44 @@ def make_png_gray1(asset_id: int) -> bytes:
     )
 
 
+def make_png_gray1_adam7(asset_id: int) -> bytes:
+    """1-BIT grayscale PNG stored Adam7-INTERLACED (r10 — the
+    interlaced fax/mask combination): the SAME mod-2 image as
+    make_png_gray1 in 7-pass order, each pass packing ITS OWN rows
+    MSB-first (the zero padding falls at pass-row boundaries, where
+    a sequential-minded unpacker reads garbage), independently
+    filtered at byte granularity."""
+    w, h = png_rgba_params(asset_id)
+    stream = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+        row_bytes = (pw + 7) // 8
+        prev = bytes(row_bytes)
+        for ry in range(ph):
+            bits = [
+                _gray_pixel(asset_id, x0 + rx * dx, y0 + ry * dy) % 2
+                for rx in range(pw)
+            ]
+            bits += [0] * (-len(bits) % 8)
+            raw = bytes(
+                sum(bit << (7 - k) for k, bit in enumerate(bits[i : i + 8]))
+                for i in range(0, len(bits), 8)
+            )
+            f = ry % 5
+            stream.append(f)
+            stream += _filter_row(f, raw, prev, bpp=1)
+            prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    mid = max(1, len(comp) // 2)
+    ihdr = struct.pack(">II5B", w, h, 1, 0, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:mid])
+        + _chunk(b"IDAT", comp[mid:])
+        + _chunk(b"IEND", b"")
+    )
+
+
 def make_png_palette4(asset_id: int) -> bytes:
     """4-BIT PALETTED PNG (depth 4, r9 — the small-palette web
     shape): a 16-entry PLTE from the same palette formulas, the index
@@ -651,9 +689,10 @@ def decode_png(b: bytes) -> np.ndarray | None:
             return None
     elif depth in (1, 2, 4):
         # r9: SUB-BYTE depths (the fax-mask and small-palette
-        # shapes) for gray/paletted, sequential only; filters stay
+        # shapes) for gray/paletted; r10: sequential AND interlaced
+        # (each Adam7 pass packs its own bit rows); filters stay
         # byte-granular (bpp=1) per PNG 7.2/9
-        if ctype_ not in (0, 3) or interlace != 0:
+        if ctype_ not in (0, 3):
             return None
     elif depth != 8:
         return None
@@ -675,27 +714,57 @@ def decode_png(b: bytes) -> np.ndarray | None:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_]
     bpp = channels * (2 if depth == 16 else 1)
     if depth in (1, 2, 4):
-        # sub-byte rows: 1 filter byte + ceil(w·depth/8) data bytes;
+        # sub-byte rows: 1 filter byte + ceil(row_w·depth/8) data
+        # bytes per scanline (each Adam7 pass packs ITS OWN rows, so
+        # the bit padding falls at pass-row boundaries — r10);
         # unfilter at byte granularity, then unpack MSB-first and
         # drop the final byte's zero padding
-        row_bytes = (w * depth + 7) // 8
-        if len(raw) != h * (1 + row_bytes):
-            return None
-        prev = bytes(row_bytes)
-        rows = []
-        for y in range(h):
-            off = y * (1 + row_bytes)
-            rec = _unfilter_row(
-                raw[off], raw[off + 1 : off + 1 + row_bytes], prev, bpp=1
-            )
-            if rec is None:
+        weights = 1 << np.arange(depth - 1, -1, -1)
+
+        def sub_rows(row_w: int, n_rows: int, off: int):
+            """Unfilter + bit-unpack n_rows scanlines of row_w
+            samples starting at stream offset off → (rows, next
+            offset) or None."""
+            row_bytes = (row_w * depth + 7) // 8
+            prev = bytes(row_bytes)
+            out = []
+            for _ in range(n_rows):
+                if off + 1 + row_bytes > len(raw):
+                    return None
+                rec = _unfilter_row(
+                    raw[off], raw[off + 1 : off + 1 + row_bytes], prev, bpp=1
+                )
+                if rec is None:
+                    return None
+                bits = np.unpackbits(np.frombuffer(rec, dtype=np.uint8))
+                vals = bits[: row_w * depth].reshape(row_w, depth)
+                out.append((vals * weights).sum(axis=1).astype(np.uint8))
+                prev = rec
+                off += 1 + row_bytes
+            return out, off
+
+        if interlace == 0:
+            if len(raw) != h * (1 + (w * depth + 7) // 8):
                 return None
-            bits = np.unpackbits(np.frombuffer(rec, dtype=np.uint8))
-            vals = bits[: w * depth].reshape(w, depth)
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            rows.append((vals * weights).sum(axis=1).astype(np.uint8))
-            prev = rec
-        img = np.stack(rows)
+            got = sub_rows(w, h, 0)
+            if got is None:
+                return None
+            img = np.stack(got[0])
+        else:  # r10: Adam7 at sub-byte depths (interlaced fax/mask)
+            passes = _adam7_pass_dims(w, h)
+            if len(raw) != sum(
+                ph * (1 + (pw * depth + 7) // 8) for *_, pw, ph in passes
+            ):
+                return None
+            img = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                got = sub_rows(pw, ph, off)
+                if got is None:
+                    return None
+                rows_, off = got
+                for ry, rec in enumerate(rows_):
+                    img[y0 + ry * dy, x0 : x0 + (pw - 1) * dx + 1 : dx] = rec
         if ctype_ == 0:
             return img  # raw sample values 0..2^depth-1, not scaled
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -820,8 +889,11 @@ def synthesize_png_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             # r10: one gray-16 slot stores the SAME image interlaced
             # (the last PNG refusal, closed)
             return make_png_gray16_adam7(a) if a % 32 == 21 else make_png_gray16(a)
-        # r9: the %16==9 gray slot drops to 1-BIT samples
-        return make_png_gray1(a) if a % 16 == 9 else make_png_gray(a)
+        if a % 16 == 9:
+            # r9: the %16==9 gray slot drops to 1-BIT samples; r10:
+            # its %32==25 half stores the SAME image Adam7-interlaced
+            return make_png_gray1_adam7(a) if a % 32 == 25 else make_png_gray1(a)
+        return make_png_gray(a)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -207,10 +207,12 @@ VOID: dict[str, int] = {
     # ≡ 4 (mod 8) now ship as .tar.bz2 and ≡ 6 (mod 8) as .tar.xz
     # (the r9 codecs' corpus slots); fmt CASE gained the tbz/txz arms:
     "source_archive_shards": 9,
-    # round 10 (verdict item 7): the gray-16 slot splits — ids ≡ 21
-    # (mod 32) now store the SAME gray-16 image Adam7-INTERLACED
-    # (identical oracle rows by construction; the re-cert proves the
-    # new interlaced-16-bit decode path reproduces them):
+    # round 10 (verdict item 7 + late addition): the gray-16 slot
+    # splits — ids ≡ 21 (mod 32) now store the SAME gray-16 image
+    # Adam7-INTERLACED — and the 1-bit slot splits the same way
+    # (≡ 25 (mod 32) interlaced sub-byte; each Adam7 pass packs its
+    # own bit rows). Identical oracle rows by construction; the
+    # re-cert proves the new interlaced decode paths reproduce them:
     "multimodal_png_decode": 9,
     "multimodal_image_decode": 9,
     # round 10 (verdict item 4): the media suite gained the

@@ -717,3 +717,25 @@ def test_subbyte_refusals():
         + _chunk(b"IEND", b"")
     )
     assert P.decode_png(bad_p) is None
+
+
+def test_gray1_adam7_matches_sequential():
+    """r10: interlaced SUB-BYTE decode — each Adam7 pass packs its
+    own bit rows (padding at pass-row boundaries), so a
+    sequential-minded unpacker reads garbage. The interlaced 1-bit
+    maker must decode to the sequential twin and the mod-2 formula,
+    including sizes with empty/partial passes."""
+    import numpy as np
+
+    import queryengine_spark.multimodal.png as P
+
+    for a in (9, 25, 41, 57, 89, 105):
+        seq = P.decode_png(P.make_png_gray1(a))
+        il = P.decode_png(P.make_png_gray1_adam7(a))
+        assert il is not None, a
+        assert np.array_equal(seq, il), a
+        w, h = P.png_rgba_params(a)
+        exp = np.array(
+            [[P._gray_pixel(a, x, y) % 2 for x in range(w)] for y in range(h)]
+        )
+        assert np.array_equal(il, exp), a
