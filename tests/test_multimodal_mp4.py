@@ -296,3 +296,47 @@ def test_fragment_variable_duration_refused():
     b = bytearray(good)
     struct.pack_into(">I", b, j + 16, 101)  # default_sample_duration
     assert parse_mp4(bytes(b)) is None
+
+
+def test_fragment_multiple_truns_per_traf():
+    """The parser walks MULTIPLE truns within one traf (real encoders
+    split runs at I/P boundaries): hand-split the writer's single
+    trun into two and require an identical parse."""
+    from queryengine_spark.multimodal.mp4 import make_mp4_fragmented
+
+    a = 6  # nf=4 -> fragments of 2 samples
+    good = make_mp4_fragmented(a)
+    want = parse_mp4(good)
+    i = _find(good, b"trun")
+    tr_start = i - 4
+    (tsz,) = struct.unpack_from(">I", good, tr_start)
+    (n_s,) = struct.unpack_from(">I", good, i + 8)
+    assert n_s == 2
+    (doff,) = struct.unpack_from(">i", good, i + 12)
+    s0, s1 = struct.unpack_from(">II", good, i + 16)
+    flags = 0x000201
+    trun_a = (
+        struct.pack(">I", 24) + b"trun" + struct.pack(">I", flags)
+        + struct.pack(">Ii", 1, doff) + struct.pack(">I", s0)
+    )
+    trun_b = (
+        struct.pack(">I", 24) + b"trun" + struct.pack(">I", flags)
+        + struct.pack(">Ii", 1, doff + s0) + struct.pack(">I", s1)
+    )
+    delta = len(trun_a) + len(trun_b) - tsz
+    patched = bytearray(
+        good[:tr_start] + trun_a + trun_b + good[tr_start + tsz :]
+    )
+    # grow the enclosing traf + moof sizes, then re-point both truns'
+    # offsets (mdat header moved by delta)
+    for tag in (b"traf", b"moof"):
+        j = patched.find(tag)
+        assert j > 0
+        (sz,) = struct.unpack_from(">I", patched, j - 4)
+        struct.pack_into(">I", patched, j - 4, sz + delta)
+    j = patched.find(b"trun")
+    struct.pack_into(">i", patched, j + 12, doff + delta)
+    j2 = patched.find(b"trun", j + 4)
+    struct.pack_into(">i", patched, j2 + 12, doff + delta + s0)
+    got = parse_mp4(bytes(patched))
+    assert got == want and got is not None

@@ -1077,3 +1077,38 @@ class TestWarcRevisit:
         ).collect()
         assert sum(1 for r in rows if r.rec_type == "revisit") == 0
         assert sum(1 for r in rows if r.rec_type == "response") > 0
+
+    def test_gz_flavor_revisits_resolve(self, spark):
+        """Odd shards ship record-per-gzip-member — the revisit
+        resolver must work identically through the compressed walk."""
+        import pandas as pd
+
+        from queryengine_spark.sources.warc import (
+            WARC_SHARD_SCHEMA,
+            make_warc_shard_revisit,
+            revisit_original_idx,
+            warc_n_records,
+            warc_revisit_stats,
+        )
+
+        sids = [11, 17, 23]  # n_rec 8, 8, 8 -> revisits present
+        pdf = pd.DataFrame(
+            {
+                "shard_id": sids,
+                "payload": [make_warc_shard_revisit(s) for s in sids],
+            }
+        )
+        rows = warc_revisit_stats(
+            spark.createDataFrame(pdf, WARC_SHARD_SCHEMA)
+        ).collect()
+        assert all(r.fmt == "warc.gz" for r in rows)
+        revs = [(r.shard_id, r.rec_idx, r.ref_idx) for r in rows
+                if r.rec_type == "revisit"]
+        want = [
+            (s, i, revisit_original_idx(s, i))
+            for s in sids
+            for i in range(warc_n_records(s))
+            if revisit_original_idx(s, i) is not None
+        ]
+        assert sorted(revs) == sorted(want)
+        assert all(r.digest_ok for r in rows if r.rec_type == "revisit")
