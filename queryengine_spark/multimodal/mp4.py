@@ -290,9 +290,29 @@ def _parse_fragments(
         except ValueError:
             return None
         tfhds = [(s, e) for t, s, e in tkids if t == b"tfhd"]
+        tfdts = [(s, e) for t, s, e in tkids if t == b"tfdt"]
         truns = [(s, e) for t, s, e in tkids if t == b"trun"]
-        if len(tfhds) != 1 or not truns:
+        if len(tfhds) != 1 or not truns or len(tfdts) > 1:
             return None
+        if tfdts:
+            # tfdt (§8.8.12): baseMediaDecodeTime must equal the
+            # running duration of every sample already walked — a
+            # fragment pasted out of order (or with a lying clock)
+            # refuses even when its mfhd sequence was also forged
+            td_s, td_e = tfdts[0]
+            tver_ = b[td_s]
+            if tver_ == 1:
+                if td_s + 12 > td_e:
+                    return None
+                (base_time,) = struct.unpack_from(">Q", b, td_s + 4)
+            else:
+                if td_s + 8 > td_e:
+                    return None
+                (base_time,) = struct.unpack_from(">I", b, td_s + 4)
+            if delta is not None and base_time != len(frames) * delta:
+                return None
+            if delta is None and base_time != 0:
+                return None
         th_s, th_e = tfhds[0]
         (vf,) = struct.unpack_from(">I", b, th_s)
         tf_flags = vf & 0xFFFFFF
@@ -443,16 +463,22 @@ def make_mp4_fragmented(asset_id: int) -> bytes:
         mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
         seq += 1
         tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        # tfdt v1 (14496-12 §8.8.12): baseMediaDecodeTime = samples
+        # already emitted × the constant delta — what DASH players
+        # seek with; the parser validates the running total
+        tfdt = _full(
+            b"tfdt", 1, 0, struct.pack(">Q", i * MP4_TS_MULT)
+        )
         trun = _full(
             b"trun", 0, 0x000201,
             struct.pack(">Ii", len(chunk), 0)  # offset patched below
             + b"".join(struct.pack(">I", len(fb)) for fb in chunk),
         )
-        traf = _box(b"traf", tfhd + trun)
+        traf = _box(b"traf", tfhd + tfdt + trun)
         moof = bytearray(_box(b"moof", mfhd + traf))
         # trun data_offset field: moof hdr(8) + mfhd + traf hdr(8) +
-        # tfhd + trun hdr(8) + verflags(4) + count(4)
-        doff_at = 8 + len(mfhd) + 8 + len(tfhd) + 8 + 4 + 4
+        # tfhd + tfdt + trun hdr(8) + verflags(4) + count(4)
+        doff_at = 8 + len(mfhd) + 8 + len(tfhd) + len(tfdt) + 8 + 4 + 4
         struct.pack_into(">i", moof, doff_at, len(moof) + 8)
         out += moof + _box(b"mdat", b"".join(chunk))
     return bytes(out)

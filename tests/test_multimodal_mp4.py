@@ -340,3 +340,21 @@ def test_fragment_multiple_truns_per_traf():
     struct.pack_into(">i", patched, j2 + 12, doff + delta + s0)
     got = parse_mp4(bytes(patched))
     assert got == want and got is not None
+
+
+def test_tfdt_lying_clock_refused():
+    """r10: tfdt baseMediaDecodeTime must equal the running sample
+    duration — a fragment with a forged decode clock refuses."""
+    from queryengine_spark.multimodal.mp4 import make_mp4_fragmented
+
+    good = make_mp4_fragmented(6)  # nf=4 -> two fragments
+    first = _find(good, b"tfdt")
+    second = good.find(b"tfdt", first + 4)
+    assert second > 0
+    b = bytearray(good)
+    struct.pack_into(">Q", b, second + 8, 1)
+    assert parse_mp4(bytes(b)) is None
+    # and the first fragment's base time must be zero
+    b2 = bytearray(good)
+    struct.pack_into(">Q", b2, first + 8, 7)
+    assert parse_mp4(bytes(b2)) is None
