@@ -218,7 +218,10 @@ VOID: dict[str, int] = {
     # round 10 (verdict item 4): the media suite gained the
     # 'video_mp4' leg — MP4/ISO-BMFF frame sampling through the real
     # stsc/stco/stsz sample-table walk (schema unchanged; the fold
-    # emits new rows and the oracle gained the leg's UNION arm):
+    # emits new rows and the oracle gained the leg's UNION arm);
+    # late r10: a quarter of that corpus (asset % 4 == 3) ships
+    # FRAGMENTED (moof/traf/trun + tfdt decode clocks) — same frames,
+    # container-agnostic oracle, one re-cert covers both paths:
     "multimodal_media_suite": 9,
 }
 
