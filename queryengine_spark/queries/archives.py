@@ -448,9 +448,61 @@ JOIN phex p ON r.shard_id = p.shard_id AND r.path = p.path
 """
 
 
+def source_warc_wat(spark: SparkSession, sf: str) -> DataFrame:
+    """WAT metadata production (r10): the FOURTH CommonCrawl artifact
+    — with source_warc_records (ingest), text_html_extract's WET leg
+    (text) and source_warc_cdx (index), the engine now produces the
+    complete artifact family. Each response record's
+    application/http payload is parsed for real (transfer codings
+    undone — Entity-Length is the DECODED body size) and serialized
+    as a byte-exact Envelope/Payload-Metadata JSON; the oracle
+    reconstructs the IDENTICAL string from the synthesis formulas,
+    so the hash certifies a byte-exact metadata producer. Zero
+    shuffle. Design notes: sources/warc.py::warc_wat_records."""
+    from queryengine_spark.sources.warc import warc_wat_records
+
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
+    return warc_wat_records(synthesize_warc(ids))
+
+
+SOURCE_WARC_WAT_SQL = f"""{_WARC_BASE_CTES},
+enc AS (SELECT shard_id, rec_idx,
+               CASE WHEN shard_id % 2 = 1
+                         AND (shard_id + 2 * rec_idx) % 3 = 1 THEN 'chunked'
+                    WHEN shard_id % 2 = 1
+                         AND (shard_id + 2 * rec_idx) % 3 = 2 THEN 'gzip'
+                    ELSE 'identity' END AS transfer
+        FROM base WHERE rec_type = 'response'),
+uris AS (SELECT shard_id, rec_idx,
+                'https://site'
+                || CAST((7 * shard_id + rec_idx) % {WARC_SITE_MOD} AS VARCHAR)
+                || '.example/p' || CAST(rec_idx AS VARCHAR) AS uri,
+                status, body_len
+         FROM base WHERE rec_type = 'response')
+SELECT u.shard_id, u.rec_idx,
+       CASE WHEN u.shard_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END AS fmt,
+       ('0x' || substr(md5(u.uri), 1, {URI_HASH_HEX}))::BIGINT AS uri_hash,
+       '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"response",'
+       || '"WARC-Target-URI":"' || u.uri || '","WARC-Date":"2026-01-01T00:00:00Z'
+       || '"}},"Payload-Metadata":{{"HTTP-Response-Metadata":{{'
+       || '"Response-Message":{{"Status":"' || CAST(u.status AS VARCHAR)
+       || '"}},"Transfer":"' || e.transfer || '","Entity-Length":"'
+       || CAST(u.body_len AS VARCHAR) || '"}}}}}}}}' AS wat_json,
+       CAST(length(
+       '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"response",'
+       || '"WARC-Target-URI":"' || u.uri || '","WARC-Date":"2026-01-01T00:00:00Z'
+       || '"}},"Payload-Metadata":{{"HTTP-Response-Metadata":{{'
+       || '"Response-Message":{{"Status":"' || CAST(u.status AS VARCHAR)
+       || '"}},"Transfer":"' || e.transfer || '","Entity-Length":"'
+       || CAST(u.body_len AS VARCHAR) || '"}}}}}}}}') AS BIGINT) AS wat_len
+FROM uris u JOIN enc e USING (shard_id, rec_idx)
+"""
+
+
 QUERIES = {
     "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
     "source_warc_records": (source_warc_records, SOURCE_WARC_RECORDS_SQL),
     "source_warc_cdx": (source_warc_cdx, SOURCE_WARC_CDX_SQL),
     "source_warc_revisit": (source_warc_revisit, SOURCE_WARC_REVISIT_SQL),
+    "source_warc_wat": (source_warc_wat, SOURCE_WARC_WAT_SQL),
 }
