@@ -188,6 +188,8 @@ HEADLINE = [
     # round-10: revisit-record resolution + the ADPCM corpus slot
     "source_warc_revisit",
     "multimodal_wav_adpcm",
+    # round-10: WAT metadata production (the fourth CommonCrawl artifact)
+    "source_warc_wat",
 ]
 
 

@@ -1112,3 +1112,42 @@ class TestWarcRevisit:
         ]
         assert sorted(revs) == sorted(want)
         assert all(r.digest_ok for r in rows if r.rec_type == "revisit")
+
+
+def test_wat_json_is_valid_and_matches_walk(spark):
+    """r10: the WAT payload must be parseable JSON whose fields match
+    the record walk — and byte-exact per the oracle's reconstruction
+    (the entry contract pins that; this pins structural validity and
+    the decoded Entity-Length against the body formulas)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.sources.warc import (
+        synthesize_warc,
+        warc_body_len,
+        warc_http_status,
+        warc_rec_type,
+        warc_wat_records,
+        warc_n_records,
+    )
+
+    ids = spark.range(0, 16).select(F.col("id").alias("shard_id"))
+    rows = warc_wat_records(synthesize_warc(ids)).collect()
+    want_n = sum(
+        1
+        for s in range(16)
+        for i in range(warc_n_records(s))
+        if warc_rec_type(i) == "response"
+    )
+    assert len(rows) == want_n
+    for r in rows:
+        d = json.loads(r.wat_json)
+        env = d["Envelope"]
+        hrm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+        assert env["WARC-Header-Metadata"]["WARC-Type"] == "response"
+        assert int(hrm["Response-Message"]["Status"]) == warc_http_status(
+            r.shard_id, r.rec_idx
+        )
+        assert int(hrm["Entity-Length"]) == warc_body_len(r.shard_id, r.rec_idx)
+        assert r.wat_len == len(r.wat_json)
