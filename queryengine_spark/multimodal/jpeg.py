@@ -739,6 +739,11 @@ def _parse_segments_multi(b: bytes):
         # spec-valid files)
         while pos + 2 < len(b) and b[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(b):
+            # fill bytes ran into EOF: no room for marker + length —
+            # refuse (r10 ADVICE: the skip must not outrun the
+            # pos+4<=len guard the loop header established)
+            return None
         marker = b[pos + 1]
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         body = b[pos + 4 : pos + 2 + seglen]
@@ -2454,6 +2459,11 @@ def _parse_segments_lossless(b: bytes):
         # spec-valid files)
         while pos + 2 < len(b) and b[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(b):
+            # fill bytes ran into EOF: no room for marker + length —
+            # refuse (r10 ADVICE: the skip must not outrun the
+            # pos+4<=len guard the loop header established)
+            return None
         marker = b[pos + 1]
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         body = b[pos + 4 : pos + 2 + seglen]

@@ -16,9 +16,13 @@ arithmetic formulas (mirrored in the oracle SQL) for BOTH layout
 families — progressive (stbl sample tables) and, since r10,
 FRAGMENTED (moof/traf/trun with trex defaults, the DASH/live form) —
 a real struct-level parser with honest refusals (non-MJPEG sample
-entries like avc1, hybrid moov+moof files, legacy implicit traf
-base addressing — never a guessed decode), hand-built byte pins in
-pytest.
+entries like avc1, variable frame durations, composition offsets —
+never a guessed decode), hand-built byte pins in pytest. Since r11
+BOTH r10 fragmented-mode refusals are closed: legacy implicit traf
+base addressing (pre-iso5 captures) decodes via the §8.8.7 moof-
+start default, and HYBRID files carrying a moov-resident sample
+prefix plus fragments resolve the prefix through the progressive
+walk before the fragment timeline continues.
 
 Synthesis formulas (mirrored in the oracle):
 - dims are constant across a video's frames: bw = 1 + a %
@@ -247,14 +251,22 @@ def _parse_fragments(
     mvex_span: tuple[int, int] | None,
     track_id: int,
     timescale: int,
+    init_frames: list[bytes] | None = None,
+    init_delta: int | None = None,
 ) -> tuple[int, int, list[bytes]] | None:
     """Movie-fragment walk (14496-12 §8.8): trex defaults out of the
     moov's mvex, then every top-level moof in file order — ascending
     mfhd sequence numbers, ONE traf (single-track writer), tfhd with
-    default-base-is-moof or an explicit base-data-offset (the legacy
-    implicit base refuses), trun(s) with mandatory data offsets and
-    per-sample or defaulted sizes/durations. Every sample span must
-    lie inside an mdat. Returns (n_samples, fps, frames) or None."""
+    default-base-is-moof, an explicit base-data-offset, or (r11) the
+    legacy IMPLICIT base — for the first traf of a moof the spec
+    default is the first byte of the enclosing moof, identical to
+    default-base-is-moof under this single-traf contract — and
+    trun(s) with mandatory data offsets and per-sample or defaulted
+    sizes/durations. Every sample span must lie inside an mdat.
+    ``init_frames``/``init_delta`` carry moov-resident samples of a
+    HYBRID file (r11): the fragment timeline continues after them,
+    so each tfdt must account for the progressive prefix. Returns
+    (n_samples, fps, frames) with the prefix included, or None."""
     if mvex_span is None:
         return None  # moofs without an mvex announcement: malformed
     trex = _find(b, mvex_span[0], mvex_span[1], b"trex")
@@ -268,8 +280,8 @@ def _parse_fragments(
     moofs = [(s, e) for t, s, e in top if t == b"moof"]
     if not moofs:
         return None
-    frames: list[bytes] = []
-    delta = None
+    frames: list[bytes] = list(init_frames or [])
+    delta = init_delta
     expected_seq = 1
     for mf_s, mf_e in moofs:
         moof_start = mf_s - 8  # box header (moofs are never largesize)
@@ -343,7 +355,12 @@ def _parse_fragments(
                 return None  # both addressing modes at once
             base = moof_start
         if base is None:
-            return None  # legacy implicit base addressing: refuse
+            # legacy implicit addressing (14496-12 §8.8.7): for the
+            # FIRST (and under this contract only) traf of a moof the
+            # default base-data-offset is the first byte of the
+            # enclosing moof — what pre-iso5 DASH/CMAF captures carry
+            # (r10 refusal closed in r11)
+            base = moof_start
         for tr_s, tr_e in truns:
             (tvf,) = struct.unpack_from(">I", b, tr_s)
             tr_ver, tr_flags = tvf >> 24, tvf & 0xFFFFFF
@@ -384,15 +401,18 @@ def _parse_fragments(
     return len(frames), timescale // delta, frames
 
 
-def make_mp4_fragmented(asset_id: int) -> bytes:
+def make_mp4_fragmented(asset_id: int, legacy_base: bool = False) -> bytes:
     """Spec-valid FRAGMENTED MP4 (r10 — the DASH/live form): ftyp,
     a sample-less moov (empty stbl tables + mvex/trex defaults:
     duration MP4_TS_MULT, size 0 → trun carries sizes), then one
     [moof + mdat] pair per TWO frames — mfhd sequence numbers from
-    1, tfhd with default-base-is-moof, a single trun with
-    data-offset + sample-size flags whose offset points past the
-    following mdat header. Same frames as make_mp4, so the media
-    suite's formula oracle is container-agnostic."""
+    1, tfhd with default-base-is-moof (or, with ``legacy_base``,
+    NO addressing flag at all — the pre-iso5 implicit mode whose
+    spec default for a moof's first traf is the moof's own first
+    byte, r11), a single trun with data-offset + sample-size flags
+    whose offset points past the following mdat header. Same frames
+    as make_mp4, so the media suite's formula oracle is
+    container-agnostic."""
     bw, bh, nf, fps = mp4_video_params(asset_id)
     w, h = 8 * bw, 8 * bh
     frames = [mp4_frame_jpeg(asset_id, f) for f in range(nf)]
@@ -462,7 +482,10 @@ def make_mp4_fragmented(asset_id: int) -> bytes:
         chunk = frames[i : i + _SAMPLES_PER_CHUNK]
         mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
         seq += 1
-        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        tfhd = _full(
+            b"tfhd", 0, 0x000000 if legacy_base else 0x020000,
+            struct.pack(">I", 1),
+        )
         # tfdt v1 (14496-12 §8.8.12): baseMediaDecodeTime = samples
         # already emitted × the constant delta — what DASH players
         # seek with; the parser validates the running total
@@ -484,7 +507,127 @@ def make_mp4_fragmented(asset_id: int) -> bytes:
     return bytes(out)
 
 
+def make_mp4_hybrid(asset_id: int) -> bytes:
+    """Spec-valid HYBRID MP4 (r11 — faststart init + DASH tail, the
+    r10 refusal's real-world shape): frame 0 lives in the moov's OWN
+    sample tables (one-run stts, one-chunk stsc/stco, one-entry
+    stsz) backed by a leading mdat, the moov still carries mvex/trex,
+    and frames 1.. follow as [moof + mdat] fragments two per moof
+    whose tfdt baseMediaDecodeTime accounts for the moov-resident
+    prefix. Same frames as make_mp4, so the formula oracle stays
+    container-agnostic."""
+    bw, bh, nf, fps = mp4_video_params(asset_id)
+    w, h = 8 * bw, 8 * bh
+    frames = [mp4_frame_jpeg(asset_id, f) for f in range(nf)]
+    timescale = MP4_TS_MULT * fps
+    duration = MP4_TS_MULT * nf
+
+    ftyp = _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2iso5mp41"
+    )
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 3,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    stsd_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+
+    def moov_bytes(frame0_off: int) -> bytes:
+        # moov-resident prefix: exactly frame 0, one sample per chunk
+        stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 1, MP4_TS_MULT))
+        stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+        stsz = _full(
+            b"stsz", 0, 0, struct.pack(">III", 0, 1, len(frames[0]))
+        )
+        stco = _full(b"stco", 0, 0, struct.pack(">II", 1, frame0_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _full(
+            b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")
+        )
+        dinf = _box(b"dinf", dref)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        trex = _full(
+            b"trex", 0, 0, struct.pack(">IIIII", 1, 1, MP4_TS_MULT, 0, 0)
+        )
+        mvex = _box(b"mvex", trex)
+        return _box(b"moov", mvhd + mvex + trak)
+
+    # stco's absolute offset depends on the moov's own size — the
+    # size is offset-independent, so one sizing pass then the real one
+    moov_size = len(moov_bytes(0))
+    frame0_off = len(ftyp) + moov_size + 8  # mdat payload start
+    out = bytearray(ftyp + moov_bytes(frame0_off) + _box(b"mdat", frames[0]))
+
+    seq = 1
+    for i in range(1, nf, _SAMPLES_PER_CHUNK):
+        chunk = frames[i : i + _SAMPLES_PER_CHUNK]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        seq += 1
+        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", i * MP4_TS_MULT))
+        trun = _full(
+            b"trun", 0, 0x000201,
+            struct.pack(">Ii", len(chunk), 0)
+            + b"".join(struct.pack(">I", len(fb)) for fb in chunk),
+        )
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        doff_at = 8 + len(mfhd) + 8 + len(tfhd) + len(tfdt) + 8 + 4 + 4
+        struct.pack_into(">i", moof, doff_at, len(moof) + 8)
+        out += moof + _box(b"mdat", b"".join(chunk))
+    return bytes(out)
+
+
 def parse_mp4(
+    b: bytes,
+) -> tuple[int, int, int, int, list[bytes]] | None:
+    """Guarded entry: every leaf-box field read below uses
+    struct.unpack_from, and a truncated/corrupt body (e.g. a
+    zero-length stco at EOF) raises struct.error — which is NOT a
+    ValueError and would otherwise escape into the Spark task (r10
+    ADVICE). Normalize every short read to the documented None
+    refusal here rather than bounds-checking each of the dozens of
+    leaf reads individually."""
+    try:
+        return _parse_mp4_strict(b)
+    except struct.error:
+        return None
+
+
+def _parse_mp4_strict(
     b: bytes,
 ) -> tuple[int, int, int, int, list[bytes]] | None:
     """bytes → (width, height, n_frames, fps, mjpeg_frames) or None.
@@ -494,13 +637,16 @@ def parse_mp4(
     (two-per-chunk layouts force the walk), for FRAGMENTED files
     (r10 — the DASH/live form: moof present, or an mvex announcing
     one) through the moof/traf/trun walk with trex defaults,
-    ascending mfhd sequence numbers, and default-base-is-moof or
-    explicit base-data-offset addressing. Cross-checks stts/trun
-    sample counts, mdat containment of every span, and the
-    stsd/tkhd dimension agreement. Honest refusals: non-MJPEG
-    sample entries (avc1/hev1/mp4v/…), multiple video tracks or
-    trafs, variable frame durations, hybrid files carrying BOTH
-    moov samples and moofs, legacy implicit traf base addressing,
+    ascending mfhd sequence numbers, and default-base-is-moof,
+    explicit base-data-offset, or (r11) legacy implicit base
+    addressing. HYBRID files carrying both moov-resident samples
+    and fragments (faststart init + DASH tail) resolve the
+    progressive prefix first and let the fragment timeline continue
+    after it (r11 — both r10 refusals closed). Cross-checks
+    stts/trun sample counts, tfdt running time, mdat containment of
+    every span, and the stsd/tkhd dimension agreement. Honest
+    refusals: non-MJPEG sample entries (avc1/hev1/mp4v/…), multiple
+    video tracks or trafs, variable frame durations,
     composition-time offsets, and any structural violation — None,
     never a guess."""
     if len(b) < 16:
@@ -593,27 +739,57 @@ def parse_mp4(
             return None
 
     if fragmented:
-        # hybrid files carrying moov-resident samples AND movie
-        # fragments refuse (a reader honoring only one side would
-        # silently drop the other's frames)
-        for tag, cnt_at in ((b"stts", 4), (b"stsz", 8), (b"stco", 4)):
+        # moov-resident sample tables: empty in a pure-fragmented
+        # file; NON-empty means a HYBRID (faststart init segment +
+        # fragments — r10's refusal, closed in r11): resolve the
+        # progressive prefix through the same stbl walk, then let the
+        # fragment timeline continue after it. co64 participates in
+        # the emptiness gate alongside stco (r10 ADVICE).
+        counts = {}
+        for tag, cnt_at in (
+            (b"stts", 4), (b"stsc", 4), (b"stsz", 8),
+            (b"stco", 4), (b"co64", 4),
+        ):
             if tag in boxes:
                 x_s, x_e = boxes[tag]
                 if x_s + cnt_at + 4 > x_e:
                     return None
                 (cnt,) = struct.unpack_from(">I", b, x_s + cnt_at)
-                if cnt:
-                    return None
+                counts[tag] = cnt
+        init_frames: list[bytes] = []
+        init_delta = None
+        if any(counts.values()):
+            resolved = _resolve_stbl_samples(b, boxes, mdats, timescale)
+            if resolved is None:
+                return None
+            init_frames, init_delta = resolved
         # track id: tkhd v0 at +8 past verflags, v1 at +16
         tid_off = th_s + 4 + (16 if tver == 1 else 8)
         (track_id,) = struct.unpack_from(">I", b, tid_off)
         frag = _parse_fragments(b, top, mdats, mvex[0] if mvex else None,
-                                track_id, timescale)
+                                track_id, timescale, init_frames, init_delta)
         if frag is None:
             return None
         n_samples, fps, frames = frag
         return int(w), int(h), int(n_samples), int(fps), frames
 
+    resolved = _resolve_stbl_samples(b, boxes, mdats, timescale)
+    if resolved is None:
+        return None
+    frames, delta = resolved
+    return int(w), int(h), len(frames), int(timescale // delta), frames
+
+
+def _resolve_stbl_samples(
+    b: bytes,
+    boxes: dict[bytes, tuple[int, int]],
+    mdats: list[tuple[int, int]],
+    timescale: int,
+) -> tuple[list[bytes], int] | None:
+    """Progressive sample resolution: the real stts/stsc/stsz/
+    st{co,co64} three-way arithmetic shared by plain-progressive
+    files and the moov-resident prefix of hybrid files (r11).
+    Returns (frames, stts_delta) or None."""
     for need in (b"stts", b"stsc", b"stsz"):
         if need not in boxes:
             return None
@@ -637,7 +813,6 @@ def parse_mp4(
             return None
     if not delta or timescale % delta:
         return None
-    fps = timescale // delta
 
     # stsz: per-sample sizes (or the uniform-size fast path)
     sz_s, sz_e = boxes[b"stsz"]
@@ -698,15 +873,27 @@ def parse_mp4(
             frames.append(b[pos:end])
             pos = end
             si += 1
-    return int(w), int(h), int(n_samples), int(fps), frames
+    return frames, delta
 
 
 # ------------------------------------------------------------------ Spark ops
 def synthesize_mp4(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """asset_id % 4 == 3 ships FRAGMENTED (moof/traf/trun — the
-    DASH/live form), the rest progressive. Same frames either way,
-    so the formula oracle is container-agnostic and the driver hash
-    certifies both sample-addressing paths."""
+    """Container-flavor residue map (mod 16): 3/11 → FRAGMENTED with
+    default-base-is-moof (r10), 7 → fragmented with LEGACY implicit
+    base addressing (r11), 15 → HYBRID moov-prefix + fragments
+    (r11), the rest progressive. Same frames throughout, so the
+    formula oracle is container-agnostic and the driver hash
+    certifies all four sample-addressing paths."""
+
+    def _make(v: int) -> bytes:
+        r = v % 16
+        if r == 7:
+            return make_mp4_fragmented(v, legacy_base=True)
+        if r == 15:
+            return make_mp4_hybrid(v)
+        if r % 4 == 3:
+            return make_mp4_fragmented(v)
+        return make_mp4(v)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -714,12 +901,7 @@ def synthesize_mp4(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": a,
-                    "payload": [
-                        make_mp4_fragmented(int(v))
-                        if int(v) % 4 == 3
-                        else make_mp4(int(v))
-                        for v in a
-                    ],
+                    "payload": [_make(int(v)) for v in a],
                 }
             )
 

@@ -222,7 +222,12 @@ VOID: dict[str, int] = {
     # late r10: a quarter of that corpus (asset % 4 == 3) ships
     # FRAGMENTED (moof/traf/trun + tfdt decode clocks) — same frames,
     # container-agnostic oracle, one re-cert covers both paths:
-    "multimodal_media_suite": 9,
+    # round 11 (r10 verdict item 3): both fragmented-mode refusals
+    # closed — ids ≡ 7 (mod 16) now ship LEGACY implicit traf base
+    # addressing and ids ≡ 15 (mod 16) HYBRID moov-prefix +
+    # fragments; same frames, container-agnostic oracle, so one
+    # re-cert covers all four addressing paths:
+    "multimodal_media_suite": 10,
 }
 
 

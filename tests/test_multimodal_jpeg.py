@@ -1589,6 +1589,21 @@ class TestLosslessJpeg:
         assert want_b is not None and got_b is not None
         assert np.array_equal(got_b, want_b)
 
+    def test_fill_bytes_running_into_eof_refused(self):
+        """r10 ADVICE: the fill-byte skip must not outrun the buffer —
+        fills right before EOI with nothing after them must return the
+        None refusal (the parsers saw no scan), not raise struct.error
+        into the Spark task. Pinned on all three segment walks."""
+        import queryengine_spark.multimodal.jpeg as J
+
+        probe = b"\xff\xd8\xff\xff\xff\xd9"
+        assert J._parse_segments_multi(probe) is None
+        assert J._parse_segments_lossless(probe) is None
+        assert J._parse_progressive(probe) is None
+        # and an all-fill tail with no terminating marker byte at all
+        assert J._parse_segments_multi(b"\xff\xd8\xff\xff\xff") is None
+        assert J._parse_segments_lossless(b"\xff\xd8\xff\xff\xff") is None
+
     def test_rgb_entry_serves_8bit_refuses_16bit(self):
         import queryengine_spark.multimodal.jpeg as J
 

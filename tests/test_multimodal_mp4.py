@@ -74,12 +74,13 @@ def test_foreign_codec_refused():
     assert parse_mp4(bytes(b)) is None
 
 
-def test_hybrid_moov_plus_fragment_signals_refused():
-    """r10: fragmentation no longer refuses wholesale — but a HYBRID
-    file (moov-resident samples AND fragment signals) still must:
-    honoring only one side would silently drop the other's frames."""
+def test_inconsistent_fragment_signals_refused():
+    """r11: genuine hybrid files (moov prefix + moofs) now PARSE —
+    but INCONSISTENT fragment signals still refuse: an empty mvex
+    box (no trex) inside a sample-carrying moov, and a bare moof
+    with no mvex announcing it."""
     good = make_mp4(4)
-    # an mvex inside a moov whose stbl already carries samples
+    # an empty mvex (no trex) inside a moov whose stbl carries samples
     i = _find(good, b"moov")
     moov_start = i - 4
     (msize,) = struct.unpack_from(">I", good, moov_start)
@@ -87,8 +88,70 @@ def test_hybrid_moov_plus_fragment_signals_refused():
     patched = bytearray(good[: moov_start + msize] + mvex)
     struct.pack_into(">I", patched, moov_start, msize + 8)
     assert parse_mp4(bytes(patched)) is None
-    # a top-level moof appended to a progressive file
+    # a top-level moof appended to a progressive file (no mvex)
     assert parse_mp4(good + struct.pack(">I", 8) + b"moof") is None
+
+
+@pytest.mark.parametrize("a", [7, 23, 39])
+def test_legacy_implicit_base_roundtrip(a):
+    """r11: pre-iso5 implicit traf base addressing (no tfhd
+    addressing flag) decodes via the §8.8.7 moof-start default and
+    matches the default-base-is-moof twin byte for byte."""
+    from queryengine_spark.multimodal.mp4 import make_mp4_fragmented
+
+    legacy = make_mp4_fragmented(a, legacy_base=True)
+    modern = make_mp4_fragmented(a)
+    assert legacy != modern  # the tfhd flag really differs
+    got = parse_mp4(legacy)
+    assert got is not None
+    assert got == parse_mp4(modern)
+
+
+@pytest.mark.parametrize("a", [15, 31, 47])
+def test_hybrid_moov_prefix_plus_fragments_roundtrip(a):
+    """r11: hybrid faststart files — frame 0 in the moov's own
+    sample tables, the rest in moof/mdat fragments — decode to the
+    same frames as the pure-progressive twin."""
+    from queryengine_spark.multimodal.mp4 import make_mp4_hybrid
+
+    got = parse_mp4(make_mp4_hybrid(a))
+    assert got is not None
+    assert got == parse_mp4(make_mp4(a))
+
+
+def test_hybrid_lying_tfdt_refused():
+    """A hybrid file whose first fragment's tfdt ignores the
+    moov-resident prefix (claims baseMediaDecodeTime 0) refuses."""
+    from queryengine_spark.multimodal.mp4 import make_mp4_hybrid
+
+    b = bytearray(make_mp4_hybrid(15))
+    i = _find(b, b"tfdt")  # first fragment's tfdt (v1: u64 at +4)
+    (base_time,) = struct.unpack_from(">Q", b, i + 8)
+    assert base_time != 0  # the prefix really is accounted for
+    struct.pack_into(">Q", b, i + 8, 0)
+    assert parse_mp4(bytes(b)) is None
+
+
+def test_zero_length_stco_body_refused():
+    """r10 ADVICE repro: a crafted file whose stco has a zero-length
+    body at EOF must return the documented None refusal, not raise
+    struct.error into the Spark task."""
+    good = make_mp4(2)
+    i = _find(good, b"stco")
+    stco_start = i - 4
+    (old_size,) = struct.unpack_from(">I", good, stco_start)
+    delta = old_size - 12  # keep size+fourcc+verflags, drop count+offsets
+    # stco closes stbl/minf/mdia/trak/moov in this writer and moov is
+    # the last top-level box, so truncating it and shrinking every
+    # ancestor's size keeps the box walk structurally valid — the
+    # entry-count read itself is what lands at EOF
+    patched = bytearray(good[: stco_start + 12])
+    struct.pack_into(">I", patched, stco_start, 12)
+    for tag in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = _find(bytes(patched), tag) - 4
+        (sz,) = struct.unpack_from(">I", patched, j)
+        struct.pack_into(">I", patched, j, sz - delta)
+    assert parse_mp4(bytes(patched)) is None
 
 
 def test_stts_stsz_disagreement_refused():
