@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints the JSON line
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
+followed by a compact ≤1.8 kB summary line (same headline fields,
+slowest queries only) as the FINAL stdout line — the driver's
+per-round capture keeps the last 2000 chars of stdout, so the final
+line is the one that must parse standalone (r10 verdict item 6). The
+full line is also persisted to docs/bench_latest_full.json.
 
 Each query is forced end-to-end with the noop sink (full plan
 execution, no driver collection). Session startup and a warmup action
@@ -303,27 +308,40 @@ def main() -> None:
     pq_recall = _mean_recall("knn_pq_suite", leg="rerank")
     sq8_recall = _mean_recall("knn_sq8", leg="session")
 
+    # Ambient-load calibration INSIDE the artifact (r10 verdict item
+    # 6): the 20M-iteration pure-Python add loop BASELINE.md's paired
+    # ambient analysis is anchored on (~0.55 s on an idle core of this
+    # class; r9/r10 measured 1.6-2.6 s under hypervisor contention).
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i
+    calib = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "runs_per_query": N_RUNS,
-            "knn_lsh_recall_at_3": round(recall, 4),
-            "knn_ivf_recall_at_3": round(ivf_recall, 4),
-            "knn_pq_rerank_recall_at_3": round(pq_recall, 4),
-            "knn_sq8_recall_at_3": round(sq8_recall, 4),
-        }
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": N_RUNS,
+        "calib_add_loop_20m_sec": calib,
+        "knn_lsh_recall_at_3": round(recall, 4),
+        "knn_ivf_recall_at_3": round(ivf_recall, 4),
+        "knn_pq_rerank_recall_at_3": round(pq_recall, 4),
+        "knn_sq8_recall_at_3": round(sq8_recall, 4),
+    }
+    line = json.dumps(payload)
     print(line)
-    # The driver's per-round capture has twice truncated this line to
-    # its tail (r8/r9 verdicts) — ALSO persist the full line to a
-    # stable committed path so the judge-comparable number never
-    # depends on a narrative. Overwritten every run; committed at
-    # round close.
+    # The driver's per-round capture keeps only the LAST 2000 chars of
+    # stdout and records whether they parse (r8-r10 verdicts: the full
+    # line is ~5 kB, so the captured tail never parsed). Persist the
+    # full line to a stable committed path, then make the FINAL stdout
+    # line a self-contained compact summary under the capture limit —
+    # same headline metric/recalls/calibration, plus the slowest
+    # queries that fit — so BENCH_r{N}.json finally carries a
+    # parseable artifact.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -333,6 +351,19 @@ def main() -> None:
             f.write(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout line already carries it
+
+    compact = dict(payload)
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact["queries"] = {}
+    compact["n_queries"] = len(timings)
+    compact["queries_full"] = "docs/bench_latest_full.json"
+    for name_, sec_ in slowest:
+        compact["queries"][name_] = round(sec_, 2)
+        if len(json.dumps(compact, separators=(",", ":"))) > 1800:
+            del compact["queries"][name_]
+            break
+    compact["queries_omitted"] = len(timings) - len(compact["queries"])
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
