@@ -1,0 +1,164 @@
+"""From-scratch RFC 8878 zstd decoder (sources/zstd.py): round-trips
+against the real zstd encoder bundled in pyarrow (public Spark
+dependency — encode/test side only), hand-built frames pinning each
+header/block/mode branch, and strict-refusal probes."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from queryengine_spark.sources.zstd import (
+    ZSTD_MAGIC,
+    decompress_zstd,
+    xxh64,
+)
+
+
+def _zc(level: int):
+    pa = pytest.importorskip("pyarrow")
+    if not pa.Codec.is_available("zstd"):
+        pytest.skip("pyarrow zstd codec unavailable")
+    return pa.Codec("zstd", compression_level=level)
+
+
+def _compress(data: bytes, level: int = 3) -> bytes:
+    return bytes(_zc(level).compress(data))
+
+
+# ---------------------------------------------------------------- XXH64
+def test_xxh64_published_vectors():
+    """The xxHash reference's own published sanity vectors."""
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    # structural: every length residue around the 32/8/4/1 chunking
+    for n in range(0, 70):
+        h = xxh64(bytes(range(n)))
+        assert 0 <= h < 1 << 64
+
+
+# ------------------------------------------------------------ round-trips
+CORPORA = [
+    b"",
+    b"a",
+    b"ab" * 3,
+    b"hello world " * 100,
+    bytes(range(256)) * 40,
+    b"\x00" * 10000,
+    b"abcabcabcabd" * 500,
+]
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_roundtrip_levels(level):
+    for data in CORPORA:
+        assert decompress_zstd(_compress(data, level)) == data
+
+
+def test_roundtrip_incompressible():
+    rng = random.Random(42)
+    data = bytes(rng.randrange(256) for _ in range(5000))
+    assert decompress_zstd(_compress(data, 3)) == data
+
+
+def test_roundtrip_multiblock():
+    """>128 KiB content forces multiple blocks — exercises the
+    cross-block repeat modes (sequence tables, treeless literals) and
+    the repeat-offset history carrying across blocks."""
+    rng = random.Random(7)
+    words = [
+        bytes(rng.randrange(97, 123) for _ in range(rng.randrange(2, 12)))
+        for _ in range(500)
+    ]
+    doc = b" ".join(rng.choice(words) for _ in range(60_000))
+    assert len(doc) > 3 * (1 << 17)
+    for level in (1, 3, 19):
+        assert decompress_zstd(_compress(doc, level)) == doc
+
+
+def test_roundtrip_tar_shards():
+    from queryengine_spark.sources.archives import make_tar_shard
+
+    for sid in range(8):
+        raw = make_tar_shard(sid)
+        assert decompress_zstd(_compress(raw, 6)) == raw
+
+
+# ------------------------------------------------------------ hand vectors
+def _raw_block_frame(content: bytes, fhd: int = 0x20) -> bytearray:
+    """Single-segment frame: FHD, 1-byte FCS, one raw last-block."""
+    out = bytearray(ZSTD_MAGIC)
+    out += bytes([fhd, len(content)])
+    out += struct.pack("<I", 1 | (0 << 1) | (len(content) << 3))[:3]
+    out += content
+    return out
+
+
+def test_hand_raw_and_rle_blocks():
+    assert bytes(decompress_zstd(bytes(_raw_block_frame(b"abc")))) == b"abc"
+    # RLE block: size field is the REGENERATED size, body is 1 byte
+    fr = bytearray(ZSTD_MAGIC) + bytes([0x20, 40])
+    fr += struct.pack("<I", 1 | (1 << 1) | (40 << 3))[:3] + b"Q"
+    assert decompress_zstd(bytes(fr)) == b"Q" * 40
+
+
+def test_hand_content_checksum():
+    content = b"checksummed payload"
+    fr = _raw_block_frame(content, fhd=0x20 | 0x04)
+    fr += struct.pack("<I", xxh64(content) & 0xFFFFFFFF)
+    assert decompress_zstd(bytes(fr)) == content
+    bad = bytearray(fr)
+    bad[-1] ^= 1
+    assert decompress_zstd(bytes(bad)) is None
+
+
+def test_refusals():
+    content = b"refusal probes"
+    good = bytes(_raw_block_frame(content))
+    # content-size lie
+    lie = bytearray(good)
+    lie[5] += 1
+    assert decompress_zstd(bytes(lie)) is None
+    # nonzero dictionary id
+    fr = bytearray(ZSTD_MAGIC) + bytes([0x20 | 0x01, 7, 3])
+    fr += struct.pack("<I", 1 | (0 << 1) | (3 << 3))[:3] + b"abc"
+    assert decompress_zstd(bytes(fr)) is None
+    # reserved FHD bit
+    assert decompress_zstd(bytes(_raw_block_frame(content, 0x20 | 0x08))) is None
+    # reserved block type
+    fr = bytearray(ZSTD_MAGIC) + bytes([0x20, 3])
+    fr += struct.pack("<I", 1 | (3 << 1) | (3 << 3))[:3] + b"abc"
+    assert decompress_zstd(bytes(fr)) is None
+    # skippable frame magic
+    assert decompress_zstd(b"\x50\x2a\x4d\x18\x04\x00\x00\x00abcd") is None
+    # trailing garbage / concatenated frames
+    assert decompress_zstd(good + b"x") is None
+    assert decompress_zstd(good + good) is None
+    # wrong magic / empty
+    assert decompress_zstd(b"") is None
+    assert decompress_zstd(b"\x00" * 32) is None
+
+
+def test_truncations_never_crash():
+    data = b"the quick brown fox " * 400
+    f = _compress(data, 3)
+    assert decompress_zstd(f) == data
+    step = max(1, len(f) // 60)
+    for cut in range(0, len(f), step):
+        assert decompress_zstd(f[:cut]) is None
+
+
+def test_bitflips_never_crash():
+    """Every single-bit corruption must either refuse or decode to
+    SOMETHING (entropy-coded data without a checksum can decode
+    consistently-wrong) — never raise into the Spark task."""
+    data = b"zstd bit flip probe " * 300
+    f = _compress(data, 3)
+    rng = random.Random(1)
+    for _ in range(200):
+        i = rng.randrange(len(f))
+        fb = bytearray(f)
+        fb[i] ^= 1 << rng.randrange(8)
+        decompress_zstd(bytes(fb))  # must not raise
