@@ -1,8 +1,10 @@
 """Round-6 archive-shard source queries (sources/archives.py).
 
 ``source_archive_shards``: WebDataset-style shard ingestion — even
-doc_ids rotate the four tar flavors (plain / .tar.gz / .tar.bz2 /
-.tar.xz on doc_id % 8 — r10 flipped the bz2/xz codec slots in), odd
+doc_ids rotate the compressed-container flavors on doc_id % 16
+(plain tar / .tar.gz / .tar.bz2 / .tar.xz, plus since r11 the
+.tar.zst and .jsonl.zst slots decoded by the FROM-SCRATCH RFC 8878
+zstd frame decoder in sources/zstd.py), odd
 become ZIP shards, all members from the same arithmetic formulas. Spark synthesizes the container bytes
 worker-side, parses them back for REAL (ustar checksum walk / ZIP
 central-directory walk with CRC-32 + deflate inflation), and
@@ -80,9 +82,11 @@ per AS (
   FROM paysums GROUP BY shard_id)
 SELECT shard_id,
        CASE WHEN shard_id % 2 = 1 THEN 'zip'
-            WHEN shard_id % 8 = 0 THEN 'tgz'
-            WHEN shard_id % 8 = 4 THEN 'tbz'
-            WHEN shard_id % 8 = 6 THEN 'txz'
+            WHEN shard_id % 16 = 0 THEN 'tgz'
+            WHEN shard_id % 16 = 4 THEN 'tbz'
+            WHEN shard_id % 16 = 6 THEN 'txz'
+            WHEN shard_id % 16 IN (8, 12) THEN 'tzst'
+            WHEN shard_id % 16 IN (10, 14) THEN 'jzst'
             ELSE 'tar' END AS fmt,
        n_members, n_samples, total_bytes, payload_sum, wsum, name_hash
 FROM per

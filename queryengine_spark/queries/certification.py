@@ -228,6 +228,11 @@ VOID: dict[str, int] = {
     # fragments; same frames, container-agnostic oracle, so one
     # re-cert covers all four addressing paths:
     "multimodal_media_suite": 10,
+    # round 11 (r10 verdict item 2): the even-shard residue map grew
+    # from %8 to %16 — 8/12 now ship .tar.zst and 10/14 .jsonl.zst,
+    # decoded by the from-scratch RFC 8878 zstd decoder; the fmt tag
+    # and per-shard bytes changed for half the even shards:
+    "source_archive_shards": 10,
 }
 
 

@@ -30,8 +30,11 @@ the LLM-data-pipeline surface this repo adds beyond the reference
 
 from __future__ import annotations
 
+import base64
+import binascii
 import bz2
 import hashlib
+import json
 import lzma
 import struct
 import zlib
@@ -365,6 +368,70 @@ def make_txz_shard(shard_id: int) -> bytes:
     )
 
 
+def _zstd_compress(raw: bytes) -> bytes:
+    """Synthesis-side zstd ENCODER: pyarrow's bundled real libzstd
+    (a public Spark dependency), level 3 — a real entropy-coded frame
+    so the corpus slot exercises the from-scratch decoder's Huffman/
+    FSE paths, not just raw blocks. The DECODE side never touches
+    pyarrow: parse_archive goes through sources/zstd.py (RFC 8878
+    from scratch), mirroring how gzip slots pair a stdlib-written
+    container with the hand-written RFC 1952 reader."""
+    import pyarrow as pa  # noqa: PLC0415 — synthesis-only dependency
+
+    return bytes(pa.Codec("zstd", compression_level=3).compress(raw))
+
+
+def make_tzst_shard(shard_id: int) -> bytes:
+    """zstd-compressed tar shard (``.tar.zst``, r11 — the dominant
+    compression of modern LLM-corpus distribution): the SAME tar
+    bytes under one RFC 8878 frame. Decoded by the from-scratch
+    frame decoder (sources/zstd.py), then the same ustar walk."""
+    return _zstd_compress(make_tar_shard(shard_id))
+
+
+def make_jzst_shard(shard_id: int) -> bytes:
+    """zstd-compressed JSONL shard (``.jsonl.zst``, r11 — how text
+    corpora like CommonCrawl derivatives actually ship): one JSON
+    record per line, ``{"data": base64(payload), "name": name}``,
+    same member formula as every other container so all seven
+    container paths stay equivalence-testable."""
+    lines = [
+        json.dumps(
+            {"data": base64.b64encode(payload).decode(), "name": name},
+            sort_keys=True,
+            separators=(",", ":"),
+        )
+        for name, payload in shard_members(shard_id)
+    ]
+    return _zstd_compress(("\n".join(lines) + "\n").encode())
+
+
+def _parse_jsonl_members(raw: bytes) -> list[tuple[str, bytes]] | None:
+    """JSONL member walk: every line must be a JSON object carrying
+    exactly a string ``name`` and strict-base64 ``data`` — schema
+    drift, padding errors, or trailing junk refuse (None, never a
+    guessed record)."""
+    out: list[tuple[str, bytes]] = []
+    for line in raw.split(b"\n"):
+        if not line.strip():
+            continue
+        try:
+            rec = json.loads(line)
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            return None
+        if not isinstance(rec, dict) or set(rec) != {"name", "data"}:
+            return None
+        name, data = rec["name"], rec["data"]
+        if not isinstance(name, str) or not isinstance(data, str):
+            return None
+        try:
+            payload = base64.b64decode(data, validate=True)
+        except (binascii.Error, ValueError):
+            return None
+        out.append((name, payload))
+    return out if out else None
+
+
 def _decompress_whole(b: bytes, decomp) -> bytes | None:
     """Run a stdlib one-shot decompressor object strictly: the stream
     must end exactly at the end of input (truncation and trailing
@@ -379,20 +446,26 @@ def _decompress_whole(b: bytes, decomp) -> bytes | None:
 
 
 def make_archive(shard_id: int) -> tuple[str, bytes]:
-    """Even shards split four ways on ``shard % 8`` — 0 → gzip tar
-    (r7), 2 → plain tar, 4 → bzip2 tar, 6 → xz tar (the r9 codecs'
-    corpus slots, flipped in r10 per the rotation budget) — odd
-    shards pack as zip. Same member formula throughout, so all five
-    container paths are directly equivalence-testable."""
+    """Even shards split on ``shard % 16`` — 0 → gzip tar (r7),
+    2 → plain tar, 4 → bzip2 tar, 6 → xz tar (r9 codecs, flipped
+    r10), 8/12 → zstd tar and 10/14 → zstd JSONL (r11 — the two
+    zstd corpus slots, double-weighted while the from-scratch RFC
+    8878 decoder is freshly certified) — odd shards pack as zip.
+    Same member formula throughout, so all seven container paths are
+    directly equivalence-testable."""
     if shard_id % 2 == 1:
         return "zip", make_zip_shard(shard_id)
-    r = shard_id % 8
+    r = shard_id % 16
     if r == 0:
         return "tgz", make_tgz_shard(shard_id)
     if r == 4:
         return "tbz", make_tbz_shard(shard_id)
     if r == 6:
         return "txz", make_txz_shard(shard_id)
+    if r in (8, 12):
+        return "tzst", make_tzst_shard(shard_id)
+    if r in (10, 14):
+        return "jzst", make_jzst_shard(shard_id)
     return "tar", make_tar_shard(shard_id)
 
 
@@ -400,19 +473,33 @@ def parse_archive(b: bytes) -> list[tuple[str, bytes]] | None:
     """Magic-byte dispatch: gzip magic → RFC 1952 unwrap then the
     ustar walk (r7); bzip2 ``BZh`` / xz magics → strict stdlib
     decompression (whole-stream, no trailing bytes — r9) then the
-    same walk; ustar magic at offset 257; else the ZIP local-header
+    same walk; zstd magic → the FROM-SCRATCH RFC 8878 frame decoder
+    (sources/zstd.py, r11), inner content dispatched on ustar magic
+    vs JSONL; ustar magic at offset 257; else the ZIP local-header
     signature. None for unrecognized/invalid payloads."""
-    inner: bytes | None = None
-    if b[:2] == b"\x1f\x8b":
-        inner = _parse_gzip(bytes(b))
-    elif b[:3] == b"BZh":
-        inner = _decompress_whole(b, bz2.BZ2Decompressor())
-    elif b[:6] == b"\xfd7zXZ\x00":
-        inner = _decompress_whole(b, lzma.LZMADecompressor(lzma.FORMAT_XZ))
-    if b[:2] == b"\x1f\x8b" or b[:3] == b"BZh" or b[:6] == b"\xfd7zXZ\x00":
-        if inner is None or len(inner) < 262 or inner[257:262] != b"ustar":
+    from queryengine_spark.sources.zstd import (  # noqa: PLC0415
+        ZSTD_MAGIC,
+        decompress_zstd,
+    )
+
+    if b[:4] == ZSTD_MAGIC:
+        inner = decompress_zstd(bytes(b))
+        if inner is None:
             return None
-        return _parse_tar(inner)
+        if len(inner) >= 262 and inner[257:262] == b"ustar":
+            return _parse_tar(inner)
+        return _parse_jsonl_members(inner)
+    inner2: bytes | None = None
+    if b[:2] == b"\x1f\x8b":
+        inner2 = _parse_gzip(bytes(b))
+    elif b[:3] == b"BZh":
+        inner2 = _decompress_whole(b, bz2.BZ2Decompressor())
+    elif b[:6] == b"\xfd7zXZ\x00":
+        inner2 = _decompress_whole(b, lzma.LZMADecompressor(lzma.FORMAT_XZ))
+    if b[:2] == b"\x1f\x8b" or b[:3] == b"BZh" or b[:6] == b"\xfd7zXZ\x00":
+        if inner2 is None or len(inner2) < 262 or inner2[257:262] != b"ustar":
+            return None
+        return _parse_tar(inner2)
     if len(b) >= 262 and b[257:262] == b"ustar":
         return _parse_tar(b)
     if b[:4] == struct.pack("<I", _ZIP_LOCAL):

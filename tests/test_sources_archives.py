@@ -214,18 +214,19 @@ def test_spark_member_relation(spark):
 
 
 def test_spark_stats_match_python_reference(spark):
-    ids = spark.range(0, 12).select(F.col("id").alias("shard_id"))
+    ids = spark.range(0, 16).select(F.col("id").alias("shard_id"))
     got = {
         r.shard_id: r
         for r in archive_shard_stats(synthesize_archives(ids)).collect()
     }
-    assert len(got) == 12
-    for sid in range(12):
+    assert len(got) == 16
+    for sid in range(16):
         members = shard_members(sid)
         r = got[sid]
         assert r.fmt == (
                 "zip" if sid % 2 else
-                {0: "tgz", 4: "tbz", 6: "txz"}.get(sid % 8, "tar")
+                {0: "tgz", 4: "tbz", 6: "txz", 8: "tzst", 12: "tzst",
+                 10: "jzst", 14: "jzst"}.get(sid % 16, "tar")
             )
         assert r.n_members == len(members)
         assert r.n_samples == shard_samples(sid)
@@ -249,14 +250,60 @@ def test_stats_plan_no_shuffle(spark):
 
 
 def test_make_archive_parity_split():
-    # r10: even shards rotate the four tar flavors on shard % 8
+    # r11: even shards rotate the container flavors on shard % 16
+    # (8/12 -> .tar.zst, 10/14 -> .jsonl.zst)
     assert make_archive(0)[0] == "tgz"
     assert make_archive(1)[0] == "zip"
     assert make_archive(2)[0] == "tar"
     assert make_archive(3)[0] == "zip"
     assert make_archive(4)[0] == "tbz"
     assert make_archive(6)[0] == "txz"
-    assert make_archive(8)[0] == "tgz"
+    assert make_archive(8)[0] == "tzst"
+    assert make_archive(10)[0] == "jzst"
+    assert make_archive(12)[0] == "tzst"
+    assert make_archive(14)[0] == "jzst"
+    assert make_archive(16)[0] == "tgz"
+
+
+# --------------------------------------------- zstd shards (r11)
+
+
+def test_zstd_shards_equal_tar_members():
+    """Both zstd containers are transparent: members == the same
+    shard packed as plain tar == the member formula — through the
+    from-scratch RFC 8878 decoder, not a library."""
+    from queryengine_spark.sources.archives import (
+        make_jzst_shard,
+        make_tzst_shard,
+        shard_members,
+    )
+
+    for sid in (8, 10, 12, 14, 24, 26):
+        want = shard_members(sid)
+        assert parse_archive(make_tzst_shard(sid)) == want
+        assert parse_archive(make_jzst_shard(sid)) == want
+
+
+def test_jsonl_zst_strictness():
+    """Schema drift inside the JSONL refuses: extra keys, non-base64
+    data, non-JSON lines — and a truncated zstd frame refuses at the
+    codec layer."""
+    from queryengine_spark.sources.archives import (
+        _parse_jsonl_members,
+        _zstd_compress,
+        make_jzst_shard,
+    )
+
+    assert _parse_jsonl_members(b'{"name":"a.txt","data":"aGk="}\n') == [
+        ("a.txt", b"hi")
+    ]
+    assert _parse_jsonl_members(b'{"name":"a","data":"aGk=","x":1}\n') is None
+    assert _parse_jsonl_members(b'{"name":"a","data":"@@"}\n') is None
+    assert _parse_jsonl_members(b"not json\n") is None
+    assert _parse_jsonl_members(b"") is None
+    assert parse_archive(make_jzst_shard(10)[:-3]) is None
+    # a zstd frame wrapping garbage (neither ustar nor JSONL) refuses
+    assert parse_archive(_zstd_compress(b"\x00" * 400)) is None
 
 
 # ------------------------------------------------- gzip tar shards (r7)
