@@ -453,16 +453,18 @@ JOIN phex p ON r.shard_id = p.shard_id AND r.path = p.path
 
 
 def source_warc_wat(spark: SparkSession, sf: str) -> DataFrame:
-    """WAT metadata production (r10): the FOURTH CommonCrawl artifact
-    — with source_warc_records (ingest), text_html_extract's WET leg
-    (text) and source_warc_cdx (index), the engine now produces the
-    complete artifact family. Each response record's
-    application/http payload is parsed for real (transfer codings
-    undone — Entity-Length is the DECODED body size) and serialized
-    as a byte-exact Envelope/Payload-Metadata JSON; the oracle
-    reconstructs the IDENTICAL string from the synthesis formulas,
-    so the hash certifies a byte-exact metadata producer. Zero
-    shuffle. Design notes: sources/warc.py::warc_wat_records."""
+    """WAT metadata production (r10; widened r11): the FOURTH
+    CommonCrawl artifact — with source_warc_records (ingest),
+    text_html_extract's WET leg (text) and source_warc_cdx (index),
+    the engine produces the complete artifact family. EVERY record
+    gets its envelope, as in real WAT sidecars: responses
+    (application/http parsed with the transfer-coding undo —
+    Entity-Length is the DECODED body size), requests (request-line
+    method/path), and warcinfo (warc-fields parsed in file order);
+    each serialized as a byte-exact Envelope/Payload-Metadata JSON.
+    The oracle reconstructs the IDENTICAL strings from the synthesis
+    formulas, so the hash certifies a byte-exact metadata producer.
+    Zero shuffle. Design notes: sources/warc.py::warc_wat_records."""
     from queryengine_spark.sources.warc import warc_wat_records
 
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
@@ -477,29 +479,50 @@ enc AS (SELECT shard_id, rec_idx,
                          AND (shard_id + 2 * rec_idx) % 3 = 2 THEN 'gzip'
                     ELSE 'identity' END AS transfer
         FROM base WHERE rec_type = 'response'),
-uris AS (SELECT shard_id, rec_idx,
+uris AS (SELECT shard_id, rec_idx, rec_type,
                 'https://site'
                 || CAST((7 * shard_id + rec_idx) % {WARC_SITE_MOD} AS VARCHAR)
                 || '.example/p' || CAST(rec_idx AS VARCHAR) AS uri,
                 status, body_len
-         FROM base WHERE rec_type = 'response')
-SELECT u.shard_id, u.rec_idx,
-       CASE WHEN u.shard_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END AS fmt,
-       ('0x' || substr(md5(u.uri), 1, {URI_HASH_HEX}))::BIGINT AS uri_hash,
-       '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"response",'
-       || '"WARC-Target-URI":"' || u.uri || '","WARC-Date":"2026-01-01T00:00:00Z'
-       || '"}},"Payload-Metadata":{{"HTTP-Response-Metadata":{{'
-       || '"Response-Message":{{"Status":"' || CAST(u.status AS VARCHAR)
-       || '"}},"Transfer":"' || e.transfer || '","Entity-Length":"'
-       || CAST(u.body_len AS VARCHAR) || '"}}}}}}}}' AS wat_json,
-       CAST(length(
-       '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"response",'
-       || '"WARC-Target-URI":"' || u.uri || '","WARC-Date":"2026-01-01T00:00:00Z'
-       || '"}},"Payload-Metadata":{{"HTTP-Response-Metadata":{{'
-       || '"Response-Message":{{"Status":"' || CAST(u.status AS VARCHAR)
-       || '"}},"Transfer":"' || e.transfer || '","Entity-Length":"'
-       || CAST(u.body_len AS VARCHAR) || '"}}}}}}}}') AS BIGINT) AS wat_len
-FROM uris u JOIN enc e USING (shard_id, rec_idx)
+         FROM base WHERE rec_type IN ('response', 'request')),
+wat AS (
+  SELECT u.shard_id, u.rec_idx, u.rec_type, u.uri,
+         '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"response",'
+         || '"WARC-Target-URI":"' || u.uri
+         || '","WARC-Date":"2026-01-01T00:00:00Z'
+         || '"}},"Payload-Metadata":{{"HTTP-Response-Metadata":{{'
+         || '"Response-Message":{{"Status":"' || CAST(u.status AS VARCHAR)
+         || '"}},"Transfer":"' || e.transfer || '","Entity-Length":"'
+         || CAST(u.body_len AS VARCHAR) || '"}}}}}}}}' AS wat_json
+  FROM uris u JOIN enc e USING (shard_id, rec_idx)
+  WHERE u.rec_type = 'response'
+  UNION ALL
+  SELECT shard_id, rec_idx, rec_type, uri,
+         '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"request",'
+         || '"WARC-Target-URI":"' || uri
+         || '","WARC-Date":"2026-01-01T00:00:00Z'
+         || '"}},"Payload-Metadata":{{"HTTP-Request-Metadata":{{'
+         || '"Request-Message":{{"Method":"GET","Path":"/p'
+         || CAST(rec_idx AS VARCHAR)
+         || '"}},"Entity-Length":"0"}}}}}}}}'
+  FROM uris WHERE rec_type = 'request'
+  UNION ALL
+  SELECT shard_id, rec_idx, rec_type, CAST(NULL AS VARCHAR),
+         '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"warcinfo",'
+         || '"WARC-Date":"2026-01-01T00:00:00Z'
+         || '"}},"Payload-Metadata":{{"WARC-Info-Metadata":{{'
+         || '"software":"qe-crawler/1.0","hostname":"host'
+         || CAST(shard_id % 20 AS VARCHAR) || '.example"}}}}}}}}'
+  FROM base WHERE rec_type = 'warcinfo')
+SELECT shard_id, rec_idx,
+       CASE WHEN shard_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END AS fmt,
+       rec_type,
+       CASE WHEN uri IS NULL THEN NULL
+            ELSE ('0x' || substr(md5(uri), 1, {URI_HASH_HEX}))::BIGINT
+       END AS uri_hash,
+       wat_json,
+       CAST(length(wat_json) AS BIGINT) AS wat_len
+FROM wat
 """
 
 

@@ -233,6 +233,10 @@ VOID: dict[str, int] = {
     # decoded by the from-scratch RFC 8878 zstd decoder; the fmt tag
     # and per-shard bytes changed for half the even shards:
     "source_archive_shards": 10,
+    # round 11 (r10 verdict item 4): WAT production widened from
+    # response-only to the full record set (request + warcinfo
+    # envelopes, rec_type column added) — new rows AND a new schema:
+    "source_warc_wat": 10,
 }
 
 

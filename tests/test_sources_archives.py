@@ -1181,20 +1181,62 @@ def test_wat_json_is_valid_and_matches_walk(spark):
 
     ids = spark.range(0, 16).select(F.col("id").alias("shard_id"))
     rows = warc_wat_records(synthesize_warc(ids)).collect()
-    want_n = sum(
-        1
-        for s in range(16)
-        for i in range(warc_n_records(s))
-        if warc_rec_type(i) == "response"
-    )
+    # r11: EVERY record gets its envelope — response, request, warcinfo
+    want_n = sum(warc_n_records(s) for s in range(16))
     assert len(rows) == want_n
     for r in rows:
         d = json.loads(r.wat_json)
         env = d["Envelope"]
-        hrm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
-        assert env["WARC-Header-Metadata"]["WARC-Type"] == "response"
-        assert int(hrm["Response-Message"]["Status"]) == warc_http_status(
-            r.shard_id, r.rec_idx
-        )
-        assert int(hrm["Entity-Length"]) == warc_body_len(r.shard_id, r.rec_idx)
+        assert r.rec_type == warc_rec_type(r.rec_idx)
+        assert env["WARC-Header-Metadata"]["WARC-Type"] == r.rec_type
         assert r.wat_len == len(r.wat_json)
+        if r.rec_type == "response":
+            hrm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+            assert int(hrm["Response-Message"]["Status"]) == warc_http_status(
+                r.shard_id, r.rec_idx
+            )
+            assert int(hrm["Entity-Length"]) == warc_body_len(
+                r.shard_id, r.rec_idx
+            )
+        elif r.rec_type == "request":
+            hrm = env["Payload-Metadata"]["HTTP-Request-Metadata"]
+            assert hrm["Request-Message"]["Method"] == "GET"
+            assert hrm["Request-Message"]["Path"] == f"/p{r.rec_idx}"
+            assert hrm["Entity-Length"] == "0"
+        else:
+            info = env["Payload-Metadata"]["WARC-Info-Metadata"]
+            assert info["software"] == "qe-crawler/1.0"
+            assert info["hostname"] == f"host{r.shard_id % 20}.example"
+            assert r.uri_hash is None
+            assert "WARC-Target-URI" not in env["WARC-Header-Metadata"]
+
+
+def test_wat_metadata_record_envelope():
+    """r11: a metadata record (never synthesized by the corpus
+    writer) gets a WARC-Metadata-Metadata envelope via the same
+    warc-fields walk — hand-built record, local parse."""
+    import json as _json
+
+    from queryengine_spark.sources.warc import (
+        _warc_fields,
+        _wat_json_fields,
+    )
+
+    fields = _warc_fields(b"fetchTimeMs: 127\r\nhopsFromSeed: PE\r\n")
+    assert fields == [("fetchTimeMs", "127"), ("hopsFromSeed", "PE")]
+    js = _wat_json_fields(
+        "metadata", "WARC-Metadata-Metadata",
+        "https://site1.example/p2", fields,
+    )
+    d = _json.loads(js)
+    env = d["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Type"] == "metadata"
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == (
+        "https://site1.example/p2"
+    )
+    assert env["Payload-Metadata"]["WARC-Metadata-Metadata"] == {
+        "fetchTimeMs": "127", "hopsFromSeed": "PE",
+    }
+    # malformed warc-fields refuse
+    assert _warc_fields(b"no colon line\r\n") is None
+    assert _warc_fields(b"") is None
