@@ -541,6 +541,8 @@ from queryengine_spark.multimodal.wav import (  # noqa: E402,F401
     IMA_INDEX_TABLE,
     IMA_STEP_TABLE,
     STEREO_OFF,
+    ALAW_A_MULT,
+    ALAW_I_MULT,
     ULAW_A_MULT,
     ULAW_BIAS,
     ULAW_I_MULT,
@@ -558,12 +560,14 @@ from queryengine_spark.multimodal.wav import (  # noqa: E402,F401
     _sample,
     _sample24,
     _sample_st,
+    _alaw_byte,
     _ulaw_byte,
     _wav_container,
     decode_adpcm_wav,
     decode_pcm_wav,
     make_pcm_wav,
     make_pcm_wav24,
+    make_pcm_wav_alaw,
     make_pcm_wav_f32,
     make_pcm_wav_multi,
     make_pcm_wav_stereo,
@@ -572,6 +576,7 @@ from queryengine_spark.multimodal.wav import (  # noqa: E402,F401
     pack_int24,
     synthesize_pcm_wav,
     synthesize_wav_mixed,
+    alaw2linear,
     ulaw2linear,
     wav_audio_params,
     wav_sample_stats,

@@ -110,6 +110,41 @@ def make_pcm_wav_ulaw(asset_id: int) -> bytes:
     return _wav_container(rate, 8, data, fmt_tag=7)
 
 
+#: A-law byte-stream formula constants (mirrored in the oracle)
+ALAW_A_MULT, ALAW_I_MULT = 41, 13
+
+
+def _alaw_byte(asset_id: int, i: int) -> int:
+    return (asset_id * ALAW_A_MULT + i * ALAW_I_MULT) % 256
+
+
+def alaw2linear(a: int) -> int:
+    """G.711 A-law expansion (the CCITT table as arithmetic, r11 —
+    the European telephony twin of µ-law): the byte is stored XORed
+    with 0x55; sign (bit 7 SET = positive) / 3-bit segment / 4-bit
+    mantissa expand to (m·16 + 8) for segment 0 else
+    (m·16 + 0x108) << (seg − 1). Range ±8 … ±32256."""
+    a ^= 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    if seg == 0:
+        t = mant + 8
+    else:
+        t = (mant + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def make_pcm_wav_alaw(asset_id: int) -> bytes:
+    """Complete mono G.711 A-LAW WAV (format tag 6, 8 bits/sample —
+    the European/international telephony profile, r11; completes the
+    G.711 pair beside the r6 µ-law leg). The data bytes follow the
+    _alaw_byte formula directly, so the oracle expands them with the
+    same A-law arithmetic without round-tripping an encoder."""
+    rate, n = wav_audio_params(asset_id)
+    data = bytes(_alaw_byte(asset_id, i) for i in range(n))
+    return _wav_container(rate, 8, data, fmt_tag=6)
+
+
 def make_pcm_wav_f32(asset_id: int) -> bytes:
     """Complete mono IEEE-FLOAT WAV (format tag 3, 32 bits — the DAW
     /ML-dataset interchange profile, r6). Samples are the mono-16
@@ -363,11 +398,12 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
     (format 1: 16- or 24-bit, mono/multi-channel — the interleaved
     flat stream; per-channel views are one reshape away), IEEE FLOAT
     (format 3, 32-bit — converted to PCM16 via floor(f·32768),
-    clamped, the standard render path — r6), or G.711 µ-LAW (format
-    7, 8-bit — expanded through the CCITT arithmetic — r6); None for
-    anything else. Walks RIFF chunks properly (skips unknown chunks,
-    honors declared sizes + word alignment) instead of assuming a
-    fixed layout."""
+    clamped, the standard render path — r6), G.711 µ-LAW (format 7,
+    8-bit — expanded through the CCITT arithmetic — r6), or G.711
+    A-LAW (format 6, 8-bit — the XOR-0x55 segment/mantissa expansion,
+    r11); None for anything else. Walks RIFF chunks properly (skips
+    unknown chunks, honors declared sizes + word alignment) instead
+    of assuming a fixed layout."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     pos = 12
@@ -385,7 +421,7 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if audio_fmt not in (1, 3, 7):
+            if audio_fmt not in (1, 3, 6, 7):
                 return None
         elif cid == b"data":
             data = body
@@ -398,7 +434,7 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
     if (
         (audio_fmt == 1 and bits not in (16, 24))
         or (audio_fmt == 3 and bits != 32)
-        or (audio_fmt == 7 and bits != 8)
+        or (audio_fmt in (6, 7) and bits != 8)
     ):
         return None
     if audio_fmt == 3:  # IEEE float → PCM16 render (r6)
@@ -413,6 +449,15 @@ def decode_pcm_wav(b: bytes) -> tuple[int, np.ndarray] | None:
         mag = (((v & 0x0F) << 3) + ULAW_BIAS) * (1 << ((v >> 4) & 0x07))
         mag -= ULAW_BIAS
         return int(rate), np.where(v & 0x80, -mag, mag)
+    if audio_fmt == 6:  # A-law expansion (r11)
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        v = u ^ 0x55
+        mant = (v & 0x0F) << 4
+        seg = (v >> 4) & 0x07
+        t = np.where(seg == 0, mant + 8, mant + 0x108) << np.maximum(
+            seg - 1, 0
+        )
+        return int(rate), np.where(v & 0x80, t, -t)
     if bits == 16:
         n = len(data) // 2
         return int(rate), np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
@@ -453,12 +498,16 @@ def synthesize_pcm_wav(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 def synthesize_wav_mixed(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """asset_id % 4 == 0 → mono 16-bit, % 8 == 2 → STEREO 16-bit,
     % 8 == 6 → SIX-channel 16-bit (5.1 layout, r6); odd ids split the
-    r5 all-24-bit leg: % 8 ∈ {1, 5} → mono 24-bit, % 8 == 3 →
-    G.711 µ-LAW (r6), % 8 == 7 → IEEE FLOAT32 (r6)."""
+    r5 all-24-bit leg: % 8 ∈ {1, 5} → mono 24-bit, % 8 == 7 → IEEE
+    FLOAT32 (r6); the r6 telephony slot % 8 == 3 splits in r11 into
+    the complete G.711 pair: % 16 == 3 → µ-LAW, % 16 == 11 →
+    A-LAW."""
 
     def _mk(a: int) -> bytes:
-        if a % 8 == 3:
+        if a % 16 == 3:
             return make_pcm_wav_ulaw(a)
+        if a % 16 == 11:
+            return make_pcm_wav_alaw(a)
         if a % 8 == 7:
             return make_pcm_wav_f32(a)
         if a % 2 == 1:

@@ -237,6 +237,11 @@ VOID: dict[str, int] = {
     # response-only to the full record set (request + warcinfo
     # envelopes, rec_type column added) — new rows AND a new schema:
     "source_warc_wat": 10,
+    # round 11 (r10 verdict item 5): the mixed-WAV telephony slot
+    # %8==3 split into the complete G.711 pair — ids ≡ 11 (mod 16)
+    # now carry A-LAW (format tag 6) payloads; the wav_decode leg's
+    # bytes and oracle changed for those ids:
+    "multimodal_audio_suite": 10,
 }
 
 

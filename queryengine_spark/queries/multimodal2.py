@@ -105,9 +105,11 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     decoder's {1,2} channel gate to the practical 1..8 range),
     % 8 ∈ {1, 5} → mono 24-BIT PCM (3-byte little-endian samples
     with sign extension from bit 23, plus the RIFF word-alignment pad
-    an odd byte count forces), % 8 == 3 → G.711 µ-LAW (format tag 7,
+    an odd byte count forces), % 16 == 3 → G.711 µ-LAW (format tag 7,
     8-bit bytes expanded through the CCITT sign/exponent/mantissa
-    arithmetic — r6), % 8 == 7 → IEEE FLOAT32 (format tag 3,
+    arithmetic — r6), % 16 == 11 → G.711 A-LAW (format tag 6, the
+    XOR-0x55 segment expansion — r11 completes the telephony pair),
+    % 8 == 7 → IEEE FLOAT32 (format tag 3,
     rendered to PCM16 via floor(f·32768); the synthesized floats are
     the mono-16 formula over 32768, exactly representable, so the
     render is bit-exact — r6). All decode through the same RIFF chunk
@@ -124,6 +126,8 @@ def multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 from queryengine_spark.multimodal.bmp import (  # noqa: E402
+    ALAW_A_MULT,
+    ALAW_I_MULT,
     STEREO_OFF,
     ULAW_A_MULT,
     ULAW_BIAS,
@@ -145,13 +149,18 @@ par AS (SELECT asset_id,
                CAST(8000 + 1000 * (asset_id % 4) AS INT) AS sample_rate,
                CAST(64 + asset_id % {WAV_N_MOD} AS BIGINT) AS n_frames
         FROM ids),
--- v is the COMPLEMENTED µ-law byte of the %8=3 leg (G.711 stores
--- bytes complemented); NULL on every other leg
+-- v is the COMPLEMENTED µ-law byte of the %16=3 leg (G.711 stores
+-- µ-law bytes complemented) or the XOR-0x55 A-law byte of the
+-- %16=11 leg (r11); NULL on every other leg
 smp0 AS (SELECT asset_id, sample_rate, n_frames,
                 CAST(t.i AS BIGINT) AS i, CAST(c.ch AS BIGINT) AS ch,
-                CASE WHEN asset_id % 8 = 3
+                CASE WHEN asset_id % 16 = 3
                      THEN 255 - ((asset_id * {ULAW_A_MULT}
                                   + CAST(t.i AS BIGINT) * {ULAW_I_MULT}) % 256)
+                     WHEN asset_id % 16 = 11
+                     THEN xor((asset_id * {ALAW_A_MULT}
+                               + CAST(t.i AS BIGINT) * {ALAW_I_MULT}) % 256,
+                              85)
                 END AS v
          FROM par,
               unnest(range(0, n_frames)) t(i),
@@ -161,12 +170,20 @@ smp0 AS (SELECT asset_id, sample_rate, n_frames,
          WHERE asset_id % 2 = 0 OR c.ch = 0),
 smp AS (SELECT asset_id, sample_rate, n_frames,
                CASE
-               WHEN asset_id % 8 = 3 THEN
-                 -- G.711 expansion: mag = ((v%16)·8 + bias)·2^((v//16)%8) − bias,
+               WHEN asset_id % 16 = 3 THEN
+                 -- G.711 µ-law: mag = ((v%16)·8 + bias)·2^((v//16)%8) − bias,
                  -- negated when the sign bit (v ≥ 128) is set
                  (CASE WHEN v >= 128 THEN -1 ELSE 1 END)
                  * (((v % 16) * 8 + {ULAW_BIAS})
                     * (1::BIGINT << ((v // 16) % 8)) - {ULAW_BIAS})
+               WHEN asset_id % 16 = 11 THEN
+                 -- G.711 A-law (r11): t = (v%16)·16 + 8 for segment 0
+                 -- else ((v%16)·16 + 264) << (seg−1); sign bit SET is
+                 -- POSITIVE in A-law
+                 (CASE WHEN v >= 128 THEN 1 ELSE -1 END)
+                 * (CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
+                         ELSE ((v % 16) * 16 + 264)
+                              * (1::BIGINT << ((v // 16) % 8 - 1)) END)
                WHEN asset_id % 8 = 7 THEN
                  -- float32 leg renders back to the mono-16 formula
                  (asset_id * {WAV_A_MULT} + i * {WAV_I_MULT}) % {WAV_S_MOD} - 32768

@@ -353,6 +353,66 @@ def test_ulaw_wav_decode_matches_table():
     assert s.tolist() == [ulaw2linear(u) for u in range(256)]
 
 
+def test_alaw_endpoint_pins():
+    """G.711 A-law canonical endpoints (r11): 0xD5 is +8 (the A-law
+    'zero' — A-law has no true 0), 0x55 is −8, 0xAA is +32256,
+    0x2A is −32256; sign bit SET means POSITIVE."""
+    from queryengine_spark.multimodal.bmp import alaw2linear
+
+    assert alaw2linear(0xD5) == 8
+    assert alaw2linear(0x55) == -8
+    assert alaw2linear(0xAA) == 32256
+    assert alaw2linear(0x2A) == -32256
+
+
+def test_alaw_all_bytes_vs_independent_formulation():
+    """All 256 codes vs the algebraic variant and the sign-symmetry
+    property decode(a) == −decode(a ^ 0x80); magnitudes are even,
+    in [8, 32256], and monotone within a sign."""
+    from queryengine_spark.multimodal.bmp import alaw2linear
+
+    for a in range(256):
+        v = a ^ 0x55
+        seg, m = (v >> 4) & 7, v & 15
+        mag = (m * 16 + 8) if seg == 0 else (m * 16 + 264) << (seg - 1)
+        assert alaw2linear(a) == (mag if v & 0x80 else -mag), a
+        assert alaw2linear(a) == -alaw2linear(a ^ 0x80), a
+        assert 8 <= mag <= 32256 and mag % 2 == 0
+
+
+def test_alaw_wav_decode_matches_table():
+    import numpy as np  # noqa: F401
+
+    from queryengine_spark.multimodal.bmp import (
+        _wav_container,
+        alaw2linear,
+        decode_pcm_wav,
+    )
+
+    data = bytes(range(256))
+    rate, s = decode_pcm_wav(_wav_container(8000, 8, data, fmt_tag=6))
+    assert rate == 8000 and len(s) == 256
+    assert s.tolist() == [alaw2linear(a) for a in range(256)]
+
+
+def test_alaw_corpus_slot_roundtrip():
+    """The %16==11 mixed-corpus leg: synthesized A-law WAV decodes to
+    the byte formula expanded through alaw2linear."""
+    from queryengine_spark.multimodal.bmp import (
+        _alaw_byte,
+        alaw2linear,
+        decode_pcm_wav,
+        make_pcm_wav_alaw,
+        wav_audio_params,
+    )
+
+    for a in (11, 27, 43):
+        rate, s = decode_pcm_wav(make_pcm_wav_alaw(a))
+        want_rate, n = wav_audio_params(a)
+        assert rate == want_rate and len(s) == n
+        assert s.tolist() == [alaw2linear(_alaw_byte(a, i)) for i in range(n)]
+
+
 def test_float_wav_renders_and_clamps():
     """IEEE-float WAV → PCM16 render: floor(f·32768) with clamping at
     the int16 rails (1.5 → 32767, −2.0 → −32768, 0.5 → 16384,
