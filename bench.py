@@ -195,6 +195,8 @@ HEADLINE = [
     "multimodal_wav_adpcm",
     # round-10: WAT metadata production (the fourth CommonCrawl artifact)
     "source_warc_wat",
+    # round-11: PDF text extraction (xref walk + FlateDecode + Tj/TJ)
+    "source_pdf_text",
 ]
 
 

@@ -526,8 +526,61 @@ FROM wat
 """
 
 
+from queryengine_spark.sources.pdf import (  # noqa: E402
+    PDF_CH,
+    PDF_LEN_BASE,
+    PDF_LEN_MOD,
+    PDF_NL_MOD,
+    PDF_NP_MOD,
+    pdf_text_stats,
+    synthesize_pdf,
+)
+
+
+def source_pdf_text(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF text extraction (r11 — the most common non-HTML document
+    format in LLM corpora): synthesize a spec-valid PDF 1.4 per doc
+    (catalog→pages→page→content-stream object graph, classic xref
+    table, Tj and kerned-TJ show operators, half the content streams
+    FlateDecoded), walk it back for REAL (startxref → xref → trailer
+    /Root chain, object parser, /Length + endstream cross-check,
+    stdlib-zlib FlateDecode, content-stream tokenizer with full
+    string-escape handling), and emit per-page text statistics. The
+    oracle recomputes operator counts, text lengths and exact char
+    byte-sums FROM THE SYNTHESIS FORMULAS, so a hash match certifies
+    the whole document walk and the TJ concatenation semantics.
+    Zero shuffle. Design notes: sources/pdf.py."""
+    ids = t(spark, sf, "documents").select("doc_id")
+    return pdf_text_stats(synthesize_pdf(ids))
+
+
+SOURCE_PDF_TEXT_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents),
+cfg AS (SELECT doc_id, 1 + doc_id % {PDF_NP_MOD} AS np FROM ids),
+pages AS (SELECT doc_id, np, CAST(pp.i AS BIGINT) AS p
+          FROM cfg, unnest(range(0, np)) pp(i)),
+lns AS (SELECT doc_id, np, p, CAST(ll.i AS BIGINT) AS ln,
+               CAST({PDF_LEN_BASE}
+                    + (doc_id + 2 * p + 3 * ll.i) % {PDF_LEN_MOD}
+                    AS BIGINT) AS len
+        FROM pages,
+             unnest(range(0, 2 + (doc_id + p) % {PDF_NL_MOD})) ll(i)),
+chars AS (SELECT doc_id, np, p, ln, len,
+                 SUM(97 + ({PDF_CH[0]} * doc_id + {PDF_CH[1]} * p
+                           + {PDF_CH[2]} * ln + jj.i) % 26) AS csum
+          FROM lns, unnest(range(0, len)) jj(i)
+          GROUP BY doc_id, np, p, ln, len)
+SELECT doc_id, CAST(p AS INT) AS page_idx, CAST(np AS INT) AS n_pages,
+       CAST(COUNT(*) AS INT) AS n_text_ops,
+       CAST(SUM(len) AS BIGINT) AS text_len,
+       CAST(SUM(csum) AS BIGINT) AS char_sum
+FROM chars GROUP BY doc_id, p, np
+"""
+
+
 QUERIES = {
     "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
+    "source_pdf_text": (source_pdf_text, SOURCE_PDF_TEXT_SQL),
     "source_warc_records": (source_warc_records, SOURCE_WARC_RECORDS_SQL),
     "source_warc_cdx": (source_warc_cdx, SOURCE_WARC_CDX_SQL),
     "source_warc_revisit": (source_warc_revisit, SOURCE_WARC_REVISIT_SQL),

@@ -1,0 +1,153 @@
+"""From-scratch PDF text source (sources/pdf.py): writer↔parser
+round-trips against the synthesis formulas, hand-built byte vectors
+the writer never emits (escapes, hex strings, octal, indirect
+/Length), and honest-refusal probes (encryption, xref streams,
+foreign filters, lying offsets/lengths)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from queryengine_spark.sources.pdf import (
+    make_pdf,
+    parse_pdf_text,
+    pdf_line_text,
+    pdf_n_lines,
+    pdf_n_pages,
+)
+
+
+@pytest.mark.parametrize("d", list(range(12)))
+def test_roundtrip_matches_formula(d):
+    doc = parse_pdf_text(make_pdf(d))
+    assert doc is not None
+    assert len(doc) == pdf_n_pages(d)
+    for p, ops in enumerate(doc):
+        assert ops == [
+            pdf_line_text(d, p, ln).encode()
+            for ln in range(pdf_n_lines(d, p))
+        ]
+
+
+def _mini_pdf(content: bytes, *, filt: bool = False,
+              trailer_extra: bytes = b"",
+              length_override: int | None = None,
+              indirect_length: bool = False) -> bytes:
+    """One-page hand-assembled PDF around an arbitrary content
+    stream."""
+    data = zlib.compress(content) if filt else content
+    ln = len(data) if length_override is None else length_override
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    ]
+    head = b"<< /Length " + (
+        b"5 0 R" if indirect_length else str(ln).encode()
+    )
+    if filt:
+        head += b" /Filter /FlateDecode"
+    head += b" >>"
+    objs.append(head + b"\nstream\n" + data + b"\nendstream")
+    if indirect_length:
+        objs.append(str(ln).encode())
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += ("%010d 00000 n \n" % off).encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R " + trailer_extra + b">>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def test_hand_escapes_hex_and_octal():
+    r"""Literal-string escapes (\( \) \\ \n octal), hex strings shown
+    by Tj, the ' show operator, and TJ kerning-number skipping — the
+    corners the arithmetic writer never emits."""
+    content = (
+        rb"BT (a\(b\)c\\d\101) Tj "
+        b"<48656C6C6F> Tj "
+        rb"(line2) ' "
+        b"[(x) -120 (y) 3.5 (z)] TJ ET"
+    )
+    doc = parse_pdf_text(_mini_pdf(content))
+    assert doc == [[b"a(b)c\\dA", b"Hello", b"line2", b"xyz"]]
+
+
+def test_hand_flate_and_indirect_length():
+    content = b"BT (flate page) Tj ET"
+    assert parse_pdf_text(_mini_pdf(content, filt=True)) == [[b"flate page"]]
+    assert parse_pdf_text(_mini_pdf(content, indirect_length=True)) == [
+        [b"flate page"]
+    ]
+
+
+def test_refusals():
+    content = b"BT (t) Tj ET"
+    good = _mini_pdf(content)
+    # encrypted
+    assert parse_pdf_text(
+        _mini_pdf(content, trailer_extra=b"/Encrypt 9 0 R ")
+    ) is None
+    # lying /Length (stream does not reach endstream)
+    assert parse_pdf_text(_mini_pdf(content, length_override=3)) is None
+    # foreign filter
+    bad = good.replace(b"/Length", b"/Filter /LZWDecode /Length")
+    assert parse_pdf_text(bad) is None
+    # truncations (note: cutting only the %%EOF comment leaves a
+    # structurally complete document — readers accept that; cutting
+    # into startxref or the body must refuse)
+    for cut in (0, 10, len(good) // 2, good.rindex(b"startxref") + 12):
+        assert parse_pdf_text(good[:cut]) is None
+    # not a PDF
+    assert parse_pdf_text(b"") is None
+    assert parse_pdf_text(b"GIF89a" + b"\x00" * 64) is None
+    # xref STREAM (PDF 1.5): startxref points at an object, refuse
+    xs = good[: good.rindex(b"startxref")] + b"startxref\n9\n%%EOF\n"
+    assert parse_pdf_text(xs) is None
+    # corrupt xref offset (points mid-object)
+    broken = bytearray(good)
+    i = broken.index(b"0000000000 65535 f \n") + len(b"0000000000 65535 f \n")
+    broken[i : i + 10] = b"0000000003"
+    assert parse_pdf_text(bytes(broken)) is None
+
+
+def test_unbalanced_and_malformed_strings_refuse():
+    assert parse_pdf_text(_mini_pdf(b"BT (unterminated Tj ET")) is None
+    assert parse_pdf_text(_mini_pdf(b"BT ) Tj ET")) is None
+    # TJ with a non-string, non-number element
+    assert parse_pdf_text(_mini_pdf(b"BT [(a) /Nope] TJ ET")) is None
+    # Tj with no operand
+    assert parse_pdf_text(_mini_pdf(b"BT Tj ET")) is None
+
+
+def test_spark_stats_plan_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.sources.pdf import pdf_text_stats, synthesize_pdf
+
+    ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    df = pdf_text_stats(synthesize_pdf(ids))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = df.collect()
+    assert len(rows) == sum(pdf_n_pages(d) for d in range(6))
+    for r in rows:
+        texts = [
+            pdf_line_text(r.doc_id, r.page_idx, ln)
+            for ln in range(pdf_n_lines(r.doc_id, r.page_idx))
+        ]
+        assert r.n_text_ops == len(texts)
+        assert r.text_len == sum(len(t) for t in texts)
+        assert r.char_sum == sum(sum(t.encode()) for t in texts)
