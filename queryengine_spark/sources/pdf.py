@@ -108,6 +108,54 @@ def make_pdf(doc_id: int) -> bytes:
     stream — pages where (doc_id + p) is even ship FlateDecoded,
     odd ship raw — a shared Type1 font object, a classic xref table
     with correct byte offsets, and a trailer + startxref."""
+    return _make_pdf_base(doc_id, stale_last=False)[0]
+
+
+def make_pdf_updated(doc_id: int) -> bytes:
+    """Incrementally-UPDATED PDF (r11 — the real-world shape of an
+    edited document): the base body ships the last page's content as
+    a STALE placeholder stream, then an appended update section
+    replaces that object — new object generation, a second xref
+    table covering only it, and a trailer chaining back via /Prev.
+    The final document state equals the formulas, so the shared
+    oracle certifies that the reader honors the update (a reader
+    serving the original object emits the placeholder text and
+    hash-fails)."""
+    base, xref1_at, n_objs, last_cid = _make_pdf_base(
+        doc_id, stale_last=True
+    )
+    out = bytearray(base)
+    upd_off = len(out)
+    raw = _content_stream(doc_id, pdf_n_pages(doc_id) - 1)
+    data = zlib.compress(raw, 6)
+    body = (
+        ("<< /Length " + str(len(data)) + " /Filter /FlateDecode >>").encode()
+        + b"\nstream\n" + data + b"\nendstream"
+    )
+    out += str(last_cid).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref2_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += (
+        str(last_cid).encode() + b" 1\n"
+        + ("%010d 00000 n \n" % upd_off).encode()
+    )
+    out += (
+        b"trailer\n<< /Size " + str(n_objs + 1).encode()
+        + b" /Root 1 0 R /Prev " + str(xref1_at).encode()
+        + b" >>\nstartxref\n" + str(xref2_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+#: the stale last-page content an incremental update supersedes
+PDF_STALE_TEXT = b"withdrawn draft \\(do not serve\\)"
+
+
+def _make_pdf_base(
+    doc_id: int, stale_last: bool
+) -> tuple[bytes, int, int, int]:
+    """The single-generation document → (bytes, xref offset, object
+    count, last page's content object id)."""
     n_pages = pdf_n_pages(doc_id)
     objects: list[bytes] = []  # bodies of objects 1..N in id order
 
@@ -132,7 +180,10 @@ def make_pdf(doc_id: int) -> bytes:
                 + str(5 + 2 * p) + " 0 R >>"
             ).encode()
         )
-        raw = _content_stream(doc_id, p)
+        if stale_last and p == n_pages - 1:
+            raw = b"BT (" + PDF_STALE_TEXT + b") Tj ET"
+        else:
+            raw = _content_stream(doc_id, p)
         if (doc_id + p) % 2 == 0:
             data = zlib.compress(raw, 6)
             head = (
@@ -159,7 +210,7 @@ def make_pdf(doc_id: int) -> bytes:
         + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
         + b"\n%%EOF\n"
     )
-    return bytes(out)
+    return bytes(out), xref_at, len(objects), 5 + 2 * (n_pages - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -320,17 +371,12 @@ class _Objs:
 # ---------------------------------------------------------------------------
 
 
-def _parse_xref(b: bytes) -> tuple[dict[int, int], dict] | None:
-    """startxref → classic xref table → (obj id → offset, trailer).
-    A cross-reference STREAM (PDF 1.5+: startxref pointing at ``N G
-    obj``) refuses."""
-    tail = b[-256:]
-    m = None
-    for m in re.finditer(rb"startxref\s+(\d+)", tail):
-        pass  # keep the LAST startxref (incremental updates)
-    if m is None:
-        return None
-    xref_at = int(m.group(1))
+def _parse_xref_section(
+    b: bytes, xref_at: int
+) -> tuple[dict[int, int], dict] | None:
+    """One classic xref table at ``xref_at`` → (obj id → offset,
+    trailer). A cross-reference STREAM (PDF 1.5+: startxref pointing
+    at ``N G obj``) refuses."""
     if xref_at >= len(b):
         return None
     if not b[xref_at:].lstrip().startswith(b"xref"):
@@ -358,6 +404,47 @@ def _parse_xref(b: bytes) -> tuple[dict[int, int], dict] | None:
             if m3.group(3) == b"n":
                 offsets[start + k] = int(m3.group(1))
             r.p += m3.end()
+
+
+def _parse_xref(b: bytes) -> tuple[dict[int, int], dict] | None:
+    """startxref → the NEWEST xref table, then the /Prev chain of an
+    incrementally-updated document (r11): each earlier section fills
+    in only the object ids the newer sections did not already define
+    (the update wins — a reader that takes the original object serves
+    STALE content and fails the oracle). The newest trailer is
+    authoritative for /Root; /Encrypt anywhere in the chain refuses;
+    /Prev cycles refuse."""
+    tail = b[-256:]
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass  # keep the LAST startxref (incremental updates)
+    if m is None:
+        return None
+    xref_at = int(m.group(1))
+    seen: set[int] = set()
+    offsets: dict[int, int] = {}
+    newest_trailer: dict | None = None
+    while True:
+        if xref_at in seen or len(seen) > 64:
+            return None  # /Prev cycle or absurd chain
+        seen.add(xref_at)
+        sec = _parse_xref_section(b, xref_at)
+        if sec is None:
+            return None
+        sec_offsets, trailer = sec
+        for k, v in sec_offsets.items():
+            offsets.setdefault(k, v)  # newer sections win
+        if newest_trailer is None:
+            newest_trailer = trailer
+        if "Encrypt" in trailer:
+            newest_trailer = dict(newest_trailer)
+            newest_trailer["Encrypt"] = trailer["Encrypt"]
+        prev = trailer.get("Prev")
+        if prev is None:
+            return offsets, newest_trailer
+        if not isinstance(prev, int):
+            return None
+        xref_at = prev
 
 
 def _load_object(b: bytes, offsets: dict[int, int], num: int):
@@ -531,7 +618,11 @@ PDF_STATS_SCHEMA = StructType(
 
 
 def synthesize_pdf(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One PDF per input row, built worker-side (mapInPandas)."""
+    """One PDF per input row, built worker-side (mapInPandas).
+    doc_id % 3 == 2 ships INCREMENTALLY UPDATED (stale last page +
+    appended update section chained via /Prev — the edited-document
+    shape), the rest single-generation; final text state is identical
+    either way, so the formula oracle certifies both walks."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -539,7 +630,10 @@ def synthesize_pdf(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids_, dtype="int64"),
-                    "payload": [make_pdf(a) for a in ids_],
+                    "payload": [
+                        make_pdf_updated(a) if a % 3 == 2 else make_pdf(a)
+                        for a in ids_
+                    ],
                 }
             )
 

@@ -132,6 +132,45 @@ def test_unbalanced_and_malformed_strings_refuse():
     assert parse_pdf_text(_mini_pdf(b"BT Tj ET")) is None
 
 
+@pytest.mark.parametrize("d", [2, 5, 8, 11, 14])
+def test_incremental_update_honored(d):
+    """r11: doc_id % 3 == 2 ships an incrementally-updated document —
+    the /Prev xref chain must serve the UPDATED last-page content,
+    and the stale base really differs (a reader ignoring the update
+    emits the placeholder and would hash-fail)."""
+    from queryengine_spark.sources.pdf import (
+        _make_pdf_base,
+        make_pdf_updated,
+    )
+
+    updated = make_pdf_updated(d)
+    assert parse_pdf_text(updated) == parse_pdf_text(make_pdf(d))
+    base, _, _, _ = _make_pdf_base(d, stale_last=True)
+    stale = parse_pdf_text(base)
+    assert stale[-1] == [b"withdrawn draft (do not serve)"]
+    assert stale != parse_pdf_text(updated)
+
+
+def test_prev_cycle_refused():
+    """A /Prev pointing back at the newest xref (cycle) refuses."""
+    import re as _re
+
+    from queryengine_spark.sources.pdf import make_pdf_updated
+
+    u = make_pdf_updated(2)
+    m = list(_re.finditer(rb"startxref\s+(\d+)", u))[-1]
+    x2 = m.group(1)
+    pm = _re.search(rb"/Prev (\d+)", u)
+    # splice the newest xref's own offset into /Prev, padding to the
+    # original field width so no other offset shifts
+    patched = (
+        u[: pm.start(1)]
+        + x2.rjust(pm.end(1) - pm.start(1), b"0")
+        + u[pm.end(1) :]
+    )
+    assert parse_pdf_text(patched) is None
+
+
 def test_spark_stats_plan_no_shuffle(spark):
     from pyspark.sql import functions as F
 
