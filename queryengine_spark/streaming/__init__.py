@@ -878,9 +878,10 @@ def stream_warc_cdx(shards: DataFrame, path: str):
 def stream_archive_members(shards: DataFrame, path: str):
     """Incremental WebDataset-shard ingestion (r10 — the archive
     twin of :func:`stream_warc_cdx`): each micro-batch of raw
-    tar/tgz/tbz/txz/zip shards runs the real container walk
+    tar/tgz/tbz/txz/zip/tzst/jzst shards runs the real container walk
     (sources/archives.py::archive_members — ustar checksum walk /
-    central-directory walk, all five codec paths) and appends the
+    central-directory walk / from-scratch zstd unwrap, all seven
+    codec paths) and appends the
     member relation to parquet — how a training pipeline ingests
     shard drops as they land, without re-reading old shards.
     foreachBatch because member fan-out is a stateless per-shard
@@ -896,6 +897,31 @@ def stream_archive_members(shards: DataFrame, path: str):
 
     return (
         shards.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_pdf_text(docs: DataFrame, path: str):
+    """Incremental PDF text extraction (r11 — the document twin of
+    :func:`stream_archive_members`): each micro-batch of raw PDF
+    payloads runs the real document walk (sources/pdf.py::
+    pdf_text_stats — startxref/xref//Prev chain, FlateDecode,
+    Tj/TJ tokenizer) and appends the per-page text-stats relation to
+    parquet — how a crawl pipeline extracts text from document drops
+    as they land. foreachBatch because extraction is a stateless
+    per-document map; the sink append is idempotent by
+    (doc_id, page_idx). Returns the started query (availableNow
+    trigger: drains what exists, then stops)."""
+    from queryengine_spark.sources.pdf import pdf_text_stats
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pdf_text_stats(batch_df).write.mode("append").parquet(path)
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
         .trigger(availableNow=True)
         .start()
     )

@@ -332,8 +332,10 @@ def test_stream_warc_cdx_equals_batch(spark, sf_dir, tmp_path):
 def test_stream_archive_members_equals_batch(spark, sf_dir, tmp_path):
     """r10: incremental archive-shard ingestion — micro-batch member
     fan-out must leave a relation identical to one batch pass over
-    the same shards (all five container flavors present: ids 0..39
-    cover tgz/tar/tbz/txz/zip on the % 8 routing)."""
+    the same shards (all SEVEN container flavors present: ids 0..39
+    cover tgz/tar/tbz/txz/zip plus the r11 tzst/jzst zstd slots on
+    the % 16 routing — the from-scratch RFC 8878 decoder runs inside
+    the stream's per-batch walk)."""
     from queryengine_spark.sources.archives import (
         archive_members,
         synthesize_archives,
@@ -347,7 +349,7 @@ def test_stream_archive_members_equals_batch(spark, sf_dir, tmp_path):
         tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
         for r in batch.collect()
     )
-    assert len({r[1] for r in ref}) == 5  # all five fmts walked
+    assert len({r[1] for r in ref}) == 7  # all seven fmts walked
 
     watch = str(tmp_path / "arch_watch")
     os.makedirs(watch)
@@ -365,6 +367,40 @@ def test_stream_archive_members_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination()
     got = sorted(
         tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+        for r in spark.read.parquet(out).select(*batch.columns).collect()
+    )
+    assert got == ref
+
+
+def test_stream_pdf_text_equals_batch(spark, sf_dir, tmp_path):
+    """r11: incremental PDF text extraction — micro-batch document
+    walks must leave a relation identical to one batch pass (both
+    single-generation and /Prev-updated documents present on the
+    % 3 routing)."""
+    from queryengine_spark.sources.pdf import pdf_text_stats, synthesize_pdf
+    from queryengine_spark.streaming import stream_pdf_text
+
+    ids = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    docs = synthesize_pdf(ids)
+    batch = pdf_text_stats(docs)
+    ref = sorted(tuple(r) for r in batch.collect())
+
+    watch = str(tmp_path / "pdf_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    out = str(tmp_path / "pdf_stats")
+    q = stream_pdf_text(stream, out)
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
         for r in spark.read.parquet(out).select(*batch.columns).collect()
     )
     assert got == ref
