@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from queryengine_spark.plans import spread
 from queryengine_spark.queries.base import t
 from queryengine_spark.sources.archives import (
     BIN_SZ_A,
@@ -45,7 +46,7 @@ from queryengine_spark.sources.archives import (
 
 def source_archive_shards(spark: SparkSession, sf: str) -> DataFrame:
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
-    return archive_shard_stats(synthesize_archives(ids))
+    return archive_shard_stats(synthesize_archives(spread(ids)))
 
 
 SOURCE_ARCHIVE_SHARDS_SQL = f"""
@@ -133,7 +134,7 @@ def source_warc_records(spark: SparkSession, sf: str) -> DataFrame:
     the header strip discards exactly the header bytes — the WET
     producer's core operation."""
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
-    return warc_record_stats(synthesize_warc(ids))
+    return warc_record_stats(synthesize_warc(spread(ids)))
 
 
 _CRLF_SQL = "chr(13) || chr(10)"
@@ -405,7 +406,7 @@ def source_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
-    return warc_revisit_stats(synthesize_warc_revisit(ids))
+    return warc_revisit_stats(synthesize_warc_revisit(spread(ids)))
 
 
 from queryengine_spark.sources.warc import REVISIT_PATH_MOD  # noqa: E402
@@ -468,7 +469,7 @@ def source_warc_wat(spark: SparkSession, sf: str) -> DataFrame:
     from queryengine_spark.sources.warc import warc_wat_records
 
     ids = t(spark, sf, "documents").select(F.col("doc_id").alias("shard_id"))
-    return warc_wat_records(synthesize_warc(ids))
+    return warc_wat_records(synthesize_warc(spread(ids)))
 
 
 SOURCE_WARC_WAT_SQL = f"""{_WARC_BASE_CTES},
@@ -551,7 +552,7 @@ def source_pdf_text(spark: SparkSession, sf: str) -> DataFrame:
     the whole document walk and the TJ concatenation semantics.
     Zero shuffle. Design notes: sources/pdf.py."""
     ids = t(spark, sf, "documents").select("doc_id")
-    return pdf_text_stats(synthesize_pdf(ids))
+    return pdf_text_stats(synthesize_pdf(spread(ids)))
 
 
 SOURCE_PDF_TEXT_SQL = f"""

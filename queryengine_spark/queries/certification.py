@@ -242,6 +242,14 @@ VOID: dict[str, int] = {
     # now carry A-LAW (format tag 6) payloads; the wav_decode leg's
     # bytes and oracle changed for those ids:
     "multimodal_audio_suite": 10,
+    # round 11 plan rework (identical output, r2 dedup_exact
+    # precedent): the single-file documents scan left the synthesize→
+    # parse mapInPandas chains on ONE partition at bench scale —
+    # spread() now fans the id relation across the cluster first
+    # (measured 3.4 s → 1.1 s on revisit at sf0.1; spread self-
+    # disables on many-file inputs, so the 100 TB plan is unchanged):
+    "source_warc_records": 10,
+    "source_warc_revisit": 10,
 }
 
 
