@@ -197,6 +197,8 @@ HEADLINE = [
     "source_warc_wat",
     # round-11: PDF text extraction (xref walk + FlateDecode + Tj/TJ)
     "source_pdf_text",
+    # round-11: hybrid BM25 + vector retrieval fused by RRF
+    "knn_hybrid_rrf",
 ]
 
 

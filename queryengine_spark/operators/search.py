@@ -100,3 +100,160 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+#: reciprocal-rank-fusion constant (the standard Cormack et al. 60)
+RRF_C = 60
+#: RRF contributions as exact integer units: RRF_SCALE // (C + rank)
+RRF_SCALE = 1_000_000_000
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_stride: int = 50,
+    query_cap: int = 3_200,
+    leg_k: int = 20,
+    k: int = 10,
+    df_cap_num: int = 4,
+    df_cap_den: int = 5,
+) -> DataFrame:
+    """HYBRID retrieval (r11): BM25 lexical ranking fused with vector
+    cosine ranking by reciprocal-rank fusion — the standard two-leg
+    architecture of modern RAG search stacks (score-scale-free, so
+    the legs need no calibration).
+
+    Corpus = documents ∩ embeddings on id (docs carrying both text
+    and a vector); queries = the repo's shared bounded eval sample
+    (every ``query_stride``-th id under ``query_cap``). Per query:
+    the top-``leg_k`` by exact cosine, the top-``leg_k`` by BM25 over
+    the query doc's own DISTINCT terms (terms with corpus df >
+    ``df_cap_num/df_cap_den`` of the corpus are dropped — the
+    stopword guard that bounds the inverted join at scale; the 4/5
+    default is tuned to the driver's narrow-vocabulary synthetic
+    corpus, where almost every term sits near df ≈ 0.78·N — real
+    Zipfian corpora would run 1/5 or lower), then
+    RRF: Σ legs ``RRF_SCALE // (RRF_C + rank)`` — integer-exact in
+    both engines — and the fused top-``k``.
+
+    Spark shape (100 TB story): the lexical leg is a term-inverted
+    equi-join whose volume is Σ_t qdf(t)·df(t), bounded by the hot-
+    term cap; df/stats are aggregate-sized broadcasts; per-leg and
+    fused top-k are WindowGroupLimit ranks. The vector leg here is
+    the bounded-eval brute twin (queries are a capped sample — the
+    same contract as knn_ann_suite's ground-truth leg); a production
+    deployment substitutes any ANN leg (IVF/LSH from operators/
+    knn.py) — RRF only consumes (query, neighbor, rank).
+
+    Output: (query_id, neighbor_id, rrf_u, rn, in_vec, in_lex),
+    rrf_u the integer fusion units, rn the fused rank, in_* flags
+    for which legs proposed the neighbor.
+    """
+    from pyspark.sql import Window
+
+    from queryengine_spark.operators.knn import brute_force_topk
+
+    corpus = docs.select(
+        F.col(doc_id_col).alias("id"),
+        F.col(text_col).alias("text"),
+    ).join(
+        emb.select(
+            F.col(vec_id_col).alias("id"), F.col(vec_col).alias("vec")
+        ),
+        "id",
+    )
+    queries = corpus.filter(
+        (F.col("id") % query_stride == 0) & (F.col("id") < query_cap)
+    )
+
+    # ---- vector leg: exact cosine top-leg_k over the shared corpus
+    vleg = brute_force_topk(
+        queries.select("id", "vec"),
+        corpus.select("id", "vec"),
+        "id",
+        "vec",
+        k=leg_k,
+    ).select("query_id", "neighbor_id", F.col("rn").alias("rn_v"))
+
+    # ---- lexical leg: per-query BM25 over the query doc's terms
+    toks = corpus.select(
+        "id", tokenize_ws(F.lower(F.col("text"))).alias("toks")
+    )
+    lens = toks.select("id", F.size("toks").cast("bigint").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dtok = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfs = dtok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    qterms = toks.join(
+        queries.select("id"), "id"
+    ).select(
+        F.col("id").alias("query_id"),
+        F.explode(F.array_distinct("toks")).alias("term"),
+    )
+    # stopword guard BEFORE the postings join: df·den ≤ num·n_docs
+    kept = (
+        qterms.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df") * F.lit(df_cap_den)
+            <= F.lit(df_cap_num) * F.col("n_docs")
+        )
+    )
+    cand = (
+        kept.join(dtok.withColumnRenamed("id", "neighbor_id"), "term")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(lens.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    n = F.col("n_docs").cast("double")
+    avgdl_inv = n / F.col("sum_dl").cast("double")
+    idf = (n + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_part = (tf * F.lit(K1 + 1.0)) / (
+        tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl * avgdl_inv)
+    )
+    contrib = F.floor(idf * tf_part * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    lex = cand.groupBy("query_id", "neighbor_id").agg(
+        F.sum(contrib).alias("score_u")
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("neighbor_id").asc()
+    )
+    lleg = (
+        lex.withColumn("rn_l", F.row_number().over(wl))
+        .filter(F.col("rn_l") <= leg_k)
+        .select("query_id", "neighbor_id", "rn_l")
+    )
+
+    # ---- reciprocal-rank fusion (integer units, both legs optional)
+    fused = vleg.join(lleg, ["query_id", "neighbor_id"], "full_outer")
+    rrf_u = F.coalesce(
+        F.expr(f"{RRF_SCALE} DIV ({RRF_C} + rn_v)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"{RRF_SCALE} DIV ({RRF_C} + rn_l)"), F.lit(0))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_u", rrf_u.cast("bigint"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_u",
+            "rn",
+            F.col("rn_v").isNotNull().cast("int").alias("in_vec"),
+            F.col("rn_l").isNotNull().cast("int").alias("in_lex"),
+        )
+    )

@@ -696,10 +696,99 @@ FROM ({_SQ8_CORE} SELECT query_id, neighbor_id, cosine, rn FROM topk)
 """
 
 
+def knn_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (r11 — operators/search.py::hybrid_rrf_topk):
+    BM25 lexical ranking over each query doc's own distinct terms
+    (hot-term df guard) fused with exact-cosine vector ranking by
+    reciprocal-rank fusion in integer units — the standard two-leg
+    RAG search architecture. Corpus = documents ∩ embeddings on id;
+    queries = the shared bounded eval sample. The oracle replays both
+    legs and the fusion arithmetic exactly (micro-unit BM25, IEEE
+    cosine ranks, BIGINT integer-division RRF), so the hash certifies
+    leg ranking AND fusion semantics cross-engine."""
+    from queryengine_spark.operators.search import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        t(spark, sf, "documents"),
+        t(spark, sf, "embeddings"),
+        "doc_id",
+        "text",
+        "vec_id",
+        "embedding",
+        query_stride=QSTRIDE,
+        query_cap=Q_ID_CAP,
+    )
+
+
+from queryengine_spark.queries.textstats import _TOKS  # noqa: E402
+
+_TOKS_LOW = _TOKS.format(c="lower(text)")
+
+KNN_HYBRID_RRF_SQL = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS_LOW} AS toks FROM documents),
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT t.id, t.toks, e.v FROM toks t JOIN e USING (id)),
+q AS (SELECT id AS query_id, toks AS qtoks, v AS qv FROM corpus
+      WHERE id % {QSTRIDE} = 0 AND id < {Q_ID_CAP}),
+vs AS (
+  SELECT query_id, c.id AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY {_COS.format(a='qv', b='c.v')} DESC, c.id ASC)
+              AS INT) AS rn_v
+  FROM q JOIN corpus c ON c.id <> q.query_id
+  QUALIFY rn_v <= 20),
+lens AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM corpus),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
+dtok AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM (SELECT id, unnest(toks) AS term FROM corpus)
+         GROUP BY id, term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dtok GROUP BY term),
+qt AS (SELECT DISTINCT query_id, unnest(qtoks) AS term FROM q),
+kept AS (SELECT qt.query_id, qt.term, f.df
+         FROM qt JOIN dfs f USING (term) CROSS JOIN stats s
+         WHERE f.df * 5 <= 4 * s.n_docs),
+cand AS (SELECT k.query_id, dt.id AS neighbor_id, dt.tf, k.df, l.dl
+         FROM kept k JOIN dtok dt USING (term)
+         JOIN lens l ON l.id = dt.id
+         WHERE dt.id <> k.query_id),
+scored AS (SELECT query_id, neighbor_id,
+                  CAST(floor(
+                    ((CAST(s.n_docs AS DOUBLE) + 1.0)
+                     / (CAST(df AS DOUBLE) + 0.5))
+                    * ((CAST(tf AS DOUBLE) * 2.2)
+                       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                          * CAST(dl AS DOUBLE)
+                          * (CAST(s.n_docs AS DOUBLE)
+                             / CAST(s.sum_dl AS DOUBLE)))))
+                    * 1000000.0 + 0.5) AS BIGINT) AS cu
+           FROM cand CROSS JOIN stats s),
+ls AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY SUM(cu) DESC, neighbor_id ASC) AS INT) AS rn_l
+  FROM scored GROUP BY query_id, neighbor_id
+  QUALIFY rn_l <= 20),
+fused AS (
+  SELECT query_id, neighbor_id, rn_v, rn_l,
+         COALESCE(1000000000 // (60 + rn_v), 0)
+         + COALESCE(1000000000 // (60 + rn_l), 0) AS rrf_u
+  FROM vs FULL OUTER JOIN ls USING (query_id, neighbor_id))
+SELECT query_id, neighbor_id, CAST(rrf_u AS BIGINT) AS rrf_u,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_u DESC, neighbor_id ASC) AS INT) AS rn,
+       CAST(rn_v IS NOT NULL AS INT) AS in_vec,
+       CAST(rn_l IS NOT NULL AS INT) AS in_lex
+FROM fused
+QUALIFY rn <= 10
+"""
+
+
 # r6 fold: knn_bruteforce / knn_lsh / knn_ivf merged into the tagged
 # composite above (one certification slot; every leg still executes).
 QUERIES = {
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "knn_ann_suite": (knn_ann_suite, KNN_ANN_SUITE_SQL),
     "knn_sq8": (knn_sq8, KNN_SQ8_SQL),
+    "knn_hybrid_rrf": (knn_hybrid_rrf, KNN_HYBRID_RRF_SQL),
 }
