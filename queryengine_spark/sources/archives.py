@@ -389,6 +389,46 @@ def make_tzst_shard(shard_id: int) -> bytes:
     return _zstd_compress(make_tar_shard(shard_id))
 
 
+def _skippable_frame(payload: bytes, low_nibble: int = 0) -> bytes:
+    """An RFC 8878 §3.1.2 skippable frame (magic 0x184D2A50+n) —
+    what pzstd's per-chunk index and the seekable format's seek
+    table look like on the wire. Decoders must step over it."""
+    return (
+        bytes([0x50 | (low_nibble & 0xF)])
+        + b"\x2a\x4d\x18"
+        + len(payload).to_bytes(4, "little")
+        + payload
+    )
+
+
+def make_tzst_multiframe_shard(shard_id: int) -> bytes:
+    """MULTI-FRAME ``.tar.zst`` (r11 stream shapes): the tar bytes
+    split at a shard-dependent point, each half its own RFC 8878
+    frame, with a pzstd-style skippable index frame between them —
+    the wire shape parallel compressors and ``cat a.zst b.zst``
+    produce. Same inner tar, so the oracle is unchanged; the decode
+    path must concatenate frames and step over the skippable one."""
+    raw = make_tar_shard(shard_id)
+    cut = (len(raw) // 2) + (shard_id % 512) - 256
+    cut = max(1, min(len(raw) - 1, cut))
+    idx = _skippable_frame(
+        len(raw).to_bytes(8, "little"), low_nibble=shard_id % 16
+    )
+    return (
+        _zstd_compress(raw[:cut]) + idx + _zstd_compress(raw[cut:])
+    )
+
+
+def make_jzst_seekable_shard(shard_id: int) -> bytes:
+    """``.jsonl.zst`` with a TRAILING skippable frame (r11 stream
+    shapes — the zstd seekable format appends its seek table as a
+    skippable frame after the content frames). Same JSONL content as
+    make_jzst_shard, so the oracle is unchanged."""
+    body = make_jzst_shard(shard_id)
+    table = shard_id.to_bytes(8, "little") + len(body).to_bytes(8, "little")
+    return body + _skippable_frame(table, low_nibble=0xE)
+
+
 def make_jzst_shard(shard_id: int) -> bytes:
     """zstd-compressed JSONL shard (``.jsonl.zst``, r11 — how text
     corpora like CommonCrawl derivatives actually ship): one JSON
@@ -448,11 +488,11 @@ def _decompress_whole(b: bytes, decomp) -> bytes | None:
 def make_archive(shard_id: int) -> tuple[str, bytes]:
     """Even shards split on ``shard % 16`` — 0 → gzip tar (r7),
     2 → plain tar, 4 → bzip2 tar, 6 → xz tar (r9 codecs, flipped
-    r10), 8/12 → zstd tar and 10/14 → zstd JSONL (r11 — the two
-    zstd corpus slots, double-weighted while the from-scratch RFC
-    8878 decoder is freshly certified) — odd shards pack as zip.
-    Same member formula throughout, so all seven container paths are
-    directly equivalence-testable."""
+    r10), 8 → zstd tar, 12 → MULTI-FRAME zstd tar with a pzstd-style
+    skippable index between frames, 10 → zstd JSONL, 14 → zstd JSONL
+    with a seekable-format trailing skippable frame (r11 stream
+    shapes) — odd shards pack as zip. Same member formula throughout,
+    so all seven container paths are directly equivalence-testable."""
     if shard_id % 2 == 1:
         return "zip", make_zip_shard(shard_id)
     r = shard_id % 16
@@ -462,10 +502,14 @@ def make_archive(shard_id: int) -> tuple[str, bytes]:
         return "tbz", make_tbz_shard(shard_id)
     if r == 6:
         return "txz", make_txz_shard(shard_id)
-    if r in (8, 12):
+    if r == 8:
         return "tzst", make_tzst_shard(shard_id)
-    if r in (10, 14):
+    if r == 12:
+        return "tzst", make_tzst_multiframe_shard(shard_id)
+    if r == 10:
         return "jzst", make_jzst_shard(shard_id)
+    if r == 14:
+        return "jzst", make_jzst_seekable_shard(shard_id)
     return "tar", make_tar_shard(shard_id)
 
 

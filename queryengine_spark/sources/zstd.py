@@ -11,8 +11,13 @@ structure is validated and every unsupported corner refuses with
 None — never a guess.
 
 Scope (single-shard contract, mirroring the bz2/xz slots):
-- exactly ONE standard frame spanning the whole buffer (multi-frame
-  concatenation, skippable frames, and trailing garbage refuse);
+- one or MORE standard frames (RFC 8878 §3 streams — the shape
+  ``cat a.zst b.zst`` and parallel compressors such as pzstd emit),
+  each decoded independently (matches may not reach before their own
+  frame's start), with skippable frames (§3.1.2 — e.g. the
+  seekable-format seek table or pzstd's per-frame index) ignored
+  wherever they appear; trailing garbage still refuses, and a buffer
+  with NO standard frame refuses (it carries no content claim);
 - no dictionaries (a nonzero Dictionary_ID refuses);
 - all three block types (Raw / RLE / Compressed);
 - all four literals types (Raw / RLE / Huffman-compressed with a
@@ -523,6 +528,7 @@ def _exec_sequences(
     lits: bytes,
     seqs: list[tuple[int, int, int]],
     rep: list[int],
+    frame_base: int,
 ) -> None:
     """Sequence execution (RFC 8878 §3.1.1.4): copy literals, then a
     back-reference match, maintaining the 3-slot repeat-offset
@@ -558,7 +564,9 @@ def _exec_sequences(
                 rep[2] = rep[1]
                 rep[1] = rep[0]
                 rep[0] = offset
-        if offset <= 0 or offset > len(out):
+        if offset <= 0 or offset > len(out) - frame_base:
+            # a match may not reach before the frame's own start
+            # (no dictionary; concatenated frames are independent)
             raise ValueError("sequences: offset out of window")
         if offset >= ml:
             start = len(out) - offset
@@ -574,6 +582,7 @@ def _decode_block(
     out: bytearray,
     rep: list[int],
     state: dict,
+    frame_base: int,
 ) -> None:
     """One Compressed block: literals section, sequences section,
     execution. ``state`` carries the cross-block repeatables
@@ -665,7 +674,7 @@ def _decode_block(
             ll_st = lbase + (v >> mnb)
     if br.remaining() != 0:
         raise ValueError("sequences: bitstream not fully consumed")
-    _exec_sequences(out, lits, seqs, rep)
+    _exec_sequences(out, lits, seqs, rep, frame_base)
 
 
 # --------------------------------------------------------------------------
@@ -736,18 +745,59 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 # --------------------------------------------------------------------------
 
 
+#: skippable-frame magics: 0x184D2A50 .. 0x184D2A5F (RFC 8878 §3.1.2),
+#: little-endian on the wire → first byte 0x50..0x5F then 2A 4D 18
+_SKIPPABLE_TAIL = b"\x2a\x4d\x18"
+
+
 def decompress_zstd(b: bytes) -> bytes | None:
-    """Strict single-frame RFC 8878 decode: the buffer must be
-    exactly one standard zstd frame (a shard is ONE object — trailing
-    garbage, concatenated frames, and skippable frames refuse), with
-    no dictionary. Returns the content or None, never a guess."""
+    """Strict RFC 8878 stream decode: one or MORE standard frames
+    (§3: "a stream is composed of one or more frames" — the shape
+    ``cat a.zst b.zst`` and parallel compressors emit), with
+    skippable frames (§3.1.2, e.g. the seekable-format seek table)
+    ignored wherever they appear. At least one standard frame is
+    required (an all-skippable buffer carries no content claim);
+    trailing garbage and dictionary frames refuse. Returns the
+    concatenated content or None, never a guess."""
     try:
-        return _decompress_strict(bytes(b))
+        return _decompress_stream(bytes(b))
     except (ValueError, IndexError, struct.error):
         return None
 
 
-def _decompress_strict(b: bytes) -> bytes | None:
+def _decompress_stream(b: bytes) -> bytes | None:
+    out = bytearray()
+    p = 0
+    frames = 0
+    while p < len(b):
+        if b[p + 1 : p + 4] == _SKIPPABLE_TAIL and 0x50 <= b[p] <= 0x5F:
+            if p + 8 > len(b):
+                return None
+            size = int.from_bytes(b[p + 4 : p + 8], "little")
+            if p + 8 + size > len(b):
+                return None
+            p += 8 + size
+            continue
+        if b[p : p + 4] != ZSTD_MAGIC:
+            return None  # trailing garbage / unknown magic refuses
+        np_ = _decompress_frame(b, p, out)
+        if np_ is None:
+            return None
+        p = np_
+        frames += 1
+        if len(out) > MAX_CONTENT:
+            return None
+    if frames == 0:
+        return None
+    return bytes(out)
+
+
+def _decompress_frame(b: bytes, p0: int, out: bytearray) -> int | None:
+    """Decode ONE standard frame starting at ``p0``, appending its
+    content to ``out``; returns the position just past the frame (and
+    its checksum), or None on any violation."""
+    b = b[p0:]
+    frame_base = len(out)
     if len(b) < 9 or b[:4] != ZSTD_MAGIC:
         return None
     fhd = b[4]
@@ -793,7 +843,6 @@ def _decompress_strict(b: bytes) -> bytes | None:
     if single_segment:
         window_size = content_size
 
-    out = bytearray()
     rep = [1, 4, 8]
     state: dict = {}
     block_cap = min(window_size or _MAX_BLOCK, _MAX_BLOCK)
@@ -821,7 +870,7 @@ def _decompress_strict(b: bytes) -> bytes | None:
         else:
             if bsize > block_cap or p + bsize > len(b):
                 return None
-            _decode_block(b[p : p + bsize], out, rep, state)
+            _decode_block(b[p : p + bsize], out, rep, state, frame_base)
             p += bsize
         if len(out) > MAX_CONTENT:
             return None
@@ -830,10 +879,8 @@ def _decompress_strict(b: bytes) -> bytes | None:
             return None
         (want,) = struct.unpack_from("<I", b, p)
         p += 4
-        if (xxh64(bytes(out)) & 0xFFFFFFFF) != want:
+        if (xxh64(bytes(out[frame_base:])) & 0xFFFFFFFF) != want:
             return None
-    if p != len(b):
-        return None  # trailing bytes / concatenated frames refuse
-    if content_size is not None and len(out) != content_size:
+    if content_size is not None and len(out) - frame_base != content_size:
         return None
-    return bytes(out)
+    return p0 + p

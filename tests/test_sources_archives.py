@@ -182,6 +182,28 @@ def test_roundtrip_matches_formula_both_formats():
             assert len(member_payload(sid, s, "bin")) == bsz
 
 
+def test_zstd_stream_shapes_match_formula():
+    """r11 stream shapes: the multi-frame pzstd-style .tar.zst and
+    the seekable-style trailing-skippable .jsonl.zst decode to the
+    same members as their single-frame siblings."""
+    from queryengine_spark.sources.archives import (
+        make_jzst_seekable_shard,
+        make_tzst_multiframe_shard,
+    )
+
+    for sid in (12, 28, 44, 60):
+        want = shard_members(sid)
+        b = make_tzst_multiframe_shard(sid)
+        # really multi-frame: two standard magics + one skippable
+        assert b.count(b"\x28\xb5\x2f\xfd") >= 2
+        assert parse_archive(b) == want
+    for sid in (14, 30, 46):
+        want = shard_members(sid)
+        b = make_jzst_seekable_shard(sid)
+        assert b[-24:-20] != b"\x28\xb5\x2f\xfd"  # ends in a skippable
+        assert parse_archive(b) == want
+
+
 def test_tar_blocking_factor():
     assert len(make_tar_shard(7)) % 10240 == 0
 

@@ -131,14 +131,66 @@ def test_refusals():
     fr = bytearray(ZSTD_MAGIC) + bytes([0x20, 3])
     fr += struct.pack("<I", 1 | (3 << 1) | (3 << 3))[:3] + b"abc"
     assert decompress_zstd(bytes(fr)) is None
-    # skippable frame magic
+    # an ALL-skippable buffer carries no content claim: refuse
     assert decompress_zstd(b"\x50\x2a\x4d\x18\x04\x00\x00\x00abcd") is None
-    # trailing garbage / concatenated frames
+    # truncated skippable payload
+    assert (
+        decompress_zstd(good + b"\x50\x2a\x4d\x18\x08\x00\x00\x00ab") is None
+    )
+    # trailing garbage still refuses
     assert decompress_zstd(good + b"x") is None
-    assert decompress_zstd(good + good) is None
     # wrong magic / empty
     assert decompress_zstd(b"") is None
     assert decompress_zstd(b"\x00" * 32) is None
+
+
+def test_multi_frame_streams():
+    """RFC 8878 §3: a stream is one or MORE frames (``cat a.zst
+    b.zst``, pzstd output); skippable frames (§3.1.2) are ignored
+    wherever they sit."""
+    a, b_ = b"first frame " * 40, b"second frame " * 30
+    fa, fb = _compress(a, 3), _compress(b_, 9)
+    assert decompress_zstd(fa + fb) == a + b_
+    assert decompress_zstd(fa + fa + fb) == a + a + b_
+    # hand frames concatenate too (checksum per-frame)
+    ga = bytes(_raw_block_frame(a[:20]))
+    assert decompress_zstd(ga + fb) == a[:20] + b_
+    # skippable frames: leading, between, trailing — all ignored;
+    # every magic in the 0x184D2A50..5F family works
+    for low in (0x50, 0x57, 0x5F):
+        sk = bytes([low]) + b"\x2a\x4d\x18" + struct.pack("<I", 5) + b"HELLO"
+        assert decompress_zstd(sk + fa) == a
+        assert decompress_zstd(fa + sk + fb) == a + b_
+        assert decompress_zstd(fa + sk) == a
+    # zero-length skippable payload
+    sk0 = b"\x50\x2a\x4d\x18" + struct.pack("<I", 0)
+    assert decompress_zstd(sk0 + fa + sk0) == a
+    # a corrupt SECOND frame refuses the whole stream
+    bad = bytearray(fb)
+    bad[5] ^= 0xFF
+    assert decompress_zstd(fa + bytes(bad)) is None
+
+
+def test_multi_frame_window_isolation():
+    """Frames are independent: a match offset reaching before its own
+    frame's start (into the previous frame's output) must refuse, not
+    serve bytes across the frame boundary. Unit-level probe of the
+    sequence executor with a non-zero frame_base."""
+    from queryengine_spark.sources.zstd import _exec_sequences
+
+    # within-frame match: fine (offset 2 against 4 own bytes)
+    out = bytearray(b"PREVFRAME!")
+    _exec_sequences(out, b"abcd", [(4, 2 + 3, 3)], [1, 4, 8], 10)
+    assert bytes(out) == b"PREVFRAME!abcdcdc"
+    # the SAME sequence with only 1 own byte must refuse even though
+    # the combined buffer is long enough
+    out = bytearray(b"PREVFRAME!")
+    with pytest.raises(ValueError):
+        _exec_sequences(out, b"a", [(1, 2 + 3, 3)], [1, 4, 8], 10)
+    # frame_base 0 (single frame) keeps the old semantics
+    out = bytearray()
+    _exec_sequences(out, b"xy", [(2, 2 + 3, 4)], [1, 4, 8], 0)
+    assert bytes(out) == b"xyxyxy"
 
 
 def test_truncations_never_crash():
