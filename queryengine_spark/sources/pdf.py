@@ -14,13 +14,21 @@ content-stream tokenizer extracting text in operator order from
 Tj / TJ / ' / " with full escape handling), and the DuckDB oracle
 recomputes per-page text statistics FROM THE FORMULAS.
 
+Modern-layout support (r11, second pass): PDF 1.5+ cross-reference
+STREAMS (/Type /XRef with /W field widths, /Index subsections, and
+/DecodeParms predictors — TIFF horizontal and all five PNG row
+filters), object streams (/Type /ObjStm compressed objects via
+type-2 entries), hybrid-reference files (classic table + /XRefStm,
+§7.5.8.4 — the Acrobat back-compat shape), and mixed /Prev chains
+(a classic-table base updated by an xref-stream section, the shape
+an old document edited by a modern writer takes).
+
 Honest refusals (None, never a guessed extraction):
 - encrypted documents (/Encrypt in the trailer);
-- PDF 1.5+ cross-reference STREAMS (startxref pointing at an object
-  instead of the ``xref`` keyword) and object streams (/ObjStm);
-- filters other than a single /FlateDecode;
+- filters other than a single /FlateDecode (+ predictor);
 - any structural violation (bad offsets, /Length mismatch, malformed
-  escapes, unbalanced strings).
+  escapes, unbalanced strings, object-stream header/entry
+  mismatches, unknown predictor tags).
 
 Reference scope note: the reference engine (rickbeeloo/QueryEngine,
 src/heurFuzz.py) reads plain text files; document-format ingestion is
@@ -149,6 +157,302 @@ def make_pdf_updated(doc_id: int) -> bytes:
 
 #: the stale last-page content an incremental update supersedes
 PDF_STALE_TEXT = b"withdrawn draft \\(do not serve\\)"
+
+
+# -- PDF 1.5 writers (xref streams / object streams / hybrid) --------------
+
+
+def _png_filter_rows(rows: list[bytes], bpp: int) -> bytes:
+    """Apply PNG row filters for synthesis, cycling the tag (None /
+    Sub / Up / Average / Paeth) per row so the reader's predictor
+    undo exercises every branch."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for i, raw in enumerate(rows):
+        tag = i % 5
+        out.append(tag)
+        for j, x in enumerate(raw):
+            a = raw[j - bpp] if j >= bpp else 0
+            b_ = prev[j]
+            c = prev[j - bpp] if j >= bpp else 0
+            if tag == 0:
+                pred = 0
+            elif tag == 1:
+                pred = a
+            elif tag == 2:
+                pred = b_
+            elif tag == 3:
+                pred = (a + b_) >> 1
+            else:
+                pa_, pb, pc = abs(b_ - c), abs(a - c), abs(a + b_ - 2 * c)
+                pred = a if pa_ <= pb and pa_ <= pc else (b_ if pb <= pc else c)
+            out.append((x - pred) & 0xFF)
+        prev = raw
+    return bytes(out)
+
+
+def _pack_xref_rows(
+    entries: list[tuple[int, int, int]], w: tuple[int, int, int]
+) -> list[bytes]:
+    return [
+        b"".join(f.to_bytes(width, "big") for f, width in zip(e, w))
+        for e in entries
+    ]
+
+
+def _xref_stream_body(
+    entries: list[tuple[int, int, int]],
+    trailer_extra: str,
+    size: int,
+    predictor: bool,
+    index: list[tuple[int, int]] | None,
+) -> bytes:
+    """Serialize an xref STREAM object body: /W [1 3 1] rows, always
+    FlateDecode, optionally behind PNG predictors with per-row tags
+    (/DecodeParms /Predictor 15), optionally with explicit /Index
+    subsections."""
+    w = (1, 3, 1)
+    rows = _pack_xref_rows(entries, w)
+    parms = ""
+    if predictor:
+        data = zlib.compress(_png_filter_rows(rows, 1), 6)
+        parms = " /DecodeParms << /Predictor 15 /Columns 5 >>"
+    else:
+        data = zlib.compress(b"".join(rows), 6)
+    idx = ""
+    if index is not None:
+        idx = (
+            " /Index ["
+            + " ".join(f"{s} {c}" for s, c in index)
+            + "]"
+        )
+    head = (
+        "<< /Type /XRef /W [1 3 1] /Size " + str(size) + idx
+        + " /Length " + str(len(data)) + " /Filter /FlateDecode"
+        + parms + trailer_extra + " >>"
+    )
+    return head.encode() + b"\nstream\n" + data + b"\nendstream"
+
+
+def _objstm_body(objs: list[tuple[int, bytes]]) -> bytes:
+    """Serialize an object STREAM (/Type /ObjStm) holding the given
+    (obj num, serialized value) pairs, FlateDecoded."""
+    offs = []
+    body = bytearray()
+    for num, ser in objs:
+        offs.append((num, len(body)))
+        body += ser + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+    payload = header + bytes(body)
+    data = zlib.compress(payload, 6)
+    head = (
+        "<< /Type /ObjStm /N " + str(len(objs)) + " /First "
+        + str(len(header)) + " /Length " + str(len(data))
+        + " /Filter /FlateDecode >>"
+    )
+    return head.encode() + b"\nstream\n" + data + b"\nendstream"
+
+
+def _pdf15_parts(doc_id: int) -> tuple[list[tuple[int, bytes]], list[tuple[int, bytes]], int]:
+    """Split the document's objects for the PDF 1.5 layouts →
+    (non-stream objects for the ObjStm, content stream objects,
+    total object count N). Object ids match the classic writer."""
+    n_pages = pdf_n_pages(doc_id)
+    kids = " ".join(f"{4 + 2 * p} 0 R" for p in range(n_pages))
+    in_stm: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            (
+                "<< /Type /Pages /Kids [" + kids + "] /Count "
+                + str(n_pages) + " >>"
+            ).encode(),
+        ),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    contents: list[tuple[int, bytes]] = []
+    for p in range(n_pages):
+        in_stm.append(
+            (
+                4 + 2 * p,
+                (
+                    "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    "/Resources << /Font << /F1 3 0 R >> >> /Contents "
+                    + str(5 + 2 * p) + " 0 R >>"
+                ).encode(),
+            )
+        )
+        raw = _content_stream(doc_id, p)
+        if (doc_id + p) % 2 == 0:
+            data = zlib.compress(raw, 6)
+            head = (
+                "<< /Length " + str(len(data))
+                + " /Filter /FlateDecode >>"
+            ).encode()
+        else:
+            data = raw
+            head = ("<< /Length " + str(len(data)) + " >>").encode()
+        contents.append(
+            (5 + 2 * p, head + b"\nstream\n" + data + b"\nendstream")
+        )
+    return in_stm, contents, 3 + 2 * n_pages
+
+
+def make_pdf_xrefstream(doc_id: int) -> bytes:
+    """PDF 1.5 layout (what every modern producer writes): catalog /
+    pages / font / page dicts compressed into an object stream
+    (type-2 entries), content streams as top-level objects, and a
+    cross-reference STREAM instead of a classic table. Odd doc_ids
+    put the xref rows behind PNG predictors with per-row filter tags
+    (/Predictor 15); doc_id % 4 == 1 also splits /Index into two
+    subsections. Same text state as the classic writer, so the
+    formula oracle certifies this walk unchanged."""
+    in_stm, contents, n = _pdf15_parts(doc_id)
+    objstm_id, xref_id = n + 1, n + 2
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in contents:
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += (
+        str(objstm_id).encode() + b" 0 obj\n" + _objstm_body(in_stm)
+        + b"\nendobj\n"
+    )
+    xref_at = len(out)
+    entries: list[tuple[int, int, int]] = [(0, 0, 0)]
+    for num, _ in in_stm:
+        entries.append((2, objstm_id, [n_ for n_, _b in in_stm].index(num)))
+    for num, _ in contents:
+        entries.append((1, offsets[num], 0))
+    entries.append((1, offsets[objstm_id], 0))
+    entries.append((1, xref_at, 0))
+    # entries must be sorted by object id (0..xref_id, dense here)
+    order = (
+        [0]
+        + [num for num, _ in in_stm]
+        + [num for num, _ in contents]
+        + [objstm_id, xref_id]
+    )
+    dense = [e for _, e in sorted(zip(order, entries))]
+    size = xref_id + 1
+    index = None
+    if doc_id % 4 == 1:
+        cut = size // 2
+        index = [(0, cut), (cut, size - cut)]
+    out += (
+        str(xref_id).encode() + b" 0 obj\n"
+        + _xref_stream_body(
+            dense, " /Root 1 0 R", size, predictor=doc_id % 2 == 1,
+            index=index,
+        )
+        + b"\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
+def make_pdf_hybrid(doc_id: int) -> bytes:
+    """Hybrid-reference file (§7.5.8.4 — Acrobat's back-compat
+    shape): a CLASSIC xref table covering only the top-level objects
+    (content streams, the ObjStm, the xref stream) whose trailer
+    carries /XRefStm pointing at a cross-reference stream that
+    supplies the type-2 entries for the ObjStm-resident catalog /
+    pages / font / page dicts. A reader ignoring /XRefStm cannot
+    resolve the catalog and refuses; honoring it yields the same
+    text state as every other flavor."""
+    in_stm, contents, n = _pdf15_parts(doc_id)
+    objstm_id, xref_id = n + 1, n + 2
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in contents:
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += (
+        str(objstm_id).encode() + b" 0 obj\n" + _objstm_body(in_stm)
+        + b"\nendobj\n"
+    )
+    # the /XRefStm target: type-2 entries only (plus its own type-1)
+    xrefstm_at = len(out)
+    in_ids = [num for num, _ in in_stm]
+    by_id: dict[int, tuple[int, int, int]] = {
+        num: (2, objstm_id, in_ids.index(num)) for num in in_ids
+    }
+    by_id[xref_id] = (1, xrefstm_at, 0)
+    # /Index as contiguous runs (page ids 4,6,8.. leave gaps the
+    # subsection boundaries must respect)
+    index = []
+    stm_entries: list[tuple[int, int, int]] = []
+    for num in sorted(by_id):
+        if index and index[-1][0] + index[-1][1] == num:
+            index[-1] = (index[-1][0], index[-1][1] + 1)
+        else:
+            index.append((num, 1))
+        stm_entries.append(by_id[num])
+    out += (
+        str(xref_id).encode() + b" 0 obj\n"
+        + _xref_stream_body(
+            stm_entries, " /Root 1 0 R", xref_id + 1,
+            predictor=doc_id % 2 == 1, index=index,
+        )
+        + b"\nendobj\n"
+    )
+    # classic table: subsection for the content streams + ObjStm
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    top_ids = sorted([num for num, _ in contents] + [objstm_id])
+    # content ids are odd-spaced (5,7,9..) then objstm: one
+    # subsection per id keeps the table honest about gaps
+    for num in top_ids:
+        out += (
+            str(num).encode() + b" 1\n"
+            + ("%010d 00000 n \n" % offsets[num]).encode()
+        )
+    out += (
+        b"trailer\n<< /Size " + str(xref_id + 1).encode()
+        + b" /Root 1 0 R /XRefStm " + str(xrefstm_at).encode()
+        + b" >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def make_pdf_updated_xrstream(doc_id: int) -> bytes:
+    """Mixed /Prev chain (r11): a classic-table BASE document whose
+    incremental update section uses a cross-reference STREAM — the
+    shape an old document takes when edited by a modern writer. The
+    update replaces the stale last page exactly like
+    make_pdf_updated, so the shared oracle certifies the mixed
+    walk."""
+    base, xref1_at, n_objs, last_cid = _make_pdf_base(
+        doc_id, stale_last=True
+    )
+    out = bytearray(base)
+    upd_off = len(out)
+    raw = _content_stream(doc_id, pdf_n_pages(doc_id) - 1)
+    data = zlib.compress(raw, 6)
+    body = (
+        ("<< /Length " + str(len(data)) + " /Filter /FlateDecode >>").encode()
+        + b"\nstream\n" + data + b"\nendstream"
+    )
+    out += str(last_cid).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_id = n_objs + 1
+    xref2_at = len(out)
+    entries = [(1, upd_off, 0), (1, xref2_at, 0)]
+    index = [(last_cid, 1), (xref_id, 1)]
+    out += (
+        str(xref_id).encode() + b" 0 obj\n"
+        + _xref_stream_body(
+            entries,
+            " /Root 1 0 R /Prev " + str(xref1_at),
+            xref_id + 1,
+            predictor=doc_id % 2 == 1,
+            index=index,
+        )
+        + b"\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref2_at).encode() + b"\n%%EOF\n"
+    return bytes(out)
 
 
 def _make_pdf_base(
@@ -370,19 +674,175 @@ class _Objs:
 # document walk
 # ---------------------------------------------------------------------------
 
+#: an xref entry is either a direct byte offset (int) or a tuple
+#: ("objstm", container_obj_num, index_within_container) for
+#: compressed (type-2) objects living inside an object stream.
+XrefEntry = "int | tuple[str, int, int]"
+
+
+def _undo_predictor(
+    data: bytes, predictor: int, columns: int, colors: int, bpc: int
+) -> bytes | None:
+    """Undo a /DecodeParms predictor (PDF 32000 §7.4.4.4 via the PNG
+    spec): 1 = none, 2 = TIFF horizontal (8-bit only), >=10 = PNG
+    per-row filter tags (None/Sub/Up/Average/Paeth — the tag byte
+    decides per row, whatever the declared predictor value). Returns
+    the reconstructed bytes or None on malformation."""
+    if predictor == 1:
+        return data
+    if columns <= 0 or colors <= 0 or bpc <= 0:
+        return None
+    if predictor == 2:
+        if bpc != 8:
+            return None  # sub-byte TIFF predictor: refuse
+        row_len = columns * colors
+        if row_len == 0 or len(data) % row_len:
+            return None
+        out = bytearray(data)
+        for r0 in range(0, len(out), row_len):
+            for i in range(colors, row_len):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - colors]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        return None
+    bpp = max(1, (colors * bpc + 7) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    if row_len == 0 or len(data) % (row_len + 1):
+        return None
+    out = bytearray()
+    prev = bytes(row_len)
+    p = 0
+    while p < len(data):
+        tag = data[p]
+        row = bytearray(data[p + 1 : p + 1 + row_len])
+        p += 1 + row_len
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                bb = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa_, pb, pc = abs(bb - c), abs(a - c), abs(a + bb - 2 * c)
+                pred = a if pa_ <= pb and pa_ <= pc else (bb if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            return None  # unknown PNG filter tag
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream_filters(val: dict, data: bytes) -> bytes | None:
+    """Apply a stream's /Filter (+ /DecodeParms): FlateDecode only,
+    optionally followed by a predictor. Other filters refuse."""
+    filt = val.get("Filter")
+    if filt is None:
+        return data
+    if filt != ("name", "FlateDecode"):
+        return None
+    try:
+        data = zlib.decompress(data)
+    except zlib.error:
+        return None
+    parms = val.get("DecodeParms")
+    if parms is None:
+        return data
+    if not isinstance(parms, dict):
+        return None
+    pred = parms.get("Predictor", 1)
+    cols = parms.get("Columns", 1)
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    if not all(isinstance(x, int) for x in (pred, cols, colors, bpc)):
+        return None
+    return _undo_predictor(data, pred, cols, colors, bpc)
+
+
+def _parse_xref_stream_section(
+    b: bytes, xref_at: int
+) -> tuple[dict[int, object], dict] | None:
+    """One cross-reference STREAM (PDF 1.5+, §7.5.8) at ``xref_at``
+    → (obj id → entry, trailer). The stream dict doubles as the
+    trailer (/Root /Size /Prev /Encrypt). Entry types: 0 free
+    (skipped), 1 direct offset, 2 compressed-in-ObjStm; unknown
+    types are references to null per §7.5.8.3 (skipped)."""
+    loaded = _load_object_at(b, xref_at)
+    if loaded is None:
+        return None
+    _num, val, data = loaded
+    if not isinstance(val, dict) or data is None:
+        return None
+    if val.get("Type") != ("name", "XRef"):
+        return None
+    data = _decode_stream_filters(val, data)
+    if data is None:
+        return None
+    w = val.get("W")
+    size = val.get("Size")
+    if not (isinstance(w, list) and len(w) == 3 and isinstance(size, int)):
+        return None
+    if not all(isinstance(x, int) and 0 <= x <= 8 for x in w):
+        return None
+    index = val.get("Index", [0, size])
+    if not (
+        isinstance(index, list)
+        and len(index) >= 2
+        and len(index) % 2 == 0
+        and all(isinstance(x, int) and x >= 0 for x in index)
+    ):
+        return None
+    ew = sum(w)
+    if ew == 0 or len(data) % ew:
+        return None
+    n_entries = len(data) // ew
+    if sum(index[i + 1] for i in range(0, len(index), 2)) != n_entries:
+        return None
+    entries: dict[int, object] = {}
+    pos = 0
+    for i in range(0, len(index), 2):
+        start, count = index[i], index[i + 1]
+        for k in range(count):
+            fields = []
+            for width in w:
+                fields.append(
+                    int.from_bytes(data[pos : pos + width], "big")
+                )
+                pos += width
+            etype = fields[0] if w[0] else 1  # w1==0 → type defaults 1
+            if etype == 1:
+                entries[start + k] = fields[1]
+            elif etype == 2:
+                entries[start + k] = ("objstm", fields[1], fields[2])
+            # type 0 (free) and unknown types: no entry (null object)
+    return entries, dict(val)
+
 
 def _parse_xref_section(
     b: bytes, xref_at: int
-) -> tuple[dict[int, int], dict] | None:
-    """One classic xref table at ``xref_at`` → (obj id → offset,
-    trailer). A cross-reference STREAM (PDF 1.5+: startxref pointing
-    at ``N G obj``) refuses."""
+) -> tuple[dict[int, object], dict] | None:
+    """One cross-reference section at ``xref_at``: a classic table
+    (``xref`` keyword) or a cross-reference STREAM (PDF 1.5+). A
+    classic trailer carrying /XRefStm (hybrid-reference file,
+    §7.5.8.4) merges that stream's entries into the section — the
+    classic table's explicit entries win, the stream supplies the
+    object-stream-resident objects the table marks free."""
     if xref_at >= len(b):
         return None
     if not b[xref_at:].lstrip().startswith(b"xref"):
-        return None  # xref STREAM (PDF 1.5 /ObjStm world): refuse
+        return _parse_xref_stream_section(b, xref_at)
     r = _Objs(b, b.index(b"xref", xref_at) + 4)
-    offsets: dict[int, int] = {}
+    offsets: dict[int, object] = {}
     while True:
         r._skip_ws()
         if b[r.p : r.p + 7] == b"trailer":
@@ -390,6 +850,15 @@ def _parse_xref_section(
             trailer = r.value()
             if not isinstance(trailer, dict):
                 return None
+            xs = trailer.get("XRefStm")
+            if xs is not None:
+                if not isinstance(xs, int):
+                    return None
+                sub = _parse_xref_stream_section(b, xs)
+                if sub is None:
+                    return None
+                for k, v in sub[0].items():
+                    offsets.setdefault(k, v)
             return offsets, trailer
         m2 = re.match(rb"(\d+)\s+(\d+)", b[r.p :])
         if not m2:
@@ -406,14 +875,15 @@ def _parse_xref_section(
             r.p += m3.end()
 
 
-def _parse_xref(b: bytes) -> tuple[dict[int, int], dict] | None:
-    """startxref → the NEWEST xref table, then the /Prev chain of an
-    incrementally-updated document (r11): each earlier section fills
-    in only the object ids the newer sections did not already define
-    (the update wins — a reader that takes the original object serves
-    STALE content and fails the oracle). The newest trailer is
-    authoritative for /Root; /Encrypt anywhere in the chain refuses;
-    /Prev cycles refuse."""
+def _parse_xref(b: bytes) -> tuple[dict[int, object], dict] | None:
+    """startxref → the NEWEST xref section, then the /Prev chain of
+    an incrementally-updated document (r11): each earlier section
+    fills in only the object ids the newer sections did not already
+    define (the update wins — a reader that takes the original object
+    serves STALE content and fails the oracle). Sections may be
+    classic tables OR cross-reference streams, mixed freely along the
+    chain. The newest trailer is authoritative for /Root; /Encrypt
+    anywhere in the chain refuses; /Prev cycles refuse."""
     tail = b[-256:]
     m = None
     for m in re.finditer(rb"startxref\s+(\d+)", tail):
@@ -422,7 +892,7 @@ def _parse_xref(b: bytes) -> tuple[dict[int, int], dict] | None:
         return None
     xref_at = int(m.group(1))
     seen: set[int] = set()
-    offsets: dict[int, int] = {}
+    offsets: dict[int, object] = {}
     newest_trailer: dict | None = None
     while True:
         if xref_at in seen or len(seen) > 64:
@@ -447,21 +917,29 @@ def _parse_xref(b: bytes) -> tuple[dict[int, int], dict] | None:
         xref_at = prev
 
 
-def _load_object(b: bytes, offsets: dict[int, int], num: int):
-    """Object ``num`` at its xref offset: validates the ``N G obj``
-    header, returns (value, stream_bytes | None)."""
-    off = offsets.get(num)
-    if off is None or off >= len(b):
-        raise ValueError("pdf: missing object")
+def _load_object_at(
+    b: bytes, off: int, offsets: dict | None = None
+) -> tuple[int, object, bytes | None] | None:
+    """Parse the ``N G obj`` at a direct byte offset → (obj num,
+    value, raw stream bytes | None), or None on malformation. An
+    indirect /Length resolves through ``offsets`` when provided
+    (an xref stream's dict values must be direct — §7.5.8.2 — so
+    the bootstrap path passes None)."""
+    if off < 0 or off >= len(b):
+        return None
     m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", b[off:])
-    if not m or int(m.group(1)) != num:
-        raise ValueError("pdf: xref offset does not hit the object")
+    if not m:
+        return None
     r = _Objs(b, off + m.end())
-    val = r.value()
-    r._skip_ws()
+    try:
+        val = r.value()
+        r._skip_ws()
+    except ValueError:
+        return None
+    data = None
     if b[r.p : r.p + 6] == b"stream":
         if not isinstance(val, dict):
-            raise ValueError("pdf: stream without a dict")
+            return None
         q = r.p + 6
         if b[q : q + 2] == b"\r\n":
             q += 2
@@ -469,20 +947,83 @@ def _load_object(b: bytes, offsets: dict[int, int], num: int):
             q += 1
         ln = val.get("Length")
         if isinstance(ln, tuple) and ln[0] == "ref":
-            ln = _load_object(b, offsets, ln[1])[0]
-        if not isinstance(ln, int) or q + ln > len(b):
-            raise ValueError("pdf: bad stream length")
+            if offsets is None:
+                return None
+            try:
+                ln = _load_object(b, offsets, ln[1])[0]
+            except ValueError:
+                return None
+        if not isinstance(ln, int) or ln < 0 or q + ln > len(b):
+            return None
         data = b[q : q + ln]
         tail = b[q + ln :].lstrip(b"\r\n")
         if not tail.startswith(b"endstream"):
-            raise ValueError("pdf: /Length does not reach endstream")
-        return val, data
-    return val, None
+            return None
+    return int(m.group(1)), val, data
 
 
-def _deref(b, offsets, v):
+def _load_object(
+    b: bytes,
+    offsets: dict,
+    num: int,
+    cache: dict | None = None,
+):
+    """Object ``num`` via its xref entry: a direct offset validates
+    the ``N G obj`` header; an ("objstm", container, idx) entry
+    (PDF 1.5 compressed object, §7.5.7) loads the container object
+    stream — FlateDecode + /N /First header of (objnum, offset)
+    pairs — and parses the idx-th embedded object. Returns
+    (value, stream_bytes | None); objects inside object streams
+    carry no stream by spec."""
+    entry = offsets.get(num)
+    if entry is None:
+        raise ValueError("pdf: missing object")
+    if isinstance(entry, int):
+        loaded = _load_object_at(b, entry, offsets)
+        if loaded is None or loaded[0] != num:
+            raise ValueError("pdf: xref offset does not hit the object")
+        return loaded[1], loaded[2]
+    _tag, cnum, idx = entry
+    if cache is not None and cnum in cache:
+        pairs, body, first = cache[cnum]
+    else:
+        centry = offsets.get(cnum)
+        if not isinstance(centry, int):
+            raise ValueError("pdf: object stream must be a direct object")
+        cval, cdata = _load_object(b, offsets, cnum, cache)
+        if not isinstance(cval, dict) or cdata is None:
+            raise ValueError("pdf: bad object stream container")
+        if cval.get("Type") != ("name", "ObjStm"):
+            raise ValueError("pdf: container is not /Type /ObjStm")
+        n, first = cval.get("N"), cval.get("First")
+        if not (isinstance(n, int) and isinstance(first, int)):
+            raise ValueError("pdf: bad /N or /First")
+        body = _decode_stream_filters(cval, cdata)
+        if body is None or first > len(body):
+            raise ValueError("pdf: bad object stream body")
+        hdr = _Objs(body[:first], 0)
+        pairs = []
+        for _ in range(n):
+            onum = hdr.value()
+            ooff = hdr.value()
+            if not (isinstance(onum, int) and isinstance(ooff, int)):
+                raise ValueError("pdf: bad object stream header pair")
+            pairs.append((onum, ooff))
+        if cache is not None:
+            cache[cnum] = (pairs, body, first)
+    if not 0 <= idx < len(pairs):
+        raise ValueError("pdf: object stream index out of range")
+    onum, ooff = pairs[idx]
+    if onum != num:
+        raise ValueError("pdf: object stream entry mismatch")
+    if first + ooff > len(body):
+        raise ValueError("pdf: object stream offset out of range")
+    return _Objs(body, first + ooff).value(), None
+
+
+def _deref(b, offsets, v, cache=None):
     if isinstance(v, tuple) and v[0] == "ref":
-        return _load_object(b, offsets, v[1])[0]
+        return _load_object(b, offsets, v[1], cache)[0]
     return v
 
 
@@ -543,7 +1084,16 @@ def parse_pdf_text(b: bytes) -> list[list[bytes]] | None:
     Tj/TJ/'/\" show operators. Refusals per the module docstring."""
     try:
         return _parse_pdf_strict(b)
-    except (ValueError, KeyError, IndexError, TypeError, zlib.error):
+    except (
+        ValueError,
+        KeyError,
+        IndexError,
+        TypeError,
+        zlib.error,
+        # a crafted /Length (or object-stream) reference cycle must
+        # refuse, not blow the interpreter stack into the Spark task
+        RecursionError,
+    ):
         return None
 
 
@@ -559,34 +1109,33 @@ def _parse_pdf_strict(b: bytes) -> list[list[bytes]] | None:
     root = trailer.get("Root")
     if not (isinstance(root, tuple) and root[0] == "ref"):
         return None
-    catalog = _load_object(b, offsets, root[1])[0]
-    if _deref(b, offsets, catalog.get("Type")) != ("name", "Catalog"):
+    cache: dict = {}  # decoded object-stream containers, per document
+    catalog = _load_object(b, offsets, root[1], cache)[0]
+    if _deref(b, offsets, catalog.get("Type"), cache) != ("name", "Catalog"):
         return None
-    pages = _deref(b, offsets, catalog.get("Pages"))
+    pages = _deref(b, offsets, catalog.get("Pages"), cache)
     if not isinstance(pages, dict):
         return None
-    kids = _deref(b, offsets, pages.get("Kids"))
-    count = _deref(b, offsets, pages.get("Count"))
+    kids = _deref(b, offsets, pages.get("Kids"), cache)
+    count = _deref(b, offsets, pages.get("Count"), cache)
     if not isinstance(kids, list) or count != len(kids):
         return None
     doc: list[list[bytes]] = []
     for kid in kids:
         if not (isinstance(kid, tuple) and kid[0] == "ref"):
             return None
-        page = _load_object(b, offsets, kid[1])[0]
+        page = _load_object(b, offsets, kid[1], cache)[0]
         if not isinstance(page, dict) or page.get("Type") != ("name", "Page"):
             return None
         cref = page.get("Contents")
         if not (isinstance(cref, tuple) and cref[0] == "ref"):
             return None
-        cdict, data = _load_object(b, offsets, cref[1])
+        cdict, data = _load_object(b, offsets, cref[1], cache)
         if data is None:
             return None
-        filt = cdict.get("Filter")
-        if filt is not None:
-            if filt != ("name", "FlateDecode"):
-                return None  # DCT/LZW/ASCII85/filter arrays: refuse
-            data = zlib.decompress(data)
+        data = _decode_stream_filters(cdict, data)
+        if data is None:
+            return None  # DCT/LZW/ASCII85/filter arrays: refuse
         ops = _extract_text_ops(data)
         if ops is None:
             return None
@@ -617,12 +1166,33 @@ PDF_STATS_SCHEMA = StructType(
 )
 
 
+def make_pdf_any(doc_id: int) -> bytes:
+    """The corpus flavor split (doc_id % 6): 0 classic PDF 1.4,
+    1/4 PDF 1.5 xref-stream + object-stream (1 = PNG-predicted rows
+    + split /Index, 4 = plain rows), 2 incrementally updated with a
+    classic update table, 3 hybrid-reference (classic + /XRefStm),
+    5 incrementally updated with an xref-STREAM update section
+    (mixed chain). Final text state is identical in every flavor, so
+    one formula oracle certifies all six walks."""
+    m = doc_id % 6
+    if m == 0:
+        return make_pdf(doc_id)
+    if m in (1, 4):
+        return make_pdf_xrefstream(doc_id)
+    if m == 2:
+        return make_pdf_updated(doc_id)
+    if m == 3:
+        return make_pdf_hybrid(doc_id)
+    return make_pdf_updated_xrstream(doc_id)
+
+
 def synthesize_pdf(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One PDF per input row, built worker-side (mapInPandas).
-    doc_id % 3 == 2 ships INCREMENTALLY UPDATED (stale last page +
-    appended update section chained via /Prev — the edited-document
-    shape), the rest single-generation; final text state is identical
-    either way, so the formula oracle certifies both walks."""
+    """One PDF per input row, built worker-side (mapInPandas), in the
+    six-way layout split of make_pdf_any — classic, xref-stream /
+    object-stream (with and without predictors), hybrid-reference,
+    and both incremental-update chains. Final text state is
+    identical across flavors, so the formula oracle certifies every
+    walk."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -630,10 +1200,7 @@ def synthesize_pdf(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids_, dtype="int64"),
-                    "payload": [
-                        make_pdf_updated(a) if a % 3 == 2 else make_pdf(a)
-                        for a in ids_
-                    ],
+                    "payload": [make_pdf_any(a) for a in ids_],
                 }
             )
 

@@ -113,9 +113,15 @@ def test_refusals():
     # not a PDF
     assert parse_pdf_text(b"") is None
     assert parse_pdf_text(b"GIF89a" + b"\x00" * 64) is None
-    # xref STREAM (PDF 1.5): startxref points at an object, refuse
+    # startxref pointing at a non-/Type /XRef object: refuse
     xs = good[: good.rindex(b"startxref")] + b"startxref\n9\n%%EOF\n"
     assert parse_pdf_text(xs) is None
+    # a /Length reference cycle (object's /Length is itself) must
+    # refuse, not blow the interpreter stack
+    cyc = _mini_pdf(content, indirect_length=True).replace(
+        b"/Length 5 0 R", b"/Length 4 0 R"
+    )
+    assert parse_pdf_text(cyc) is None
     # corrupt xref offset (points mid-object)
     broken = bytearray(good)
     i = broken.index(b"0000000000 65535 f \n") + len(b"0000000000 65535 f \n")
@@ -169,6 +175,142 @@ def test_prev_cycle_refused():
         + u[pm.end(1) :]
     )
     assert parse_pdf_text(patched) is None
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 layouts (r11 second pass): xref streams, object streams,
+# predictors, hybrid-reference, mixed /Prev chains
+# ---------------------------------------------------------------------------
+
+
+def _formula_doc(d):
+    return [
+        [
+            pdf_line_text(d, p, ln).encode()
+            for ln in range(pdf_n_lines(d, p))
+        ]
+        for p in range(pdf_n_pages(d))
+    ]
+
+
+@pytest.mark.parametrize("d", list(range(24)))
+def test_all_layout_flavors_match_formula(d):
+    """All six corpus flavors — classic, xref-stream/ObjStm with and
+    without predictors, hybrid, both update chains — extract the
+    identical formula text."""
+    from queryengine_spark.sources.pdf import make_pdf_any
+
+    assert parse_pdf_text(make_pdf_any(d)) == _formula_doc(d)
+
+
+def test_xrefstream_layout_is_really_modern():
+    """The 1.5 flavor must actually exercise the modern structures:
+    no classic ``xref`` keyword, an /ObjStm, an /XRef stream, and
+    (odd ids) a predictor declaration."""
+    from queryengine_spark.sources.pdf import make_pdf_xrefstream
+
+    b = make_pdf_xrefstream(5)  # 5 % 2 == 1 → predictor, % 4 == 1 → split /Index
+    assert b"\nxref\n" not in b and b"trailer" not in b
+    assert b"/ObjStm" in b and b"/XRef" in b
+    assert b"/Predictor 15" in b and b"/Index [" in b
+    b4 = make_pdf_xrefstream(4)
+    assert b"/Predictor" not in b4
+    assert parse_pdf_text(b) == _formula_doc(5)
+    assert parse_pdf_text(b4) == _formula_doc(4)
+
+
+def test_hybrid_requires_xrefstm():
+    """Hybrid-reference: the classic table alone cannot resolve the
+    catalog (it lives in the ObjStm) — dropping /XRefStm from the
+    trailer must refuse, honoring it must match the formulas."""
+    from queryengine_spark.sources.pdf import make_pdf_hybrid
+
+    b = make_pdf_hybrid(9)
+    assert b"/XRefStm" in b
+    assert parse_pdf_text(b) == _formula_doc(9)
+    crippled = b.replace(b"/XRefStm", b"/XRefStX")
+    assert parse_pdf_text(crippled) is None
+
+
+@pytest.mark.parametrize("d", [5, 11, 17, 23])
+def test_mixed_chain_update_honored(d):
+    """doc_id % 6 == 5: classic base + xref-STREAM update section.
+    The update must be served (stale placeholder refused by value)."""
+    from queryengine_spark.sources.pdf import make_pdf_updated_xrstream
+
+    b = make_pdf_updated_xrstream(d)
+    assert b"/Prev" in b and b"/XRef" in b and b"\nxref\n" in b
+    doc = parse_pdf_text(b)
+    assert doc == _formula_doc(d)
+    assert all(b"withdrawn draft" not in op for ops in doc for op in ops)
+
+
+def test_predictor_undo_all_tags():
+    """PNG predictor undo: synthesis applies a cycling tag per row,
+    the reader reconstructs exactly; TIFF predictor 2; refusals for
+    unknown tags and ragged data."""
+    from queryengine_spark.sources.pdf import (
+        _png_filter_rows,
+        _undo_predictor,
+    )
+
+    rows = [bytes((i * 37 + j * 11) % 256 for j in range(5)) for i in range(7)]
+    filtered = _png_filter_rows(rows, 1)
+    assert _undo_predictor(filtered, 15, 5, 1, 8) == b"".join(rows)
+    # any predictor value >= 10 reads per-row tags the same way
+    assert _undo_predictor(filtered, 12, 5, 1, 8) == b"".join(rows)
+    # TIFF horizontal
+    raw = bytes([10, 250, 7, 3, 200, 100])
+    tiff = bytes([10, 240, 13, 252, 197, 156])
+    assert _undo_predictor(tiff, 2, 6, 1, 8) == raw
+    # predictor 1 = identity
+    assert _undo_predictor(raw, 1, 6, 1, 8) == raw
+    # refusals: unknown row tag, ragged length, unknown predictor
+    assert _undo_predictor(b"\x09" + bytes(5), 15, 5, 1, 8) is None
+    assert _undo_predictor(filtered[:-1], 15, 5, 1, 8) is None
+    assert _undo_predictor(raw, 7, 6, 1, 8) is None
+
+
+def test_xrefstream_refusals():
+    """Malformed xref streams refuse instead of guessing: /W sum 0,
+    /Index count mismatch, object-stream entry mismatch."""
+    from queryengine_spark.sources.pdf import make_pdf_xrefstream
+
+    good = make_pdf_xrefstream(4)
+    assert parse_pdf_text(good.replace(b"/W [1 3 1]", b"/W [0 0 0]")) is None
+    assert parse_pdf_text(good.replace(b"/Type /XRef", b"/Type /Xref")) is None
+    # /Size lie → /Index [0 Size] row-count mismatch
+    import re as _re
+
+    m = _re.search(rb"/Size (\d+)", good)
+    bad_size = str(int(m.group(1)) + 3).encode().rjust(
+        len(m.group(1)), b"0"
+    )
+    assert parse_pdf_text(
+        good[: m.start(1)] + bad_size + good[m.end(1) :]
+    ) is None
+    # ObjStm /First beyond the body
+    assert parse_pdf_text(
+        good.replace(b"/First ", b"/First 9")
+    ) is None
+
+
+def test_modern_truncations_and_bitflips_never_crash():
+    import random
+
+    from queryengine_spark.sources.pdf import make_pdf_any
+
+    for d in (1, 3, 5):
+        b = make_pdf_any(d)
+        step = max(1, len(b) // 40)
+        for cut in range(0, len(b), step):
+            parse_pdf_text(b[:cut])  # must not raise
+        rng = random.Random(d)
+        for _ in range(120):
+            i = rng.randrange(len(b))
+            fb = bytearray(b)
+            fb[i] ^= 1 << rng.randrange(8)
+            parse_pdf_text(bytes(fb))  # must not raise
 
 
 def test_spark_stats_plan_no_shuffle(spark):
