@@ -23,8 +23,18 @@ type-2 entries), hybrid-reference files (classic table + /XRefStm,
 (a classic-table base updated by an xref-stream section, the shape
 an old document edited by a modern writer takes).
 
+Encrypted documents (r11, third pass): the standard security
+handler with an EMPTY user password — RC4 /V 1 /R 2 (40-bit) and
+/V 2 /R 3 (/Length ≤ 128) — is decrypted (sources/pdfcrypt.py:
+Algorithms 1-6 from the published spec, per-object MD5 rekeying,
+strings and streams, XRef streams exempt per spec). This is the
+crawled-web norm: owner-password restrictions over freely readable
+content.
+
 Honest refusals (None, never a guessed extraction):
-- encrypted documents (/Encrypt in the trailer);
+- encrypted documents with a REAL user password (the /U check
+  fails — never guessed or brute-forced), non-Standard handlers,
+  /V 4+ (AES / crypt filters), or a missing /ID;
 - filters other than a single /FlateDecode (+ predictor);
 - any structural violation (bad offsets, /Length mismatch, malformed
   escapes, unbalanced strings, object-stream header/entry
@@ -50,6 +60,14 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+)
+
+from queryengine_spark.sources.pdfcrypt import (
+    compute_key,
+    compute_o,
+    compute_u,
+    decrypt_object_bytes,
+    verify_empty_user_password,
 )
 
 # ---------------------------------------------------------------------------
@@ -917,14 +935,33 @@ def _parse_xref(b: bytes) -> tuple[dict[int, object], dict] | None:
         xref_at = prev
 
 
+def _decrypt_value(val, key: bytes, num: int, gen: int):
+    """Recursively decrypt literal/hex strings inside a direct
+    object's value (PDF encryption covers strings as well as
+    streams; integers, names, booleans pass through)."""
+    if isinstance(val, tuple) and val[0] == "str":
+        return ("str", decrypt_object_bytes(key, num, gen, val[1]))
+    if isinstance(val, list):
+        return [_decrypt_value(v, key, num, gen) for v in val]
+    if isinstance(val, dict):
+        return {k: _decrypt_value(v, key, num, gen) for k, v in val.items()}
+    return val
+
+
 def _load_object_at(
-    b: bytes, off: int, offsets: dict | None = None
+    b: bytes,
+    off: int,
+    offsets: dict | None = None,
+    crypt: bytes | None = None,
 ) -> tuple[int, object, bytes | None] | None:
     """Parse the ``N G obj`` at a direct byte offset → (obj num,
     value, raw stream bytes | None), or None on malformation. An
     indirect /Length resolves through ``offsets`` when provided
     (an xref stream's dict values must be direct — §7.5.8.2 — so
-    the bootstrap path passes None)."""
+    the bootstrap path passes None). With ``crypt`` (the file
+    encryption key), stream bytes and strings are RC4-decrypted
+    with the per-object key — except cross-reference streams,
+    which are never encrypted by spec."""
     if off < 0 or off >= len(b):
         return None
     m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", b[off:])
@@ -959,7 +996,14 @@ def _load_object_at(
         tail = b[q + ln :].lstrip(b"\r\n")
         if not tail.startswith(b"endstream"):
             return None
-    return int(m.group(1)), val, data
+    num, gen = int(m.group(1)), int(m.group(2))
+    if crypt is not None and (
+        not isinstance(val, dict) or val.get("Type") != ("name", "XRef")
+    ):
+        val = _decrypt_value(val, crypt, num, gen)
+        if data is not None:
+            data = decrypt_object_bytes(crypt, num, gen, data)
+    return num, val, data
 
 
 def _load_object(
@@ -967,6 +1011,7 @@ def _load_object(
     offsets: dict,
     num: int,
     cache: dict | None = None,
+    crypt: bytes | None = None,
 ):
     """Object ``num`` via its xref entry: a direct offset validates
     the ``N G obj`` header; an ("objstm", container, idx) entry
@@ -979,7 +1024,7 @@ def _load_object(
     if entry is None:
         raise ValueError("pdf: missing object")
     if isinstance(entry, int):
-        loaded = _load_object_at(b, entry, offsets)
+        loaded = _load_object_at(b, entry, offsets, crypt)
         if loaded is None or loaded[0] != num:
             raise ValueError("pdf: xref offset does not hit the object")
         return loaded[1], loaded[2]
@@ -990,7 +1035,9 @@ def _load_object(
         centry = offsets.get(cnum)
         if not isinstance(centry, int):
             raise ValueError("pdf: object stream must be a direct object")
-        cval, cdata = _load_object(b, offsets, cnum, cache)
+        # the container stream decrypts as a direct object; the
+        # objects INSIDE it are not separately encrypted by spec
+        cval, cdata = _load_object(b, offsets, cnum, cache, crypt)
         if not isinstance(cval, dict) or cdata is None:
             raise ValueError("pdf: bad object stream container")
         if cval.get("Type") != ("name", "ObjStm"):
@@ -1021,9 +1068,9 @@ def _load_object(
     return _Objs(body, first + ooff).value(), None
 
 
-def _deref(b, offsets, v, cache=None):
+def _deref(b, offsets, v, cache=None, crypt=None):
     if isinstance(v, tuple) and v[0] == "ref":
-        return _load_object(b, offsets, v[1], cache)[0]
+        return _load_object(b, offsets, v[1], cache, crypt)[0]
     return v
 
 
@@ -1076,6 +1123,51 @@ def _extract_text_ops(content: bytes) -> list[bytes] | None:
             stack.clear()  # other operators consume their operands
 
 
+def _setup_decryption(
+    b: bytes, offsets: dict, trailer: dict
+) -> bytes | None:
+    """Resolve /Encrypt and derive the file key for the standard
+    security handler with an EMPTY user password (the crawled-PDF
+    norm: owner-password restrictions only). Supports /V 1 /R 2
+    (RC4-40) and /V 2 /R 3 (RC4, /Length up to 128). Refuses —
+    never guesses — for other handlers, /V 4+ (AES / crypt
+    filters), a missing /ID, or a failing user-password check (a
+    REAL user password protects the content)."""
+    try:
+        enc = _deref(b, offsets, trailer.get("Encrypt"))
+    except ValueError:
+        return None
+    if not isinstance(enc, dict):
+        return None
+    if enc.get("Filter") != ("name", "Standard"):
+        return None
+    v, r = enc.get("V"), enc.get("R")
+    if (v, r) not in ((1, 2), (2, 3)):
+        return None
+    length = enc.get("Length", 40)
+    if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
+        return None
+    nbytes = 5 if r == 2 else length // 8
+    o, u, p = enc.get("O"), enc.get("U"), enc.get("P")
+    if not (
+        isinstance(o, tuple) and o[0] == "str" and len(o[1]) >= 32
+        and isinstance(u, tuple) and u[0] == "str" and len(u[1]) >= 32
+        and isinstance(p, int)
+    ):
+        return None
+    ident = trailer.get("ID")
+    if not (
+        isinstance(ident, list)
+        and ident
+        and isinstance(ident[0], tuple)
+        and ident[0][0] == "str"
+    ):
+        return None
+    return verify_empty_user_password(
+        o[1][:32], u[1][:32], p, ident[0][1], r, nbytes
+    )
+
+
 def parse_pdf_text(b: bytes) -> list[list[bytes]] | None:
     """bytes → per-page lists of shown text strings (operator order),
     or None. Walks header → startxref → classic xref → trailer /Root
@@ -1104,33 +1196,36 @@ def _parse_pdf_strict(b: bytes) -> list[list[bytes]] | None:
     if xr is None:
         return None
     offsets, trailer = xr
+    crypt: bytes | None = None
     if "Encrypt" in trailer:
-        return None  # encrypted document: honest refusal
+        crypt = _setup_decryption(b, offsets, trailer)
+        if crypt is None:
+            return None  # unsupported handler / real user password
     root = trailer.get("Root")
     if not (isinstance(root, tuple) and root[0] == "ref"):
         return None
     cache: dict = {}  # decoded object-stream containers, per document
-    catalog = _load_object(b, offsets, root[1], cache)[0]
+    catalog = _load_object(b, offsets, root[1], cache, crypt)[0]
     if _deref(b, offsets, catalog.get("Type"), cache) != ("name", "Catalog"):
         return None
-    pages = _deref(b, offsets, catalog.get("Pages"), cache)
+    pages = _deref(b, offsets, catalog.get("Pages"), cache, crypt)
     if not isinstance(pages, dict):
         return None
-    kids = _deref(b, offsets, pages.get("Kids"), cache)
-    count = _deref(b, offsets, pages.get("Count"), cache)
+    kids = _deref(b, offsets, pages.get("Kids"), cache, crypt)
+    count = _deref(b, offsets, pages.get("Count"), cache, crypt)
     if not isinstance(kids, list) or count != len(kids):
         return None
     doc: list[list[bytes]] = []
     for kid in kids:
         if not (isinstance(kid, tuple) and kid[0] == "ref"):
             return None
-        page = _load_object(b, offsets, kid[1], cache)[0]
+        page = _load_object(b, offsets, kid[1], cache, crypt)[0]
         if not isinstance(page, dict) or page.get("Type") != ("name", "Page"):
             return None
         cref = page.get("Contents")
         if not (isinstance(cref, tuple) and cref[0] == "ref"):
             return None
-        cdict, data = _load_object(b, offsets, cref[1], cache)
+        cdict, data = _load_object(b, offsets, cref[1], cache, crypt)
         if data is None:
             return None
         data = _decode_stream_filters(cdict, data)
@@ -1166,14 +1261,100 @@ PDF_STATS_SCHEMA = StructType(
 )
 
 
+def make_pdf_encrypted(doc_id: int, r: int = 2) -> bytes:
+    """RC4-ENCRYPTED classic document (standard security handler,
+    EMPTY user password + an owner password — the restrictions-only
+    shape that dominates encrypted PDFs in web crawls): every
+    content stream RC4-encrypted with its per-object key, /Encrypt
+    dict with real /O /U /P values, /ID in the trailer. r=2 → V1
+    40-bit, r=3 → V2 128-bit. Text state matches the formulas, so
+    the shared oracle certifies the decryption path."""
+    import hashlib as _hashlib
+
+    n_pages = pdf_n_pages(doc_id)
+    nbytes = 5 if r == 2 else 16
+    pval = -3904  # print allowed, modification/copy denied
+    id0 = _hashlib.md5(b"pdf-id-%d" % doc_id).digest()
+    o = compute_o(b"corpus-owner", b"", r, nbytes)
+    key = compute_key(b"", o, pval, id0, r, nbytes)
+    u = compute_u(key, id0, r)
+
+    kids = " ".join(f"{4 + 2 * p} 0 R" for p in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        (
+            "<< /Type /Pages /Kids [" + kids + "] /Count "
+            + str(n_pages) + " >>"
+        ).encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for p in range(n_pages):
+        objects.append(
+            (
+                "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                "/Resources << /Font << /F1 3 0 R >> >> /Contents "
+                + str(5 + 2 * p) + " 0 R >>"
+            ).encode()
+        )
+        raw = _content_stream(doc_id, p)
+        if (doc_id + p) % 2 == 0:
+            stored = zlib.compress(raw, 6)
+            head = (
+                "<< /Length %d /Filter /FlateDecode >>"
+            )
+        else:
+            stored = raw
+            head = "<< /Length %d >>"
+        stored = decrypt_object_bytes(key, 5 + 2 * p, 0, stored)
+        objects.append(
+            (head % len(stored)).encode()
+            + b"\nstream\n" + stored + b"\nendstream"
+        )
+    enc_id = len(objects) + 1
+    vlen = " /Length 40" if r == 2 else " /Length 128"
+    objects.append(
+        (
+            "<< /Filter /Standard /V " + ("1" if r == 2 else "2")
+            + " /R " + str(r) + vlen + " /P " + str(pval)
+            + " /O <" + o.hex() + "> /U <" + u.hex() + "> >>"
+        ).encode()
+    )
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objects) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += ("%010d 00000 n \n" % off).encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+        + b" /Root 1 0 R /Encrypt " + str(enc_id).encode()
+        + b" 0 R /ID [<" + id0.hex().encode() + b"> <"
+        + id0.hex().encode() + b">] >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 def make_pdf_any(doc_id: int) -> bytes:
-    """The corpus flavor split (doc_id % 6): 0 classic PDF 1.4,
-    1/4 PDF 1.5 xref-stream + object-stream (1 = PNG-predicted rows
-    + split /Index, 4 = plain rows), 2 incrementally updated with a
-    classic update table, 3 hybrid-reference (classic + /XRefStm),
-    5 incrementally updated with an xref-STREAM update section
-    (mixed chain). Final text state is identical in every flavor, so
-    one formula oracle certifies all six walks."""
+    """The corpus flavor split (doc_id % 12, falling back to % 6):
+    6 → RC4-encrypted R2 classic, 9 → RC4-encrypted R3 classic
+    (empty user password — the crawled restrictions-only shape);
+    otherwise by doc_id % 6: 0 classic PDF 1.4, 1/4 PDF 1.5
+    xref-stream + object-stream (1 = PNG-predicted rows + split
+    /Index, 4 = plain rows), 2 incrementally updated with a classic
+    update table, 3 hybrid-reference (classic + /XRefStm), 5
+    incrementally updated with an xref-STREAM update section (mixed
+    chain). Final text state is identical in every flavor, so one
+    formula oracle certifies all eight walks."""
+    m12 = doc_id % 12
+    if m12 == 6:
+        return make_pdf_encrypted(doc_id, r=2)
+    if m12 == 9:
+        return make_pdf_encrypted(doc_id, r=3)
     m = doc_id % 6
     if m == 0:
         return make_pdf(doc_id)

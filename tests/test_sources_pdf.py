@@ -193,11 +193,11 @@ def _formula_doc(d):
     ]
 
 
-@pytest.mark.parametrize("d", list(range(24)))
+@pytest.mark.parametrize("d", list(range(36)))
 def test_all_layout_flavors_match_formula(d):
-    """All six corpus flavors — classic, xref-stream/ObjStm with and
-    without predictors, hybrid, both update chains — extract the
-    identical formula text."""
+    """All eight corpus flavors — classic, xref-stream/ObjStm with
+    and without predictors, hybrid, both update chains, both RC4
+    encryption revisions — extract the identical formula text."""
     from queryengine_spark.sources.pdf import make_pdf_any
 
     assert parse_pdf_text(make_pdf_any(d)) == _formula_doc(d)
@@ -311,6 +311,98 @@ def test_modern_truncations_and_bitflips_never_crash():
             fb = bytearray(b)
             fb[i] ^= 1 << rng.randrange(8)
             parse_pdf_text(bytes(fb))  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# encryption (r11 third pass): standard security handler, RC4,
+# empty user password
+# ---------------------------------------------------------------------------
+
+
+def test_rc4_published_vectors():
+    """The RC4 primitive against the classic published vectors —
+    the only externally-pinnable piece of the handler in this
+    offline sandbox (MD5 is stdlib)."""
+    from queryengine_spark.sources.pdfcrypt import rc4
+
+    assert rc4(b"Key", b"Plaintext") == bytes.fromhex("bbf316e8d940af0ad3")
+    assert rc4(b"Wiki", b"pedia") == bytes.fromhex("1021bf0420")
+    assert rc4(b"Secret", b"Attack at dawn") == bytes.fromhex(
+        "45a01f645fc35b383552544b9bf5"
+    )
+    # RC4 is its own inverse
+    assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
+
+
+@pytest.mark.parametrize("d,r", [(6, 2), (9, 3), (18, 2), (33, 3)])
+def test_encrypted_roundtrip(d, r):
+    from queryengine_spark.sources.pdf import make_pdf_encrypted
+
+    b = make_pdf_encrypted(d, r=r)
+    assert b"/Encrypt" in b and b"/Filter /Standard" in b
+    # content really is ciphertext: no formula line appears raw
+    assert _formula_doc(d)[0][0] not in b
+    assert parse_pdf_text(b) == _formula_doc(d)
+
+
+def test_encrypted_refusals():
+    """Tampering with any handler input (/O, /U, /P, /ID) must flip
+    the user-password verification and refuse; unsupported
+    revisions / missing /ID refuse structurally."""
+    from queryengine_spark.sources.pdf import make_pdf_encrypted
+
+    b = make_pdf_encrypted(6, r=2)
+
+    def flip_hex(buf, marker):
+        i = buf.index(marker) + len(marker) + 2
+        t = bytearray(buf)
+        t[i] = ord("0") if t[i] != ord("0") else ord("1")
+        return bytes(t)
+
+    assert parse_pdf_text(flip_hex(b, b"/O <")) is None
+    assert parse_pdf_text(flip_hex(b, b"/U <")) is None
+    assert parse_pdf_text(flip_hex(b, b"/ID [<")) is None
+    assert parse_pdf_text(b.replace(b"/P -3904", b"/P -3903")) is None
+    # V/R combination mismatch (V1 with R3) refuses structurally
+    assert parse_pdf_text(b.replace(b"/R 2", b"/R 3")) is None
+    # unsupported: AES (/V 4), R4, non-Standard handler
+    assert parse_pdf_text(
+        b.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+    ) is None
+    assert parse_pdf_text(
+        b.replace(b"/Filter /Standard", b"/Filter /MyCrypt ")
+    ) is None
+    # missing /ID
+    noid = b[: b.index(b" /ID [")] + b" >>" + b[b.index(b">>\nstartxref") :]
+    assert parse_pdf_text(noid) is None
+
+
+def test_real_user_password_refuses():
+    """A document keyed to a NON-empty user password must refuse:
+    build one by deriving /U from user pw 'secret' and check the
+    empty-password verifier rejects it."""
+    import hashlib
+
+    from queryengine_spark.sources.pdfcrypt import (
+        compute_key,
+        compute_o,
+        compute_u,
+        verify_empty_user_password,
+    )
+
+    id0 = hashlib.md5(b"x").digest()
+    for r, nb in ((2, 5), (3, 16)):
+        o = compute_o(b"owner", b"secret", r, nb)
+        key = compute_key(b"secret", o, -3904, id0, r, nb)
+        u = compute_u(key, id0, r)
+        assert verify_empty_user_password(o, u, -3904, id0, r, nb) is None
+        # and the matching empty-pw document verifies
+        o2 = compute_o(b"owner", b"", r, nb)
+        k2 = compute_key(b"", o2, -3904, id0, r, nb)
+        u2 = compute_u(k2, id0, r)
+        assert (
+            verify_empty_user_password(o2, u2, -3904, id0, r, nb) == k2
+        )
 
 
 def test_spark_stats_plan_no_shuffle(spark):
