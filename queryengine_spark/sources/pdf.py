@@ -63,10 +63,13 @@ from pyspark.sql.types import (
 )
 
 from queryengine_spark.sources.pdfcrypt import (
+    aes128_cbc_encrypt,
     compute_key,
     compute_o,
     compute_u,
     decrypt_object_bytes,
+    decrypt_object_bytes_aes,
+    object_key_aes,
     verify_empty_user_password,
 )
 
@@ -935,16 +938,30 @@ def _parse_xref(b: bytes) -> tuple[dict[int, object], dict] | None:
         xref_at = prev
 
 
-def _decrypt_value(val, key: bytes, num: int, gen: int):
+def _crypt_apply(crypt: tuple, num: int, gen: int, data: bytes) -> bytes:
+    """Decrypt one object's bytes per the handler method. AES
+    padding violations raise ValueError (→ honest refusal)."""
+    key, method = crypt
+    if method == "rc4":
+        return decrypt_object_bytes(key, num, gen, data)
+    out = decrypt_object_bytes_aes(key, num, gen, data)
+    if out is None:
+        raise ValueError("pdf: bad AES payload")
+    return out
+
+
+def _decrypt_value(val, crypt: tuple, num: int, gen: int):
     """Recursively decrypt literal/hex strings inside a direct
     object's value (PDF encryption covers strings as well as
     streams; integers, names, booleans pass through)."""
     if isinstance(val, tuple) and val[0] == "str":
-        return ("str", decrypt_object_bytes(key, num, gen, val[1]))
+        return ("str", _crypt_apply(crypt, num, gen, val[1]))
     if isinstance(val, list):
-        return [_decrypt_value(v, key, num, gen) for v in val]
+        return [_decrypt_value(v, crypt, num, gen) for v in val]
     if isinstance(val, dict):
-        return {k: _decrypt_value(v, key, num, gen) for k, v in val.items()}
+        return {
+            k: _decrypt_value(v, crypt, num, gen) for k, v in val.items()
+        }
     return val
 
 
@@ -952,7 +969,7 @@ def _load_object_at(
     b: bytes,
     off: int,
     offsets: dict | None = None,
-    crypt: bytes | None = None,
+    crypt: tuple | None = None,
 ) -> tuple[int, object, bytes | None] | None:
     """Parse the ``N G obj`` at a direct byte offset → (obj num,
     value, raw stream bytes | None), or None on malformation. An
@@ -1002,7 +1019,7 @@ def _load_object_at(
     ):
         val = _decrypt_value(val, crypt, num, gen)
         if data is not None:
-            data = decrypt_object_bytes(crypt, num, gen, data)
+            data = _crypt_apply(crypt, num, gen, data)
     return num, val, data
 
 
@@ -1011,7 +1028,7 @@ def _load_object(
     offsets: dict,
     num: int,
     cache: dict | None = None,
-    crypt: bytes | None = None,
+    crypt: tuple | None = None,
 ):
     """Object ``num`` via its xref entry: a direct offset validates
     the ``N G obj`` header; an ("objstm", container, idx) entry
@@ -1125,14 +1142,17 @@ def _extract_text_ops(content: bytes) -> list[bytes] | None:
 
 def _setup_decryption(
     b: bytes, offsets: dict, trailer: dict
-) -> bytes | None:
+) -> tuple[bytes, str] | None:
     """Resolve /Encrypt and derive the file key for the standard
     security handler with an EMPTY user password (the crawled-PDF
-    norm: owner-password restrictions only). Supports /V 1 /R 2
-    (RC4-40) and /V 2 /R 3 (RC4, /Length up to 128). Refuses —
-    never guesses — for other handlers, /V 4+ (AES / crypt
-    filters), a missing /ID, or a failing user-password check (a
-    REAL user password protects the content)."""
+    norm: owner-password restrictions only) → (key, method).
+    Supports /V 1 /R 2 (RC4-40), /V 2 /R 3 (RC4, /Length ≤ 128),
+    and /V 4 /R 4 with a /StdCF crypt filter of /CFM /AESV2
+    (AES-128-CBC) or /CFM /V2 (RC4), honoring /EncryptMetadata.
+    Refuses — never guesses — for other handlers, /V 5+ (AES-256),
+    /Identity or per-object crypt filters, a missing /ID, or a
+    failing user-password check (a REAL user password protects the
+    content)."""
     try:
         enc = _deref(b, offsets, trailer.get("Encrypt"))
     except ValueError:
@@ -1142,12 +1162,33 @@ def _setup_decryption(
     if enc.get("Filter") != ("name", "Standard"):
         return None
     v, r = enc.get("V"), enc.get("R")
-    if (v, r) not in ((1, 2), (2, 3)):
+    if (v, r) not in ((1, 2), (2, 3), (4, 4)):
         return None
     length = enc.get("Length", 40)
     if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
         return None
     nbytes = 5 if r == 2 else length // 8
+    method = "rc4"
+    encrypt_metadata = True
+    if v == 4:
+        em = enc.get("EncryptMetadata", True)
+        if not isinstance(em, bool):
+            return None
+        encrypt_metadata = em
+        cf = enc.get("CF")
+        stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+        if not isinstance(stdcf, dict):
+            return None
+        cfm = stdcf.get("CFM")
+        if cfm == ("name", "AESV2"):
+            method = "aesv2"
+            nbytes = 16  # AESV2 is AES-128
+        elif cfm != ("name", "V2"):
+            return None  # Identity / AESV3 / custom: refuse
+        # both stream and string filters must be the StdCF
+        for k in ("StmF", "StrF"):
+            if enc.get(k, ("name", "Identity")) != ("name", "StdCF"):
+                return None
     o, u, p = enc.get("O"), enc.get("U"), enc.get("P")
     if not (
         isinstance(o, tuple) and o[0] == "str" and len(o[1]) >= 32
@@ -1163,9 +1204,12 @@ def _setup_decryption(
         and ident[0][0] == "str"
     ):
         return None
-    return verify_empty_user_password(
-        o[1][:32], u[1][:32], p, ident[0][1], r, nbytes
+    key = verify_empty_user_password(
+        o[1][:32], u[1][:32], p, ident[0][1], r, nbytes, encrypt_metadata
     )
+    if key is None:
+        return None
+    return key, method
 
 
 def parse_pdf_text(b: bytes) -> list[list[bytes]] | None:
@@ -1196,7 +1240,7 @@ def _parse_pdf_strict(b: bytes) -> list[list[bytes]] | None:
     if xr is None:
         return None
     offsets, trailer = xr
-    crypt: bytes | None = None
+    crypt: tuple | None = None
     if "Encrypt" in trailer:
         crypt = _setup_decryption(b, offsets, trailer)
         if crypt is None:
@@ -1262,13 +1306,14 @@ PDF_STATS_SCHEMA = StructType(
 
 
 def make_pdf_encrypted(doc_id: int, r: int = 2) -> bytes:
-    """RC4-ENCRYPTED classic document (standard security handler,
-    EMPTY user password + an owner password — the restrictions-only
-    shape that dominates encrypted PDFs in web crawls): every
-    content stream RC4-encrypted with its per-object key, /Encrypt
-    dict with real /O /U /P values, /ID in the trailer. r=2 → V1
-    40-bit, r=3 → V2 128-bit. Text state matches the formulas, so
-    the shared oracle certifies the decryption path."""
+    """ENCRYPTED classic document (standard security handler, EMPTY
+    user password + an owner password — the restrictions-only shape
+    that dominates encrypted PDFs in web crawls): every content
+    stream encrypted with its per-object key, /Encrypt dict with
+    real /O /U /P values, /ID in the trailer. r=2 → V1 RC4-40,
+    r=3 → V2 RC4-128, r=4 → V4 /StdCF /CFM /AESV2 (AES-128-CBC,
+    IV-prefixed, PKCS#7). Text state matches the formulas, so the
+    shared oracle certifies every decryption path."""
     import hashlib as _hashlib
 
     n_pages = pdf_n_pages(doc_id)
@@ -1305,20 +1350,37 @@ def make_pdf_encrypted(doc_id: int, r: int = 2) -> bytes:
         else:
             stored = raw
             head = "<< /Length %d >>"
-        stored = decrypt_object_bytes(key, 5 + 2 * p, 0, stored)
+        num = 5 + 2 * p
+        if r == 4:
+            iv = _hashlib.md5(b"iv-%d-%d" % (doc_id, num)).digest()
+            stored = aes128_cbc_encrypt(
+                object_key_aes(key, num, 0), iv, stored
+            )
+        else:
+            stored = decrypt_object_bytes(key, num, 0, stored)
         objects.append(
             (head % len(stored)).encode()
             + b"\nstream\n" + stored + b"\nendstream"
         )
     enc_id = len(objects) + 1
-    vlen = " /Length 40" if r == 2 else " /Length 128"
-    objects.append(
-        (
-            "<< /Filter /Standard /V " + ("1" if r == 2 else "2")
-            + " /R " + str(r) + vlen + " /P " + str(pval)
+    if r == 2:
+        enc_body = (
+            "<< /Filter /Standard /V 1 /R 2 /Length 40 /P " + str(pval)
             + " /O <" + o.hex() + "> /U <" + u.hex() + "> >>"
-        ).encode()
-    )
+        )
+    elif r == 3:
+        enc_body = (
+            "<< /Filter /Standard /V 2 /R 3 /Length 128 /P " + str(pval)
+            + " /O <" + o.hex() + "> /U <" + u.hex() + "> >>"
+        )
+    else:
+        enc_body = (
+            "<< /Filter /Standard /V 4 /R 4 /Length 128 /P " + str(pval)
+            + " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+            + " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            + " /O <" + o.hex() + "> /U <" + u.hex() + "> >>"
+        )
+    objects.append(enc_body.encode())
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, body in enumerate(objects, start=1):
@@ -1354,7 +1416,8 @@ def make_pdf_any(doc_id: int) -> bytes:
     if m12 == 6:
         return make_pdf_encrypted(doc_id, r=2)
     if m12 == 9:
-        return make_pdf_encrypted(doc_id, r=3)
+        # alternate RC4-128 (R3) and AES-128 (R4 /AESV2) slots
+        return make_pdf_encrypted(doc_id, r=3 if doc_id % 24 == 9 else 4)
     m = doc_id % 6
     if m == 0:
         return make_pdf(doc_id)

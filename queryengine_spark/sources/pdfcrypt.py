@@ -63,17 +63,26 @@ def _pad_pw(pw: bytes) -> bytes:
 
 
 def compute_key(
-    user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, nbytes: int
+    user_pw: bytes,
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    nbytes: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key from the (padded) user
     password, /O, /P (as 4-byte little-endian, sign bits kept), and
-    the first /ID element. R>=3 re-hashes 50 times over the key
+    the first /ID element. R>=4 with /EncryptMetadata false appends
+    0xFFFFFFFF (step f); R>=3 re-hashes 50 times over the key
     prefix."""
     h = hashlib.md5()
     h.update(_pad_pw(user_pw))
     h.update(o[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -99,9 +108,9 @@ def compute_o(
 
 
 def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
-    """Algorithm 4 (R2) / Algorithm 5 (R3): the /U value. R3 pads
-    the 16 significant bytes to 32 with zeros (only the first 16
-    compare)."""
+    """Algorithm 4 (R2) / Algorithm 5 (R3/R4): the /U value. R>=3
+    pads the 16 significant bytes to 32 with zeros (only the first
+    16 compare)."""
     if r == 2:
         return rc4(key, PAD)
     u = rc4(key, hashlib.md5(PAD + id0).digest())
@@ -111,13 +120,19 @@ def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
 
 
 def verify_empty_user_password(
-    o: bytes, u: bytes, p: int, id0: bytes, r: int, nbytes: int
+    o: bytes,
+    u: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    nbytes: int,
+    encrypt_metadata: bool = True,
 ) -> bytes | None:
     """Algorithm 6 with the EMPTY user password: derive the key and
-    check it reproduces /U (all 32 bytes for R2, first 16 for R3).
-    Returns the file key, or None — a real user password protects
-    the document and the caller must refuse."""
-    key = compute_key(b"", o, p, id0, r, nbytes)
+    check it reproduces /U (all 32 bytes for R2, first 16 for
+    R3/R4). Returns the file key, or None — a real user password
+    protects the document and the caller must refuse."""
+    key = compute_key(b"", o, p, id0, r, nbytes, encrypt_metadata)
     want = compute_u(key, id0, r)
     ok = want[:32] == u[:32] if r == 2 else want[:16] == u[:16]
     return key if ok else None
@@ -141,3 +156,184 @@ def decrypt_object_bytes(
     """RC4-decrypt one object's string/stream bytes (RC4 is its own
     inverse)."""
     return rc4(object_key(key, num, gen), data)
+
+
+# ---------------------------------------------------------------------------
+# AES-128 (FIPS-197), from scratch — for /V 4 /CFM /AESV2 documents.
+# The S-box is GENERATED (GF(2^8) inverse + affine transform), not a
+# pasted table; the cipher is pinned against the FIPS-197 Appendix C.1
+# vector in tests.
+# ---------------------------------------------------------------------------
+
+
+def _xtime(a: int) -> int:
+    return ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else a << 1
+
+
+def _make_sbox() -> tuple[list[int], list[int]]:
+    exp = [0] * 255
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= _xtime(x)  # multiply by the generator 0x03
+    sbox = [0] * 256
+    inv_sbox = [0] * 256
+    for c in range(256):
+        g = 0 if c == 0 else exp[(255 - log[c]) % 255]
+        s = g
+        for _ in range(4):
+            g = ((g << 1) | (g >> 7)) & 0xFF
+            s ^= g
+        s ^= 0x63
+        sbox[c] = s
+        inv_sbox[s] = c
+    return sbox, inv_sbox
+
+
+_SBOX, _INV_SBOX = _make_sbox()
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        a = _xtime(a)
+        b >>= 1
+    return p & 0xFF
+
+
+def _expand_key_128(key: bytes) -> list[bytes]:
+    """AES-128 key schedule → 11 round keys of 16 bytes."""
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[x] for x in t]
+            t[0] ^= rcon
+            rcon = _xtime(rcon)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [
+        bytes(sum((w[4 * r + c] for c in range(4)), []))
+        for r in range(11)
+    ]
+
+
+def _add_rk(s: list[int], rk: bytes) -> None:
+    for i in range(16):
+        s[i] ^= rk[i]
+
+
+def aes128_encrypt_block(key_sched: list[bytes], block: bytes) -> bytes:
+    s = list(block)
+    _add_rk(s, key_sched[0])
+    for rnd in range(1, 10):
+        s = [_SBOX[x] for x in s]
+        s = [s[4 * ((i // 4 + i % 4) % 4) + i % 4] for i in range(16)]
+        ns = [0] * 16
+        for c in range(4):
+            a = s[4 * c : 4 * c + 4]
+            ns[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
+            ns[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
+            ns[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
+            ns[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
+        s = ns
+        _add_rk(s, key_sched[rnd])
+    s = [_SBOX[x] for x in s]
+    s = [s[4 * ((i // 4 + i % 4) % 4) + i % 4] for i in range(16)]
+    _add_rk(s, key_sched[10])
+    return bytes(s)
+
+
+def aes128_decrypt_block(key_sched: list[bytes], block: bytes) -> bytes:
+    s = list(block)
+    _add_rk(s, key_sched[10])
+    for rnd in range(9, 0, -1):
+        s = [s[4 * ((i // 4 - i % 4) % 4) + i % 4] for i in range(16)]
+        s = [_INV_SBOX[x] for x in s]
+        _add_rk(s, key_sched[rnd])
+        ns = [0] * 16
+        for c in range(4):
+            a = s[4 * c : 4 * c + 4]
+            ns[4 * c + 0] = (
+                _gmul(a[0], 14) ^ _gmul(a[1], 11)
+                ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
+            )
+            ns[4 * c + 1] = (
+                _gmul(a[0], 9) ^ _gmul(a[1], 14)
+                ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
+            )
+            ns[4 * c + 2] = (
+                _gmul(a[0], 13) ^ _gmul(a[1], 9)
+                ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
+            )
+            ns[4 * c + 3] = (
+                _gmul(a[0], 11) ^ _gmul(a[1], 13)
+                ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
+            )
+        s = ns
+    s = [s[4 * ((i // 4 - i % 4) % 4) + i % 4] for i in range(16)]
+    s = [_INV_SBOX[x] for x in s]
+    _add_rk(s, key_sched[0])
+    return bytes(s)
+
+
+def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """PDF AESV2 payload: the first 16 bytes are the IV, then CBC
+    ciphertext with PKCS#7 padding. Returns the plaintext or None on
+    structural violation (bad length / bad padding) — never a
+    guess."""
+    if len(key) != 16 or len(data) < 32 or len(data) % 16:
+        return None
+    ks = _expand_key_128(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        pt = aes128_decrypt_block(ks, blk)
+        out += bytes(a ^ b for a, b in zip(pt, prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        return None
+    return bytes(out[:-pad])
+
+
+def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Synthesis-side CBC encrypt (IV prepended, PKCS#7 padded)."""
+    ks = _expand_key_128(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = aes128_encrypt_block(ks, blk)
+        out += prev
+    return bytes(out)
+
+
+#: the AESV2 per-object key salt (Algorithm 1 step b extension)
+AES_SALT = b"sAlT"
+
+
+def object_key_aes(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1 for /CFM /AESV2: like the RC4 object key but with
+    the 4-byte salt 'sAlT' appended to the MD5 input."""
+    h = hashlib.md5(
+        key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + AES_SALT
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def decrypt_object_bytes_aes(
+    key: bytes, num: int, gen: int, data: bytes
+) -> bytes | None:
+    return aes128_cbc_decrypt(object_key_aes(key, num, gen), data)

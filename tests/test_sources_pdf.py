@@ -377,6 +377,50 @@ def test_encrypted_refusals():
     assert parse_pdf_text(noid) is None
 
 
+def test_aes_fips_197_vector():
+    """The from-scratch AES-128 against FIPS-197 Appendix C.1 — the
+    externally-pinnable anchor for the /AESV2 path (the S-box is
+    generated, so this vector certifies the whole cipher)."""
+    from queryengine_spark.sources.pdfcrypt import (
+        _expand_key_128,
+        aes128_cbc_decrypt,
+        aes128_cbc_encrypt,
+        aes128_decrypt_block,
+        aes128_encrypt_block,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    ks = _expand_key_128(key)
+    assert aes128_encrypt_block(ks, pt) == ct
+    assert aes128_decrypt_block(ks, ct) == pt
+    # CBC + PKCS#7 round-trip and bad-padding refusal
+    iv = bytes(range(16))
+    data = b"aes cbc round trip payload"
+    enc = aes128_cbc_encrypt(key, iv, data)
+    assert aes128_cbc_decrypt(key, enc) == data
+    assert aes128_cbc_decrypt(key, enc[:-16] + bytes(16)) is None
+    assert aes128_cbc_decrypt(key, enc[:24]) is None  # ragged length
+
+
+@pytest.mark.parametrize("d", [21, 45, 4])
+def test_aesv2_encrypted_roundtrip(d):
+    """/V 4 /R 4 /StdCF /CFM /AESV2: AES-128-CBC streams decrypt to
+    the formula text; tampering with /U refuses."""
+    from queryengine_spark.sources.pdf import make_pdf_encrypted
+
+    b = make_pdf_encrypted(d, r=4)
+    assert b"/AESV2" in b and b"/StmF /StdCF" in b
+    assert _formula_doc(d)[0][0] not in b
+    assert parse_pdf_text(b) == _formula_doc(d)
+    # unsupported CFM variants refuse
+    assert parse_pdf_text(b.replace(b"/AESV2", b"/AESV3")) is None
+    assert parse_pdf_text(
+        b.replace(b"/StrF /StdCF", b"/StrF /Identity")
+    ) is None
+
+
 def test_real_user_password_refuses():
     """A document keyed to a NON-empty user password must refuse:
     build one by deriving /U from user pw 'secret' and check the
