@@ -199,6 +199,8 @@ HEADLINE = [
     "source_pdf_text",
     # round-11: hybrid BM25 + vector retrieval fused by RRF
     "knn_hybrid_rrf",
+    # round-11: Avro OCF ingestion (varints, blocks, from-scratch snappy)
+    "source_avro_records",
 ]
 
 

@@ -579,9 +579,96 @@ FROM chars GROUP BY doc_id, p, np
 """
 
 
+from queryengine_spark.sources.avro import (  # noqa: E402
+    AVRO_NAME_BASE,
+    AVRO_NAME_MOD,
+    AVRO_NREC_BASE,
+    AVRO_NREC_MOD,
+    avro_records,
+    synthesize_avro,
+)
+
+
+def source_avro_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro Object Container File ingestion (r11 — the standard
+    record-interchange format of data-engineering pipelines):
+    synthesize one spec-valid OCF shard per document (metadata map
+    with embedded JSON schema, zigzag-varint encoding, records with
+    strings/doubles/booleans/arrays/bytes/unions/enums/fixed/maps,
+    multi-block bodies with sync markers, codec split null/deflate/
+    snappy — snappy decoded FROM SCRATCH with the Avro CRC32), parse
+    it back for REAL, and emit one row per record with exact integer
+    projections of every decoded field. The oracle recomputes all of
+    them FROM THE SYNTHESIS FORMULAS, so a hash match certifies the
+    container walk, every scalar codec path, and all three block
+    compressions. Zero shuffle. Design notes: sources/avro.py."""
+    ids = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("shard_id")
+    )
+    return avro_records(synthesize_avro(spread(ids)))
+
+
+SOURCE_AVRO_RECORDS_SQL = f"""
+WITH ids AS (SELECT doc_id AS s FROM documents),
+recs AS (SELECT s, CAST(ii.i AS BIGINT) AS i
+         FROM ids,
+              unnest(range(0, {AVRO_NREC_BASE} + s % {AVRO_NREC_MOD})) ii(i)),
+base AS (
+  SELECT s, i,
+         CAST({AVRO_NAME_BASE} + (s + 2 * i) % {AVRO_NAME_MOD}
+              AS BIGINT) AS name_len,
+         CAST(3 + (s + 3 * i) % 14 AS BIGINT) AS payload_len,
+         i % 4 AS n_tags,
+         (s + i) % 3 AS map_n
+  FROM recs),
+name_sums AS (
+  SELECT s, i, SUM(97 + (3 * s + 5 * i + jj.j) % 26) AS name_sum
+  FROM base, unnest(range(0, name_len)) jj(j)
+  GROUP BY s, i),
+payload_sums AS (
+  SELECT s, i, SUM((s + 5 * i + 7 * jj.j) % 256) AS payload_sum
+  FROM base, unnest(range(0, payload_len)) jj(j)
+  GROUP BY s, i),
+tag_sums AS (
+  SELECT s, i,
+         COALESCE(SUM(164 + (s + i + tt.t) % 10), 0) AS tags_sum
+  FROM base LEFT JOIN LATERAL unnest(range(0, n_tags)) tt(t) ON TRUE
+  GROUP BY s, i),
+map_sums AS (
+  SELECT s, i, COALESCE(SUM((s + i * tt.t) % 50), 0) AS map_sum
+  FROM base LEFT JOIN LATERAL unnest(range(0, map_n)) tt(t) ON TRUE
+  GROUP BY s, i)
+SELECT b.s AS shard_id,
+       CAST(b.i AS INT) AS rec_idx,
+       CAST(b.s * 1000 + b.i AS BIGINT) AS rid,
+       CAST(b.name_len AS INT) AS name_len,
+       CAST(ns.name_sum AS BIGINT) AS name_sum,
+       CAST((7 * b.s + 11 * b.i) % 1000 AS BIGINT) AS score_q,
+       CAST(CASE WHEN (b.s + b.i) % 3 = 0 THEN 1 ELSE 0 END AS INT) AS flag,
+       CAST(b.n_tags AS INT) AS n_tags,
+       CAST(ts.tags_sum AS BIGINT) AS tags_sum,
+       CAST(b.payload_len AS INT) AS payload_len,
+       CAST(ps.payload_sum AS BIGINT) AS payload_sum,
+       CASE WHEN b.i % 5 = 0 THEN NULL
+            ELSE CAST((13 * b.s + b.i) % 97 AS BIGINT) END AS opt,
+       CAST((b.s + 2 * b.i) % 4 AS INT) AS kind_idx,
+       CAST((b.s + b.i) % 256 + (2 * b.s + b.i) % 256
+            + (b.s + 3 * b.i) % 256 + (b.s * b.i) % 256
+            AS BIGINT) AS fp_sum,
+       CAST(b.map_n AS INT) AS map_n,
+       CAST(ms.map_sum AS BIGINT) AS map_sum
+FROM base b
+JOIN name_sums ns ON ns.s = b.s AND ns.i = b.i
+JOIN payload_sums ps ON ps.s = b.s AND ps.i = b.i
+JOIN tag_sums ts ON ts.s = b.s AND ts.i = b.i
+JOIN map_sums ms ON ms.s = b.s AND ms.i = b.i
+"""
+
+
 QUERIES = {
     "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
     "source_pdf_text": (source_pdf_text, SOURCE_PDF_TEXT_SQL),
+    "source_avro_records": (source_avro_records, SOURCE_AVRO_RECORDS_SQL),
     "source_warc_records": (source_warc_records, SOURCE_WARC_RECORDS_SQL),
     "source_warc_cdx": (source_warc_cdx, SOURCE_WARC_CDX_SQL),
     "source_warc_revisit": (source_warc_revisit, SOURCE_WARC_REVISIT_SQL),

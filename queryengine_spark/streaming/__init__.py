@@ -902,6 +902,31 @@ def stream_archive_members(shards: DataFrame, path: str):
     )
 
 
+def stream_avro_records(shards: DataFrame, path: str):
+    """Incremental Avro OCF ingestion (r11 — the record-container
+    twin of :func:`stream_pdf_text`): each micro-batch of raw OCF
+    shard payloads runs the real container walk (sources/avro.py::
+    avro_records — schema resolution, varint decode, block/sync
+    validation, null/deflate/snappy codecs) and appends the
+    per-record relation to parquet — how a pipeline drains Kafka
+    archive dumps as they land. foreachBatch because decoding is a
+    stateless per-shard map; the sink append is idempotent by
+    (shard_id, rec_idx). Returns the started query (availableNow
+    trigger: drains what exists, then stops)."""
+    from queryengine_spark.sources.avro import avro_records
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        avro_records(batch_df).write.mode("append").parquet(path)
+
+    return (
+        shards.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_pdf_text(docs: DataFrame, path: str):
     """Incremental PDF text extraction (r11 — the document twin of
     :func:`stream_archive_members`): each micro-batch of raw PDF

@@ -372,6 +372,39 @@ def test_stream_archive_members_equals_batch(spark, sf_dir, tmp_path):
     assert got == ref
 
 
+def test_stream_avro_records_equals_batch(spark, sf_dir, tmp_path):
+    """r11: incremental Avro OCF ingestion — micro-batch container
+    walks must leave a relation identical to one batch pass (all
+    three codecs present on the % 3 routing)."""
+    from queryengine_spark.sources.avro import avro_records, synthesize_avro
+    from queryengine_spark.streaming import stream_avro_records
+
+    ids = spark.createDataFrame([(i,) for i in range(15)], "shard_id long")
+    shards = synthesize_avro(ids)
+    batch = avro_records(shards)
+    ref = sorted(tuple(r) for r in batch.collect())
+
+    watch = str(tmp_path / "avro_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        shards.filter(F.col("shard_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(shards.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    out = str(tmp_path / "avro_recs")
+    q = stream_avro_records(stream, out)
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select(*batch.columns).collect()
+    )
+    assert got == ref
+
+
 def test_stream_pdf_text_equals_batch(spark, sf_dir, tmp_path):
     """r11: incremental PDF text extraction — micro-batch document
     walks must leave a relation identical to one batch pass (both
