@@ -1,22 +1,27 @@
-"""PDF standard security handler (RC4) — from the published spec
-(PDF 32000-1 §7.6.3 / PDF 1.7 reference Algorithms 2-5), pure
-stdlib (hashlib MD5 + a from-scratch RC4).
+"""PDF standard security handler (RC4 + AES-128) — from the
+published spec (PDF 32000-1 §7.6 / PDF 1.7 reference Algorithms
+1-6), pure stdlib (hashlib MD5) plus from-scratch RC4 and FIPS-197
+AES-128.
 
 Scope: the overwhelmingly common crawled shape — documents encrypted
 with an OWNER password only (print/copy restrictions) and an EMPTY
-user password, /Filter /Standard with R=2 (V1, 40-bit) or R=3 (V2,
-/Length up to 128). A document whose user-password check fails (a
-REAL user password) refuses honestly — this module never guesses or
-brute-forces. AES (/V 4+ /AESV2) and crypt filters refuse in the
-caller.
+user password: /Filter /Standard with R=2 (V1, RC4-40), R=3 (V2,
+RC4, /Length up to 128), and R=4 (V4 crypt filters: /CFM /AESV2 =
+AES-128-CBC with IV-prefixed PKCS#7 payloads and the 'sAlT'
+per-object keying, or /CFM /V2 = RC4). A document whose
+user-password check fails (a REAL user password) refuses honestly —
+this module never guesses or brute-forces. AES-256 (/AESV3, R5/R6)
+and per-object crypt filters refuse in the caller.
 
 Validation: the RC4 primitive is pinned against published test
-vectors (test_sources_pdf.py), MD5 is stdlib, and the handler
-algorithms are synthesis↔parse round-tripped with tamper probes
-(any byte flip in /O, /U, /P or /ID must flip the U-verification
-and refuse). No independent PDF-crypto oracle exists in this
-offline sandbox; that boundary is documented rather than papered
-over.
+vectors and AES-128 against the FIPS-197 Appendix C.1 vector
+(test_sources_pdf.py — the S-box is GENERATED from the GF(2^8)
+inverse + affine transform, so one vector certifies the whole
+cipher); MD5 is stdlib; the handler algorithms are synthesis↔parse
+round-tripped with tamper probes (any byte flip in /O, /U, /P or
+/ID must flip the U-verification and refuse). No independent
+PDF-crypto oracle exists in this offline sandbox; that boundary is
+documented rather than papered over.
 
 Reference scope note: the reference engine (rickbeeloo/QueryEngine,
 src/heurFuzz.py) reads plain text; encrypted-document ingestion is
@@ -205,6 +210,17 @@ def _gmul(a: int, b: int) -> int:
     return p & 0xFF
 
 
+#: generated GF(2^8) multiplication tables for the MixColumns
+#: constants — the per-byte hot path of CBC decryption stays table
+#: lookups instead of bit loops
+_M2 = [_gmul(x, 2) for x in range(256)]
+_M3 = [_gmul(x, 3) for x in range(256)]
+_M9 = [_gmul(x, 9) for x in range(256)]
+_M11 = [_gmul(x, 11) for x in range(256)]
+_M13 = [_gmul(x, 13) for x in range(256)]
+_M14 = [_gmul(x, 14) for x in range(256)]
+
+
 def _expand_key_128(key: bytes) -> list[bytes]:
     """AES-128 key schedule → 11 round keys of 16 bytes."""
     w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
@@ -236,11 +252,11 @@ def aes128_encrypt_block(key_sched: list[bytes], block: bytes) -> bytes:
         s = [s[4 * ((i // 4 + i % 4) % 4) + i % 4] for i in range(16)]
         ns = [0] * 16
         for c in range(4):
-            a = s[4 * c : 4 * c + 4]
-            ns[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
-            ns[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
-            ns[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
-            ns[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
+            a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+            ns[4 * c + 0] = _M2[a0] ^ _M3[a1] ^ a2 ^ a3
+            ns[4 * c + 1] = a0 ^ _M2[a1] ^ _M3[a2] ^ a3
+            ns[4 * c + 2] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3]
+            ns[4 * c + 3] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3]
         s = ns
         _add_rk(s, key_sched[rnd])
     s = [_SBOX[x] for x in s]
@@ -258,23 +274,11 @@ def aes128_decrypt_block(key_sched: list[bytes], block: bytes) -> bytes:
         _add_rk(s, key_sched[rnd])
         ns = [0] * 16
         for c in range(4):
-            a = s[4 * c : 4 * c + 4]
-            ns[4 * c + 0] = (
-                _gmul(a[0], 14) ^ _gmul(a[1], 11)
-                ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
-            )
-            ns[4 * c + 1] = (
-                _gmul(a[0], 9) ^ _gmul(a[1], 14)
-                ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
-            )
-            ns[4 * c + 2] = (
-                _gmul(a[0], 13) ^ _gmul(a[1], 9)
-                ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
-            )
-            ns[4 * c + 3] = (
-                _gmul(a[0], 11) ^ _gmul(a[1], 13)
-                ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
-            )
+            a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+            ns[4 * c + 0] = _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]
+            ns[4 * c + 1] = _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]
+            ns[4 * c + 2] = _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]
+            ns[4 * c + 3] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
         s = ns
     s = [s[4 * ((i // 4 - i % 4) % 4) + i % 4] for i in range(16)]
     s = [_INV_SBOX[x] for x in s]
