@@ -350,6 +350,7 @@ def _build_tiff(
     planar: int = 1,
     jpegtables: bytes | None = None,
     rows_per_strip: int = TIF_ROWS_PER_STRIP,
+    bps: int = 8,
 ) -> bytes:
     """Assemble header + strip data + one IFD. Strip data precedes the
     IFD (offsets are therefore known up front); BitsPerSample for
@@ -394,7 +395,7 @@ def _build_tiff(
         (
             entry(258, 3, 3, bps_off)
             if spp == 3
-            else entry(258, 3, 1, 8)
+            else entry(258, 3, 1, bps)
         ),  # BitsPerSample
         entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
@@ -556,6 +557,65 @@ def _tile_bytes(
             else:
                 out.extend((TIF_PAD,) * spp)
     return bytes(out)
+
+
+def _pixel_gray_deep(a: int, x: int, y: int, bps: int) -> int:
+    """Formula pixel reduced into the depth's code range (depth 16
+    spreads over the full 16-bit range so a high-byte-only decode
+    fails loudly)."""
+    if bps == 16:
+        return (257 * _pixel_gray1(a, x, y) + 101 * a + 3 * x + 5 * y) % 65536
+    return _pixel_gray1(a, x, y) % (1 << bps)
+
+
+def _pack_deep_row(vals: list[int], bps: int, big_endian: bool) -> bytes:
+    if bps == 16:
+        return struct.pack(
+            (">" if big_endian else "<") + f"{len(vals)}H", *vals
+        )
+    out = bytearray()
+    acc = nb = 0
+    for v in vals:
+        acc = (acc << bps) | v
+        nb += bps
+        if nb == 8:
+            out.append(acc)
+            acc = nb = 0
+    if nb:
+        out.append(acc << (8 - nb))
+    return bytes(out)
+
+
+def make_tiff_gray_deep(asset_id: int, bps: int) -> bytes:
+    """Grayscale TIFF at bit depth 1 / 4 / 16 (r11 — archival
+    bilevel scans and scientific 16-bit): formula pixels in the
+    depth's code range, sub-byte rows packed MSB-first with per-row
+    byte padding, 16-bit samples in the file's byte order (odd
+    assets write big-endian MM). PackBits when asset_id % 2 == 1,
+    uncompressed otherwise; WhiteIsZero (photometric 0) when
+    asset_id % 8 == 5, exercising the code-range inversion. Corpus
+    slot deferred to the next rotation window (codec+pins pattern,
+    like the r9 ADPCM)."""
+    a = asset_id
+    w, h = tiff_params(a)
+    big = a % 2 == 1
+    photo = 0 if a % 8 == 5 else 1
+    rps = TIF_ROWS_PER_STRIP
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = b"".join(
+            _pack_deep_row(
+                [_pixel_gray_deep(a, x, y, bps) for x in range(w)],
+                bps,
+                big,
+            )
+            for y in range(y0, min(y0 + rps, h))
+        )
+        strips.append(packbits_encode(raw) if a % 2 == 1 else raw)
+    return _build_tiff(
+        big_endian=big, w=w, h=h, spp=1, photometric=photo,
+        compression=32773 if a % 2 == 1 else 1, strips=strips, bps=bps,
+    )
 
 
 def make_tiff(asset_id: int) -> bytes:
@@ -764,19 +824,56 @@ def _values(b: bytes, e: str, ent) -> list[int] | None:
     return list(struct.unpack_from(f"{e}{count}{fmt}", b, off))
 
 
+def _unpack_rows(
+    raw: bytes, n_rows: int, px: int, bps: int, e: str
+) -> np.ndarray:
+    """Byte-aligned packed rows → (n_rows, px) sample array.
+    bps 1/4 unpack MSB-first (TIFF 6.0 §4 FillOrder 1); bps 16 reads
+    samples in the file's byte order. Raw codes, no scaling (same
+    stored-precision contract as the PNG decoder)."""
+    stride = (px * bps + 7) // 8
+    a = np.frombuffer(raw, np.uint8).reshape(n_rows, stride)
+    if bps == 8:
+        return a[:, :px]
+    if bps == 16:
+        return (
+            a.reshape(n_rows, px, 2)
+            .astype(np.uint16)
+            .dot(
+                np.array(
+                    [256, 1] if e == ">" else [1, 256], dtype=np.uint16
+                )
+            )
+        )
+    bits = np.unpackbits(a, axis=1)
+    if bps == 1:
+        return bits[:, :px]
+    return bits[:, : px * 4].reshape(n_rows, px, 4).dot(
+        np.array([8, 4, 2, 1], dtype=np.uint8)
+    )
+
+
 def decode_tiff(b: bytes) -> np.ndarray | None:
-    """bytes → (h, w, 3) uint8 RGB array (grayscale replicated to 3
-    channels, WhiteIsZero inverted), or None for anything outside the
-    implemented profile: compression other than
-    none/PackBits/LZW/deflate, predictor other than none/horizontal,
-    bit depth ≠ 8, or malformed geometry.
+    """bytes → (h, w, 3) RGB array (grayscale replicated to 3
+    channels, WhiteIsZero inverted within the code range), or None
+    for anything outside the implemented profile: compression other
+    than none/PackBits/LZW/deflate, predictor other than
+    none/horizontal, or malformed geometry.
 
     r9: TILED layout (TIFF 6.0 §15 — TileWidth/TileLength multiples
     of 16, row-major full-size tiles with padded edges, the dominant
     GeoTIFF/large-scan layout) and PLANAR CONFIGURATION 2 (separate
     per-sample strip planes, recombined per pixel) both decode
-    through the same decompressors. The refusal list is now
-    JPEG-in-TIFF only."""
+    through the same decompressors.
+
+    r11: grayscale bit depths 1 and 4 (archival scan / fax-adjacent
+    bilevel corpora; MSB-first packing, per-row byte padding) and 16
+    (scientific imaging; file byte order) decode in the chunky
+    layout through every non-JPEG codec — RAW stored codes, no
+    scaling (dtype uint16 for depth 16, uint8 otherwise; the same
+    stored-precision contract the PNG decoder documents). The
+    refusal list is now JPEG-in-TIFF-with-arithmetic-scans only
+    (inherited from the JPEG decoder's own gates)."""
     if len(b) < 8:
         return None
     if b[:2] == b"II":
@@ -835,8 +932,20 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
                 jpegtables = bytes(b[off : off + count])
     elif photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
         return None
-    bps = _values(b, e, ents[258]) if 258 in ents else [8] * spp
-    if bps is None or len(bps) != spp or any(v != 8 for v in bps):
+    bps_list = _values(b, e, ents[258]) if 258 in ents else [8] * spp
+    if bps_list is None or len(bps_list) != spp:
+        return None
+    bps = bps_list[0]
+    if any(v != bps for v in bps_list):
+        return None  # mixed per-sample depths: out of profile
+    if spp == 3:
+        if bps != 8:
+            return None  # 16-bit stays a grayscale profile
+    elif bps not in (1, 4, 8, 16):
+        return None
+    if bps != 8 and (planar != 1 or predictor != 1 or comp == 7):
+        # sub-byte / 16-bit (r11): chunky layout only; horizontal
+        # differencing and JPEG strips do not compose with them here
         return None
 
     def dechunk(chunk: bytes, n_rows: int, stride: int) -> bytes | None:
@@ -913,14 +1022,20 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
         if len(offs) != tpr * tpc:
             return None
         dspp = spp
-        img = np.empty((h, w, spp), dtype=np.uint8)
+        tile_stride = (tw * spp * bps + 7) // 8
+        img = np.empty(
+            (h, w, spp), dtype=np.uint16 if bps == 16 else np.uint8
+        )
         for k, (off, cnt) in enumerate(zip(offs, cnts)):
             if off + cnt > len(b):
                 return None
-            dec = dechunk(bytes(b[off : off + cnt]), tl, tw * spp)
+            dec = dechunk(bytes(b[off : off + cnt]), tl, tile_stride)
             if dec is None:
                 return None
-            tile = np.frombuffer(dec, np.uint8).reshape(tl, tw, spp)
+            if bps == 8:
+                tile = np.frombuffer(dec, np.uint8).reshape(tl, tw, spp)
+            else:  # spp == 1 enforced above
+                tile = _unpack_rows(dec, tl, tw, bps, e)[:, :, None]
             ty, tx = divmod(k, tpr)
             y0, x0 = ty * tl, tx * tw
             vh, vw = min(tl, h - y0), min(tw, w - x0)
@@ -936,7 +1051,7 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
         dspp = spp if planar == 1 else 1
         if len(offs) != n_per_plane * n_planes:
             return None
-        row_bytes = w * (spp if planar == 1 else 1)
+        row_bytes = (w * (spp if planar == 1 else 1) * bps + 7) // 8
         planes = []
         for p in range(n_planes):
             raw = bytearray()
@@ -949,17 +1064,26 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
                 if dec is None:
                     return None
                 raw += dec
-            planes.append(
-                np.frombuffer(bytes(raw), np.uint8).reshape(
-                    h, w, spp if planar == 1 else 1
+            if bps == 8:
+                planes.append(
+                    np.frombuffer(bytes(raw), np.uint8).reshape(
+                        h, w, spp if planar == 1 else 1
+                    )
                 )
-            )
+            else:  # spp == 1, planar == 1 enforced above
+                planes.append(
+                    _unpack_rows(bytes(raw), h, w, bps, e)[..., None]
+                )
         arr = planes[0] if planar == 1 else np.concatenate(planes, axis=2)
     if spp == 1:
         v = arr[..., 0]
-        if photo == 0:  # WhiteIsZero: invert for display
-            v = 255 - v
-        return np.repeat(v[..., None], 3, axis=2)
+        if photo == 0:  # WhiteIsZero: invert within the code range
+            v = ((1 << bps) - 1) - v
+        return np.repeat(
+            v.astype(np.uint16 if bps == 16 else np.uint8)[..., None],
+            3,
+            axis=2,
+        )
     return arr.copy()
 
 

@@ -748,3 +748,95 @@ def test_jpeg_in_tiff_refusals():
     )
     got = decode_tiff(abt)
     assert got is not None and (got == decode_tiff(ok)).all()
+
+
+# ---------------------------------------------------------------------------
+# r11: grayscale bit depths 1 / 4 / 16
+# ---------------------------------------------------------------------------
+
+
+def test_deep_gray_roundtrips_all_depths():
+    import numpy as np
+
+    from queryengine_spark.multimodal.tiff import (
+        _pixel_gray_deep,
+        make_tiff_gray_deep,
+        tiff_params,
+    )
+
+    for a in range(12):
+        for bps in (1, 4, 16):
+            w, h = tiff_params(a)
+            arr = decode_tiff(make_tiff_gray_deep(a, bps))
+            assert arr is not None, (a, bps)
+            assert arr.dtype == (np.uint16 if bps == 16 else np.uint8)
+            want = np.array(
+                [
+                    [_pixel_gray_deep(a, x, y, bps) for x in range(w)]
+                    for y in range(h)
+                ]
+            )
+            if a % 8 == 5:  # WhiteIsZero: inversion is code-range
+                want = ((1 << bps) - 1) - want
+            assert (arr[..., 0] == want).all(), (a, bps)
+            assert (arr[..., 0] == arr[..., 2]).all()
+
+
+def test_deep_gray_hand_bit_vector():
+    """Hand 1-bit 10x2 image: row bytes pad at ROW boundaries
+    (TIFF 6.0 §4) — a decoder unpacking the strip as one bitstream
+    misplaces row 2."""
+    import numpy as np
+
+    from queryengine_spark.multimodal.tiff import _build_tiff
+
+    # row 1: 1010101010 -> 0xAA 0x80 ; row 2: 0000011111 -> 0x07 0xC0
+    raw = bytes([0xAA, 0x80, 0x07, 0xC0])
+    b = _build_tiff(
+        big_endian=False, w=10, h=2, spp=1, photometric=1,
+        compression=1, strips=[raw], bps=1, rows_per_strip=2,
+    )
+    arr = decode_tiff(b)
+    assert arr is not None
+    assert arr[0, :, 0].tolist() == [1, 0, 1, 0, 1, 0, 1, 0, 1, 0]
+    assert arr[1, :, 0].tolist() == [0, 0, 0, 0, 0, 1, 1, 1, 1, 1]
+    # 16-bit endianness: MM vs II decode the same values
+    vals = [0, 1, 255, 256, 65535, 4660]
+    for big in (False, True):
+        fmt = (">" if big else "<") + "6H"
+        import struct as _s
+
+        row = _s.pack(fmt, *vals)
+        b16 = _build_tiff(
+            big_endian=big, w=6, h=1, spp=1, photometric=1,
+            compression=1, strips=[row], bps=16, rows_per_strip=1,
+        )
+        a16 = decode_tiff(b16)
+        assert a16 is not None and a16[0, :, 0].tolist() == vals
+    _ = np
+
+
+def test_deep_gray_refusals():
+    """Out-of-profile combinations refuse: sub-byte with predictor
+    or planar 2, depth 16 RGB, depth 2."""
+    from queryengine_spark.multimodal.tiff import _build_tiff
+
+    raw = bytes([0xAA])
+    good = _build_tiff(
+        big_endian=False, w=8, h=1, spp=1, photometric=1,
+        compression=1, strips=[raw], bps=1, rows_per_strip=1,
+    )
+    assert decode_tiff(good) is not None
+    # predictor 2 with sub-byte depth refuses
+    bad = _build_tiff(
+        big_endian=False, w=8, h=1, spp=1, photometric=1,
+        compression=1, strips=[raw], bps=1, rows_per_strip=1,
+        predictor=2,
+    )
+    assert decode_tiff(bad) is None
+    # depth 2 (never a TIFF baseline depth) refuses
+    bad2 = _build_tiff(
+        big_endian=False, w=4, h=1, spp=1, photometric=1,
+        compression=1, strips=[raw], bps=2, rows_per_strip=1,
+    )
+    assert decode_tiff(bad2) is None
