@@ -201,6 +201,8 @@ HEADLINE = [
     "knn_hybrid_rrf",
     # round-11: Avro OCF ingestion (varints, blocks, from-scratch snappy)
     "source_avro_records",
+    # round-11: contrastive hard-negative mining (positive exclusion)
+    "pipeline_hard_negatives",
 ]
 
 

@@ -69,6 +69,67 @@ def brute_force_topk(
     )
 
 
+def hard_negative_mining(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    pos_threshold: float = 0.30,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining (the InfoNCE /
+    embedding-model data-prep step): for each anchor, the top-k
+    HIGHEST-cosine candidates strictly below ``pos_threshold`` —
+    neighbors at or above it are presumed positives / near-dups of
+    the anchor, and training on them as negatives would be label
+    noise — plus the per-anchor count of excluded presumed
+    positives. Returns (query_id, neighbor_id, cosine, rn,
+    n_pos_excluded), ties broken by neighbor id.
+
+    Scale: this is the exact small-N evaluation twin (bounded
+    anchor sample × corpus, same as brute_force_topk); the
+    production path generates candidates through the IVF/SRP index
+    joins in this module and applies the identical
+    threshold-exclusion + top-k on the candidate set."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+    )
+    n_pos = (
+        scored.filter(F.col("cosine") >= F.lit(pos_threshold))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_pos_excluded"))
+    )
+    neg = grouped_topk(
+        scored.filter(F.col("cosine") < F.lit(pos_threshold)),
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    )
+    return (
+        neg.join(F.broadcast(n_pos), "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround("cosine", 6).alias("cosine"),
+            "rn",
+            F.coalesce("n_pos_excluded", F.lit(0)).alias("n_pos_excluded"),
+        )
+    )
+
+
 def lsh_bucket(
     vec_col: Column | str, n_bits: int = 4, dim: int = 64, offset: int = 0
 ) -> Column:

@@ -784,6 +784,61 @@ QUALIFY rn <= 10
 """
 
 
+#: hard-negative mining: presumed-positive exclusion threshold —
+#: near the top of the synthetic corpus's cosine distribution
+#: (top-3 neighbor cos ≈ 0.39) so real anchors actually exclude a
+#: few near-dups; the comparison is the same IEEE double on both
+#: engines, so the gate is exact
+HN_POS_T = 0.30
+K_HN = 5
+
+
+def pipeline_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-training hard-negative mining (r11 —
+    operators/knn.py::hard_negative_mining): for each anchor in the
+    bounded eval sample, the top-K highest-cosine candidates BELOW
+    the presumed-positive threshold (neighbors at/above it are
+    near-dups of the anchor — label noise as negatives), plus the
+    per-anchor excluded-positive count. The exact small-N twin of
+    the production path (IVF/SRP candidates + the same exclusion);
+    the oracle replays the identical double arithmetic, threshold
+    gate, and (cos DESC, id) total order."""
+    from queryengine_spark.operators.knn import hard_negative_mining
+
+    e = t(spark, sf, "embeddings")
+    return hard_negative_mining(
+        _query_sample(e, QSTRIDE_BRUTE),
+        e,
+        "vec_id",
+        "embedding",
+        k=K_HN,
+        pos_threshold=HN_POS_T,
+    )
+
+
+PIPELINE_HARD_NEGATIVES_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % {QSTRIDE_BRUTE} = 0 AND vec_id < {Q_ID_CAP_BRUTE}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a='qv', b='v')} AS cos
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+pos AS (SELECT query_id, CAST(COUNT(*) AS INT) AS n_pos_excluded
+        FROM scored WHERE cos >= {HN_POS_T} GROUP BY query_id),
+neg AS (
+  SELECT query_id, neighbor_id,
+         floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rn
+  FROM scored WHERE cos < {HN_POS_T})
+SELECT n.query_id, n.neighbor_id, n.cosine, n.rn,
+       COALESCE(p.n_pos_excluded, 0) AS n_pos_excluded
+FROM neg n LEFT JOIN pos p USING (query_id)
+WHERE n.rn <= {K_HN}
+"""
+
+
 # r6 fold: knn_bruteforce / knn_lsh / knn_ivf merged into the tagged
 # composite above (one certification slot; every leg still executes).
 QUERIES = {
@@ -791,4 +846,8 @@ QUERIES = {
     "knn_ann_suite": (knn_ann_suite, KNN_ANN_SUITE_SQL),
     "knn_sq8": (knn_sq8, KNN_SQ8_SQL),
     "knn_hybrid_rrf": (knn_hybrid_rrf, KNN_HYBRID_RRF_SQL),
+    "pipeline_hard_negatives": (
+        pipeline_hard_negatives,
+        PIPELINE_HARD_NEGATIVES_SQL,
+    ),
 }

@@ -124,3 +124,47 @@ def test_no_cartesian_outside_bounded_eval_leg(spark, toy):
     # stats broadcast (the repo's broadcast-of-scalar pattern) is the
     # only other
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+# ---------------------------------------------------------------------------
+# r11: hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negative_mining_semantics(spark):
+    """Hand corpus: anchors exclude presumed positives (cos >= T)
+    from the negative set and report the excluded count."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.operators.knn import hard_negative_mining
+
+    def unit(theta):
+        return [float(math.cos(theta)), float(math.sin(theta))] + [0.0] * 2
+
+    # anchor 0 at angle 0; ids 1-2 nearly parallel (positives),
+    # ids 3-5 at widening angles (the hard negatives, in order)
+    rows = [
+        (0, unit(0.0)),
+        (1, unit(0.05)),
+        (2, unit(0.10)),
+        (3, unit(1.0)),
+        (4, unit(1.2)),
+        (5, unit(1.4)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = hard_negative_mining(
+        df.filter(F.col("vec_id") == 0), df, "vec_id", "embedding",
+        k=2, pos_threshold=0.9,
+    ).collect()
+    assert [(r.neighbor_id, r.rn) for r in out] == [(3, 1), (4, 2)]
+    assert all(r.n_pos_excluded == 2 for r in out)
+    assert all(r.cosine < 0.9 for r in out)
+    # no positives above threshold -> n_pos_excluded 0
+    out2 = hard_negative_mining(
+        df.filter(F.col("vec_id") == 0), df, "vec_id", "embedding",
+        k=2, pos_threshold=1.1,
+    ).collect()
+    assert all(r.n_pos_excluded == 0 for r in out2)
+    assert [(r.neighbor_id, r.rn) for r in out2] == [(1, 1), (2, 2)]
