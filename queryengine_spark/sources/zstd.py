@@ -529,6 +529,7 @@ def _exec_sequences(
     seqs: list[tuple[int, int, int]],
     rep: list[int],
     frame_base: int,
+    window: int,
 ) -> None:
     """Sequence execution (RFC 8878 §3.1.1.4): copy literals, then a
     back-reference match, maintaining the 3-slot repeat-offset
@@ -564,9 +565,11 @@ def _exec_sequences(
                 rep[2] = rep[1]
                 rep[1] = rep[0]
                 rep[0] = offset
-        if offset <= 0 or offset > len(out) - frame_base:
-            # a match may not reach before the frame's own start
-            # (no dictionary; concatenated frames are independent)
+        if offset <= 0 or offset > len(out) - frame_base or offset > window:
+            # a match may not reach before the frame's own start (no
+            # dictionary; concatenated frames are independent) NOR
+            # farther back than the declared Window_Size (RFC 8878
+            # §3.1.1.1.2: offsets are bounded by the window)
             raise ValueError("sequences: offset out of window")
         if offset >= ml:
             start = len(out) - offset
@@ -583,6 +586,7 @@ def _decode_block(
     rep: list[int],
     state: dict,
     frame_base: int,
+    window: int,
 ) -> None:
     """One Compressed block: literals section, sequences section,
     execution. ``state`` carries the cross-block repeatables
@@ -674,7 +678,7 @@ def _decode_block(
             ll_st = lbase + (v >> mnb)
     if br.remaining() != 0:
         raise ValueError("sequences: bitstream not fully consumed")
-    _exec_sequences(out, lits, seqs, rep, frame_base)
+    _exec_sequences(out, lits, seqs, rep, frame_base, window)
 
 
 # --------------------------------------------------------------------------
@@ -870,7 +874,9 @@ def _decompress_frame(b: bytes, p0: int, out: bytearray) -> int | None:
         else:
             if bsize > block_cap or p + bsize > len(b):
                 return None
-            _decode_block(b[p : p + bsize], out, rep, state, frame_base)
+            _decode_block(
+                b[p : p + bsize], out, rep, state, frame_base, window_size
+            )
             p += bsize
         if len(out) > MAX_CONTENT:
             return None

@@ -180,16 +180,21 @@ def test_multi_frame_window_isolation():
 
     # within-frame match: fine (offset 2 against 4 own bytes)
     out = bytearray(b"PREVFRAME!")
-    _exec_sequences(out, b"abcd", [(4, 2 + 3, 3)], [1, 4, 8], 10)
+    _exec_sequences(out, b"abcd", [(4, 2 + 3, 3)], [1, 4, 8], 10, 1 << 20)
     assert bytes(out) == b"PREVFRAME!abcdcdc"
     # the SAME sequence with only 1 own byte must refuse even though
     # the combined buffer is long enough
     out = bytearray(b"PREVFRAME!")
     with pytest.raises(ValueError):
-        _exec_sequences(out, b"a", [(1, 2 + 3, 3)], [1, 4, 8], 10)
+        _exec_sequences(out, b"a", [(1, 2 + 3, 3)], [1, 4, 8], 10, 1 << 20)
+    # a within-frame offset farther back than the declared window
+    # refuses (RFC 8878 §3.1.1.1.2)
+    out = bytearray()
+    with pytest.raises(ValueError):
+        _exec_sequences(out, b"abcd", [(4, 2 + 3, 3)], [1, 4, 8], 0, 1)
     # frame_base 0 (single frame) keeps the old semantics
     out = bytearray()
-    _exec_sequences(out, b"xy", [(2, 2 + 3, 4)], [1, 4, 8], 0)
+    _exec_sequences(out, b"xy", [(2, 2 + 3, 4)], [1, 4, 8], 0, 1 << 20)
     assert bytes(out) == b"xyxyxy"
 
 
