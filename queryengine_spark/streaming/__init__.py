@@ -902,6 +902,43 @@ def stream_archive_members(shards: DataFrame, path: str):
     )
 
 
+def stream_hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pos_threshold: float = 0.30,
+):
+    """Incremental hard-negative mining (r11 — the contrastive-
+    training twin): each micro-batch of NEW anchor vectors is mined
+    against the static corpus (operators/knn.py::
+    hard_negative_mining — presumed-positive exclusion + top-k) and
+    the per-anchor negative sets append to parquet — how an
+    embedding-training pipeline keeps its negative pool fresh as
+    anchors stream in. foreachBatch because mining is stateless per
+    anchor given the corpus snapshot; the sink append is idempotent
+    by (query_id, rn). Returns the started query (availableNow
+    trigger)."""
+    from queryengine_spark.operators.knn import hard_negative_mining
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hard_negative_mining(
+            batch_df, corpus, id_col, vec_col,
+            k=k, pos_threshold=pos_threshold,
+        ).write.mode("append").parquet(path)
+
+    return (
+        anchors.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_avro_records(shards: DataFrame, path: str):
     """Incremental Avro OCF ingestion (r11 — the record-container
     twin of :func:`stream_pdf_text`): each micro-batch of raw OCF

@@ -372,6 +372,46 @@ def test_stream_archive_members_equals_batch(spark, sf_dir, tmp_path):
     assert got == ref
 
 
+def test_stream_hard_negatives_equals_batch(spark, sf_dir, tmp_path):
+    """r11: incremental hard-negative mining — anchor micro-batches
+    mined against the static corpus must leave a relation identical
+    to one batch pass."""
+    from queryengine_spark.operators.knn import hard_negative_mining
+
+    from queryengine_spark.streaming import stream_hard_negatives
+
+    corpus = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    anchors = corpus.filter(F.col("vec_id") % 100 == 0).filter(
+        F.col("vec_id") < 1200
+    )
+    batch = hard_negative_mining(
+        anchors, corpus, "vec_id", "embedding", k=4, pos_threshold=0.30
+    )
+    ref = sorted(tuple(r) for r in batch.collect())
+
+    watch = str(tmp_path / "anchor_watch")
+    os.makedirs(watch)
+    for kdrop in range(3):
+        anchors.filter(F.col("vec_id") % 3 == kdrop).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(anchors.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    out = str(tmp_path / "hard_negs")
+    q = stream_hard_negatives(
+        stream, corpus, out, k=4, pos_threshold=0.30
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select(*batch.columns).collect()
+    )
+    assert got == ref
+
+
 def test_stream_avro_records_equals_batch(spark, sf_dir, tmp_path):
     """r11: incremental Avro OCF ingestion — micro-batch container
     walks must leave a relation identical to one batch pass (all
