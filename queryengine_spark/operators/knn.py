@@ -496,6 +496,36 @@ def ivf_topk(
     centroid table, and the cell equi-join is AQE-skew-splittable.
     Output: (query_id, neighbor_id, cosine, rn).
     """
+    scored = _ivf_scored(
+        queries, candidates, id_col, vec_col,
+        n_cells, nprobe, sample_n, train_iters,
+    )
+    top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    )
+    return top.select(
+        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    )
+
+
+def _ivf_scored(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    nprobe: int,
+    sample_n: int,
+    train_iters: int,
+) -> DataFrame:
+    """The IVF candidate-generation core shared by ivf_topk and
+    hard_negative_mining_ivf: cell-indexed candidates equi-joined
+    with nprobe-exploded queries, cosine-scored."""
     sample = _collect_vec_sample(candidates, id_col, vec_col, max(sample_n, n_cells))
     cents = kmeans_centroids_int(sample, n_cells, train_iters)
     assign1 = ivf_cells_int_udf(cents, 1)
@@ -510,21 +540,61 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(assignp(F.col(vec_col))).alias("cell"),
     )
-    scored = (
+    return (
         c.join(q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
     )
-    top = grouped_topk(
-        scored,
+
+
+def hard_negative_mining_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    pos_threshold: float = 0.30,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 256,
+    train_iters: int = 3,
+) -> DataFrame:
+    """The PRODUCTION path of hard-negative mining: candidates come
+    from the IVF cell join (each anchor scores only its nprobe
+    nearest cells — O(corpus/n_cells · nprobe) pairs per anchor
+    instead of O(corpus)), then the identical presumed-positive
+    exclusion and top-k. n_pos_excluded counts positives among the
+    PROBED candidates (the index's view — an anchor's near-dups
+    land in its own cell with overwhelming probability, which is
+    exactly why IVF recall is high for the near field). Same output
+    schema as hard_negative_mining; at 100 TB the cell id is the
+    shuffle key and the centroid table broadcasts."""
+    scored = _ivf_scored(
+        queries, candidates, id_col, vec_col,
+        n_cells, nprobe, sample_n, train_iters,
+    )
+    n_pos = (
+        scored.filter(F.col("cosine") >= F.lit(pos_threshold))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_pos_excluded"))
+    )
+    neg = grouped_topk(
+        scored.filter(F.col("cosine") < F.lit(pos_threshold)),
         ["query_id"],
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
         rank_col="rn",
         keep_rank=True,
     )
-    return top.select(
-        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    return (
+        neg.join(F.broadcast(n_pos), "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround("cosine", 6).alias("cosine"),
+            "rn",
+            F.coalesce("n_pos_excluded", F.lit(0)).alias("n_pos_excluded"),
+        )
     )
 
 

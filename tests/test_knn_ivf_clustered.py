@@ -138,3 +138,39 @@ def test_sq8_codes_and_reconstruction_properties(clustered, spark):
             if vd > 0 and vmin[d] <= x <= vmax[d]:
                 assert abs(recon - x) <= vd // 255 + vd / 255 + 1, (d, x, recon)
             assert 0 <= code <= 255
+
+
+def test_hard_negatives_ivf_matches_exact_on_clustered(clustered):
+    """r11: the IVF production path of hard-negative mining must
+    recover (almost all of) the exact miner's negative sets on the
+    clustered corpus — same threshold gate, same ordering, candidate
+    generation through the cell join."""
+    from queryengine_spark.operators.knn import (
+        hard_negative_mining,
+        hard_negative_mining_ivf,
+    )
+
+    q = clustered.filter(F.col("vec_id") % 40 == 0)
+    # threshold inside the within-cluster cosine band (~0.55-0.6 on
+    # this corpus): the nearest same-cluster neighbors are the
+    # presumed positives, the band below them the hard negatives
+    exact = hard_negative_mining(
+        q, clustered, "vec_id", "embedding", k=K, pos_threshold=0.55
+    )
+    ivf = hard_negative_mining_ivf(
+        q, clustered, "vec_id", "embedding", k=K, pos_threshold=0.55,
+        n_cells=N_CLUSTERS, nprobe=NPROBE,
+    )
+    assert exact.columns == ivf.columns
+    recall = _recall(
+        exact.select("query_id", "neighbor_id"),
+        ivf.select("query_id", "neighbor_id"),
+    )
+    assert recall >= 0.65, recall
+    # exclusion really fires for most anchors (same-cluster positives
+    # above the threshold)
+    ex_rows = exact.collect()
+    assert ex_rows
+    with_excl = sum(1 for r in ex_rows if r.n_pos_excluded > 0)
+    assert with_excl >= 0.6 * len(ex_rows), (with_excl, len(ex_rows))
+    assert all(r.cosine < 0.55 for r in ex_rows)
