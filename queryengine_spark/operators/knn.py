@@ -104,6 +104,12 @@ def hard_negative_mining(
         c.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+        .select("query_id", "neighbor_id", "cosine")
+        # the scored relation feeds TWO consumers (positive counts,
+        # negative top-k) and its cosine column is referenced by both
+        # a filter and the output — without the checkpoint barrier
+        # Catalyst re-evaluates the Arrow cosine kernel three times
+        .localCheckpoint(eager=False)
     )
     n_pos = (
         scored.filter(F.col("cosine") >= F.lit(pos_threshold))
@@ -572,6 +578,8 @@ def hard_negative_mining_ivf(
     scored = _ivf_scored(
         queries, candidates, id_col, vec_col,
         n_cells, nprobe, sample_n, train_iters,
+    ).select("query_id", "neighbor_id", "cosine").localCheckpoint(
+        eager=False  # same two-consumer / filter+output barrier
     )
     n_pos = (
         scored.filter(F.col("cosine") >= F.lit(pos_threshold))

@@ -51,6 +51,8 @@ AUDITED = [
     ("pipeline_cc_ingest", "r10 composite: ONE FlatMapGroupsInPandas shard assembly (localCheckpointed fan-in), zero-shuffle replay/extract MapInPandas, id-keyed minhash joins, range-Exchange prefix-sum packing; no cartesian"),
     ("source_pdf_text", "r11: one deliberate spread Exchange of the narrow id relation, then two chained MapInPandas (synthesize, xref-walk + extract); zero joins"),
     ("source_warc_wat", "r11: same fan-out-then-map shape — spread Exchange + two MapInPandas; the full-record-set WAT production stays row-linear"),
+    ("source_avro_records", "r11: spread Exchange + two chained MapInPandas (synthesize, container-walk + record fan-out); zero joins"),
+    ("pipeline_hard_negatives", "r11: broadcast anchors over the corpus scan; threshold split feeds WindowGroupLimit top-k + a broadcast positive-count join; the cross join is the documented bounded-anchor eval twin"),
 ]
 
 
