@@ -203,6 +203,8 @@ HEADLINE = [
     "source_avro_records",
     # round-11: contrastive hard-negative mining (positive exclusion)
     "pipeline_hard_negatives",
+    # round-11: SQLite database-file ingestion (b-tree page walk)
+    "source_sqlite_rows",
 ]
 
 

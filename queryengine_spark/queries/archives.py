@@ -665,10 +665,83 @@ JOIN map_sums ms ON ms.s = b.s AND ms.i = b.i
 """
 
 
+from queryengine_spark.sources.sqlitefile import (  # noqa: E402
+    SQL_LONG_BASE,
+    SQL_LONG_MOD,
+    SQL_NAME_BASE,
+    SQL_NAME_MOD,
+    SQL_NROW_BASE,
+    SQL_NROW_MOD,
+    sqlite_rows,
+    synthesize_sqlite,
+)
+
+
+def source_sqlite_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """SQLite database-file ingestion (r11 — the embedded-database
+    format app dumps and many published datasets ship in): write one
+    real database per document through the stdlib sqlite3 engine at
+    page_size 512 (multi-level b-trees + overflow chains on the long
+    rows), then parse the FILE BYTES back from scratch — header,
+    sqlite_master catalog walk, interior/leaf b-tree traversal,
+    varints, every record serial-type family, the INTEGER PRIMARY
+    KEY rowid alias, overflow reassembly — and emit one row per
+    table row with exact integer projections. The oracle recomputes
+    everything FROM THE FORMULAS, so a hash match certifies the
+    whole page walk against what the real engine wrote. Zero
+    shuffle. Design notes: sources/sqlitefile.py."""
+    ids = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("shard_id")
+    )
+    return sqlite_rows(synthesize_sqlite(spread(ids)))
+
+
+SOURCE_SQLITE_ROWS_SQL = f"""
+WITH ids AS (SELECT doc_id AS s FROM documents),
+recs AS (SELECT s, CAST(ii.i AS BIGINT) AS i
+         FROM ids,
+              unnest(range(0, {SQL_NROW_BASE} + s % {SQL_NROW_MOD})) ii(i)),
+base AS (
+  SELECT s, i,
+         CAST(CASE WHEN i % 7 = 3
+              THEN {SQL_LONG_BASE} + (s + i) % {SQL_LONG_MOD}
+              ELSE {SQL_NAME_BASE} + (s + 2 * i) % {SQL_NAME_MOD}
+              END AS BIGINT) AS name_len,
+         CAST(2 + (s + i) % 9 AS BIGINT) AS payload_len
+  FROM recs),
+name_sums AS (
+  SELECT s, i, SUM(97 + (2 * s + 3 * i + jj.j) % 26) AS name_sum
+  FROM base, unnest(range(0, name_len)) jj(j)
+  GROUP BY s, i),
+payload_sums AS (
+  SELECT s, i, SUM((3 * s + 5 * i + 11 * jj.j) % 256) AS payload_sum
+  FROM base, unnest(range(0, payload_len)) jj(j)
+  GROUP BY s, i)
+SELECT b.s AS shard_id,
+       CAST(b.s * 100000 + 3 * b.i + 1 AS BIGINT) AS rid,
+       CAST(b.name_len AS INT) AS name_len,
+       CAST(ns.name_sum AS BIGINT) AS name_sum,
+       CAST((5 * b.s + 7 * b.i) % 2000 AS BIGINT) AS score_q,
+       CAST(b.payload_len AS INT) AS payload_len,
+       CAST(ps.payload_sum AS BIGINT) AS payload_sum,
+       CASE WHEN b.i % 4 = 1 THEN NULL
+            ELSE CAST((9 * b.s + b.i) % 1000 AS BIGINT) END AS opt,
+       CAST((CASE WHEN b.i % 3 = 0 THEN -1 ELSE 1 END)
+            * (CASE (b.s + b.i) % 5
+               WHEN 0 THEN 64 WHEN 1 THEN 16384
+               WHEN 2 THEN 4194304 WHEN 3 THEN 1073741824
+               ELSE 70368744177664 END + b.i) AS BIGINT) AS small
+FROM base b
+JOIN name_sums ns ON ns.s = b.s AND ns.i = b.i
+JOIN payload_sums ps ON ps.s = b.s AND ps.i = b.i
+"""
+
+
 QUERIES = {
     "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
     "source_pdf_text": (source_pdf_text, SOURCE_PDF_TEXT_SQL),
     "source_avro_records": (source_avro_records, SOURCE_AVRO_RECORDS_SQL),
+    "source_sqlite_rows": (source_sqlite_rows, SOURCE_SQLITE_ROWS_SQL),
     "source_warc_records": (source_warc_records, SOURCE_WARC_RECORDS_SQL),
     "source_warc_cdx": (source_warc_cdx, SOURCE_WARC_CDX_SQL),
     "source_warc_revisit": (source_warc_revisit, SOURCE_WARC_REVISIT_SQL),

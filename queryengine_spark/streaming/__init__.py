@@ -939,6 +939,28 @@ def stream_hard_negatives(
     )
 
 
+def stream_sqlite_rows(shards: DataFrame, path: str):
+    """Incremental SQLite-dump ingestion (r11 — the database twin of
+    :func:`stream_avro_records`): each micro-batch of serialized
+    database files runs the from-scratch page walk
+    (sources/sqlitefile.py::sqlite_rows) and appends the per-row
+    relation to parquet — how a pipeline drains app-data dumps as
+    they land. foreachBatch; idempotent append by (shard_id, rid).
+    Returns the started query (availableNow trigger)."""
+    from queryengine_spark.sources.sqlitefile import sqlite_rows
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sqlite_rows(batch_df).write.mode("append").parquet(path)
+
+    return (
+        shards.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_avro_records(shards: DataFrame, path: str):
     """Incremental Avro OCF ingestion (r11 — the record-container
     twin of :func:`stream_pdf_text`): each micro-batch of raw OCF

@@ -372,6 +372,41 @@ def test_stream_archive_members_equals_batch(spark, sf_dir, tmp_path):
     assert got == ref
 
 
+def test_stream_sqlite_rows_equals_batch(spark, sf_dir, tmp_path):
+    """r11: incremental SQLite ingestion — micro-batch page walks
+    must leave a relation identical to one batch pass."""
+    from queryengine_spark.sources.sqlitefile import (
+        sqlite_rows,
+        synthesize_sqlite,
+    )
+    from queryengine_spark.streaming import stream_sqlite_rows
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "shard_id long")
+    shards = synthesize_sqlite(ids)
+    batch = sqlite_rows(shards)
+    ref = sorted(tuple(r) for r in batch.collect())
+
+    watch = str(tmp_path / "sqlite_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        shards.filter(F.col("shard_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(shards.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    out = str(tmp_path / "sqlite_rows")
+    q = stream_sqlite_rows(stream, out)
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select(*batch.columns).collect()
+    )
+    assert got == ref
+
+
 def test_stream_hard_negatives_equals_batch(spark, sf_dir, tmp_path):
     """r11: incremental hard-negative mining — anchor micro-batches
     mined against the static corpus must leave a relation identical
