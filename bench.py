@@ -205,6 +205,8 @@ HEADLINE = [
     "pipeline_hard_negatives",
     # round-11: SQLite database-file ingestion (b-tree page walk)
     "source_sqlite_rows",
+    # round-11: TFRecord/tf.Example ingestion (CRC32C framing + protobuf)
+    "source_tfrecord_examples",
 ]
 
 

@@ -737,11 +737,79 @@ JOIN payload_sums ps ON ps.s = b.s AND ps.i = b.i
 """
 
 
+from queryengine_spark.sources.tfrecord import (  # noqa: E402
+    TFR_NREC_BASE,
+    TFR_NREC_MOD,
+    TFR_TXT_BASE,
+    TFR_TXT_MOD,
+    synthesize_tfrecord,
+    tfrecord_examples,
+)
+
+
+def source_tfrecord_examples(spark: SparkSession, sf: str) -> DataFrame:
+    """TFRecord / tf.Example ingestion (r11 — the TensorFlow
+    training-data container): synthesize one framed shard per
+    document (masked-CRC32C record framing, hand-encoded protobuf
+    wire format for Example → Features map → Int64List/FloatList/
+    BytesList features incl. a negative-int64 10-byte-varint slot;
+    odd shards whole-stream gzip), parse it back FOR REAL (from-
+    scratch CRC32C pinned to the published check value, a general
+    wire-format walker that skips unknown fields per spec), and
+    emit one row per example with exact integer projections. The
+    oracle recomputes everything FROM THE FORMULAS. Zero shuffle.
+    Design notes: sources/tfrecord.py."""
+    ids = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("shard_id")
+    )
+    return tfrecord_examples(synthesize_tfrecord(spread(ids)))
+
+
+SOURCE_TFRECORD_SQL = f"""
+WITH ids AS (SELECT doc_id AS s FROM documents),
+recs AS (SELECT s, CAST(ii.i AS BIGINT) AS i
+         FROM ids,
+              unnest(range(0, {TFR_NREC_BASE} + s % {TFR_NREC_MOD})) ii(i)),
+base AS (
+  SELECT s, i,
+         CAST(1 + (s + i) % 5 AS BIGINT) AS n_toks,
+         CAST({TFR_TXT_BASE} + (s + 2 * i) % {TFR_TXT_MOD}
+              AS BIGINT) AS txt_len
+  FROM recs),
+tok_sums AS (
+  SELECT s, i, SUM((3 * s + 5 * i + 7 * tt.t) % 1000) AS raw_sum
+  FROM base, unnest(range(0, n_toks)) tt(t)
+  GROUP BY s, i),
+txt_sums AS (
+  SELECT s, i, SUM(97 + (s + 3 * i + jj.j) % 26) AS txt_sum
+  FROM base, unnest(range(0, txt_len)) jj(j)
+  GROUP BY s, i)
+SELECT b.s AS shard_id,
+       CAST(b.i AS INT) AS rec_idx,
+       CAST(b.s * 1000 + b.i AS BIGINT) AS rid,
+       CAST(b.n_toks AS INT) AS n_toks,
+       CAST(CASE WHEN b.i % 6 = 2
+            -- the negative slot: toks[0] -> -toks[0]-1
+            THEN ts.raw_sum - 2 * ((3 * b.s + 5 * b.i) % 1000) - 1
+            ELSE ts.raw_sum END AS BIGINT) AS toks_sum,
+       CAST(b.txt_len AS INT) AS txt_len,
+       CAST(xs.txt_sum AS BIGINT) AS txt_sum,
+       CAST((11 * b.s + 13 * b.i) % 500 AS BIGINT) AS w_q
+FROM base b
+JOIN tok_sums ts ON ts.s = b.s AND ts.i = b.i
+JOIN txt_sums xs ON xs.s = b.s AND xs.i = b.i
+"""
+
+
 QUERIES = {
     "source_archive_shards": (source_archive_shards, SOURCE_ARCHIVE_SHARDS_SQL),
     "source_pdf_text": (source_pdf_text, SOURCE_PDF_TEXT_SQL),
     "source_avro_records": (source_avro_records, SOURCE_AVRO_RECORDS_SQL),
     "source_sqlite_rows": (source_sqlite_rows, SOURCE_SQLITE_ROWS_SQL),
+    "source_tfrecord_examples": (
+        source_tfrecord_examples,
+        SOURCE_TFRECORD_SQL,
+    ),
     "source_warc_records": (source_warc_records, SOURCE_WARC_RECORDS_SQL),
     "source_warc_cdx": (source_warc_cdx, SOURCE_WARC_CDX_SQL),
     "source_warc_revisit": (source_warc_revisit, SOURCE_WARC_REVISIT_SQL),

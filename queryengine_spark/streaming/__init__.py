@@ -939,6 +939,27 @@ def stream_hard_negatives(
     )
 
 
+def stream_tfrecord_examples(shards: DataFrame, path: str):
+    """Incremental TFRecord ingestion (r11): each micro-batch of
+    framed shards runs the CRC32C + wire-format walk
+    (sources/tfrecord.py::tfrecord_examples) and appends the
+    per-example relation to parquet. foreachBatch; idempotent append
+    by (shard_id, rec_idx). Returns the started query (availableNow
+    trigger)."""
+    from queryengine_spark.sources.tfrecord import tfrecord_examples
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tfrecord_examples(batch_df).write.mode("append").parquet(path)
+
+    return (
+        shards.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sqlite_rows(shards: DataFrame, path: str):
     """Incremental SQLite-dump ingestion (r11 — the database twin of
     :func:`stream_avro_records`): each micro-batch of serialized

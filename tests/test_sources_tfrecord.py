@@ -1,0 +1,155 @@
+"""From-scratch TFRecord / tf.Example reader (sources/tfrecord.py):
+CRC32C against the published check value, framing round-trips, hand
+wire-format vectors (unknown-field skipping, unpacked lists,
+negative varints), and strict-refusal probes."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from queryengine_spark.sources.tfrecord import (
+    crc32c,
+    make_example,
+    make_tfrecord_shard,
+    masked_crc32c,
+    parse_example,
+    parse_tfrecord,
+    tfr_n_recs,
+    tfr_toks,
+    tfr_txt,
+    tfr_w_q,
+)
+
+
+def test_crc32c_published_check_value():
+    """The CRC-32/ISCSI (Castagnoli) check value for '123456789' —
+    the externally-pinnable anchor for the framing layer."""
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    # masking is the TensorFlow rotate-and-add
+    c = crc32c(b"length bytes")
+    assert masked_crc32c(b"length bytes") == (
+        (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    )
+
+
+@pytest.mark.parametrize("s", list(range(10)))
+def test_roundtrip_matches_formula(s):
+    got = parse_tfrecord(make_tfrecord_shard(s))
+    assert got is not None and len(got) == tfr_n_recs(s)
+    for i, ex in enumerate(got):
+        assert ex["rid"] == ("int64", [s * 1000 + i])
+        assert ex["toks"] == ("int64", tfr_toks(s, i))
+        assert ex["txt"] == ("bytes", [tfr_txt(s, i)])
+        kind, vals = ex["w"]
+        assert kind == "float" and vals == [tfr_w_q(s, i) / 8.0]
+
+
+def test_negative_int64_exercised():
+    """i % 6 == 2 rows carry a negative token — the 10-byte varint
+    two's-complement path must really occur in the corpus."""
+    assert any(
+        any(v < 0 for v in tfr_toks(3, i)) for i in range(tfr_n_recs(3))
+    )
+    b = make_example(3, 2)
+    assert b"\x01" in b  # 10-byte varints end in 0x01
+    ex = parse_example(b)
+    assert min(ex["toks"][1]) < 0
+
+
+def test_hand_unknown_field_skipping():
+    """Unknown fields at every message level skip per spec instead
+    of refusing (forward compatibility — the wire-format rule)."""
+    base = make_example(1, 1)
+    # prepend an unknown varint field (field 9, wire 0) to Example
+    patched = bytes([9 << 3 | 0, 0x2A]) + base
+    assert parse_example(patched) == parse_example(base)
+    # unknown 64-bit field (field 7, wire 1)
+    patched = bytes([7 << 3 | 1]) + b"\x00" * 8 + base
+    assert parse_example(patched) == parse_example(base)
+
+
+def test_hand_unpacked_int64_list():
+    """Int64List values may arrive UNPACKED (one varint field per
+    value) — our writer packs, real writers sometimes don't."""
+    # Feature{int64_list=3 -> Int64List{value=1}} with two unpacked
+    # varint fields
+    il = bytes([1 << 3 | 0, 5, 1 << 3 | 0, 7])
+    feat = bytes([3 << 3 | 2, len(il)]) + il
+    entry = (
+        bytes([1 << 3 | 2, 1]) + b"k"
+        + bytes([2 << 3 | 2, len(feat)]) + feat
+    )
+    feats = bytes([1 << 3 | 2, len(entry)]) + entry
+    ex = bytes([1 << 3 | 2, len(feats)]) + feats
+    assert parse_example(ex) == {"k": ("int64", [5, 7])}
+
+
+def test_framing_refusals():
+    good = make_tfrecord_shard(0)
+    # flip a byte of the first record's data -> data CRC fails
+    bad = bytearray(good)
+    bad[14] ^= 1
+    assert parse_tfrecord(bytes(bad)) is None
+    # flip the length CRC
+    bad = bytearray(good)
+    bad[9] ^= 1
+    assert parse_tfrecord(bytes(bad)) is None
+    # trailing garbage / truncation
+    assert parse_tfrecord(good + b"x") is None
+    assert parse_tfrecord(good[:-3]) is None
+    assert parse_tfrecord(b"") == []
+    # gzip flavor: trailing garbage refuses
+    gz = make_tfrecord_shard(1)
+    assert parse_tfrecord(gz) is not None
+    assert parse_tfrecord(gz + b"junk") is None
+    # duplicate Feature oneof refuses
+    il = bytes([1 << 3 | 2, 1, 3])
+    feat = (bytes([3 << 3 | 2, len(il)]) + il) * 2
+    entry = (
+        bytes([1 << 3 | 2, 1]) + b"k"
+        + bytes([2 << 3 | 2, len(feat)]) + feat
+    )
+    feats = bytes([1 << 3 | 2, len(entry)]) + entry
+    ex = bytes([1 << 3 | 2, len(feats)]) + feats
+    assert parse_example(ex) is None
+
+
+def test_truncations_and_bitflips_never_crash():
+    for s in (0, 1):
+        b = make_tfrecord_shard(s)
+        step = max(1, len(b) // 40)
+        for cut in range(0, len(b), step):
+            parse_tfrecord(b[:cut])  # must not raise
+        rng = random.Random(s)
+        for _ in range(150):
+            i = rng.randrange(len(b))
+            fb = bytearray(b)
+            fb[i] ^= 1 << rng.randrange(8)
+            parse_tfrecord(bytes(fb))  # must not raise
+
+
+def test_spark_examples_plan_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.sources.tfrecord import (
+        synthesize_tfrecord,
+        tfrecord_examples,
+    )
+
+    ids = spark.range(0, 6).select(F.col("id").alias("shard_id"))
+    df = tfrecord_examples(synthesize_tfrecord(ids))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = df.collect()
+    assert len(rows) == sum(tfr_n_recs(s) for s in range(6))
+    for r in rows[:40]:
+        s, i = r.shard_id, r.rec_idx
+        assert r.rid == s * 1000 + i
+        assert r.toks_sum == sum(tfr_toks(s, i))
+        assert r.txt_sum == sum(tfr_txt(s, i))
+        assert r.w_q == tfr_w_q(s, i)
+    _ = struct

@@ -372,6 +372,42 @@ def test_stream_archive_members_equals_batch(spark, sf_dir, tmp_path):
     assert got == ref
 
 
+def test_stream_tfrecord_examples_equals_batch(spark, sf_dir, tmp_path):
+    """r11: incremental TFRecord ingestion — micro-batch CRC/wire
+    walks must leave a relation identical to one batch pass (plain
+    and gzip flavors both present on the % 2 routing)."""
+    from queryengine_spark.sources.tfrecord import (
+        synthesize_tfrecord,
+        tfrecord_examples,
+    )
+    from queryengine_spark.streaming import stream_tfrecord_examples
+
+    ids = spark.createDataFrame([(i,) for i in range(14)], "shard_id long")
+    shards = synthesize_tfrecord(ids)
+    batch = tfrecord_examples(shards)
+    ref = sorted(tuple(r) for r in batch.collect())
+
+    watch = str(tmp_path / "tfr_watch")
+    os.makedirs(watch)
+    for k in range(3):
+        shards.filter(F.col("shard_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+    stream = (
+        spark.readStream.schema(shards.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    out = str(tmp_path / "tfr_examples")
+    q = stream_tfrecord_examples(stream, out)
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select(*batch.columns).collect()
+    )
+    assert got == ref
+
+
 def test_stream_sqlite_rows_equals_batch(spark, sf_dir, tmp_path):
     """r11: incremental SQLite ingestion — micro-batch page walks
     must leave a relation identical to one batch pass."""
