@@ -54,6 +54,7 @@ AUDITED = [
     ("source_avro_records", "r11: spread Exchange + two chained MapInPandas (synthesize, container-walk + record fan-out); zero joins"),
     ("pipeline_hard_negatives", "r11: broadcast anchors over the corpus scan; threshold split feeds WindowGroupLimit top-k + a broadcast positive-count join; the cross join is the documented bounded-anchor eval twin"),
     ("source_sqlite_rows", "r11: spread Exchange + two chained MapInPandas (sqlite3 synthesis, from-scratch page walk); zero joins"),
+    ("source_tfrecord_examples", "r11: spread Exchange + two chained MapInPandas (framed synthesis, CRC32C + wire-format walk); zero joins"),
 ]
 
 
