@@ -107,8 +107,9 @@ def _registry_order() -> list:
     queries get a fresh driver row each round. Sorting by the last
     round whose driver hash row still certifies the current code
     (``certification.LAST_CERTIFIED``; reworked queries are voided
-    back to 0) rotates the 50-row window across the full 111-query
-    surface automatically — every query is at most ~2 rounds stale.
+    back to 0) rotates the 50-row window across the full registered
+    surface automatically, bounded by the staleness guard in
+    scripts/update_certification.py.
     Regenerate the map each round: scripts/update_certification.py.
     """
     entries = []
