@@ -566,3 +566,131 @@ def test_adpcm_refusals():
     assert decode_adpcm_wav(wav(ok, 4, blk)) is None
     # data not a whole number of blocks
     assert decode_adpcm_wav(wav(ok, 3, blk + b"\x00")) is None
+
+
+# ---------------------------------------------------------------------------
+# r11 second-session decoders
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_snappy_roundtrip_any_bytes(data):
+    """From-scratch snappy decode vs pyarrow's real encoder on
+    arbitrary bytes."""
+    import pyarrow as pa
+
+    from queryengine_spark.sources.avro import snappy_decompress
+
+    if not pa.Codec.is_available("snappy"):
+        return
+    enc = bytes(pa.Codec("snappy").compress(data))
+    assert snappy_decompress(enc) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=600), min_size=1, max_size=4),
+    st.lists(st.integers(min_value=0, max_value=2), min_size=0, max_size=3),
+)
+def test_zstd_multiframe_roundtrip(chunks, skips):
+    """Arbitrary frame concatenations with skippable frames sprinkled
+    anywhere decode to the concatenated content."""
+    import pyarrow as pa
+
+    from queryengine_spark.sources.zstd import decompress_zstd
+
+    if not pa.Codec.is_available("zstd"):
+        return
+    zc = pa.Codec("zstd", compression_level=3)
+    stream = bytearray()
+    for i, c in enumerate(chunks):
+        for k in skips:
+            if (i + k) % 2 == 0:
+                sk = bytes([0x50 + k]) + b"\x2a\x4d\x18"
+                sk += (k * 3).to_bytes(4, "little") + b"x" * (k * 3)
+                stream += sk
+        stream += bytes(zc.compress(c))
+    assert decompress_zstd(bytes(stream)) == b"".join(chunks)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(1 << 62), max_value=1 << 62),
+            st.text(
+                alphabet=st.characters(codec="utf-8"),
+                min_size=0,
+                max_size=300,
+            ),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.binary(min_size=0, max_size=200),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_sqlite_roundtrip_arbitrary_rows(rows):
+    """From-scratch SQLite page walk vs the REAL stdlib engine on
+    arbitrary values (incl. negative ints, unicode text, NaN-free
+    floats, empty blobs, and enough rows to split pages)."""
+    import sqlite3
+
+    from queryengine_spark.sources.sqlitefile import parse_sqlite_table
+
+    con = sqlite3.connect(":memory:")
+    con.execute("PRAGMA page_size=512")
+    con.execute(
+        "CREATE TABLE docs (rid INTEGER PRIMARY KEY, a INTEGER,"
+        " b TEXT, c REAL, d BLOB)"
+    )
+    for i, (a, b, c, d) in enumerate(rows):
+        con.execute(
+            "INSERT INTO docs VALUES (?,?,?,?,?)", (i + 1, a, b, c, d)
+        )
+    con.commit()
+    buf = bytes(con.serialize())
+    con.close()
+    got = parse_sqlite_table(buf)
+    assert got == [
+        [i + 1, a, b, c, d] for i, (a, b, c, d) in enumerate(rows)
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+             min_size=0, max_size=8),
+    st.binary(min_size=0, max_size=200),
+    st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32),
+             min_size=0, max_size=6),
+)
+def test_tfexample_wire_roundtrip(ints, blob, floats):
+    """Hand protobuf encode → from-scratch wire walk on arbitrary
+    int64 (full signed range), bytes, and float32 features."""
+    from queryengine_spark.sources.tfrecord import (
+        _feature_bytes,
+        _feature_float,
+        _feature_int64,
+        _pb_len,
+        parse_example,
+    )
+
+    feats = b""
+    for key, feat in (
+        (b"ii", _feature_int64(ints)),
+        (b"bb", _feature_bytes([blob])),
+        (b"ff", _feature_float(floats)),
+    ):
+        entry = _pb_len(1, key) + _pb_len(2, feat)
+        feats += _pb_len(1, entry)
+    ex = parse_example(_pb_len(1, feats))
+    assert ex["ii"] == ("int64", ints)
+    assert ex["bb"] == ("bytes", [blob])
+    kind, vals = ex["ff"]
+    assert kind == "float" and len(vals) == len(floats)
+    import struct as _s
+
+    for got, want in zip(vals, floats):
+        assert _s.pack("<f", got) == _s.pack("<f", want)
