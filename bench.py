@@ -207,6 +207,8 @@ HEADLINE = [
     "source_sqlite_rows",
     # round-11: TFRecord/tf.Example ingestion (CRC32C framing + protobuf)
     "source_tfrecord_examples",
+    # round-11: deep-gray TIFF decode (depths 1/4/16)
+    "multimodal_tiff_deep",
 ]
 
 

@@ -618,6 +618,93 @@ def make_tiff_gray_deep(asset_id: int, bps: int) -> bytes:
     )
 
 
+def deep_bps(asset_id: int) -> int:
+    """The deep-gray corpus split: depth 1 / 4 / 16 by asset % 3."""
+    return (1, 4, 16)[asset_id % 3]
+
+
+def synthesize_tiff_deep(ids, id_col: str = "asset_id"):
+    """One deep-gray TIFF per input row (mapInPandas), depths cycled
+    by deep_bps — the r11 corpus slot for the 1/4/16-bit decode
+    paths (promised 'next rotation' when the codec landed; the
+    rotation guard admitted it this round)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(a) for a in pdf[id_col]]
+            yield _pd.DataFrame(
+                {
+                    "asset_id": _pd.Series(ids_, dtype="int64"),
+                    "payload": [
+                        make_tiff_gray_deep(a, deep_bps(a)) for a in ids_
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(run, TIFF_ASSET_SCHEMA)
+
+
+def tiff_deep_stats(assets):
+    """Decode each deep-gray TIFF and emit exact integer stats over
+    the RAW stored codes (post WhiteIsZero inversion — exactly what
+    decode_tiff returns): certifies MSB-first sub-byte unpacking,
+    per-row padding, 16-bit byte order, and the code-range
+    inversion against the formula oracle. Row-linear mapInPandas,
+    zero shuffle."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        IntegerType as _I,
+        LongType as _L,
+        StructField as _F,
+        StructType as _S,
+    )
+
+    schema = _S(
+        [
+            _F("asset_id", _L()),
+            _F("bps", _I()),
+            _F("width", _I()),
+            _F("height", _I()),
+            _F("n_px", _L()),
+            _F("code_sum", _L()),
+            _F("corner_code", _L()),
+        ]
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = (
+                    decode_tiff(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if arr is None:
+                    continue
+                v = arr[..., 0].astype(np.int64)
+                rows.append(
+                    (
+                        int(aid),
+                        deep_bps(int(aid)),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(v.size),
+                        int(v.sum()),
+                        int(v[-1, -1]),
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return assets.mapInPandas(run, schema)
+
+
 def make_tiff(asset_id: int) -> bytes:
     """Container bytes for one asset (profile by asset_id % 4)."""
     a = asset_id

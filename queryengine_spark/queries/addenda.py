@@ -1715,3 +1715,65 @@ FROM leads GROUP BY asset_id, sample_rate, n_samples
 """
 
 QUERIES["multimodal_wav_adpcm"] = (multimodal_wav_adpcm, WAV_ADPCM_SQL)
+
+
+def multimodal_tiff_deep(spark: SparkSession, sf: str) -> DataFrame:
+    """Deep-gray TIFF decode (r11 — the corpus slot the TIFF
+    depth-1/4/16 codec landed with): one TIFF per document at depth
+    1 / 4 / 16 by asset % 3 (archival bilevel, 4-bit gray,
+    scientific 16-bit), odd assets PackBits-compressed, asset % 8 ==
+    5 WhiteIsZero. The reader unpacks MSB-first sub-byte rows with
+    per-row padding / byte-ordered 16-bit samples and inverts within
+    the code range; the oracle recomputes the exact code sums FROM
+    THE PIXEL FORMULAS, so a hash match certifies the whole sub-byte
+    and 16-bit machinery. Zero shuffle. Design notes:
+    multimodal/tiff.py::make_tiff_gray_deep."""
+    from queryengine_spark.multimodal.tiff import (
+        synthesize_tiff_deep,
+        tiff_deep_stats,
+    )
+
+    ids = t(spark, sf, "documents").select(F.col("doc_id").alias("asset_id"))
+    return tiff_deep_stats(synthesize_tiff_deep(spread(ids)))
+
+
+from queryengine_spark.multimodal.tiff import (  # noqa: E402
+    TIF_GRAY1,
+    TIF_H_MOD,
+    TIF_W_MOD,
+)
+
+TIFF_DEEP_SQL = f"""
+WITH ids AS (SELECT doc_id AS a FROM documents),
+cfg AS (SELECT a,
+               CAST(5 + a % {TIF_W_MOD} AS BIGINT) AS w,
+               CAST(4 + a % {TIF_H_MOD} AS BIGINT) AS h,
+               CAST(CASE a % 3 WHEN 0 THEN 1 WHEN 1 THEN 4
+                    ELSE 16 END AS INT) AS bps
+        FROM ids),
+px AS (SELECT a, w, h, bps, xx.x, yy.y,
+              ((xx.x // 4) * {TIF_GRAY1[0]} + {TIF_GRAY1[1]} * yy.y
+               + {TIF_GRAY1[2]} * a) % 256 AS g
+       FROM cfg, unnest(range(0, w)) xx(x), unnest(range(0, h)) yy(y)),
+codes AS (SELECT a, w, h, bps, x, y,
+                 CASE WHEN bps = 16
+                      THEN (257 * g + 101 * a + 3 * x + 5 * y) % 65536
+                      WHEN bps = 4 THEN g % 16
+                      ELSE g % 2 END AS code
+          FROM px),
+inv AS (SELECT a, w, h, bps, x, y,
+               CASE WHEN a % 8 = 5
+                    THEN (CASE bps WHEN 1 THEN 1 WHEN 4 THEN 15
+                          ELSE 65535 END) - code
+                    ELSE code END AS v
+        FROM codes)
+SELECT a AS asset_id, bps,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS code_sum,
+       CAST(MAX(CASE WHEN x = w - 1 AND y = h - 1 THEN v END)
+            AS BIGINT) AS corner_code
+FROM inv GROUP BY a, bps, w, h
+"""
+
+QUERIES["multimodal_tiff_deep"] = (multimodal_tiff_deep, TIFF_DEEP_SQL)

@@ -840,3 +840,32 @@ def test_deep_gray_refusals():
         compression=1, strips=[raw], bps=2, rows_per_strip=1,
     )
     assert decode_tiff(bad2) is None
+
+
+def test_deep_corpus_query_plan_no_shuffle(spark):
+    """The r11 deep-gray corpus slot: spread fan-out + two
+    MapInPandas, stats match the direct decode."""
+    from pyspark.sql import functions as F
+
+    from queryengine_spark.multimodal.tiff import (
+        deep_bps,
+        make_tiff_gray_deep,
+        synthesize_tiff_deep,
+        tiff_deep_stats,
+    )
+
+    ids = spark.range(0, 9).select(F.col("id").alias("asset_id"))
+    df = tiff_deep_stats(synthesize_tiff_deep(ids))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r.asset_id: r for r in df.collect()}
+    assert len(rows) == 9
+    import numpy as np
+
+    for a in range(9):
+        arr = decode_tiff(make_tiff_gray_deep(a, deep_bps(a)))
+        v = arr[..., 0].astype(np.int64)
+        r = rows[a]
+        assert (r.bps, r.n_px, r.code_sum, r.corner_code) == (
+            deep_bps(a), v.size, int(v.sum()), int(v[-1, -1])
+        )
