@@ -800,7 +800,11 @@ def _decompress_frame(b: bytes, p0: int, out: bytearray) -> int | None:
     """Decode ONE standard frame starting at ``p0``, appending its
     content to ``out``; returns the position just past the frame (and
     its checksum), or None on any violation."""
-    b = b[p0:]
+    # memoryview: slicing the remaining buffer per frame would copy
+    # the tail every time — an adversarial stream of thousands of
+    # tiny frames turns that into quadratic memcpy. The view is
+    # zero-copy; block payloads are materialized bounded (≤128 KiB).
+    b = memoryview(b)[p0:]
     frame_base = len(out)
     if len(b) < 9 or b[:4] != ZSTD_MAGIC:
         return None
@@ -875,7 +879,8 @@ def _decompress_frame(b: bytes, p0: int, out: bytearray) -> int | None:
             if bsize > block_cap or p + bsize > len(b):
                 return None
             _decode_block(
-                b[p : p + bsize], out, rep, state, frame_base, window_size
+                bytes(b[p : p + bsize]), out, rep, state,
+                frame_base, window_size,
             )
             p += bsize
         if len(out) > MAX_CONTENT:
