@@ -49,6 +49,9 @@ from pyspark.sql.types import (
 )
 
 AVRO_MAGIC = b"Obj\x01"
+#: decode-side sanity cap on declared element/record counts — a few
+#: bytes of input must not be able to demand unbounded work
+_MAX_ELEMENTS = 10_000_000
 
 # ---------------------------------------------------------------------------
 # record formulas — mirrored in the oracle SQL
@@ -395,6 +398,11 @@ def _decode_value(r: _Rd, schema):
             if n < 0:  # block with byte size prefix
                 n = -n
                 r.long()  # block byte size: read and ignore
+            # zero-byte element types (null, empty unions) make a
+            # huge declared count an unbounded loop on a few input
+            # bytes — cap it honestly instead of hanging the task
+            if n > _MAX_ELEMENTS or len(out) + n > _MAX_ELEMENTS:
+                raise ValueError("avro: block count exceeds cap")
             for _ in range(n):
                 if t == "array":
                     out.append(_decode_value(r, sub))
@@ -426,7 +434,10 @@ def _validate_schema(schema, depth: int = 0) -> None:
     t = schema.get("type")
     if t == "record":
         fields = schema.get("fields")
-        if not isinstance(fields, list):
+        if not isinstance(fields, list) or not fields:
+            # a zero-field record consumes no bytes — combined with
+            # a large block count that is an unbounded decode loop;
+            # refuse the degenerate schema outright
             raise ValueError("avro: record without fields")
         for f in fields:
             if not isinstance(f, dict) or "name" not in f:
@@ -487,7 +498,7 @@ def _parse_avro_strict(b: bytes) -> list[dict] | None:
     while r.p < len(b):
         count = r.long()
         size = r.long()
-        if count <= 0 or size < 0:
+        if count <= 0 or size < 0 or count > _MAX_ELEMENTS:
             return None
         data = r.raw(size)
         if r.raw(16) != sync:
