@@ -191,6 +191,39 @@ def test_hand_refusals():
     assert parse_avro(b"Obj\x02" + good[4:]) is None
 
 
+def test_huge_zero_byte_element_counts_refuse_fast():
+    """Adversarial DoS shape: an array-of-null (zero bytes per
+    element) declaring a 2^40 block count must refuse immediately,
+    not loop for hours; same for a file block count past the cap."""
+    import time
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "null"}}
+        ],
+    }
+
+    def zz(n):
+        u = n << 1 if n >= 0 else ((-n) << 1) - 1
+        out = bytearray()
+        while True:
+            c = u & 0x7F
+            u >>= 7
+            out.append(c | 0x80 if u else c)
+            if not u:
+                return bytes(out)
+
+    rec = zz(1 << 40)  # array block count 2^40, zero element bytes
+    t0 = time.time()
+    assert parse_avro(_hand_ocf(schema, [rec], [1])) is None
+    assert time.time() - t0 < 1.0
+    # zero-field record schemas refuse outright (same degenerate class)
+    empty_rec = {"type": "record", "name": "R", "fields": []}
+    assert parse_avro(_hand_ocf(empty_rec, [b""], [1])) is None
+
+
 def test_snappy_crc_enforced():
     b = bytearray(make_avro_shard(2))  # snappy shard
     # flip one bit inside the last block's CRC (last 20 bytes are
