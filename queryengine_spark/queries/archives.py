@@ -573,8 +573,18 @@ chars AS (SELECT doc_id, np, p, ln, len,
           GROUP BY doc_id, np, p, ln, len)
 SELECT doc_id, CAST(p AS INT) AS page_idx, CAST(np AS INT) AS n_pages,
        CAST(COUNT(*) AS INT) AS n_text_ops,
-       CAST(SUM(len) AS BIGINT) AS text_len,
-       CAST(SUM(csum) AS BIGINT) AS char_sum
+       -- encoded-font flavor (doc_id % 12 = 10, r12): every char
+       -- decodes to a 2-byte UTF-8 codepoint — U+00E0+k via
+       -- /Differences + WinAnsi (+258/char over ASCII), or
+       -- U+0100+k when the /ToUnicode CMap overrides
+       -- (doc_id % 24 = 22, +227/char)
+       CAST(SUM(len) * (CASE WHEN doc_id % 12 = 10 THEN 2 ELSE 1 END)
+            AS BIGINT) AS text_len,
+       CAST(SUM(csum)
+            + (CASE WHEN doc_id % 24 = 22 THEN 227
+                    WHEN doc_id % 12 = 10 THEN 258
+                    ELSE 0 END) * SUM(len)
+            AS BIGINT) AS char_sum
 FROM chars GROUP BY doc_id, p, np
 """
 

@@ -250,6 +250,12 @@ VOID: dict[str, int] = {
     # disables on many-file inputs, so the 100 TB plan is unchanged):
     "source_warc_records": 10,
     "source_warc_revisit": 10,
+    # round 12 (r11 verdict item 3): the corpus gained the
+    # encoded-font flavor — doc_id % 12 == 10 now routes to
+    # /Differences + WinAnsi (and % 24 == 22 adds an overriding
+    # /ToUnicode CMap); those ids' bytes, decoded text, and the
+    # oracle's text_len/char_sum CASE all changed:
+    "source_pdf_text": 11,
 }
 
 

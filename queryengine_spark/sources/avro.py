@@ -338,6 +338,12 @@ class _Rd:
             if not c & 0x80:
                 break
             shift += 7
+        # a 10-byte varint's final byte sits at shift 63 and may
+        # carry up to 7 bits — anything past bit 63 cannot encode a
+        # 64-bit Avro long, so a wider accumulator is a refusal,
+        # not a silently huge length/rid
+        if u >= 1 << 64:
+            raise ValueError("avro: varint exceeds 64 bits")
         return (u >> 1) ^ -(u & 1)
 
     def raw(self, n: int) -> bytes:
@@ -505,8 +511,15 @@ def _parse_avro_strict(b: bytes) -> list[dict] | None:
             return None  # sync-marker mismatch
         if codec == "deflate":
             d = zlib.decompressobj(-15)
-            data = d.decompress(data) + d.flush()
-            if d.unconsumed_tail:
+            try:
+                data = d.decompress(data) + d.flush()
+            except zlib.error:
+                return None
+            # junk after the deflate end-of-stream lands in
+            # unused_data (unconsumed_tail only fills under a
+            # max_length call); an unterminated stream leaves
+            # eof False — both violate the declared block range
+            if not d.eof or d.unused_data:
                 return None
         elif codec == "snappy":
             if len(data) < 4:
@@ -594,28 +607,37 @@ def avro_records(assets: DataFrame) -> DataFrame:
                 )
                 if recs is None:
                     continue
-                for i, rec in enumerate(recs):
-                    name = rec["name"].encode()
-                    rows.append(
-                        (
-                            int(sid),
-                            i,
-                            rec["rid"],
-                            len(name),
-                            sum(name),
-                            int(rec["score"] * 16),
-                            int(rec["flag"]),
-                            len(rec["tags"]),
-                            sum(sum(t.encode()) for t in rec["tags"]),
-                            len(rec["payload"]),
-                            sum(rec["payload"]),
-                            rec["opt"],
-                            AVRO_KINDS.index(rec["kind"]),
-                            sum(rec["fp"]),
-                            len(rec["m"]),
-                            sum(rec["m"].values()),
+                # a structurally valid OCF with a DIFFERENT schema
+                # parses fine but breaks these projections — treat
+                # the shape mismatch as a per-shard refusal (skip,
+                # no partial rows) instead of failing the task
+                shard_rows = []
+                try:
+                    for i, rec in enumerate(recs):
+                        name = rec["name"].encode()
+                        shard_rows.append(
+                            (
+                                int(sid),
+                                i,
+                                rec["rid"],
+                                len(name),
+                                sum(name),
+                                int(rec["score"] * 16),
+                                int(rec["flag"]),
+                                len(rec["tags"]),
+                                sum(sum(t.encode()) for t in rec["tags"]),
+                                len(rec["payload"]),
+                                sum(rec["payload"]),
+                                rec["opt"],
+                                AVRO_KINDS.index(rec["kind"]),
+                                sum(rec["fp"]),
+                                len(rec["m"]),
+                                sum(rec["m"].values()),
+                            )
                         )
-                    )
+                except (KeyError, ValueError, TypeError, AttributeError):
+                    continue
+                rows.extend(shard_rows)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AVRO_REC_SCHEMA.fields]
             )

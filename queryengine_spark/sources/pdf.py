@@ -24,17 +24,38 @@ type-2 entries), hybrid-reference files (classic table + /XRefStm,
 an old document edited by a modern writer takes).
 
 Encrypted documents (r11, third pass): the standard security
-handler with an EMPTY user password — RC4 /V 1 /R 2 (40-bit) and
-/V 2 /R 3 (/Length ≤ 128) — is decrypted (sources/pdfcrypt.py:
-Algorithms 1-6 from the published spec, per-object MD5 rekeying,
-strings and streams, XRef streams exempt per spec). This is the
-crawled-web norm: owner-password restrictions over freely readable
-content.
+handler with an EMPTY user password — RC4 /V 1 /R 2 (40-bit),
+/V 2 /R 3 (/Length ≤ 128), and /V 4 /R 4 crypt filters with
+/CFM /V2 (RC4) or /CFM /AESV2 (AES-128-CBC, from-scratch FIPS-197
+AES pinned to the published test vectors) — is decrypted
+(sources/pdfcrypt.py: Algorithms 1-6 from the published spec,
+per-object MD5 rekeying, strings and streams, XRef streams exempt
+per spec). This is the crawled-web norm: owner-password
+restrictions over freely readable content.
+
+Font encodings (r12, fourth pass): text extraction is
+encoding-aware — each simple font's /Encoding (named base
+/WinAnsiEncoding or /MacRomanEncoding via the published tables, or
+an /Encoding dictionary with /BaseEncoding + multi-run
+/Differences arrays resolved through the Adobe Glyph List naming
+conventions) maps shown codes to Unicode, and a /ToUnicode CMap
+(bfchar + both bfrange destination forms) takes precedence when
+present (sources/pdffonts.py). The ninth corpus flavor
+(doc_id % 12 == 10) exercises all three paths with deliberately
+disagreeing Differences/ToUnicode mappings; fonts with no encoding
+info keep byte passthrough, preserving the certified byte-level
+semantics of the plain-Helvetica flavors.
 
 Honest refusals (None, never a guessed extraction):
 - encrypted documents with a REAL user password (the /U check
   fails — never guessed or brute-forced), non-Standard handlers,
-  /V 4+ (AES / crypt filters), or a missing /ID;
+  /V 5 (AES-256 /AESV3 R5/R6), unknown /CFM values, or a
+  missing /ID;
+- composite (/Subtype /Type0, CID) fonts, base-encoding names
+  outside the two published tables (incl. /StandardEncoding), a
+  shown code undefined under its font's encoding, malformed
+  /Differences or ToUnicode CMaps, a Tf naming a font absent from
+  the page resources;
 - filters other than a single /FlateDecode (+ predictor);
 - any structural violation (bad offsets, /Length mismatch, malformed
   escapes, unbalanced strings, object-stream header/entry
@@ -71,6 +92,12 @@ from queryengine_spark.sources.pdfcrypt import (
     decrypt_object_bytes_aes,
     object_key_aes,
     verify_empty_user_password,
+)
+from queryengine_spark.sources.pdffonts import (
+    FontDecoder,
+    apply_differences,
+    base_encoding_table,
+    parse_tounicode,
 )
 
 # ---------------------------------------------------------------------------
@@ -477,15 +504,23 @@ def make_pdf_updated_xrstream(doc_id: int) -> bytes:
 
 
 def _make_pdf_base(
-    doc_id: int, stale_last: bool
+    doc_id: int,
+    stale_last: bool,
+    font_body: bytes | None = None,
+    tail_objects: list[bytes] | None = None,
+    content_fn=None,
 ) -> tuple[bytes, int, int, int]:
     """The single-generation document → (bytes, xref offset, object
-    count, last page's content object id)."""
+    count, last page's content object id). ``font_body`` /
+    ``tail_objects`` / ``content_fn`` let the encoded flavor (r12)
+    swap the font dictionary, append a ToUnicode stream after the
+    page objects, and substitute the content-stream builder; the
+    defaults reproduce the original document byte-for-byte."""
     n_pages = pdf_n_pages(doc_id)
     objects: list[bytes] = []  # bodies of objects 1..N in id order
 
     # object ids: 1 catalog, 2 pages, 3 font, then per page:
-    # 4+2k page, 5+2k content
+    # 4+2k page, 5+2k content, then any tail objects
     kids = " ".join(f"{4 + 2 * p} 0 R" for p in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
@@ -495,7 +530,9 @@ def _make_pdf_base(
         ).encode()
     )
     objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        font_body
+        if font_body is not None
+        else b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
     for p in range(n_pages):
         objects.append(
@@ -507,6 +544,8 @@ def _make_pdf_base(
         )
         if stale_last and p == n_pages - 1:
             raw = b"BT (" + PDF_STALE_TEXT + b") Tj ET"
+        elif content_fn is not None:
+            raw = content_fn(doc_id, p)
         else:
             raw = _content_stream(doc_id, p)
         if (doc_id + p) % 2 == 0:
@@ -519,6 +558,8 @@ def _make_pdf_base(
             data = raw
             head = ("<< /Length " + str(len(data)) + " >>").encode()
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    if tail_objects:
+        objects.extend(tail_objects)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]  # object 0 is the free head
@@ -1091,14 +1132,24 @@ def _deref(b, offsets, v, cache=None, crypt=None):
     return v
 
 
-def _extract_text_ops(content: bytes) -> list[bytes] | None:
+def _extract_text_ops(
+    content: bytes, fonts: dict[str, FontDecoder] | None = None
+) -> list[bytes] | None:
     """Content-stream walk: every string SHOWN by Tj / TJ / ' / ",
     in operator order. TJ arrays contribute the concatenation of
     their string elements (kerning numbers are positioning, not
-    text). Strings used by non-showing operators are ignored."""
+    text). Strings used by non-showing operators are ignored.
+
+    With ``fonts`` (r12), Tf operators select the current
+    FontDecoder and shown strings are decoded through it to UTF-8
+    text bytes — a Tf naming a font absent from the page resources,
+    or a shown code undefined under the current font's encoding,
+    refuses the document. Text shown before any Tf passes through
+    as raw bytes (the no-encoding-info disposition)."""
     r = _Objs(content, 0)
     stack: list = []
     out: list[bytes] = []
+    cur: FontDecoder | None = None
     while True:
         r._skip_ws()
         if r.p >= len(content):
@@ -1119,22 +1170,40 @@ def _extract_text_ops(content: bytes) -> list[bytes] | None:
             return None
         op = m.group(0)
         r.p += m.end()
+        if op == b"Tf" and fonts is not None:
+            if len(stack) < 2 or not (
+                isinstance(stack[-2], tuple) and stack[-2][0] == "name"
+            ):
+                return None
+            cur = fonts.get(stack[-2][1])
+            if cur is None:
+                return None  # font not in the page's resources
         if op in (b"Tj", b"'", b'"'):
             if not stack or not (
                 isinstance(stack[-1], tuple) and stack[-1][0] == "str"
             ):
                 return None
-            out.append(stack[-1][1])
+            shown = stack[-1][1]
+            if cur is not None:
+                shown = cur.decode(shown)
+                if shown is None:
+                    return None  # code undefined under this font
+            out.append(shown)
         elif op == b"TJ":
             if not stack or not isinstance(stack[-1], list):
                 return None
-            shown = bytearray()
+            buf = bytearray()
             for el in stack[-1]:
                 if isinstance(el, tuple) and el[0] == "str":
-                    shown += el[1]
+                    buf += el[1]
                 elif not isinstance(el, (int, float)):
                     return None
-            out.append(bytes(shown))
+            shown = bytes(buf)
+            if cur is not None:
+                shown = cur.decode(shown)
+                if shown is None:
+                    return None
+            out.append(shown)
         stack.clear() if op in (b"Tj", b"TJ", b"'", b'"') else None
         if op not in (b"Tj", b"TJ", b"'", b'"'):
             stack.clear()  # other operators consume their operands
@@ -1212,6 +1281,92 @@ def _setup_decryption(
     return key, method
 
 
+def _build_fontmap(
+    b: bytes,
+    offsets: dict,
+    page: dict,
+    pages: dict,
+    cache: dict,
+    crypt: tuple | None,
+) -> dict[str, FontDecoder] | None:
+    """Page /Resources /Font → {name: FontDecoder}, or None on a
+    refusal (composite /Type0 font, out-of-contract base-encoding
+    name, malformed /Differences or ToUnicode CMap). /Resources is
+    inheritable — a page without one falls back to the /Pages node
+    (spec §7.7.3.4). Missing resources or fonts yield an empty map:
+    text then passes through as raw bytes (no-encoding-info
+    disposition) unless a Tf is executed, which refuses."""
+    res = _deref(b, offsets, page.get("Resources"), cache, crypt)
+    if res is None:
+        res = _deref(b, offsets, pages.get("Resources"), cache, crypt)
+    if res is None:
+        return {}
+    if not isinstance(res, dict):
+        return None
+    fdict = _deref(b, offsets, res.get("Font"), cache, crypt)
+    if fdict is None:
+        return {}
+    if not isinstance(fdict, dict):
+        return None
+    out: dict[str, FontDecoder] = {}
+    for fname, fref in fdict.items():
+        font = _deref(b, offsets, fref, cache, crypt)
+        if not isinstance(font, dict):
+            return None
+        if _deref(b, offsets, font.get("Subtype"), cache, crypt) == (
+            "name",
+            "Type0",
+        ):
+            return None  # composite (CID) fonts: out of contract
+        table = None
+        enc = _deref(b, offsets, font.get("Encoding"), cache, crypt)
+        if enc is not None:
+            if isinstance(enc, tuple) and enc[0] == "name":
+                table = base_encoding_table(enc[1])
+                if table is None:
+                    return None  # unknown named encoding
+            elif isinstance(enc, dict):
+                base = _deref(
+                    b, offsets, enc.get("BaseEncoding"), cache, crypt
+                )
+                if base is None:
+                    # no base: only /Differences-defined codes map;
+                    # anything else refuses if shown
+                    table = [None] * 256
+                elif isinstance(base, tuple) and base[0] == "name":
+                    table = base_encoding_table(base[1])
+                    if table is None:
+                        return None
+                else:
+                    return None
+                diffs = _deref(
+                    b, offsets, enc.get("Differences"), cache, crypt
+                )
+                if diffs is not None:
+                    if not isinstance(diffs, list):
+                        return None
+                    if apply_differences(table, diffs) is None:
+                        return None
+            else:
+                return None
+        tou = None
+        tref = font.get("ToUnicode")
+        if tref is not None:
+            if not (isinstance(tref, tuple) and tref[0] == "ref"):
+                return None
+            tdict, tdata = _load_object(b, offsets, tref[1], cache, crypt)
+            if tdata is None:
+                return None
+            tdata = _decode_stream_filters(tdict, tdata)
+            if tdata is None:
+                return None
+            tou = parse_tounicode(tdata)
+            if tou is None:
+                return None
+        out[fname] = FontDecoder(table, tou)
+    return out
+
+
 def parse_pdf_text(b: bytes) -> list[list[bytes]] | None:
     """bytes → per-page lists of shown text strings (operator order),
     or None. Walks header → startxref → classic xref → trailer /Root
@@ -1275,7 +1430,10 @@ def _parse_pdf_strict(b: bytes) -> list[list[bytes]] | None:
         data = _decode_stream_filters(cdict, data)
         if data is None:
             return None  # DCT/LZW/ASCII85/filter arrays: refuse
-        ops = _extract_text_ops(data)
+        fonts = _build_fontmap(b, offsets, page, pages, cache, crypt)
+        if fonts is None:
+            return None
+        ops = _extract_text_ops(data, fonts)
         if ops is None:
             return None
         doc.append(ops)
@@ -1401,10 +1559,124 @@ def make_pdf_encrypted(doc_id: int, r: int = 2) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# encoded-font flavor (r12)
+# ---------------------------------------------------------------------------
+
+#: AGL names for U+00E0+k, k = 0..25 — even k entries go into the
+#: /Differences array by NAME, odd k by the algorithmic /uniXXXX
+#: form, so both glyph-name resolution paths are oracle-certified.
+_ENC_GLYPHS = (
+    "agrave", "aacute", "acircumflex", "atilde", "adieresis",
+    "aring", "ae", "ccedilla", "egrave", "eacute", "ecircumflex",
+    "edieresis", "igrave", "iacute", "icircumflex", "idieresis",
+    "eth", "ntilde", "ograve", "oacute", "ocircumflex", "otilde",
+    "odieresis", "divide", "oslash", "ugrave",
+)
+
+
+def _differences_array() -> str:
+    """Two runs (restart at code 141) covering codes 128..153 →
+    U+00E0..U+00F9; a reader that mishandles run restarts or either
+    glyph-name form fails the oracle."""
+    parts: list[str] = []
+    for k in range(26):
+        if k in (0, 13):
+            parts.append(str(128 + k))
+        parts.append(
+            "/" + (_ENC_GLYPHS[k] if k % 2 == 0 else "uni%04X" % (0xE0 + k))
+        )
+    return "[" + " ".join(parts) + "]"
+
+
+#: bfchar pairs + a contiguous bfrange + the bracketed
+#: destination-array bfrange form, mapping BOTH code regions
+#: (0x80+k and 0xE0+k) to U+0100+k — deliberately DISAGREEING with
+#: the /Differences+WinAnsi decode (U+00E0+k) so the oracle
+#: certifies ToUnicode precedence.
+_TOUNICODE_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"12 dict begin\nbegincmap\n"
+    b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+    b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+    b"2 beginbfchar\n<80> <0100>\n<E0> <0100>\nendbfchar\n"
+    b"3 beginbfrange\n"
+    b"<81> <99> <0101>\n"
+    b"<E1> <E3> [<0101> <0102> <0103>]\n"
+    b"<E4> <F9> <0104>\n"
+    b"endbfrange\nendcmap\n"
+    b"CMapName currentdict /CMap defineresource pop\nend end\n"
+)
+
+
+def _content_stream_encoded(doc_id: int, p: int) -> bytes:
+    """Same line/kerning discipline as _content_stream, but the
+    shown bytes are font CODES: even lines in the /Differences
+    region (0x80+k), odd lines in the WinAnsi-base region (0xE0+k)
+    — an extractor ignoring either half of the encoding dict fails
+    the oracle."""
+    ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+    for ln in range(pdf_n_lines(doc_id, p)):
+        txt = pdf_line_text(doc_id, p, ln)
+        basec = 0x80 if ln % 2 == 0 else 0xE0
+        codes = bytes(basec + (ord(ch) - 97) for ch in txt)
+        if ln % 2 == 0:
+            ops.append(b"(" + codes + b") Tj")
+        else:
+            cut = max(1, len(codes) // 2)
+            kern = -20 - ((doc_id + ln) % 60)
+            ops.append(
+                b"[(" + codes[:cut] + b") " + str(kern).encode()
+                + b" (" + codes[cut:] + b")] TJ"
+            )
+        ops.append(b"0 -14 Td")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def make_pdf_encoded(doc_id: int, tounicode: bool = False) -> bytes:
+    """Classic-layout document whose font carries REAL encoding
+    info (r12, the ninth corpus flavor): an /Encoding dictionary
+    with /BaseEncoding /WinAnsiEncoding plus a two-run /Differences
+    array (named glyphs on even slots, /uniXXXX on odd), text
+    written as font codes decoding to U+00E0+k — every char 2-byte
+    UTF-8, so text_len doubles and char_sum shifts by +258/char
+    vs the ASCII formulas. With ``tounicode``, a /ToUnicode CMap
+    stream overrides BOTH code regions to U+0100+k (+227/char):
+    extraction must prefer ToUnicode over the encoding tables or
+    the hash fails."""
+    n_pages = pdf_n_pages(doc_id)
+    tou_obj = 3 + 2 * n_pages + 1  # first id after the content objs
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        "/Differences " + _differences_array() + " >>"
+        + (f" /ToUnicode {tou_obj} 0 R" if tounicode else "")
+        + " >>"
+    ).encode()
+    tail = None
+    if tounicode:
+        tail = [
+            ("<< /Length %d >>" % len(_TOUNICODE_CMAP)).encode()
+            + b"\nstream\n" + _TOUNICODE_CMAP + b"\nendstream"
+        ]
+    return _make_pdf_base(
+        doc_id,
+        stale_last=False,
+        font_body=font,
+        tail_objects=tail,
+        content_fn=_content_stream_encoded,
+    )[0]
+
+
 def make_pdf_any(doc_id: int) -> bytes:
     """The corpus flavor split (doc_id % 12, falling back to % 6):
     6 → RC4-encrypted R2 classic, 9 → RC4-encrypted R3 classic
-    (empty user password — the crawled restrictions-only shape);
+    (empty user password — the crawled restrictions-only shape),
+    10 → encoded-font classic (r12: /BaseEncoding /WinAnsiEncoding
+    + /Differences; doc_id % 24 == 22 adds an overriding /ToUnicode
+    CMap — text decodes to non-ASCII, stats shift per the UTF-8
+    formulas in the oracle);
     otherwise by doc_id % 6: 0 classic PDF 1.4, 1/4 PDF 1.5
     xref-stream + object-stream (1 = PNG-predicted rows + split
     /Index, 4 = plain rows), 2 incrementally updated with a classic
@@ -1418,6 +1690,10 @@ def make_pdf_any(doc_id: int) -> bytes:
     if m12 == 9:
         # alternate RC4-128 (R3) and AES-128 (R4 /AESV2) slots
         return make_pdf_encrypted(doc_id, r=3 if doc_id % 24 == 9 else 4)
+    if m12 == 10:
+        # encoded-font flavor (r12): /Differences + WinAnsi base;
+        # every second slot adds an overriding /ToUnicode CMap
+        return make_pdf_encoded(doc_id, tounicode=doc_id % 24 == 22)
     m = doc_id % 6
     if m == 0:
         return make_pdf(doc_id)

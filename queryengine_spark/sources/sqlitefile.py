@@ -378,22 +378,31 @@ def sqlite_rows(assets: DataFrame) -> DataFrame:
                 )
                 if recs is None:
                     continue
-                for rec in recs:
-                    rid, name, score, blob, opt, small = rec
-                    nb = name.encode()
-                    rows.append(
-                        (
-                            int(sid),
-                            rid,
-                            len(nb),
-                            sum(nb),
-                            int(score * 32),
-                            len(blob),
-                            sum(blob),
-                            opt,
-                            small,
+                # a valid database whose table carries a DIFFERENT
+                # column layout walks fine but breaks this 6-way
+                # unpack/typing — skip the shard like a parse
+                # refusal (no partial rows), don't fail the task
+                shard_rows = []
+                try:
+                    for rec in recs:
+                        rid, name, score, blob, opt, small = rec
+                        nb = name.encode()
+                        shard_rows.append(
+                            (
+                                int(sid),
+                                rid,
+                                len(nb),
+                                sum(nb),
+                                int(score * 32),
+                                len(blob),
+                                sum(blob),
+                                opt,
+                                small,
+                            )
                         )
-                    )
+                except (ValueError, TypeError, AttributeError):
+                    continue
+                rows.extend(shard_rows)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in SQLITE_ROW_SCHEMA.fields]
             )

@@ -62,6 +62,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: per-shard inflate ceiling (gzip-bomb posture — a shard that
+#: expands past this refuses BEFORE the bytes materialize; matches
+#: the bounded-work stance of zstd.MAX_CONTENT / avro._MAX_ELEMENTS)
+_MAX_INFLATE = 1 << 27  # 128 MiB
+
 # ---------------------------------------------------------------------------
 # record formulas — mirrored in the oracle SQL
 # (queries/archives.py::SOURCE_TFRECORD_SQL); keep in sync.
@@ -323,8 +328,14 @@ def parse_tfrecord(b: bytes) -> list[dict] | None:
     if b[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            raw = d.decompress(b)
+            # bound the inflate (gzip-bomb posture, same as the
+            # zstd MAX_CONTENT / avro _MAX_ELEMENTS caps): if the
+            # cap is hit, input remains in unconsumed_tail — refuse
+            # before the expansion ever reaches executor memory
+            raw = d.decompress(b, _MAX_INFLATE)
         except zlib.error:
+            return None
+        if d.unconsumed_tail:
             return None
         if not d.eof or d.unused_data:
             return None
@@ -415,23 +426,32 @@ def tfrecord_examples(assets: DataFrame) -> DataFrame:
                 )
                 if recs is None:
                     continue
-                for i, ex in enumerate(recs):
-                    rid = ex["rid"][1][0]
-                    toks = ex["toks"][1]
-                    txt = ex["txt"][1][0]
-                    w = ex["w"][1][0]
-                    rows.append(
-                        (
-                            int(sid),
-                            i,
-                            rid,
-                            len(toks),
-                            sum(toks),
-                            len(txt),
-                            sum(txt),
-                            int(round(w * 8)),
+                # a valid TFRecord stream whose Examples carry a
+                # DIFFERENT feature set parses fine but breaks these
+                # projections — skip the shard like a parse refusal
+                # (no partial rows) rather than failing the task
+                shard_rows = []
+                try:
+                    for i, ex in enumerate(recs):
+                        rid = ex["rid"][1][0]
+                        toks = ex["toks"][1]
+                        txt = ex["txt"][1][0]
+                        w = ex["w"][1][0]
+                        shard_rows.append(
+                            (
+                                int(sid),
+                                i,
+                                rid,
+                                len(toks),
+                                sum(toks),
+                                len(txt),
+                                sum(txt),
+                                int(round(w * 8)),
+                            )
                         )
-                    )
+                except (KeyError, ValueError, TypeError, IndexError):
+                    continue
+                rows.extend(shard_rows)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in TFR_REC_SCHEMA.fields]
             )

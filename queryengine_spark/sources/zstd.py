@@ -18,7 +18,19 @@ Scope (single-shard contract, mirroring the bz2/xz slots):
   seekable-format seek table or pzstd's per-frame index) ignored
   wherever they appear; trailing garbage still refuses, and a buffer
   with NO standard frame refuses (it carries no content claim);
-- no dictionaries (a nonzero Dictionary_ID refuses);
+- RAW-CONTENT dictionaries (r12, RFC 8878 §5): when the stream
+  LEADS with a skippable frame of magic 0x184D2A5D — the Common
+  Crawl ``.warc.zst`` convention for shipping the dictionary
+  in-band — its payload becomes the window prefix for every
+  standard frame that follows (matches may reach back into it,
+  bounded by each frame's declared Window_Size). A payload that is
+  itself a zstd frame is decompressed first (CC allows a
+  compressed dictionary). ENTROPY-TABLE dictionaries (magic
+  0xEC30A437, preloaded Huffman/FSE state + repcodes) refuse —
+  out of contract, never guessed. Without an in-band dictionary a
+  nonzero Dictionary_ID still refuses (nothing to resolve it
+  against); with one, the ID is accepted and a wrong dictionary is
+  caught by the content checksum when present;
 - all three block types (Raw / RLE / Compressed);
 - all four literals types (Raw / RLE / Huffman-compressed with a
   direct or FSE-compressed weight table / Treeless repeat), 1- and
@@ -754,25 +766,42 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 _SKIPPABLE_TAIL = b"\x2a\x4d\x18"
 
 
-def decompress_zstd(b: bytes) -> bytes | None:
+#: structured-dictionary magic (RFC 8878 §5) — entropy-table
+#: dictionaries are out of contract and refuse
+DICT_MAGIC = b"\x37\xa4\x30\xec"
+#: the skippable-frame magic Common Crawl uses to embed a stream's
+#: dictionary in-band (0x184D2A5D, little-endian on the wire)
+_DICT_SKIPPABLE_LOW = 0x5D
+
+
+def decompress_zstd(b: bytes, dictionary: bytes | None = None) -> bytes | None:
     """Strict RFC 8878 stream decode: one or MORE standard frames
     (§3: "a stream is composed of one or more frames" — the shape
     ``cat a.zst b.zst`` and parallel compressors emit), with
     skippable frames (§3.1.2, e.g. the seekable-format seek table)
     ignored wherever they appear. At least one standard frame is
     required (an all-skippable buffer carries no content claim);
-    trailing garbage and dictionary frames refuse. Returns the
+    trailing garbage and entropy-table dictionaries refuse. A
+    raw-content ``dictionary`` (explicit, or extracted from a
+    LEADING 0x184D2A5D skippable frame — the Common Crawl in-band
+    convention) becomes each frame's window prefix. Returns the
     concatenated content or None, never a guess."""
     try:
-        return _decompress_stream(bytes(b))
+        return _decompress_stream(bytes(b), dictionary)
     except (ValueError, IndexError, struct.error):
         return None
 
 
-def _decompress_stream(b: bytes) -> bytes | None:
+def _decompress_stream(
+    b: bytes, dictionary: bytes | None = None
+) -> bytes | None:
     out = bytearray()
     p = 0
     frames = 0
+    dict_content = bytes(dictionary) if dictionary else b""
+    if dict_content[:4] == DICT_MAGIC:
+        return None  # entropy-table dictionary: out of contract
+    first = True
     while p < len(b):
         if b[p + 1 : p + 4] == _SKIPPABLE_TAIL and 0x50 <= b[p] <= 0x5F:
             if p + 8 > len(b):
@@ -780,11 +809,32 @@ def _decompress_stream(b: bytes) -> bytes | None:
             size = int.from_bytes(b[p + 4 : p + 8], "little")
             if p + 8 + size > len(b):
                 return None
+            if (
+                first
+                and not dict_content
+                and b[p] == _DICT_SKIPPABLE_LOW
+            ):
+                # leading dictionary frame (CC convention): payload
+                # is the raw-content dictionary, possibly itself
+                # zstd-compressed
+                payload = b[p + 8 : p + 8 + size]
+                if payload[:4] == ZSTD_MAGIC:
+                    inner = _decompress_stream(payload)
+                    if inner is None:
+                        return None
+                    payload = inner
+                if payload[:4] == DICT_MAGIC:
+                    return None  # entropy-table dict: refuse
+                if len(payload) > MAX_CONTENT:
+                    return None
+                dict_content = bytes(payload)
             p += 8 + size
+            first = False
             continue
         if b[p : p + 4] != ZSTD_MAGIC:
             return None  # trailing garbage / unknown magic refuses
-        np_ = _decompress_frame(b, p, out)
+        first = False
+        np_ = _decompress_frame(b, p, out, dict_content)
         if np_ is None:
             return None
         p = np_

@@ -301,3 +301,74 @@ def test_spark_records_plan_no_shuffle(spark):
         assert r.score_q == int(rec["score"] * 16)
         assert r.payload_sum == sum(rec["payload"])
         assert (r.opt is None) == (rec["opt"] is None)
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+_LONG_REC = {
+    "type": "record",
+    "name": "R",
+    "fields": [{"name": "x", "type": "long"}],
+}
+
+
+def test_deflate_block_trailing_garbage_refuses():
+    """Junk AFTER the deflate end-of-stream but INSIDE the declared
+    block byte range lands in zlib's unused_data (unconsumed_tail
+    only fills under a max_length call) — must refuse, not silently
+    accept (r12 ADVICE)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    data = co.compress(bytes([2])) + co.flush()
+    good = _hand_ocf(_LONG_REC, [data], [1], codec=b"deflate")
+    assert parse_avro(good) == [{"x": 1}]
+    bad = _hand_ocf(_LONG_REC, [data + b"JUNK"], [1], codec=b"deflate")
+    assert parse_avro(bad) is None
+
+
+def test_deflate_unterminated_stream_refuses():
+    """A sync-flushed (never finalized) deflate stream leaves eof
+    False — refuse rather than return a short decode."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    part = co.compress(bytes([2])) + co.flush(zlib.Z_SYNC_FLUSH)
+    assert parse_avro(
+        _hand_ocf(_LONG_REC, [part], [1], codec=b"deflate")
+    ) is None
+
+
+def test_varint_wider_than_64_bits_refuses():
+    """A 10-byte varint whose final byte carries bits past bit 63
+    cannot encode a 64-bit Avro long — refuse, never return a
+    wider-than-64-bit length/rid (r12 ADVICE). The canonical 10-byte
+    extreme (long MIN) must still parse."""
+    over = bytes([0xFF] * 9 + [0x7F])  # 70 bits set
+    assert parse_avro(_hand_ocf(_LONG_REC, [over], [1])) is None
+    lo_min = bytes([0xFF] * 9 + [0x01])  # zigzag(-2^63), exactly 64 bits
+    assert parse_avro(_hand_ocf(_LONG_REC, [lo_min], [1])) == [
+        {"x": -(1 << 63)}
+    ]
+
+
+def test_spark_alien_schema_shard_skipped(spark):
+    """A structurally VALID OCF carrying a different record schema
+    parses but breaks the fixed projection — the shard must skip
+    like a parse refusal, not fail the Spark task (r12 ADVICE)."""
+    alien_schema = {
+        "type": "record",
+        "name": "Other",
+        "fields": [{"name": "z", "type": "long"}],
+    }
+    alien = _hand_ocf(alien_schema, [bytes([2])], [1])
+    assert parse_avro(alien) == [{"z": 1}]  # parses fine...
+    good = make_avro_shard(0)
+
+    from queryengine_spark.sources.avro import avro_records
+
+    assets = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(alien))],
+        "shard_id long, payload binary",
+    )
+    rows = avro_records(assets).collect()
+    assert len(rows) == avro_n_recs(0)
+    assert {r.shard_id for r in rows} == {0}

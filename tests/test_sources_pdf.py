@@ -184,6 +184,19 @@ def test_prev_cycle_refused():
 
 
 def _formula_doc(d):
+    # the encoded-font flavor (d % 12 == 10, r12) decodes each
+    # ASCII formula char to U+00E0+k (Differences + WinAnsi) or,
+    # under the /ToUnicode slots (d % 24 == 22), to U+0100+k
+    if d % 12 == 10:
+        base = 0x100 if d % 24 == 22 else 0xE0
+        tr = {97 + k: chr(base + k) for k in range(26)}
+        return [
+            [
+                pdf_line_text(d, p, ln).translate(tr).encode()
+                for ln in range(pdf_n_lines(d, p))
+            ]
+            for p in range(pdf_n_pages(d))
+        ]
     return [
         [
             pdf_line_text(d, p, ln).encode()
@@ -195,9 +208,10 @@ def _formula_doc(d):
 
 @pytest.mark.parametrize("d", list(range(36)))
 def test_all_layout_flavors_match_formula(d):
-    """All eight corpus flavors — classic, xref-stream/ObjStm with
+    """All nine corpus flavors — classic, xref-stream/ObjStm with
     and without predictors, hybrid, both update chains, both RC4
-    encryption revisions — extract the identical formula text."""
+    encryption revisions, and the encoded-font slots — extract the
+    formula text (decoded per flavor)."""
     from queryengine_spark.sources.pdf import make_pdf_any
 
     assert parse_pdf_text(make_pdf_any(d)) == _formula_doc(d)
@@ -468,3 +482,161 @@ def test_spark_stats_plan_no_shuffle(spark):
         assert r.n_text_ops == len(texts)
         assert r.text_len == sum(len(t) for t in texts)
         assert r.char_sum == sum(sum(t.encode()) for t in texts)
+
+
+# ---------------------------------------------------------------------------
+# r12: font encodings — /Differences, base encodings, ToUnicode
+# ---------------------------------------------------------------------------
+
+
+def test_agl_subset_sane():
+    import unicodedata
+
+    from queryengine_spark.sources.pdffonts import AGL, glyph_to_text
+
+    # generated letter/digit/accent entries cross-check unicodedata
+    assert AGL["a"] == 0x61 and AGL["Z"] == 0x5A and AGL["seven"] == 0x37
+    for name, cp in (
+        ("agrave", 0xE0), ("eacute", 0xE9), ("ntilde", 0xF1),
+        ("Adieresis", 0xC4), ("ccedilla", 0xE7), ("oslash", 0xF8),
+        ("germandbls", 0xDF), ("Euro", 0x20AC), ("bullet", 0x2022),
+        ("quoteright", 0x2019),
+    ):
+        assert AGL[name] == cp, name
+        unicodedata.name(chr(cp))  # assigned
+    # algorithmic forms
+    assert glyph_to_text("uni00E9") == "é"
+    assert glyph_to_text("u1F600") == "\U0001F600"
+    # refusals: unknown name, lone surrogate, out of range
+    assert glyph_to_text("notaglyphname") is None
+    assert glyph_to_text("uniD800") is None
+    assert glyph_to_text("u110000") is None
+
+
+def test_base_encodings_and_differences():
+    from queryengine_spark.sources.pdffonts import (
+        apply_differences,
+        base_encoding_table,
+    )
+
+    win = base_encoding_table("WinAnsiEncoding")
+    assert win[0x41] == "A" and win[0xE9] == "é"
+    assert win[0x80] == "€" and win[0x81] is None  # cp1252 hole
+    mac = base_encoding_table("MacRomanEncoding")
+    assert mac[0x41] == "A" and mac[0x8E] == "é"
+    # out-of-contract names refuse (never guess Adobe's table)
+    assert base_encoding_table("StandardEncoding") is None
+    assert base_encoding_table("PDFDocEncoding") is None
+
+    tab = [None] * 256
+    diffs = [65, ("name", "eacute"), ("name", "uni0042"),
+             200, ("name", "Euro")]
+    assert apply_differences(tab, diffs) is tab
+    assert tab[65] == "é" and tab[66] == "B" and tab[200] == "€"
+    # malformed arrays refuse
+    assert apply_differences([None] * 256, [("name", "a")] ) is None
+    assert apply_differences([None] * 256, [300, ("name", "a")]) is None
+    assert apply_differences([None] * 256, [65, 1.5]) is None
+
+
+def test_tounicode_cmap_parse():
+    from queryengine_spark.sources.pdffonts import parse_tounicode
+
+    cm = (
+        b"begincmap\n"
+        b"2 beginbfchar\n<41> <0100>\n<42> <00660069>\nendbfchar\n"
+        b"2 beginbfrange\n<50> <52> <0200>\n"
+        b"<60> <61> [<0300> <0301>]\nendbfrange\nendcmap\n"
+    )
+    got = parse_tounicode(cm)
+    assert got[0x41] == "Ā"
+    assert got[0x42] == "fi"  # multi-unit (ligature) destination
+    assert got[0x50] == "Ȁ" and got[0x52] == "Ȃ"
+    assert got[0x60] == "̀" and got[0x61] == "́"
+    # refusals: multi-byte source code (CID territory), odd hex,
+    # array length mismatch, junk inside a range section, no section
+    assert parse_tounicode(
+        b"1 beginbfchar\n<0041> <0100>\nendbfchar\n") is None
+    assert parse_tounicode(
+        b"1 beginbfchar\n<4> <0100>\nendbfchar\n") is None
+    assert parse_tounicode(
+        b"1 beginbfrange\n<50> <52> [<0200>]\nendbfrange\n") is None
+    assert parse_tounicode(
+        b"1 beginbfrange\n<50> <52> <0200> junk\nendbfrange\n") is None
+    assert parse_tounicode(b"nothing here") is None
+
+
+@pytest.mark.parametrize("d", [10, 34, 58, 70])
+def test_encoded_flavor_differences_roundtrip(d):
+    from queryengine_spark.sources.pdf import make_pdf_encoded
+
+    doc = parse_pdf_text(make_pdf_encoded(d, tounicode=False))
+    assert doc is not None
+    for p, ops in enumerate(doc):
+        exp = "".join(
+            "".join(
+                chr(0xE0 + ord(ch) - 97)
+                for ch in pdf_line_text(d, p, ln)
+            )
+            for ln in range(pdf_n_lines(d, p))
+        )
+        assert b"".join(ops).decode("utf-8") == exp
+
+
+@pytest.mark.parametrize("d", [22, 46, 94])
+def test_encoded_flavor_tounicode_precedence(d):
+    """The /ToUnicode CMap deliberately disagrees with the
+    /Differences decode — extraction must prefer it."""
+    from queryengine_spark.sources.pdf import make_pdf_encoded
+
+    doc = parse_pdf_text(make_pdf_encoded(d, tounicode=True))
+    assert doc is not None
+    for p, ops in enumerate(doc):
+        exp = "".join(
+            "".join(
+                chr(0x100 + ord(ch) - 97)
+                for ch in pdf_line_text(d, p, ln)
+            )
+            for ln in range(pdf_n_lines(d, p))
+        )
+        assert b"".join(ops).decode("utf-8") == exp
+
+
+def test_font_refusals():
+    from queryengine_spark.sources.pdf import make_pdf_encoded
+
+    good = make_pdf_encoded(10, tounicode=False)
+    # composite (Type0/CID) fonts are out of contract
+    assert parse_pdf_text(
+        good.replace(b"/Subtype /Type1", b"/Subtype /Type0")
+    ) is None
+    # an explicit /StandardEncoding base refuses (no guessed table)
+    assert parse_pdf_text(
+        good.replace(b"/WinAnsiEncoding ", b"/StandardEncoding ")
+    ) is None
+    # a shown code whose Differences glyph name is unknown refuses
+    assert parse_pdf_text(
+        good.replace(b"/agrave", b"/zzzzzz")
+    ) is None
+    # Tf naming a font absent from the resources refuses
+    assert parse_pdf_text(
+        good.replace(b"/F1 12 Tf", b"/F9 12 Tf")
+    ) is None
+
+
+def test_encoded_flavor_never_crashes_on_damage():
+    from queryengine_spark.sources.pdf import make_pdf_encoded
+
+    import random
+
+    for d, tou in ((10, False), (22, True)):
+        b = make_pdf_encoded(d, tounicode=tou)
+        step = max(1, len(b) // 40)
+        for cut in range(0, len(b), step):
+            parse_pdf_text(b[:cut])  # must not raise
+        rng = random.Random(d)
+        for _ in range(120):
+            i = rng.randrange(len(b))
+            fb = bytearray(b)
+            fb[i] ^= 1 << rng.randrange(8)
+            parse_pdf_text(bytes(fb))  # must not raise

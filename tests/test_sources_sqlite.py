@@ -160,3 +160,37 @@ def test_spark_rows_plan_no_shuffle(spark):
         assert r.score_q == sql_score_q(s, i)
         assert r.small == sql_small(s, i)
         assert (r.opt is None) == (sql_opt(s, i) is None)
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_spark_alien_column_layout_skipped(spark):
+    """A valid database whose ``docs`` table has a DIFFERENT column
+    layout walks fine but breaks the 6-way unpack — the shard must
+    skip like a parse refusal, not fail the task (r12 ADVICE)."""
+    from queryengine_spark.sources.sqlitefile import (
+        make_sqlite_shard,
+        parse_sqlite_table,
+        sql_n_rows,
+        sqlite_rows,
+    )
+
+    alien = _db_bytes(
+        [
+            ("CREATE TABLE docs (a INTEGER PRIMARY KEY, b TEXT)", ()),
+            ("INSERT INTO docs VALUES (1, 'x')", ()),
+        ]
+    )
+    assert parse_sqlite_table(alien) is not None  # walks fine...
+    good = make_sqlite_shard(0)
+
+    assets = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(alien))],
+        "shard_id long, payload binary",
+    )
+    rows = sqlite_rows(assets).collect()
+    assert len(rows) == sql_n_rows(0)
+    assert {r.shard_id for r in rows} == {0}

@@ -153,3 +153,55 @@ def test_spark_examples_plan_no_shuffle(spark):
         assert r.txt_sum == sum(tfr_txt(s, i))
         assert r.w_q == tfr_w_q(s, i)
     _ = struct
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_gzip_bomb_refuses_bounded():
+    """A small gzip shard expanding past the per-shard inflate
+    ceiling refuses via the max_length decompress (input left in
+    unconsumed_tail) instead of materializing the bomb (r12
+    ADVICE)."""
+    import gzip
+
+    from queryengine_spark.sources.tfrecord import _MAX_INFLATE
+
+    bomb = gzip.compress(b"\x00" * (_MAX_INFLATE + 1), 6)
+    assert len(bomb) < 1 << 20  # it really is a bomb
+    assert parse_tfrecord(bomb) is None
+
+
+def test_spark_alien_feature_set_skipped(spark):
+    """A valid TFRecord stream whose Examples carry a DIFFERENT
+    feature set parses but breaks the fixed projection — the shard
+    must skip like a parse refusal, not fail the task (r12
+    ADVICE)."""
+    from queryengine_spark.sources.tfrecord import (
+        _feature_int64,
+        _pb_len,
+        tfrecord_examples,
+    )
+
+    entry = _pb_len(1, b"zz") + _pb_len(2, _feature_int64([7]))
+    ex = _pb_len(1, _pb_len(1, entry))
+    assert parse_example(ex) == {"zz": ("int64", [7])}  # parses fine...
+    ln = struct.pack("<Q", len(ex))
+    alien = (
+        ln
+        + struct.pack("<I", masked_crc32c(ln))
+        + ex
+        + struct.pack("<I", masked_crc32c(ex))
+    )
+    assert parse_tfrecord(alien) is not None
+    good = make_tfrecord_shard(0)
+
+    assets = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(alien))],
+        "shard_id long, payload binary",
+    )
+    rows = tfrecord_examples(assets).collect()
+    assert len(rows) == tfr_n_recs(0)
+    assert {r.shard_id for r in rows} == {0}
