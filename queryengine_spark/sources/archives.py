@@ -429,12 +429,11 @@ def make_jzst_seekable_shard(shard_id: int) -> bytes:
     return body + _skippable_frame(table, low_nibble=0xE)
 
 
-def make_jzst_shard(shard_id: int) -> bytes:
-    """zstd-compressed JSONL shard (``.jsonl.zst``, r11 — how text
-    corpora like CommonCrawl derivatives actually ship): one JSON
-    record per line, ``{"data": base64(payload), "name": name}``,
-    same member formula as every other container so all seven
-    container paths stay equivalence-testable."""
+def _jsonl_bytes(shard_id: int) -> bytes:
+    """The JSONL member encoding shared by every ``.jsonl.zst``
+    flavor: one record per line, ``{"data": base64(payload),
+    "name": name}``, same member formula as the tar/zip containers
+    so all container paths stay equivalence-testable."""
     lines = [
         json.dumps(
             {"data": base64.b64encode(payload).decode(), "name": name},
@@ -443,7 +442,37 @@ def make_jzst_shard(shard_id: int) -> bytes:
         )
         for name, payload in shard_members(shard_id)
     ]
-    return _zstd_compress(("\n".join(lines) + "\n").encode())
+    return ("\n".join(lines) + "\n").encode()
+
+
+def make_jzst_shard(shard_id: int) -> bytes:
+    """zstd-compressed JSONL shard (``.jsonl.zst``, r11 — how text
+    corpora like CommonCrawl derivatives actually ship)."""
+    return _zstd_compress(_jsonl_bytes(shard_id))
+
+
+def make_jzst_dict_shard(shard_id: int) -> bytes:
+    """DICTIONARY-bearing ``.jsonl.zst`` (r12 — the Common Crawl
+    ``.warc.zst`` wire convention): a leading 0x184D2A5D skippable
+    frame carries the raw-content dictionary (every second slot
+    zstd-compressed, as CC allows), followed by a hand-rolled RFC
+    8878 frame whose matches REACH INTO the dictionary — an explicit
+    far offset plus a rep0 reuse (sources/zstd.py
+    ``build_dict_frame``). Content is the same JSONL bytes, so the
+    unchanged member-formula oracle certifies the whole dictionary
+    path."""
+    from queryengine_spark.sources.zstd import (  # noqa: PLC0415
+        build_dict_frame,
+    )
+
+    raw = _jsonl_bytes(shard_id)
+    k = max(8, min(len(raw) // 2, 800 + shard_id % 256))
+    payload = raw[:k]
+    if shard_id % 64 == 58:
+        payload = _zstd_compress(payload)
+    return _skippable_frame(payload, low_nibble=0xD) + build_dict_frame(
+        raw, k
+    )
 
 
 def _parse_jsonl_members(raw: bytes) -> list[tuple[str, bytes]] | None:
@@ -489,12 +518,17 @@ def make_archive(shard_id: int) -> tuple[str, bytes]:
     """Even shards split on ``shard % 16`` — 0 → gzip tar (r7),
     2 → plain tar, 4 → bzip2 tar, 6 → xz tar (r9 codecs, flipped
     r10), 8 → zstd tar, 12 → MULTI-FRAME zstd tar with a pzstd-style
-    skippable index between frames, 10 → zstd JSONL, 14 → zstd JSONL
-    with a seekable-format trailing skippable frame (r11 stream
-    shapes) — odd shards pack as zip. Same member formula throughout,
-    so all seven container paths are directly equivalence-testable."""
+    skippable index between frames, 10 → zstd JSONL (r12: the
+    % 32 == 26 half is DICTIONARY-bearing — leading 0x184D2A5D
+    skippable dict frame, raw or compressed payload by % 64, matches
+    reaching into the dictionary), 14 → zstd JSONL with a
+    seekable-format trailing skippable frame (r11 stream shapes) —
+    odd shards pack as zip. Same member formula throughout, so all
+    container paths are directly equivalence-testable."""
     if shard_id % 2 == 1:
         return "zip", make_zip_shard(shard_id)
+    if shard_id % 32 == 26:
+        return "jzst", make_jzst_dict_shard(shard_id)
     r = shard_id % 16
     if r == 0:
         return "tgz", make_tgz_shard(shard_id)
@@ -518,15 +552,20 @@ def parse_archive(b: bytes) -> list[tuple[str, bytes]] | None:
     ustar walk (r7); bzip2 ``BZh`` / xz magics → strict stdlib
     decompression (whole-stream, no trailing bytes — r9) then the
     same walk; zstd magic → the FROM-SCRATCH RFC 8878 frame decoder
-    (sources/zstd.py, r11), inner content dispatched on ustar magic
-    vs JSONL; ustar magic at offset 257; else the ZIP local-header
-    signature. None for unrecognized/invalid payloads."""
+    (sources/zstd.py, r11) — a shard may also LEAD with a skippable
+    frame (r12: the 0x184D2A5D in-band dictionary convention, or a
+    seekable-format prelude), which the stream decoder handles —
+    inner content dispatched on ustar magic vs JSONL; ustar magic at
+    offset 257; else the ZIP local-header signature. None for
+    unrecognized/invalid payloads."""
     from queryengine_spark.sources.zstd import (  # noqa: PLC0415
         ZSTD_MAGIC,
         decompress_zstd,
     )
 
-    if b[:4] == ZSTD_MAGIC:
+    if b[:4] == ZSTD_MAGIC or (
+        len(b) >= 8 and b[1:4] == b"\x2a\x4d\x18" and 0x50 <= b[0] <= 0x5F
+    ):
         inner = decompress_zstd(bytes(b))
         if inner is None:
             return None

@@ -846,16 +846,29 @@ def _decompress_stream(
     return bytes(out)
 
 
-def _decompress_frame(b: bytes, p0: int, out: bytearray) -> int | None:
+def _decompress_frame(
+    b: bytes, p0: int, out: bytearray, dict_content: bytes = b""
+) -> int | None:
     """Decode ONE standard frame starting at ``p0``, appending its
     content to ``out``; returns the position just past the frame (and
-    its checksum), or None on any violation."""
+    its checksum), or None on any violation. With ``dict_content``
+    (r12), the frame decodes into a buffer seeded with the raw
+    dictionary so matches may reach back into it (§5 raw-content
+    semantics, still bounded by the declared Window_Size); only the
+    frame's own content is appended to ``out``."""
     # memoryview: slicing the remaining buffer per frame would copy
     # the tail every time — an adversarial stream of thousands of
     # tiny frames turns that into quadratic memcpy. The view is
     # zero-copy; block payloads are materialized bounded (≤128 KiB).
     b = memoryview(b)[p0:]
+    stream_out = out
+    if dict_content:
+        # per-frame prefix seed (frames reference the dictionary
+        # independently); reach_base 0 lets matches span into it
+        out = bytearray(dict_content)
     frame_base = len(out)
+    reach_base = 0 if dict_content else frame_base
+    prior_len = len(stream_out)
     if len(b) < 9 or b[:4] != ZSTD_MAGIC:
         return None
     fhd = b[4]
@@ -880,8 +893,14 @@ def _decompress_frame(b: bytes, p0: int, out: bytearray) -> int | None:
     if did_len:
         if p + did_len > len(b):
             return None
-        if int.from_bytes(b[p : p + did_len], "little") != 0:
-            return None  # dictionary frames: out of contract
+        if (
+            int.from_bytes(b[p : p + did_len], "little") != 0
+            and not dict_content
+        ):
+            # a frame naming a dictionary we don't have refuses; with
+            # an in-band dictionary the ID is accepted (a WRONG
+            # dictionary is caught by the content checksum)
+            return None
         p += did_len
     fcs_len = (0, 2, 4, 8)[fcs_flag]
     if fcs_flag == 0 and single_segment:
@@ -930,10 +949,10 @@ def _decompress_frame(b: bytes, p0: int, out: bytearray) -> int | None:
                 return None
             _decode_block(
                 bytes(b[p : p + bsize]), out, rep, state,
-                frame_base, window_size,
+                reach_base, window_size,
             )
             p += bsize
-        if len(out) > MAX_CONTENT:
+        if len(out) - frame_base + prior_len > MAX_CONTENT:
             return None
     if checksum:
         if p + 4 > len(b):
@@ -944,4 +963,132 @@ def _decompress_frame(b: bytes, p0: int, out: bytearray) -> int | None:
             return None
     if content_size is not None and len(out) - frame_base != content_size:
         return None
+    if dict_content:
+        stream_out += out[frame_base:]
     return p0 + p
+
+
+# --------------------------------------------------------------------------
+# synthesis side (r12): hand-rolled dictionary-referencing frames
+# --------------------------------------------------------------------------
+# pyarrow's bundled libzstd exposes no dictionary API, so the
+# dict-bearing corpus flavor builds its frames BY HAND from the same
+# RFC the decoder implements: raw-literal sections plus
+# single-sequence RLE-mode blocks whose matches reach back into the
+# dictionary prefix (including a repeat-offset reuse). Synthesis-only
+# — the decode path never calls any of this.
+
+
+def _ll_fields(ll: int) -> tuple[int, int, int]:
+    """literals length → (code, extra_value, extra_bits)."""
+    if ll < 16:
+        return ll, 0, 0
+    for code in range(35, 15, -1):
+        base, nb = _LL_CODE[code]
+        if ll >= base:
+            return code, ll - base, nb
+    raise ValueError("ll out of range")
+
+
+def _ml_fields(ml: int) -> tuple[int, int, int]:
+    """match length → (code, extra_value, extra_bits)."""
+    if ml < 3:
+        raise ValueError("ml < 3")
+    if ml < 35:
+        return ml - 3, 0, 0
+    for code in range(52, 31, -1):
+        base, nb = _ML_CODE[code]
+        if ml >= base:
+            return code, ml - base, nb
+    raise ValueError("ml out of range")
+
+
+def _of_fields(offset_value: int) -> tuple[int, int, int]:
+    """offset_value → (code, extra_value, extra_bits); code is also
+    the extra-bit count (§3.1.1.3.2.1.1)."""
+    if offset_value < 1:
+        raise ValueError("offset_value < 1")
+    code = offset_value.bit_length() - 1
+    if code > 31:
+        raise ValueError("offset code out of range")
+    return code, offset_value - (1 << code), code
+
+
+def _back_bitstream(chunks: list[tuple[int, int]]) -> bytes:
+    """Backward FSE bitstream: ``chunks`` in DECODE-read order;
+    written LSB-first in reverse order, 1-sentinel appended."""
+    acc = 0
+    nb = 0
+    for val, n in reversed(chunks):
+        acc |= val << nb
+        nb += n
+    acc |= 1 << nb
+    nb += 1
+    return acc.to_bytes((nb + 7) // 8, "little")
+
+
+def _raw_literals_section(lits: bytes) -> bytes:
+    """Raw literals with the 3-byte (20-bit size) header form."""
+    if len(lits) >= 1 << 20:
+        raise ValueError("literals too long")
+    bits = len(lits)
+    b0 = 0 | (3 << 2) | ((bits & 0xF) << 4)
+    return bytes([b0, (bits >> 4) & 0xFF, bits >> 12]) + lits
+
+
+def _one_seq_block(lits: bytes, ll: int, offset_value: int, ml: int) -> bytes:
+    """One Compressed block: raw literals + ONE sequence via RLE-mode
+    tables (1-state, 0-bit transitions — only the extra bits hit the
+    bitstream)."""
+    ll_c, ll_x, ll_nb = _ll_fields(ll)
+    ml_c, ml_x, ml_nb = _ml_fields(ml)
+    of_c, of_x, of_nb = _of_fields(offset_value)
+    body = bytearray(_raw_literals_section(lits))
+    body.append(1)  # n_seq
+    body.append((1 << 6) | (1 << 4) | (1 << 2))  # RLE, RLE, RLE
+    body += bytes([ll_c, of_c, ml_c])  # table-read order: ll, of, ml
+    chunk = (of_x << (ml_nb + ll_nb)) | (ml_x << ll_nb) | ll_x
+    body += _back_bitstream([(chunk, of_nb + ml_nb + ll_nb)])
+    return bytes(body)
+
+
+def build_dict_frame(content: bytes, k: int) -> bytes:
+    """One standard frame that regenerates ``content`` by REFERENCING
+    the raw-content dictionary ``content[:k]``: block 1 copies
+    ``k1 = k // 2`` bytes from the dictionary via an explicit offset
+    reaching before the frame's start, block 2 emits one literal then
+    reuses rep0 to copy the dictionary's second half, then carries
+    the remainder as literals. Content checksum appended. Requires
+    ``8 <= k <= len(content)`` (so both match lengths are ≥ 3)."""
+    if not 8 <= k <= len(content):
+        raise ValueError("bad dictionary split")
+    k1 = k // 2
+    m = k - k1 - 1
+    need = max(k, 1 << 10)
+    exponent = max(0, (need - 1).bit_length() - 10)
+    if exponent > 17:
+        raise ValueError("window too large")
+    out = bytearray(ZSTD_MAGIC)
+    out.append(0x04)  # FHD: content checksum, no FCS, no DID
+    out.append(exponent << 3)  # window descriptor, mantissa 0
+    # block 1: explicit offset into the dictionary; block 2: one
+    # literal + rep0 reuse into the dictionary; then the remainder
+    # as chunked Raw blocks (Block_Maximum_Size is bounded by the
+    # window, so big literal tails cannot ride in one block)
+    tail = content[k:]
+    b1 = _one_seq_block(b"", 0, k + 3, k1)
+    b2 = _one_seq_block(content[k1 : k1 + 1], 1, 1, m)
+    out += (len(b1) << 3 | (2 << 1) | 0).to_bytes(3, "little")
+    out += b1
+    last2 = 1 if not tail else 0
+    out += (len(b2) << 3 | (2 << 1) | last2).to_bytes(3, "little")
+    out += b2
+    # Block_Maximum_Size = min(Window_Size, 128 KiB)
+    step = min(1 << 16, 1 << (10 + exponent))
+    for i in range(0, len(tail), step):
+        chunk = tail[i : i + step]
+        last = 1 if i + step >= len(tail) else 0
+        out += (len(chunk) << 3 | (0 << 1) | last).to_bytes(3, "little")
+        out += chunk
+    out += (xxh64(content) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

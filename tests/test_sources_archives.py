@@ -1262,3 +1262,29 @@ def test_wat_metadata_record_envelope():
     # malformed warc-fields refuse
     assert _warc_fields(b"no colon line\r\n") is None
     assert _warc_fields(b"") is None
+
+
+def test_dict_bearing_jzst_flavor():
+    """r12: shards ≡ 26 (mod 32) ship a leading in-band dictionary
+    frame + a hand-rolled frame whose matches reach into it; the
+    member walk must equal every other container's."""
+    from queryengine_spark.sources.archives import (
+        make_archive,
+        make_jzst_dict_shard,
+        parse_archive,
+        shard_members,
+    )
+    from queryengine_spark.sources.zstd import ZSTD_MAGIC
+
+    for s in (26, 58, 90, 122):
+        fmt, b = make_archive(s)
+        assert fmt == "jzst"
+        assert b[0] == 0x5D  # leading dictionary skippable frame
+        assert parse_archive(b) == list(shard_members(s))
+    # % 64 == 58 compresses the dictionary payload; 26 ships it raw
+    assert make_jzst_dict_shard(58)[8:12] == ZSTD_MAGIC
+    assert make_jzst_dict_shard(26)[8:12] != ZSTD_MAGIC
+    # without its dictionary frame the data frame refuses
+    b = make_jzst_dict_shard(26)
+    sz = int.from_bytes(b[4:8], "little")
+    assert parse_archive(b[8 + sz:]) is None

@@ -219,3 +219,71 @@ def test_bitflips_never_crash():
         fb = bytearray(f)
         fb[i] ^= 1 << rng.randrange(8)
         decompress_zstd(bytes(fb))  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# r12: raw-content dictionaries
+# ---------------------------------------------------------------------------
+
+
+def _skip(payload, nib=0xD):
+    return (
+        bytes([0x50 | nib]) + b"\x2a\x4d\x18"
+        + len(payload).to_bytes(4, "little") + payload
+    )
+
+
+def test_dict_frame_roundtrip_and_refusals():
+    from queryengine_spark.sources.zstd import build_dict_frame
+
+    rng = random.Random(12)
+    for n, k in ((64, 8), (500, 100), (5000, 1000), (40, 40),
+                 (200000, 4000), (9, 8)):
+        content = bytes(rng.randrange(256) for _ in range(n))
+        fr = build_dict_frame(content, k)
+        assert decompress_zstd(fr, dictionary=content[:k]) == content
+        # no dictionary: the far offset reaches before frame start
+        assert decompress_zstd(fr) is None
+        # WRONG dictionary: caught by the content checksum
+        assert decompress_zstd(fr, dictionary=bytes(k)) is None
+
+
+def test_in_band_dictionary_semantics():
+    from queryengine_spark.sources.zstd import build_dict_frame
+
+    rng = random.Random(13)
+    content = bytes(rng.randrange(256) for _ in range(3000))
+    fr = build_dict_frame(content, 600)
+    d = content[:600]
+    # leading 0x184D2A5D skippable frame carries the dictionary
+    assert decompress_zstd(_skip(d) + fr) == content
+    # ... possibly itself zstd-compressed (the CC convention)
+    assert decompress_zstd(_skip(_compress(d, 3)) + fr) == content
+    # entropy-table dictionaries (structured magic) refuse
+    assert decompress_zstd(
+        _skip(b"\x37\xa4\x30\xec" + b"x" * 32) + fr) is None
+    assert decompress_zstd(
+        fr, dictionary=b"\x37\xa4\x30\xec" + b"x" * 32) is None
+    # a non-0x5D leading skippable is NOT a dictionary
+    assert decompress_zstd(_skip(d, nib=0xE) + fr) is None
+    # a 0x5D frame that is NOT leading stays a plain skippable
+    plain = _compress(b"plain " * 100, 3)
+    assert decompress_zstd(plain + _skip(d) + fr) is None
+    # an unused in-band dictionary leaves plain streams untouched
+    assert decompress_zstd(_skip(b"unrelated") + plain) == b"plain " * 100
+
+
+def test_dict_never_crashes_on_damage():
+    from queryengine_spark.sources.zstd import build_dict_frame
+
+    rng = random.Random(14)
+    content = bytes(rng.randrange(256) for _ in range(800))
+    stream = _skip(content[:200]) + build_dict_frame(content, 200)
+    step = max(1, len(stream) // 40)
+    for cut in range(0, len(stream), step):
+        decompress_zstd(stream[:cut])  # must not raise
+    for _ in range(200):
+        i = rng.randrange(len(stream))
+        fb = bytearray(stream)
+        fb[i] ^= 1 << rng.randrange(8)
+        decompress_zstd(bytes(fb))  # must not raise
