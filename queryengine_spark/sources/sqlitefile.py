@@ -17,10 +17,27 @@ OVERFLOW chains (the K/M/X spill arithmetic with 4-byte next-page
 links). The DuckDB oracle recomputes every decoded value FROM THE
 FORMULAS.
 
+WAL-mode captures (r12): shards ≡ 3 (mod 4) are LIVE-database
+captures — main-file bytes followed by the ``-wal`` bytes, the
+shape copying a running application's data directory produces. The
+reader implements the published WAL format: 32-byte header (magic
+selects checksum endianness, version 3007000, page size, salts,
+header checksum), 24-byte frame headers, the CUMULATIVE split
+checksum over frame header + page content, salt matching, and the
+recovery rule that the first invalid frame ends the valid region
+(a torn tail is normal in a live capture — the one sanctioned
+deviation from this repo's trailing-garbage refusals). Pages from
+frames up to the last valid commit override the main file, the
+commit's database-size field sets the page count, and a
+cleanly-checkpointed capture (empty/absent WAL) reads from the
+main file alone.
+
 Honest refusals (None, never a guessed row):
 - non-UTF-8 text encodings (header offset 56 ≠ 1);
-- WAL-mode files (read/write version 2 — the live-database shape;
-  a corpus shard is a serialized snapshot);
+- WAL structural violations: bad WAL magic or version, page-size
+  mismatch, header-checksum mismatch, a database-size field that
+  exceeds the capture, or a committed page count reaching pages
+  present in neither the main file nor the WAL;
 - requested table missing from sqlite_master, or its root hosting
   an index b-tree;
 - any structural violation: bad magic, non-power-of-two page size,
@@ -133,6 +150,93 @@ def make_sqlite_shard(s: int) -> bytes:
     return out
 
 
+def _formula_rows(s: int) -> list[tuple]:
+    return [
+        (
+            sql_rowid(s, i),
+            sql_name(s, i),
+            sql_score_q(s, i) / 32.0,
+            sql_payload(s, i),
+            sql_opt(s, i),
+            sql_small(s, i),
+        )
+        for i in range(sql_n_rows(s))
+    ]
+
+
+def make_sqlite_wal_shard(s: int) -> bytes:
+    """WAL-mode capture (r12 — the live-database shape): the real
+    sqlite3 engine writes a WAL-journal database on disk; the shard
+    is MAIN-file bytes + ``-wal`` bytes, exactly what copying a live
+    database directory captures. Sub-variants by s % 12:
+    3 → no checkpoint (all content in WAL frames, plus an
+    overwrite/restore transaction so the same pages appear in
+    multiple frames — last commit must win), 7 → a mid-life FULL
+    checkpoint (content split between main file and WAL),
+    11 → a final TRUNCATE checkpoint (clean capture: WAL empty,
+    main file alone carries version-2 headers). Same row formulas,
+    so the unchanged oracle certifies the WAL walk."""
+    import os
+    import tempfile
+
+    rows = _formula_rows(s)
+    half = len(rows) // 2
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "cap.db")
+        con = sqlite3.connect(path)
+        con.execute("PRAGMA page_size=512")
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA wal_autocheckpoint=0")
+        con.execute(
+            "CREATE TABLE docs (rid INTEGER PRIMARY KEY, name TEXT,"
+            " score REAL, payload BLOB, opt INTEGER, small INTEGER)"
+        )
+        con.executemany(
+            "INSERT INTO docs VALUES (?,?,?,?,?,?)", rows[:half]
+        )
+        con.commit()
+        m = s % 12
+        if m == 7:
+            con.execute("PRAGMA wal_checkpoint(FULL)").fetchone()
+        con.executemany(
+            "INSERT INTO docs VALUES (?,?,?,?,?,?)", rows[half:]
+        )
+        con.commit()
+        if m == 3:
+            # same pages written in multiple commits: overwrite then
+            # restore the formula values — the LAST commit must win
+            con.executemany(
+                "UPDATE docs SET name=? WHERE rid=?",
+                [("overwritten", r[0]) for r in rows[:3]],
+            )
+            con.commit()
+            con.executemany(
+                "UPDATE docs SET name=? WHERE rid=?",
+                [(r[1], r[0]) for r in rows[:3]],
+            )
+            con.commit()
+        if m == 11:
+            con.execute("PRAGMA wal_checkpoint(TRUNCATE)").fetchone()
+        with open(path, "rb") as f:
+            db = f.read()
+        wal = b""
+        if os.path.exists(path + "-wal"):
+            with open(path + "-wal", "rb") as f:
+                wal = f.read()
+        con.close()
+    return db + wal
+
+
+def make_sqlite_any(s: int) -> bytes:
+    """The corpus flavor split: shards ≡ 3 (mod 4) are WAL-mode
+    captures (r12, sub-split by s % 12 — see make_sqlite_wal_shard);
+    the rest are rollback-journal serialized snapshots. Same row
+    formulas throughout."""
+    if s % 4 == 3:
+        return make_sqlite_wal_shard(s)
+    return make_sqlite_shard(s)
+
+
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
@@ -197,6 +301,87 @@ def _decode_record(payload: bytes) -> list | None:
     return out
 
 
+#: WAL header magics (file-format doc §WAL): low bit selects the
+#: word endianness of the cumulative checksum
+_WAL_MAGIC_LE = 0x377F0682
+_WAL_MAGIC_BE = 0x377F0683
+_WAL_VERSION = 3007000
+_U32 = (1 << 32) - 1
+
+
+def _wal_cksum(
+    data: bytes, s1: int, s2: int, big: bool
+) -> tuple[int, int]:
+    """The WAL cumulative checksum (file-format doc): pairs of
+    32-bit words folded as s1 += x0 + s2; s2 += x1 + s1."""
+    if len(data) % 8:
+        raise ValueError("sqlite wal: checksum input not 8-aligned")
+    fmt = ">%dI" % (len(data) // 4) if big else "<%dI" % (len(data) // 4)
+    words = struct.unpack(fmt, data)
+    for i in range(0, len(words), 2):
+        s1 = (s1 + words[i] + s2) & _U32
+        s2 = (s2 + words[i + 1] + s1) & _U32
+    return s1, s2
+
+
+def _parse_wal(
+    wal: bytes, ps: int
+) -> tuple[dict[int, bytes], int | None]:
+    """WAL bytes → (page overrides from frames up to the last valid
+    commit, that commit's database size in pages). Salt and
+    cumulative-checksum validation per the file-format doc; the
+    first invalid frame ENDS the valid region (that is the
+    documented recovery semantic — a torn tail is normal in a live
+    capture, unlike the repo's usual trailing-garbage refusals).
+    Raises ValueError on a structurally bad header."""
+    if not wal:
+        return {}, None
+    if len(wal) < 32:
+        raise ValueError("sqlite wal: truncated header")
+    magic = int.from_bytes(wal[0:4], "big")
+    if magic == _WAL_MAGIC_LE:
+        big = False
+    elif magic == _WAL_MAGIC_BE:
+        big = True
+    else:
+        raise ValueError("sqlite wal: bad magic")
+    if int.from_bytes(wal[4:8], "big") != _WAL_VERSION:
+        raise ValueError("sqlite wal: unknown format version")
+    if int.from_bytes(wal[8:12], "big") != ps:
+        raise ValueError("sqlite wal: page-size mismatch")
+    salts = wal[16:24]
+    s1, s2 = _wal_cksum(wal[:24], 0, 0, big)
+    if (s1, s2) != (
+        int.from_bytes(wal[24:28], "big"),
+        int.from_bytes(wal[28:32], "big"),
+    ):
+        raise ValueError("sqlite wal: header checksum mismatch")
+    overrides: dict[int, bytes] = {}
+    pending: dict[int, bytes] = {}
+    commit_pages: int | None = None
+    p = 32
+    fsize = 24 + ps
+    while p + fsize <= len(wal):
+        pgno = int.from_bytes(wal[p : p + 4], "big")
+        dbsz = int.from_bytes(wal[p + 4 : p + 8], "big")
+        if wal[p + 8 : p + 16] != salts or pgno == 0:
+            break  # end of valid region
+        s1, s2 = _wal_cksum(wal[p : p + 8], s1, s2, big)
+        s1, s2 = _wal_cksum(wal[p + 24 : p + fsize], s1, s2, big)
+        if (s1, s2) != (
+            int.from_bytes(wal[p + 16 : p + 20], "big"),
+            int.from_bytes(wal[p + 20 : p + 24], "big"),
+        ):
+            break  # checksum chain broken: end of valid region
+        pending[pgno] = wal[p + 24 : p + fsize]
+        if dbsz:  # commit frame: its transaction becomes durable
+            overrides.update(pending)
+            pending.clear()
+            commit_pages = dbsz
+        p += fsize
+    return overrides, commit_pages
+
+
 class _Db:
     def __init__(self, b: bytes) -> None:
         if len(b) < 512 or b[:16] != SQLITE_MAGIC:
@@ -206,20 +391,45 @@ class _Db:
             ps = 65536
         if ps < 512 or ps > 65536 or ps & (ps - 1):
             raise ValueError("sqlite: bad page size")
-        if b[18] != 1 or b[19] != 1:
-            raise ValueError("sqlite: WAL / unknown version refuses")
-        if int.from_bytes(b[56:60], "big") != 1:
-            raise ValueError("sqlite: non-UTF-8 encoding refuses")
-        if len(b) % ps:
-            raise ValueError("sqlite: ragged file length")
-        self.b = b
         self.ps = ps
         self.usable = ps - b[20]
-        self.n_pages = len(b) // ps
+        self.overrides: dict[int, bytes] = {}
+        if b[18] == 1 and b[19] == 1:
+            # rollback-journal database: the file is the whole story
+            if len(b) % ps:
+                raise ValueError("sqlite: ragged file length")
+            self.b = b
+            self.n_pages = len(b) // ps
+        elif b[18] == 2 and b[19] == 2:
+            # WAL-mode capture (r12): MAIN file (length given by the
+            # header's database-size field) followed by the ``-wal``
+            # bytes; frames up to the last valid commit override
+            # their pages, and that commit sets the database size.
+            # A cleanly-checkpointed capture has no trailing WAL.
+            main_pages = int.from_bytes(b[28:32], "big")
+            if main_pages == 0 or main_pages * ps > len(b):
+                raise ValueError("sqlite: bad main-file size field")
+            self.b = b[: main_pages * ps]
+            self.n_pages = main_pages
+            overrides, commit_pages = _parse_wal(b[main_pages * ps :], ps)
+            self.overrides = overrides
+            if commit_pages is not None:
+                self.n_pages = commit_pages
+            # pages past the main file must come from the WAL
+            for num in range(main_pages + 1, self.n_pages + 1):
+                if num not in overrides:
+                    raise ValueError("sqlite: page hole past main file")
+        else:
+            raise ValueError("sqlite: unknown read/write version")
+        if int.from_bytes(self.page(1)[56:60], "big") != 1:
+            raise ValueError("sqlite: non-UTF-8 encoding refuses")
 
     def page(self, num: int) -> bytes:
         if not 1 <= num <= self.n_pages:
             raise ValueError("sqlite: page number out of range")
+        ov = self.overrides.get(num)
+        if ov is not None:
+            return ov
         return self.b[(num - 1) * self.ps : num * self.ps]
 
     def _payload(self, pg: bytes, pos: int, plen: int) -> bytes:
@@ -351,7 +561,7 @@ def synthesize_sqlite(ids: DataFrame, id_col: str = "shard_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "shard_id": pd.Series(ids_, dtype="int64"),
-                    "payload": [make_sqlite_shard(a) for a in ids_],
+                    "payload": [make_sqlite_any(a) for a in ids_],
                 }
             )
 

@@ -108,10 +108,18 @@ def test_refusals():
     good = make_sqlite_shard(1)
     # bad magic
     assert parse_sqlite_table(b"Not a database" + good[14:]) is None
-    # WAL versions (offsets 18/19)
+    # WAL versions (offsets 18/19) now PARSE when the capture is
+    # checkpoint-clean (r12 — the main file alone carries the rows);
+    # truly unknown versions still refuse
     wal = bytearray(good)
     wal[18] = wal[19] = 2
-    assert parse_sqlite_table(bytes(wal)) is None
+    assert parse_sqlite_table(bytes(wal)) is not None
+    unk = bytearray(good)
+    unk[18] = unk[19] = 3
+    assert parse_sqlite_table(bytes(unk)) is None
+    mixed = bytearray(good)
+    mixed[18], mixed[19] = 1, 2
+    assert parse_sqlite_table(bytes(mixed)) is None
     # non-UTF-8 encoding (offset 56): UTF-16le
     enc = bytearray(good)
     enc[56:60] = (2).to_bytes(4, "big")
@@ -194,3 +202,113 @@ def test_spark_alien_column_layout_skipped(spark):
     rows = sqlite_rows(assets).collect()
     assert len(rows) == sql_n_rows(0)
     assert {r.shard_id for r in rows} == {0}
+
+
+# ---------------------------------------------------------------------------
+# r12: WAL-mode captures
+# ---------------------------------------------------------------------------
+
+
+def _expected_rows(s):
+    from queryengine_spark.sources.sqlitefile import (
+        sql_name,
+        sql_opt,
+        sql_payload,
+        sql_rowid,
+        sql_score_q,
+        sql_small,
+    )
+
+    return [
+        [sql_rowid(s, i), sql_name(s, i), sql_score_q(s, i) / 32.0,
+         sql_payload(s, i), sql_opt(s, i), sql_small(s, i)]
+        for i in range(sql_n_rows(s))
+    ]
+
+
+@pytest.mark.parametrize("s", [3, 7, 11, 15, 19, 23, 27, 31, 35])
+def test_wal_capture_matches_formula(s):
+    """All three WAL sub-variants (no checkpoint + multi-version
+    pages, mid-life FULL checkpoint, final TRUNCATE checkpoint)
+    merge to the formula rows."""
+    from queryengine_spark.sources.sqlitefile import (
+        make_sqlite_wal_shard,
+        parse_sqlite_table,
+    )
+
+    got = parse_sqlite_table(make_sqlite_wal_shard(s))
+    assert got is not None
+    assert sorted(map(tuple, got)) == sorted(map(tuple, _expected_rows(s)))
+
+
+def test_wal_structures_really_exercised():
+    """Variant 3 must really carry WAL frames (incl. multi-version
+    pages); variant 11 must really be checkpoint-clean."""
+    from queryengine_spark.sources.sqlitefile import (
+        _parse_wal,
+        make_sqlite_wal_shard,
+    )
+
+    b3 = make_sqlite_wal_shard(3)
+    mp = int.from_bytes(b3[28:32], "big")
+    wal = b3[mp * 512:]
+    assert wal[:4] in (b"\x37\x7f\x06\x82", b"\x37\x7f\x06\x83")
+    overrides, commit_pages = _parse_wal(wal, 512)
+    assert overrides and commit_pages is not None
+    # multiple frames for at least one page (overwrite + restore)
+    n_frames = (len(wal) - 32) // (24 + 512)
+    assert n_frames > len(overrides)
+    b11 = make_sqlite_wal_shard(11)
+    assert len(b11) == int.from_bytes(b11[28:32], "big") * 512  # no WAL
+    assert b11[18] == 2 and b11[19] == 2  # still a WAL-mode header
+
+
+def test_wal_refusals_and_recovery():
+    from queryengine_spark.sources.sqlitefile import (
+        make_sqlite_wal_shard,
+        parse_sqlite_table,
+    )
+
+    b = make_sqlite_wal_shard(3)
+    mp = int.from_bytes(b[28:32], "big")
+    wal_at = mp * 512
+    # truncated WAL header refuses
+    assert parse_sqlite_table(b[: wal_at + 16]) is None
+    # bad WAL magic refuses
+    bb = bytearray(b)
+    bb[wal_at] ^= 0xFF
+    assert parse_sqlite_table(bytes(bb)) is None
+    # header-checksum lie refuses
+    bb = bytearray(b)
+    bb[wal_at + 25] ^= 1
+    assert parse_sqlite_table(bytes(bb)) is None
+    # an invalid FRAME ends the valid region (recovery semantic):
+    # never a crash, and never the full row set
+    bb = bytearray(b)
+    bb[wal_at + 32 + 8] ^= 1  # first frame's salt
+    r = parse_sqlite_table(bytes(bb))
+    assert r is None or len(r) < sql_n_rows(3)
+    # torn tail (partial trailing frame) is tolerated per the doc
+    r2 = parse_sqlite_table(b[:-100])
+    assert r2 is None or isinstance(r2, list)
+
+
+def test_wal_truncations_and_bitflips_never_crash():
+    import random as _random
+
+    from queryengine_spark.sources.sqlitefile import (
+        make_sqlite_wal_shard,
+        parse_sqlite_table,
+    )
+
+    for s in (3, 7):
+        b = make_sqlite_wal_shard(s)
+        step = max(1, len(b) // 40)
+        for cut in range(0, len(b), step):
+            parse_sqlite_table(b[:cut])  # must not raise
+        rng = _random.Random(s)
+        for _ in range(150):
+            i = rng.randrange(len(b))
+            fb = bytearray(b)
+            fb[i] ^= 1 << rng.randrange(8)
+            parse_sqlite_table(bytes(fb))  # must not raise
