@@ -666,7 +666,10 @@ SELECT b.s AS shard_id,
             + (b.s + 3 * b.i) % 256 + (b.s * b.i) % 256
             AS BIGINT) AS fp_sum,
        CAST(b.map_n AS INT) AS map_n,
-       CAST(ms.map_sum AS BIGINT) AS map_sum
+       CAST(ms.map_sum AS BIGINT) AS map_sum,
+       -- r12 reader-schema resolution: odd shards decode through
+       -- AVRO_READER_SCHEMA, whose reader-only field defaults to 7
+       CAST(CASE WHEN b.s % 2 = 1 THEN 7 ELSE -1 END AS INT) AS extra
 FROM base b
 JOIN name_sums ns ON ns.s = b.s AND ns.i = b.i
 JOIN payload_sums ps ON ps.s = b.s AND ps.i = b.i

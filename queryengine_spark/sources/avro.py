@@ -9,14 +9,27 @@ published Avro 1.11 specification — magic ``Obj\\x01``, the file
 metadata map, JSON schema resolution, zigzag-varint longs, length-
 prefixed strings/bytes, IEEE doubles, records / enums / fixed /
 arrays / maps / unions, multi-block bodies with 16-byte sync-marker
-validation, and all three mainstream codecs — ``null``, ``deflate``
-(raw RFC 1951 via stdlib zlib), and ``snappy`` decoded by a
-FROM-SCRATCH decompressor with the Avro-specific trailing CRC32 —
-and the DuckDB oracle recomputes every decoded value FROM THE
-FORMULAS.
+validation, and the FULL six-codec matrix (r12) — ``null``,
+``deflate`` (raw RFC 1951 via stdlib zlib), ``snappy`` decoded by a
+FROM-SCRATCH decompressor with the Avro-specific trailing CRC32,
+``bzip2`` / ``xz`` (strict stdlib, whole-block streams), and
+``zstandard`` through the repo's own RFC 8878 decoder
+(sources/zstd.py) — and the DuckDB oracle recomputes every decoded
+value FROM THE FORMULAS.
+
+Reader-schema resolution (r12, spec "Schema Resolution"):
+``parse_avro(b, reader_schema=...)`` resolves every record from the
+embedded writer schema to the caller's reader schema — field
+matching by name or reader ALIASES, reader-only fields taking their
+JSON defaults, primitive promotions (int→long→float→double,
+string↔bytes), enum default fallback, recursion through
+arrays/maps/unions (writer-union branches re-matched by runtime
+shape — sound here because every supported branch decodes to a
+distinct Python type). Unresolvable schemas refuse the shard. Odd
+corpus shards exercise the path end-to-end under the oracle.
 
 Honest refusals (None, never a guessed record):
-- unknown codecs (bzip2/xz/zstandard codecs: out of contract here);
+- unknown codec names;
 - schema features outside the supported subset (named-type
   references, recursive schemas, logical types are IGNORED per spec
   but unknown primitive names refuse);
@@ -197,13 +210,17 @@ def _snappy_compress(raw: bytes) -> bytes:
 def make_avro_shard(s: int) -> bytes:
     """One OCF shard: header (schema + codec in the metadata map,
     16-byte sync marker), records in blocks of AVRO_BLOCK_RECS, each
-    block codec-compressed and sync-terminated. Codec split:
-    s % 3 == 0 → null, 1 → deflate (raw RFC 1951), 2 → snappy
+    block codec-compressed and sync-terminated. Codec split
+    (r12 — the full six-codec matrix of the Avro spec):
+    s % 6 == 0 → null, 1 → deflate (raw RFC 1951), 2 → snappy
     (+ big-endian CRC32 of the uncompressed bytes, per the Avro
-    spec's snappy codec)."""
+    spec's snappy codec), 3 → bzip2, 4 → xz, 5 → zstandard
+    (decoded by the repo's own RFC 8878 decoder)."""
     import hashlib
 
-    codec = ("null", "deflate", "snappy")[s % 3]
+    codec = ("null", "deflate", "snappy", "bzip2", "xz", "zstandard")[
+        s % 6
+    ]
     sync = hashlib.md5(b"avro-sync-%d" % s).digest()
     out = bytearray(AVRO_MAGIC)
     meta = {
@@ -231,6 +248,18 @@ def make_avro_shard(s: int) -> bytes:
             data = _snappy_compress(raw) + struct.pack(
                 ">I", zlib.crc32(raw) & 0xFFFFFFFF
             )
+        elif codec == "bzip2":
+            import bz2  # noqa: PLC0415
+
+            data = bz2.compress(raw, 9)
+        elif codec == "xz":
+            import lzma  # noqa: PLC0415
+
+            data = lzma.compress(raw, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            import pyarrow as pa  # noqa: PLC0415 — synthesis-only
+
+            data = bytes(pa.Codec("zstd", compression_level=3).compress(raw))
         else:
             data = raw
         out += _zz_encode(len(recs)) + _zz_encode(len(data)) + data + sync
@@ -466,15 +495,234 @@ def _validate_schema(schema, depth: int = 0) -> None:
         raise ValueError(f"avro: unsupported complex type {t!r}")
 
 
-def parse_avro(b: bytes) -> list[dict] | None:
+# ---------------------------------------------------------------------------
+# reader-schema resolution (r12) — Avro spec "Schema Resolution"
+# ---------------------------------------------------------------------------
+
+#: allowed primitive promotions (writer → reader)
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+}
+
+
+def _json_default(dflt, schema):
+    """A reader field's JSON default → runtime value per the reader
+    type (bytes/fixed defaults are JSON strings of codepoints < 256,
+    per spec; a union's default is for its FIRST branch)."""
+    if isinstance(schema, list):  # union default is for the FIRST branch
+        return _json_default(dflt, schema[0])
+    if isinstance(schema, str):
+        if schema == "null":
+            if dflt is not None:
+                raise ValueError("avro: bad null default")
+            return None
+        if schema == "boolean":
+            if not isinstance(dflt, bool):
+                raise ValueError("avro: bad boolean default")
+            return dflt
+        if schema in ("int", "long"):
+            if not isinstance(dflt, int) or isinstance(dflt, bool):
+                raise ValueError("avro: bad int default")
+            return dflt
+        if schema in ("float", "double"):
+            if not isinstance(dflt, (int, float)) or isinstance(dflt, bool):
+                raise ValueError("avro: bad float default")
+            return float(dflt)
+        if schema == "string":
+            if not isinstance(dflt, str):
+                raise ValueError("avro: bad string default")
+            return dflt
+        if schema == "bytes":
+            if not isinstance(dflt, str):
+                raise ValueError("avro: bad bytes default")
+            return dflt.encode("latin-1")
+        raise ValueError("avro: unsupported default type")
+    t = schema.get("type")
+    if t == "enum":
+        if dflt not in schema.get("symbols", ()):
+            raise ValueError("avro: bad enum default")
+        return dflt
+    if t == "fixed":
+        if not isinstance(dflt, str):
+            raise ValueError("avro: bad fixed default")
+        b = dflt.encode("latin-1")
+        if len(b) != int(schema["size"]):
+            raise ValueError("avro: fixed default size mismatch")
+        return b
+    if t == "array":
+        if not isinstance(dflt, list):
+            raise ValueError("avro: bad array default")
+        return [_json_default(x, schema["items"]) for x in dflt]
+    if t == "map":
+        if not isinstance(dflt, dict):
+            raise ValueError("avro: bad map default")
+        return {k: _json_default(v, schema["values"]) for k, v in dflt.items()}
+    if t == "record":
+        if not isinstance(dflt, dict):
+            raise ValueError("avro: bad record default")
+        out = {}
+        for f in schema["fields"]:
+            if f["name"] in dflt:
+                out[f["name"]] = _json_default(dflt[f["name"]], f["type"])
+            elif "default" in f:
+                out[f["name"]] = _json_default(f["default"], f["type"])
+            else:
+                raise ValueError("avro: incomplete record default")
+        return out
+    raise ValueError("avro: unsupported default type")
+
+
+def _adapt_dynamic(v, r):
+    """Adapt a WRITER-UNION value (branch lost after decode) to the
+    reader schema by runtime type — sound for the supported subset
+    because every union branch decodes to a distinct Python shape."""
+    if isinstance(r, list):
+        for br in r:
+            try:
+                return _adapt_dynamic(v, br)
+            except ValueError:
+                continue
+        raise ValueError("avro: union value fits no reader branch")
+    if v is None:
+        if r == "null":
+            return None
+        raise ValueError("avro: null into non-null reader")
+    if isinstance(v, bool):
+        if r == "boolean":
+            return v
+        raise ValueError("avro: bool mismatch")
+    if isinstance(v, int):
+        if r in ("int", "long"):
+            return v
+        if r in ("float", "double"):
+            return float(v)
+        raise ValueError("avro: int mismatch")
+    if isinstance(v, float):
+        if r in ("float", "double"):
+            return v
+        raise ValueError("avro: float mismatch")
+    if isinstance(v, str):
+        if r == "string":
+            return v
+        if r == "bytes":
+            return v.encode("utf-8")
+        if isinstance(r, dict) and r.get("type") == "enum":
+            return _adapt(v, r, r)
+        raise ValueError("avro: str mismatch")
+    if isinstance(v, bytes):
+        if r == "bytes":
+            return v
+        if r == "string":
+            return v.decode("utf-8")
+        if isinstance(r, dict) and r.get("type") == "fixed":
+            if len(v) != int(r["size"]):
+                raise ValueError("avro: fixed size mismatch")
+            return v
+        raise ValueError("avro: bytes mismatch")
+    raise ValueError("avro: complex union branches unsupported")
+
+
+def _adapt(v, w, r):
+    """Adapt one decoded value from the writer schema ``w`` to the
+    reader schema ``r`` (spec Schema Resolution): primitive
+    promotions, string↔bytes, record field matching by name or
+    reader ALIASES with reader-only fields taking their defaults,
+    enum fallback to the reader's default symbol, recursion through
+    arrays/maps/unions. Raises ValueError when the schemas cannot
+    resolve (the caller refuses)."""
+    if w == r:
+        return v
+    if isinstance(w, list):
+        return _adapt_dynamic(v, r)
+    if isinstance(r, list):
+        for br in r:
+            try:
+                return _adapt(v, w, br)
+            except ValueError:
+                continue
+        raise ValueError("avro: no matching reader union branch")
+    if isinstance(w, str) and isinstance(r, str):
+        if (w, r) in _PROMOTIONS:
+            return float(v) if r in ("float", "double") else v
+        if w == "string" and r == "bytes":
+            return v.encode("utf-8")
+        if w == "bytes" and r == "string":
+            return v.decode("utf-8")
+        raise ValueError(f"avro: cannot promote {w!r} to {r!r}")
+    if not (isinstance(w, dict) and isinstance(r, dict)):
+        raise ValueError("avro: schema shape mismatch")
+    tw, tr = w.get("type"), r.get("type")
+    if tw == tr == "record":
+        out = {}
+        for rf in r["fields"]:
+            names = {rf["name"], *rf.get("aliases", ())}
+            wf = next(
+                (f for f in w["fields"] if f["name"] in names), None
+            )
+            if wf is not None:
+                out[rf["name"]] = _adapt(v[wf["name"]], wf["type"], rf["type"])
+            elif "default" in rf:
+                out[rf["name"]] = _json_default(rf["default"], rf["type"])
+            else:
+                raise ValueError(
+                    f"avro: reader field {rf['name']!r} has no writer "
+                    "field and no default"
+                )
+        return out
+    if tw == tr == "enum":
+        if v in r["symbols"]:
+            return v
+        if "default" in r:
+            return r["default"]
+        raise ValueError("avro: enum symbol not in reader")
+    if tw == tr == "fixed":
+        if int(w["size"]) != int(r["size"]):
+            raise ValueError("avro: fixed size mismatch")
+        return v
+    if tw == tr == "array":
+        return [_adapt(x, w["items"], r["items"]) for x in v]
+    if tw == tr == "map":
+        return {
+            k: _adapt(x, w["values"], r["values"]) for k, x in v.items()
+        }
+    raise ValueError("avro: unresolvable schemas")
+
+
+def parse_avro(b: bytes, reader_schema=None) -> list[dict] | None:
     """OCF bytes → list of decoded records, or None (refusals per
-    the module docstring)."""
+    the module docstring). With ``reader_schema`` (r12), every
+    record is RESOLVED from the embedded writer schema to the reader
+    schema per the spec's Schema Resolution rules — unresolvable
+    schemas refuse the shard."""
     try:
-        return _parse_avro_strict(bytes(b))
+        recs = _parse_avro_strict(bytes(b))
+        if recs is None or reader_schema is None:
+            return recs
+        meta_schema = _writer_schema(bytes(b))
+        _validate_schema(reader_schema)
+        return [_adapt(rec, meta_schema, reader_schema) for rec in recs]
     except (ValueError, KeyError, IndexError, TypeError,
             UnicodeDecodeError, struct.error, zlib.error,
             json.JSONDecodeError):
         return None
+
+
+def _writer_schema(b: bytes):
+    """Re-read just the embedded writer schema from the header."""
+    r = _Rd(b, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.raw(r.long()).decode("utf-8")
+            meta[k] = r.raw(r.long())
+    return json.loads(meta["avro.schema"])
 
 
 def _parse_avro_strict(b: bytes) -> list[dict] | None:
@@ -497,8 +745,10 @@ def _parse_avro_strict(b: bytes) -> list[dict] | None:
     schema = json.loads(meta["avro.schema"])
     _validate_schema(schema)
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate", "snappy"):
-        return None  # bzip2/xz/zstandard OCF codecs: out of contract
+    if codec not in (
+        "null", "deflate", "snappy", "bzip2", "xz", "zstandard"
+    ):
+        return None  # unknown codec names: out of contract
     sync = r.raw(16)
     out: list[dict] = []
     while r.p < len(b):
@@ -527,6 +777,41 @@ def _parse_avro_strict(b: bytes) -> list[dict] | None:
             want_crc = struct.unpack(">I", data[-4:])[0]
             raw = snappy_decompress(data[:-4])
             if raw is None or (zlib.crc32(raw) & 0xFFFFFFFF) != want_crc:
+                return None
+            data = raw
+        elif codec == "bzip2":
+            # r12 codec matrix: stdlib strict (whole-block stream,
+            # no trailing bytes), same dispensation as deflate
+            import bz2  # noqa: PLC0415
+
+            d2 = bz2.BZ2Decompressor()
+            try:
+                raw = d2.decompress(data)
+            except OSError:
+                return None
+            if not d2.eof or d2.unused_data:
+                return None
+            data = raw
+        elif codec == "xz":
+            import lzma  # noqa: PLC0415
+
+            d3 = lzma.LZMADecompressor(lzma.FORMAT_XZ)
+            try:
+                raw = d3.decompress(data)
+            except lzma.LZMAError:
+                return None
+            if not d3.eof or d3.unused_data:
+                return None
+            data = raw
+        elif codec == "zstandard":
+            # the repo's own RFC 8878 decoder (r11) — the Avro
+            # zstandard codec is plain frames, no extra CRC
+            from queryengine_spark.sources.zstd import (  # noqa: PLC0415
+                decompress_zstd,
+            )
+
+            raw = decompress_zstd(data)
+            if raw is None:
                 return None
             data = raw
         br = _Rd(data, 0)
@@ -566,8 +851,30 @@ AVRO_REC_SCHEMA = StructType(
         StructField("fp_sum", LongType()),
         StructField("map_n", IntegerType()),
         StructField("map_sum", LongType()),
+        StructField("extra", IntegerType()),
     ]
 )
+
+
+def _reader_schema() -> dict:
+    """The resolution-exercising READER schema applied to odd shards
+    (r12): renames ``name`` → ``title`` via an alias, promotes
+    ``rid`` long → double (exactly representable at corpus
+    magnitudes), and adds a reader-only ``extra`` int with default
+    7 — so the oracle certifies alias matching, promotion, and
+    default injection, not just pass-through."""
+    import copy
+
+    r = copy.deepcopy(AVRO_SCHEMA)
+    f = next(x for x in r["fields"] if x["name"] == "name")
+    f["name"] = "title"
+    f["aliases"] = ["name"]
+    next(x for x in r["fields"] if x["name"] == "rid")["type"] = "double"
+    r["fields"].append({"name": "extra", "type": "int", "default": 7})
+    return r
+
+
+AVRO_READER_SCHEMA = _reader_schema()
 
 
 def synthesize_avro(ids: DataFrame, id_col: str = "shard_id") -> DataFrame:
@@ -592,16 +899,26 @@ def avro_records(assets: DataFrame) -> DataFrame:
     exact integer projections of every field (the double comes back
     as score*16 — exactly representable, so the BIGINT is lossless):
     certifies varints, strings, doubles, booleans, arrays, bytes,
-    unions, enums, fixed, maps, all three codecs, and the sync/block
-    walk against the formula oracle. Row-linear mapInPandas, zero
-    shuffle."""
+    unions, enums, fixed, maps, ALL SIX codecs (r12: + bzip2, xz,
+    and zstandard via the repo's own RFC 8878 decoder), and the
+    sync/block walk against the formula oracle. ODD shards decode
+    through AVRO_READER_SCHEMA (r12) — alias rename, long→double
+    promotion, and a defaulted reader-only ``extra`` field (−1 on
+    even shards) — so spec Schema Resolution is oracle-certified
+    too. Row-linear mapInPandas, zero shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                resolved = int(sid) % 2 == 1
                 recs = (
-                    parse_avro(bytes(payload))
+                    parse_avro(
+                        bytes(payload),
+                        reader_schema=(
+                            AVRO_READER_SCHEMA if resolved else None
+                        ),
+                    )
                     if payload is not None
                     else None
                 )
@@ -614,12 +931,12 @@ def avro_records(assets: DataFrame) -> DataFrame:
                 shard_rows = []
                 try:
                     for i, rec in enumerate(recs):
-                        name = rec["name"].encode()
+                        name = rec["title" if resolved else "name"].encode()
                         shard_rows.append(
                             (
                                 int(sid),
                                 i,
-                                rec["rid"],
+                                int(rec["rid"]),
                                 len(name),
                                 sum(name),
                                 int(rec["score"] * 16),
@@ -633,6 +950,7 @@ def avro_records(assets: DataFrame) -> DataFrame:
                                 sum(rec["fp"]),
                                 len(rec["m"]),
                                 sum(rec["m"].values()),
+                                rec.get("extra", -1),
                             )
                         )
                 except (KeyError, ValueError, TypeError, AttributeError):

@@ -372,3 +372,71 @@ def test_spark_alien_schema_shard_skipped(spark):
     rows = avro_records(assets).collect()
     assert len(rows) == avro_n_recs(0)
     assert {r.shard_id for r in rows} == {0}
+
+
+# ---------------------------------------------------------------------------
+# r12: full codec matrix + reader-schema resolution
+# ---------------------------------------------------------------------------
+
+
+def test_six_codec_matrix_roundtrip():
+    for s in range(12):
+        got = parse_avro(make_avro_shard(s))
+        assert got == [avro_record(s, i) for i in range(avro_n_recs(s))], s
+    # each codec name really lands in the metadata
+    for s, codec in enumerate(
+        (b"null", b"deflate", b"snappy", b"bzip2", b"xz", b"zstandard")
+    ):
+        assert codec in make_avro_shard(s), codec
+
+
+def test_new_codecs_strictness():
+    import bz2 as _bz2
+
+    # trailing garbage inside a bzip2 block refuses
+    co = _bz2.compress(bytes([2]), 9)
+    bad = _hand_ocf(_LONG_REC, [co + b"JUNK"], [1], codec=b"bzip2")
+    assert parse_avro(bad) is None
+    good = _hand_ocf(_LONG_REC, [co], [1], codec=b"bzip2")
+    assert parse_avro(good) == [{"x": 1}]
+    # unknown codec names refuse
+    assert parse_avro(
+        _hand_ocf(_LONG_REC, [bytes([2])], [1], codec=b"lz4")
+    ) is None
+
+
+def test_reader_schema_resolution():
+    import copy
+
+    from queryengine_spark.sources.avro import AVRO_SCHEMA
+
+    reader = copy.deepcopy(AVRO_SCHEMA)
+    f = next(x for x in reader["fields"] if x["name"] == "name")
+    f["name"] = "title"
+    f["aliases"] = ["name"]
+    reader["fields"] = [
+        x for x in reader["fields"] if x["name"] != "payload"
+    ]
+    reader["fields"].append({"name": "extra", "type": "int", "default": 7})
+    next(x for x in reader["fields"] if x["name"] == "rid")["type"] = "double"
+    got = parse_avro(make_avro_shard(5), reader_schema=reader)
+    exp = avro_record(5, 0)
+    g = got[0]
+    assert g["title"] == exp["name"]          # alias rename
+    assert "payload" not in g                 # writer-only field dropped
+    assert g["extra"] == 7                    # reader default injected
+    assert g["rid"] == float(exp["rid"]) and isinstance(g["rid"], float)
+    # string->bytes promotion
+    r2 = copy.deepcopy(AVRO_SCHEMA)
+    next(x for x in r2["fields"] if x["name"] == "name")["type"] = "bytes"
+    assert parse_avro(make_avro_shard(4), reader_schema=r2)[0][
+        "name"
+    ] == avro_record(4, 0)["name"].encode()
+    # a reader field with no writer match and no default refuses
+    bad = copy.deepcopy(AVRO_SCHEMA)
+    bad["fields"].append({"name": "nodefault", "type": "int"})
+    assert parse_avro(make_avro_shard(5), reader_schema=bad) is None
+    # an unresolvable type change refuses (long -> boolean)
+    bad2 = copy.deepcopy(AVRO_SCHEMA)
+    next(x for x in bad2["fields"] if x["name"] == "rid")["type"] = "boolean"
+    assert parse_avro(make_avro_shard(5), reader_schema=bad2) is None
