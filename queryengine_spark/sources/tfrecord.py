@@ -20,10 +20,16 @@ REAL from the published formats —
   Features{feature=1 map<string,Feature>} → Feature{bytes_list=1,
   float_list=2, int64_list=3} with packed float32 / varint-int64
   value lists.
+- the tf.SequenceExample shape (r12):
+  SequenceExample{context=1 Features, feature_lists=2} →
+  FeatureLists{feature_list=1 map<string,FeatureList>} →
+  FeatureList{feature=1 repeated Feature} — multi-entry lists
+  exercised in the corpus (shards ≡ 2 mod 4), same formula values
+  as the Example shards so one oracle certifies both wire shapes.
 
 Odd shards ship ``.tfrecord.gz`` (whole-stream gzip via stdlib,
-strict end-of-stream check). The DuckDB oracle recomputes every
-decoded value FROM THE FORMULAS.
+strict end-of-stream check, inflate bounded at 128 MiB). The DuckDB
+oracle recomputes every decoded value FROM THE FORMULAS.
 
 Honest refusals (None, never a guessed record):
 - any framing CRC mismatch, truncated frame, or trailing bytes;
@@ -173,12 +179,41 @@ def make_example(s: int, i: int) -> bytes:
     return _pb_len(1, feats)  # Example.features
 
 
+def make_sequence_example(s: int, i: int) -> bytes:
+    """One serialized tf.SequenceExample carrying the SAME formula
+    values as make_example (r12): rid and w in the context, the
+    token list split into ≤3-value Features of a ``toks``
+    FeatureList (multi-entry lists exercised), the text as a
+    single-entry ``txt`` FeatureList — so the shared oracle
+    certifies the second wire shape unchanged."""
+    ctx = b""
+    for key, feat in (
+        (b"rid", _feature_int64([s * 1000 + i])),
+        (b"w", _feature_float([tfr_w_q(s, i) / 8.0])),
+    ):
+        entry = _pb_len(1, key) + _pb_len(2, feat)
+        ctx += _pb_len(1, entry)
+    toks = tfr_toks(s, i)
+    fl = b"".join(
+        _pb_len(1, _feature_int64(toks[j : j + 3]))
+        for j in range(0, len(toks), 3)
+    )
+    fl_entries = _pb_len(1, _pb_len(1, b"toks") + _pb_len(2, fl))
+    flt = _pb_len(1, _feature_bytes([tfr_txt(s, i)]))
+    fl_entries += _pb_len(1, _pb_len(1, b"txt") + _pb_len(2, flt))
+    return _pb_len(1, ctx) + _pb_len(2, fl_entries)
+
+
 def make_tfrecord_shard(s: int) -> bytes:
     """One TFRecord shard: framed tf.Examples; odd shards ship
-    whole-stream gzip (.tfrecord.gz)."""
+    whole-stream gzip (.tfrecord.gz); shards ≡ 2 (mod 4) frame
+    SequenceExamples instead (r12), same formula values."""
+    seq = s % 4 == 2
     out = bytearray()
     for i in range(tfr_n_recs(s)):
-        data = make_example(s, i)
+        data = (
+            make_sequence_example(s, i) if seq else make_example(s, i)
+        )
         ln = struct.pack("<Q", len(data))
         out += ln
         out += struct.pack("<I", masked_crc32c(ln))
@@ -290,6 +325,25 @@ def _decode_feature(b: bytes):
     return kind, vals
 
 
+def _parse_features_into(v: bytes, feats: dict) -> None:
+    """Walk one Features message (the feature map) into ``feats``."""
+    for f2, wt2, entry in _pb_fields(v):
+        if f2 != 1:
+            continue
+        if wt2 != 2:
+            raise ValueError("pb: map entry must be LEN")
+        key = None
+        feat = None
+        for f3, wt3, v3 in _pb_fields(entry):
+            if f3 == 1 and wt3 == 2:
+                key = v3.decode("utf-8")
+            elif f3 == 2 and wt3 == 2:
+                feat = v3
+        if key is None or feat is None:
+            raise ValueError("pb: incomplete map entry")
+        feats[key] = _decode_feature(feat)
+
+
 def parse_example(b: bytes) -> dict | None:
     """One serialized tf.Example → {name: (kind, values)}, or None."""
     try:
@@ -299,31 +353,66 @@ def parse_example(b: bytes) -> dict | None:
                 continue  # unknown Example fields: skip per spec
             if wt != 2:
                 raise ValueError("pb: Example.features must be LEN")
-            for f2, wt2, entry in _pb_fields(v):
-                if f2 != 1:
-                    continue
-                if wt2 != 2:
-                    raise ValueError("pb: map entry must be LEN")
-                key = None
-                feat = None
-                for f3, wt3, v3 in _pb_fields(entry):
-                    if f3 == 1 and wt3 == 2:
-                        key = v3.decode("utf-8")
-                    elif f3 == 2 and wt3 == 2:
-                        feat = v3
-                if key is None or feat is None:
-                    raise ValueError("pb: incomplete map entry")
-                feats[key] = _decode_feature(feat)
+            _parse_features_into(v, feats)
         return feats
     except (ValueError, UnicodeDecodeError, struct.error):
         return None
 
 
-def parse_tfrecord(b: bytes) -> list[dict] | None:
-    """Shard bytes → list of decoded Examples, or None. A gzip magic
+def parse_sequence_example(b: bytes) -> dict | None:
+    """One serialized tf.SequenceExample (r12 — the second tf wire
+    shape in real corpora: Features ``context`` in field 1,
+    FeatureLists in field 2, each list a repeated Feature) →
+    ``{"context": {name: (kind, values)},
+       "lists": {name: [(kind, values), ...]}}``, or None."""
+    try:
+        ctx: dict = {}
+        lists: dict = {}
+        for field, wt, v in _pb_fields(b):
+            if field == 1:  # context: Features
+                if wt != 2:
+                    raise ValueError("pb: context must be LEN")
+                _parse_features_into(v, ctx)
+            elif field == 2:  # FeatureLists
+                if wt != 2:
+                    raise ValueError("pb: feature_lists must be LEN")
+                for f2, wt2, entry in _pb_fields(v):
+                    if f2 != 1:
+                        continue
+                    if wt2 != 2:
+                        raise ValueError("pb: list entry must be LEN")
+                    key = None
+                    fl = None
+                    for f3, wt3, v3 in _pb_fields(entry):
+                        if f3 == 1 and wt3 == 2:
+                            key = v3.decode("utf-8")
+                        elif f3 == 2 and wt3 == 2:
+                            fl = v3
+                    if key is None or fl is None:
+                        raise ValueError("pb: incomplete list entry")
+                    feats = []
+                    for f4, wt4, v4 in _pb_fields(fl):
+                        if f4 != 1:
+                            continue  # unknown FeatureList fields: skip
+                        if wt4 != 2:
+                            raise ValueError("pb: list Feature not LEN")
+                        feats.append(_decode_feature(v4))
+                    lists[key] = feats
+            # unknown SequenceExample fields: skip per spec
+        return {"context": ctx, "lists": lists}
+    except (ValueError, UnicodeDecodeError, struct.error):
+        return None
+
+
+def parse_tfrecord(b: bytes, record_parser=parse_example) -> list[dict] | None:
+    """Shard bytes → list of decoded records, or None. A gzip magic
     inflates the whole stream first (strict end + no trailing
     garbage); framing CRCs must verify and the buffer must end
-    exactly on a record boundary."""
+    exactly on a record boundary. ``record_parser`` selects the
+    message shape (tf.Example by default; pass
+    parse_sequence_example for SequenceExample shards — the wire
+    cannot distinguish them, exactly as in TensorFlow, where the
+    reader's schema decides)."""
     b = bytes(b)
     if b[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -358,7 +447,7 @@ def parse_tfrecord(b: bytes) -> list[dict] | None:
         p += 4
         if masked_crc32c(data) != want_dc:
             return None
-        ex = parse_example(data)
+        ex = record_parser(data)
         if ex is None:
             return None
         out.append(ex)
@@ -419,8 +508,16 @@ def tfrecord_examples(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                is_seq = int(sid) % 4 == 2
                 recs = (
-                    parse_tfrecord(bytes(payload))
+                    parse_tfrecord(
+                        bytes(payload),
+                        record_parser=(
+                            parse_sequence_example
+                            if is_seq
+                            else parse_example
+                        ),
+                    )
                     if payload is not None
                     else None
                 )
@@ -433,10 +530,20 @@ def tfrecord_examples(assets: DataFrame) -> DataFrame:
                 shard_rows = []
                 try:
                     for i, ex in enumerate(recs):
-                        rid = ex["rid"][1][0]
-                        toks = ex["toks"][1]
-                        txt = ex["txt"][1][0]
-                        w = ex["w"][1][0]
+                        if is_seq:
+                            rid = ex["context"]["rid"][1][0]
+                            toks = [
+                                v
+                                for f in ex["lists"]["toks"]
+                                for v in f[1]
+                            ]
+                            txt = ex["lists"]["txt"][0][1][0]
+                            w = ex["context"]["w"][1][0]
+                        else:
+                            rid = ex["rid"][1][0]
+                            toks = ex["toks"][1]
+                            txt = ex["txt"][1][0]
+                            w = ex["w"][1][0]
                         shard_rows.append(
                             (
                                 int(sid),

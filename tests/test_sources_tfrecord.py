@@ -38,6 +38,21 @@ def test_crc32c_published_check_value():
 
 @pytest.mark.parametrize("s", list(range(10)))
 def test_roundtrip_matches_formula(s):
+    from queryengine_spark.sources.tfrecord import parse_sequence_example
+
+    if s % 4 == 2:  # r12: SequenceExample shards
+        got = parse_tfrecord(
+            make_tfrecord_shard(s), record_parser=parse_sequence_example
+        )
+        assert got is not None and len(got) == tfr_n_recs(s)
+        for i, ex in enumerate(got):
+            assert ex["context"]["rid"] == ("int64", [s * 1000 + i])
+            toks = [v for f in ex["lists"]["toks"] for v in f[1]]
+            assert toks == tfr_toks(s, i)
+            assert ex["lists"]["txt"] == [("bytes", [tfr_txt(s, i)])]
+            kind, vals = ex["context"]["w"]
+            assert kind == "float" and vals == [tfr_w_q(s, i) / 8.0]
+        return
     got = parse_tfrecord(make_tfrecord_shard(s))
     assert got is not None and len(got) == tfr_n_recs(s)
     for i, ex in enumerate(got):
@@ -205,3 +220,61 @@ def test_spark_alien_feature_set_skipped(spark):
     rows = tfrecord_examples(assets).collect()
     assert len(rows) == tfr_n_recs(0)
     assert {r.shard_id for r in rows} == {0}
+
+
+# ---------------------------------------------------------------------------
+# r12: SequenceExample
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_example_structure_really_exercised():
+    """Multi-entry FeatureLists must actually occur (token lists
+    split into ≤3-value Features), and the wire shape must carry
+    BOTH context and feature_lists."""
+    from queryengine_spark.sources.tfrecord import (
+        make_sequence_example,
+        parse_sequence_example,
+    )
+
+    found_multi = False
+    for i in range(tfr_n_recs(2)):
+        ex = parse_sequence_example(make_sequence_example(2, i))
+        assert set(ex["context"]) == {"rid", "w"}
+        assert set(ex["lists"]) == {"toks", "txt"}
+        if len(ex["lists"]["toks"]) > 1:
+            found_multi = True
+    assert found_multi
+
+
+def test_sequence_example_refusals_and_skips():
+    from queryengine_spark.sources.tfrecord import (
+        _pb_len,
+        make_sequence_example,
+        parse_sequence_example,
+    )
+
+    good = make_sequence_example(2, 0)
+    # truncations never crash
+    for cut in range(len(good)):
+        parse_sequence_example(good[:cut])
+    # unknown top-level fields skip per spec
+    ex = parse_sequence_example(good + _pb_len(9, b"ignored"))
+    assert ex is not None and "rid" in ex["context"]
+    # a FeatureList entry with a non-LEN Feature refuses
+    bad_fl = _pb_len(1, _pb_len(1, b"z") + _pb_len(2, bytes([1 << 3, 5])))
+    assert parse_sequence_example(_pb_len(2, bad_fl)) is None
+
+
+def test_seq_shards_parse_as_examples_mismatch_skips(spark):
+    """A SequenceExample shard read through the tf.Example parser
+    yields a different feature shape — the projection's shape guard
+    must skip it rather than crash (the %4 routing prevents this in
+    the corpus; this pins the failure mode)."""
+    from queryengine_spark.sources.tfrecord import tfrecord_examples
+
+    # shard_id 0 routes as Example, but carries SEQ payload bytes
+    seq_payload = make_tfrecord_shard(2)
+    assets = spark.createDataFrame(
+        [(0, bytearray(seq_payload))], "shard_id long, payload binary"
+    )
+    assert tfrecord_examples(assets).collect() == []
