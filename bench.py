@@ -322,6 +322,48 @@ def main() -> None:
     pq_recall = _mean_recall("knn_pq_suite", leg="rerank")
     sq8_recall = _mean_recall("knn_sq8", leg="session")
 
+    # r12 (r11 verdict item 8): hard-negative mining's IVF
+    # PRODUCTION path measured against its exact twin — per-anchor
+    # fraction of the exact top-K negatives the cell probe recovers,
+    # re-measured every run beside the four ANN recalls.
+    from queryengine_spark.operators.knn import (  # noqa: PLC0415
+        hard_negative_mining_ivf,
+    )
+    from queryengine_spark.queries.knn import (  # noqa: PLC0415
+        HN_POS_T,
+        K_HN,
+        QSTRIDE_BRUTE,
+        _query_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hn_exact = queries["pipeline_hard_negatives"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hn_ivf = hard_negative_mining_ivf(
+        _query_sample(emb, QSTRIDE_BRUTE),
+        emb,
+        "vec_id",
+        "embedding",
+        k=K_HN,
+        pos_threshold=HN_POS_T,
+    ).select("query_id", "neighbor_id")
+    hn_base = hn_exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hn_hits = hn_exact.join(
+        hn_ivf, ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("h"))
+    hardneg_recall = (
+        hn_base.join(hn_hits, "query_id", "left")
+        .agg(
+            F.avg(
+                F.coalesce(F.col("h"), F.lit(0)) / F.col("n")
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+
     # Ambient-load calibration INSIDE the artifact (r10 verdict item
     # 6): the 20M-iteration pure-Python add loop BASELINE.md's paired
     # ambient analysis is anchored on (~0.55 s on an idle core of this
@@ -345,6 +387,7 @@ def main() -> None:
         "knn_ivf_recall_at_3": round(ivf_recall, 4),
         "knn_pq_rerank_recall_at_3": round(pq_recall, 4),
         "knn_sq8_recall_at_3": round(sq8_recall, 4),
+        "hardneg_ivf_recall": round(hardneg_recall, 4),
     }
     line = json.dumps(payload)
     print(line)
