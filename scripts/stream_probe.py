@@ -56,7 +56,7 @@ def _run_twin(spark, twin: str, n: int, workdir: str) -> float:
         shift = 10_000_000
         anchors = emb.filter(F.col("vec_id") % 50 == 0)
         parts = []
-        for r in range(max(1, n // 10)):
+        for r in range(n):
             parts.append(
                 anchors.withColumn(
                     "vec_id", F.col("vec_id") + F.lit(r * shift)
@@ -109,6 +109,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     twins = sys.argv[2:] or ["pdf", "avro", "sqlite", "tfrecord", "hardneg"]
     spark = get_spark()
+    # warm the session (first started streaming query pays several
+    # seconds of one-time setup that would skew the 1× leg)
+    wd = tempfile.mkdtemp(prefix="stream-probe-warm-")
+    try:
+        _run_twin(spark, "tfrecord", 1, wd)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
     for twin in twins:
         walls = []
         for scale in (1, n):
