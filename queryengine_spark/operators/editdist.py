@@ -81,19 +81,38 @@ def edit_distance_join(
             "see the module docstring"
         )
     variants = _variants_of if max_dist == 1 else _variants_upto2
+    # r12 shuffle-bytes fix: the exploded variant relations carry ONLY
+    # (id, variant) — the term strings no longer ride through the
+    # explode, the two distincts and the variant equi-join (guide
+    # "shuffle keys, not payloads": at L-char terms the d=2 fan-out is
+    # O(L²) rows, each previously dragging the full term along). Terms
+    # re-attach to the distinct candidate PAIRS by id — id→term is
+    # functional per row, and the same exact levenshtein ≤ d verify
+    # runs after the re-attach, so the result set is unchanged.
     lv = left.select(
         F.col(left_id).alias("q_id"),
-        F.col(left_term).alias("q_term"),
         F.explode(variants(left_term)).alias("v"),
     ).distinct()
     rv = right.select(
         F.col(right_id).alias("r_id"),
-        F.col(right_term).alias("r_term"),
         F.explode(variants(right_term)).alias("v"),
     ).distinct()
-    cand = lv.join(rv, "v").select("q_id", "q_term", "r_id", "r_term").distinct()
-    return cand.select(
-        "q_id",
-        "r_id",
-        F.levenshtein("q_term", "r_term").cast("int").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
+    cand = lv.join(rv, "v").select("q_id", "r_id").distinct()
+    # distinct mirrors the old shape's (id, term)-level dedup so exact
+    # duplicate input rows cannot double pairs through the re-attach
+    lt = left.select(
+        F.col(left_id).alias("q_id"), F.col(left_term).alias("q_term")
+    ).distinct()
+    rt = right.select(
+        F.col(right_id).alias("r_id"), F.col(right_term).alias("r_term")
+    ).distinct()
+    return (
+        cand.join(lt, "q_id")
+        .join(rt, "r_id")
+        .select(
+            "q_id",
+            "r_id",
+            F.levenshtein("q_term", "r_term").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

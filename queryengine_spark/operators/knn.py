@@ -1183,6 +1183,45 @@ def ivf_pq_topk(
     re-rank: (query_id, neighbor_id, score_hat, rn); with re-rank:
     (query_id, neighbor_id, cosine, rn) — exact cosines.
     """
+    cents, books, c = ivf_pq_encode(
+        candidates, id_col, vec_col,
+        n_cells=n_cells, sample_n=sample_n, train_iters=train_iters,
+        m=m, ksub=ksub, dim=dim, pq_sample_n=pq_sample_n, residual=residual,
+    )
+    cand_vecs = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    return pq_score_rank(
+        queries, c, cents, books, id_col, vec_col,
+        k=k, nprobe=nprobe, rerank_r=rerank_r, cand_vecs=cand_vecs,
+        residual=residual,
+    )
+
+
+def ivf_pq_encode(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_n: int = 256,
+    train_iters: int = 3,
+    m: int = 16,
+    ksub: int = 256,
+    dim: int = 64,
+    pq_sample_n: int = 1024,
+    residual: bool = True,
+) -> tuple[list[list[int]], list[list[list[int]]], DataFrame]:
+    """The shared IVF-PQ TRAINING + ENCODING prefix of
+    :func:`ivf_pq_topk` (r12 factor-out): one bounded sample collect,
+    the coarse quantizer + per-subspace codebooks (driver NumPy over
+    the sample), and ONE encode pass over the corpus. Returns
+    (cents, books, coded) with coded = (neighbor_id, cell, codes).
+
+    Factored out so composites that score the SAME index several ways
+    (ADC-only and ADC+re-rank in ``knn_pq_suite``) train and encode
+    once instead of per leg — at corpus scale the encode pass IS the
+    expensive full scan, and it is identical across legs by
+    construction."""
     assert dim % m == 0, f"dim={dim} must split evenly into m={m} subspaces"
     sample = _collect_vec_sample(
         candidates, id_col, vec_col, max(sample_n, pq_sample_n, n_cells, ksub), dim=dim
@@ -1206,14 +1245,113 @@ def ivf_pq_topk(
             codes(F.col("v"), F.col("cell")) if residual else codes(F.col("v"))
         ).alias("codes"),
     ).filter(F.col("codes").isNotNull())
+    return cents, books, c
+
+
+def ivf_pq_topk_both(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 256,
+    train_iters: int = 3,
+    m: int = 16,
+    ksub: int = 256,
+    dim: int = 64,
+    pq_sample_n: int = 1024,
+    rerank_r: int = 32,
+    residual: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """ADC-only top-k AND ADC+exact-re-rank top-k from ONE trained
+    index, ONE corpus encode pass and ONE ADC scoring join (r12 —
+    ``knn_pq_suite`` previously ran :func:`ivf_pq_topk` once per leg,
+    so the sample collect, the codebooks, the two Arrow encode passes
+    and the probe-cell scoring join all executed twice for
+    bit-identical intermediate results). Returns (adc_top, rerank_top)
+    with exactly :func:`ivf_pq_topk`'s two output schemas.
+
+    The scored relation is narrowed to (query_id, neighbor_id, score)
+    before the checkpoint — the re-rank re-attaches q_vec by query_id
+    (functionally equivalent: query_id determines the vector), so the
+    checkpoint holds 24-byte rows, not 512-byte vectors. Checkpoint is
+    EAGER: under AQE both consumers' shuffle stages materialize
+    concurrently, and a lazy mark lets each recompute the full scoring
+    chain before either persists it (measured on pipeline_cc_ingest:
+    the lazy variant ran the shared chain twice)."""
+    cents, books, coded = ivf_pq_encode(
+        candidates, id_col, vec_col,
+        n_cells=n_cells, sample_n=sample_n, train_iters=train_iters,
+        m=m, ksub=ksub, dim=dim, pq_sample_n=pq_sample_n, residual=residual,
+    )
+    # checkpoint the CODES, not the scored pairs: codes are the small
+    # per-row state (cell + m bytes), one eager encode pass serves
+    # both tails, and the two scoring tails below stay INDEPENDENT
+    # subtrees — Spark overlaps their stages inside the one action,
+    # which matters when each is a narrow Python stage (an eager
+    # checkpoint of the scored relation was measured SLOWER at sf0.1:
+    # it serialized the whole chain before either tail could start).
+    coded = coded.localCheckpoint(eager=True)
+    assignp = ivf_cells_int_udf(cents, nprobe)
+    adc = adc_score_udf(books, cents=cents if residual else None)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        coded.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            adc(F.col("q_vec"), F.col("cell"), F.col("codes"))
+            if residual
+            else adc(F.col("q_vec"), F.col("codes")),
+        )
+        # same non-finite guard as pq_score_rank (NaN sorts greatest)
+        .filter(~F.isnan(F.col("score")))
+        .select("query_id", "neighbor_id", "score")
+    )
+    adc_top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    ).select(
+        "query_id", "neighbor_id", fround("score", 6).alias("score_hat"), "rn"
+    )
+    shortlist = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("neighbor_id").asc()],
+        rerank_r,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
     cand_vecs = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    return pq_score_rank(
-        queries, c, cents, books, id_col, vec_col,
-        k=k, nprobe=nprobe, rerank_r=rerank_r, cand_vecs=cand_vecs,
-        residual=residual,
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cand_vecs, "neighbor_id")
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
     )
+    rerank_top = grouped_topk(
+        exact,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    ).select(
+        "query_id", "neighbor_id", fround("cosine", 6).alias("cosine"), "rn"
+    )
+    return adc_top, rerank_top
 
 
 def pq_score_rank(

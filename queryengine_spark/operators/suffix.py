@@ -47,6 +47,19 @@ def global_rank(keys: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
     order, computed scale-out: range repartition → per-partition
     row_number → broadcast cumulative partition offsets. The only
     driver state is one count per partition."""
+    return _global_rank_with_total(keys, cols, out)[0]
+
+
+def _global_rank_with_total(
+    keys: DataFrame, cols: list[str], out: str = "r"
+) -> tuple[DataFrame, int]:
+    """:func:`global_rank` plus the TOTAL distinct-key count — which
+    IS the maximum rank, because ranks are dense 1..N. The total
+    falls out of the per-partition counts the ranking already
+    collects, so callers that need the rank bound (the prefix-doubling
+    combine) get it for ZERO extra jobs instead of a separate
+    ``agg(max(r))`` barrier (r12 — one collect job saved per ranking
+    round)."""
     spark = keys.sparkSession
     try:
         npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -71,12 +84,13 @@ def global_rank(keys: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
         p.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    ranked = (
         p.withColumn("_rn", F.row_number().over(w))
         .join(off, "_pid")
         .withColumn(out, (F.col("_rn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_rn", "_off")
     )
+    return ranked, acc
 
 
 def repeated_spans_sa(
@@ -85,6 +99,7 @@ def repeated_spans_sa(
     text_col: str,
     window: int = 8,
     rerank_threshold: int = 1 << 62,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """All positions whose ``window``-token span occurs ≥ 2 times in
     the corpus (any document, including intra-document repeats —
@@ -99,12 +114,17 @@ def repeated_spans_sa(
     doubling round. Output: (doc_id, pos, n_dup) with pos 0-based
     and n_dup the total occurrence count of the span."""
     assert window >= 2, "window must be >= 2"
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize_ws(F.lower(F.col(text_col)))).alias("pos", "tk"),
-    ).localCheckpoint(eager=False)
+    if toks is None:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize_ws(F.lower(F.col(text_col)))).alias("pos", "tk"),
+        ).localCheckpoint(eager=False)
     lens = toks.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
-    tok_rank = global_rank(toks.select("tk").distinct(), ["tk"])
+    # dense ranks come with their max (= total) for free — no separate
+    # agg(max(r)) collect barrier (r12)
+    tok_rank, bound = _global_rank_with_total(
+        toks.select("tk").distinct(), ["tk"]
+    )
     cur = toks.join(tok_rank, toks["tk"] == tok_rank["tk"]).select(
         "doc_id", "pos", "r"
     )
@@ -120,15 +140,27 @@ def repeated_spans_sa(
     # ``rerank_threshold`` exists for tests to force the re-rank path
     # — both paths produce identical equality classes by construction
     # and tests/test_suffix.py pins the equivalence.
-    bound = int(tok_rank.agg(F.max("r")).collect()[0][0] or 0)
 
     def combine(cur: DataFrame, shift: int, bound: int) -> tuple[DataFrame, int]:
-        """One rank-pair combine: class of (r[pos], r[pos + shift])."""
-        shifted = cur.select(
-            "doc_id", (F.col("pos") - shift).alias("pos"), F.col("r").alias("r2")
-        )
-        paired = cur.join(shifted, ["doc_id", "pos"], "left").fillna(
-            {"r2": 0}  # sentinel: past end of document
+        """One rank-pair combine: class of (r[pos], r[pos + shift]).
+
+        r12: ``r[pos + shift]`` is fetched with ``lead(r, shift)``
+        over a per-document window instead of the former
+        self-equi-join on (doc_id, pos − shift) — positions are
+        CONTIGUOUS 0..len−1 from posexplode, so the row ``shift``
+        ahead in pos order IS position pos+shift, and lead() past the
+        document end yields NULL exactly where the join found no
+        match. One doc_id Exchange serves every doubling round
+        (consecutive windows share partitioning and sort order); the
+        join shape paid two Exchanges per round and re-executed the
+        cur lineage once per side."""
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        paired = cur.withColumn(
+            "r2",
+            F.coalesce(
+                F.lead("r", shift).over(w),
+                F.lit(0).cast("bigint"),  # sentinel: past end of document
+            ),
         )
         if (bound + 2) * (bound + 2) < rerank_threshold:
             nxt = paired.select(
@@ -137,7 +169,7 @@ def repeated_spans_sa(
                 (F.col("r") * (bound + 2) + F.col("r2")).alias("r"),
             )
             return nxt, bound * (bound + 2) + bound + 1
-        pair_rank = global_rank(
+        pair_rank, total = _global_rank_with_total(
             paired.select("r", "r2").distinct(), ["r", "r2"], out="nr"
         )
         nxt = (
@@ -145,7 +177,7 @@ def repeated_spans_sa(
             .select("doc_id", "pos", F.col("nr").alias("r"))
             .localCheckpoint(eager=False)  # truncate the doubling lineage
         )
-        return nxt, int(pair_rank.agg(F.max("nr")).collect()[0][0] or 0)
+        return nxt, total
 
     # P = largest power of two ≤ window; doubling rounds to P, then
     # (for non-power-of-2 windows) one overlapping-span combine
@@ -156,6 +188,13 @@ def repeated_spans_sa(
         k *= 2
     if window > p2:
         cur, bound = combine(cur, window - p2, bound)
+    # pin the finished rank relation ONCE (r12): it feeds the class
+    # count AND the join below (and, through the returned spans, every
+    # consumer in sa_scrub) — without the barrier each reference
+    # re-executes the whole doubling chain. Eager, not lazy: under AQE
+    # the consumers' stages materialize concurrently, and a lazy mark
+    # lets each recompute the chain before either persists it.
+    cur = cur.localCheckpoint(eager=True)
     dup = cur.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_dup"))
     return (
         cur.join(dup, "r")
@@ -228,10 +267,17 @@ def sa_scrub(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize_ws(F.lower(F.col(text_col)))).alias("pos", "tk"),
     ).localCheckpoint(eager=False)
+    # share the token relation with the detector (r12): the detector
+    # otherwise rebuilds and re-checkpoints the identical
+    # tokenize+posexplode pass — one full corpus pass saved
     spans = repeated_spans_sa(
-        df, id_col, text_col, window=window, rerank_threshold=rerank_threshold
+        df, id_col, text_col, window=window,
+        rerank_threshold=rerank_threshold, toks=toks,
     )
-    ivals = repeated_intervals(spans, window)
+    # ivals feeds the cover explode AND the per-doc interval stats;
+    # pin it once (same eager-vs-AQE-concurrency reasoning as the
+    # detector's rank relation — it is interval-sized, tiny)
+    ivals = repeated_intervals(spans, window).localCheckpoint(eager=True)
     # covered positions: intervals are disjoint by construction, so
     # the explode emits exactly n_removed rows per doc — no dedup pass
     covered = ivals.select(

@@ -124,7 +124,24 @@ def pipeline_cc_ingest(spark: SparkSession, sf: str) -> DataFrame:
         )
         return pd.DataFrame({"cc_shard": [sid], "payload": [payload]})
 
-    shards = base.groupBy("cc_shard").applyInPandas(build_shard, shard_schema)
+    # Explicit keyed repartition BEFORE the groupBy (r12): AQE's
+    # byte-balanced coalescing collapsed this tiny-but-Python-heavy
+    # exchange to ONE partition (profiled: the whole shard-assembly +
+    # replay chain ran as a single 4 s task at sf0.1). A user
+    # repartition with an explicit partition count is exempt from AQE
+    # coalescing, and hashpartitioning(cc_shard, n) satisfies the
+    # groupBy's ClusteredDistribution, so this is the SAME single
+    # exchange — just pinned wide. n comes from shuffle.partitions
+    # (env-sized), not a local constant.
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuffle = spark.sparkContext.defaultParallelism
+    shards = (
+        base.repartition(n_shuffle, "cc_shard")
+        .groupBy("cc_shard")
+        .applyInPandas(build_shard, shard_schema)
+    )
 
     # -- stages 2+3: CDX spans -> slice-only replay -> HTTP undo --------
     rec_schema = StructType(
@@ -222,11 +239,16 @@ def pipeline_cc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     # left side) — without it Spark re-executes the whole shard
     # assembly + replay + extraction per consumer (the repo-standard
     # self-join guard, operators/dedup.py:236)
+    # eager (r12): the lazy variant let the shard-assembly + replay
+    # chain execute TWICE — the construction-time prefix-sum collect
+    # inside pack_sequences and the action each materialized it
+    # (profiled: two serial ~4 s single-task jobs at sf0.1). Eager
+    # pins one materialization before any consumer's plan is built.
     gated = stats.withColumn(
         "gate_pass",
         (F.col("n_words") >= CC_GATE_MIN_WORDS)
         & (F.col("n_words") <= CC_GATE_MAX_WORDS),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     # -- stage 6: near-dup dedup (min-of-bucket rule) -------------------
     from queryengine_spark.operators.dedup import (
@@ -244,9 +266,17 @@ def pipeline_cc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     bk = sig.select(
         "id", F.explode(_band_bucket_array(N_HASHES, BAND_SIZE)).alias("bucket")
     )
-    bmin = bk.groupBy("bucket").agg(F.min("id").alias("bmin"))
+    # min-of-bucket via a window over the SAME bucket shuffle instead
+    # of groupBy+join-back (r12): the join shape referenced bk twice,
+    # re-executing the whole shingle→md5 signature chain per branch
+    # (profiled: two serial ~2.2 s stages at sf0.1); the window min
+    # needs one Exchange and reads the chain once. Identical result:
+    # a doc is dropped iff its bucket holds a smaller id.
+    from pyspark.sql import Window
+
+    bwin = Window.partitionBy("bucket")
     dropped = (
-        bk.join(bmin, "bucket")
+        bk.withColumn("bmin", F.min("id").over(bwin))
         .filter(F.col("id") > F.col("bmin"))
         .select("id")
         .distinct()

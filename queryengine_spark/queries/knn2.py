@@ -354,12 +354,27 @@ def knn_pq_suite(spark: SparkSession, sf: str) -> DataFrame:
     leg's own ranking score (rounded ADC cosine for 'adc', exact
     re-ranked cosine for 'rerank'/'index'); ``recall`` is NULL outside
     the 'rerank' leg."""
+    from queryengine_spark.operators.knn import ivf_pq_topk_both
+    from queryengine_spark.queries.knn import _with_recall
+
     nul = F.lit(None).cast("double")
-    adc = knn_pq(spark, sf).select(
+    # r12: the adc and rerank legs share ONE trained index, ONE
+    # corpus encode pass and ONE ADC scoring join (they are
+    # bit-identical across legs by construction — previously each leg
+    # re-ran the whole chain through its own ivf_pq_topk call). Leg
+    # outputs are unchanged: ivf_pq_topk_both returns exactly the
+    # two schemas knn_pq / knn_pq_rerank produced.
+    e = t(spark, sf, "embeddings")
+    queries = _query_sample(e)
+    adc_top, rer_top = ivf_pq_topk_both(
+        queries, e, "vec_id", "embedding", rerank_r=RERANK_R, **_KW
+    )
+    bf = brute_force_topk(queries, e, "vec_id", "embedding", k=K_LSH)
+    adc = adc_top.select(
         F.lit("adc").alias("leg"), "query_id", "neighbor_id",
         F.col("score_hat").alias("score"), "rn", nul.alias("recall"),
     )
-    rer = knn_pq_rerank(spark, sf).select(
+    rer = _with_recall(rer_top, bf).select(
         F.lit("rerank").alias("leg"), "query_id", "neighbor_id",
         F.col("cosine").alias("score"), "rn", "recall",
     )

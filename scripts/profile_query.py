@@ -33,13 +33,18 @@ def main() -> int:
     from queryengine_spark.queries import all_queries
     from queryengine_spark.session import get_spark
 
-    spark = get_spark(
-        "queryengine-profile",
-        extra_conf={
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": f"file:{EVDIR}",
-        },
-    )
+    extra = {
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": f"file:{EVDIR}",
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
+    }
+    # ad-hoc A/B: SPARK_GRAFT_PROFILE_CONF="k=v,k=v"
+    for kv in os.environ.get("SPARK_GRAFT_PROFILE_CONF", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
+    spark = get_spark("queryengine-profile", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
@@ -85,17 +90,28 @@ def main() -> int:
 def _report(app_id: str, name: str, before_jobs: set[int]) -> None:
     # the in-progress event log flushes per event; give it a beat
     time.sleep(0.5)
-    path = None
+    # Spark 4 rolling layout: eventlog_v2_<appid>/events_*_<appid>*
+    paths: list[str] = []
     for fn in os.listdir(EVDIR):
-        if fn.startswith(app_id):
-            path = os.path.join(EVDIR, fn)
-    if path is None:
+        full = os.path.join(EVDIR, fn)
+        if fn.startswith(f"eventlog_v2_{app_id}") and os.path.isdir(full):
+            paths = [
+                os.path.join(full, f)
+                for f in sorted(os.listdir(full))
+                if f.startswith("events_")
+            ]
+        elif fn.startswith(app_id) and os.path.isfile(full):
+            paths = [full]
+    if not paths:
         print("  (no event log found)")
         return
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(path) as f:
-        for line in f:
+    import itertools
+
+    lines = itertools.chain.from_iterable(open(p) for p in paths)
+    if True:
+        for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -147,7 +163,7 @@ def _report(app_id: str, name: str, before_jobs: set[int]) -> None:
             sw = (s["t1"] - s["t0"]) / 1000.0
             print(
                 f"    stage {sid:4d} {sw:7.3f}s  tasks={s['n_tasks']:<4} "
-                f"{s['name'][:60]}"
+                f"{s['name'][:40]} | {s['details'][:70]}"
             )
     print(f"  Σ job wall {tot:.3f}s over {len(sel)} jobs")
 
