@@ -92,9 +92,15 @@ def jaccard_prefix_join(
     p, q = frac.numerator, frac.denominator
     if not 0 < p <= q:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # EAGER (r12): the shingle relation feeds four independent
+    # consumers (per-doc counts, document frequencies, the ranked
+    # prefix build, and both verify sides); under AQE their stages
+    # materialize concurrently, and with a lazy mark each recomputed
+    # the full tokenize+shingle+distinct chain before any persisted it
+    # (profiled: four identical 2.3 s stages at sf0.1 — one now).
     toks = token_set_relation(
         df, id_col, text_col, shingle_words=shingle_words
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     counts = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # global token order: ascending df, then token — rare first

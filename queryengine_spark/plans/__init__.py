@@ -72,6 +72,33 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_by(df: DataFrame, *cols: str, partitions: int | None = None) -> DataFrame:
+    """Keyed repartition with an EXPLICIT partition count (r12).
+
+    AQE's partition coalescing is byte-balanced: a shuffle carrying a
+    few MB coalesces to one post-shuffle partition no matter how much
+    CPU the downstream operator spends per row — which serializes
+    Python stages, wide aggregations and quadratic-ish join reduces
+    onto one core at bench scale. A user repartition WITH an explicit
+    count is exempt from coalescing, and hashpartitioning(cols, n)
+    satisfies the downstream clustering requirement (groupBy /
+    applyInPandas / distinct / equi-join on the same keys), so this
+    pins the SAME single exchange wide instead of adding one. The
+    count follows spark.sql.shuffle.partitions (env-sized per
+    deployment), never a local constant; at cluster scale, where
+    post-shuffle partitions exceed the advisory size anyway, pinning
+    is behavior-neutral."""
+    spark = df.sparkSession
+    if partitions:
+        target = partitions
+    else:
+        try:
+            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            target = spark.sparkContext.defaultParallelism
+    return df.repartition(target, *[F.col(c) for c in cols])
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

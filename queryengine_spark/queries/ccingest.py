@@ -124,21 +124,18 @@ def pipeline_cc_ingest(spark: SparkSession, sf: str) -> DataFrame:
         )
         return pd.DataFrame({"cc_shard": [sid], "payload": [payload]})
 
-    # Explicit keyed repartition BEFORE the groupBy (r12): AQE's
+    # Pinned keyed repartition BEFORE the groupBy (r12): AQE's
     # byte-balanced coalescing collapsed this tiny-but-Python-heavy
     # exchange to ONE partition (profiled: the whole shard-assembly +
-    # replay chain ran as a single 4 s task at sf0.1). A user
-    # repartition with an explicit partition count is exempt from AQE
-    # coalescing, and hashpartitioning(cc_shard, n) satisfies the
-    # groupBy's ClusteredDistribution, so this is the SAME single
-    # exchange — just pinned wide. n comes from shuffle.partitions
-    # (env-sized), not a local constant.
-    try:
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_shuffle = spark.sparkContext.defaultParallelism
+    # replay chain ran as a single 4 s task at sf0.1). spread_by's
+    # explicit partition count is exempt from AQE coalescing, and
+    # hashpartitioning(cc_shard, n) satisfies the groupBy's
+    # ClusteredDistribution, so this is the SAME single exchange —
+    # just pinned wide (count from shuffle.partitions, env-sized).
+    from queryengine_spark.plans import spread_by
+
     shards = (
-        base.repartition(n_shuffle, "cc_shard")
+        spread_by(base, "cc_shard")
         .groupBy("cc_shard")
         .applyInPandas(build_shard, shard_schema)
     )
