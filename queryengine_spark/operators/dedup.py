@@ -584,28 +584,62 @@ def connected_components(
     JUMPING — turns near-dup candidate PAIRS into dedup CLUSTERS (the
     final step of fuzzy dedup: keep one doc per component).
 
-    Each round (1) takes the elementwise min label across symmetric
-    edges, then (2) jumps pointers: ``component := component's own
-    current component``. The jump halves the remaining pointer depth
-    every round, so convergence is O(log diameter) rounds instead of
-    the O(diameter) of plain propagation (measured on the sf0.1
-    star-edge graph: 13 rounds → 5). Labels only ever decrease, so
-    SUM(component) strictly decreases until the fixpoint — the
-    convergence probe is one partial-aggregated scan (exact
-    DECIMAL(38) sum, overflow-safe at any vertex count) instead of a
-    full old-vs-new join. The label frontier is localCheckpoint-ed
-    per round to cut lineage (iterative algorithms otherwise replan
-    from scratch each round). Returns (id, component) with
+    Contract: vertex ids are UNIQUE and every edge endpoint is drawn
+    from ``vertices`` (true for every caller — edges are produced by
+    LSH/banding over the same corpus the vertices come from). The
+    self-loop formulation below relies on it.
+
+    Each round (1) takes the min label over the closed neighborhood
+    N(v) ∪ {v} — the edge relation carries an explicit self-loop per
+    vertex, so one join + one aggregate replaces the old
+    join + aggregate + left-join-back — then (2) jumps pointers:
+    ``component := component's own current component``. The jump
+    halves the remaining pointer depth every round, so convergence is
+    O(log diameter) rounds instead of the O(diameter) of plain
+    propagation (measured on the sf0.1 star-edge graph: 13 rounds →
+    5). Labels only ever decrease, so SUM(component) strictly
+    decreases until the fixpoint — the convergence probe is one
+    partial-aggregated scan (exact DECIMAL(38) sum, overflow-safe at
+    any vertex count) instead of a full old-vs-new join.
+
+    Scale shape: the symmetric self-looped edge relation is built in
+    ONE pass over ``edges`` (both directions come out of a single
+    explode, so the candidate-pair chain upstream is scanned once,
+    not twice as with a union of two selects) and pinned with a
+    ``localCheckpoint`` that the first round materializes. The
+    initial labels are the self-loop rows read straight off that
+    pinned relation — the vertex chain is not recomputed. The label
+    frontier is localCheckpoint-ed per round to cut lineage
+    (iterative algorithms otherwise replan from scratch each round).
+    (A persist(MEMORY_AND_DISK) of the edge relation pre-partitioned
+    by ``src`` — which would also remove the per-round edge-side
+    exchange at SMJ scale — was measured 1.3-2.6× SLOWER end to end
+    at the bench point: the columnar cache build and per-round
+    InMemoryTableScan cost more than the tiny exchanges they save;
+    see OPTIMIZATION_r13.md.) Returns (id, component) with
     component = min id in the component.
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    sym = sym.distinct().localCheckpoint(eager=False)
+    both_dirs = F.explode(
+        F.array(
+            F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+            F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
+        )
+    ).alias("e")
+    sym = (
+        edges.select(both_dirs)
+        .select("e.src", "e.dst")
+        .unionAll(
+            vertices.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
 
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=False)
+    # the self-loops ARE the vertex set: one row per vertex, served
+    # from the pinned edge relation
+    labels = sym.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id"), F.col("src").alias("component")
+    )
 
     def _label_sum(frame: DataFrame):
         return frame.agg(
@@ -616,30 +650,25 @@ def connected_components(
     prev_sum = _label_sum(labels)
     converged = False
     for LAST_CC_ROUNDS in range(1, max_iterations + 1):
-        neighbor_min = (
+        # min label over the closed neighborhood (self-loops make
+        # the old left-join-back redundant: every vertex has at
+        # least its own row, carrying its own label)
+        stepped = (
             sym.join(labels, sym.src == labels.id)
             .groupBy("dst")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=False)
+            .agg(F.min("component").alias("component"))
         )
         # pointer jump: follow my label's label (its component can
-        # only be <= mine, so least() is just defensive)
+        # only be <= mine, so least() is just defensive). The ptr
+        # side's join key is the groupBy key, so it reuses the
+        # aggregation's exchange.
         ptr = stepped.select(
-            F.col("id").alias("p_id"), F.col("component").alias("p_component")
+            F.col("dst").alias("p_id"), F.col("component").alias("p_component")
         )
         new_labels = (
             stepped.join(ptr, stepped.component == ptr.p_id, "left")
             .select(
-                "id",
+                F.col("dst").alias("id"),
                 F.least(
                     F.col("component"),
                     F.coalesce("p_component", F.col("component")),
@@ -701,9 +730,16 @@ def connected_components_star(
     global LAST_CC_ROUNDS
     sig = _sig(e)
     converged = False
+    both_uv = F.explode(
+        F.array(
+            F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )
+    ).alias("s")
     for LAST_CC_ROUNDS in range(1, max_iterations + 1):
-        # large-star over the symmetric neighborhood
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star over the symmetric neighborhood (both directions
+        # from ONE explode pass instead of a union of two scans)
+        sym = e.select(both_uv).select("s.u", "s.v")
         m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least("u", "mn").alias("m")
         )
@@ -714,12 +750,21 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # small-star over the directed (u > v) edges large-star emits
+        # small-star over the directed (u > v) edges large-star emits.
+        # Both output legs ((v, m) and (u, m)) come out of one explode
+        # over the join, so the join + its inputs execute once per
+        # round instead of once per leg.
         m2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        joined = large.join(m2, "u")
+        legs = F.explode(
+            F.array(
+                F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+            )
+        ).alias("l")
         small = (
-            joined.select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            large.join(m2, "u")
+            .select(legs)
+            .select("l.a", "l.b")
             .filter(F.col("a") != F.col("b"))
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .distinct()
