@@ -105,46 +105,76 @@ def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
                 if dec_len >= (1 << dec_width) and dec_width < 12:
                     dec_width += 1
 
-    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    # dictionary keyed on (prefix code, next byte) int pairs — every
+    # table string is exactly (string of its prefix code) + byte, so
+    # this is the textbook allocation-free form of the same table
+    # (the former bytes-concat keys were the encode hot spot)
+    table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
     emit(clear)
-    w = b""
+    cur = -1  # code of the current match; -1 = empty
     for byte in data:
-        wk = w + bytes([byte])
-        if wk in table:
-            w = wk
+        if cur < 0:
+            cur = byte
             continue
-        emit(table[w])
+        nc = table.get((cur, byte))
+        if nc is not None:
+            cur = nc
+            continue
+        emit(cur)
         if next_code < _MAX_CODE:
-            table[wk] = next_code
+            table[(cur, byte)] = next_code
             next_code += 1
         else:
             emit(clear)
-            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            table.clear()
             next_code = eoi + 1
-        w = bytes([byte])
-    if w:
-        emit(table[w])
+        cur = byte
+    if cur >= 0:
+        emit(cur)
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
     return bytes(out)
 
 
+#: min_code_size → initial decoder table (singles + CLEAR/EOI slots);
+#: rebuilt per clear before, which showed up in the decode profile
+_BASE_TABLES: dict[int, list[bytes]] = {}
+
+
+def _base_table(min_code_size: int) -> list[bytes]:
+    t = _BASE_TABLES.get(min_code_size)
+    if t is None:
+        t = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+        _BASE_TABLES[min_code_size] = t
+    return t
+
+
 def lzw_decode(data: bytes, min_code_size: int = 8) -> bytes | None:
     """Inverse of :func:`lzw_encode` (handles the KwKwK case where a
     code is referenced in the step that defines it)."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
-    pos = 0  # bit position
+    total_bits = len(data) * 8
+    pos = 0  # bit position (LSB-first)
+    bitbuf = 0  # unread bits, next bit = LSB
+    bitcnt = 0
+    bytepos = 0
 
     def read(width: int) -> int | None:
-        nonlocal pos
-        if pos + width > len(data) * 8:
+        # buffered LSB-first reader (the per-bit divmod loop was the
+        # decode hot spot — ~7 s at sf0.1); same truncation contract:
+        # None when fewer than ``width`` bits remain
+        nonlocal pos, bitbuf, bitcnt, bytepos
+        if pos + width > total_bits:
             return None
-        val = 0
-        for i in range(width):
-            byte, bit = divmod(pos + i, 8)
-            val |= ((data[byte] >> bit) & 1) << i
+        while bitcnt < width:
+            bitbuf |= data[bytepos] << bitcnt
+            bytepos += 1
+            bitcnt += 8
+        val = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
         pos += width
         return val
 
@@ -152,10 +182,11 @@ def lzw_decode(data: bytes, min_code_size: int = 8) -> bytes | None:
     table: list[bytes] = []
     width = min_code_size + 1
     prev: bytes | None = None
+    base = _base_table(min_code_size)
 
     def reset() -> None:
         nonlocal table, width, prev
-        table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+        table = base.copy()
         width = min_code_size + 1
         prev = None
 

@@ -116,10 +116,24 @@ _AC_VALS = [
 ]
 
 
+#: (bits, vals) → canonical code map. The tables are drawn from a
+#: small fixed set (Annex K + the synth variants) but were rebuilt
+#: for EVERY image's DHT segment — measured ~1.6 s of pure table
+#: reconstruction per decode pass at sf0.1 (guide §4.5: heavyweight
+#: init once, not per row). Callers treat the returned dict as
+#: read-only.
+_CANONICAL_MEMO: dict[tuple[bytes, bytes], dict[int, tuple[int, int]]] = {}
+
+
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """value → (code, length) canonical Huffman assignment (JPEG
-    C.2): codes of each length count up from (prev + 1) << 1."""
-    out = {}
+    C.2): codes of each length count up from (prev + 1) << 1.
+    Memoized on the table content (read-only result)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _CANONICAL_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
     for length in range(1, 17):
@@ -128,6 +142,7 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
+    _CANONICAL_MEMO[key] = out
     return out
 
 
@@ -138,15 +153,20 @@ class _BitWriter:
         self.n = 0
 
     def put(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
+        # whole-code accumulate (bit-identical to the former per-bit
+        # loop: same byte emission order, same 0xFF00 stuffing) —
+        # put() dominated the encode profile at ~1 µs/bit
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            byte = (acc >> n) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def align(self) -> None:
         """Pad the current partial byte with 1-bits (JPEG B.2.1 byte
@@ -635,35 +655,95 @@ def make_jpeg_ac16(asset_id: int) -> bytes:
 
 
 class _BitReader:
+    """Bit cursor over the UNSTUFFED entropy stream. Exposes the same
+    bit()/pos contract as the original per-bit divmod reader, backed
+    by a precomputed 24-bit-window array so bit() is one array index
+    and the Huffman decoder can peek 16 bits at once (the per-bit
+    walk was ~70% of decode CPU at sf0.1)."""
+
+    __slots__ = ("data", "pos", "nbits", "_w")
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position over the UNSTUFFED stream
+        self.nbits = 8 * len(data)
+        a = np.frombuffer(data + b"\x00\x00", dtype=np.uint8).astype(np.uint32)
+        # _w[i] = bytes i..i+2 big-endian: bits 8*i .. 8*i+23. Built
+        # vectorized, stored as a plain list — list indexing is ~50 ns
+        # where a numpy scalar index costs ~4 µs per call.
+        self._w = ((a[:-2] << 16) | (a[1:-1] << 8) | a[2:]).tolist()
 
     def bit(self) -> int | None:
-        byte, off = divmod(self.pos, 8)
-        if byte >= len(self.data):
+        p = self.pos
+        if p >= self.nbits:
             return None
-        self.pos += 1
-        return (self.data[byte] >> (7 - off)) & 1
+        self.pos = p + 1
+        return (self._w[p >> 3] >> (23 - (p & 7))) & 1
 
+    def peek16(self) -> int:
+        """Next 16 bits MSB-first, zero-padded past the end (callers
+        bound consumption by nbits - pos)."""
+        p = self.pos
+        return (self._w[p >> 3] >> (8 - (p & 7))) & 0xFFFF
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → value, from the DHT payload."""
-    return {
-        (length, code): v
-        for v, (code, length) in _canonical_codes(bits, vals).items()
-    }
-
-
-def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
-    code = 0
-    for length in range(1, 17):
-        b = r.bit()
-        if b is None:
+    def take(self, n: int) -> int | None:
+        """Read n (0..16) bits MSB-first. Same contract as n bit()
+        calls: on truncation, consumes the remaining bits and returns
+        None."""
+        if n == 0:
+            return 0
+        p = self.pos
+        if p + n > self.nbits:
+            self.pos = self.nbits
             return None
-        code = (code << 1) | b
-        if (length, code) in table:
-            return table[(length, code)]
+        self.pos = p + n
+        return ((self._w[p >> 3] >> (8 - (p & 7))) & 0xFFFF) >> (16 - n)
+
+
+class _HuffTable:
+    """Decode table with a 16-bit-prefix LUT: lut[peek16] = (length,
+    value) of the unique code that prefixes those bits (None where no
+    code matches — incomplete trees). Built once per distinct table
+    content (memoized), replacing the per-bit canonical walk."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, codes: dict[int, tuple[int, int]]) -> None:
+        lut: list[tuple[int, int] | None] = [None] * 65536
+        for v, (code, length) in codes.items():
+            start = code << (16 - length)
+            lut[start : start + (1 << (16 - length))] = [(length, v)] * (
+                1 << (16 - length)
+            )
+        self.lut = lut
+
+
+_DECODE_TABLE_MEMO: dict[tuple[bytes, bytes], _HuffTable] = {}
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Huffman decode table from the DHT payload (memoized on table
+    content — tables repeat across images)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _DECODE_TABLE_MEMO.get(key)
+    if hit is None:
+        hit = _HuffTable(_canonical_codes(bits, vals))
+        _DECODE_TABLE_MEMO[key] = hit
+    return hit
+
+
+def _read_huff(r: _BitReader, table: _HuffTable) -> int | None:
+    """One-lookup canonical Huffman decode. Failure semantics match
+    the former per-bit walk exactly: on no-match or truncation the
+    cursor advances min(16, remaining) bits and None is returned."""
+    remaining = r.nbits - r.pos
+    if remaining <= 0:
+        return None
+    ent = table.lut[r.peek16()]
+    if ent is not None and ent[0] <= remaining:
+        r.pos += ent[0]
+        return ent[1]
+    r.pos += remaining if remaining < 16 else 16
     return None
 
 
@@ -860,18 +940,15 @@ def _parse_segments(b: bytes):
     return quant, sof, dc_tab, ac_tab, segments, ri
 
 
-def _read_dc_diff(r: _BitReader, dc_tab: dict) -> int | None:
+def _read_dc_diff(r: _BitReader, dc_tab: _HuffTable) -> int | None:
     cat = _read_huff(r, dc_tab)
     if cat is None or cat > 11:
         return None
     if not cat:
         return 0
-    bits_v = 0
-    for _ in range(cat):
-        bit = r.bit()
-        if bit is None:
-            return None
-        bits_v = (bits_v << 1) | bit
+    bits_v = r.take(cat)
+    if bits_v is None:
+        return None
     return bits_v if bits_v >= (1 << (cat - 1)) else bits_v - (1 << cat) + 1
 
 
@@ -1061,12 +1138,9 @@ def _decode_sequential_multi(b: bytes):
                         k += run
                         if k > 63:
                             return None
-                        bits_v = 0
-                        for _ in range(size):
-                            bit = r.bit()
-                            if bit is None:
-                                return None
-                            bits_v = (bits_v << 1) | bit
+                        bits_v = r.take(size)
+                        if bits_v is None:
+                            return None
                         val = (
                             bits_v
                             if bits_v >= (1 << (size - 1))
@@ -1184,12 +1258,9 @@ def decode_jpeg_coeffs(b: bytes) -> tuple[int, int, np.ndarray] | None:
             k += run
             if k > 63:
                 return None
-            bits_v = 0
-            for _ in range(size):
-                bit = r.bit()
-                if bit is None:
-                    return None
-                bits_v = (bits_v << 1) | bit
+            bits_v = r.take(size)
+            if bits_v is None:
+                return None
             val = bits_v if bits_v >= (1 << (size - 1)) else bits_v - (1 << size) + 1
             out[bi, ZIGZAG_NAT[k]] = val * quant[k]
             k += 1
@@ -1722,23 +1793,17 @@ def _dec_ac_first(r, row, ac_tab, ss, se, al, eobrun):
             if run == 15:
                 k += 16
                 continue
-            bits_v = 0
-            for _ in range(run):  # extension bits, MSB first
-                bit = r.bit()
-                if bit is None:
-                    return None
-                bits_v = (bits_v << 1) | bit
+            bits_v = r.take(run)  # extension bits, MSB first
+            if bits_v is None:
+                return None
             # the run includes the current block
             return (1 << run) + bits_v - 1
         k += run
         if k > se:
             return None
-        bits_v = 0
-        for _ in range(size):
-            bit = r.bit()
-            if bit is None:
-                return None
-            bits_v = (bits_v << 1) | bit
+        bits_v = r.take(size)
+        if bits_v is None:
+            return None
         val = bits_v if bits_v >= (1 << (size - 1)) else bits_v - (1 << size) + 1
         row[k] = val << al
         k += 1
@@ -2515,7 +2580,7 @@ def _parse_segments_lossless(b: bytes):
     return prec, sof[0], sof[1], psel, pt, table, segments[0]
 
 
-def _read_ll_diff(r: _BitReader, tab: dict) -> int | None:
+def _read_ll_diff(r: _BitReader, tab: _HuffTable) -> int | None:
     """One lossless difference: category then magnitude bits, with
     the SSSS=16 → 32768 no-bits escape (H.2)."""
     cat = _read_huff(r, tab)
@@ -2525,12 +2590,9 @@ def _read_ll_diff(r: _BitReader, tab: dict) -> int | None:
         return 0
     if cat == 16:
         return 32768
-    v = 0
-    for _ in range(cat):
-        bit = r.bit()
-        if bit is None:
-            return None
-        v = (v << 1) | bit
+    v = r.take(cat)
+    if v is None:
+        return None
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 

@@ -212,30 +212,47 @@ def lzw_tiff_encode(data: bytes) -> bytes:
                 if dec_len >= (1 << dec_width) - 1 and dec_width < 12:
                     dec_width += 1
 
-    table = {bytes([i]): i for i in range(256)}
+    # (prefix code, next byte) int keys — same table, no per-byte
+    # bytes allocation (the former concat keys were the encode hot
+    # spot; see gif.lzw_encode for the same rewrite)
+    table: dict[tuple[int, int], int] = {}
     next_code = 258
     emit(_TIF_CLEAR)
-    w = b""
+    cur = -1
     for byte in data:
-        wk = w + bytes([byte])
-        if wk in table:
-            w = wk
+        if cur < 0:
+            cur = byte
             continue
-        emit(table[w])
+        nc = table.get((cur, byte))
+        if nc is not None:
+            cur = nc
+            continue
+        emit(cur)
         if next_code < _TIF_MAX_TABLE:
-            table[wk] = next_code
+            table[(cur, byte)] = next_code
             next_code += 1
         else:
             emit(_TIF_CLEAR)
-            table = {bytes([i]): i for i in range(256)}
+            table.clear()
             next_code = 258
-        w = bytes([byte])
-    if w:
-        emit(table[w])
+        cur = byte
+    if cur >= 0:
+        emit(cur)
     emit(_TIF_EOI)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+_TIF_BASE_TABLE: list[bytes] = []
+
+
+def _tif_base_table() -> list[bytes]:
+    if not _TIF_BASE_TABLE:
+        _TIF_BASE_TABLE.extend(
+            [bytes([i]) for i in range(256)] + [b"", b""]
+        )
+    return _TIF_BASE_TABLE
 
 
 def lzw_tiff_decode(data: bytes) -> bytes | None:
@@ -243,15 +260,23 @@ def lzw_tiff_decode(data: bytes) -> bytes | None:
     truncated stream (no EOI) or an out-of-range code."""
     pos = 0
     total = len(data) * 8
+    bitbuf = 0  # unread bits, MSB-first
+    bitcnt = 0
+    bytepos = 0
 
     def read(width: int) -> int | None:
-        nonlocal pos
+        # buffered MSB-first reader (per-bit divmod loop was the
+        # decode hot spot); same truncation contract
+        nonlocal pos, bitbuf, bitcnt, bytepos
         if pos + width > total:
             return None
-        val = 0
-        for i in range(width):
-            byte, bit = divmod(pos + i, 8)
-            val = (val << 1) | ((data[byte] >> (7 - bit)) & 1)
+        while bitcnt < width:
+            bitbuf = (bitbuf << 8) | data[bytepos]
+            bytepos += 1
+            bitcnt += 8
+        bitcnt -= width
+        val = bitbuf >> bitcnt
+        bitbuf &= (1 << bitcnt) - 1
         pos += width
         return val
 
@@ -262,7 +287,7 @@ def lzw_tiff_decode(data: bytes) -> bytes | None:
 
     def reset() -> None:
         nonlocal table, width, prev
-        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        table = _tif_base_table().copy()
         width = 9
         prev = None
 

@@ -40,7 +40,9 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     input. The shuffle-partitions conf can be the string ``"auto"``
     on some platforms; fall back to ``defaultParallelism``."""
     spark = df.sparkSession
-    if partitions:
+    if partitions is not None:
+        if partitions < 1:
+            raise ValueError(f"partitions must be >= 1, got {partitions}")
         target = partitions
     else:
         try:
@@ -89,7 +91,9 @@ def spread_by(df: DataFrame, *cols: str, partitions: int | None = None) -> DataF
     post-shuffle partitions exceed the advisory size anyway, pinning
     is behavior-neutral."""
     spark = df.sparkSession
-    if partitions:
+    if partitions is not None:
+        if partitions < 1:
+            raise ValueError(f"partitions must be >= 1, got {partitions}")
         target = partitions
     else:
         try:
